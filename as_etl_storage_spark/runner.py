@@ -1,0 +1,35 @@
+"""Job runner: JSON spec -> read plan -> write — the reference's end-to-end
+pipeline (SURVEY.md §3) as one lazy lineage.
+
+Reference lifecycle parity:
+  Job.Init (config parse + ping)            -> JobSpec.from_json + source.ping
+  Job.Split (N task configs)                -> Catalyst file splits / range
+                                               predicates (plans.planner)
+  Task read loop (rows -> records -> chan)  -> DataFrame lineage (no
+                                               materialization boundary)
+  Writer accumulate/flush + retry           -> single distributed write;
+                                               task retries are Spark's
+  preSQL/postSQL                            -> spark.sql hooks around write
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from as_etl_storage_spark.plans.planner import plan_read
+from as_etl_storage_spark.spec import JobSpec
+from as_etl_storage_spark.writers.writer import ParquetWriter, WriteResult
+
+
+def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteResult | DataFrame:
+    """Execute a job spec. With a writer: run end-to-end, return WriteResult.
+    Without: return the lazy DataFrame (ad-hoc/API path, SURVEY.md §3.3)."""
+    if not isinstance(spec, JobSpec):
+        spec = JobSpec.from_json(spec)
+    df = plan_read(spark, spec.reader)
+    if spec.writer is None:
+        return df
+    writer = ParquetWriter(spark, spec.writer)
+    return writer.write(df)

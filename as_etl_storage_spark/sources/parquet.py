@@ -1,0 +1,117 @@
+"""Parquet-native source — the primary storage backend of the rebuild.
+
+Replaces the reference's RDBMS scan surface (S1-S7) with lazy DataFrame
+lineage. Schema probe (S3, ``where 1=2`` in the reference,
+database/table.go:229-233) is free here: parquet footers carry the schema.
+Min/max discovery (S12, reader/parameter.go:203-254) is a single distributed
+aggregate; on a real cluster it reads only the split-key column thanks to
+parquet column pruning, and row-group statistics make it near-metadata-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from as_etl_storage_spark.spec import ConnectionSpec
+from as_etl_storage_spark.types import dedupe_column_names
+
+
+class SourceError(RuntimeError):
+    pass
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot read
+    natively — detected from the footer (cheap, metadata-only)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, transparently converting TIMESTAMP(NANOS)
+    columns (unsupported by Spark's vectorized reader) to TimestampType by
+    reading them as int64 ns and truncating to microseconds — the same
+    truncation DuckDB applies, so oracles agree."""
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # integer division: float division would lose precision at 2^60 ns
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+class ParquetSource:
+    """Path-based table source: ``url`` is a directory, table ``name`` maps
+    to ``<url>/<name>.parquet`` (file or directory)."""
+
+    def __init__(self, spark: SparkSession, connection: ConnectionSpec):
+        self.spark = spark
+        self.connection = connection
+
+    def table_path(self, name: str | None = None) -> str:
+        name = name or self.connection.table.name
+        if not name:
+            raise SourceError("no table name in connection spec")
+        base = self.connection.url
+        for cand in (f"{name}.parquet", name):
+            p = os.path.join(base, cand)
+            if os.path.exists(p):
+                return p
+        # non-local paths (hdfs://, s3a://) can't be probed here; default
+        return os.path.join(base, f"{name}.parquet")
+
+    def ping(self) -> None:
+        """Connectivity check (C4; db.go:244-246): the path must resolve."""
+        path = self.table_path()
+        if path.startswith("/") and not os.path.exists(path):
+            raise SourceError(f"table path does not exist: {path}")
+
+    def read(self, name: str | None = None) -> DataFrame:
+        df = read_parquet_table(self.spark, self.table_path(name))
+        cols = df.columns
+        deduped = dedupe_column_names(cols)
+        if deduped != cols:  # P10 duplicate-name rename (db.go:425-432)
+            df = df.toDF(*deduped)
+        return df
+
+    def schema(self, name: str | None = None) -> T.StructType:
+        """S3 schema probe — zero data read (footer only)."""
+        return self.read(name).schema
+
+    def min_max(self, key: str, where: str = "") -> tuple[object, object]:
+        """S12 min/max discovery for split bounds, honoring the user
+        ``where`` exactly as the reference does (parameter.go:208-213)."""
+        df = self.read()
+        if where:
+            df = df.where(where)
+        row = df.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        return row["lo"], row["hi"]
+
+    def list_tables(self) -> list[str]:
+        base = self.connection.url
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for entry in sorted(os.listdir(base)):
+            if entry.endswith(".parquet"):
+                out.append(entry[: -len(".parquet")])
+        return out

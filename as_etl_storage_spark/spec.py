@@ -1,0 +1,250 @@
+"""JSON job spec — the reference's de-facto query language.
+
+Mirrors the reader/writer config surface (reference:
+database/dbms/reader/config.go:38-46,74-114 and
+database/dbms/writer/config.go:42-80,147-175) as a validated Python model.
+The runner compiles a JobSpec into DataFrame lineage (sources → transforms →
+writer), so this module is pure Python and unit-testable without Spark.
+
+Validation parity:
+  * empty ``column`` list is an error (reader/parameter.go:57-59)
+  * SELECT statements rejected in preSQL/postSQL (writer/config.go:167-175)
+  * split range type must match the probed key type (reader/split.go:84-111)
+  * writeMode must be a registered mode (database/db.go:380-396)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from as_etl_storage_spark.types import TIME_ACCURACIES
+
+WRITE_MODES = ("insert", "replace", "overwrite", "ignore")
+
+#: split.range.type domain (reference split.go:114-119)
+SPLIT_RANGE_TYPES = ("bigint", "string", "time")
+
+
+class SpecError(ValueError):
+    """Raised on invalid job configuration."""
+
+
+@dataclass(frozen=True)
+class TableRef:
+    """3-level table name ``instance.schema.table``
+    (reference database/table.go:30-38,112-114). For path-based sources the
+    name is the table file/dir name under the connection url."""
+
+    db: str = ""
+    schema: str = ""
+    name: str = ""
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "TableRef":
+        return TableRef(
+            db=obj.get("db", ""), schema=obj.get("schema", ""), name=obj.get("name", "")
+        )
+
+    def quoted(self) -> str:
+        parts = [p for p in (self.db, self.schema, self.name) if p]
+        return ".".join(f"`{p}`" for p in parts)
+
+
+@dataclass(frozen=True)
+class SplitRange:
+    """Pre-declared split range (S13; reference split.go:47-61)."""
+
+    type: str = ""
+    layout: str = ""
+    left: str = ""
+    right: str = ""
+
+    def validate(self) -> None:
+        if self.type and self.type not in SPLIT_RANGE_TYPES:
+            raise SpecError(
+                f"split.range.type {self.type!r} not in {SPLIT_RANGE_TYPES}"
+            )
+
+
+@dataclass(frozen=True)
+class SplitSpec:
+    """Split config (S5/S8-S15; reference reader/config.go:103-114)."""
+
+    key: str = ""
+    time_accuracy: str = ""
+    range: SplitRange = field(default_factory=SplitRange)
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "SplitSpec":
+        rng = obj.get("range", {}) or {}
+        return SplitSpec(
+            key=obj.get("key", ""),
+            time_accuracy=obj.get("timeAccuracy", ""),
+            range=SplitRange(
+                type=rng.get("type", ""),
+                layout=rng.get("layout", ""),
+                left=str(rng.get("left", "")),
+                right=str(rng.get("right", "")),
+            ),
+        )
+
+    def validate(self) -> None:
+        self.range.validate()
+        if self.time_accuracy and self.time_accuracy not in TIME_ACCURACIES:
+            raise SpecError(
+                f"split.timeAccuracy {self.time_accuracy!r} not in "
+                f"{sorted(TIME_ACCURACIES)}"
+            )
+
+
+@dataclass(frozen=True)
+class ConnectionSpec:
+    """Connection: url + table ref. For the native engine the url is a
+    directory of parquet/delta tables; for JDBC it is a JDBC url."""
+
+    url: str = ""
+    table: TableRef = field(default_factory=TableRef)
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
+        return ConnectionSpec(
+            url=obj.get("url", ""),
+            table=TableRef.from_json(obj.get("table", {}) or {}),
+        )
+
+
+@dataclass(frozen=True)
+class ReaderSpec:
+    """Reader half of the job (reference reader/config.go:38-46)."""
+
+    dialect: str = "parquet"
+    connection: ConnectionSpec = field(default_factory=ConnectionSpec)
+    columns: tuple[str, ...] = ()
+    where: str = ""
+    split: SplitSpec = field(default_factory=SplitSpec)
+    query_sql: tuple[str, ...] = ()
+    username: str = ""
+    password: str = ""
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "ReaderSpec":
+        spec = ReaderSpec(
+            dialect=obj.get("dialect", "parquet"),
+            connection=ConnectionSpec.from_json(obj.get("connection", {}) or {}),
+            columns=tuple(obj.get("column", []) or []),
+            where=obj.get("where", ""),
+            split=SplitSpec.from_json(obj.get("split", {}) or {}),
+            query_sql=tuple(obj.get("querySql", []) or []),
+            username=obj.get("username", ""),
+            password=obj.get("password", ""),
+        )
+        spec.validate()
+        return spec
+
+    def validate(self) -> None:
+        if not self.query_sql:
+            if not self.columns:
+                # reference errors on an empty select list
+                # (reader/parameter.go:57-59); "*" must be explicit
+                raise SpecError("reader.column must be non-empty (use ['*'] for all)")
+            if not self.connection.table.name:
+                raise SpecError("reader.connection.table.name is required")
+        self.split.validate()
+
+
+_FORBIDDEN_HOOK = re.compile(r"^\s*select\b", re.IGNORECASE)
+
+
+def validate_hook_sql(statements: tuple[str, ...], which: str) -> None:
+    """preSQL/postSQL must be non-SELECT (writer/config.go:167-175)."""
+    for stmt in statements:
+        if _FORBIDDEN_HOOK.match(stmt):
+            raise SpecError(f"{which} must not contain SELECT statements: {stmt!r}")
+
+
+@dataclass(frozen=True)
+class RetrySpec:
+    """Retry policy (writer/config.go:64-72). At Spark scale per-row retry
+    becomes row-level quarantine (SURVEY.md §4 W8)."""
+
+    ignore_one_by_one_error: bool = False
+    max_retries: int = 3
+
+
+@dataclass(frozen=True)
+class WriterSpec:
+    """Writer half of the job (reference writer/config.go:42-54)."""
+
+    dialect: str = "parquet"
+    connection: ConnectionSpec = field(default_factory=ConnectionSpec)
+    columns: tuple[str, ...] = ()
+    write_mode: str = "insert"
+    batch_size: int = 1000  # reference default writer/config.go:21
+    batch_timeout_s: float = 1.0  # reference default writer/config.go:22
+    pre_sql: tuple[str, ...] = ()
+    post_sql: tuple[str, ...] = ()
+    merge_keys: tuple[str, ...] = ()  # keys for replace/MERGE (W2)
+    retry: RetrySpec = field(default_factory=RetrySpec)
+    quarantine_predicate: str = ""  # rows NOT satisfying this go to reject table
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "WriterSpec":
+        retry = obj.get("retry", {}) or {}
+        spec = WriterSpec(
+            dialect=obj.get("dialect", "parquet"),
+            connection=ConnectionSpec.from_json(obj.get("connection", {}) or {}),
+            columns=tuple(obj.get("column", []) or []),
+            write_mode=obj.get("writeMode", "insert"),
+            batch_size=int(obj.get("batchSize", 1000)),
+            batch_timeout_s=float(obj.get("batchTimeout", 1.0)),
+            pre_sql=tuple(obj.get("preSQL", []) or []),
+            post_sql=tuple(obj.get("postSQL", []) or []),
+            merge_keys=tuple(obj.get("mergeKeys", []) or []),
+            retry=RetrySpec(
+                ignore_one_by_one_error=bool(retry.get("ignoreOneByOneError", False)),
+                max_retries=int(retry.get("maxRetries", 3)),
+            ),
+            quarantine_predicate=obj.get("quarantinePredicate", ""),
+        )
+        spec.validate()
+        return spec
+
+    def validate(self) -> None:
+        if self.write_mode not in WRITE_MODES:
+            raise SpecError(
+                f"writeMode {self.write_mode!r} not in {WRITE_MODES} "
+                "(unknown non-insert mode is an error, db.go:380-396)"
+            )
+        if self.write_mode == "replace" and not self.merge_keys:
+            raise SpecError("writeMode=replace requires mergeKeys (MERGE key set)")
+        if self.batch_size <= 0:
+            raise SpecError("batchSize must be positive")
+        validate_hook_sql(self.pre_sql, "preSQL")
+        validate_hook_sql(self.post_sql, "postSQL")
+        if not self.connection.table.name:
+            raise SpecError("writer.connection.table.name is required")
+
+
+@dataclass(frozen=True)
+class JobSpec:
+    """A full reader→writer job."""
+
+    reader: ReaderSpec
+    writer: WriterSpec | None = None
+    parallelism: int = 4
+
+    @staticmethod
+    def from_json(obj: dict[str, Any] | str) -> "JobSpec":
+        if isinstance(obj, str):
+            obj = json.loads(obj)
+        reader = ReaderSpec.from_json(obj.get("reader", {}) or {})
+        writer_obj = obj.get("writer")
+        writer = WriterSpec.from_json(writer_obj) if writer_obj else None
+        return JobSpec(
+            reader=reader,
+            writer=writer,
+            parallelism=int(obj.get("parallelism", 4)),
+        )

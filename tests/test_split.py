@@ -1,0 +1,133 @@
+"""Split-computation parity + property tests (SURVEY.md §5 item 4):
+ranges partition [min,max] exactly — no overlap, no gap, remainder balance
+<= 1 (doSplit arithmetic, split.go:361-391)."""
+
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from as_etl_storage_spark.plans.split import (
+    BigIntConvertor,
+    SplitError,
+    StringConvertor,
+    TimeConvertor,
+    do_split,
+    range_predicates,
+    split_ranges,
+)
+
+
+class TestDoSplit:
+    def test_even(self):
+        assert do_split(0, 10, 2) == [(0, 5), (5, 10)]
+
+    def test_remainder_goes_to_leading_ranges(self):
+        # gap=10, num=3 -> widths 4,3,3
+        assert do_split(0, 10, 3) == [(0, 4), (4, 7), (7, 10)]
+
+    def test_single(self):
+        assert do_split(5, 5, 4) == [(5, 5)]
+        assert do_split(0, 100, 1) == [(0, 100)]
+
+    def test_num_capped_at_gap(self):
+        assert do_split(0, 2, 10) == [(0, 1), (1, 2)]
+
+    def test_errors(self):
+        with pytest.raises(SplitError):
+            do_split(0, 10, 0)
+        with pytest.raises(SplitError):
+            do_split(10, 0, 2)
+
+    @given(
+        left=st.integers(-(10**30), 10**30),
+        gap=st.integers(0, 10**30),
+        num=st.integers(1, 1000),
+    )
+    @settings(max_examples=300)
+    def test_partition_invariants(self, left, gap, num):
+        right = left + gap
+        ranges = do_split(left, right, num)
+        # contiguous cover of [left, right]
+        assert ranges[0][0] == left
+        assert ranges[-1][1] == right
+        for (_, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a == lo_b
+        # near-equal widths (remainder balance <= 1)
+        widths = [hi - lo for lo, hi in ranges]
+        assert max(widths) - min(widths) <= 1
+
+
+class TestStringConvertor:
+    """radix-128 codec parity (split.go:244-287)."""
+
+    conv = StringConvertor()
+
+    def test_roundtrip(self):
+        for s in ["", "a", "Customer#000000042", "zzz", "\x01\x7f"]:
+            assert self.conv.from_int(self.conv.to_int(s)) == s
+
+    def test_non_ascii_rejected(self):
+        with pytest.raises(SplitError):
+            self.conv.to_int("héllo")
+
+    @given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), max_size=20))
+    @settings(max_examples=200)
+    def test_roundtrip_property(self, s):
+        assert self.conv.from_int(self.conv.to_int(s)) == s
+
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), min_size=3, max_size=3),
+        st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), min_size=3, max_size=3),
+    )
+    @settings(max_examples=200)
+    def test_equal_length_order_preserved(self, a, b):
+        # radix-128 encoding is order-isomorphic for equal-length strings
+        assert (a < b) == (self.conv.to_int(a) < self.conv.to_int(b))
+
+
+class TestTimeConvertor:
+    def test_day_accuracy(self):
+        c = TimeConvertor("day")
+        t = datetime(2024, 3, 1, tzinfo=timezone.utc)
+        assert c.from_int(c.to_int(t)) == t
+
+    def test_units_ordering(self):
+        base = datetime(2024, 3, 1, 12, 30, 15, 123456, tzinfo=timezone.utc)
+        for acc in ("day", "min", "s", "ms", "us", "ns"):
+            c = TimeConvertor(acc)
+            n = c.to_int(base)
+            later = c.to_int(datetime(2025, 1, 1, tzinfo=timezone.utc))
+            assert later > n
+
+    def test_bad_accuracy(self):
+        with pytest.raises(SplitError):
+            TimeConvertor("weeks")
+
+
+class TestRangePredicates:
+    def test_bigint_predicates(self):
+        preds = range_predicates("k", 0, 10, 2, BigIntConvertor())
+        assert preds == [
+            "k >= 0 AND k < 5",
+            "k >= 5 AND k <= 10",
+        ]
+
+    def test_last_range_closed(self):
+        # parity: last range uses <= (reader/job.go:184-187)
+        preds = range_predicates("k", 0, 100, 4, BigIntConvertor())
+        assert all("<" in p for p in preds)
+        assert preds[-1].endswith("<= 100")
+        assert all(not p.endswith("< 100") for p in preds[:-1])
+
+    def test_string_predicates_quote(self):
+        preds = range_predicates("name", "a", "d", 3, StringConvertor())
+        assert all("name >= '" in p for p in preds)
+
+    def test_ranges_cover_domain(self):
+        ranges = split_ranges(100, 1000, 7, BigIntConvertor())
+        assert ranges[0][0] == 100
+        assert ranges[-1][1] == 1000
+        assert ranges[-1][2] is True
+        assert all(not closed for _, _, closed in ranges[:-1])
