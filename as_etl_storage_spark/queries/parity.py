@@ -1,0 +1,325 @@
+"""Reference-parity queries — one per SURVEY.md §2 operator family, each
+exercising the real engine path (planner / split / writer), with a DuckDB
+oracle expressing the same semantics in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from as_etl_storage_spark.plans.planner import plan_read, plan_split_union
+from as_etl_storage_spark.plans.split import BigIntConvertor, split_ranges
+from as_etl_storage_spark.queries.common import load_table, sql_query
+from as_etl_storage_spark.sources.parquet import ParquetSource
+from as_etl_storage_spark.spec import ReaderSpec, WriterSpec
+from as_etl_storage_spark.types import dedupe_column_names
+from as_etl_storage_spark.writers.writer import ParquetWriter
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch_dir() -> str:
+    path = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _reader(sf_dir: str, table: str, **over) -> ReaderSpec:
+    base = {
+        "connection": {"url": sf_dir, "table": {"name": table}},
+        "column": ["*"],
+    }
+    base.update(over)
+    return ReaderSpec.from_json(base)
+
+
+# --- S1/P1/P2: projected + filtered scan (reader/parameter.go:94-120) ------
+def s1_scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _reader(
+        sf_dir,
+        "lineitem",
+        column=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+        where="l_quantity > 40",
+    )
+    return plan_read(spark, spec)
+
+
+# --- S2/S14: raw querySql passthrough (reader/parameter.go:95-101) ---------
+def s2_query_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = ReaderSpec.from_json(
+        {
+            "connection": {"url": sf_dir},
+            "querySql": [
+                "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+                "count(DISTINCT l_orderkey) AS n_orders "
+                "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            ],
+        }
+    )
+    return plan_read(spark, spec)
+
+
+# --- S3: zero-row schema probe (database/table.go:229-233) -----------------
+def s3_schema_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _reader(sf_dir, "orders", where="1 = 2")
+    return plan_read(spark, spec)
+
+
+# --- S5: range-partitioned parallel scan (reader/job.go:122-187) -----------
+def s5_split_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _reader(
+        sf_dir,
+        "lineitem",
+        column=["l_orderkey", "l_linenumber", "l_quantity"],
+        where="l_quantity > 10",
+        split={"key": "l_orderkey", "range": {"type": "bigint"}},
+    )
+    return plan_split_union(spark, spec, 5)
+
+
+# --- S8/S9/S12: range split arithmetic over discovered min/max -------------
+def s8_split_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The computed split boundaries themselves (doSplit parity,
+    split.go:361-391), as rows — hash-checked against the same arithmetic
+    in SQL."""
+    source = ParquetSource(
+        spark, _reader(sf_dir, "lineitem").connection
+    )
+    lo, hi = source.min_max("l_orderkey")
+    ranges = split_ranges(int(lo), int(hi), 8, BigIntConvertor())
+    rows = [
+        (i, int(a), int(b)) for i, (a, b, _closed) in enumerate(ranges)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("task_id", T.LongType()),
+            T.StructField("range_lo", T.LongType()),
+            T.StructField("range_hi", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# --- S10: string-key split — radix-128 boundaries partition the table ------
+def s10_string_split_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _reader(
+        sf_dir,
+        "customer",
+        column=["c_custkey", "c_name"],
+        split={"key": "c_name", "range": {"type": "string"}},
+    )
+    return plan_split_union(spark, spec, 4)
+
+
+# --- S11: time-key split at day accuracy -----------------------------------
+def s11_time_split_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = _reader(
+        sf_dir,
+        "orders",
+        column=["o_orderkey", "o_orderdate"],
+        split={"key": "o_orderdate", "timeAccuracy": "day", "range": {"type": "time"}},
+    )
+    return plan_split_union(spark, spec, 6)
+
+
+# --- S12/A1: min/max discovery (reader/parameter.go:203-254) ---------------
+def s12_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# --- S13: pre-declared range bounds (split.go:47-61) -----------------------
+def s13_declared_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranges = split_ranges(1000, 9999, 7, BigIntConvertor())
+    rows = [(i, int(a), int(b)) for i, (a, b, _c) in enumerate(ranges)]
+    schema = T.StructType(
+        [
+            T.StructField("task_id", T.LongType()),
+            T.StructField("range_lo", T.LongType()),
+            T.StructField("range_hi", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# --- P4: CHAR trim rule (database/config.go:97-111) ------------------------
+def p4_trim_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer")
+    padded = F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))
+    return df.select(
+        "c_custkey", F.trim(padded).alias("trimmed")
+    )
+
+
+# --- P5-P8: type-coercion matrix ------------------------------------------
+def p5_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_linenumber").cast("bigint").alias("ln_big"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("double").alias("qty_dec"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        (F.col("l_quantity") > 25).alias("qty_gt25"),
+    )
+
+
+# --- P10: duplicate column rename (db.go:425-432) --------------------------
+def p10_dup_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "lineitem")
+    dup = df.select(
+        F.col("l_orderkey"), F.col("l_quantity").alias("l_orderkey"),
+        F.col("l_linenumber"),
+    )
+    return dup.toDF(*dedupe_column_names(dup.columns))
+
+
+# --- W1: insert/append (database/table.go:156-214) -------------------------
+def w1_insert_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir()
+    spec = WriterSpec.from_json(
+        {"connection": {"url": out, "table": {"name": "w1"}}, "writeMode": "insert"}
+    )
+    src = load_table(spark, sf_dir, "orders")
+    writer = ParquetWriter(spark, spec)
+    writer.write(src)
+    writer.write(src)  # second append doubles every group
+    written = spark.read.parquet(writer.target_path())
+    return written.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+# --- W2/W4: replace => MERGE-style upsert (mysql/table.go:100-146) ---------
+def w2_replace_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir()
+    spec = WriterSpec.from_json(
+        {
+            "connection": {"url": out, "table": {"name": "w2"}},
+            "writeMode": "insert",
+        }
+    )
+    src = load_table(spark, sf_dir, "orders")
+    ParquetWriter(spark, spec).write(src)
+    upsert_spec = WriterSpec.from_json(
+        {
+            "connection": {"url": out, "table": {"name": "w2"}},
+            "writeMode": "replace",
+            "mergeKeys": ["o_orderkey"],
+        }
+    )
+    batch = src.where("o_orderkey <= 1000").withColumn("o_orderstatus", F.lit("X"))
+    writer = ParquetWriter(spark, upsert_spec)
+    writer.write(batch)
+    merged = spark.read.parquet(writer.target_path())
+    return merged.select("o_orderkey", "o_orderstatus")
+
+
+# --- W8: row-level quarantine (dead-letter upgrade of one-by-one retry) ----
+def w8_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch_dir()
+    spec = WriterSpec.from_json(
+        {
+            "connection": {"url": out, "table": {"name": "w8"}},
+            "writeMode": "insert",
+            "quarantinePredicate": "o_totalprice BETWEEN 1000 AND 400000",
+        }
+    )
+    src = load_table(spark, sf_dir, "orders")
+    writer = ParquetWriter(spark, spec)
+    writer.write(src)
+    clean = spark.read.parquet(writer.target_path())
+    return clean.select("o_orderkey", "o_totalprice")
+
+
+QUERIES = {
+    "s1_scan_project_filter": s1_scan_project_filter,
+    "s2_query_sql": s2_query_sql,
+    "s3_schema_probe": s3_schema_probe,
+    "s5_split_union": s5_split_union,
+    "s8_split_ranges": s8_split_ranges,
+    "s10_string_split_union": s10_string_split_union,
+    "s11_time_split_union": s11_time_split_union,
+    "s12_minmax": s12_minmax,
+    "s13_declared_ranges": s13_declared_ranges,
+    "p4_trim_char": p4_trim_char,
+    "p5_type_coercion": p5_type_coercion,
+    "p10_dup_rename": p10_dup_rename,
+    "w1_insert_append": w1_insert_append,
+    "w2_replace_merge": w2_replace_merge,
+    "w8_quarantine": w8_quarantine,
+}
+
+ORACLES = {
+    "s1_scan_project_filter": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity > 40"
+    ),
+    "s2_query_sql": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n_rows, "
+        "count(DISTINCT l_orderkey) AS n_orders "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "s3_schema_probe": "SELECT * FROM orders WHERE 1 = 2",
+    "s5_split_union": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_quantity > 10"
+    ),
+    # doSplit arithmetic in SQL: gap//num even step + leading remainder
+    "s8_split_ranges": """
+        WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem),
+        p AS (SELECT lo, hi, hi - lo AS gap,
+                     least(8, hi - lo) AS num FROM b),
+        i AS (SELECT p.*, unnest(range(0, num)) AS tid FROM p)
+        SELECT tid AS task_id,
+               lo + tid * (gap // num) + least(tid, gap % num) AS range_lo,
+               lo + (tid + 1) * (gap // num) + least(tid + 1, gap % num) AS range_hi
+        FROM i ORDER BY tid
+    """,
+    "s10_string_split_union": "SELECT c_custkey, c_name FROM customer",
+    "s11_time_split_union": "SELECT o_orderkey, o_orderdate FROM orders",
+    "s12_minmax": (
+        "SELECT min(l_orderkey) AS min_key, max(l_orderkey) AS max_key, "
+        "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+    ),
+    "s13_declared_ranges": """
+        WITH p AS (SELECT 1000 AS lo, 9999 AS hi, 9999 - 1000 AS gap,
+                          least(7, 9999 - 1000) AS num),
+        i AS (SELECT p.*, unnest(range(0, num)) AS tid FROM p)
+        SELECT tid AS task_id,
+               lo + tid * (gap // num) + least(tid, gap % num) AS range_lo,
+               lo + (tid + 1) * (gap // num) + least(tid + 1, gap % num) AS range_hi
+        FROM i ORDER BY tid
+    """,
+    "p4_trim_char": (
+        "SELECT c_custkey, trim('  ' || c_name || '  ') AS trimmed FROM customer"
+    ),
+    "p5_type_coercion": (
+        "SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS BIGINT) AS ln_big, "
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_dec, "
+        "CAST(l_orderkey AS VARCHAR) AS key_str, "
+        "(l_quantity > 25) AS qty_gt25 FROM lineitem"
+    ),
+    "p10_dup_rename": (
+        "SELECT l_orderkey, l_quantity AS l_orderkey1, l_linenumber FROM lineitem"
+    ),
+    "w1_insert_append": (
+        "SELECT o_orderstatus, count(*) * 2 AS n FROM orders GROUP BY o_orderstatus"
+    ),
+    "w2_replace_merge": (
+        "SELECT o_orderkey, CASE WHEN o_orderkey <= 1000 THEN 'X' "
+        "ELSE o_orderstatus END AS o_orderstatus FROM orders"
+    ),
+    "w8_quarantine": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice BETWEEN 1000 AND 400000"
+    ),
+}

@@ -1,0 +1,72 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from as_etl_storage_spark.queries import QUERIES  # noqa: E402
+from as_etl_storage_spark.session import get_spark  # noqa: E402
+
+#: headline set: scan, aggregate, multi-join, window, top-k, set-op, dedup,
+#: similarity, text — the mix a 100 TB pipeline actually runs.
+HEADLINE = [
+    "s1_scan_project_filter",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_window_rank",
+    "q_topk_orders",
+    "q_set_ops",
+    "q_rollup",
+    "q_range_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_topk_bruteforce",
+    "stream_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink forces full evaluation of every column (count() alone
+        # lets Catalyst prune the projection)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

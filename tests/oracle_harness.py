@@ -1,0 +1,98 @@
+"""Shared harness: run a queries() entry and its DuckDB oracle, compare like
+the driver does (row count + columns + order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, Decimal):
+            df[c] = s.map(lambda v: None if v is None else str(v.normalize()))
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame, name: str) -> list[str]:
+    problems = []
+    if sorted(got.columns) != sorted(want.columns):
+        return [f"{name}: columns differ: {sorted(got.columns)} vs {sorted(want.columns)}"]
+    if len(got) != len(want):
+        problems.append(f"{name}: row count {len(got)} vs {len(want)}")
+        return problems
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        gv, wv = g[c].to_numpy(), w[c].to_numpy()
+        if pd.api.types.is_float_dtype(g[c]) and pd.api.types.is_float_dtype(w[c]):
+            eq = np.array_equal(gv, wv, equal_nan=True)
+        else:
+            eq = (pd.Series(gv).fillna("§null§") == pd.Series(wv).fillna("§null§")).all()
+        if not eq:
+            mism = [
+                (i, gv[i], wv[i])
+                for i in range(len(gv))
+                if not _cell_eq(gv[i], wv[i])
+            ][:5]
+            problems.append(f"{name}: column {c!r} differs, first mismatches {mism}")
+    return problems
+
+
+def _cell_eq(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+
+def run_and_compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> list[str]:
+    got = fn(spark, sf_dir).toPandas()
+    if oracle is None:
+        return [] if len(got) >= 0 else [f"{name}: no rows"]
+    con = duck_connection(sf_dir)
+    want = con.sql(oracle).df()
+    return compare_frames(got, want, name)
