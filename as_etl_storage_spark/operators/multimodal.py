@@ -1,0 +1,96 @@
+"""Multimodal-column operators: images/audio/video as opaque binary columns
+with typed metadata, processed through Arrow-batched pandas pipelines.
+
+The decode step is STUBBED (no image/audio libraries in this environment):
+``decode_image_meta`` ships a deterministic fake decoder so the Spark-side
+plumbing — binary column handling, mapInPandas schema contract, Arrow batch
+shape, partition parallelism — is real and testable end-to-end. Swap
+``_fake_decode`` for a PIL/libav call in production; nothing else changes.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
+binary payloads stay in the executors — never collected. For very large
+blobs store (path, offset, nbytes) pointers instead and fetch inside the
+batch iterator, keeping parquet row groups small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: schema of the decoded-metadata output — the contract a real decoder must
+#: also satisfy.
+DECODED_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fixture adapter: encode the text column as a binary payload column
+    (stands in for real image/audio bytes) with typed metadata."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.length(F.col(text_col)).alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decoder: derives (width, height,
+    n_frames) from the byte length. Raises on None like a real decoder
+    would on corrupt input."""
+    if payload is None:
+        raise NotImplementedError("real decode of null payload")
+    n = len(payload)
+    return (n % 64) + 1, (n % 48) + 1, (n % 8) + 1
+
+
+def decode_image_meta(with_binary: DataFrame) -> DataFrame:
+    """mapInPandas decode pipeline: binary payload -> typed metadata rows.
+    Arrow-batched; one Python worker per partition, no shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, frames, nbytes = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, f = _fake_decode(payload)
+                widths.append(w)
+                heights.append(h)
+                frames.append(f)
+                nbytes.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.array(nbytes, dtype="int32"),
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "n_frames": pd.array(frames, dtype="int32"),
+                }
+            )
+
+    return with_binary.mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plan: one row per sampled frame index (posexplode of
+    the frame range) — the shape a video pipeline needs downstream."""
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )

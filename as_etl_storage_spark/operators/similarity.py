@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies:
+  * cosine_topk       — brute-force exact top-k: the correctness baseline.
+                        Cost O(|queries| x |corpus|); distributed as a
+                        broadcast of the (small) query set against the
+                        partitioned corpus, so no shuffle of the corpus.
+  * lsh_bucket_topk   — the scale path: sign-bit LSH (axis-aligned
+                        hyperplanes through dims 0..n_bits-1) buckets the
+                        corpus; search only within the query's bucket.
+                        Deterministic (no random projections) so results are
+                        reproducible and SQL-expressible for the oracle. At
+                        100 TB swap the axis-aligned planes for learned IVF
+                        centroids; the plumbing (bucket column, bucketed
+                        join, within-bucket rank) is identical.
+
+Output contains id pairs + integer rank only — float scores stay internal
+(comparison robustness; see queries/__init__ determinism policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("norm", _norm(F.col("v")))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_pred: str,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row (rows satisfying
+    query_pred) against the whole corpus. The query side is broadcast —
+    the corpus is scanned once, never shuffled."""
+    corpus = _prepared(df, id_col, vec_col)
+    queries = corpus.where(query_pred).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("qid") != F.col("vid"))
+        .select("qid", "vid", cos.alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def sign_bucket(v: Column, n_bits: int = 8) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_bits dimensions
+    (axis-aligned hyperplanes). 2^n_bits buckets."""
+    bucket = F.lit(0)
+    for d in range(n_bits):
+        bucket = bucket + F.when(v.getItem(d) >= 0, F.lit(1 << d)).otherwise(0)
+    return bucket
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Bucketed ANN: rank neighbors within each vector's sign-bit bucket.
+    The self-join key is the bucket id — candidate set shrinks ~2^n_bits x.
+    Recall depends on bucket granularity (IVF-style tradeoff)."""
+    e = _prepared(df, id_col, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("v"), n_bits)
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    scored = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("qid"),
+            F.col("a.bucket").alias("bucket"),
+            F.col("b.vid").alias("vid"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "bucket",
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
+    )

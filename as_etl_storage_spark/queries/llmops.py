@@ -1,5 +1,325 @@
-"""LLM-data-pipeline queries (dedup / similarity / text analysis /
-multimodal) — filled by the operators modules."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — each backed by the operators modules, each with a
+DuckDB oracle reproducing the same deterministic computation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from as_etl_storage_spark.operators import dedup, multimodal, similarity, text
+from as_etl_storage_spark.queries.common import load_table
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# ---------------------------------------------------------------- dedup ----
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", ["text"])
+
+
+_register(
+    "dedup_exact",
+    _dedup_exact,
+    "SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text", p=4, q=5)
+
+
+_register(
+    "dedup_minhash_lsh",
+    _dedup_minhash,
+    """
+    WITH pos AS (SELECT doc_id, text,
+                        unnest(range(1, greatest(length(text)-3, 2))) AS g
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT i AS doc_i, j AS doc_j,
+           round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+    FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+    WHERE inter * 5 >= (x.n + y.n - inter) * 4
+    """,
+)
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, p=3, q=5)
+
+
+_register(
+    "dedup_ngram_jaccard",
+    _dedup_ngram,
+    """
+    WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+                FROM documents),
+    pos AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks)-1, 2))) AS g
+            FROM tk),
+    gr AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[g:g+2], ' ') AS s FROM pos),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM gr a JOIN gr b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1)
+    SELECT i AS doc_i, j AS doc_j,
+           round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+    FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+    WHERE inter * 5 >= (x.n + y.n - inter) * 3
+    """,
+)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_register(
+    "dedup_simhash",
+    _dedup_simhash,
+    """
+    WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+                 FROM documents),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    th AS (SELECT doc_id, c, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tc),
+    bits AS (SELECT doc_id, unnest(range(0, 60)) AS b, c, h FROM th),
+    sig AS (SELECT doc_id, b, sum(c * (2 * ((h >> b::INT) & 1) - 1)) AS s
+            FROM bits GROUP BY 1, 2),
+    sh AS (SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS simhash
+           FROM sig GROUP BY 1)
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+
+
+def _dedup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45)
+
+
+_register(
+    "dedup_embedding_cosine",
+    _dedup_cosine,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+
+
+# ----------------------------------------------------------- similarity ----
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, "vec_id", "embedding", 5, "vid % 50 = 0")
+
+
+_register(
+    "ann_topk_bruteforce",
+    _ann_brute,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS vid,
+                      list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+               FROM q JOIN n ON q.vec_id <> n.vec_id),
+    r AS (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    SELECT qid AS query_id, vid AS neighbor_id, rn AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, "vec_id", "embedding", 3, n_bits=8)
+
+
+_register(
+    "ann_lsh_bucket",
+    _ann_lsh,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+               + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+               + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END)
+               + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END)
+               + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END)
+               + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END)
+               + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+          FROM e),
+    scored AS (SELECT a.vec_id AS qid, a.bucket, b.vec_id AS vid,
+                      list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+               FROM n a JOIN n b
+                 ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+    r AS (SELECT qid, bucket, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    SELECT qid AS query_id, bucket, vid AS neighbor_id, rn AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+
+
+# ------------------------------------------------------------- text --------
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+_register(
+    "text_langid",
+    _text_langid,
+    """
+    WITH tk AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_intersect(toks, ['the','a','of','and','is'])) AS c_en,
+                 len(list_intersect(toks, ['el','la','de','que','y'])) AS c_es,
+                 len(list_intersect(toks, ['der','die','das','und','ist'])) AS c_de,
+                 len(list_intersect(toks, ['le','les','des','et','est'])) AS c_fr
+          FROM tk)
+    SELECT doc_id,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+                WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+                WHEN c_de >= c_fr THEN 'de'
+                ELSE 'fr' END AS pred_lang,
+           c_en AS score_en, c_es AS score_es, c_de AS score_de, c_fr AS score_fr
+    FROM s
+    """,
+)
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+_register(
+    "text_quality",
+    _text_quality,
+    """
+    WITH tk AS (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+                FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           length(text) AS n_chars_calc,
+           round(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                 / len(toks), 4) AS avg_token_len,
+           round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE
+                 / length(text), 4) AS punct_ratio,
+           len(list_intersect(list_transform(toks, t -> lower(t)),
+               ['the','a','an','of','and','or','is','to','in'])) AS stopword_hits
+    FROM tk
+    """,
+)
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_counts(docs, "doc_id", "text")
+
+
+_register(
+    "text_tokens",
+    _text_tokens,
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+_register(
+    "text_fingerprint",
+    _text_fingerprint,
+    """
+    WITH n AS (SELECT doc_id,
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+               FROM documents)
+    SELECT doc_id, md5(norm) AS fp_md5,
+           ('0x' || substr(md5(norm), 1, 15))::BIGINT AS fp64
+    FROM n
+    """,
+)
+
+
+# --------------------------------------------------------- multimodal ------
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    )
+
+
+_register(
+    "mm_decode_meta",
+    _mm_decode,
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           n::INT AS n_bytes,
+           ((n % 64) + 1)::INT AS width,
+           ((n % 48) + 1)::INT AS height,
+           ((n % 8) + 1)::INT AS n_frames
+    FROM m
+    """,
+)
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = multimodal.decode_image_meta(
+        multimodal.attach_binary(docs, "doc_id", "text")
+    )
+    return multimodal.frame_sample(decoded, every_n=2)
+
+
+_register(
+    "mm_frame_sample",
+    _mm_frames,
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, (n % 8) + 1 AS n_frames FROM m)
+    SELECT doc_id, unnest(range(0, n_frames, 2))::INT AS frame_idx FROM f
+    """,
+)
