@@ -1,5 +1,145 @@
-"""Batch analogs of the streaming surface (windowed aggregation, watermark
-dedup) — filled by the streaming module."""
+"""Batch analogs of the streaming operators, oracle-checked.
+
+The streaming module (as_etl_storage_spark.streaming) runs the same
+transformations over an unbounded source; these queries run them over the
+bounded events fixture so the driver can hash-match results against DuckDB
+(time_bucket / gaps-and-islands reproductions of Spark's window semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.queries.common import load_table
+from as_etl_storage_spark.streaming.micro_batch import (
+    dedup_within_watermark,
+    session_windows,
+    sliding_counts,
+    tumbling_counts,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(_events(spark, sf_dir))
+
+
+_register(
+    "stream_tumbling_window",
+    _tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_counts(_events(spark, sf_dir))
+
+
+_register(
+    "stream_sliding_window",
+    _sliding,
+    """
+    WITH starts AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n FROM starts GROUP BY 1
+    """,
+)
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(_events(spark, sf_dir))
+
+
+_register(
+    "stream_session_window",
+    _sessions,
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '10 minutes' THEN 1
+                  ELSE 0 END AS new_session
+      FROM o),
+    ids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
+    """,
+)
+
+
+def _dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = dedup_within_watermark(_events(spark, sf_dir))
+    return deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+_register(
+    "stream_dedup_watermark",
+    _dedup_wm,
+    """
+    WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type FROM events
+               ORDER BY event_id)
+    SELECT event_type, count(*) AS n_unique FROM d GROUP BY 1
+    """,
+)
+
+
+def _late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark cutoff semantics as a batch query: events older than
+    max(ts) - 1 hour would be dropped as late."""
+    ev = _events(spark, sf_dir)
+    cutoff = ev.agg(F.max("ts").alias("m")).select(
+        (F.col("m") - F.expr("INTERVAL 1 HOUR")).alias("cutoff")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cutoff))
+        .select(
+            F.count(F.when(F.col("ts") >= F.col("cutoff"), 1)).alias("on_time"),
+            F.count(F.when(F.col("ts") < F.col("cutoff"), 1)).alias("late"),
+        )
+    )
+
+
+_register(
+    "stream_late_cutoff",
+    _late_data,
+    """
+    WITH c AS (SELECT max(ts) - INTERVAL '1 hour' AS cutoff FROM events)
+    SELECT count(CASE WHEN ts >= cutoff THEN 1 END) AS on_time,
+           count(CASE WHEN ts < cutoff THEN 1 END) AS late
+    FROM events, c
+    """,
+)

@@ -1,0 +1,150 @@
+"""Structured Streaming surface.
+
+Reference parity (W6, database/dbms/writer/batch_writer.go:159-261): the
+reference's only streaming construct is a channel pull-loop that flushes a
+batch when ``len == batchSize`` (default 1000) or on a ``batchTimeout`` tick
+(default 1 s). The faithful Spark mapping is ``foreachBatch`` +
+``Trigger.ProcessingTime`` — the trigger is the timeout tick, and
+``maxRecordsPerFile`` reproduces the batch-size bound at the file level.
+
+Beyond parity, the north-star streaming operators (SURVEY.md §2.8): event
+-time watermarks, tumbling/sliding/session windows, and
+``dropDuplicatesWithinWatermark`` over the events fixture schema.
+
+Scale notes: all stateful operators key their state by the grouping columns
+— state is partitioned across executors by key hash; watermarks bound state
+size. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+#: events fixture schema (ts is read as long ns in parquet; see sources)
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns epoch in the raw files
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files, with the
+    ns->us timestamp conversion applied (same as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+class MicroBatchWriter:
+    """foreachBatch sink with the reference's batchSize/batchTimeout knobs
+    (writer/config.go:20-23 defaults: 1000 records / 1 s)."""
+
+    def __init__(
+        self,
+        target_path: str,
+        batch_size: int = 1000,
+        batch_timeout_s: float = 1.0,
+        checkpoint: str | None = None,
+    ):
+        self.target_path = target_path
+        self.batch_size = batch_size
+        self.batch_timeout_s = batch_timeout_s
+        self.checkpoint = checkpoint or f"{target_path}.__checkpoint__"
+        self.batches_seen = 0
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen += 1
+        (
+            batch_df.write.option("maxRecordsPerFile", self.batch_size)
+            .mode("append")
+            .parquet(self.target_path)
+        )
+
+    def writer(self, stream_df: DataFrame) -> DataStreamWriter:
+        return (
+            stream_df.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(processingTime=f"{self.batch_timeout_s} seconds")
+        )
+
+    def run_available_now(self, stream_df: DataFrame) -> None:
+        """Drain all currently-available input (test/bounded mode)."""
+        q = (
+            stream_df.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregate with a late-data watermark."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in width/slide windows)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity; window end = last event + gap (Spark session_window
+    semantics, reproduced by the gaps-and-islands oracle)."""
+    src = events.withWatermark("ts", "2 hours") if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id bounded by a watermark; batch analog is
+    plain dropDuplicates (state = full key set)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
