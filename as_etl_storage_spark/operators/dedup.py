@@ -48,18 +48,19 @@ def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (id, character-n-gram) pairs. The sequence bound matches the
-    DuckDB oracle formula: positions 1..max(len-n+1, 1)."""
+    """(id, character-n-gram) pairs. The sequence bound matches the DuckDB
+    oracle formula: positions 1..max(len-n+1, 1).
+
+    ``distinct=False`` skips the dedup shuffle — safe for MinHash signature
+    computation (min over a multiset equals min over its set)."""
     grams = F.expr(
         f"transform(sequence(1, greatest(length({text_col})-{n - 1}, 1)), "
         f"i -> substring({text_col}, i, {n}))"
     )
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _jaccard_filter(inter: Column, union: Column, p: int, q: int) -> Column:
@@ -145,10 +146,37 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, p: int = 4, q: int = 5
 ) -> DataFrame:
     """Near-dup pairs with character-5-gram jaccard >= p/q (default 0.8):
-    MinHash+LSH candidate generation, exact verification."""
-    sh = shingle_table(df, id_col, text_col, 5)
-    cands = lsh_candidates(minhash_signatures(sh))
-    return verify_jaccard(cands, sh, p, q)
+    MinHash+LSH candidate generation, exact verification.
+
+    Plan shape (tuned for scale AND small-input parallelism):
+      1. repartition docs to full parallelism before the explode — a small
+         input file would otherwise single-thread the 128-hash signature
+         computation;
+      2. signatures from the *non-distinct* shingle stream (min is
+         idempotent) — saves a full dedup shuffle of the largest relation;
+      3. candidate pairs are persisted (small by design) because they feed
+         both the verification join and the candidate-doc filter;
+      4. verification re-shingles only candidate documents (broadcast
+         semi-join) instead of re-deriving the full shingle table — the
+         exact-jaccard join touches a few hundred docs, not the corpus.
+    """
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(id_col).alias("doc_id_src"), F.col(text_col).alias("text_src")
+    ).repartition(n_parts)
+    sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
+    cands = lsh_candidates(minhash_signatures(sh_raw)).persist()
+    cand_docs = (
+        cands.select(F.col("doc_i").alias("doc"))
+        .union(cands.select(F.col("doc_j").alias("doc")))
+        .distinct()
+    )
+    docs_c = base.join(
+        F.broadcast(cand_docs), base["doc_id_src"] == F.col("doc"), "left_semi"
+    )
+    sh_c = shingle_table(docs_c, "doc_id_src", "text_src", 5, distinct=True)
+    return verify_jaccard(cands, sh_c, p, q)
 
 
 def ngram_jaccard_pairs(
