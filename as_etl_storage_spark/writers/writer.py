@@ -132,6 +132,23 @@ class ParquetWriter:
                 f"columns); target {target.columns} vs incoming {df.columns}"
             )
         incoming = df.select(*target.columns)  # align column order
+        # MySQL REPLACE keeps the *last* row for duplicate keys within one
+        # batch; a DataFrame has no row order, so duplicate keys in the
+        # incoming batch would make the merge nondeterministic — reject them
+        # (same stance as Delta MERGE's multiple-matches error).
+        dup = (
+            incoming.groupBy(*keys)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise WriterError(
+                f"replace batch has duplicate merge keys (e.g. "
+                f"{dict(zip(keys, [dup[0][k] for k in keys]))}); REPLACE "
+                "order-dependence is undefined on an unordered DataFrame"
+            )
         kept = target.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(incoming)
         self._rewrite_atomic(merged, path)

@@ -207,3 +207,12 @@ class TestWriter:
         job["reader"]["column"] = ["o_orderkey", "o_custkey"]
         with pytest.raises(WriterError, match="schema mismatch"):
             run_job(spark, job)
+
+    def test_replace_duplicate_batch_keys_rejected(self, spark, tmp_path):
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        run_job(spark, self._job(tmp_path))
+        # incoming batch with duplicate merge keys (o_custkey repeats)
+        job = self._job(tmp_path, mode="replace", mergeKeys=["o_custkey"])
+        with pytest.raises(WriterError, match="duplicate merge keys"):
+            run_job(spark, job)
