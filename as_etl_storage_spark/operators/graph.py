@@ -1,0 +1,61 @@
+"""Connected components — dedup-cluster assignment over a near-dup pair
+graph (each doc -> minimum doc id reachable through duplicate pairs).
+
+Iterative min-label propagation: per round, every vertex takes the minimum
+of its own label and its neighbors' labels; converges in graph-diameter
+rounds (near-dup clusters are tiny, so 2-4 rounds in practice; max_iter
+bounds pathological chains). All arithmetic is integer min — deterministic
+under any partitioning.
+
+Scale notes: each round is one shuffle (join on dst + groupBy src).
+``localCheckpoint`` truncates the growing lineage every round. At extreme
+scale swap the propagation for the large-star/small-star algorithm
+(alternating star contractions, O(log n) rounds); the driver-side loop
+structure stays identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_i", dst: str = "doc_j", max_iter: int = 20
+) -> DataFrame:
+    """Cluster assignment for every vertex appearing in ``edges``.
+    Returns (doc_id, cluster_id) where cluster_id = min vertex id in the
+    component."""
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

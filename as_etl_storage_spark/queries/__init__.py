@@ -15,12 +15,18 @@ Determinism policy (required for hash-match):
 
 from __future__ import annotations
 
-from as_etl_storage_spark.queries import relational, parity, llmops, streaming_batch
+from as_etl_storage_spark.queries import (
+    advanced,
+    llmops,
+    parity,
+    relational,
+    streaming_batch,
+)
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (parity, relational, llmops, streaming_batch):
+for mod in (parity, relational, llmops, streaming_batch, advanced):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

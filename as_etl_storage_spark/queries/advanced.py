@@ -1,0 +1,250 @@
+"""Advanced operators: as-of join, dedup clustering (connected components),
+applyInPandas sequence analysis, and the extended SQL surface (cube,
+grouping sets, percentile, listagg, array ops, exact-sum statistics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from as_etl_storage_spark.operators.asof import asof_join
+from as_etl_storage_spark.operators.graph import connected_components
+from as_etl_storage_spark.operators.sequence import event_transitions
+from as_etl_storage_spark.operators import dedup
+from as_etl_storage_spark.queries.common import load_table, sql_query
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# ------------------------------------------------------------ as-of join --
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts", "event_id")
+    views = ev.where("event_type = 'view'").select(
+        "user_id", ev["ts"].alias("view_ts")
+    )
+    joined = asof_join(
+        clicks, views, on="user_id", left_time="ts", right_time="view_ts",
+        payload=["view_ts"],
+    )
+    return joined.select("user_id", "event_id", "ts", "view_ts")
+
+
+_register(
+    "q_asof_join",
+    _asof,
+    """
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'click'),
+         views AS (SELECT user_id, ts AS view_ts FROM events
+                   WHERE event_type = 'view')
+    SELECT c.user_id, c.event_id, c.ts, v.view_ts
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    """,
+)
+
+
+# ----------------------------------------------- dedup clusters (graph) ---
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", p=4, q=5)
+    return connected_components(pairs.select("doc_i", "doc_j"))
+
+
+_register(
+    "dedup_clusters",
+    _dedup_clusters,
+    """
+    WITH RECURSIVE
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-3, 2))) AS g
+            FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    dup AS (SELECT i, j
+            FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+            WHERE inter * 5 >= (x.n + y.n - inter) * 4),
+    edges AS (SELECT i AS u, j AS v FROM dup UNION SELECT j, i FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+
+
+# --------------------------------------- applyInPandas event transitions --
+def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "seq_event_transitions",
+    _transitions,
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT user_id, prev_type AS from_type, event_type AS to_type,
+           count(*) AS n
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+
+
+# ------------------------------------------------- extended SQL surface ---
+_DEFS: dict[str, tuple[tuple[str, ...], str]] = {}
+
+
+def _q(name: str, tables: tuple[str, ...], sql: str) -> None:
+    _DEFS[name] = (tables, sql)
+
+
+_q(
+    "q_cube",
+    ("lineitem",),
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+_q(
+    "q_grouping_sets",
+    ("orders",),
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+
+_q(
+    "q_percentile_disc",
+    ("orders",),
+    """
+    SELECT o_orderstatus,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS median_price,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)
+                AS DOUBLE) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+
+_q(
+    "q_string_agg",
+    ("nation", "region"),
+    """
+    SELECT r_name,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+
+_q(
+    "q_window_ntile",
+    ("customer",),
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+           dense_rank() OVER (ORDER BY c_nationkey) AS nation_rank
+    FROM customer
+    """,
+)
+
+_q(
+    "q_first_last_window",
+    ("lineitem",),
+    """
+    SELECT DISTINCT l_orderkey,
+           first_value(l_linenumber) OVER w AS first_line,
+           last_value(l_linenumber) OVER (PARTITION BY l_orderkey
+                ORDER BY l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_line
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    """,
+)
+
+_q(
+    "q_array_ops",
+    ("lineitem",),
+    """
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           min(l_linenumber) AS min_line,
+           max(l_linenumber) AS max_line
+    FROM lineitem
+    WHERE l_orderkey <= 5000
+    GROUP BY l_orderkey
+    """,
+)
+
+# exact-sum statistics: stddev/corr from decimal-cast power sums — the
+# order-independent way to do float statistics on a cluster
+_q(
+    "q_stats_exact",
+    ("lineitem",),
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                      CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                      CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round(sqrt((n * sx2 - sx * sx) / (n * (n - 1.0))), 4) AS std_qty,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+
+for name, (tables, sql) in _DEFS.items():
+    QUERIES[name] = sql_query(tables, sql)
+    ORACLES[name] = sql
+
+# listagg differs by dialect: Spark listagg WITHIN GROUP, DuckDB string_agg
+_SPARK_LISTAGG = """
+    SELECT r_name,
+           listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+_DUCK_LISTAGG = """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+QUERIES["q_listagg"] = sql_query(("nation", "region"), _SPARK_LISTAGG)
+ORACLES["q_listagg"] = _DUCK_LISTAGG
