@@ -248,3 +248,37 @@ _DUCK_LISTAGG = """
 """
 QUERIES["q_listagg"] = sql_query(("nation", "region"), _SPARK_LISTAGG)
 ORACLES["q_listagg"] = _DUCK_LISTAGG
+
+
+# ------------------------------------------------------- table stats ------
+def _table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from as_etl_storage_spark.writers.layout import table_stats
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_stats(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"], exact_ndv=True
+    )
+
+
+_register(
+    "q_table_stats",
+    _table_stats,
+    """
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+           count(DISTINCT o_orderkey) AS approx_ndv
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR),
+           count(DISTINCT o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    """,
+)

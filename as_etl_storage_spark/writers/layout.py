@@ -1,0 +1,110 @@
+"""Storage-layout operators — the tools that make 100 TB tables queryable.
+
+  * partitioned writes: hive-style partition directories; Catalyst prunes
+    partitions for matching predicates (verify: PartitionFilters in explain)
+  * bucketed tables: pre-shuffled layout so equi-joins/aggregations on the
+    bucket key run with NO exchange (verify: no Exchange in the join plan)
+  * compaction: the small-files problem — rewrite a table into
+    target-size files without changing contents (OPTIMIZE analog)
+  * table stats: per-column min/max/nulls/ndv summary (ANALYZE analog) —
+    the inputs a cost-based optimizer and a data-quality monitor both need
+
+The reference has none of these (it writes to RDBMS tables); they are the
+parquet-native replacements for what an RDBMS gives its users implicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned layout. Partition columns should be
+    low-cardinality derivations (date, region) — high-cardinality partition
+    keys create the small-files problem compaction exists to fix."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (saveAsTable — bucketing metadata lives in the
+    catalog). Joins/aggregations on the bucket key between tables bucketed
+    the same way execute without a shuffle."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """Rewrite a parquet table into ~target-size files (contents unchanged).
+    Returns (files_before, files_after). Uses a staging dir + rename, same
+    atomicity story as the merge writer."""
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total = df.count()
+    n_files_before = sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    n_out = max(1, (total + target_rows_per_file - 1) // target_rows_per_file)
+    staging = f"{path}.__compact__{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    n_files_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    return n_files_before, n_files_after
+
+
+def table_stats(
+    df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
+) -> DataFrame:
+    """Per-column statistics in one pass: count, nulls, min, max, ndv.
+    One aggregation — no per-column scans. Values are stringified so
+    heterogeneous column types stack into one tall result.
+
+    ndv is HyperLogLog (approx_count_distinct) by default — the scale path;
+    ``exact_ndv=True`` switches to exact count(distinct) for oracle-checked
+    correctness runs."""
+    cols = columns or df.columns
+    ndv = (lambda c: F.count_distinct(F.col(c))) if exact_ndv else (
+        lambda c: F.approx_count_distinct(F.col(c))
+    )
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            ndv(c).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stacked = []
+    for c in cols:
+        stacked.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("__total").alias("n_rows"),
+                (F.col("__total") - F.col(f"{c}__nonnull")).alias("n_nulls"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__ndv").alias("approx_ndv"),
+            )
+        )
+    return row.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
