@@ -83,13 +83,36 @@ class ParquetSource:
         if path.startswith("/") and not os.path.exists(path):
             raise SourceError(f"table path does not exist: {path}")
 
-    def read(self, name: str | None = None) -> DataFrame:
-        df = read_parquet_table(self.spark, self.table_path(name))
+    def read(self, name: str | None = None, snapshot: bool = False) -> DataFrame:
+        """Read a table. ``snapshot=True`` gives transactional-read parity
+        (S7, DB.FetchRecordWithTx + consistent-snapshot TxOptions,
+        db.go:164-200): the file list is pinned at plan time, so files
+        appended concurrently by another writer never appear in this scan —
+        the parquet analog of a consistent snapshot (Delta time travel on a
+        real deployment)."""
+        path = self.table_path(name)
+        if snapshot:
+            df = self._read_pinned(path)
+        else:
+            df = read_parquet_table(self.spark, path)
         cols = df.columns
         deduped = dedupe_column_names(cols)
         if deduped != cols:  # P10 duplicate-name rename (db.go:425-432)
             df = df.toDF(*deduped)
         return df
+
+    def _read_pinned(self, path: str) -> DataFrame:
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [path]
+        if not files:
+            raise SourceError(f"no parquet files to snapshot in {path}")
+        return self.spark.read.parquet(*files)
 
     def schema(self, name: str | None = None) -> T.StructType:
         """S3 schema probe — zero data read (footer only)."""

@@ -1,0 +1,97 @@
+"""Custom stateful streaming operator tests (applyInPandasWithState):
+state accumulates across micro-batches and matches the batch aggregation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from as_etl_storage_spark.queries.common import load_table
+from as_etl_storage_spark.streaming.micro_batch import file_stream
+from as_etl_storage_spark.streaming.stateful import user_activity_totals
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_read_pins_files(spark, tmp_path):
+    from as_etl_storage_spark.sources.parquet import ParquetSource
+    from as_etl_storage_spark.spec import ConnectionSpec, TableRef
+
+    path = tmp_path / "t.parquet"
+    orders = load_table(spark, SF, "orders")
+    orders.write.parquet(str(path))
+    src = ParquetSource(
+        spark, ConnectionSpec(url=str(tmp_path), table=TableRef(name="t"))
+    )
+    snap = src.read(snapshot=True)
+    n0 = snap.count()
+    # concurrent append lands after the snapshot was planned
+    orders.limit(100).write.mode("append").parquet(str(path))
+    assert snap.count() == n0  # snapshot unchanged (S7 consistent read)
+    assert src.read().count() == n0 + 100  # live read sees the append
+
+
+def test_stateful_totals_match_batch(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    shutil.copy(os.path.join(SF, "events.parquet"), indir / "p0.parquet")
+    stream = file_stream(spark, str(indir))
+    totals = user_activity_totals(stream)
+    target = str(tmp_path / "out.parquet")
+    # parquet sink rejects update mode -> foreachBatch append (the
+    # MicroBatchWriter pattern)
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(target))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    batch = user_activity_totals(load_table(spark, SF, "events"))
+    # with one input batch: one output row per user, equal to batch agg
+    joined = got.join(
+        batch.withColumnRenamed("n_events", "n_b").withColumnRenamed(
+            "sum_value", "s_b"
+        ),
+        "user_id",
+        "full",
+    )
+    bad = joined.where(
+        "n_events IS NULL OR n_b IS NULL OR n_events != n_b "
+        "OR abs(sum_value - s_b) > 1e-9"
+    ).count()
+    assert bad == 0
+
+
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    indir = tmp_path / "in2"
+    indir.mkdir()
+    shutil.copy(os.path.join(SF, "events.parquet"), indir / "p0.parquet")
+    target = str(tmp_path / "out2.parquet")
+    ckpt = str(tmp_path / "ckpt2")
+
+    def drain():
+        stream = file_stream(spark, str(indir))
+        q = (
+            user_activity_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _id: df.write.mode("append").parquet(target))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    shutil.copy(os.path.join(SF, "events.parquet"), indir / "p1.parquet")
+    drain()  # second drain resumes state from checkpoint
+    got = spark.read.parquet(target)
+    # latest emission per user must show DOUBLED counts (state carried over)
+    latest = got.groupBy("user_id").agg({"n_events": "max"})
+    batch = user_activity_totals(load_table(spark, SF, "events"))
+    joined = latest.withColumnRenamed("max(n_events)", "n2").join(
+        batch, "user_id"
+    )
+    assert joined.where("n2 != 2 * n_events").count() == 0
