@@ -114,12 +114,15 @@ class JdbcSource:
             )
             opts["dbtable"] = qualified
         if split_key and num_partitions > 1 and convertor is None:
-            # native numeric/time split
+            # native numeric/time split; parallel connections are bounded by
+            # the pool limit (C2 parity: pool.maxOpenConns default 4,
+            # database/source.go:11-14 — each JDBC partition holds one conn)
+            capped = min(num_partitions, self.connection.pool.max_open_conns)
             opts.update(
                 partitionColumn=split_key,
                 lowerBound=str(lower),
                 upperBound=str(upper),
-                numPartitions=str(num_partitions),
+                numPartitions=str(capped),
             )
         return opts
 

@@ -101,18 +101,42 @@ class SplitSpec:
 
 
 @dataclass(frozen=True)
+class PoolSpec:
+    """Connection-pool limits (C2 parity; reference defaults 4/4,
+    database/source.go:11-14, database/config.go:27-65). For JDBC sources
+    maxOpenConns bounds numPartitions (each partition holds a connection);
+    the parquet path has no connections to pool."""
+
+    max_open_conns: int = 4
+    max_idle_conns: int = 4
+    conn_max_idle_s: float = 0.0
+    conn_max_lifetime_s: float = 0.0
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "PoolSpec":
+        return PoolSpec(
+            max_open_conns=int(obj.get("maxOpenConns", 4)),
+            max_idle_conns=int(obj.get("maxIdleConns", 4)),
+            conn_max_idle_s=float(obj.get("connMaxIdleTime", 0.0)),
+            conn_max_lifetime_s=float(obj.get("connMaxLifetime", 0.0)),
+        )
+
+
+@dataclass(frozen=True)
 class ConnectionSpec:
     """Connection: url + table ref. For the native engine the url is a
     directory of parquet/delta tables; for JDBC it is a JDBC url."""
 
     url: str = ""
     table: TableRef = field(default_factory=TableRef)
+    pool: PoolSpec = field(default_factory=PoolSpec)
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
         return ConnectionSpec(
             url=obj.get("url", ""),
             table=TableRef.from_json(obj.get("table", {}) or {}),
+            pool=PoolSpec.from_json(obj.get("pool", {}) or {}),
         )
 
 

@@ -173,6 +173,27 @@ class ParquetWriter:
         os.rename(staging, path)
         shutil.rmtree(backup, ignore_errors=True)
 
+    # -- retry (W7) -----------------------------------------------------
+    def _with_retry(self, fn, what: str):
+        """Job-level retry with exponential backoff (W7 parity,
+        batch_writer.go:104-126). Spark already retries failed *tasks*
+        (spark.task.maxFailures); this guards whole-write failures
+        (transient FS errors). Writes are idempotent-safe to retry: append
+        retries may duplicate only if the failure hit after commit — the
+        staging-swap paths (replace/compact) are atomic."""
+        import time as _time
+
+        last = None
+        for attempt in range(max(1, self.spec.retry.max_retries)):
+            try:
+                return fn()
+            except WriterError:
+                raise  # semantic errors never retry
+            except Exception as exc:  # transient I/O / executor loss
+                last = exc
+                _time.sleep(min(2.0**attempt * 0.1, 5.0))
+        raise WriterError(f"{what} failed after retries: {last}") from last
+
     # -- entry ----------------------------------------------------------
     def write(self, df: DataFrame) -> WriteResult:
         self.run_pre_sql()
@@ -193,9 +214,9 @@ class ParquetWriter:
         mode = self.spec.write_mode
         if mode in ("insert",):
             self.check_schema_compat(clean)
-            self._append(clean, path)
+            self._with_retry(lambda: self._append(clean, path), "append")
         elif mode == "overwrite":
-            self._overwrite(clean, path)
+            self._with_retry(lambda: self._overwrite(clean, path), "overwrite")
         elif mode == "replace":
             self._merge_replace(clean, path)
         elif mode == "ignore":

@@ -35,6 +35,11 @@ HEADLINE = [
     "text_quality",
     "ann_topk_bruteforce",
     "stream_tumbling_window",
+    "q_asof_join",
+    "seq_event_transitions",
+    "dedup_simhash",
+    "mm_decode_meta",
+    "q_table_stats",
 ]
 
 

@@ -42,12 +42,12 @@ def test_query_sql_passthrough(spark):
 
 def test_numeric_partition_options(spark):
     opts = _source(spark).read_options(
-        split_key="o_orderkey", lower=1, upper=100000, num_partitions=8
+        split_key="o_orderkey", lower=1, upper=100000, num_partitions=3
     )
     assert opts["partitionColumn"] == "o_orderkey"
     assert opts["lowerBound"] == "1"
     assert opts["upperBound"] == "100000"
-    assert opts["numPartitions"] == "8"
+    assert opts["numPartitions"] == "3"  # under the pool cap of 4
 
 
 def test_string_split_predicates(spark):
@@ -60,3 +60,21 @@ def test_string_split_predicates(spark):
     assert len(preds) == 4
     assert all("c_name >= '" in p for p in preds)
     assert preds[-1].count("<=") == 1  # closed last range
+
+
+def test_pool_caps_num_partitions(spark):
+    # C2 parity: numPartitions bounded by pool.maxOpenConns (default 4)
+    opts = _source(spark).read_options(
+        split_key="o_orderkey", lower=1, upper=100000, num_partitions=16
+    )
+    assert opts["numPartitions"] == "4"
+
+
+def test_pool_spec_parsing():
+    from as_etl_storage_spark.spec import ConnectionSpec
+
+    c = ConnectionSpec.from_json(
+        {"url": "jdbc:mysql://db/main", "pool": {"maxOpenConns": 8}}
+    )
+    assert c.pool.max_open_conns == 8
+    assert c.pool.max_idle_conns == 4  # reference default
