@@ -233,6 +233,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 50, min_shared: int = 1
+) -> DataFrame:
+    """Exact-substring duplication: pairs of documents sharing >= min_shared
+    distinct character-n-gram substrings (the signal behind
+    training-set exact-substring dedup, cf. "Deduplicating Training Data
+    Makes Language Models Better" — long shared substrings mean copied
+    passages even when full-doc similarity is low).
+
+    Plan: inverted index on n-grams (distinct (doc, gram)), self-join on
+    gram, count per pair. Long grams are near-unique, so the join groups
+    are tiny — unlike short-gram indexes this stays near-linear. At
+    extreme scale, hash the gram to 64 bits first to shrink the shuffle
+    payload (collision rate 2^-64 per pair is acceptable for dedup)."""
+    sh = shingle_table(df, id_col, text_col, n, distinct=True).withColumn(
+        "gh", F.xxhash64("shingle")
+    ).select("doc", "gh")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit frequency-weighted simhash per document.
 

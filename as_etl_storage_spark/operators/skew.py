@@ -1,0 +1,43 @@
+"""Skew-resilient aggregation — the salting pattern as a reusable operator.
+
+A groupBy on a low-cardinality or power-law key sends each key's entire
+row set to one reducer; at 100 TB one hot key stalls the stage. Salting
+splits every key into ``n_salts`` subkeys for a first partial aggregation,
+then re-aggregates the partials — two small shuffles instead of one skewed
+one. (AQE's skew-join handling covers joins; aggregation salting is still
+manual in Spark.)
+
+The salt derives from a value column hash — deterministic, so partial
+results are reproducible — but ANY salt assignment yields identical final
+results because the second phase re-combines algebraically (counts/sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_expr: Column,
+    value_alias: str,
+    n_salts: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation producing count(*) and sum(value_expr)
+    per key. ``value_expr`` should be exact-typed (decimal/integer) so the
+    re-aggregation is order-independent."""
+    salt_col = F.pmod(
+        F.xxhash64(salt_source if salt_source else key_cols[0]), F.lit(n_salts)
+    )
+    phase1 = (
+        df.withColumn("_salt", salt_col)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count("*").alias("_n"), F.sum(value_expr).alias("_s"))
+    )
+    return phase1.groupBy(*key_cols).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_s").alias(value_alias),
+    )

@@ -5,7 +5,7 @@ each is O(tokens) per document with no shuffle except final aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny marker-word lists per language (n-gram heuristic; deterministic).
@@ -95,6 +95,77 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_PATTERN), 0)).alias(
             "n_bpe_tokens"
         ),
+    )
+
+
+#: PII patterns — the RE2/Java-regex common subset so Spark and the DuckDB
+#: oracle match byte-for-byte.
+PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "digit_runs": r"\d{4,}",
+}
+
+
+def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII indicator counts (emails/urls/phones/long digit
+    runs) — the filter stage of a training-data pipeline. Pure regexp
+    counting, codegen'd, no shuffle."""
+    text = F.col(text_col)
+    cols = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    out = df.select(F.col(id_col), *cols)
+    total = sum((F.col(f"n_{n}") for n in PII_PATTERNS), F.lit(0))
+    return out.withColumn("has_pii", total > 0)
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Most-frequent-token share — high values flag boilerplate/spam.
+    One explode + two aggregations, all integer until the final division."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    counts = toks.groupBy("doc", "t").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc").agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_tok")
+    )
+    return per_doc.select(
+        F.col("doc").alias(id_col),
+        "max_c",
+        "n_tok",
+        F.round(F.col("max_c") / F.col("n_tok"), 4).alias("rep_ratio"),
+    )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Shannon entropy of the character distribution (bits/char) — a cheap
+    perplexity proxy: gibberish and highly-repetitive text sit at the two
+    extremes. Sum over <=~100 character classes; float-order effects are
+    ~1e-15, far below the 1e-4 rounding grain, so results are stable under
+    any partitioning."""
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc", "ch").agg(F.count("*").alias("c"))
+    with_total = counts.withColumn(
+        "total", F.sum("c").over(Window.partitionBy("doc"))
+    )
+    p = F.col("c") / F.col("total")
+    return (
+        with_total.withColumn("term", -p * F.log2(p))
+        .groupBy("doc")
+        .agg(F.round(F.sum("term"), 4).alias("entropy_bits"))
+        .select(F.col("doc").alias(id_col), "entropy_bits")
     )
 
 

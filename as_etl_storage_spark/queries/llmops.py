@@ -323,3 +323,121 @@ _register(
     SELECT doc_id, unnest(range(0, n_frames, 2))::INT AS frame_idx FROM f
     """,
 )
+
+
+# ----------------------------------------------- substring / text extras --
+def _dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.substring_dup_pairs(docs, "doc_id", "text", n=50)
+
+
+_register(
+    "dedup_substring",
+    _dedup_substring,
+    """
+    WITH pos AS (SELECT doc_id, text,
+                        unnest(range(1, greatest(length(text)-48, 2))) AS g
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 50) AS s FROM pos)
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_shared
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pii_flags(docs, "doc_id", "text")
+
+
+_register(
+    "text_pii_flags",
+    _text_pii,
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+           len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS n_phones,
+           len(regexp_extract_all(text, '\\d{4,}')) AS n_digit_runs,
+           (len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+            + len(regexp_extract_all(text, 'https?://[^\\s]+'))
+            + len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}'))
+            + len(regexp_extract_all(text, '\\d{4,}'))) > 0 AS has_pii
+    FROM documents
+    """,
+)
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_ratio(docs, "doc_id", "text")
+
+
+_register(
+    "text_repetition",
+    _text_repetition,
+    """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                 FROM documents),
+    c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+    SELECT doc_id, max(c) AS max_c, sum(c) AS n_tok,
+           round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+
+
+def _text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs, "doc_id", "text")
+
+
+_register(
+    "text_entropy",
+    _text_entropy,
+    """
+    WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS g
+                 FROM documents),
+    ch AS (SELECT doc_id, substring(text, g::INT, 1) AS ch FROM pos),
+    c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+    t AS (SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS total FROM c)
+    SELECT doc_id,
+           round(sum(-(c::DOUBLE/total) * log2(c::DOUBLE/total)), 4) AS entropy_bits
+    FROM t GROUP BY doc_id
+    """,
+)
+
+
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from as_etl_storage_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev,
+        ["event_type"],
+        F.col("value").cast("decimal(18,4)"),
+        "sum_value",
+        n_salts=32,
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    )
+
+
+_register(
+    "skew_salted_agg",
+    _skew_salted_agg,
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
