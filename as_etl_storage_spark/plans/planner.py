@@ -46,9 +46,17 @@ def register_views(spark: SparkSession, source: ParquetSource) -> list[str]:
     return names
 
 
+def _resolve_source(spark: SparkSession, reader: ReaderSpec):
+    """Dialect registry lookup (C1): the spec's ``dialect`` picks the
+    source implementation (parquet default; csv/json/orc; jdbc-*)."""
+    from as_etl_storage_spark.sources.registry import get_dialect
+
+    return get_dialect(reader.dialect or "parquet")(spark, reader.connection)
+
+
 def plan_read(spark: SparkSession, reader: ReaderSpec) -> DataFrame:
     """Compile the reader spec to a lazy DataFrame."""
-    source = ParquetSource(spark, reader.connection)
+    source = _resolve_source(spark, reader)
     if reader.query_sql:
         register_views(spark, source)
         frames = [spark.sql(q) for q in reader.query_sql]
@@ -90,7 +98,7 @@ def plan_split_predicates(
     split = reader.split
     if not split.key:
         raise SplitError("reader.split.key is required for predicate splitting")
-    source = ParquetSource(spark, reader.connection)
+    source = _resolve_source(spark, reader)
     df = source.read()
     range_type = _check_split_key_type(df, split.key, split.range.type)
     accuracy = split.time_accuracy or "day"
@@ -120,7 +128,7 @@ def plan_split_union(spark: SparkSession, reader: ReaderSpec, num: int) -> DataF
     """Materialize the split as a union of per-range scans — used by tests to
     prove the ranges cover the table exactly once (no overlap/gap)."""
     preds = plan_split_predicates(spark, reader, num)
-    source = ParquetSource(spark, reader.connection)
+    source = _resolve_source(spark, reader)
     base = source.read()
     if list(reader.columns) != ["*"]:
         base = base.select(*reader.columns)

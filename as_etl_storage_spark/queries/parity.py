@@ -24,6 +24,20 @@ SCRATCH = "/root/repo/.scratch"
 
 
 def _scratch_dir() -> str:
+    # GC stale scratch from earlier runs (the writer-parity queries create
+    # one dir per invocation; the driver reruns them every round)
+    import shutil
+    import time
+
+    if os.path.isdir(SCRATCH):
+        cutoff = time.time() - 3600
+        for entry in os.listdir(SCRATCH):
+            p = os.path.join(SCRATCH, entry)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     path = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
     os.makedirs(path, exist_ok=True)
     return path

@@ -1,0 +1,71 @@
+"""Generic file-format sources (csv / json / orc) behind the same table
+interface as the parquet source — the format registry (C1) makes the job
+spec's ``dialect`` field pick the implementation.
+
+CSV/JSON read with schema inference by default (the reference's lazy
+schema completion, db.go:150-157); pass an explicit ``schema`` for
+production pipelines — inference is a full extra pass at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from as_etl_storage_spark.sources.parquet import ParquetSource
+from as_etl_storage_spark.spec import ConnectionSpec
+from as_etl_storage_spark.types import dedupe_column_names
+
+
+class FileSource(ParquetSource):
+    """Path-based table source for csv/json/orc: table ``name`` maps to
+    ``<url>/<name>.<ext>``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        connection: ConnectionSpec,
+        fmt: str,
+        schema: T.StructType | None = None,
+        options: dict | None = None,
+    ):
+        super().__init__(spark, connection)
+        self.fmt = fmt
+        self.schema_override = schema
+        self.options = dict(options or {})
+
+    def table_path(self, name: str | None = None) -> str:
+        name = name or self.connection.table.name
+        base = self.connection.url
+        for cand in (f"{name}.{self.fmt}", name):
+            p = os.path.join(base, cand)
+            if os.path.exists(p):
+                return p
+        return os.path.join(base, f"{name}.{self.fmt}")
+
+    def read(self, name: str | None = None, snapshot: bool = False) -> DataFrame:
+        reader = self.spark.read.format(self.fmt)
+        if self.fmt == "csv":
+            reader = reader.option("header", "true")
+            if self.schema_override is None:
+                reader = reader.option("inferSchema", "true")
+        if self.schema_override is not None:
+            reader = reader.schema(self.schema_override)
+        if self.options:
+            reader = reader.options(**self.options)
+        df = reader.load(self.table_path(name))
+        deduped = dedupe_column_names(df.columns)
+        if deduped != df.columns:
+            df = df.toDF(*deduped)
+        return df
+
+    def list_tables(self) -> list[str]:
+        base = self.connection.url
+        if not os.path.isdir(base):
+            return []
+        suffix = f".{self.fmt}"
+        return sorted(
+            e[: -len(suffix)] for e in os.listdir(base) if e.endswith(suffix)
+        )

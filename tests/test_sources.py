@@ -51,3 +51,87 @@ def test_ping_missing_path(spark):
     )
     with pytest.raises(SourceError):
         src.ping()
+
+
+def test_csv_json_orc_roundtrip(spark, tmp_path):
+    """File-format sources behind the dialect registry (csv/json/orc)."""
+    import json as _json
+
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.queries.common import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n = orders.count()
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    orders.write.option("header", "true").csv(str(src_dir / "orders.csv"))
+    orders.write.json(str(src_dir / "orders.json"))
+    orders.write.orc(str(src_dir / "orders.orc"))
+
+    for fmt in ("csv", "json", "orc"):
+        out = tmp_path / f"out_{fmt}"
+        res = run_job(
+            spark,
+            {
+                "reader": {
+                    "dialect": fmt,
+                    "connection": {"url": str(src_dir), "table": {"name": "orders"}},
+                    "column": ["o_orderkey", "o_totalprice"],
+                    "where": "o_totalprice > 1000",
+                },
+                "writer": {
+                    "connection": {"url": str(out), "table": {"name": "t"}},
+                    "writeMode": "insert",
+                },
+            },
+        )
+        want = orders.where("o_totalprice > 1000").count()
+        assert res.written == want, fmt
+
+
+def test_cli_runs_job(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    job = {
+        "reader": {
+            "connection": {"url": "/root/testdata/sf0.001", "table": {"name": "region"}},
+            "column": ["*"],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "out"}},
+            "writeMode": "insert",
+        },
+    }
+    spec = tmp_path / "job.json"
+    spec.write_text(_json.dumps(job))
+    proc = subprocess.run(
+        [sys.executable, "-m", "as_etl_storage_spark", str(spec)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=180,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4",
+             "SPARK_DRIVER_MEMORY": "4g"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["written"] == 5
+
+
+def test_cli_rejects_bad_spec(tmp_path):
+    import subprocess
+    import sys
+
+    spec = tmp_path / "bad.json"
+    spec.write_text('{"reader": {"column": []}}')
+    proc = subprocess.run(
+        [sys.executable, "-m", "as_etl_storage_spark", str(spec)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "invalid job spec" in proc.stderr
