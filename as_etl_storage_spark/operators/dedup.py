@@ -59,7 +59,9 @@ def shingle_table(
         f"transform(sequence(1, greatest(length({text_col})-{n - 1}, 1)), "
         f"i -> substring({text_col}, i, {n}))"
     )
-    out = df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+    out = df.select(
+        F.col(id_col).alias("doc"), F.explode(grams).alias("shingle")
+    ).where(F.col("shingle").isNotNull())  # null text -> no shingles
     return out.distinct() if distinct else out
 
 

@@ -1,0 +1,93 @@
+"""Operator robustness at the edges: null text, empty inputs, single rows.
+The fixtures contain none of these; production corpora contain all of them."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.operators import dedup, similarity, text
+from as_etl_storage_spark.operators.graph import connected_components
+from as_etl_storage_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def weird_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "normal document with several words here"),
+            (2, None),
+            (3, ""),
+            (4, "x"),
+            (5, "normal document with several words here"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestNullAndEmptyText:
+    def test_exact_dedup_groups_nulls(self, spark, weird_docs):
+        out = {r["doc_id"]: r["n_copies"] for r in
+               dedup.exact_dedup(weird_docs, "doc_id", ["text"]).collect()}
+        assert out[1] == 2      # 1 and 5 collapse
+        assert out[2] == 1      # null forms its own group
+        assert out[3] == 1
+
+    def test_shingles_drop_null_keep_short(self, spark, weird_docs):
+        sh = dedup.shingle_table(weird_docs, "doc_id", "text", 5).collect()
+        docs = {r["doc"] for r in sh}
+        assert 2 not in docs          # null text -> no shingles, no crash
+        assert 4 in docs              # short text -> one truncated shingle
+        assert 3 in docs              # empty text -> the '' shingle (two
+        #                               empty docs are legitimately dups)
+
+    def test_minhash_pipeline_survives_nulls(self, spark, weird_docs):
+        pairs = dedup.minhash_dedup_pairs(weird_docs, "doc_id", "text").collect()
+        found = {(r["doc_i"], r["doc_j"]) for r in pairs}
+        assert (1, 5) in found        # the exact dup pair is found
+        assert all(2 not in p for p in found)
+
+    def test_simhash_survives_nulls(self, spark, weird_docs):
+        pairs = dedup.simhash_dedup_pairs(weird_docs, "doc_id", "text", 3)
+        got = {(r["doc_i"], r["doc_j"]) for r in pairs.collect()}
+        assert (1, 5) in got          # identical docs: hamming 0
+
+    def test_text_ops_handle_nulls(self, spark, weird_docs):
+        # none of the text operators may throw on null/empty text
+        for fn in (text.token_counts, text.fingerprint, text.lang_id, text.pii_flags):
+            rows = fn(weird_docs, "doc_id", "text").collect()
+            assert len(rows) == 5, fn.__name__
+
+
+class TestEmptyInputs:
+    def test_empty_edges_components(self, spark):
+        edges = spark.createDataFrame([], "doc_i long, doc_j long")
+        assert connected_components(edges).count() == 0
+
+    def test_empty_corpus_topk(self, spark):
+        emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        out = similarity.cosine_topk(emb, "vec_id", "embedding", 3, "vid >= 0")
+        assert out.count() == 0
+
+    def test_asof_empty_right(self, spark):
+        left = spark.createDataFrame([(1, 10)], "k long, t long")
+        right = spark.createDataFrame([], "k long, rt long, p string")
+        out = asof_join(left, right, "k", "t", "rt", ["p"]).collect()
+        assert len(out) == 1 and out[0]["p"] is None
+
+    def test_single_doc_no_pairs(self, spark):
+        one = spark.createDataFrame([(1, "only document")], "doc_id long, text string")
+        assert dedup.minhash_dedup_pairs(one, "doc_id", "text").count() == 0
+        assert dedup.ngram_jaccard_pairs(one, "doc_id", "text").count() == 0
+
+
+class TestNullEmbeddings:
+    def test_cosine_pairs_with_null_vector(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        pairs = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.9)
+        got = {(r["vec_i"], r["vec_j"]) for r in pairs.collect()}
+        assert got == {(1, 3)}  # null vector excluded, not crashing
