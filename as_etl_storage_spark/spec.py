@@ -213,6 +213,7 @@ class WriterSpec:
     merge_keys: tuple[str, ...] = ()  # keys for replace/MERGE (W2)
     retry: RetrySpec = field(default_factory=RetrySpec)
     quarantine_predicate: str = ""  # rows NOT satisfying this go to reject table
+    versioned: bool = False  # transaction-log table (snapshot isolation/time travel)
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -232,6 +233,7 @@ class WriterSpec:
                 max_retries=int(retry.get("maxRetries", 3)),
             ),
             quarantine_predicate=obj.get("quarantinePredicate", ""),
+            versioned=bool(obj.get("versioned", False)),
         )
         spec.validate()
         return spec

@@ -1,0 +1,171 @@
+"""Versioned tables: a minimal transaction-log layer over parquet.
+
+Delta Lake is not available in this environment; this module provides the
+subset of its semantics the engine's write modes promise — atomic commits,
+snapshot isolation, and time travel — with the same mechanism Delta uses:
+an append-only log of manifest files, one per version, each listing the
+data files that make up that version.
+
+    <table>/
+      _log/00000000.json   {"version": 0, "op": "append", "files": [...]}
+      _log/00000001.json   ...
+      part-....parquet     data files (immutable once committed)
+
+Commit protocol: write data files first (invisible until referenced), then
+create the next manifest with O_EXCL — the filesystem's atomic create is
+the commit point, and a concurrent committer loses the race and retries on
+a fresh version number (optimistic concurrency, like Delta). Readers list
+the log once and pin a version => consistent snapshots for free; old
+versions stay readable until vacuumed.
+
+At 100 TB the same design holds (this is literally Delta's); swap the
+listing for a checkpointed log when versions reach thousands.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTableError(RuntimeError):
+    pass
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, "_log")
+
+    # -- log ------------------------------------------------------------
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            if f.endswith(".json"):
+                try:
+                    out.append(int(f[: -len(".json")]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, files: list[str], op: str, base_version: int | None) -> int:
+        """Atomic commit via O_EXCL manifest create; retries on version
+        collision (optimistic concurrency)."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        version = (self.latest_version() + 1) if self._versions() else 0
+        for _ in range(50):
+            manifest = {
+                "version": version,
+                "op": op,
+                "files": files,
+                "base": base_version,
+            }
+            target = os.path.join(self.log_dir, f"{version:08d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                version += 1  # lost the race; retry on next version
+                continue
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+            return version
+        raise VersionedTableError("could not commit after 50 attempts")
+
+    # -- data files -----------------------------------------------------
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(self.path, exist_ok=True)
+        files = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex[:12]}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(self.path, name))
+            files.append(name)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return files
+
+    # -- write ops ------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        new_files = self._write_data_files(df)
+        prior = self._manifest(base)["files"] if base is not None else []
+        return self._commit(prior + new_files, "append", base)
+
+    def overwrite(self, df: DataFrame) -> int:
+        base = self.latest_version()
+        return self._commit(self._write_data_files(df), "overwrite", base)
+
+    def replace(self, df: DataFrame, merge_keys: list[str]) -> int:
+        """MERGE-style upsert as a new version: kept-oldies ∪ incoming.
+        Readers of prior versions are unaffected (snapshot isolation)."""
+        base = self.latest_version()
+        if base is None:
+            return self.overwrite(df)
+        target = self.read()
+        if set(target.columns) != set(df.columns):
+            raise VersionedTableError(
+                f"replace requires identical columns; target {target.columns} "
+                f"vs incoming {df.columns}"
+            )
+        incoming = df.select(*target.columns)
+        kept = target.join(
+            incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
+        )
+        merged = kept.unionByName(incoming)
+        return self._commit(self._write_data_files(merged), "replace", base)
+
+    # -- read -----------------------------------------------------------
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        vs = self._versions()
+        if not vs:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        version = vs[-1] if version_as_of is None else version_as_of
+        if version not in vs:
+            raise VersionedTableError(
+                f"version {version} not found; available {vs[0]}..{vs[-1]}"
+            )
+        files = self._manifest(version)["files"]
+        if not files:
+            return self.spark.createDataFrame([], "dummy string").limit(0)
+        paths = [os.path.join(self.path, f) for f in files]
+        return self.spark.read.parquet(*paths)
+
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in self._versions()]
+
+    def vacuum(self, retain_last: int = 1) -> int:
+        """Delete data files unreferenced by the last ``retain_last``
+        versions (and their manifests). Returns files removed."""
+        vs = self._versions()
+        if len(vs) <= retain_last:
+            return 0
+        keep_versions = vs[-retain_last:]
+        keep_files = set()
+        for v in keep_versions:
+            keep_files.update(self._manifest(v)["files"])
+        removed = 0
+        for f in os.listdir(self.path):
+            if f.endswith(".parquet") and f not in keep_files:
+                os.remove(os.path.join(self.path, f))
+                removed += 1
+        for v in vs[:-retain_last]:
+            os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+        return removed

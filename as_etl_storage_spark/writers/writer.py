@@ -212,6 +212,8 @@ class ParquetWriter:
 
         path = self.target_path()
         mode = self.spec.write_mode
+        if self.spec.versioned:
+            return self._write_versioned(clean, rejected, reject_path)
         if mode in ("insert",):
             self.check_schema_compat(clean)
             self._with_retry(lambda: self._append(clean, path), "append")
@@ -228,6 +230,36 @@ class ParquetWriter:
         self.run_post_sql()
         return WriteResult(
             target_path=path,
+            written=written,
+            rejected=rejected,
+            reject_path=reject_path,
+        )
+
+    def _write_versioned(
+        self, clean: DataFrame, rejected: int, reject_path: str
+    ) -> WriteResult:
+        """Transaction-log table path (writers/versioned.py): atomic
+        commits, snapshot isolation, time travel — Delta semantics on
+        plain parquet."""
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        table_dir = os.path.join(
+            self.spec.connection.url, self.spec.connection.table.name
+        )
+        vt = VersionedTable(self.spark, table_dir)
+        mode = self.spec.write_mode
+        if mode == "insert":
+            vt.append(clean) if vt.latest_version() is not None else vt.overwrite(clean)
+        elif mode == "overwrite":
+            vt.overwrite(clean)
+        elif mode == "replace":
+            vt.replace(clean, list(self.spec.merge_keys))
+        else:
+            raise WriterError(f"writeMode {mode!r} unsupported for versioned tables")
+        written = vt.read().count()
+        self.run_post_sql()
+        return WriteResult(
+            target_path=table_dir,
             written=written,
             rejected=rejected,
             reject_path=reject_path,
