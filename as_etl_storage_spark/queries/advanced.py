@@ -282,3 +282,58 @@ _register(
     FROM orders
     """,
 )
+
+
+# ------------------------------------------------------- funnel analysis --
+# multi-step funnel: for each user, did view -> click -> purchase occur in
+# order? Window mins over typed event times; identical SQL both engines.
+_FUNNEL_SQL = """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT
+      count(*) AS n_users,
+      count(t_view) AS reached_view,
+      count(CASE WHEN t_click > t_view THEN 1 END) AS reached_click,
+      count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+        AS reached_purchase
+    FROM per_user
+"""
+QUERIES["q_funnel"] = sql_query(("events",), _FUNNEL_SQL)
+ORACLES["q_funnel"] = _FUNNEL_SQL
+
+
+# ------------------------------------------- versioned-table write query --
+def _w2_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE through the transaction log (writers/versioned.py): final
+    state must equal the plain-merge oracle; the route exercises atomic
+    commits + snapshot versions."""
+    import os
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+    from pyspark.sql import functions as F
+
+    out = _scratch_dir()
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, os.path.join(out, "w2v"))
+    vt.overwrite(orders)
+    batch = orders.where("o_orderkey <= 1000").withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    vt.replace(batch, ["o_orderkey"])
+    return vt.read().select("o_orderkey", "o_orderstatus")
+
+
+_register(
+    "w2_replace_versioned",
+    _w2_versioned,
+    """
+    SELECT o_orderkey, CASE WHEN o_orderkey <= 1000 THEN 'X'
+           ELSE o_orderstatus END AS o_orderstatus FROM orders
+    """,
+)
