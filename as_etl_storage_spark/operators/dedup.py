@@ -204,12 +204,10 @@ def ngram_jaccard_pairs(
     """Exact all-pairs token-n-gram jaccard >= p/q via inverted index —
     correctness baseline for the LSH path (quadratic in near-dup cluster
     size; prefer minhash_dedup_pairs at scale)."""
-    toks = F.split(F.col(text_col), r"\s+")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+'))-{n - 1}, 1)), "
         f"i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' '))"
     )
-    _ = toks
     gr = (
         df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
         .distinct()

@@ -312,7 +312,6 @@ def _w2_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     state must equal the plain-merge oracle; the route exercises atomic
     commits + snapshot versions."""
     import os
-    import uuid
 
     from as_etl_storage_spark.queries.parity import _scratch_dir
     from as_etl_storage_spark.writers.versioned import VersionedTable

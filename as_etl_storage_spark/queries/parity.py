@@ -14,7 +14,7 @@ from pyspark.sql import types as T
 
 from as_etl_storage_spark.plans.planner import plan_read, plan_split_union
 from as_etl_storage_spark.plans.split import BigIntConvertor, split_ranges
-from as_etl_storage_spark.queries.common import load_table, sql_query
+from as_etl_storage_spark.queries.common import load_table
 from as_etl_storage_spark.sources.parquet import ParquetSource
 from as_etl_storage_spark.spec import ReaderSpec, WriterSpec
 from as_etl_storage_spark.types import dedupe_column_names
