@@ -21,12 +21,13 @@ from as_etl_storage_spark.queries import (
     parity,
     relational,
     streaming_batch,
+    tpch_more,
 )
 
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (parity, relational, llmops, streaming_batch, advanced):
+for mod in (parity, relational, llmops, streaming_batch, advanced, tpch_more):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
