@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from as_etl_storage_spark.functions import ratio_at_least, vec_dot, vec_norm
+
 # 128 minhash permutations in 16 bands x 8 rows: for true-dup jaccard >= 0.95
 # the miss probability is < 1e-10; at the 0.8 threshold it is ~5%, but the
 # fixture (and typical crawl) distributions are bimodal (dups ~0.95+, rest
@@ -67,7 +69,7 @@ def shingle_table(
 
 def _jaccard_filter(inter: Column, union: Column, p: int, q: int) -> Column:
     """jaccard >= p/q via integer cross-multiplication (exact)."""
-    return inter * q >= union * p
+    return ratio_at_least(inter, union, p, q)
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
@@ -333,18 +335,10 @@ def embedding_cosine_pairs(
     e = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "norm",
-        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
+    ).withColumn("norm", vec_norm(F.col("v")))
     a = e.alias("a")
     b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cos = dot / (F.col("a.norm") * F.col("b.norm"))
+    cos = vec_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, F.col("a.vid") < F.col("b.vid"))
         .where(cos >= threshold)

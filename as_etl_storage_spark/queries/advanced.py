@@ -336,3 +336,40 @@ _register(
            ELSE o_orderstatus END AS o_orderstatus FROM orders
     """,
 )
+
+
+# --------------------------------------- partitioned-layout write query ---
+def _w_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + pruned read-back: the layout tool a 100 TB
+    table needs; result hash-matched against a plain filtered aggregate."""
+    import os
+
+    from pyspark.sql import functions as F
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.layout import write_partitioned
+
+    out = _scratch_dir()
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = os.path.join(out, "orders_by_year")
+    write_partitioned(orders, path, ["order_year"])
+    pruned = spark.read.parquet(path).where("order_year IN (1996, 1997)")
+    return pruned.groupBy("order_year").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .alias("total"),
+    )
+
+
+_register(
+    "w_partitioned_roundtrip",
+    _w_partitioned,
+    """
+    SELECT year(o_orderdate) AS order_year, count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+)

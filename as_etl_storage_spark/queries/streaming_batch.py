@@ -143,3 +143,27 @@ _register(
     FROM events, c
     """,
 )
+
+
+def _interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.where("event_type = 'click'"), ev.where("event_type = 'view'")
+    )
+
+
+_register(
+    "stream_interval_join",
+    _interval_join,
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+    """,
+)

@@ -148,3 +148,38 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
             ["event_id"]
         )
     return events.dropDuplicates(["event_id"])
+
+
+def interval_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    watermark: str = "1 hour",
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's views
+    in the preceding ``lookback`` interval. Both sides carry watermarks so
+    Spark can bound the join state (rows older than watermark+lookback are
+    evicted) — the canonical bounded-state stream-stream join shape.
+
+    Works identically on batch inputs (no watermark needed there)."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+        v = v.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return c.join(v, cond).select(
+        "user_id", "click_id", "click_ts", "view_id", "view_ts"
+    )

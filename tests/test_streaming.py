@@ -101,3 +101,33 @@ def test_streaming_session_window_runs(spark, tmp_path, events_input_dir):
         "left",
     )
     assert joined.where("n_b IS NULL OR n_events != n_b").count() == 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path, events_input_dir):
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    stream = file_stream(spark, events_input_dir)
+    clicks = stream.where("event_type = 'click'")
+    views = stream.where("event_type = 'view'")
+    joined = interval_join(clicks, views)
+    target = str(tmp_path / "ssj.parquet")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", target)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    # batch reference: same join over the bounded table
+    ev = load_table(spark, SF, "events")
+    want = interval_join(ev.where("event_type = 'click'"), ev.where("event_type = 'view'"))
+    missing = want.join(got, ["click_id", "view_id"], "left_anti").count()
+    extra = got.join(want, ["click_id", "view_id"], "left_anti").count()
+    assert extra == 0
+    # append-mode may hold back pairs near the watermark frontier; with
+    # availableNow + final watermark advance all pairs should emit
+    assert missing == 0
+    assert got.count() == want.count()
