@@ -114,3 +114,76 @@ def lsh_bucket_topk(
             "rank",
         )
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid.
+
+    Centroids are the vectors with the ``n_centroids`` smallest ids —
+    deterministic seeding (k-means++ init and Lloyd iterations would make
+    centroids float-accumulation order-dependent; for a reproducible,
+    oracle-checkable building block the seeded assignment IS the quantizer;
+    production swaps in trained centroids, the plan is identical).
+
+    Plan: broadcast the tiny centroid set against the corpus (no corpus
+    shuffle), rank by cosine with unique tie-break."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    scored = corpus.join(F.broadcast(centroids)).select(
+        "vid", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """IVF search with nprobe=1: each vector's neighbors are ranked only
+    within its centroid's inverted list. Candidate set shrinks ~n_centroids
+    times vs brute force; the join key is the centroid id (equi-join, AQE
+    handles list-size skew)."""
+    assign = ivf_assign(df, id_col, vec_col, n_centroids)
+    e = _prepared(df, id_col, vec_col).join(
+        assign.select(F.col("vec_id").alias("vid"), "centroid_id"), "vid"
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    scored = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.vid") != F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("qid"),
+        F.col("a.centroid_id").alias("centroid_id"),
+        F.col("b.vid").alias("vid"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            "centroid_id",
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
+    )
