@@ -104,13 +104,23 @@ class ParquetWriter:
         return clean, reject
 
     # -- mode impls -----------------------------------------------------
-    def _append(self, df: DataFrame, path: str) -> None:
+    # each impl returns the number of rows written by THIS job — counting
+    # the target after a write would be a full table scan at 100 TB.
+    def _append(self, df: DataFrame, path: str) -> int:
+        df.cache()
+        n = df.count()
         df.write.mode("append").parquet(path)
+        df.unpersist()
+        return n
 
-    def _overwrite(self, df: DataFrame, path: str) -> None:
+    def _overwrite(self, df: DataFrame, path: str) -> int:
+        df.cache()
+        n = df.count()
         df.write.mode("overwrite").parquet(path)
+        df.unpersist()
+        return n
 
-    def _merge_replace(self, df: DataFrame, path: str) -> None:
+    def _merge_replace(self, df: DataFrame, path: str) -> int:
         """REPLACE/upsert: target rows whose key matches an incoming row are
         replaced; others kept; new rows inserted. Equivalent Delta:
         MERGE ... whenMatchedUpdateAll whenNotMatchedInsertAll.
@@ -123,8 +133,7 @@ class ParquetWriter:
         if not keys:
             raise WriterError("replace mode requires mergeKeys")
         if not os.path.exists(path):
-            self._overwrite(df, path)
-            return
+            return self._overwrite(df, path)
         target = self.spark.read.parquet(path)
         if set(target.columns) != set(df.columns):
             raise WriterError(
@@ -152,16 +161,16 @@ class ParquetWriter:
         kept = target.join(incoming.select(*keys).distinct(), on=keys, how="left_anti")
         merged = kept.unionByName(incoming)
         self._rewrite_atomic(merged, path)
+        return incoming.count()
 
-    def _insert_ignore(self, df: DataFrame, path: str) -> None:
+    def _insert_ignore(self, df: DataFrame, path: str) -> int:
         """ignore mode: skip rows whose keys already exist in the target."""
         keys = list(self.spec.merge_keys) or df.columns
         if not os.path.exists(path):
-            self._overwrite(df, path)
-            return
+            return self._overwrite(df, path)
         target = self.spark.read.parquet(path)
         fresh = df.join(target.select(*keys).distinct(), on=keys, how="left_anti")
-        fresh.write.mode("append").parquet(path)
+        return self._append(fresh, path)
 
     def _rewrite_atomic(self, df: DataFrame, path: str) -> None:
         """Materialize to a staging dir then swap — single-writer atomicity
@@ -216,17 +225,18 @@ class ParquetWriter:
             return self._write_versioned(clean, rejected, reject_path)
         if mode in ("insert",):
             self.check_schema_compat(clean)
-            self._with_retry(lambda: self._append(clean, path), "append")
+            written = self._with_retry(lambda: self._append(clean, path), "append")
         elif mode == "overwrite":
-            self._with_retry(lambda: self._overwrite(clean, path), "overwrite")
+            written = self._with_retry(
+                lambda: self._overwrite(clean, path), "overwrite"
+            )
         elif mode == "replace":
-            self._merge_replace(clean, path)
+            written = self._merge_replace(clean, path)
         elif mode == "ignore":
-            self._insert_ignore(clean, path)
+            written = self._insert_ignore(clean, path)
         else:  # pragma: no cover - spec.validate guards
             raise WriterError(f"unknown writeMode {mode!r}")
 
-        written = self.spark.read.parquet(path).count()
         self.run_post_sql()
         return WriteResult(
             target_path=path,
@@ -248,6 +258,8 @@ class ParquetWriter:
         )
         vt = VersionedTable(self.spark, table_dir)
         mode = self.spec.write_mode
+        clean.cache()
+        written = clean.count()
         if mode == "insert":
             vt.append(clean) if vt.latest_version() is not None else vt.overwrite(clean)
         elif mode == "overwrite":
@@ -256,7 +268,7 @@ class ParquetWriter:
             vt.replace(clean, list(self.spec.merge_keys))
         else:
             raise WriterError(f"writeMode {mode!r} unsupported for versioned tables")
-        written = vt.read().count()
+        clean.unpersist()
         self.run_post_sql()
         return WriteResult(
             target_path=table_dir,

@@ -146,7 +146,8 @@ class TestWriter:
         n = duck("SELECT count(*) FROM orders")[0][0]
         assert res.written == n
         res2 = run_job(spark, self._job(tmp_path))
-        assert res2.written == 2 * n
+        assert res2.written == n  # written = THIS job's rows, not the target
+        assert spark.read.parquet(res2.target_path).count() == 2 * n
 
     def test_overwrite(self, spark, tmp_path):
         run_job(spark, self._job(tmp_path))
@@ -187,7 +188,8 @@ class TestWriter:
         res = run_job(
             spark, self._job(tmp_path, mode="ignore", mergeKeys=["o_orderkey"])
         )
-        assert res.written == n  # all duplicates skipped
+        assert res.written == 0  # all duplicates skipped
+        assert spark.read.parquet(res.target_path).count() == n
 
     def test_quarantine(self, spark, tmp_path):
         job = self._job(tmp_path, quarantinePredicate="o_totalprice > 0")

@@ -118,7 +118,7 @@ def test_job_spec_versioned_writer(spark, tmp_path):
     r1 = run_job(spark, job)
     r2 = run_job(spark, job)  # second insert appends as version 1
     n = load_table(spark, SF, "orders").count()
-    assert r1.written == n and r2.written == 2 * n
+    assert r1.written == n and r2.written == n  # per-job written counts
     vt = VersionedTable(spark, str(tmp_path / "vt_orders"))
     assert vt.latest_version() == 1
     assert vt.read(version_as_of=0).count() == n
