@@ -214,6 +214,7 @@ class WriterSpec:
     retry: RetrySpec = field(default_factory=RetrySpec)
     quarantine_predicate: str = ""  # rows NOT satisfying this go to reject table
     versioned: bool = False  # transaction-log table (snapshot isolation/time travel)
+    evolve_schema: bool = False  # allow additive schema changes on append
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -234,6 +235,7 @@ class WriterSpec:
             ),
             quarantine_predicate=obj.get("quarantinePredicate", ""),
             versioned=bool(obj.get("versioned", False)),
+            evolve_schema=bool(obj.get("evolveSchema", False)),
         )
         spec.validate()
         return spec

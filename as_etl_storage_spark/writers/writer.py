@@ -80,7 +80,10 @@ class ParquetWriter:
     # -- schema compat (W11) -------------------------------------------
     def check_schema_compat(self, df: DataFrame) -> None:
         """Writer fetches target schema at init (writer/task.go:64-70) and
-        fails fast on mismatch — no silent mergeSchema."""
+        fails fast on mismatch — no silent widening. With
+        ``evolveSchema: true`` additive changes are allowed: new columns
+        may appear (readers use mergeSchema; old files yield nulls), but
+        dropping existing columns is still an error."""
         path = self.target_path()
         if not os.path.exists(path):
             return
@@ -88,11 +91,16 @@ class ParquetWriter:
         incoming = df.schema
         t_names = [f.name for f in target.fields]
         i_names = [f.name for f in incoming.fields]
-        if sorted(t_names) != sorted(i_names):
-            raise WriterError(
-                f"schema mismatch writing {path}: target columns {t_names}, "
-                f"incoming {i_names}"
-            )
+        if sorted(t_names) == sorted(i_names):
+            return
+        if self.spec.evolve_schema and set(t_names) <= set(i_names):
+            return  # additive evolution
+        raise WriterError(
+            f"schema mismatch writing {path}: target columns {t_names}, "
+            f"incoming {i_names}"
+            + ("" if self.spec.evolve_schema else
+               " (set evolveSchema for additive changes)")
+        )
 
     # -- quarantine (W8 upgrade) ---------------------------------------
     def split_quarantine(self, df: DataFrame) -> tuple[DataFrame, DataFrame | None]:

@@ -218,3 +218,32 @@ class TestWriter:
         job = self._job(tmp_path, mode="replace", mergeKeys=["o_custkey"])
         with pytest.raises(WriterError, match="duplicate merge keys"):
             run_job(spark, job)
+
+    def test_schema_evolution_additive(self, spark, tmp_path):
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        run_job(spark, self._job(tmp_path))
+        # additive column without evolveSchema -> error
+        job = self._job(tmp_path)
+        job["reader"]["querySql"] = [
+            "SELECT *, year(o_orderdate) AS o_year FROM orders"
+        ]
+        del job["reader"]["column"]
+        del job["reader"]["connection"]["table"]
+        with pytest.raises(WriterError, match="evolveSchema"):
+            run_job(spark, job)
+        # with evolveSchema: append succeeds; merged read shows nulls for
+        # old files in the new column
+        job["writer"]["evolveSchema"] = True
+        run_job(spark, job)
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            str(tmp_path / "out.parquet")
+        )
+        n = duck("SELECT count(*) FROM orders")[0][0]
+        assert merged.count() == 2 * n
+        assert merged.where("o_year IS NULL").count() == n
+        # dropping columns is never allowed
+        job2 = self._job(tmp_path, evolveSchema=True)
+        job2["reader"]["column"] = ["o_orderkey"]
+        with pytest.raises(WriterError, match="schema mismatch"):
+            run_job(spark, job2)
