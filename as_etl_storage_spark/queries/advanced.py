@@ -373,3 +373,96 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+# ------------------------------------- embedding dedup clusters (graph) ---
+def _embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose embedding-cosine near-dup pairs with connected components —
+    the vector-side analog of dedup_clusters (threshold 0.4 so the fixture
+    graph is non-trivial)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4)
+    return connected_components(
+        pairs.select(
+            pairs["vec_i"].alias("doc_i"), pairs["vec_j"].alias("doc_j")
+        )
+    )
+
+
+_register(
+    "dedup_embedding_clusters",
+    _embedding_clusters,
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    dup AS (SELECT a.vec_id AS i, b.vec_id AS j
+            FROM n a, n b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+    edges AS (SELECT i AS u, j AS v FROM dup UNION SELECT j, i FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+
+
+# ------------------------------------------- corpus-cleaning pipeline -----
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end cleaning decision: quality + repetition + PII + exact-dup
+    filters composed into keep/drop with a reason column — the actual shape
+    of a training-data filter stage."""
+    from pyspark.sql import functions as F
+    from as_etl_storage_spark.operators import text as T_
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = T_.quality_score(docs, "doc_id", "text")
+    rep = T_.repetition_ratio(docs, "doc_id", "text")
+    keeper = dedup.exact_dedup(docs, "doc_id", ["text"]).select(
+        F.col("doc_id").alias("keep_id")
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(rep, "doc_id")
+        .join(keeper, docs["doc_id"] == F.col("keep_id"), "left")
+    )
+    reason = (
+        F.when(F.col("keep_id").isNull(), F.lit("duplicate"))
+        .when(F.col("n_tokens") < 20, F.lit("too_short"))
+        .when(F.col("rep_ratio") > 0.2, F.lit("repetitive"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select("doc_id", reason.alias("decision"))
+
+
+_register(
+    "corpus_clean_decisions",
+    _corpus_clean,
+    """
+    WITH keepers AS (SELECT min(doc_id) AS keep_id FROM documents GROUP BY text),
+    tk AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+           FROM documents),
+    ntok AS (SELECT doc_id, len(toks) AS n_tokens FROM tk),
+    rep AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) AS rep_ratio FROM (
+        SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+              FROM documents) GROUP BY 1, 2)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN k.keep_id IS NULL THEN 'duplicate'
+                WHEN ntok.n_tokens < 20 THEN 'too_short'
+                WHEN rep.rep_ratio > 0.2 THEN 'repetitive'
+                ELSE 'keep' END AS decision
+    FROM documents d
+    LEFT JOIN keepers k ON d.doc_id = k.keep_id
+    JOIN ntok ON d.doc_id = ntok.doc_id
+    JOIN rep ON d.doc_id = rep.doc_id
+    """,
+)
