@@ -38,6 +38,30 @@ N_HASHES = 128
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# The 128 hash functions use Kirsch-Mitzenmacher double hashing:
+# h_j = (h1 + j*h2) mod P with P = 2^31-1 and h1,h2 = pmod(xxhash64(...), P).
+# Two string hashes per shingle instead of 128 — the signature aggregation
+# is then pure long arithmetic (j < 128, operands < 2^31, so j*h2 < 2^38:
+# no overflow under ANSI mode). Standard construction for minhash/bloom
+# families; recall at the bimodal dup/non-dup fixture margins is unchanged,
+# and candidate pairs are exact-jaccard-verified regardless.
+_P = (1 << 31) - 1
+
+
+def _double_hashed(shingles: DataFrame) -> DataFrame:
+    """(doc, h1, h2): the two base hashes the 128-function family derives
+    from. One projection, computed inside the scan stage."""
+    return shingles.select(
+        "doc",
+        F.expr(f"pmod(xxhash64(shingle), {_P}L) AS h1"),
+        F.expr(f"pmod(xxhash64(shingle, 1), {_P}L) AS h2"),
+    )
+
+
+def _mh(j: int) -> str:
+    """SQL expression for min over hash function j (inputs are h1/h2)."""
+    return f"min((h1 + {j}L * h2) % {_P}L)"
+
 
 def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
     """Exact dedup: keep the minimum id per duplicate group, report group
@@ -74,16 +98,14 @@ def _jaccard_filter(inter: Column, union: Column, p: int, q: int) -> Column:
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """128 minhash values per doc in a single aggregation (one shuffle).
-    Hash family: xxhash64(shingle, j) — deterministic, JVM-side.
+    Hash family: double-hashed xxhash64 (see ``_double_hashed``) —
+    deterministic, JVM-side, two string hashes per shingle.
 
     API-surface form (one column per hash); the dedup pipeline uses
     :func:`banded_signatures`, which aggregates straight to band signatures
     and avoids materializing the 128-column row."""
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(j))).alias(f"mh{j}")
-        for j in range(N_HASHES)
-    ]
-    return shingles.groupBy("doc").agg(*aggs)
+    aggs = [F.expr(f"{_mh(j)} AS mh{j}") for j in range(N_HASHES)]
+    return _double_hashed(shingles).groupBy("doc").agg(*aggs)
 
 
 def banded_signatures(shingles: DataFrame) -> DataFrame:
@@ -94,11 +116,12 @@ def banded_signatures(shingles: DataFrame) -> DataFrame:
     band_exprs = []
     for b in range(N_BANDS):
         mins = ", ".join(
-            f"min(xxhash64(shingle, {b * ROWS_PER_BAND + r}))"
-            for r in range(ROWS_PER_BAND)
+            _mh(b * ROWS_PER_BAND + r) for r in range(ROWS_PER_BAND)
         )
         band_exprs.append(f"hash({mins}) AS sig{b}")
-    agg = shingles.groupBy("doc").agg(*[F.expr(e) for e in band_exprs])
+    agg = _double_hashed(shingles).groupBy("doc").agg(
+        *[F.expr(e) for e in band_exprs]
+    )
     stack = ", ".join(f"{b}, sig{b}" for b in range(N_BANDS))
     return agg.select("doc", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)"))
 

@@ -32,6 +32,10 @@ def get_spark(app_name: str = "as_etl_storage_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide aggregations (e.g. the 128-buffer minhash signature agg) fall
+        # out of whole-stage codegen at the default 100-field cap and run 2x
+        # slower; 300 keeps them compiled without risking 64KB method limits
+        .config("spark.sql.codegen.maxFields", "300")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
