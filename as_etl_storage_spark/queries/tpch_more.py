@@ -141,6 +141,226 @@ _q(
     """,
 )
 
+# Q2 shape: min-cost supplier via correlated scalar-min subquery across a
+# region (partsupp doesn't exist in the fixtures; unit price
+# l_extendedprice/l_quantity over lineitem stands in for ps_supplycost —
+# identical IEEE division in both engines, and min() over doubles is
+# order-independent, so exact comparison is safe)
+_q(
+    "q2_min_cost_supplier",
+    ("part", "supplier", "lineitem", "nation", "region"),
+    """
+    SELECT DISTINCT s_name, n_name, p_partkey, p_name
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND l_extendedprice / l_quantity = (
+        SELECT min(l2.l_extendedprice / l2.l_quantity)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    """,
+)
+
+# Q7 shape: volume shipping between two nations by year
+_q(
+    "q7_nation_volume",
+    ("supplier", "lineitem", "orders", "customer", "nation"),
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, {_REV} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+
+# Q8 shape: a nation's market share within a region's import volume by year
+_q(
+    "q8_market_share",
+    ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year, {_REV} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+
+# Q11 shape: important values — group totals above a scalar-subquery
+# fraction of the grand total (lineitem value per part stands in for
+# partsupp stock value)
+_q(
+    "q11_important_values",
+    ("lineitem", "supplier", "nation"),
+    """
+    SELECT l_partkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                           AS DOUBLE) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+    GROUP BY l_partkey
+    HAVING sum(CAST(l_extendedprice AS DECIMAL(18,2))) > (
+      SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 0.001
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_5')
+    """,
+)
+
+# Q12 shape: two-way priority counts per class (shipmode doesn't exist;
+# shipping lateness relative to order date forms the classes)
+_q(
+    "q12_late_shipping",
+    ("orders", "lineitem"),
+    """
+    SELECT late_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 'late' ELSE 'ontime' END AS late_bucket
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) t
+    GROUP BY late_bucket
+    """,
+)
+
+# Q15 shape: top supplier via CTE revenue view + scalar max subquery
+# (exact decimal equality, not float)
+_q(
+    "q15_top_supplier",
+    ("lineitem", "supplier"),
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_REV}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+
+# Q16 shape: distinct-supplier counts per part class, excluding a
+# NOT-IN supplier blacklist (lineitem stands in for partsupp)
+_q(
+    "q16_supplier_counts",
+    ("lineitem", "part", "supplier"),
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+
+# Q17 shape: small-quantity-order revenue via correlated avg subquery
+# (quantities are integral doubles, so avg is exact-sum/count — identical
+# in both engines)
+_q(
+    "q17_small_quantity",
+    ("lineitem", "part"),
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5' AND p_size < 10
+      AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+
+# Q20 shape: supplier shortlist via nested IN + HAVING threshold
+_q(
+    "q20_promotion_suppliers",
+    ("supplier", "nation", "lineitem", "part"),
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%gear%'
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50)
+    """,
+)
+
+# Q21 shape: suppliers who kept multi-supplier orders waiting — EXISTS +
+# NOT EXISTS with non-equi correlated predicates (lateness = shipped >90
+# days after order date; the fixture has no commit/receipt dates)
+_q(
+    "q21_waiting_suppliers",
+    ("supplier", "lineitem", "orders", "nation"),
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    """,
+)
+
 # Q22 shape: wealthy-but-inactive customers (anti join + scalar subquery)
 _q(
     "q22_inactive_wealthy",
