@@ -73,6 +73,25 @@ def exact_dedup(df: DataFrame, id_col: str, key_cols: list[str]) -> DataFrame:
     )
 
 
+def keep_latest(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """CDC-style compaction: keep the newest row per key, newest = last in
+    ``order_cols`` ascending order (give a unique final tie-break column for
+    determinism). One shuffle on the key columns; the per-key sort is
+    bounded by group size, not table size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, distinct: bool = True
 ) -> DataFrame:

@@ -179,3 +179,51 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fp_md5"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fp64"),
     )
+
+
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: top-k lowercase whitespace tokens by term
+    frequency (ties broken lexically), with document frequency. One
+    explode + one partial-aggregated groupBy; the top-k sort runs on the
+    already-aggregated vocabulary, not the token stream."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).where(F.col("t") != "")
+    return (
+        toks.groupBy("t")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("t"))
+        .limit(k)
+    )
+
+
+def top_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Most distinctive term per document: highest term frequency, rarest
+    corpus-wide (df ascending) on ties, lexical tie-break — an integer-only
+    tf-idf stand-in that hash-compares exactly across engines (no float
+    log). Two shuffles: token counts, then the df join keyed on term."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = toks.groupBy("t").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("t")
+    )
+    return (
+        toks.join(dfreq, "t")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc").alias(id_col), F.col("t").alias("top_term"), "tf", "df")
+    )

@@ -466,3 +466,41 @@ _register(
     JOIN rep ON d.doc_id = rep.doc_id
     """,
 )
+
+
+# ------------------------------------------------ CDC keep-latest dedup ---
+def _keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return dedup.keep_latest(
+        ev.select("user_id", "event_type", "event_id", "ts"),
+        key_cols=["user_id", "event_type"],
+        order_cols=["ts", "event_id"],
+    )
+
+
+_register(
+    "dedup_keep_latest",
+    _keep_latest,
+    """
+    WITH r AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id, ts FROM r WHERE rn = 1
+    """,
+)
+
+
+# ------------------------------------------------- equi-width histogram ---
+# floor-division bucketing: identical IEEE arithmetic in both engines, and
+# min/max are order-independent so raw-double aggregation is safe
+_HIST_SQL = """
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+"""
+_register("q_histogram", sql_query(("orders",), _HIST_SQL), _HIST_SQL)

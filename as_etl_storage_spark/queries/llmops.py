@@ -477,3 +477,50 @@ _register(
     FROM r WHERE rn <= 3
     """,
 )
+
+
+# --------------------------------------------------- corpus vocabulary ----
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.vocabulary(docs, "doc_id", "text", k=100)
+
+
+_register(
+    "text_vocab_topk",
+    _vocab,
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                  FROM documents)
+    SELECT t, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks WHERE t <> ''
+    GROUP BY t
+    ORDER BY tf DESC, t
+    LIMIT 100
+    """,
+)
+
+
+# ------------------------------------------- distinctive term per doc -----
+def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_terms(docs, "doc_id", "text")
+
+
+_register(
+    "text_top_terms",
+    _top_terms,
+    """
+    WITH toks AS (
+      SELECT doc_id, t, count(*) AS tf FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents) s
+      WHERE t <> '' GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS df FROM toks GROUP BY t),
+    r AS (SELECT doc_id, t, tf, df,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tf DESC, df ASC, t) AS rn
+          FROM toks JOIN dfreq USING (t))
+    SELECT doc_id, t AS top_term, tf, df FROM r WHERE rn = 1
+    """,
+)

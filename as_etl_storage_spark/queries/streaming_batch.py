@@ -167,3 +167,31 @@ _register(
      AND v.ts >= c.ts - INTERVAL '30 minutes'
     """,
 )
+
+
+def _enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from as_etl_storage_spark.streaming.micro_batch import enrich_with_dim
+
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(ev, cust, "user_id", ["c_mktsegment"])
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+
+
+_register(
+    "stream_static_enrich",
+    _enrich,
+    """
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)

@@ -183,3 +183,14 @@ def interval_join(
     return c.join(v, cond).select(
         "user_id", "click_id", "click_ts", "view_id", "view_ts"
     )
+
+
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, on: str, payload: list[str]
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    current snapshot of the static side, which is broadcast — the stream
+    never shuffles. The standard shape for attaching dimension attributes
+    (user/customer/catalog rows) to an event stream at scale; works
+    identically on a bounded DataFrame for the batch oracle."""
+    return stream.join(F.broadcast(dim.select(on, *payload)), on, "left")
