@@ -242,6 +242,62 @@ def minhash_dedup_pairs(
     return verify_jaccard(cands, sh_c, p, q)
 
 
+def incremental_dedup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    p: int = 4,
+    q: int = 5,
+) -> DataFrame:
+    """Incremental near-dup check: which *new* documents duplicate the
+    *existing* corpus (character-5-gram jaccard >= p/q). The production
+    dedup shape at scale — a daily batch is checked against the indexed
+    corpus without ever re-pairing the corpus with itself.
+
+    The corpus band signatures are a pure function of the text, so in
+    production they are computed once and stored; here they are derived
+    in-plan. Candidates come from a new-bands x corpus-bands equi-join on
+    (band, sig) — shuffle volume is O(new x bands) against the corpus
+    index, never all-pairs — then exact-jaccard verification re-shingles
+    only the candidate docs on both sides."""
+    ids = (id_col, text_col)
+    new_base = new_df.select(
+        F.col(ids[0]).alias("doc_id_src"), F.col(ids[1]).alias("text_src")
+    )
+    corp_base = corpus_df.select(
+        F.col(ids[0]).alias("doc_id_src"), F.col(ids[1]).alias("text_src")
+    )
+    b_new = banded_signatures(
+        shingle_table(new_base, "doc_id_src", "text_src", 5, distinct=False)
+    )
+    b_corp = banded_signatures(
+        shingle_table(corp_base, "doc_id_src", "text_src", 5, distinct=False)
+    )
+    cands = (
+        b_new.alias("a")
+        .join(
+            b_corp.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
+        .distinct()
+        .persist()
+    )
+    cand_docs = (
+        cands.select(F.col("doc_i").alias("doc"))
+        .union(cands.select(F.col("doc_j").alias("doc")))
+        .distinct()
+    )
+    both = new_base.union(corp_base)
+    docs_c = both.join(
+        F.broadcast(cand_docs), both["doc_id_src"] == F.col("doc"), "left_semi"
+    )
+    sh_c = shingle_table(docs_c, "doc_id_src", "text_src", 5, distinct=True)
+    return verify_jaccard(cands, sh_c, p, q)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, p: int = 3, q: int = 5
 ) -> DataFrame:

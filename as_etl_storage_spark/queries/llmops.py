@@ -6,6 +6,7 @@ DuckDB oracle reproducing the same deterministic computation in SQL.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from as_etl_storage_spark.operators import dedup, multimodal, similarity, text
 from as_etl_storage_spark.queries.common import load_table
@@ -522,5 +523,41 @@ _register(
                                     ORDER BY tf DESC, df ASC, t) AS rn
           FROM toks JOIN dfreq USING (t))
     SELECT doc_id, t AS top_term, tf, df FROM r WHERE rn = 1
+    """,
+)
+
+
+# ------------------------------------------------- incremental dedup ------
+_NEW_SOURCES = ("src16", "src17", "src18", "src19")
+
+
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("source").isin(*_NEW_SOURCES)
+    return dedup.incremental_dedup_pairs(
+        docs.where(is_new), docs.where(~is_new), "doc_id", "text"
+    )
+
+
+_register(
+    "dedup_incremental",
+    _dedup_incremental,
+    """
+    WITH pos AS (SELECT doc_id, source, text,
+                        unnest(range(1, greatest(length(text)-3, 2))) AS g
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id, source, substring(text, g::INT, 5) AS s
+           FROM pos),
+    newd AS (SELECT * FROM sh
+             WHERE source IN ('src16', 'src17', 'src18', 'src19')),
+    corp AS (SELECT * FROM sh
+             WHERE source NOT IN ('src16', 'src17', 'src18', 'src19')),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM newd a JOIN corp b ON a.s = b.s GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+    SELECT i AS doc_i, j AS doc_j,
+           round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+    FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+    WHERE inter * 5 >= (x.n + y.n - inter) * 4
     """,
 )

@@ -69,3 +69,38 @@ class FileSource(ParquetSource):
         return sorted(
             e[: -len(suffix)] for e in os.listdir(base) if e.endswith(suffix)
         )
+
+
+class BinaryDirSource(FileSource):
+    """``binaryFile`` source over a directory tree — the ingestion edge for
+    multimodal corpora (images/audio/video as opaque payloads). Each file
+    becomes one row: (path, modificationTime, length, content binary).
+
+    Table ``name`` maps to the directory ``<url>/<name>``; pass
+    ``options={"pathGlobFilter": "*.png"}`` to select by extension and
+    ``recursiveFileLookup`` for nested layouts. Scale notes: files never
+    split (a row is a whole file), so parallelism = file count; tiny-file
+    corpora should be compacted into parquet with a binary column first
+    (see operators/multimodal.attach_binary) — listing 10^8 loose objects
+    costs more than reading them."""
+
+    def __init__(self, spark, connection, schema=None, options=None):
+        super().__init__(spark, connection, "binaryFile", schema, options)
+
+    def table_path(self, name: str | None = None) -> str:
+        name = name or self.connection.table.name
+        return os.path.join(self.connection.url, name)
+
+    def read(self, name: str | None = None, snapshot: bool = False) -> DataFrame:
+        reader = self.spark.read.format("binaryFile")
+        if self.options:
+            reader = reader.options(**self.options)
+        return reader.load(self.table_path(name))
+
+    def list_tables(self) -> list[str]:
+        base = self.connection.url
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            e for e in os.listdir(base) if os.path.isdir(os.path.join(base, e))
+        )

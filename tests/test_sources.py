@@ -135,3 +135,53 @@ def test_cli_rejects_bad_spec(tmp_path):
     )
     assert proc.returncode == 2
     assert "invalid job spec" in proc.stderr
+
+
+def test_binary_dir_source(spark, tmp_path):
+    """binaryFile ingestion: one row per file with opaque content, glob
+    filtering, and the multimodal decode plumbing downstream."""
+    from as_etl_storage_spark.sources import get_dialect
+    from as_etl_storage_spark.spec import ConnectionSpec, TableRef
+
+    d = tmp_path / "images"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (d / "notes.txt").write_text("not an image")
+
+    src = get_dialect("binary")(
+        spark,
+        ConnectionSpec(url=str(tmp_path), table=TableRef(name="images")),
+        options={"pathGlobFilter": "*.png"},
+    )
+    df = src.read()
+    assert {"path", "modificationTime", "length", "content"} <= set(df.columns)
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}
+    assert bytes(rows["b.png"].content) == b"\x89PNG-fake-bb"
+    assert rows["a.png"].length == 11
+    assert src.list_tables() == ["images"]
+
+
+def test_binary_dir_feeds_multimodal_decode(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.multimodal import decode_image_meta
+    from as_etl_storage_spark.sources import get_dialect
+    from as_etl_storage_spark.spec import ConnectionSpec, TableRef
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "x.bin").write_bytes(b"payload-x")
+    (d / "y.bin").write_bytes(b"payload-yy")
+
+    src = get_dialect("binary")(
+        spark, ConnectionSpec(url=str(tmp_path), table=TableRef(name="imgs"))
+    )
+    with_binary = src.read().select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("payload")
+    )
+    decoded = decode_image_meta(with_binary)
+    rows = decoded.collect()
+    assert {r.n_bytes for r in rows} == {9, 10}
+    assert all(r.width == r.n_bytes % 64 + 1 for r in rows)
