@@ -504,3 +504,64 @@ _HIST_SQL = """
     GROUP BY 1
 """
 _register("q_histogram", sql_query(("orders",), _HIST_SQL), _HIST_SQL)
+
+
+# ------------------------------------------- time-series gap filling ------
+# calendar spine (sequence/generate_series) x dimension values, zero-filled
+# where no events occurred — the canonical reporting/feature-table shape.
+# The spine is tiny (days x types) so Spark broadcasts it against the
+# aggregated actuals; at 100 TB the aggregation shrinks first, the spine
+# join stays O(buckets).
+_SPARK_GAP_FILL = """
+    WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                           CAST(max(ts) AS DATE) AS hi FROM events),
+    days AS (SELECT explode(sequence(lo, hi, interval 1 day)) AS d
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT days.d, types.event_type, coalesce(actual.n, 0) AS n
+    FROM days CROSS JOIN types
+    LEFT JOIN actual ON days.d = actual.d
+                    AND types.event_type = actual.event_type
+"""
+_DUCK_GAP_FILL = """
+    WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+                           CAST(max(ts) AS DATE) AS hi FROM events),
+    days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+             FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT days.d, types.event_type, coalesce(actual.n, 0) AS n
+    FROM days CROSS JOIN types
+    LEFT JOIN actual ON days.d = actual.d
+                    AND types.event_type = actual.event_type
+"""
+QUERIES["q_gap_fill"] = sql_query(("events",), _SPARK_GAP_FILL)
+ORACLES["q_gap_fill"] = _DUCK_GAP_FILL
+
+# ------------------------------------------------------------- unpivot ----
+# wide metrics -> long form: Spark stack() generator, DuckDB UNPIVOT
+_SPARK_UNPIVOT = """
+    WITH m AS (SELECT c_nationkey,
+                      CAST(count(*) AS DOUBLE) AS n_cust,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        AS total_bal
+               FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey,
+           stack(2, 'n_cust', n_cust, 'total_bal', total_bal)
+             AS (metric, val)
+    FROM m
+"""
+_DUCK_UNPIVOT = """
+    WITH m AS (SELECT c_nationkey,
+                      CAST(count(*) AS DOUBLE) AS n_cust,
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                        AS total_bal
+               FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey, metric, val
+    FROM m UNPIVOT (val FOR metric IN (n_cust, total_bal))
+"""
+QUERIES["q_unpivot"] = sql_query(("customer",), _SPARK_UNPIVOT)
+ORACLES["q_unpivot"] = _DUCK_UNPIVOT
