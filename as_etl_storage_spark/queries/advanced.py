@@ -565,3 +565,34 @@ _DUCK_UNPIVOT = """
 """
 QUERIES["q_unpivot"] = sql_query(("customer",), _SPARK_UNPIVOT)
 ORACLES["q_unpivot"] = _DUCK_UNPIVOT
+
+
+# ------------------------------------------- approx sketches, validated ---
+def _approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path sketches (HLL ndv, quantile sketch) validated in-plan
+    against their exact counterparts: the query emits per-metric booleans
+    that the oracle pins to TRUE. Both sketches are deterministic for a
+    fixed input, so this hash-matches — and a sketch drifting outside its
+    error bound breaks the match. At 100 TB the exact side drops away and
+    the sketch is the product."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("andv"),
+        F.countDistinct("o_custkey").alias("endv"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("amed"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 2147483647)").alias("emed"),
+    )
+    within = lambda a, e, tol: (a >= e * (1 - tol)) & (a <= e * (1 + tol))  # noqa: E731
+    return agg.select(
+        within(F.col("andv"), F.col("endv"), 0.05).alias("ndv_within_5pct"),
+        within(F.col("amed"), F.col("emed"), 0.02).alias("median_within_2pct"),
+    )
+
+
+_register(
+    "q_approx_bounds",
+    _approx_bounds,
+    "SELECT TRUE AS ndv_within_5pct, TRUE AS median_within_2pct",
+)

@@ -91,3 +91,45 @@ class TestNullEmbeddings:
         pairs = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.9)
         got = {(r["vec_i"], r["vec_j"]) for r in pairs.collect()}
         assert got == {(1, 3)}  # null vector excluded, not crashing
+
+
+class TestNewOperatorEdges:
+    def test_keep_latest_one_row_per_key(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 10, 100), (1, "a", 20, 101), (1, "b", 5, 102),
+             (2, "a", 7, 103), (1, "a", 20, 104)],  # ts tie -> id 104 wins
+            "k long, t string, ts long, id long",
+        )
+        out = dedup.keep_latest(df, ["k", "t"], ["ts", "id"])
+        got = {(r.k, r.t): r.id for r in out.collect()}
+        assert got == {(1, "a"): 104, (1, "b"): 102, (2, "a"): 103}
+        # idempotent: compacting a compacted table is a no-op
+        again = dedup.keep_latest(out, ["k", "t"], ["ts", "id"])
+        assert sorted(r.id for r in again.collect()) == sorted(got.values())
+
+    def test_vocabulary_null_and_empty(self, spark, weird_docs):
+        out = text.vocabulary(weird_docs, "doc_id", "text", k=50).collect()
+        terms = {r.t: (r.tf, r.df) for r in out}
+        assert "" not in terms and None not in terms
+        assert terms["normal"] == (2, 2)  # docs 1 and 5
+
+    def test_top_terms_skips_null_docs(self, spark, weird_docs):
+        out = text.top_terms(weird_docs, "doc_id", "text").collect()
+        ids = {r.doc_id for r in out}
+        assert 2 not in ids and 3 not in ids  # null/empty -> no terms
+        assert {1, 4, 5} <= ids
+
+    def test_incremental_empty_new_batch(self, spark, weird_docs):
+        empty = weird_docs.where("doc_id < 0")
+        out = dedup.incremental_dedup_pairs(empty, weird_docs, "doc_id", "text")
+        assert out.count() == 0
+
+    def test_incremental_finds_cross_dup_only(self, spark, weird_docs):
+        new = spark.createDataFrame(
+            [(10, "normal document with several words here"),
+             (11, "totally different content nothing shared")],
+            "doc_id long, text string",
+        )
+        out = dedup.incremental_dedup_pairs(new, weird_docs, "doc_id", "text")
+        pairs = {(r.doc_i, r.doc_j) for r in out.collect()}
+        assert pairs == {(10, 1), (10, 5)}

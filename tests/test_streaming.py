@@ -131,3 +131,35 @@ def test_stream_stream_interval_join(spark, tmp_path, events_input_dir):
     # availableNow + final watermark advance all pairs should emit
     assert missing == 0
     assert got.count() == want.count()
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, events_input_dir):
+    """Stream-static join: the static dim is broadcast into every
+    micro-batch; drained results must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.streaming.micro_batch import enrich_with_dim
+
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = file_stream(spark, events_input_dir)
+    enriched = enrich_with_dim(stream, dim, "user_id", ["c_mktsegment"])
+    target = str(tmp_path / "enriched.parquet")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", target)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    batch = enrich_with_dim(load_table(spark, SF, "events"), dim, "user_id",
+                            ["c_mktsegment"])
+    assert got.count() == batch.count()
+    g = got.groupBy("c_mktsegment").count().collect()
+    b = dict((r.c_mktsegment, r["count"]) for r in
+             batch.groupBy("c_mktsegment").count().collect())
+    assert {r.c_mktsegment: r["count"] for r in g} == b
