@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from as_etl_storage_spark.plans.planner import plan_read
 from as_etl_storage_spark.spec import JobSpec
-from as_etl_storage_spark.writers.writer import ParquetWriter, WriteResult
+from as_etl_storage_spark.writers.writer import (
+    FileFormatWriter,
+    ParquetWriter,
+    WriteResult,
+    WriterError,
+)
 
 
 def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteResult | DataFrame:
@@ -31,5 +36,11 @@ def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteR
     df = plan_read(spark, spec.reader)
     if spec.writer is None:
         return df
-    writer = ParquetWriter(spark, spec.writer)
+    dialect = spec.writer.dialect or "parquet"
+    if dialect == "parquet":
+        writer = ParquetWriter(spark, spec.writer)
+    elif dialect in ("csv", "json", "orc"):
+        writer = FileFormatWriter(spark, spec.writer, dialect)
+    else:
+        raise WriterError(f"unsupported writer dialect {dialect!r}")
     return writer.write(df)

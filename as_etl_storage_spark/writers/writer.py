@@ -52,6 +52,11 @@ class WriterError(RuntimeError):
 
 
 class ParquetWriter:
+    #: storage format; FileFormatWriter overrides (csv/json/orc) — all mode
+    #: logic below goes through _read_target/_write_df so every mode works
+    #: for every format
+    fmt = "parquet"
+
     def __init__(self, spark: SparkSession, spec: WriterSpec):
         self.spark = spark
         self.spec = spec
@@ -59,14 +64,28 @@ class ParquetWriter:
     # -- paths ----------------------------------------------------------
     def target_path(self) -> str:
         return os.path.join(
-            self.spec.connection.url, f"{self.spec.connection.table.name}.parquet"
+            self.spec.connection.url,
+            f"{self.spec.connection.table.name}.{self.fmt}",
         )
 
     def reject_path(self) -> str:
         return os.path.join(
             self.spec.connection.url,
-            f"{self.spec.connection.table.name}_reject.parquet",
+            f"{self.spec.connection.table.name}_reject.{self.fmt}",
         )
+
+    # -- raw I/O (format axis) -----------------------------------------
+    def _read_target(self, path: str) -> DataFrame:
+        reader = self.spark.read.format(self.fmt)
+        if self.fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return reader.load(path)
+
+    def _write_df(self, df: DataFrame, path: str, mode: str) -> None:
+        writer = df.write.mode(mode).format(self.fmt)
+        if self.fmt == "csv":
+            writer = writer.option("header", "true")
+        writer.save(path)
 
     # -- hooks (W9) -----------------------------------------------------
     def run_pre_sql(self) -> None:
@@ -87,7 +106,7 @@ class ParquetWriter:
         path = self.target_path()
         if not os.path.exists(path):
             return
-        target = self.spark.read.parquet(path).schema
+        target = self._read_target(path).schema
         incoming = df.schema
         t_names = [f.name for f in target.fields]
         i_names = [f.name for f in incoming.fields]
@@ -117,14 +136,14 @@ class ParquetWriter:
     def _append(self, df: DataFrame, path: str) -> int:
         df.cache()
         n = df.count()
-        df.write.mode("append").parquet(path)
+        self._write_df(df, path, "append")
         df.unpersist()
         return n
 
     def _overwrite(self, df: DataFrame, path: str) -> int:
         df.cache()
         n = df.count()
-        df.write.mode("overwrite").parquet(path)
+        self._write_df(df, path, "overwrite")
         df.unpersist()
         return n
 
@@ -142,7 +161,7 @@ class ParquetWriter:
             raise WriterError("replace mode requires mergeKeys")
         if not os.path.exists(path):
             return self._overwrite(df, path)
-        target = self.spark.read.parquet(path)
+        target = self._read_target(path)
         if set(target.columns) != set(df.columns):
             raise WriterError(
                 "replace requires full-row sources (REPLACE resets unlisted "
@@ -176,7 +195,7 @@ class ParquetWriter:
         keys = list(self.spec.merge_keys) or df.columns
         if not os.path.exists(path):
             return self._overwrite(df, path)
-        target = self.spark.read.parquet(path)
+        target = self._read_target(path)
         fresh = df.join(target.select(*keys).distinct(), on=keys, how="left_anti")
         return self._append(fresh, path)
 
@@ -184,7 +203,7 @@ class ParquetWriter:
         """Materialize to a staging dir then swap — single-writer atomicity
         for the parquet backend (Delta MERGE on a real deployment)."""
         staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
+        self._write_df(df, staging, "overwrite")
         backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
         os.rename(path, backup)
         os.rename(staging, path)
@@ -224,7 +243,7 @@ class ParquetWriter:
             reject_cached = reject.cache()
             rejected = reject_cached.count()
             if rejected:
-                reject_cached.write.mode("append").parquet(reject_path)
+                self._write_df(reject_cached, reject_path, "append")
             reject_cached.unpersist()
 
         path = self.target_path()
@@ -264,6 +283,8 @@ class ParquetWriter:
         table_dir = os.path.join(
             self.spec.connection.url, self.spec.connection.table.name
         )
+        if self.fmt != "parquet":
+            raise WriterError("versioned tables require the parquet backend")
         vt = VersionedTable(self.spark, table_dir)
         mode = self.spec.write_mode
         clean.cache()
@@ -284,3 +305,17 @@ class ParquetWriter:
             rejected=rejected,
             reject_path=reject_path,
         )
+
+
+class FileFormatWriter(ParquetWriter):
+    """csv/json/orc sink behind the same mode surface. All modes work;
+    note csv/json round-trips are schema-lossy (csv re-infers types, json
+    drops decimal precision) — parquet/versioned is the fidelity path and
+    these exist for interchange (the reference writes to whatever dialect
+    the job names; format is a config axis, W4)."""
+
+    def __init__(self, spark: SparkSession, spec: WriterSpec, fmt: str):
+        if fmt not in ("csv", "json", "orc"):
+            raise WriterError(f"unsupported writer format {fmt!r}")
+        super().__init__(spark, spec)
+        self.fmt = fmt

@@ -30,7 +30,7 @@ def reader_spec(**over) -> ReaderSpec:
 
 def duck(sql: str) -> list[tuple]:
     con = duckdb.connect()
-    for t in ("lineitem", "orders", "customer"):
+    for t in ("lineitem", "orders", "customer", "nation"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -247,3 +247,66 @@ class TestWriter:
         job2["reader"]["column"] = ["o_orderkey"]
         with pytest.raises(WriterError, match="schema mismatch"):
             run_job(spark, job2)
+
+
+class TestFileFormatWriters:
+    def _job(self, tmp, dialect, mode="insert", **writer_over):
+        writer = {
+            "dialect": dialect,
+            "connection": {"url": str(tmp), "table": {"name": "out"}},
+            "writeMode": mode,
+        }
+        writer.update(writer_over)
+        return {
+            "reader": {
+                "connection": {"url": SF, "table": {"name": "nation"}},
+                "column": ["*"],
+            },
+            "writer": writer,
+        }
+
+    @pytest.mark.parametrize("dialect", ["csv", "json", "orc"])
+    def test_roundtrip_append(self, spark, tmp_path, dialect):
+        res = run_job(spark, self._job(tmp_path, dialect))
+        n = duck("SELECT count(*) FROM nation")[0][0]
+        assert res.written == n
+        assert res.target_path.endswith(f"out.{dialect}")
+        reader = spark.read.format(dialect)
+        if dialect == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        back = reader.load(res.target_path)
+        assert back.count() == n
+        assert {c.lower() for c in back.columns} == {
+            "n_nationkey", "n_name", "n_regionkey"
+        }
+
+    def test_csv_overwrite_then_replace(self, spark, tmp_path):
+        run_job(spark, self._job(tmp_path, "csv"))
+        res = run_job(
+            spark,
+            self._job(tmp_path, "csv", mode="replace", mergeKeys=["n_nationkey"]),
+        )
+        n = duck("SELECT count(*) FROM nation")[0][0]
+        assert res.written == n
+        back = (
+            spark.read.format("csv")
+            .option("header", "true")
+            .option("inferSchema", "true")
+            .load(res.target_path)
+        )
+        assert back.count() == n  # replaced, not doubled
+
+    def test_unknown_writer_dialect_rejected(self, spark, tmp_path):
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        with pytest.raises(WriterError, match="dialect"):
+            run_job(spark, self._job(tmp_path, "avro"))
+
+    def test_versioned_requires_parquet(self, spark, tmp_path):
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        with pytest.raises(WriterError, match="parquet backend"):
+            run_job(
+                spark,
+                self._job(tmp_path, "json", versioned=True),
+            )
