@@ -596,3 +596,44 @@ _register(
     _approx_bounds,
     "SELECT TRUE AS ndv_within_5pct, TRUE AS median_within_2pct",
 )
+
+
+# ---------------------------------------------- time-grain rollup ---------
+# hypertable-style continuous-aggregate shape: hour/day/month grains in ONE
+# pass via GROUPING SETS (the scan and partial aggregation are shared; a
+# per-grain loop would re-read the fact table three times)
+_TIME_ROLLUP = """
+    SELECT CASE WHEN GROUPING(hour_b) = 0 THEN 'hour'
+                WHEN GROUPING(day_b) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           coalesce(hour_b, day_b, month_b) AS bucket,
+           event_type, count(*) AS n
+    FROM (SELECT date_trunc('hour', ts) AS hour_b,
+                 date_trunc('day', ts) AS day_b,
+                 date_trunc('month', ts) AS month_b,
+                 event_type
+          FROM events) t
+    GROUP BY GROUPING SETS ((hour_b, event_type), (day_b, event_type),
+                            (month_b, event_type))
+"""
+QUERIES["q_time_rollup"] = sql_query(("events",), _TIME_ROLLUP)
+ORACLES["q_time_rollup"] = _TIME_ROLLUP
+
+# ------------------------------------------- stratified hash sampling -----
+# per-stratum rates with the deterministic md5 key (rerun- and
+# partitioning-stable, unlike seeded df.sample/sampleBy)
+_STRAT_SPARK = """
+    SELECT event_id, event_type FROM events
+    WHERE pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15),
+                         16, 10) AS BIGINT), 1000)
+          < CASE event_type WHEN 'click' THEN 50
+                            WHEN 'view' THEN 20 ELSE 100 END
+"""
+_STRAT_DUCK = """
+    SELECT event_id, event_type FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 1000
+          < CASE event_type WHEN 'click' THEN 50
+                            WHEN 'view' THEN 20 ELSE 100 END
+"""
+QUERIES["q_stratified_sample"] = sql_query(("events",), _STRAT_SPARK)
+ORACLES["q_stratified_sample"] = _STRAT_DUCK
