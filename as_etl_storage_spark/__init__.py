@@ -11,6 +11,7 @@ execution — no hand-built row pipeline.
 from as_etl_storage_spark.session import get_spark
 from as_etl_storage_spark.spec import JobSpec, ReaderSpec, WriterSpec
 from as_etl_storage_spark.runner import run_job
+from as_etl_storage_spark.engine import Engine
 
-__all__ = ["get_spark", "JobSpec", "ReaderSpec", "WriterSpec", "run_job"]
+__all__ = ["Engine", "get_spark", "JobSpec", "ReaderSpec", "WriterSpec", "run_job"]
 __version__ = "0.1.0"
