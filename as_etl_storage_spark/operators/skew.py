@@ -41,3 +41,27 @@ def salted_sum_count(
         F.sum("_n").alias("n"),
         F.sum("_s").alias(value_alias),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Hot-key equi-join salting: the big side gets a deterministic per-row
+    salt (hash of the full row), the small side is replicated once per salt
+    value, and the join key becomes (key..., salt) — a hot key's rows now
+    spread over ``n_salts`` reducers instead of stalling one.
+
+    Result is exactly the plain join (every big row meets every matching
+    small row exactly once — the small side carries all salts). Use when
+    AQE's skew-join splitting can't apply (e.g. the skewed side feeds a
+    co-partitioned downstream op). Replication cost: |small| x n_salts —
+    keep the small side small or n_salts modest."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {n_salts - 1})"))
+    )
+    return big_s.join(small_s, on + ["_salt"], "inner").drop("_salt")

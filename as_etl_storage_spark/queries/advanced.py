@@ -637,3 +637,36 @@ _STRAT_DUCK = """
 """
 QUERIES["q_stratified_sample"] = sql_query(("events",), _STRAT_SPARK)
 ORACLES["q_stratified_sample"] = _STRAT_DUCK
+
+
+# ------------------------------------------------------- salted join ------
+def _salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.salted_join) aggregated per
+    supplier — result is provably identical to the plain join, which is
+    exactly what the oracle checks."""
+    from pyspark.sql import functions as F
+    from as_etl_storage_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, sup, ["l_suppkey"], n_salts=16)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+_register(
+    "skew_salted_join",
+    _salted_join,
+    """
+    SELECT s_name, count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)

@@ -133,3 +133,21 @@ class TestNewOperatorEdges:
         out = dedup.incremental_dedup_pairs(new, weird_docs, "doc_id", "text")
         pairs = {(r.doc_i, r.doc_j) for r in out.collect()}
         assert pairs == {(10, 1), (10, 5)}
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join_with_hot_key(self, spark):
+        from as_etl_storage_spark.operators.skew import salted_join
+
+        # 90% of big rows share one hot key
+        big = spark.createDataFrame(
+            [(1 if i % 10 else i, i) for i in range(1000)], "k long, v long"
+        )
+        small = spark.createDataFrame(
+            [(1, "hot"), (20, "cold"), (30, "mild")], "k long, tag string"
+        )
+        got = salted_join(big, small, ["k"], n_salts=8)
+        want = big.join(small, ["k"], "inner")
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
