@@ -85,6 +85,65 @@ def decode_image_meta(with_binary: DataFrame) -> DataFrame:
     return with_binary.mapInPandas(decode, DECODED_META_SCHEMA)
 
 
+#: schema of the resize-stage output — the contract a real resizer satisfies.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("thumbnail", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in for an image resize (PIL ``Image.thumbnail``
+    in production): aspect-preserving integer downscale to ``max_side``,
+    emitting a fake thumbnail payload of out_w*out_h bytes. All arithmetic
+    is integer so the plan is reproducible in any engine."""
+    if payload is None:
+        raise NotImplementedError("real resize of null payload")
+    w, h, _ = _fake_decode(payload)
+    g = max(w, h)
+    out_w = max(1, (w * max_side) // g)
+    out_h = max(1, (h * max_side) // g)
+    return w, h, out_w, out_h, bytes(out_w * out_h)
+
+
+def resize_images(with_binary: DataFrame, max_side: int = 16) -> DataFrame:
+    """mapInPandas resize pipeline: binary payload -> aspect-preserving
+    thumbnail + dims. Arrow-batched, partition-parallel, no shuffle — the
+    thumbnail bytes stay executor-side. Swap ``_fake_resize`` for a real
+    decoder+resampler; the schema contract (RESIZED_SCHEMA) is unchanged."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "width": [], "height": [], "out_w": [], "out_h": [], "thumbnail": []
+            }
+            for payload in pdf["payload"]:
+                w, h, ow, oh, thumb = _fake_resize(payload, max_side)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_w"].append(ow)
+                rows["out_h"].append(oh)
+                rows["thumbnail"].append(thumb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "out_w": pd.array(rows["out_w"], dtype="int32"),
+                    "out_h": pd.array(rows["out_h"], dtype="int32"),
+                    "thumbnail": rows["thumbnail"],
+                }
+            )
+
+    return with_binary.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plan: one row per sampled frame index (posexplode of
     the frame range) — the shape a video pipeline needs downstream."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from as_etl_storage_spark.queries import (
     advanced,
+    behavioral,
     llmops,
     parity,
     relational,
@@ -27,7 +28,15 @@ from as_etl_storage_spark.queries import (
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-for mod in (parity, relational, llmops, streaming_batch, advanced, tpch_more):
+for mod in (
+    parity,
+    relational,
+    llmops,
+    streaming_batch,
+    advanced,
+    tpch_more,
+    behavioral,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 

@@ -1,0 +1,255 @@
+"""Behavioral / product-analytics surface: sessionization, cohort retention,
+engagement (DAU/WAU), distribution windows (cume_dist, percent_rank,
+interpolated percentiles, RANGE frames) — plus the multimodal resize stage
+and the stream-stream LEFT OUTER interval join.
+
+The reference has no analytics operators at all (SURVEY.md §2.5: everything
+relational is delegated to the source DB via querySql,
+database/dbms/reader/parameter.go:95-101); these queries run that surface
+through Spark SQL / DataFrame ops per the north-star extensions.
+
+Determinism: interval/rank arithmetic is exact (int division of counts);
+interpolation is a single float op from decimal-exact inputs; every window
+order ends in a unique key (event_id / o_orderkey / c_custkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from as_etl_storage_spark.queries.common import load_table, sql_query
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+# ------------------------------------------------- gap-based sessionize ---
+# classic gaps-and-islands: a 30-min inactivity gap starts a new session;
+# session id = running count of gap flags. One shuffle (hash by user_id)
+# serves both windows AND the final aggregation — the partitioning is
+# reused across all three stages, which is what makes this shape cheap at
+# 100 TB (events are already bucketable by user).
+_SESSIONIZE_SQL = """
+    WITH o AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts, event_type, event_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    ids AS (
+      SELECT user_id, ts, event_type, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_seq
+      FROM flagged)
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM ids GROUP BY user_id, session_seq
+"""
+QUERIES["q_sessionize"] = sql_query(("events",), _SESSIONIZE_SQL)
+ORACLES["q_sessionize"] = _SESSIONIZE_SQL
+
+
+# ------------------------------------------------- cohort retention -------
+# cohort = first active day per user; one row per (cohort_day, day_offset)
+# with the user count still active at that offset. Two aggregations over
+# the same user_id hash partitioning; the join is user_id-keyed (no skew —
+# per-user cardinality is bounded by distinct active days).
+_COHORT_SPARK = """
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+    SELECT cohort_day,
+           CAST(datediff(active_day, cohort_day) AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM first_day JOIN acts USING (user_id)
+    GROUP BY 1, 2
+"""
+_COHORT_DUCK = """
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM first_day JOIN acts USING (user_id)
+    GROUP BY 1, 2
+"""
+QUERIES["q_cohort_retention"] = sql_query(("events",), _COHORT_SPARK)
+ORACLES["q_cohort_retention"] = _COHORT_DUCK
+
+
+# ------------------------------------------------------- DAU / WAU --------
+# daily + trailing-7-day distinct actives. The day spine is tiny (distinct
+# days), so the range join broadcasts the spine against the pre-distincted
+# (user, day) activity set — at 100 TB the DISTINCT shrinks first and the
+# spine join stays O(days x active-pairs/day).
+_DAU_SPARK = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events)
+    SELECT d,
+           count(DISTINCT CASE WHEN ad = d THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS wau
+    FROM days JOIN acts ON ad BETWEEN date_sub(d, 6) AND d
+    GROUP BY d
+"""
+_DAU_DUCK = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events)
+    SELECT d,
+           count(DISTINCT CASE WHEN ad = d THEN user_id END) AS dau,
+           count(DISTINCT user_id) AS wau
+    FROM days JOIN acts ON ad BETWEEN d - 6 AND d
+    GROUP BY d
+"""
+QUERIES["q_dau_wau"] = sql_query(("events",), _DAU_SPARK)
+ORACLES["q_dau_wau"] = _DAU_DUCK
+
+
+# ------------------------------------------- interpolated percentile ------
+# percentile_cont(0.5) written out as rank arithmetic so BOTH engines run
+# the identical formula: decimal-exact picks of the middle one/two values,
+# one correctly-rounded double division at the end (no engine-specific
+# interpolation path, hence hash-stable).
+_PCTL_SQL = """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN rn = floor((n + 1) / 2.0)
+                           OR rn = floor((n + 2) / 2.0)
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+             / count(CASE WHEN rn = floor((n + 1) / 2.0)
+                            OR rn = floor((n + 2) / 2.0) THEN 1 END)
+             AS median_cont
+    FROM ranked GROUP BY o_orderstatus
+"""
+QUERIES["q_percentile_cont"] = sql_query(("orders",), _PCTL_SQL)
+ORACLES["q_percentile_cont"] = _PCTL_SQL
+
+
+# ------------------------------------------- cume_dist / percent_rank -----
+# rank-ratio windows: values are int-count divisions (correctly rounded,
+# peer rows share a value), so doubles hash-match across engines.
+_CUME_SQL = """
+    SELECT c_custkey,
+           cume_dist() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal) AS bal_cume,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal) AS bal_pct_rank
+    FROM customer
+"""
+QUERIES["q_cume_dist"] = sql_query(("customer",), _CUME_SQL)
+ORACLES["q_cume_dist"] = _CUME_SQL
+
+
+# ------------------------------------------------- RANGE interval frame ---
+# value-range (not row-count) window frame: trailing-30-day order count and
+# spend per customer. Frame membership is defined by the ORDER BY value, so
+# results are independent of peer ordering; the sum is decimal-exact.
+_RANGE_FRAME_SQL = """
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER w AS n_orders_30d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+QUERIES["q_window_range_frame"] = sql_query(("orders",), _RANGE_FRAME_SQL)
+ORACLES["q_window_range_frame"] = _RANGE_FRAME_SQL
+
+
+# ------------------------------------------------- multimodal resize ------
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage (operators/multimodal.resize_images): Arrow-
+    batched mapInPandas thumbnail plan; dims checked exactly, thumbnail
+    payload checked by its length (the stub emits out_w*out_h bytes)."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.multimodal import (
+        attach_binary,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary(docs, "doc_id", "text"), max_side=16)
+    return resized.select(
+        "doc_id", "width", "height", "out_w", "out_h",
+        F.length("thumbnail").alias("thumb_bytes"),
+    )
+
+
+_register(
+    "mm_resize",
+    _mm_resize,
+    """
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id,
+                 ((n % 64) + 1)::INT AS width,
+                 ((n % 48) + 1)::INT AS height
+          FROM m),
+    r AS (SELECT doc_id, width, height,
+                 greatest(1, (width * 16) // greatest(width, height))::INT
+                   AS out_w,
+                 greatest(1, (height * 16) // greatest(width, height))::INT
+                   AS out_h
+          FROM d)
+    SELECT doc_id, width, height, out_w, out_h,
+           (out_w * out_h)::INT AS thumb_bytes
+    FROM r
+    """,
+)
+
+
+# ------------------------------------- stream-stream LEFT OUTER join ------
+def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER interval join (streaming/micro_batch.interval_join,
+    how='left_outer'): clicks with no qualifying view survive with null
+    view columns. In streaming mode both sides are watermarked so unmatched
+    rows can be emitted once the watermark passes — bounded state."""
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_join(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'view'"),
+        how="left_outer",
+    )
+
+
+_register(
+    "stream_interval_join_outer",
+    _interval_join_outer,
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+    """,
+)

@@ -155,11 +155,16 @@ def interval_join(
     views: DataFrame,
     watermark: str = "1 hour",
     lookback: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each click pairs with the same user's views
+    """Stream-stream join: each click pairs with the same user's views
     in the preceding ``lookback`` interval. Both sides carry watermarks so
     Spark can bound the join state (rows older than watermark+lookback are
     evicted) — the canonical bounded-state stream-stream join shape.
+
+    ``how='left_outer'`` preserves unmatched clicks (null view columns);
+    in streaming mode outer results are emitted only once the watermark
+    passes, which is exactly why both sides must be watermarked.
 
     Works identically on batch inputs (no watermark needed there)."""
     c = clicks.select(
@@ -180,7 +185,7 @@ def interval_join(
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return c.join(v, cond).select(
+    return c.join(v, cond, how).select(
         "user_id", "click_id", "click_ts", "view_id", "view_ts"
     )
 

@@ -133,6 +133,45 @@ def test_stream_stream_interval_join(spark, tmp_path, events_input_dir):
     assert got.count() == want.count()
 
 
+def test_stream_stream_outer_interval_join(spark, tmp_path, events_input_dir):
+    """LEFT OUTER stream-stream join: matched pairs must equal the batch
+    join exactly; unmatched clicks may be held in state until the watermark
+    passes them, so the emitted null-view rows must be a subset of the batch
+    unmatched set (never fabricated)."""
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    stream = file_stream(spark, events_input_dir)
+    joined = interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'view'"),
+        how="left_outer",
+    )
+    target = str(tmp_path / "ssoj.parquet")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssoj"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", target)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    ev = load_table(spark, SF, "events")
+    want = interval_join(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'view'"),
+        how="left_outer",
+    )
+    got_m = got.where("view_id IS NOT NULL")
+    want_m = want.where("view_id IS NOT NULL")
+    assert got_m.join(want_m, ["click_id", "view_id"], "left_anti").count() == 0
+    assert want_m.join(got_m, ["click_id", "view_id"], "left_anti").count() == 0
+    got_u = got.where("view_id IS NULL").select("click_id")
+    want_u = want.where("view_id IS NULL").select("click_id")
+    assert got_u.join(want_u, ["click_id"], "left_anti").count() == 0
+
+
 def test_stream_static_enrich_matches_batch(spark, tmp_path, events_input_dir):
     """Stream-static join: the static dim is broadcast into every
     micro-batch; drained results must equal the batch join."""
