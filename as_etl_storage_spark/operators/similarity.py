@@ -65,6 +65,57 @@ def cosine_topk(
     )
 
 
+def knn_label_vote(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+    query_pred: str,
+) -> DataFrame:
+    """kNN classification eval: predict each query vector's label by
+    majority vote over its k exact cosine neighbors (tie-break: smaller
+    label wins). Returns (query_id, true_label, pred_label) — join-ready
+    for a confusion matrix / accuracy aggregate.
+
+    Plan shape matches cosine_topk: the query set broadcasts, the corpus is
+    scanned once with no shuffle; the vote is a tiny per-query aggregate."""
+    corpus = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(label_col).alias("nlabel"),
+    ).withColumn("norm", _norm(F.col("v")))
+    queries = corpus.where(query_pred).select(
+        F.col("vid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("nlabel").alias("true_label"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, F.col("qid") != F.col("vid"))
+        .select("qid", "true_label", "nlabel", cos.alias("cos"), "vid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    votes = top.groupBy("qid", "true_label", "nlabel").agg(
+        F.count("*").alias("c")
+    )
+    vw = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("r", F.row_number().over(vw))
+        .where(F.col("r") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+        )
+    )
+
+
 def sign_bucket(v: Column, n_bits: int = 8) -> Column:
     """Deterministic LSH bucket: sign bits of the first n_bits dimensions
     (axis-aligned hyperplanes). 2^n_bits buckets."""

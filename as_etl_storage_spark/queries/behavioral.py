@@ -224,6 +224,66 @@ _register(
 )
 
 
+# ------------------------------------------------- corpus-mix profile -----
+# "know your training mix": per (source, lang) doc counts, exact char
+# volume, and corpus share. One aggregation + a broadcast scalar total —
+# the first query run on any new 100 TB crawl.
+_PROFILE_SQL = """
+    WITH tot AS (SELECT count(*) AS t FROM documents)
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(count(*) AS DOUBLE) / t AS corpus_share
+    FROM documents, tot
+    GROUP BY source, lang, t
+"""
+QUERIES["q_corpus_profile"] = sql_query(("documents",), _PROFILE_SQL)
+ORACLES["q_corpus_profile"] = _PROFILE_SQL
+
+
+# ------------------------------------------------- kNN label vote ---------
+def _knn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification eval (operators/similarity.knn_label_vote):
+    majority label over 5 exact cosine neighbors for a 2% query sample."""
+    from as_etl_storage_spark.operators.similarity import knn_label_vote
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_vote(
+        emb, "vec_id", "embedding", "label", k=5,
+        query_pred="vid % 50 = 0",
+    )
+
+
+_register(
+    "ann_knn_label_vote",
+    _knn_vote,
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+          FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS qid, q.label AS true_label, b.label AS nlabel,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC,
+                        b.vec_id) AS rnk
+      FROM q JOIN n b ON q.vec_id <> b.vec_id),
+    votes AS (SELECT qid, true_label, nlabel, count(*) AS c
+              FROM scored WHERE rnk <= 5 GROUP BY 1, 2, 3),
+    best AS (SELECT qid, true_label, nlabel,
+                    row_number() OVER (PARTITION BY qid
+                                       ORDER BY c DESC, nlabel) AS r
+             FROM votes)
+    SELECT qid AS query_id, true_label, nlabel AS pred_label
+    FROM best WHERE r = 1
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
