@@ -284,6 +284,108 @@ _register(
 )
 
 
+# ------------------------------------------------- per-source doc cap -----
+# "at most N docs per domain": deterministic hash-ranked cap (not sample()
+# — rerun- and partitioning-stable, so two pipeline runs keep the SAME
+# docs). One window shuffle on source; at 100 TB the rank can be replaced
+# by a per-partition local cap after repartitioning on source.
+_CAP_SPARK = """
+    WITH h AS (
+      SELECT doc_id, source,
+             pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
+                            16, 10) AS BIGINT), 1000000007) AS hk
+      FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hk, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source FROM r WHERE rn <= 50
+"""
+_CAP_DUCK = """
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000007 AS hk
+      FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY hk, doc_id) AS rn
+          FROM h)
+    SELECT doc_id, source FROM r WHERE rn <= 50
+"""
+QUERIES["q_cap_per_source"] = sql_query(("documents",), _CAP_SPARK)
+ORACLES["q_cap_per_source"] = _CAP_DUCK
+
+
+# ------------------------------------------------- per-label centroids ----
+# cluster-centroid aggregate over the embedding column: decimal-exact
+# per-dimension sums (order-independent under any partitioning) with one
+# final double division. Leading dims only here; production maps the same
+# decimal-sum pattern across all dims via posexplode + pivot.
+_CENTROID_SPARK = """
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(CAST(embedding[0] AS DOUBLE) AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c0,
+           CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c1,
+           CAST(sum(CAST(CAST(embedding[2] AS DOUBLE) AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c2,
+           CAST(sum(CAST(CAST(embedding[3] AS DOUBLE) AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c3
+    FROM embeddings GROUP BY label
+"""
+_CENTROID_DUCK = """
+    SELECT label, count(*) AS n,
+           CAST(sum(CAST(embedding[1]::DOUBLE AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c0,
+           CAST(sum(CAST(embedding[2]::DOUBLE AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c1,
+           CAST(sum(CAST(embedding[3]::DOUBLE AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c2,
+           CAST(sum(CAST(embedding[4]::DOUBLE AS DECIMAL(18,8)))
+                AS DOUBLE) / count(*) AS c3
+    FROM embeddings GROUP BY label
+"""
+QUERIES["q_label_centroid"] = sql_query(("embeddings",), _CENTROID_SPARK)
+ORACLES["q_label_centroid"] = _CENTROID_DUCK
+
+
+# ------------------------------------------------- rolling user features --
+# trailing ROWS-frame features per event (the per-example feature vector a
+# sequence model trains on): one user_id shuffle serves both aggregates.
+_ROLLING_SQL = """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_prev5,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             AS sum_prev5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+QUERIES["q_rolling_user_features"] = sql_query(("events",), _ROLLING_SQL)
+ORACLES["q_rolling_user_features"] = _ROLLING_SQL
+
+
+# ------------------------------------------------- z-score outliers -------
+# per-type mean/std from decimal-exact power sums, then a 3-sigma flag —
+# identical closed-form float expression in both engines, so even the
+# boundary comparisons agree bit-for-bit.
+_ZSCORE_SQL = """
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(18,4)) *
+                      CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs(e.value - sx / n) >
+          3.0 * sqrt((n * sx2 - sx * sx) / (n * (n - 1.0)))
+"""
+QUERIES["q_outlier_zscore"] = sql_query(("events",), _ZSCORE_SQL)
+ORACLES["q_outlier_zscore"] = _ZSCORE_SQL
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
