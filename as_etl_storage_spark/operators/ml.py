@@ -1,0 +1,138 @@
+"""Iterative ML building block: deterministic Lloyd k-means over an
+embedding column, fully declarative (no driver-side data round-trips).
+
+The reference has no iterative/ML surface at all (SURVEY.md §2 — it is a
+storage/transport layer); this is a north-star extension showing the Spark
+pattern for iterative algorithms: a small state DataFrame (centroids) is
+re-broadcast against the partitioned corpus each iteration, the corpus is
+never shuffled, and all accumulations are decimal-exact so results are
+identical under any partitioning.
+
+Determinism contract:
+  * seeding: centroids are the k smallest-id vectors (no RNG);
+  * assignment ties break on smaller centroid id;
+  * centroid updates are decimal-exact per-dimension sums (order-free)
+    with one final double division;
+  * empty clusters keep their previous centroid.
+
+Scale notes: per iteration the corpus is scanned once and shuffled only at
+the (cid, dim) partial aggregation — k*dim groups, i.e. tiny. Lineage grows
+linearly with iterations; at 100 TB checkpoint (or persist) the assignment
+every few iterations and swap the declarative centroid recursion for a
+k*dim collect (bounded, same class of driver value as split boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.functions import vec_dot as _dot
+
+#: decimal type for exact centroid/objective accumulation
+_DEC = "decimal(28,10)"
+
+
+def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+
+def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest centroid per point: broadcast the k-row centroid table,
+    squared-L2 argmin with cid tie-break. Adds a ``dist`` column."""
+    d2 = (
+        _dot(F.col("v"), F.col("v"))
+        - 2 * _dot(F.col("v"), F.col("cv"))
+        + _dot(F.col("cv"), F.col("cv"))
+    )
+    scored = corpus.join(F.broadcast(centroids)).select(
+        "vid", "v", "cid", d2.alias("dist")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """New centroid = decimal-exact per-dimension mean of assigned points;
+    clusters that lost all points keep their previous centroid."""
+    sums = (
+        assigned.select("cid", F.posexplode("v").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(
+            F.sum(F.col("x").cast(_DEC)).alias("sx"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "cid", "d", (F.col("sx").cast("double") / F.col("n")).alias("m")
+        )
+    )
+    new = sums.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        ).alias("cv")
+    )
+    return (
+        centroids.select("cid", F.col("cv").alias("old_cv"))
+        .join(new, "cid", "left")
+        .select("cid", F.coalesce("cv", "old_cv").alias("cv"))
+    )
+
+
+def _objective(assigned: DataFrame) -> DataFrame:
+    """Total within-cluster squared distance, decimal-exact sum (order-free
+    over per-row doubles that are themselves deterministic)."""
+    return assigned.agg(
+        F.sum(F.col("dist").cast(_DEC)).alias("obj"),
+        F.count("*").alias("n_assigned"),
+        F.countDistinct("cid").alias("n_clusters"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; return (vid, cid) assignments."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        centroids = _update(_assign(corpus, centroids), centroids)
+    return _assign(corpus, centroids).select(
+        "vid", F.col("cid").alias("cluster_id")
+    )
+
+
+def kmeans_validated(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """Diagnostics row with in-plan validation booleans (the approx-sketch
+    testing pattern, see q_approx_bounds): Lloyd's objective is provably
+    non-increasing, so ``obj_decreased`` must be TRUE; every point gets
+    exactly one cluster, so ``all_assigned`` must be TRUE; the cluster
+    count stays within [1, k]. The oracle pins all three."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    obj0 = _objective(_assign(corpus, centroids)).select(
+        F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
+    )
+    for _ in range(iters):
+        centroids = _update(_assign(corpus, centroids), centroids)
+    objN = _objective(_assign(corpus, centroids))
+    return objN.crossJoin(obj0).select(
+        F.col("n_assigned").alias("n_points"),
+        ((F.col("n_clusters") >= 1) & (F.col("n_clusters") <= k)).alias(
+            "n_clusters_ok"
+        ),
+        (F.col("n_assigned") == F.col("n0")).alias("all_assigned"),
+        (F.col("obj") <= F.col("obj0")).alias("obj_decreased"),
+    )

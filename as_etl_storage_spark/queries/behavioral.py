@@ -386,6 +386,29 @@ QUERIES["q_outlier_zscore"] = sql_query(("events",), _ZSCORE_SQL)
 ORACLES["q_outlier_zscore"] = _ZSCORE_SQL
 
 
+# ------------------------------------------------- iterative k-means ------
+def _kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (operators/ml.py), validated in-plan:
+    the objective is mathematically non-increasing and every point is
+    assigned exactly once, so the emitted booleans are pinned TRUE by the
+    oracle — a drifting implementation breaks the hash."""
+    from as_etl_storage_spark.operators.ml import kmeans_validated
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_validated(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+_register(
+    "ml_kmeans_validated",
+    _kmeans,
+    """
+    SELECT count(*) AS n_points, TRUE AS n_clusters_ok,
+           TRUE AS all_assigned, TRUE AS obj_decreased
+    FROM embeddings
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

@@ -1,0 +1,49 @@
+"""Deterministic k-means (operators/ml.py): partition-invariance and
+recovery of well-separated clusters."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.operators.ml import kmeans_assign, kmeans_validated
+
+
+def _blobs(spark):
+    # two well-separated blobs in 3-d; ids 0..5 land in blob A, 6..11 in B
+    rows = [(i, [0.0 + 0.01 * i, 1.0, 2.0]) for i in range(6)] + [
+        (i, [10.0 + 0.01 * i, -5.0, 7.0]) for i in range(6, 12)
+    ]
+    return spark.createDataFrame(rows, "vid_in: long, vec: array<double>")
+
+
+def test_kmeans_partitioning_invariant(spark):
+    df = _blobs(spark)
+    a = kmeans_assign(df.repartition(1), "vid_in", "vec", k=2, iters=2)
+    b = kmeans_assign(df.repartition(7), "vid_in", "vec", k=2, iters=2)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_kmeans_recovers_separated_blobs(spark):
+    df = _blobs(spark)
+    got = {
+        r["vid"]: r["cluster_id"]
+        for r in kmeans_assign(df, "vid_in", "vec", k=2, iters=3).collect()
+    }
+    blob_a = {got[i] for i in range(6)}
+    blob_b = {got[i] for i in range(6, 12)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_validated_flags(spark):
+    df = _blobs(spark)
+    row = kmeans_validated(df, "vid_in", "vec", k=2, iters=2).collect()[0]
+    assert row["n_points"] == 12
+    assert row["n_clusters_ok"] and row["all_assigned"] and row["obj_decreased"]
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k=3 but only two real blobs: centroid 2 may lose every point; the
+    # run must still assign all rows and keep the cluster count in [1, k]
+    df = _blobs(spark)
+    row = kmeans_validated(df, "vid_in", "vec", k=3, iters=2).collect()[0]
+    assert row["n_points"] == 12 and row["n_clusters_ok"]

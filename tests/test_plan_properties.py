@@ -57,3 +57,30 @@ def test_lsh_join_is_equi_not_cartesian(spark):
     plan = plan_of(spark, "ann_lsh_bucket")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_knn_vote_corpus_not_shuffled(spark):
+    # query sample broadcast against the corpus; the corpus itself must not
+    # hash-exchange to compute neighbor scores
+    plan = plan_of(spark, "ann_knn_label_vote")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cap_per_source_uses_group_limit(spark):
+    # rn <= 50 after row_number must push down to a per-group limit, so at
+    # scale each task keeps 50 rows per source instead of ranking everything
+    plan = plan_of(spark, "q_cap_per_source")
+    assert "WindowGroupLimit" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag window, running-sum window, and the session aggregate must all
+    # reuse ONE user_id hash exchange (partitioning by user_id satisfies
+    # grouping by (user_id, session_seq))
+    plan = plan_of(spark, "q_sessionize")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rolling_features_single_shuffle(spark):
+    plan = plan_of(spark, "q_rolling_user_features")
+    assert plan.count("Exchange hashpartitioning") == 1
