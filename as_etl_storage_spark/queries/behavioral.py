@@ -409,6 +409,56 @@ _register(
 )
 
 
+# ------------------------------------------------- recursive CTE ----------
+# Spark 4 runs WITH RECURSIVE natively through the querySql surface (S2) —
+# graph walks no longer need the driver-side iteration in operators/graph.
+# Binary-tree depth over customer keys (parent = key div 2): recursion
+# depth is O(log n), each step an equi-join Catalyst plans normally.
+_REC_SPARK = """
+    WITH RECURSIVE d(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey, d.depth + 1
+      FROM customer c JOIN d ON c.c_custkey DIV 2 = d.node
+      WHERE c.c_custkey > 1
+    )
+    SELECT CAST(depth AS INT) AS depth, count(*) AS n
+    FROM d GROUP BY depth
+"""
+_REC_DUCK = """
+    WITH RECURSIVE d(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey, d.depth + 1
+      FROM customer c JOIN d ON c.c_custkey // 2 = d.node
+      WHERE c.c_custkey > 1
+    )
+    SELECT CAST(depth AS INT) AS depth, count(*) AS n
+    FROM d GROUP BY depth
+"""
+QUERIES["q_recursive_tree_depth"] = sql_query(("customer",), _REC_SPARK)
+ORACLES["q_recursive_tree_depth"] = _REC_DUCK
+
+
+# ------------------------------------------------- edit-distance dedup ----
+# blocked Levenshtein near-dup: candidate pairs share an 8-char prefix
+# block (cheap equi-join — never all-pairs), then exact edit distance at
+# <=10% of the longer text. Both engines run the same integer DP, so the
+# predicate is hash-stable. Recall caveat (documented): edits inside the
+# first 8 chars move a doc to another block; production combines several
+# block keys (prefix, suffix, fingerprint) and unions candidates.
+_EDIT_SQL = """
+    WITH d AS (SELECT doc_id, text, substring(lower(text), 1, 8) AS pfx,
+                      length(text) AS len
+               FROM documents)
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+    FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) * 10 <= greatest(a.len, b.len)
+"""
+QUERIES["dedup_edit_distance"] = sql_query(("documents",), _EDIT_SQL)
+ORACLES["dedup_edit_distance"] = _EDIT_SQL
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

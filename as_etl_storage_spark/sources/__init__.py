@@ -5,7 +5,7 @@ from as_etl_storage_spark.sources.jdbc import JdbcSource
 
 # built-in dialect registrations (C1 parity: dialect.go:9-61)
 register_dialect("parquet", ParquetSource, replace=True)
-for _fmt in ("csv", "json", "orc"):
+for _fmt in ("csv", "json", "orc", "xml"):
     register_dialect(
         _fmt,
         (lambda f: lambda spark, conn, **kw: FileSource(spark, conn, f, **kw))(_fmt),

@@ -1,6 +1,6 @@
-"""Generic file-format sources (csv / json / orc) behind the same table
-interface as the parquet source — the format registry (C1) makes the job
-spec's ``dialect`` field pick the implementation.
+"""Generic file-format sources (csv / json / orc / xml) behind the same
+table interface as the parquet source — the format registry (C1) makes the
+job spec's ``dialect`` field pick the implementation.
 
 CSV/JSON read with schema inference by default (the reference's lazy
 schema completion, db.go:150-157); pass an explicit ``schema`` for
@@ -51,6 +51,8 @@ class FileSource(ParquetSource):
             reader = reader.option("header", "true")
             if self.schema_override is None:
                 reader = reader.option("inferSchema", "true")
+        if self.fmt == "xml":
+            reader = reader.option("rowTag", self.options.pop("rowTag", "row"))
         if self.schema_override is not None:
             reader = reader.schema(self.schema_override)
         if self.options:

@@ -79,12 +79,16 @@ class ParquetWriter:
         reader = self.spark.read.format(self.fmt)
         if self.fmt == "csv":
             reader = reader.option("header", "true").option("inferSchema", "true")
+        if self.fmt == "xml":
+            reader = reader.option("rowTag", "row")
         return reader.load(path)
 
     def _write_df(self, df: DataFrame, path: str, mode: str) -> None:
         writer = df.write.mode(mode).format(self.fmt)
         if self.fmt == "csv":
             writer = writer.option("header", "true")
+        if self.fmt == "xml":
+            writer = writer.option("rowTag", "row").option("rootTag", "rows")
         writer.save(path)
 
     # -- hooks (W9) -----------------------------------------------------
@@ -308,14 +312,14 @@ class ParquetWriter:
 
 
 class FileFormatWriter(ParquetWriter):
-    """csv/json/orc sink behind the same mode surface. All modes work;
+    """csv/json/orc/xml sink behind the same mode surface. All modes work;
     note csv/json round-trips are schema-lossy (csv re-infers types, json
     drops decimal precision) — parquet/versioned is the fidelity path and
     these exist for interchange (the reference writes to whatever dialect
     the job names; format is a config axis, W4)."""
 
     def __init__(self, spark: SparkSession, spec: WriterSpec, fmt: str):
-        if fmt not in ("csv", "json", "orc"):
+        if fmt not in ("csv", "json", "orc", "xml"):
             raise WriterError(f"unsupported writer format {fmt!r}")
         super().__init__(spark, spec)
         self.fmt = fmt

@@ -54,7 +54,7 @@ def test_ping_missing_path(spark):
 
 
 def test_csv_json_orc_roundtrip(spark, tmp_path):
-    """File-format sources behind the dialect registry (csv/json/orc)."""
+    """File-format sources behind the dialect registry (csv/json/orc/xml)."""
     import json as _json
 
     from as_etl_storage_spark.runner import run_job
@@ -67,8 +67,11 @@ def test_csv_json_orc_roundtrip(spark, tmp_path):
     orders.write.option("header", "true").csv(str(src_dir / "orders.csv"))
     orders.write.json(str(src_dir / "orders.json"))
     orders.write.orc(str(src_dir / "orders.orc"))
+    orders.write.format("xml").option("rowTag", "row").option(
+        "rootTag", "rows"
+    ).save(str(src_dir / "orders.xml"))
 
-    for fmt in ("csv", "json", "orc"):
+    for fmt in ("csv", "json", "orc", "xml"):
         out = tmp_path / f"out_{fmt}"
         res = run_job(
             spark,
