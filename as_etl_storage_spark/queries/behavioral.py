@@ -447,13 +447,28 @@ ORACLES["q_recursive_tree_depth"] = _REC_DUCK
 # predicate is hash-stable. Recall caveat (documented): edits inside the
 # first 8 chars move a doc to another block; production combines several
 # block keys (prefix, suffix, fingerprint) and unions candidates.
+# Candidate generation runs on a SLIM (id, prefix, length) projection: the
+# length band |len_a - len_b| <= bound is IMPLIED by the edit-distance
+# predicate (distance >= length gap), so it prunes 2.45M -> 3.7k pairs at
+# sf0.1 (655x) with zero semantic change — and because the blocking join
+# carries ints only, the 300-char payloads are joined back just for the
+# survivors before the O(n*m) DP runs. (Naive single-join forms measured
+# 51s — levenshtein folded into the join condition — vs ~4s staged.)
 _EDIT_SQL = """
-    WITH d AS (SELECT doc_id, text, substring(lower(text), 1, 8) AS pfx,
+    WITH d AS (SELECT doc_id, substring(lower(text), 1, 8) AS pfx,
                       length(text) AS len
-               FROM documents)
-    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
-    FROM d a JOIN d b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
-    WHERE levenshtein(a.text, b.text) * 10 <= greatest(a.len, b.len)
+               FROM documents),
+    cand AS (
+      SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+      FROM d a JOIN d b
+        ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+       AND abs(a.len - b.len) * 10 <= greatest(a.len, b.len))
+    SELECT doc_i, doc_j
+    FROM cand
+    JOIN documents x ON x.doc_id = doc_i
+    JOIN documents y ON y.doc_id = doc_j
+    WHERE levenshtein(x.text, y.text) * 10
+          <= greatest(length(x.text), length(y.text))
 """
 QUERIES["dedup_edit_distance"] = sql_query(("documents",), _EDIT_SQL)
 ORACLES["dedup_edit_distance"] = _EDIT_SQL

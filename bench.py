@@ -40,6 +40,11 @@ HEADLINE = [
     "dedup_simhash",
     "mm_decode_meta",
     "q_table_stats",
+    "q_sessionize",
+    "q_dau_wau",
+    "q_cap_per_source",
+    "dedup_edit_distance",
+    "ml_kmeans_validated",
 ]
 
 
