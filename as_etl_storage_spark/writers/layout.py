@@ -72,6 +72,64 @@ def compact(
     return n_files_before, n_files_after
 
 
+def zorder_key(cols: list[str], bounds: dict, bits: int = 12) -> F.Column:
+    """Z-order (Morton) key over numeric columns: each value is bucketed
+    equi-width into 2^bits cells using the provided (min, max) bounds, then
+    the bucket bits are interleaved. Rows close in the key are close in
+    EVERY listed dimension — the property multi-column data skipping needs.
+
+    Pure integer column arithmetic (codegen'd); ``bounds[col] = (lo, hi)``
+    are driver-side scalars from one min/max aggregate (bounded, same class
+    of driver value as split boundaries)."""
+    n = len(cols)
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = float(hi) - float(lo) or 1.0
+        cell = F.least(
+            F.lit(2**bits - 1),
+            F.floor((F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(2**bits)),
+        ).cast("long")
+        buckets.append(F.greatest(F.lit(0), cell))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            key = key + (F.shiftleft(
+                F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("long"))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """OPTIMIZE ZORDER analog: range-repartition + sort by the Morton key,
+    so every output file covers a tight min/max range in ALL z-order
+    columns and parquet row-group stats prune scans on any of them (a
+    single-column sort only helps its leading column). One extra min/max
+    aggregate + one range shuffle — layout cost, paid once per table."""
+    row = df.agg(
+        *[f for c in zorder_cols for f in (F.min(c).alias(f"{c}__lo"),
+                                           F.max(c).alias(f"{c}__hi"))]
+    ).collect()[0]
+    bounds = {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in zorder_cols}
+    key = zorder_key(zorder_cols, bounds, bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def table_stats(
     df: DataFrame, columns: list[str] | None = None, exact_ndv: bool = False
 ) -> DataFrame:

@@ -82,3 +82,64 @@ def test_table_stats_one_pass(spark):
     assert by_col["o_orderkey"]["approx_ndv"] == orders.count()  # PK
     assert by_col["o_orderstatus"]["approx_ndv"] <= 3
     assert float(by_col["o_totalprice"]["min_value"]) > 0
+
+
+def test_zorder_key_matches_morton_reference(spark):
+    from as_etl_storage_spark.writers.layout import zorder_key
+
+    def morton(a, b, bits):
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    bits = 4
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+    # bounds [0, 16) with 2^4 cells make bucket == value exactly
+    key = zorder_key(["x", "y"], {"x": (0, 16), "y": (0, 16)}, bits=bits)
+    got = {(r["x"], r["y"]): r["k"] for r in df.withColumn("k", key).collect()}
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b, bits), (a, b)
+
+
+def test_zorder_tightens_file_ranges_on_both_dims(spark, tmp_path):
+    """Every z-ordered output file must cover a tight range in BOTH
+    dimensions; a single-column sort is tight only in its leading column.
+    Width here = (file max - file min), averaged over files."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.layout import write_zordered
+
+    side = 64
+    rows = [(a, b) for a, b in itertools.product(range(side), range(side))]
+    df = spark.createDataFrame(rows, "x: long, y: long")
+
+    def avg_widths(path):
+        import os as _os
+
+        files = [
+            f"{path}/{f}" for f in _os.listdir(path) if f.endswith(".parquet")
+        ]
+        wx, wy = [], []
+        for f in files:
+            r = spark.read.parquet(f).agg(
+                (F.max("x") - F.min("x")).alias("wx"),
+                (F.max("y") - F.min("y")).alias("wy"),
+            ).collect()[0]
+            wx.append(r["wx"])
+            wy.append(r["wy"])
+        return sum(wx) / len(wx), sum(wy) / len(wy)
+
+    z_path = str(tmp_path / "zord.parquet")
+    write_zordered(df, z_path, ["x", "y"], n_files=16, bits=6)
+    lin_path = str(tmp_path / "linear.parquet")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(lin_path)
+
+    zx, zy = avg_widths(z_path)
+    lx, ly = avg_widths(lin_path)
+    # linear layout: tight on x, full-width on y. z-order: tight on both.
+    assert lx <= 8 and ly >= side * 0.9
+    assert zx <= side / 2 and zy <= side / 2
