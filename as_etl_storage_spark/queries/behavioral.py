@@ -474,6 +474,44 @@ QUERIES["dedup_edit_distance"] = sql_query(("documents",), _EDIT_SQL)
 ORACLES["dedup_edit_distance"] = _EDIT_SQL
 
 
+# ------------------------------------------------- z-order roundtrip ------
+def _w_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered write + filtered read-back (layout.write_zordered):
+    contents must be byte-identical to the plain filtered aggregate — the
+    layout changes file/row order only, which the decimal-exact aggregate
+    is invariant to."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.layout import write_zordered
+
+    out = _scratch_dir()
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(out, "orders_zorder")
+    write_zordered(orders, path, ["o_custkey", "o_totalprice"], n_files=8)
+    back = spark.read.parquet(path).where("o_custkey <= 500")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_zorder_roundtrip",
+    _w_zorder,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS total
+    FROM orders WHERE o_custkey <= 500
+    GROUP BY o_orderstatus
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

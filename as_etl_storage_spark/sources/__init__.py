@@ -1,6 +1,6 @@
 from as_etl_storage_spark.sources.registry import register_dialect, get_dialect, dialects
 from as_etl_storage_spark.sources.parquet import ParquetSource
-from as_etl_storage_spark.sources.files import BinaryDirSource, FileSource
+from as_etl_storage_spark.sources.files import BinaryDirSource, FileSource, TextLinesSource
 from as_etl_storage_spark.sources.jdbc import JdbcSource
 
 # built-in dialect registrations (C1 parity: dialect.go:9-61)
@@ -12,6 +12,7 @@ for _fmt in ("csv", "json", "orc", "xml"):
         replace=True,
     )
 register_dialect("binary", BinaryDirSource, replace=True)
+register_dialect("text", TextLinesSource, replace=True)
 register_dialect("jdbc-mysql", lambda spark, conn, **kw: JdbcSource(spark, conn, "mysql", **kw), replace=True)
 register_dialect("jdbc-oracle", lambda spark, conn, **kw: JdbcSource(spark, conn, "oracle", **kw), replace=True)
 

@@ -73,6 +73,35 @@ class FileSource(ParquetSource):
         )
 
 
+class TextLinesSource(FileSource):
+    """Line-oriented raw-text ingestion (``spark.read.text``): one row per
+    line in a single ``value`` string column — the ingestion edge for raw
+    text corpora before they are normalized into a documents table. Pass
+    ``options={"wholetext": "true"}`` for one row per FILE instead (small
+    corpora only: a row must fit in memory). Table ``name`` maps to
+    ``<url>/<name>.txt`` (or a bare directory of text files)."""
+
+    def __init__(self, spark, connection, schema=None, options=None):
+        super().__init__(spark, connection, "text", schema, options)
+
+    def table_path(self, name: str | None = None) -> str:
+        name = name or self.connection.table.name
+        base = self.connection.url
+        for cand in (f"{name}.txt", name):
+            p = os.path.join(base, cand)
+            if os.path.exists(p):
+                return p
+        return os.path.join(base, f"{name}.txt")
+
+    def list_tables(self) -> list[str]:
+        base = self.connection.url
+        if not os.path.isdir(base):
+            return []
+        return sorted(
+            e[:-4] for e in os.listdir(base) if e.endswith(".txt")
+        )
+
+
 class BinaryDirSource(FileSource):
     """``binaryFile`` source over a directory tree — the ingestion edge for
     multimodal corpora (images/audio/video as opaque payloads). Each file

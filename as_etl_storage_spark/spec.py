@@ -215,6 +215,8 @@ class WriterSpec:
     quarantine_predicate: str = ""  # rows NOT satisfying this go to reject table
     versioned: bool = False  # transaction-log table (snapshot isolation/time travel)
     evolve_schema: bool = False  # allow additive schema changes on append
+    partition_by: tuple[str, ...] = ()  # hive-style partition directories
+    zorder_by: tuple[str, ...] = ()  # Morton-cluster files on these columns
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -236,6 +238,8 @@ class WriterSpec:
             quarantine_predicate=obj.get("quarantinePredicate", ""),
             versioned=bool(obj.get("versioned", False)),
             evolve_schema=bool(obj.get("evolveSchema", False)),
+            partition_by=tuple(obj.get("partitionBy", []) or []),
+            zorder_by=tuple(obj.get("zorderBy", []) or []),
         )
         spec.validate()
         return spec
@@ -254,6 +258,10 @@ class WriterSpec:
         validate_hook_sql(self.post_sql, "postSQL")
         if not self.connection.table.name:
             raise SpecError("writer.connection.table.name is required")
+        if self.partition_by and self.versioned:
+            raise SpecError("partitionBy is not supported on versioned tables")
+        if set(self.partition_by) & set(self.zorder_by):
+            raise SpecError("a column cannot be both partitionBy and zorderBy")
 
 
 @dataclass(frozen=True)

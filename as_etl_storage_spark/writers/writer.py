@@ -89,7 +89,33 @@ class ParquetWriter:
             writer = writer.option("header", "true")
         if self.fmt == "xml":
             writer = writer.option("rowTag", "row").option("rootTag", "rows")
+        if self.spec.partition_by:
+            writer = writer.partitionBy(*self.spec.partition_by)
         writer.save(path)
+
+    def _arrange(self, df: DataFrame) -> DataFrame:
+        """Apply the spec's z-order clustering (layout.zorder_key) before
+        any mode writes: files then carry tight min/max stats on every
+        zorderBy column. Bounds come from one min/max aggregate."""
+        if not self.spec.zorder_by:
+            return df
+        from pyspark.sql import functions as F
+
+        from as_etl_storage_spark.writers.layout import zorder_key
+
+        cols = list(self.spec.zorder_by)
+        row = df.agg(
+            *[f for c in cols for f in (F.min(c).alias(f"{c}__lo"),
+                                        F.max(c).alias(f"{c}__hi"))]
+        ).collect()[0]
+        bounds = {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in cols}
+        n = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return (
+            df.withColumn("__zkey", zorder_key(cols, bounds))
+            .repartitionByRange(n, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
 
     # -- hooks (W9) -----------------------------------------------------
     def run_pre_sql(self) -> None:
@@ -240,6 +266,7 @@ class ParquetWriter:
         if list(self.spec.columns) and list(self.spec.columns) != ["*"]:
             df = df.select(*self.spec.columns)
         clean, reject = self.split_quarantine(df)
+        clean = self._arrange(clean)
         rejected = 0
         reject_path = ""
         if reject is not None:

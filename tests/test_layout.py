@@ -143,3 +143,80 @@ def test_zorder_tightens_file_ranges_on_both_dims(spark, tmp_path):
     # linear layout: tight on x, full-width on y. z-order: tight on both.
     assert lx <= 8 and ly >= side * 0.9
     assert zx <= side / 2 and zy <= side / 2
+
+
+def test_job_spec_partitioned_write(spark, tmp_path):
+    """partitionBy through the JSON job spec: hive dirs + pruned read."""
+    from as_etl_storage_spark.runner import run_job
+
+    out = tmp_path / "by_status"
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "connection": {
+                    "url": SF,
+                    "table": {"name": "orders"},
+                },
+                "column": ["*"],
+            },
+            "writer": {
+                "connection": {"url": str(out), "table": {"name": "t"}},
+                "writeMode": "insert",
+                "partitionBy": ["o_orderstatus"],
+            },
+        },
+    )
+    target = f"{out}/t.parquet"
+    dirs = {d for d in os.listdir(target) if d.startswith("o_orderstatus=")}
+    assert len(dirs) >= 2
+    got = spark.read.parquet(target)
+    want = load_table(spark, SF, "orders")
+    assert res.written == want.count()
+    plan = (
+        got.where("o_orderstatus = 'F'")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_job_spec_zorder_write(spark, tmp_path):
+    """zorderBy through the JSON job spec: contents unchanged, files carry
+    tight ranges on both clustering columns."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.runner import run_job
+
+    out = tmp_path / "zed"
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "connection": {"url": SF, "table": {"name": "orders"}},
+                "column": ["*"],
+            },
+            "writer": {
+                "connection": {"url": str(out), "table": {"name": "t"}},
+                "writeMode": "insert",
+                "zorderBy": ["o_custkey", "o_totalprice"],
+            },
+        },
+    )
+    target = f"{out}/t.parquet"
+    got = spark.read.parquet(target)
+    want = load_table(spark, SF, "orders")
+    assert res.written == want.count()
+    assert got.count() == want.count()
+    # per-file custkey spread must be well below the global spread
+    files = [f"{target}/{f}" for f in os.listdir(target) if f.endswith(".parquet")]
+    assert len(files) > 4
+    glob = want.agg((F.max("o_custkey") - F.min("o_custkey")).alias("w")).collect()[0]["w"]
+    widths = [
+        spark.read.parquet(f)
+        .agg((F.max("o_custkey") - F.min("o_custkey")).alias("w"))
+        .collect()[0]["w"]
+        for f in files
+    ]
+    assert sum(widths) / len(widths) < glob * 0.6

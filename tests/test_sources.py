@@ -188,3 +188,34 @@ def test_binary_dir_feeds_multimodal_decode(spark, tmp_path):
     rows = decoded.collect()
     assert {r.n_bytes for r in rows} == {9, 10}
     assert all(r.width == r.n_bytes % 64 + 1 for r in rows)
+
+
+def test_text_lines_source(spark, tmp_path):
+    """Raw-corpus line ingestion through the dialect registry: .txt ->
+    one row per line -> parquet via the job runner."""
+    from as_etl_storage_spark.runner import run_job
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "raw.txt").write_text("alpha beta\ngamma\ndelta epsilon zeta\n")
+    out = tmp_path / "out_text"
+    res = run_job(
+        spark,
+        {
+            "reader": {
+                "dialect": "text",
+                "connection": {"url": str(src), "table": {"name": "raw"}},
+                "column": ["*"],
+            },
+            "writer": {
+                "connection": {"url": str(out), "table": {"name": "lines"}},
+                "writeMode": "insert",
+            },
+        },
+    )
+    assert res.written == 3
+    got = spark.read.parquet(f"{out}/lines.parquet")
+    assert got.columns == ["value"]
+    assert {r["value"] for r in got.collect()} == {
+        "alpha beta", "gamma", "delta epsilon zeta",
+    }
