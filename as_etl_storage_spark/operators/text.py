@@ -227,3 +227,33 @@ def top_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select(F.col("doc").alias(id_col), F.col("t").alias("top_term"), "tf", "df")
     )
+
+
+# ---------------------------------------------------------------- UDTF ----
+def make_chunker(chunk_size: int = 32):
+    """Python UDTF that splits a document into fixed-size token windows —
+    the context-window chunking step before embedding/training. One input
+    row yields ceil(n_tokens/chunk_size) rows; chunk text preserves token
+    order. UDTFs are the table-function extensibility surface (the
+    reference has no UDF surface at all, SURVEY.md §2.8); heavy chunkers
+    (real tokenizers) swap into eval() unchanged.
+
+    Scale notes: the UDTF runs partition-parallel with no shuffle; output
+    grows ~1x input bytes. Prefer the codegen'd split/posexplode for this
+    exact regex case — the UDTF form exists for chunkers that need real
+    Python (sentencepiece, tiktoken)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk_text: string, n_tokens: bigint")
+    class ChunkTokens:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            toks = [t for t in re.split(r"\s+", text) if t != ""]
+            for i in range(0, len(toks), chunk_size):
+                window = toks[i : i + chunk_size]
+                yield doc_id, i // chunk_size, " ".join(window), len(window)
+
+    return ChunkTokens

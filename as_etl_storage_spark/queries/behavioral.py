@@ -512,6 +512,78 @@ _register(
 )
 
 
+# ------------------------------------------------- UDTF token chunking ----
+def _chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a Python UDTF (operators/text.
+    make_chunker) applied with LATERAL — the table-function surface."""
+    from as_etl_storage_spark.operators.text import make_chunker
+    from as_etl_storage_spark.queries.common import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("chunk_tokens", make_chunker(chunk_size=32))
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents d, LATERAL chunk_tokens(d.doc_id, d.text) c
+        """
+    )
+
+
+_register(
+    "text_chunk_windows",
+    _chunk_udtf,
+    """
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+               FROM documents),
+    x AS (SELECT doc_id, unnest(range(len(toks)))::INT AS i,
+                 unnest(toks) AS tok
+          FROM t)
+    SELECT doc_id, (i // 32)::INT AS chunk_idx,
+           string_agg(tok, ' ' ORDER BY i) AS chunk_text,
+           count(*) AS n_tokens
+    FROM x WHERE tok != ''
+    GROUP BY doc_id, i // 32
+    """,
+)
+
+
+# ------------------------------------------------- pandas UDAF median -----
+def _udaf_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched UDAF surface): exact
+    per-group median. Selection (not accumulation), so the float result is
+    order-independent; the oracle is the identical rank-arithmetic median
+    from q_percentile_cont."""
+    from as_etl_storage_spark.functions.udafs import median_udaf
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        median_udaf("o_totalprice").alias("median_cont")
+    )
+
+
+_register(
+    "q_pandas_udaf_median",
+    _udaf_median,
+    """
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(sum(CASE WHEN rn = floor((n + 1) / 2.0)
+                           OR rn = floor((n + 2) / 2.0)
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE)
+             / count(CASE WHEN rn = floor((n + 1) / 2.0)
+                            OR rn = floor((n + 2) / 2.0) THEN 1 END)
+             AS median_cont
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
