@@ -584,6 +584,36 @@ _register(
 )
 
 
+# ------------------------------------------------- funnel state machine ---
+def _funnel_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful funnel conversion operator (streaming/stateful.
+    funnel_conversions): first view, first click AFTER it, first purchase
+    AFTER that. Batch path shares semantics with the streaming
+    applyInPandasWithState machine (equality asserted in test_stateful)."""
+    from as_etl_storage_spark.streaming.stateful import funnel_conversions
+
+    return funnel_conversions(load_table(spark, sf_dir, "events"))
+
+
+_register(
+    "stream_funnel_machine",
+    _funnel_machine,
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY 1, 2),
+    p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY 1, 2, 3)
+    SELECT user_id, t_view, t_click, t_purchase FROM p
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

@@ -86,3 +86,105 @@ def user_activity_totals(events: DataFrame, evict_idle_ms: int | None = None) ->
             timeoutConf=timeout_conf,
         )
     )
+
+
+# ------------------------------------------------- funnel state machine ---
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("t_view_us", T.LongType()),
+        T.StructField("t_click_us", T.LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t_view", T.TimestampType()),
+        T.StructField("t_click", T.TimestampType()),
+        T.StructField("t_purchase", T.TimestampType()),
+    ]
+)
+
+_STAGE_DONE = 3
+
+
+def _funnel_step(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user view -> click -> purchase progression; emits exactly one
+    conversion row the moment the purchase lands (possibly batches later
+    than the view). The state machine semantics — first view, first click
+    AFTER it, first purchase AFTER that — are not expressible with
+    Spark's built-in streaming aggregates in one operator."""
+    (user_id,) = key
+    if state.hasTimedOut:  # pragma: no cover - eviction path
+        state.remove()
+        return
+    stage, tv, tc = state.get if state.exists else (0, None, None)
+    if stage == _STAGE_DONE:
+        return
+    pdf = pd.concat(list(pdfs))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    out = None
+    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        us = int(pd.Timestamp(ts).value // 1000)
+        if stage == 0 and etype == "view":
+            stage, tv = 1, us
+        elif stage == 1 and etype == "click" and us > tv:
+            stage, tc = 2, us
+        elif stage == 2 and etype == "purchase" and us > tc:
+            stage = _STAGE_DONE
+            out = pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "t_view": [pd.Timestamp(tv, unit="us")],
+                    "t_click": [pd.Timestamp(tc, unit="us")],
+                    "t_purchase": [pd.Timestamp(us, unit="us")],
+                }
+            )
+            break
+    state.update((stage, tv, tc))
+    if out is not None:
+        yield out
+
+
+def funnel_conversions(events: DataFrame) -> DataFrame:
+    """Streaming: per-user funnel completion via applyInPandasWithState
+    (one output row per converted user, emitted when the purchase event
+    arrives). Batch input computes the identical semantics with stepwise
+    conditional mins: first view, first click after it, first purchase
+    after that.
+
+    Scale notes: state is 3 scalars per active user, hash-partitioned by
+    key; pair with ProcessingTimeTimeout eviction on continuous triggers
+    (NoTimeout for bounded drains — see user_activity_totals)."""
+    if not events.isStreaming:
+        from pyspark.sql import functions as F
+
+        v = (
+            events.where("event_type = 'view'")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_view"))
+        )
+        c = (
+            events.where("event_type = 'click'")
+            .join(v, "user_id")
+            .where(F.col("ts") > F.col("t_view"))
+            .groupBy("user_id", "t_view")
+            .agg(F.min("ts").alias("t_click"))
+        )
+        return (
+            events.where("event_type = 'purchase'")
+            .join(c, "user_id")
+            .where(F.col("ts") > F.col("t_click"))
+            .groupBy("user_id", "t_view", "t_click")
+            .agg(F.min("ts").alias("t_purchase"))
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_step,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -95,3 +95,57 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
         batch, "user_id"
     )
     assert joined.where("n2 != 2 * n_events").count() == 0
+
+
+def test_funnel_conversions_stream_matches_batch(spark, tmp_path):
+    """Funnel state machine across MULTIPLE micro-batches: events are split
+    into two time-ordered files fed one per trigger, so view/click/purchase
+    for one user can land in different batches — the drained conversions
+    must equal the batch-mode stepwise-min computation."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.streaming.stateful import funnel_conversions
+
+    ev = load_table(spark, SF, "events")
+    cutoff = ev.agg(
+        F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    d = tmp_path / "funnel_in"
+    d.mkdir()
+    # two halves, each written time-sorted; lexicographic file order = time order
+    ev.where(F.col("ts").cast("double") <= cutoff).orderBy("ts", "event_id").coalesce(
+        1
+    ).write.parquet(str(d / "p0"))
+    ev.where(F.col("ts").cast("double") > cutoff).orderBy("ts", "event_id").coalesce(
+        1
+    ).write.parquet(str(d / "p1"))
+    flat = tmp_path / "funnel_flat"
+    flat.mkdir()
+    import glob as _glob
+
+    for i, part in enumerate(sorted(_glob.glob(str(d / "p*" / "*.parquet")))):
+        shutil.copy(part, flat / f"part-{i:03d}.parquet")
+
+    # halves were re-written by Spark with real timestamps — read them
+    # back with that schema directly (file_stream expects the fixture's
+    # raw nanos-long encoding)
+    stream = spark.readStream.schema(ev.schema).parquet(str(flat))
+    out = funnel_conversions(stream)
+    target = str(tmp_path / "conv.parquet")
+    q = (
+        out.writeStream.outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .option("maxFilesPerTrigger", "1")
+        .trigger(availableNow=True)
+        .foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(target)
+        )
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    want = funnel_conversions(ev)
+    assert got.count() == want.count() > 0
+    cols = ["user_id", "t_view", "t_click", "t_purchase"]
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
