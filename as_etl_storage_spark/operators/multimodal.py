@@ -85,6 +85,38 @@ def decode_image_meta(with_binary: DataFrame) -> DataFrame:
     return with_binary.mapInPandas(decode, DECODED_META_SCHEMA)
 
 
+def decode_image_meta_arrow(with_binary: DataFrame) -> DataFrame:
+    """mapInArrow decode variant: identical contract to decode_image_meta
+    but the batch iterator sees raw ``pyarrow.RecordBatch`` objects — no
+    pandas conversion on either side. Use this form when the decoder
+    consumes/produces Arrow buffers natively (zero-copy into e.g. a
+    tensor library); the pandas form reads better for tabular wrangling."""
+    import pyarrow as pa
+
+    def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            widths, heights, frames, nbytes = [], [], [], []
+            for payload in batch.column("payload").to_pylist():
+                w, h, f = _fake_decode(payload)
+                widths.append(w)
+                heights.append(h)
+                frames.append(f)
+                nbytes.append(len(payload))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_ids,
+                    pa.array(nbytes, type=pa.int32()),
+                    pa.array(widths, type=pa.int32()),
+                    pa.array(heights, type=pa.int32()),
+                    pa.array(frames, type=pa.int32()),
+                ],
+                names=["doc_id", "n_bytes", "width", "height", "n_frames"],
+            )
+
+    return with_binary.mapInArrow(decode, DECODED_META_SCHEMA)
+
+
 #: schema of the resize-stage output — the contract a real resizer satisfies.
 RESIZED_SCHEMA = T.StructType(
     [

@@ -219,3 +219,22 @@ def test_text_lines_source(spark, tmp_path):
     assert {r["value"] for r in got.collect()} == {
         "alpha beta", "gamma", "delta epsilon zeta",
     }
+
+
+def test_map_in_arrow_decode_matches_pandas(spark):
+    """mapInArrow and mapInPandas decode variants share one contract:
+    identical rows for identical input."""
+    from as_etl_storage_spark.operators.multimodal import (
+        attach_binary,
+        decode_image_meta,
+        decode_image_meta_arrow,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wb = attach_binary(docs, "doc_id", "text")
+    a = decode_image_meta_arrow(wb)
+    b = decode_image_meta(wb)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == docs.count()
