@@ -1,0 +1,79 @@
+"""Distributed global ranking — the scale-safe form of unpartitioned
+window functions.
+
+A plain ``ntile(n) OVER (ORDER BY col)`` moves the whole relation to ONE
+partition (Spark warns exactly this); at 100 TB that is not a slow plan, it
+is a dead one. The classic fix is two passes:
+
+  1. range-repartition on the order key (+ unique tie-break), so partition
+     i holds keys entirely below partition i+1;
+  2. count rows per partition — a handful of longs to the driver (same
+     bounded class as split boundaries) — and turn them into per-partition
+     rank offsets;
+  3. rank locally inside each partition (window PARTITION BY partition id,
+     which shuffles nothing further) and add the offset.
+
+The result is bit-identical to the single-partition form for any unique
+total order (enforced by requiring tie-break columns), including exact
+ntile bucket sizing (first ``total % n`` buckets get the extra row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rank_pid"
+_LOCAL = "__rank_local"
+_OFFSET = "__rank_offset"
+
+
+def _ranked_with_total(
+    df: DataFrame, order_cols: list[str]
+) -> tuple[DataFrame, int]:
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(parts, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    counts = rp.groupBy(_PID).count().collect()
+    by_pid = {r[_PID]: r["count"] for r in counts}
+    offsets = []
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID}: int, {_OFFSET}: long"
+    )
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    ranked = (
+        rp.withColumn(_LOCAL, F.row_number().over(w))
+        .join(F.broadcast(off_df), _PID)
+        .withColumn("global_rank", F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+    return ranked, acc
+
+
+def global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Add a ``global_rank`` column (1-based, row_number semantics) ordered
+    by ``order_cols`` — which must form a unique total order (append a key
+    column as tie-break) — without ever collapsing data to one partition."""
+    return _ranked_with_total(df, order_cols)[0]
+
+
+def global_ntile(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
+    """Add a ``bucket`` column with exact SQL ``ntile(n)`` semantics (the
+    first ``total % n`` buckets hold one extra row) over the global order,
+    built on global_rank — no single-partition exchange anywhere."""
+    ranked, total = _ranked_with_total(df, order_cols)
+    base, rem = divmod(total, n)
+    big = rem * (base + 1)
+    r = F.col("global_rank")
+    bucket = F.when(
+        F.lit(rem) > 0,
+        F.when(r <= big, F.ceil(r / (base + 1))).otherwise(
+            F.lit(rem) + F.ceil((r - big) / F.greatest(F.lit(base), F.lit(1)))
+        ),
+    ).otherwise(F.ceil(r / F.greatest(F.lit(base), F.lit(1))))
+    return ranked.withColumn("bucket", bucket.cast("int"))

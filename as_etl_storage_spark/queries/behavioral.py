@@ -614,6 +614,32 @@ _register(
 )
 
 
+# ------------------------------------------------- scalable global rank ---
+def _scalable_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed global rank + ntile (operators/rank.py): bit-identical
+    to the single-partition window form the oracle runs, but built from a
+    range repartition + per-partition local ranks + broadcast offsets —
+    the shape that survives 100 TB where `ntile() OVER (ORDER BY ...)`
+    cannot."""
+    from as_etl_storage_spark.operators.rank import global_ntile
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = global_ntile(cust, ["c_acctbal", "c_custkey"], 4)
+    return out.select("c_custkey", "global_rank", "bucket")
+
+
+_register(
+    "q_scalable_ntile",
+    _scalable_ntile,
+    """
+    SELECT c_custkey,
+           row_number() OVER (ORDER BY c_acctbal, c_custkey) AS global_rank,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+    FROM customer
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

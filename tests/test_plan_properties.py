@@ -84,3 +84,16 @@ def test_sessionize_single_shuffle(spark):
 def test_rolling_features_single_shuffle(spark):
     plan = plan_of(spark, "q_rolling_user_features")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_global_ntile_no_single_partition_window(spark):
+    # the distributed rank must not collapse the relation into one
+    # partition: no SinglePartition exchange feeding a Window
+    from as_etl_storage_spark.operators.rank import global_ntile
+    from as_etl_storage_spark.queries.common import load_table
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_acctbal")
+    out = global_ntile(cust, ["c_acctbal", "c_custkey"], 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange rangepartitioning" in plan
