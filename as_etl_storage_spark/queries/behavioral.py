@@ -640,6 +640,33 @@ _register(
 )
 
 
+# ------------------------------------------------- VARIANT semi-structured
+# Spark 4 VARIANT path for semi-structured props: parse once to the binary
+# variant encoding, extract typed fields — the scale form for JSON event
+# payloads (parse_json is ~8x faster than repeated get_json_object string
+# scans, and the binary form columnarizes in shuffle/cache). Oracle uses
+# DuckDB's native JSON extraction; both extract the same typed value.
+_VARIANT_SPARK = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(variant_get(parse_json(props), '$.k', 'bigint'))
+                AS BIGINT) AS sum_k,
+           min(variant_get(parse_json(props), '$.k', 'bigint')) AS min_k,
+           max(variant_get(parse_json(props), '$.k', 'bigint')) AS max_k
+    FROM events GROUP BY event_type
+"""
+_VARIANT_DUCK = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum((props::JSON ->> 'k')::BIGINT) AS BIGINT) AS sum_k,
+           min((props::JSON ->> 'k')::BIGINT) AS min_k,
+           max((props::JSON ->> 'k')::BIGINT) AS max_k
+    FROM events GROUP BY event_type
+"""
+QUERIES["q_variant_json"] = sql_query(("events",), _VARIANT_SPARK)
+ORACLES["q_variant_json"] = _VARIANT_DUCK
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
