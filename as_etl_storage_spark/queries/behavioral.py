@@ -667,6 +667,72 @@ QUERIES["q_variant_json"] = sql_query(("events",), _VARIANT_SPARK)
 ORACLES["q_variant_json"] = _VARIANT_DUCK
 
 
+# ------------------------------------------------- SCD Type 2 -------------
+def _scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-preserving dimension update (writers/scd.py): customers
+    with key <= 500 move to segment MACHINERY at version 2; already-
+    MACHINERY rows must pass through untouched, others close at v2 with a
+    fresh current row."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.scd import scd2_apply, scd2_init
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    dim = scd2_init(cust, version=1)
+    updates = cust.where("c_custkey <= 500").select(
+        "c_custkey", F.lit("MACHINERY").alias("segment")
+    )
+    return scd2_apply(dim, updates, "c_custkey", ["segment"], version=2)
+
+
+_register(
+    "w_scd2_dimension",
+    _scd2,
+    """
+    SELECT c_custkey, c_mktsegment AS segment, 1 AS valid_from,
+           CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+    FROM customer
+    WHERE NOT (c_custkey <= 500 AND c_mktsegment <> 'MACHINERY')
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, 1, 2, FALSE
+    FROM customer WHERE c_custkey <= 500 AND c_mktsegment <> 'MACHINERY'
+    UNION ALL
+    SELECT c_custkey, 'MACHINERY', 2, CAST(NULL AS INT), TRUE
+    FROM customer WHERE c_custkey <= 500 AND c_mktsegment <> 'MACHINERY'
+    """,
+)
+
+
+# ------------------------------------------------- HLL-merge WAU ----------
+# the sketch-merge property that makes HLL the 100 TB distinct-count path:
+# per-day sketches are built ONCE, then any window (7-day here) is a cheap
+# union of 7 small sketches — no rescan of the raw events. Validated
+# in-plan against the exact WAU (q_dau_wau shape); default lgConfigK=12
+# gives ~1.6% error, pinned within 5%.
+_WAU_HLL_SPARK = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ad FROM events),
+    exact AS (SELECT d, count(DISTINCT user_id) AS wau
+              FROM days JOIN acts ON ad BETWEEN date_sub(d, 6) AND d
+              GROUP BY d),
+    sk AS (SELECT ad, hll_sketch_agg(user_id) AS s FROM acts GROUP BY ad),
+    est AS (SELECT days.d,
+                   hll_sketch_estimate(hll_union_agg(sk.s)) AS wau_est
+            FROM days JOIN sk ON sk.ad BETWEEN date_sub(days.d, 6) AND days.d
+            GROUP BY days.d)
+    SELECT e.d, (abs(est.wau_est - e.wau) <= 0.05 * e.wau)
+             AS wau_within_5pct
+    FROM exact e JOIN est ON e.d = est.d
+"""
+QUERIES["q_wau_hll_validated"] = sql_query(("events",), _WAU_HLL_SPARK)
+ORACLES["q_wau_hll_validated"] = """
+    SELECT DISTINCT CAST(ts AS DATE) AS d, TRUE AS wau_within_5pct
+    FROM events
+"""
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,

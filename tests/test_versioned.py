@@ -122,3 +122,26 @@ def test_job_spec_versioned_writer(spark, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "vt_orders"))
     assert vt.latest_version() == 1
     assert vt.read(version_as_of=0).count() == n
+
+
+def test_scd2_new_key_and_null_tracking(spark):
+    """SCD2 paths the oracle query doesn't reach: brand-new keys insert as
+    current, and null-safe comparison treats NULL -> value as a change."""
+    from as_etl_storage_spark.writers.scd import scd2_apply, scd2_init
+
+    dim0 = spark.createDataFrame(
+        [(1, "A"), (2, None)], "k: long, attr: string"
+    )
+    dim = scd2_init(dim0, version=1)
+    updates = spark.createDataFrame(
+        [(2, "B"), (3, "C")], "k: long, attr: string"
+    )
+    out = scd2_apply(dim, updates, "k", ["attr"], version=2).collect()
+    rows = {(r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in out}
+    assert rows == {
+        (1, "A", 1, None, True),      # untouched (no update row)
+        (2, None, 1, 2, False),       # closed: NULL -> B is a change
+        (2, "B", 2, None, True),
+        (3, "C", 2, None, True),      # new key inserts as current
+    }
