@@ -202,3 +202,54 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, events_input_dir):
     b = dict((r.c_mktsegment, r["count"]) for r in
              batch.groupBy("c_mktsegment").count().collect())
     assert {r.c_mktsegment: r["count"] for r in g} == b
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Exactly-once across restarts: drain run 1 with only file A in the
+    source dir, then add file B and resume from the SAME checkpoint — the
+    second run must process only B (no re-emission of A's rows, no loss)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events")
+    half_a = ev.where("event_id % 2 = 0")
+    half_b = ev.where("event_id % 2 = 1")
+    src = tmp_path / "resume_in"
+    src.mkdir()
+    half_a.coalesce(1).write.parquet(str(src / "stage_a"))
+    import glob as _glob
+
+    def _add(stage_dir, name):
+        part = _glob.glob(str(stage_dir / "*.parquet"))[0]
+        shutil.copy(part, src / name)
+
+    _add(src / "stage_a", "part-a.parquet")
+    shutil.rmtree(src / "stage_a")
+
+    target = str(tmp_path / "resumed.parquet")
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(str(src))
+        q = (
+            stream.select("event_id")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", target)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n_first = spark.read.parquet(target).count()
+    assert n_first == half_a.count()
+
+    half_b.coalesce(1).write.parquet(str(src / "stage_b"))
+    _add(src / "stage_b", "part-b.parquet")
+    shutil.rmtree(src / "stage_b")
+
+    drain()
+    got = spark.read.parquet(target)
+    assert got.count() == ev.count()  # no loss
+    assert got.select("event_id").distinct().count() == ev.count()  # no dupes
