@@ -92,3 +92,21 @@ def test_components_match_union_find(spark, edges):
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
     want = _union_find(edges)
     assert got == want
+
+
+def test_vectorized_cosine_topk_matches_jvm(spark):
+    """The numpy-matmul ANN variant must agree with the JVM fold baseline
+    on the fixture (summation-order ulp flips would need near-exact ties,
+    which the fixture's cosine margins rule out)."""
+    from as_etl_storage_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_vectorized,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = cosine_topk(emb, "vec_id", "embedding", 5, "vid % 10 = 0")
+    b = cosine_topk_vectorized(emb, "vec_id", "embedding", 5, "vid % 10 = 0")
+    sa = sorted(map(tuple, a.collect()))
+    sb = sorted(map(tuple, b.collect()))
+    assert sa == sb and len(sa) > 0
