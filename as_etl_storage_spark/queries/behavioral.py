@@ -733,6 +733,53 @@ ORACLES["q_wau_hll_validated"] = """
 """
 
 
+# ------------------------------------------------- data-quality report ----
+# constraint monitoring in ONE scan: every rule is a conditional count in
+# a single aggregate row, then unpivoted to (rule, n_violations) — the
+# Delta-constraints / expectations shape. Composes with the quarantine
+# writer: report first, then enforce the same predicates on write.
+_QUALITY_SPARK = """
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                        THEN 1 END) AS r_price_positive,
+             count(CASE WHEN o_custkey IS NULL THEN 1 END) AS r_custkey_set,
+             count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          OR o_orderstatus IS NULL
+                        THEN 1 END) AS r_status_domain,
+             count(CASE WHEN o_orderdate IS NULL
+                          OR year(o_orderdate) NOT BETWEEN 1992 AND 1998
+                        THEN 1 END) AS r_date_range
+      FROM orders)
+    SELECT rule, n_violations, n_rows
+    FROM agg
+    LATERAL VIEW stack(4,
+      'price_positive', r_price_positive,
+      'custkey_set', r_custkey_set,
+      'status_domain', r_status_domain,
+      'date_range', r_date_range) AS rule, n_violations
+"""
+_QUALITY_DUCK = """
+    WITH agg AS (
+      SELECT count(*) AS n_rows,
+             count(CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+                        THEN 1 END) AS price_positive,
+             count(CASE WHEN o_custkey IS NULL THEN 1 END) AS custkey_set,
+             count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                          OR o_orderstatus IS NULL
+                        THEN 1 END) AS status_domain,
+             count(CASE WHEN o_orderdate IS NULL
+                          OR year(o_orderdate) NOT BETWEEN 1992 AND 1998
+                        THEN 1 END) AS date_range
+      FROM orders)
+    SELECT rule, n_violations, n_rows
+    FROM agg UNPIVOT (n_violations FOR rule IN
+      (price_positive, custkey_set, status_domain, date_range))
+"""
+QUERIES["q_quality_report"] = sql_query(("orders",), _QUALITY_SPARK)
+ORACLES["q_quality_report"] = _QUALITY_DUCK
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
