@@ -176,6 +176,46 @@ def resize_images(with_binary: DataFrame, max_side: int = 16) -> DataFrame:
     return with_binary.mapInPandas(resize, RESIZED_SCHEMA)
 
 
+#: schema of the feature-extract output — per-payload feature scalars.
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f_bytes", T.IntegerType()),
+        T.StructField("f_spaces", T.IntegerType()),
+        T.StructField("f_vowels", T.IntegerType()),
+        T.StructField("f_digits", T.IntegerType()),
+    ]
+)
+
+
+def extract_features(with_binary: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage: payload bytes -> feature
+    scalars (here simple content counts; a real extractor — CLIP embedding,
+    MFCC, perceptual hash — replaces the body and widens the schema).
+    Arrow-batched, partition-parallel, no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vowels = set(b"aeiou")
+        digits = set(b"0123456789")
+        for pdf in batches:
+            rows = {"f_bytes": [], "f_spaces": [], "f_vowels": [], "f_digits": []}
+            for payload in pdf["payload"]:
+                if payload is None:
+                    raise NotImplementedError("real extract of null payload")
+                rows["f_bytes"].append(len(payload))
+                rows["f_spaces"].append(payload.count(b" "))
+                rows["f_vowels"].append(sum(1 for b in payload if b in vowels))
+                rows["f_digits"].append(sum(1 for b in payload if b in digits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{k: pd.array(v, dtype="int32") for k, v in rows.items()},
+                }
+            )
+
+    return with_binary.mapInPandas(extract, FEATURES_SCHEMA)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plan: one row per sampled frame index (posexplode of
     the frame range) — the shape a video pipeline needs downstream."""

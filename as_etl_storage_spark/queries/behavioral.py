@@ -780,6 +780,34 @@ QUERIES["q_quality_report"] = sql_query(("orders",), _QUALITY_SPARK)
 ORACLES["q_quality_report"] = _QUALITY_DUCK
 
 
+# ------------------------------------------------- multimodal features ----
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stage (operators/multimodal.extract_features):
+    payload byte-content counts, checked exactly — the slot a real
+    CLIP/MFCC extractor drops into."""
+    from as_etl_storage_spark.operators.multimodal import (
+        attach_binary,
+        extract_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs, "doc_id", "text"))
+
+
+_register(
+    "mm_feature_extract",
+    _mm_features,
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS f_bytes,
+           (length(text) - length(replace(text, ' ', '')))::INT AS f_spaces,
+           length(regexp_replace(text, '[^aeiou]', '', 'g'))::INT AS f_vowels,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::INT AS f_digits
+    FROM documents
+    """,
+)
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
