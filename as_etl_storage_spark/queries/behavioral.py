@@ -808,6 +808,46 @@ _register(
 )
 
 
+# ------------------------------------------------- year-over-year growth --
+# aggregate-then-window: the fact table collapses to (customer, year)
+# before any window runs, so the lag shuffle moves K rows, not N.
+_YOY_SQL = """
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS y,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey, year(o_orderdate)),
+    seq AS (
+      SELECT o_custkey, y, spend,
+             lag(spend) OVER (PARTITION BY o_custkey ORDER BY y) AS prev,
+             lag(y) OVER (PARTITION BY o_custkey ORDER BY y) AS prev_y
+      FROM yearly)
+    SELECT o_custkey, y, spend, prev AS prev_spend
+    FROM seq
+    WHERE prev IS NOT NULL AND y = prev_y + 1 AND spend > prev
+"""
+QUERIES["q_yoy_growth"] = sql_query(("orders",), _YOY_SQL)
+ORACLES["q_yoy_growth"] = _YOY_SQL
+
+
+# ------------------------------------------------- market-basket pairs ----
+# co-occurrence mining: DISTINCT (order, part) first — the self-join then
+# explodes only within orders (~4 lines each), never across them; at
+# 100 TB add a per-order line cap (q_cap_per_source pattern) before the
+# join to bound the quadratic term from pathological baskets.
+_BASKET_SQL = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_i, b.l_partkey AS part_j,
+           count(*) AS n_orders
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+"""
+QUERIES["q_basket_pairs"] = sql_query(("lineitem",), _BASKET_SQL)
+ORACLES["q_basket_pairs"] = _BASKET_SQL
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
