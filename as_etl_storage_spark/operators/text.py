@@ -230,7 +230,7 @@ def top_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- UDTF ----
-def make_chunker(chunk_size: int = 32):
+def make_chunker(chunk_size: int = 32, use_arrow: bool = True):
     """Python UDTF that splits a document into fixed-size token windows —
     the context-window chunking step before embedding/training. One input
     row yields ceil(n_tokens/chunk_size) rows; chunk text preserves token
@@ -239,14 +239,19 @@ def make_chunker(chunk_size: int = 32):
     (real tokenizers) swap into eval() unchanged.
 
     Scale notes: the UDTF runs partition-parallel with no shuffle; output
-    grows ~1x input bytes. Prefer the codegen'd split/posexplode for this
-    exact regex case — the UDTF form exists for chunkers that need real
-    Python (sentencepiece, tiktoken)."""
+    grows ~1x input bytes; ``use_arrow`` batches rows over Arrow instead
+    of pickling them one at a time. Prefer the codegen'd split/posexplode
+    for this exact regex case — the UDTF form exists for chunkers that
+    need real Python (sentencepiece, tiktoken)."""
     import re
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id: bigint, chunk_idx: int, chunk_text: string, n_tokens: bigint")
+    @udtf(
+        returnType="doc_id: bigint, chunk_idx: int, chunk_text: string, "
+        "n_tokens: bigint",
+        useArrow=use_arrow,
+    )
     class ChunkTokens:
         def eval(self, doc_id: int, text: str):
             if text is None:
