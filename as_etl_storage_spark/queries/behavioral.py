@@ -848,6 +848,30 @@ QUERIES["q_basket_pairs"] = sql_query(("lineitem",), _BASKET_SQL)
 ORACLES["q_basket_pairs"] = _BASKET_SQL
 
 
+# ------------------------------------------------- reset running sum ------
+# conditional-reset cumulative sum (running balance that resets at each
+# 'signup'): segment id = running count of reset markers, then a decimal
+# cumsum within (user, segment). Both windows and the implied aggregation
+# reuse ONE user_id hash partition.
+_RESET_CUMSUM_SQL = """
+    WITH seg AS (
+      SELECT user_id, ts, event_id, value,
+             count(CASE WHEN event_type = 'signup' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seg_id
+      FROM events)
+    SELECT user_id, event_id, seg_id,
+           CAST(sum(CAST(value AS DECIMAL(18,4)))
+                OVER (PARTITION BY user_id, seg_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value
+    FROM seg
+"""
+QUERIES["q_reset_running_sum"] = sql_query(("events",), _RESET_CUMSUM_SQL)
+ORACLES["q_reset_running_sum"] = _RESET_CUMSUM_SQL
+
+
 # ------------------------------------- stream-stream LEFT OUTER join ------
 def _interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER interval join (streaming/micro_batch.interval_join,
