@@ -1,7 +1,12 @@
-"""Behavioral / product-analytics surface: sessionization, cohort retention,
-engagement (DAU/WAU), distribution windows (cume_dist, percent_rank,
-interpolated percentiles, RANGE frames) — plus the multimodal resize stage
-and the stream-stream LEFT OUTER interval join.
+"""Behavioral analytics + advanced-surface battery (round-1 continuation):
+sessionization, cohort retention, DAU/WAU (exact and mergeable-HLL),
+distribution windows (cume_dist, interpolated percentiles, RANGE frames,
+conditional-reset cumsum, distributed global rank), training-pipeline ops
+(per-source capping, label centroids, kNN vote, k-means, edit-distance
+dedup, corpus profile, quality constraints, token-chunking UDTF, pandas
+UDAF), multimodal resize/features, warehouse ops (SCD2, z-order
+roundtrip), Spark-4 surfaces (WITH RECURSIVE, VARIANT), and streaming
+(LEFT OUTER interval join, stateful funnel machine).
 
 The reference has no analytics operators at all (SURVEY.md §2.5: everything
 relational is delegated to the source DB via querySql,
