@@ -380,22 +380,19 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
         )
     )
-    bits = toks.select(
-        "doc",
-        "c",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b"),
+    # all 60 bit-sums in ONE aggregation — a per-bit explode would shuffle
+    # 60x the token rows; 60 sum() columns stay inside whole-stage codegen
+    # (session raises codegen.maxFields accordingly)
+    sums = toks.groupBy("doc").agg(
+        *[
+            F.expr(f"sum(c * (2 * ((h >> {b}) & 1) - 1)) AS s{b}")
+            for b in range(60)
+        ]
     )
-    sig = (
-        bits.withColumn("contrib", F.expr("c * (2 * ((h >> b) & 1) - 1)"))
-        .groupBy("doc", "b")
-        .agg(F.sum("contrib").alias("s"))
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b}L ELSE 0L END)" for b in range(60)
     )
-    return sig.groupBy("doc").agg(
-        F.sum(F.expr("CASE WHEN s > 0 THEN shiftleft(1L, b) ELSE 0L END")).alias(
-            "simhash"
-        )
-    )
+    return sums.select("doc", F.expr(f"{sig_expr} AS simhash"))
 
 
 def simhash_dedup_pairs(
@@ -403,23 +400,40 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance <= max_hamming.
 
-    Self-join here; at 100 TB block on signature bit-prefixes (pigeonhole:
-    split 60 bits into max_hamming+1 blocks; near pairs share >= 1 exact
-    block) so the join key becomes (block_id, block_bits)."""
+    Candidate generation is pigeonhole block joining — the 100 TB path:
+    the 60-bit signature splits into ``max_hamming + 1`` blocks; any pair
+    within the hamming budget must agree exactly on >= 1 block, so the
+    join key is (block_id, block_bits) instead of an all-pairs product.
+    Exact hamming verification then filters candidates, so results are
+    identical to the naive self-join (no false negatives by pigeonhole,
+    false positives removed by the exact check)."""
     sh = simhash_signatures(df, id_col, text_col)
-    a = sh.alias("a")
-    b = sh.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    n_blocks = max_hamming + 1
+    width = 60 // n_blocks
+    stack_args = ", ".join(
+        f"{i}, (simhash >> {i * width}) & {(1 << width) - 1}L"
+        for i in range(n_blocks)
     )
+    blocks = sh.select(
+        "doc", "simhash", F.expr(f"stack({n_blocks}, {stack_args}) AS (blk, bits)")
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc") < F.col("b.doc"))
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col("a.doc").alias("doc_i"),
             F.col("b.doc").alias("doc_j"),
             ham.alias("hamming"),
         )
+        .distinct()  # pairs agreeing on multiple blocks appear once
     )
 
 

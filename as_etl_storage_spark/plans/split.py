@@ -108,15 +108,37 @@ class StringConvertor:
     """ASCII string keys <-> radix-128 integers (split.go:244-287).
 
     Strings are interpreted as base-128 numerals (most significant character
-    first). Non-ASCII input is an error, matching the reference. Note the
-    reference caveat: comparison is numeric on the encoding, which orders
-    longer strings after shorter ones regardless of lexicographic order —
-    boundaries are still a valid partitioning of the key domain because
-    decode(encode(s)) == s and the scan predicates use string comparison
-    against boundary *strings* of the same alphabet.
+    first). Non-ASCII input is an error, matching the reference.
+
+    The naive variable-length encoding is NOT order-preserving across mixed
+    key lengths ('b' -> 98 but 'aa' -> 12513, yet 'aa' < 'b'
+    lexicographically), so integer-order boundaries would overlap when
+    evaluated as lexicographic scan predicates — the reference ships that
+    flaw; we do not. Fix: before splitting, :meth:`fit` pins a fixed width
+    W = max(len(min), len(max)) and values are right-padded with NUL
+    (code 0, below every permitted key character) to W digits. Fixed-width
+    base-128 numeric order == bytewise lexicographic order, and the padding
+    digit sorts below all key characters, so ``encode`` is strictly
+    monotone w.r.t. lexicographic order on NUL-free keys. ``from_int``
+    decodes a boundary to the smallest NUL-free string b with
+    ``encode(b) >= v`` (exact when only trailing padding remains; otherwise
+    prefix + chr(1)), so boundary strings come out lex-sorted and the
+    rendered predicates tile the key domain with no overlap or gap — keys
+    longer than W simply fall lexicographically into whichever range
+    contains them. Keys containing NUL are rejected (they would collide
+    with the padding digit).
     """
 
     RADIX = 128
+
+    def __init__(self, width: int = 0):
+        #: fixed digit width; 0 = unfitted (plain variable-length codec,
+        #: round-trip only — never use for range boundaries)
+        self.width = width
+
+    def fit(self, min_value: str, max_value: str) -> None:
+        """Pin the encoding width from the split domain's bounds."""
+        self.width = max(len(str(min_value)), len(str(max_value)))
 
     def to_int(self, value: str) -> int:
         acc = 0
@@ -124,19 +146,38 @@ class StringConvertor:
             code = ord(ch)
             if code >= self.RADIX:
                 raise SplitError(f"non-ASCII character {ch!r} in string split key")
+            if code == 0 and self.width:
+                raise SplitError("NUL character in string split key")
             acc = acc * self.RADIX + code
+        if self.width:
+            if len(value) > self.width:
+                raise SplitError(
+                    f"string split key {value!r} longer than fitted width {self.width}"
+                )
+            acc *= self.RADIX ** (self.width - len(value))
         return acc
 
     def from_int(self, value: int) -> str:
         if value < 0:
             raise SplitError("negative radix-128 value")
-        if value == 0:
-            return ""
-        digits: list[str] = []
-        while value > 0:
-            value, code = divmod(value, self.RADIX)
-            digits.append(chr(code))
-        return "".join(reversed(digits))
+        digits: list[int] = []
+        v = value
+        while v > 0:
+            v, code = divmod(v, self.RADIX)
+            digits.append(code)
+        digits.reverse()
+        if not self.width:
+            return "".join(chr(d) for d in digits)
+        if len(digits) > self.width:
+            raise SplitError("radix-128 value exceeds fitted width")
+        digits = [0] * (self.width - len(digits)) + digits
+        # lexicographic ceiling: smallest NUL-free string b with
+        # encode(b) >= value
+        while digits and digits[-1] == 0:
+            digits.pop()  # trailing padding — exact preimage
+        if 0 in digits:
+            digits = digits[: digits.index(0)] + [1]
+        return "".join(chr(d) for d in digits)
 
     def literal(self, value: str) -> str:
         escaped = str(value).replace("'", "''")
@@ -204,6 +245,9 @@ def split_ranges(
 ) -> list[tuple[object, object, bool]]:
     """Split ``[min_value, max_value]`` of any supported domain into at most
     ``num`` ranges; returns (lo, hi, closed_right) domain-typed triples."""
+    fit = getattr(convertor, "fit", None)
+    if fit is not None:
+        fit(min_value, max_value)
     lo_i = convertor.to_int(min_value)
     hi_i = convertor.to_int(max_value)
     pairs = do_split(lo_i, hi_i, num)

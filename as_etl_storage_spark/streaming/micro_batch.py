@@ -46,7 +46,15 @@ def file_stream(spark: SparkSession, path: str) -> DataFrame:
 
 class MicroBatchWriter:
     """foreachBatch sink with the reference's batchSize/batchTimeout knobs
-    (writer/config.go:20-23 defaults: 1000 records / 1 s)."""
+    (writer/config.go:20-23 defaults: 1000 records / 1 s).
+
+    Exactly-once: each micro-batch lands in its own ``batch_id=N``
+    partition directory, and a replayed batch (restart after a failure
+    between the data write and the checkpoint commit) is skipped when its
+    ``_SUCCESS`` marker already exists — idempotent on ``batch_id``, the
+    standard foreachBatch exactly-once recipe. A partially-written batch
+    (no ``_SUCCESS``) is overwritten in place. Readers see ``batch_id``
+    as a partition column — free per-batch provenance/pruning."""
 
     def __init__(
         self,
@@ -60,13 +68,25 @@ class MicroBatchWriter:
         self.batch_timeout_s = batch_timeout_s
         self.checkpoint = checkpoint or f"{target_path}.__checkpoint__"
         self.batches_seen = 0
+        self.batches_skipped = 0
+
+    def _batch_dir(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.target_path, f"batch_id={batch_id}")
 
     def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        batch_dir = self._batch_dir(batch_id)
+        if os.path.exists(os.path.join(batch_dir, "_SUCCESS")):
+            self.batches_skipped += 1  # replay of a committed batch
+            return
         self.batches_seen += 1
         (
             batch_df.write.option("maxRecordsPerFile", self.batch_size)
-            .mode("append")
-            .parquet(self.target_path)
+            .mode("overwrite")
+            .parquet(batch_dir)
         )
 
     def writer(self, stream_df: DataFrame) -> DataStreamWriter:

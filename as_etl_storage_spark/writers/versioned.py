@@ -62,12 +62,39 @@ class VersionedTable:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
             return json.load(fh)
 
-    def _commit(self, files: list[str], op: str, base_version: int | None) -> int:
-        """Atomic commit via O_EXCL manifest create; retries on version
-        collision (optimistic concurrency)."""
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        base_version: int | None,
+        new_files: list[str] | None = None,
+    ) -> int:
+        """Atomic commit via O_EXCL manifest create with Delta-style
+        conflict resolution on version collision: an *append* re-reads the
+        log and rebases (latest manifest's files ∪ this commit's
+        ``new_files``) so a concurrent winner's files are never dropped; a
+        *replace* (merge) fails — its kept/updated row split was computed
+        against a now-stale snapshot and must be re-run; an *overwrite* is
+        whole-table last-writer-wins and retries as-is."""
         os.makedirs(self.log_dir, exist_ok=True)
-        version = (self.latest_version() + 1) if self._versions() else 0
         for _ in range(50):
+            latest = self.latest_version()
+            if latest != base_version:
+                # someone committed after this writer snapshotted its base
+                if op == "append":
+                    prior = (
+                        self._manifest(latest)["files"] if latest is not None else []
+                    )
+                    files = prior + list(new_files or [])
+                elif op == "replace":
+                    raise VersionedTableError(
+                        f"concurrent commit advanced the log to {latest} past "
+                        f"base {base_version}; replace was merged against a "
+                        "stale snapshot — re-run the merge"
+                    )
+                # overwrite: whole-table last-writer-wins; keep files as-is
+                base_version = latest
+            version = (latest + 1) if latest is not None else 0
             manifest = {
                 "version": version,
                 "op": op,
@@ -78,8 +105,7 @@ class VersionedTable:
             try:
                 fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                version += 1  # lost the race; retry on next version
-                continue
+                continue  # lost the O_EXCL race; loop re-reads the log
             with os.fdopen(fd, "w") as fh:
                 json.dump(manifest, fh)
             return version
@@ -107,7 +133,7 @@ class VersionedTable:
         base = self.latest_version()
         new_files = self._write_data_files(df)
         prior = self._manifest(base)["files"] if base is not None else []
-        return self._commit(prior + new_files, "append", base)
+        return self._commit(prior + new_files, "append", base, new_files=new_files)
 
     def overwrite(self, df: DataFrame) -> int:
         base = self.latest_version()

@@ -140,6 +140,23 @@ class ParquetWriter:
         incoming = df.schema
         t_names = [f.name for f in target.fields]
         i_names = [f.name for f in incoming.fields]
+        # type changes on existing columns are never allowed — appending a
+        # retyped column writes mixed-schema files that break later reads.
+        # (csv/json/xml re-infer types on read, so a type comparison there
+        # would flag benign re-inference, not a real change — name-only.)
+        if self.fmt in ("parquet", "orc"):
+            t_types = {f.name: f.dataType.simpleString() for f in target.fields}
+            i_types = {f.name: f.dataType.simpleString() for f in incoming.fields}
+            changed = {
+                n: (t_types[n], i_types[n])
+                for n in t_types.keys() & i_types.keys()
+                if t_types[n] != i_types[n]
+            }
+            if changed:
+                raise WriterError(
+                    f"schema mismatch writing {path}: column type changes "
+                    f"{changed} (evolveSchema only permits *additive* columns)"
+                )
         if sorted(t_names) == sorted(i_names):
             return
         if self.spec.evolve_schema and set(t_names) <= set(i_names):
@@ -289,9 +306,13 @@ class ParquetWriter:
                 lambda: self._overwrite(clean, path), "overwrite"
             )
         elif mode == "replace":
-            written = self._merge_replace(clean, path)
+            written = self._with_retry(
+                lambda: self._merge_replace(clean, path), "replace"
+            )
         elif mode == "ignore":
-            written = self._insert_ignore(clean, path)
+            written = self._with_retry(
+                lambda: self._insert_ignore(clean, path), "ignore"
+            )
         else:  # pragma: no cover - spec.validate guards
             raise WriterError(f"unknown writeMode {mode!r}")
 

@@ -248,6 +248,24 @@ class TestWriter:
         with pytest.raises(WriterError, match="schema mismatch"):
             run_job(spark, job2)
 
+    def test_schema_type_change_rejected(self, spark, tmp_path):
+        """Same column names but a retyped column must fail even under
+        evolveSchema — appending it would produce mixed-schema parquet
+        files that break later reads."""
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        run_job(spark, self._job(tmp_path))
+        for evolve in (False, True):
+            job = self._job(tmp_path, evolveSchema=evolve)
+            job["reader"]["querySql"] = [
+                "SELECT * EXCEPT (o_orderkey), "
+                "CAST(o_orderkey AS STRING) AS o_orderkey FROM orders"
+            ]
+            del job["reader"]["column"]
+            del job["reader"]["connection"]["table"]
+            with pytest.raises(WriterError, match="type change"):
+                run_job(spark, job)
+
 
 class TestFileFormatWriters:
     def _job(self, tmp, dialect, mode="insert", **writer_over):

@@ -86,6 +86,62 @@ class TestStringConvertor:
         # radix-128 encoding is order-isomorphic for equal-length strings
         assert (a < b) == (self.conv.to_int(a) < self.conv.to_int(b))
 
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), min_size=1, max_size=5),
+        st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=127), min_size=1, max_size=5),
+    )
+    @settings(max_examples=300)
+    def test_fitted_order_preserved_mixed_length(self, a, b):
+        # after fit(), encoding is order-isomorphic even across lengths
+        conv = StringConvertor()
+        conv.fit(min(a, b, key=len), max(a, b, key=len))
+        assert (a < b) == (conv.to_int(a) < conv.to_int(b))
+
+    def test_fitted_rejects_nul(self):
+        conv = StringConvertor(width=3)
+        with pytest.raises(SplitError):
+            conv.to_int("a\x00b")
+
+
+class TestMixedLengthStringSplit:
+    """Regression for the reference's radix-order flaw: mixed-length key
+    domains must still yield non-overlapping, gap-free lexicographic
+    ranges (the naive variable-length encoding makes 'b' < 'aa'
+    numerically while 'aa' < 'b' lexicographically)."""
+
+    @staticmethod
+    def _matches(key, ranges):
+        return sum(
+            (key >= lo) and (key <= hi if closed else key < hi)
+            for lo, hi, closed in ranges
+        )
+
+    def test_advisor_repro(self):
+        ranges = split_ranges("a", "yz", 600, StringConvertor())
+        assert ranges[0][0] == "a" and ranges[-1][1] == "yz"
+        for key in ("q5", "b", "aa", "a", "yz", "m", "mmmm"):
+            assert self._matches(key, ranges) == 1, key
+
+    @given(
+        st.lists(
+            st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=6),
+            min_size=2,
+            max_size=30,
+            unique=True,
+        ),
+        st.integers(min_value=2, max_value=12),
+    )
+    @settings(max_examples=150)
+    def test_every_key_in_exactly_one_range(self, keys, num):
+        lo, hi = min(keys), max(keys)
+        ranges = split_ranges(lo, hi, num, StringConvertor())
+        # boundaries lex-sorted, contiguous, anchored at the domain bounds
+        assert ranges[0][0] == lo and ranges[-1][1] == hi
+        for (a, b, _), (c, d, _) in zip(ranges, ranges[1:]):
+            assert a <= b and b == c
+        for key in keys:
+            assert self._matches(key, ranges) == 1, key
+
 
 class TestTimeConvertor:
     def test_day_accuracy(self):

@@ -41,6 +41,22 @@ def test_micro_batch_writer_drains_all(spark, tmp_path, events_input_dir):
     assert writer.batches_seen >= 1
 
 
+def test_micro_batch_replay_is_idempotent(spark, tmp_path, events_input_dir):
+    """A batch re-delivered after a failure between the data write and the
+    checkpoint commit must not double-append (exactly-once on batch_id)."""
+    stream = file_stream(spark, events_input_dir)
+    target = str(tmp_path / "out.parquet")
+    writer = MicroBatchWriter(target, batch_size=1000)
+    writer.run_available_now(stream)
+    n = spark.read.parquet(target).count()
+    # simulate the restart replaying every committed batch
+    batch = load_table(spark, SF, "events")
+    for bid in range(writer.batches_seen):
+        writer._write_batch(batch, bid)
+    assert writer.batches_skipped == writer.batches_seen
+    assert spark.read.parquet(target).count() == n
+
+
 def test_streaming_tumbling_matches_batch(spark, tmp_path, events_input_dir):
     stream = file_stream(spark, events_input_dir)
     agg = tumbling_counts(stream)

@@ -34,6 +34,38 @@ def test_snapshot_isolation(spark, table):
     assert table.read().count() == 20  # new read sees v1
 
 
+def test_concurrent_append_rebases_not_lost(spark, table):
+    """A version collision must rebase on the winner's manifest — the
+    concurrent append's files stay referenced (no lost update)."""
+    orders = load_table(spark, SF, "orders")
+    table.overwrite(orders.limit(10))
+    # committer A snapshots state, writes its data files, then stalls
+    base = table.latest_version()
+    new_a = table._write_data_files(orders.limit(5))
+    prior = table._manifest(base)["files"]
+    # committer B wins the race with its own append
+    table.append(orders.limit(7))
+    # A now commits with its stale prior — must rebase, not clobber B
+    v = table._commit(prior + new_a, "append", base, new_files=new_a)
+    assert v == 2
+    files = set(table._manifest(v)["files"])
+    assert set(new_a) <= files
+    assert set(table._manifest(1)["files"]) <= files  # B's files survive
+    assert table.read().count() == 10 + 7 + 5
+
+
+def test_concurrent_replace_fails_stale(spark, table):
+    """replace merged against a stale snapshot must error, not silently
+    drop the concurrent commit."""
+    orders = load_table(spark, SF, "orders")
+    table.overwrite(orders.limit(10))
+    base = table.latest_version()
+    files = table._write_data_files(orders.limit(10))
+    table.append(orders.limit(3))  # concurrent winner
+    with pytest.raises(VersionedTableError, match="stale"):
+        table._commit(files, "replace", base)
+
+
 def test_overwrite_resets(spark, table):
     orders = load_table(spark, SF, "orders")
     table.overwrite(orders.limit(100))
