@@ -145,6 +145,34 @@ def banded_signatures(shingles: DataFrame) -> DataFrame:
     return agg.select("doc", F.expr(f"stack({N_BANDS}, {stack}) AS (band, sig)"))
 
 
+def oph_banded_signatures(shingles: DataFrame) -> DataFrame:
+    """(doc, band, sig) via one-permutation hashing (OPH): ONE hash pass
+    bins each shingle into 128 buckets and keeps the min value per bucket;
+    8 consecutive buckets fold into a band signature. Per input row this
+    costs 2 hashes + 1 mod versus the classic family's 128 multiply-mod
+    min-updates — the cheap path for the 100 TB corpus.
+
+    Band equality uses an order-independent fold (sum of hash(bin, min)),
+    so a band matches iff all 8 (bin, min) slots match; empty bins simply
+    don't contribute — two docs lacking the same bin still compare
+    correctly. OPH's single permutation yields more false candidates than
+    128 independent permutations (a globally-minimal shingle value pins
+    its bin for every doc containing it), which exact-jaccard
+    verification removes; false-negative odds at near-dup similarity are
+    the same ~j^8-per-band as the classic scheme."""
+    hashed = shingles.select(
+        "doc",
+        F.expr(f"pmod(xxhash64(shingle), {N_HASHES}L) AS bin"),
+        F.expr(f"pmod(xxhash64(shingle, 1), {_P}L) AS v"),
+    )
+    mins = hashed.groupBy("doc", "bin").agg(F.min("v").alias("mv"))
+    return (
+        mins.groupBy("doc", F.expr(f"bin DIV {ROWS_PER_BAND}").alias("band"))
+        .agg(F.expr("sum(hash(bin, mv)) AS sig"))
+        .select("doc", "band", "sig")
+    )
+
+
 def lsh_candidates(signatures_or_shingles: DataFrame) -> DataFrame:
     """Banded LSH: docs sharing any band signature become candidate pairs.
     Join key is (band, sig) — never an all-pairs product.
@@ -229,7 +257,7 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("doc_id_src"), F.col(text_col).alias("text_src")
     ).repartition(n_parts)
     sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
-    cands = lsh_candidates(sh_raw).persist()
+    cands = lsh_candidates(oph_banded_signatures(sh_raw)).persist()
     cand_docs = (
         cands.select(F.col("doc_i").alias("doc"))
         .union(cands.select(F.col("doc_j").alias("doc")))
@@ -360,6 +388,44 @@ def substring_dup_pairs(
         .groupBy(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, p: int = 4, q: int = 5
+) -> DataFrame:
+    """Asymmetric containment dedup: pairs (i, j) where containment
+    |shingles(i) ∩ shingles(j)| / |shingles(i)| >= p/q — catches documents
+    *quoted inside* larger ones, which symmetric jaccard misses (a 1 KB doc
+    pasted into a 100 KB doc has jaccard ~0.01 but containment ~1.0).
+
+    Character-n-gram inverted index, integer cross-multiplication
+    threshold; both directions of a pair are evaluated independently.
+    At corpus scale, gate with minhash-LSH candidates first (same recipe
+    as minhash_dedup_pairs) — the verification join shown here is the
+    exact kernel either way."""
+    sh = shingle_table(df, id_col, text_col, n, distinct=True)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ni = sizes.select(F.col("doc").alias("doc_i"), F.col("n_sh").alias("n_i"))
+    return (
+        inter.join(ni, "doc_i")
+        .where(ratio_at_least(F.col("inter"), F.col("n_i"), p, q))
+        .select(
+            "doc_i",
+            "doc_j",
+            F.round(F.col("inter") / F.col("n_i"), 4).alias("containment"),
+        )
     )
 
 

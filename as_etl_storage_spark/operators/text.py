@@ -229,6 +229,73 @@ def top_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def rarity_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unigram-LM quality proxy: mean inverse corpus frequency of a
+    document's tokens. High scores mean rare/unusual vocabulary (gibberish,
+    OCR noise); low scores mean stock phrasing — the cheap stand-in for a
+    perplexity filter in a training-data pipeline.
+
+    All arithmetic is integer until one final division (total_tokens DIV
+    corpus_count summed per doc, then / n_tokens) so results hash-match
+    across engines — no float log anywhere.
+
+    Scale: the corpus frequency table is vocabulary-sized (≪ corpus), so
+    the join back to the token stream broadcasts; one groupBy on token,
+    one on doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).where(F.col("t") != "")
+    freq = toks.groupBy("t").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    scored = toks.join(F.broadcast(freq), "t").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.expr("n_total DIV c")).alias("rarity_sum"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_tokens",
+            F.round(F.col("rarity_sum") / F.col("n_tokens"), 4).alias("rarity"),
+        )
+    )
+
+
+def boilerplate_phrases(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 6,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Template/boilerplate detection: word n-grams occurring in >=
+    ``min_docs`` distinct documents of the same source (site headers,
+    navigation text, license blurbs — the C4-style repeated-line filter
+    generalized to sources without line structure).
+
+    Plan: distinct (source, doc, gram) via explode, then one groupBy on
+    (source, gram) counting distinct docs. Shuffle volume is the distinct
+    gram set, and the output is only the repeated tail — at corpus scale
+    hash the gram to 64 bits to shrink the shuffle payload."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+'))-{n - 1}, 1)), "
+        f"i -> array_join(slice(split(lower({text_col}), '\\\\s+'), i, {n}), ' '))"
+    )
+    gr = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc"),
+        F.explode(grams).alias("gram"),
+    ).distinct()
+    return (
+        gr.groupBy("source", "gram")
+        .agg(F.countDistinct("doc").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------- UDTF ----
 def make_chunker(chunk_size: int = 32, use_arrow: bool = True):
     """Python UDTF that splits a document into fixed-size token windows —

@@ -561,3 +561,80 @@ _register(
     WHERE inter * 5 >= (x.n + y.n - inter) * 4
     """,
 )
+
+
+# --------------------------------------- unigram-LM rarity (quality) ------
+def _text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.rarity_score(docs, "doc_id", "text")
+
+
+_register(
+    "text_rarity",
+    _text_rarity,
+    """
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+                 FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE t <> ''),
+    freq AS (SELECT t, count(*) AS c FROM tok2 GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM freq)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(sum(n_total // c) AS BIGINT) / count(*), 4) AS rarity
+    FROM tok2 JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+
+
+# --------------------------------- boilerplate phrase detection -----------
+def _text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_phrases(
+        docs, "doc_id", "text", "source", n=6, min_docs=2
+    )
+
+
+_register(
+    "text_boilerplate",
+    _text_boilerplate,
+    """
+    WITH tk AS (SELECT source, doc_id,
+                       regexp_split_to_array(lower(text), '\\s+') AS toks
+                FROM documents),
+    pos AS (SELECT source, doc_id, toks,
+                   unnest(range(1, greatest(len(toks)-4, 2))) AS g
+            FROM tk),
+    gr AS (SELECT DISTINCT source, doc_id,
+                  array_to_string(toks[g:g+5], ' ') AS gram
+           FROM pos)
+    SELECT source, gram, count(DISTINCT doc_id) AS n_docs
+    FROM gr GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+
+
+# --------------------------------------- asymmetric containment dedup -----
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=8, p=4, q=5)
+
+
+_register(
+    "dedup_containment",
+    _dedup_containment,
+    """
+    WITH pos AS (SELECT doc_id, text,
+                        unnest(range(1, greatest(length(text)-6, 2))) AS g
+                 FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 8) AS s FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+    SELECT i AS doc_i, j AS doc_j,
+           round(inter::DOUBLE / x.n, 4) AS containment
+    FROM pair JOIN sz x ON x.doc_id = i
+    WHERE inter * 5 >= x.n * 4
+    """,
+)

@@ -69,17 +69,28 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # best-of-2 per query: the box is shared, so a single pass can catch a
+    # transient load spike and misreport a query by 2-4x; the min of two
+    # runs is a far better estimate of steady-state cost
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # noop sink forces full evaluation of every column (count() alone
-        # lets Catalyst prune the projection)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(max(1, n_runs)):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # noop sink forces full evaluation of every column (count()
+            # alone lets Catalyst prune the projection)
+            df.write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+            # drop anything an operator persisted (e.g. LSH candidate
+            # tables) so later queries measure their own cost, not this
+            # query's leftover heap pressure
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -53,6 +53,39 @@ class TestNullAndEmptyText:
         got = {(r["doc_i"], r["doc_j"]) for r in pairs.collect()}
         assert (1, 5) in got          # identical docs: hamming 0
 
+    def test_containment_is_asymmetric(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "abcdefghijklmnop"),                      # 16 chars
+                (2, "abcdefghijklmnop" + "qrstuvwxyz" * 10),  # contains doc 1
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_i"], r["doc_j"]): r["containment"]
+            for r in dedup.containment_pairs(
+                docs, "doc_id", "text", n=8, p=4, q=5
+            ).collect()
+        }
+        assert (1, 2) in out and out[(1, 2)] == 1.0  # doc 1 fully contained
+        assert (2, 1) not in out  # big doc is NOT contained in the small one
+
+    def test_containment_survives_nulls(self, spark, weird_docs):
+        pairs = dedup.containment_pairs(weird_docs, "doc_id", "text").collect()
+        found = {(r["doc_i"], r["doc_j"]) for r in pairs}
+        assert (1, 5) in found and (5, 1) in found  # exact dups both ways
+        assert all(2 not in p for p in found)
+
+    def test_rarity_and_boilerplate_handle_nulls(self, spark, weird_docs):
+        rows = text.rarity_score(weird_docs, "doc_id", "text").collect()
+        assert {r["doc_id"] for r in rows} == {1, 4, 5}  # null/empty: no tokens
+        docs = weird_docs.withColumn("source", F.lit("s"))
+        bp = text.boilerplate_phrases(
+            docs, "doc_id", "text", "source", n=3, min_docs=2
+        ).collect()
+        assert all(r["n_docs"] >= 2 for r in bp)
+        assert any("normal document with" == r["gram"] for r in bp)  # 1 & 5
+
     def test_text_ops_handle_nulls(self, spark, weird_docs):
         # none of the text operators may throw on null/empty text
         for fn in (text.token_counts, text.fingerprint, text.lang_id, text.pii_flags):
