@@ -1,5 +1,8 @@
 """Iterative ML building block: deterministic Lloyd k-means over an
-embedding column, fully declarative (no driver-side data round-trips).
+embedding column. The corpus never leaves the executors; the only driver
+round-trip per iteration is the k x dim centroid table (a bounded value,
+like split boundaries), which breaks the geometric lineage growth that a
+fully-declarative loop would suffer.
 
 The reference has no iterative/ML surface at all (SURVEY.md §2 — it is a
 storage/transport layer); this is a north-star extension showing the Spark
@@ -42,20 +45,24 @@ def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest centroid per point: broadcast the k-row centroid table,
-    squared-L2 argmin with cid tie-break. Adds a ``dist`` column."""
+    squared-L2 argmin with cid tie-break. Adds a ``dist`` column.
+
+    The argmin is min(struct(dist, cid, v)) under a hash aggregation —
+    map-side partial aggregation collapses the k scored rows per point
+    before any shuffle, where a row_number window would sort-shuffle all
+    N*k rows. (dist, cid) is unique per group, so the array field never
+    participates in the comparison."""
     d2 = (
         _dot(F.col("v"), F.col("v"))
         - 2 * _dot(F.col("v"), F.col("cv"))
         + _dot(F.col("cv"), F.col("cv"))
     )
     scored = corpus.join(F.broadcast(centroids)).select(
-        "vid", "v", "cid", d2.alias("dist")
+        "vid", F.struct(d2.alias("dist"), "cid", "v").alias("s")
     )
-    w = Window.partitionBy("vid").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") == 1)
-        .drop("rnk")
+    return scored.groupBy("vid").agg(F.min("s").alias("s")).select(
+        "vid", F.col("s.v").alias("v"), F.col("s.cid").alias("cid"),
+        F.col("s.dist").alias("dist"),
     )
 
 
@@ -95,23 +102,53 @@ def _objective(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _materialize(centroids: DataFrame) -> DataFrame:
+    """Pin the k x dim centroid table as literal rows. Without this each
+    Lloyd iteration's centroid plan embeds the whole previous iteration's
+    lineage, so iteration i recomputes iterations 1..i-1 — plans (and
+    runtimes) grow geometrically. k*dim doubles are a bounded driver
+    value, the same class as split boundaries; the values re-broadcast
+    are bit-identical, so results are unchanged."""
+    spark = centroids.sparkSession
+    rows = centroids.collect()
+    return spark.createDataFrame(rows, "cid long, cv array<double>")
+
+
+#: pin centroids as literals every N iterations: short runs stay one fused
+#: Catalyst job (no per-iteration job-launch overhead), long runs never
+#: grow geometric lineage (iteration i otherwise recomputes 1..i-1)
+MATERIALIZE_EVERY = 4
+
+
 def kmeans_assign(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    materialize_every: int = MATERIALIZE_EVERY,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; return (vid, cid) assignments."""
     corpus = _prepared(df, id_col, vec_col)
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
-    for _ in range(iters):
+    for i in range(iters):
         centroids = _update(_assign(corpus, centroids), centroids)
+        if materialize_every and (i + 1) % materialize_every == 0:
+            centroids = _materialize(centroids)
     return _assign(corpus, centroids).select(
         "vid", F.col("cid").alias("cluster_id")
     )
 
 
 def kmeans_validated(
-    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    materialize_every: int = MATERIALIZE_EVERY,
 ) -> DataFrame:
     """Diagnostics row with in-plan validation booleans (the approx-sketch
     testing pattern, see q_approx_bounds): Lloyd's objective is provably
@@ -125,8 +162,10 @@ def kmeans_validated(
     obj0 = _objective(_assign(corpus, centroids)).select(
         F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
     )
-    for _ in range(iters):
+    for i in range(iters):
         centroids = _update(_assign(corpus, centroids), centroids)
+        if materialize_every and (i + 1) % materialize_every == 0:
+            centroids = _materialize(centroids)
     objN = _objective(_assign(corpus, centroids))
     return objN.crossJoin(obj0).select(
         F.col("n_assigned").alias("n_points"),

@@ -459,7 +459,7 @@ ORACLES["q_recursive_tree_depth"] = _REC_DUCK
 # carries ints only, the 300-char payloads are joined back just for the
 # survivors before the O(n*m) DP runs. (Naive single-join forms measured
 # 51s — levenshtein folded into the join condition — vs ~4s staged.)
-_EDIT_SQL = """
+_EDIT_BODY = """
     WITH d AS (SELECT doc_id, substring(lower(text), 1, 8) AS pfx,
                       length(text) AS len
                FROM documents),
@@ -472,11 +472,23 @@ _EDIT_SQL = """
     FROM cand
     JOIN documents x ON x.doc_id = doc_i
     JOIN documents y ON y.doc_id = doc_j
-    WHERE levenshtein(x.text, y.text) * 10
-          <= greatest(length(x.text), length(y.text))
+    WHERE {pred}
 """
-QUERIES["dedup_edit_distance"] = sql_query(("documents",), _EDIT_SQL)
-ORACLES["dedup_edit_distance"] = _EDIT_SQL
+# Spark: banded early-exit DP — levenshtein(x, y, k) stops once distance
+# must exceed k and returns -1, turning O(n*m) into O(k*n) per pair; the
+# bound k = g DIV 10 is exactly the accept threshold (lev*10 <= g for
+# integer lev <=> lev <= g DIV 10). DuckDB has no threshold arg, so the
+# oracle keeps the plain predicate — same accepted set.
+_EDIT_SPARK = _EDIT_BODY.format(
+    pred="levenshtein(x.text, y.text, "
+    "greatest(length(x.text), length(y.text)) DIV 10) >= 0"
+)
+_EDIT_DUCK = _EDIT_BODY.format(
+    pred="levenshtein(x.text, y.text) * 10"
+    " <= greatest(length(x.text), length(y.text))"
+)
+QUERIES["dedup_edit_distance"] = sql_query(("documents",), _EDIT_SPARK)
+ORACLES["dedup_edit_distance"] = _EDIT_DUCK
 
 
 # ------------------------------------------------- z-order roundtrip ------
