@@ -918,3 +918,67 @@ _register(
      AND v.ts >= c.ts - INTERVAL '30 minutes'
     """,
 )
+
+
+# ------------------------------------------------- integer PageRank -------
+# Iterative graph processing on the supplier -> part bipartite graph from
+# lineitem. All arithmetic is INTEGER (ranks scaled by 1e6, damping 85/100
+# via integer division), so two engines and any partitioning produce
+# identical ranks — the same determinism trick as the split planner.
+# Dangling mass is dropped (documented; ranking order is unaffected for
+# this graph family). Per iteration: one contribs shuffle (edges group by
+# dst) — the textbook Spark PageRank shape, 2 iterations here.
+_PR_BODY = """
+    WITH e AS (SELECT DISTINCT l_suppkey AS src,
+                      l_partkey + 1000000 AS dst
+               FROM lineitem),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+    s1 AS (SELECT e.dst AS id,
+                  CAST(sum(1000000 {div} d.outdeg) AS BIGINT) AS s
+           FROM e JOIN deg d ON d.src = e.src GROUP BY e.dst),
+    r1 AS (SELECT n.id,
+                  150000 + (85 * COALESCE(s1.s, 0)) {div} 100 AS r
+           FROM nodes n LEFT JOIN s1 ON s1.id = n.id),
+    s2 AS (SELECT e.dst AS id,
+                  CAST(sum(r1.r {div} d.outdeg) AS BIGINT) AS s
+           FROM e JOIN r1 ON r1.id = e.src
+                  JOIN deg d ON d.src = e.src
+           GROUP BY e.dst),
+    r2 AS (SELECT n.id,
+                  150000 + (85 * COALESCE(s2.s, 0)) {div} 100 AS r
+           FROM nodes n LEFT JOIN s2 ON s2.id = n.id)
+    SELECT id, CAST(r AS BIGINT) AS rank_scaled
+    FROM r2
+    ORDER BY rank_scaled DESC, id
+    LIMIT 50
+"""
+QUERIES["q_pagerank"] = sql_query(
+    ("lineitem",), _PR_BODY.format(div="DIV")
+)
+ORACLES["q_pagerank"] = _PR_BODY.format(div="//")
+
+
+# -------------------------------------------- longest active-day streak ---
+# Gaps-and-islands on the activity calendar: consecutive active days group
+# under d - row_number() (a constant within a streak); the longest streak
+# per user is one max over streak sizes. Two shuffles (user_id), both on
+# the pre-shrunk DISTINCT (user, day) relation.
+_STREAK_TMPL = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                  FROM events),
+    g AS (SELECT user_id, d,
+                 {grp} AS grp
+          FROM (SELECT user_id, d,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY d) AS rn
+                FROM days) t),
+    streaks AS (SELECT user_id, grp, count(*) AS len
+                FROM g GROUP BY user_id, grp)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+    FROM streaks GROUP BY user_id
+"""
+QUERIES["q_streak_longest"] = sql_query(
+    ("events",), _STREAK_TMPL.format(grp="date_sub(d, CAST(rn AS INT))")
+)
+ORACLES["q_streak_longest"] = _STREAK_TMPL.format(grp="d - CAST(rn AS INT)")

@@ -237,6 +237,48 @@ def w2_replace_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select("o_orderkey", "o_orderstatus")
 
 
+# --- W4 format axis: csv/json sink + source roundtrip ----------------------
+# The reference writes to whatever dialect the job names (format is a
+# config axis, database/db.go:380-396); here the same mode surface drives
+# csv/json sinks. The roundtrip is aggregated on type-stable columns
+# (csv re-infers types on read — the documented fidelity caveat).
+def _format_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from as_etl_storage_spark.writers.writer import FileFormatWriter
+
+    out = _scratch_dir()
+    spec = WriterSpec.from_json(
+        {"connection": {"url": out, "table": {"name": f"rt_{fmt}"}},
+         "writeMode": "insert"}
+    )
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    writer = FileFormatWriter(spark, spec, fmt)
+    writer.write(src)
+    back = writer._read_target(writer.target_path())
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    )
+
+
+def w_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "csv")
+
+
+def w_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "json")
+
+
+_FORMAT_RT_ORACLE = (
+    "SELECT o_orderstatus, count(*) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, "
+    "count(DISTINCT o_custkey) AS n_cust "
+    "FROM orders GROUP BY o_orderstatus"
+)
+
+
 # --- W8: row-level quarantine (dead-letter upgrade of one-by-one retry) ----
 def w8_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _scratch_dir()
@@ -270,6 +312,8 @@ QUERIES = {
     "w1_insert_append": w1_insert_append,
     "w2_replace_merge": w2_replace_merge,
     "w8_quarantine": w8_quarantine,
+    "w_csv_roundtrip": w_csv_roundtrip,
+    "w_json_roundtrip": w_json_roundtrip,
 }
 
 ORACLES = {
@@ -336,4 +380,6 @@ ORACLES = {
         "SELECT o_orderkey, o_totalprice FROM orders "
         "WHERE o_totalprice BETWEEN 1000 AND 400000"
     ),
+    "w_csv_roundtrip": _FORMAT_RT_ORACLE,
+    "w_json_roundtrip": _FORMAT_RT_ORACLE,
 }
