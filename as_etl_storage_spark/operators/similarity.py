@@ -302,3 +302,121 @@ def cosine_topk_vectorized(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------- PQ ------
+def _block_sqdist(a: str, b: str, lo: int, width: int) -> str:
+    """SQL for squared L2 between slices [lo, lo+width) of two arrays,
+    written in dot-product form (dot(a,a) - 2dot(a,b) + dot(b,b)) with
+    sequential folds — the exact expression DuckDB's list_dot_product
+    evaluates, so distances are bit-identical across engines."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with(slice({x},{lo},{width}), "
+            f"slice({y},{lo},{width}), (x, y) -> x * y), 0D, "
+            f"(acc, z) -> acc + z)"
+        )
+
+    return f"({dot(a, a)} - 2 * {dot(a, b)} + {dot(b, b)})"
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization encoder: each vector splits into ``m``
+    sub-blocks; per block the code is the nearest (squared-L2) of
+    ``n_codes`` codebook entries. Codebooks are the sub-blocks of the
+    ``n_codes`` smallest-id vectors — deterministic seeding, same stance
+    as ivf_assign (production swaps in trained codebooks; the plan is
+    identical). Output: (vid, code0..code{m-1}) — m uint8-range ints
+    replace dim doubles, a 64x compression at dim=64/m=4.
+
+    Plan: ONE broadcast join corpus x codebook, all m block distances in
+    one projection, all m argmins in one hash aggregation (min over
+    (dist, cid) structs — map-side combine, no sort)."""
+    width = dim // m
+    corpus = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cb = corpus.where(F.col("vid") < n_codes).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    block_exprs = [
+        f"{_block_sqdist('v', 'cv', j * width + 1, width)} AS d{j}"
+        for j in range(m)
+    ]
+    scored = corpus.join(F.broadcast(cb)).selectExpr("vid", "cid", *block_exprs)
+    aggs = [
+        F.min(
+            F.struct(F.col(f"d{j}").alias("d"), F.col("cid").alias("cid"))
+        ).alias(f"s{j}")
+        for j in range(m)
+    ]
+    enc = scored.groupBy("vid").agg(*aggs)
+    return enc.select(
+        "vid", *[F.col(f"s{j}.cid").alias(f"code{j}") for j in range(m)]
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ search: queries keep exact vectors,
+    the corpus is its PQ codes; approx distance = sum over blocks of the
+    query-to-codebook lookup-table entry for the block's code. The m
+    lookup joins are broadcasts of a (queries x codes x blocks) table —
+    the corpus is scanned once as codes, never as vectors. The final sum
+    adds the m doubles in a FIXED left-to-right order (no float
+    aggregation), so ranking is deterministic cross-engine.
+
+    At 100 TB this is the memory story for ANN: the scan side holds
+    m bytes per vector instead of 8*dim, and the exact-vector re-rank of
+    the top candidates (not shown) touches only k*|queries| rows."""
+    width = dim // m
+    corpus = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cb = corpus.where(F.col("vid") < n_codes).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = corpus.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+    lut_exprs = [
+        f"{_block_sqdist('qv', 'cv', j * width + 1, width)} AS ld{j}"
+        for j in range(m)
+    ]
+    lut = queries.join(F.broadcast(cb)).selectExpr("qid", "cid", *lut_exprs)
+    codes = pq_encode(df, id_col, vec_col, dim, m, n_codes)
+    scored = codes.crossJoin(F.broadcast(queries.select("qid")))
+    for j in range(m):
+        lj = lut.select(
+            "qid", F.col("cid").alias(f"code{j}"), F.col(f"ld{j}")
+        )
+        scored = scored.join(F.broadcast(lj), ["qid", f"code{j}"])
+    adist = F.expr(" + ".join(f"ld{j}" for j in range(m)))
+    ranked = scored.where(F.col("vid") != F.col("qid")).select(
+        "qid", "vid", adist.alias("ad")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("ad").asc(), F.col("vid"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+        )
+    )

@@ -982,3 +982,23 @@ QUERIES["q_streak_longest"] = sql_query(
     ("events",), _STREAK_TMPL.format(grp="date_sub(d, CAST(rn AS INT))")
 )
 ORACLES["q_streak_longest"] = _STREAK_TMPL.format(grp="d - CAST(rn AS INT)")
+
+
+# ---------------------------------------------------- triangle counting ---
+# Graph-metric staple over the co-purchase graph (parts sharing an order).
+# Edges are oriented u < v once, so each triangle is counted exactly once
+# by the wedge-close join e(u,v) ⋈ e(v,w) ⋈ e(u,w). Two shuffles on vertex
+# keys; at scale, pre-bucket edges by u and degree-order vertices first
+# (highest-degree last) to bound wedge fan-out per task.
+_TRIANGLE_SQL = """
+    WITH e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey)
+    SELECT (SELECT count(*) FROM e0) AS n_edges,
+           (SELECT count(*) FROM e0 x JOIN e0 y ON y.u = x.v
+                             JOIN e0 z ON z.u = x.u AND z.v = y.v)
+             AS n_triangles
+"""
+QUERIES["q_triangle_count"] = sql_query(("lineitem",), _TRIANGLE_SQL)
+ORACLES["q_triangle_count"] = _TRIANGLE_SQL

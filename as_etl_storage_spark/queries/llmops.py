@@ -638,3 +638,58 @@ _register(
     WHERE inter * 5 >= x.n * 4
     """,
 )
+
+
+# ------------------------------------------ product-quantized ANN ---------
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, "vec_id", "embedding", dim=64, k=10, m=4, n_codes=16, n_queries=5
+    )
+
+
+_register(
+    "ann_pq_topk",
+    _ann_pq,
+    """
+    WITH e AS (SELECT vec_id AS vid,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    cb AS (SELECT vid AS cid, v AS cv FROM e WHERE vid < 16),
+    blocks AS (SELECT unnest(range(0, 4)) AS j),
+    bd AS (SELECT e.vid, cb.cid, b.j,
+                  (list_dot_product(e.v[b.j*16+1 : b.j*16+16],
+                                    e.v[b.j*16+1 : b.j*16+16])
+                   - 2 * list_dot_product(e.v[b.j*16+1 : b.j*16+16],
+                                          cb.cv[b.j*16+1 : b.j*16+16])
+                   + list_dot_product(cb.cv[b.j*16+1 : b.j*16+16],
+                                      cb.cv[b.j*16+1 : b.j*16+16])) AS d
+           FROM e CROSS JOIN cb CROSS JOIN blocks b),
+    coded AS (SELECT vid, j, cid AS code,
+                     row_number() OVER (PARTITION BY vid, j
+                                        ORDER BY d, cid) AS rn
+              FROM bd),
+    codes AS (SELECT vid,
+                     max(CASE WHEN j = 0 THEN code END) AS code0,
+                     max(CASE WHEN j = 1 THEN code END) AS code1,
+                     max(CASE WHEN j = 2 THEN code END) AS code2,
+                     max(CASE WHEN j = 3 THEN code END) AS code3
+              FROM coded WHERE rn = 1 GROUP BY vid),
+    lut AS (SELECT vid AS qid, cid, j, d FROM bd WHERE vid < 5),
+    scored AS (
+      SELECT l0.qid, c.vid,
+             ((l0.d + l1.d) + l2.d) + l3.d AS ad
+      FROM codes c
+      JOIN lut l0 ON l0.j = 0 AND l0.cid = c.code0
+      JOIN lut l1 ON l1.j = 1 AND l1.cid = c.code1 AND l1.qid = l0.qid
+      JOIN lut l2 ON l2.j = 2 AND l2.cid = c.code2 AND l2.qid = l0.qid
+      JOIN lut l3 ON l3.j = 3 AND l3.cid = c.code3 AND l3.qid = l0.qid
+      WHERE c.vid != l0.qid),
+    r AS (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY ad, vid) AS rank
+          FROM scored)
+    SELECT qid AS query_id, vid AS neighbor_id, rank
+    FROM r WHERE rank <= 10
+    """,
+)

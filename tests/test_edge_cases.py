@@ -184,3 +184,42 @@ class TestSaltedJoin:
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+class TestProductQuantization:
+    def test_codes_in_range_and_deterministic(self, spark):
+        import random
+
+        random.seed(11)
+        rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        enc = similarity.pq_encode(df, "vec_id", "embedding", dim=8, m=2, n_codes=4)
+        got = {r["vid"]: (r["code0"], r["code1"]) for r in enc.collect()}
+        assert len(got) == 40
+        assert all(0 <= c < 4 for pair in got.values() for c in pair)
+        # codebook vectors encode to themselves (distance 0 to own block)
+        for cid in range(4):
+            assert got[cid] == (cid, cid)
+        again = {
+            r["vid"]: (r["code0"], r["code1"])
+            for r in similarity.pq_encode(
+                df, "vec_id", "embedding", dim=8, m=2, n_codes=4
+            ).collect()
+        }
+        assert again == got
+
+    def test_pq_topk_excludes_self(self, spark):
+        import random
+
+        random.seed(12)
+        rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.pq_topk(
+            df, "vec_id", "embedding", dim=8, k=5, m=2, n_codes=4, n_queries=3
+        ).collect()
+        by_q = {}
+        for r in out:
+            assert r["neighbor_id"] != r["query_id"]
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(by_q) == {0, 1, 2}
+        assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
