@@ -141,18 +141,26 @@ def table_stats(
     ``exact_ndv=True`` switches to exact count(distinct) for oracle-checked
     correctness runs."""
     cols = columns or df.columns
-    ndv = (lambda c: F.count_distinct(F.col(c))) if exact_ndv else (
-        lambda c: F.approx_count_distinct(F.col(c))
-    )
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nonnull"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
-            ndv(c).alias(f"{c}__ndv"),
         ]
+        if not exact_ndv:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ndv"))
     row = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    if exact_ndv:
+        # one 2-phase hash aggregation per column, cross-joined onto the
+        # single stats row — several count(DISTINCT) in ONE aggregate make
+        # Catalyst expand the input x (n_distincts + 1) and fall back to
+        # sort-based aggregation, which is strictly worse than n cheap
+        # pruned-column scans
+        for c in cols:
+            row = row.crossJoin(
+                df.agg(F.count_distinct(F.col(c)).alias(f"{c}__ndv"))
+            )
     stacked = []
     for c in cols:
         stacked.append(

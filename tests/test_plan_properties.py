@@ -97,3 +97,41 @@ def test_global_ntile_no_single_partition_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     assert "Exchange rangepartitioning" in plan
+
+
+def test_pq_luts_broadcast_corpus_not_shuffled_as_vectors(spark):
+    # the ADC lookup joins must broadcast the tiny (queries x codes)
+    # tables; the corpus side appears only as codes, and no SortMergeJoin
+    # materializes the raw vectors against queries
+    plan = plan_of(spark, "ann_pq_topk")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_rarity_frequency_table_broadcast(spark):
+    # the vocabulary-sized frequency table joins back to the token stream
+    # via broadcast — the token stream itself must not hash-exchange for
+    # that join (only for its own groupBys)
+    plan = plan_of(spark, "text_rarity")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_no_per_bit_explode(spark):
+    # the 60 bit-sums aggregate in one pass: exactly one Generate
+    # (the token explode), not a second one for bit positions
+    plan = plan_of(spark, "dedup_simhash")
+    assert plan.count("Generate explode") <= 2  # tokens + block stack
+
+
+def test_edit_distance_blocking_join_is_slim(spark):
+    # candidate generation joins the (id, prefix, len) projection, not the
+    # payload; levenshtein appears with its threshold arg (banded DP)
+    plan = plan_of(spark, "dedup_edit_distance")
+    assert "levenshtein" in plan.lower()
+
+
+def test_streak_reuses_user_partitioning(spark):
+    # row_number window and both aggregates hash-partition on user_id
+    # lineage: only ONE user_id exchange of the distinct-day relation
+    plan = plan_of(spark, "q_streak_longest")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
