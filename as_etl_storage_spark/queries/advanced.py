@@ -670,3 +670,97 @@ _register(
     GROUP BY s_name
     """,
 )
+
+
+# ------------------------------------------------- snapshot reconcile -----
+# Table-diff between two snapshot versions (the validation step after any
+# replace/merge): FULL OUTER join on the key classifies every row as
+# added / removed / changed. One shuffle on the key; at scale both sides
+# prune to key+compare-columns before the join, and a changed-row
+# fingerprint (hash of compare columns) replaces wide comparisons. The
+# "v2" snapshot is derived deterministically in-query so both engines see
+# identical inputs.
+_SNAPSHOT_DIFF_SQL = """
+    WITH v1 AS (SELECT o_orderkey, o_orderstatus FROM orders),
+    v2 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN 'Z'
+                       ELSE o_orderstatus END AS o_orderstatus
+           FROM orders WHERE o_orderkey % 11 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N' FROM orders
+           WHERE o_orderkey % 13 = 0)
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+           CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                WHEN v2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           v1.o_orderstatus AS old_status,
+           v2.o_orderstatus AS new_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.o_orderstatus <> v2.o_orderstatus
+"""
+QUERIES["q_snapshot_diff"] = sql_query(("orders",), _SNAPSHOT_DIFF_SQL)
+ORACLES["q_snapshot_diff"] = _SNAPSHOT_DIFF_SQL
+
+
+# --------------------------------------- linear-interpolation gap fill ----
+# Time-series repair: missing (day, type) points on the calendar spine are
+# filled by linear interpolation between the nearest present neighbors
+# (leading/trailing gaps take the nearest single value). The interpolation
+# is one closed-form expression over integer day offsets and two anchor
+# values — identical arithmetic in both engines, so doubles hash-match.
+# One shuffle on event_type for all four IGNORE-NULLS windows.
+_INTERP_TMPL = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (SELECT CAST(ts AS DATE) AS d, event_type,
+                      count(*) AS n
+               FROM events WHERE user_id % 97 = 0
+               GROUP BY 1, 2),
+    spine AS (SELECT days.d, types.event_type, actual.n
+              FROM days CROSS JOIN types
+              LEFT JOIN actual ON actual.d = days.d
+                              AND actual.event_type = types.event_type),
+    anch AS (SELECT d, event_type, n,
+                    {lastv} OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS pv,
+                    {lastd} OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS pd,
+                    {firstv} OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nv,
+                    {firstd} OVER (PARTITION BY event_type ORDER BY d
+                                   ROWS BETWEEN CURRENT ROW
+                                   AND UNBOUNDED FOLLOWING) AS nd
+             FROM spine)
+    SELECT d, event_type,
+           round(CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                      WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                      WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                      ELSE pv + (nv - pv) * ({off_pd} * 1.0 / {nd_pd})
+                 END, 4) AS n_filled,
+           (n IS NULL) AS interpolated
+    FROM anch
+"""
+_D_EXPR = "CASE WHEN n IS NOT NULL THEN d END"
+QUERIES["q_interpolate_gaps"] = sql_query(
+    ("events",),
+    _INTERP_TMPL.format(
+        lastv="last_value(n) IGNORE NULLS",
+        lastd=f"last_value({_D_EXPR}) IGNORE NULLS",
+        firstv="first_value(n) IGNORE NULLS",
+        firstd=f"first_value({_D_EXPR}) IGNORE NULLS",
+        off_pd="datediff(d, pd)",
+        nd_pd="datediff(nd, pd)",
+    ),
+)
+ORACLES["q_interpolate_gaps"] = _INTERP_TMPL.format(
+    lastv="last_value(n IGNORE NULLS)",
+    lastd=f"last_value({_D_EXPR} IGNORE NULLS)",
+    firstv="first_value(n IGNORE NULLS)",
+    firstd=f"first_value({_D_EXPR} IGNORE NULLS)",
+    off_pd="date_diff('day', pd, d)",
+    nd_pd="date_diff('day', pd, nd)",
+)
