@@ -764,3 +764,26 @@ ORACLES["q_interpolate_gaps"] = _INTERP_TMPL.format(
     off_pd="date_diff('day', pd, d)",
     nd_pd="date_diff('day', pd, nd)",
 )
+
+
+# --------------------------------------------------- null-safe join -------
+# NULL-keyed joins: the equality operator drops NULL keys, the null-safe
+# operator (Spark <=>, ANSI IS NOT DISTINCT FROM) groups them — the
+# difference matters for dedup/reconciliation over nullable business keys.
+# Both engines plan it as a plain hash join (NULL hashes like any value).
+_NULLSAFE_TMPL = """
+    WITH k AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                           ELSE o_orderpriority END AS pk
+               FROM orders WHERE o_orderkey <= 3000)
+    SELECT COALESCE(CAST(a.pk AS {str_t}), '<null>') AS pk,
+           count(*) AS n_pairs
+    FROM k a JOIN k b ON {eq} AND a.o_orderkey < b.o_orderkey
+    GROUP BY 1
+"""
+QUERIES["q_null_safe_join"] = sql_query(
+    ("orders",), _NULLSAFE_TMPL.format(eq="a.pk <=> b.pk", str_t="STRING")
+)
+ORACLES["q_null_safe_join"] = _NULLSAFE_TMPL.format(
+    eq="a.pk IS NOT DISTINCT FROM b.pk", str_t="VARCHAR"
+)
