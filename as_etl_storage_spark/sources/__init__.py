@@ -12,6 +12,9 @@ for _fmt in ("csv", "json", "orc", "xml"):
         replace=True,
     )
 register_dialect("binary", BinaryDirSource, replace=True)
+from as_etl_storage_spark.sources.versioned_source import VersionedSource  # noqa: E402
+
+register_dialect("versioned", VersionedSource, replace=True)
 register_dialect("text", TextLinesSource, replace=True)
 register_dialect("jdbc-mysql", lambda spark, conn, **kw: JdbcSource(spark, conn, "mysql", **kw), replace=True)
 register_dialect("jdbc-oracle", lambda spark, conn, **kw: JdbcSource(spark, conn, "oracle", **kw), replace=True)

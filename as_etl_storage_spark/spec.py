@@ -130,13 +130,18 @@ class ConnectionSpec:
     url: str = ""
     table: TableRef = field(default_factory=TableRef)
     pool: PoolSpec = field(default_factory=PoolSpec)
+    #: pinned version for time-travel reads on versioned tables (S7
+    #: transactional-read parity); None = latest committed version
+    version_as_of: int | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
+        v = obj.get("versionAsOf")
         return ConnectionSpec(
             url=obj.get("url", ""),
             table=TableRef.from_json(obj.get("table", {}) or {}),
             pool=PoolSpec.from_json(obj.get("pool", {}) or {}),
+            version_as_of=int(v) if v is not None else None,
         )
 
 
