@@ -206,6 +206,7 @@ class ParquetWriter:
         keys = list(self.spec.merge_keys)
         if not keys:
             raise WriterError("replace mode requires mergeKeys")
+        self._recover_swap(path)
         if not os.path.exists(path):
             return self._overwrite(df, path)
         target = self._read_target(path)
@@ -240,18 +241,31 @@ class ParquetWriter:
     def _insert_ignore(self, df: DataFrame, path: str) -> int:
         """ignore mode: skip rows whose keys already exist in the target."""
         keys = list(self.spec.merge_keys) or df.columns
+        self._recover_swap(path)
         if not os.path.exists(path):
             return self._overwrite(df, path)
         target = self._read_target(path)
         fresh = df.join(target.select(*keys).distinct(), on=keys, how="left_anti")
         return self._append(fresh, path)
 
+    def _recover_swap(self, path: str) -> None:
+        """Crash recovery for the staging swap: a failure between the two
+        renames leaves the data at the deterministic backup path and no
+        target — without this, a retry would mistake the merge for an
+        initial load and overwrite the table with just the incoming batch."""
+        backup = f"{path}.__old__"
+        if not os.path.exists(path) and os.path.exists(backup):
+            os.rename(backup, path)
+
     def _rewrite_atomic(self, df: DataFrame, path: str) -> None:
         """Materialize to a staging dir then swap — single-writer atomicity
-        for the parquet backend (Delta MERGE on a real deployment)."""
+        for the parquet backend (Delta MERGE on a real deployment). The
+        backup path is deterministic so an interrupted swap is recoverable
+        (see _recover_swap)."""
         staging = f"{path}.__staging__{uuid.uuid4().hex[:8]}"
         self._write_df(df, staging, "overwrite")
-        backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+        backup = f"{path}.__old__"
+        shutil.rmtree(backup, ignore_errors=True)
         os.rename(path, backup)
         os.rename(staging, path)
         shutil.rmtree(backup, ignore_errors=True)

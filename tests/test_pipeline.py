@@ -328,3 +328,35 @@ class TestFileFormatWriters:
                 spark,
                 self._job(tmp_path, "json", versioned=True),
             )
+
+
+class TestSwapRecovery:
+    def test_interrupted_swap_recovers_on_retry(self, spark, tmp_path):
+        """Simulate a crash between the two renames of the staging swap:
+        the target is missing, data sits at the deterministic backup path.
+        The next replace must restore the backup and merge against it —
+        not treat the table as empty (which would drop all kept rows)."""
+        import os
+
+        from as_etl_storage_spark.queries.common import load_table
+        from as_etl_storage_spark.spec import WriterSpec
+        from as_etl_storage_spark.writers.writer import ParquetWriter
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        spec = WriterSpec.from_json(
+            {
+                "connection": {"url": str(tmp_path), "table": {"name": "t"}},
+                "writeMode": "replace",
+                "mergeKeys": ["o_orderkey"],
+            }
+        )
+        writer = ParquetWriter(spark, spec)
+        path = writer.target_path()
+        writer._overwrite(orders, path)
+        n = orders.count()
+        # crash simulation: swap started (path -> backup) but never finished
+        os.rename(path, f"{path}.__old__")
+        batch = orders.where("o_orderkey <= 50")
+        res = writer.write(batch)
+        assert res.written == orders.where("o_orderkey <= 50").count()
+        assert spark.read.parquet(path).count() == n  # kept rows survived
