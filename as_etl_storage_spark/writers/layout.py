@@ -52,10 +52,14 @@ def compact(
 ) -> tuple[int, int]:
     """Rewrite a parquet table into ~target-size files (contents unchanged).
     Returns (files_before, files_after). Uses a staging dir + rename, same
-    atomicity story as the merge writer."""
+    atomicity story as the merge writer — including the deterministic
+    backup path, so an interrupted swap is recoverable on the next run."""
     import shutil
     import uuid
 
+    backup = f"{path}.__old__"
+    if not os.path.exists(path) and os.path.exists(backup):
+        os.rename(backup, path)  # recover an interrupted swap
     df = spark.read.parquet(path)
     total = df.count()
     n_files_before = sum(
@@ -64,7 +68,7 @@ def compact(
     n_out = max(1, (total + target_rows_per_file - 1) // target_rows_per_file)
     staging = f"{path}.__compact__{uuid.uuid4().hex[:8]}"
     df.repartition(n_out).write.mode("overwrite").parquet(staging)
-    backup = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    shutil.rmtree(backup, ignore_errors=True)
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
