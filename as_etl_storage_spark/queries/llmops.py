@@ -693,3 +693,92 @@ _register(
     FROM r WHERE rank <= 10
     """,
 )
+
+
+# ------------------------------------------------ data-mixing report ------
+def _data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per (source, lang) with corpus share — the mixing
+    table a training run samples from. Integer token counts; the share is
+    one division rounded, so doubles hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tok"),
+    ).where(F.col("n_tok").isNotNull())
+    per = toks.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("share"),
+    )
+
+
+_register(
+    "q_data_mix_report",
+    _data_mix,
+    """
+    WITH t AS (SELECT source, lang,
+                      len(regexp_split_to_array(text, '\\s+')) AS n_tok
+               FROM documents WHERE text IS NOT NULL),
+    per AS (SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM t GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens / total, 6) AS share
+    FROM per CROSS JOIN tot
+    """,
+)
+
+
+# ------------------------------------------- eval-set decontamination -----
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing any 13-token
+    n-gram with the held-out set (source = src19) are flagged — the
+    standard decontamination filter before training. The eval side's gram
+    index is tiny, so the probe is a broadcast semi-join; the training
+    corpus is scanned once and never shuffled on the gram key."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, '\\\\s+'))-12, 1)), "
+        "i -> array_join(slice(split(text, '\\\\s+'), i, 13), ' '))"
+    )
+    train = docs.where("source <> 'src19'").select(
+        F.col("doc_id"), F.explode(grams).alias("g")
+    )
+    eval_grams = (
+        docs.where("source = 'src19'").select(F.explode(grams).alias("g")).distinct()
+    )
+    flagged = (
+        train.join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return flagged.orderBy("doc_id")
+
+
+_register(
+    "dedup_decontaminate",
+    _decontaminate,
+    """
+    WITH tk AS (SELECT doc_id, source,
+                       regexp_split_to_array(text, '\\s+') AS toks
+                FROM documents),
+    pos AS (SELECT doc_id, source, toks,
+                   unnest(range(1, greatest(len(toks)-11, 2))) AS i
+            FROM tk),
+    gr AS (SELECT doc_id, source,
+                  array_to_string(toks[i:i+12], ' ') AS g
+           FROM pos),
+    ev AS (SELECT DISTINCT g FROM gr WHERE source = 'src19')
+    SELECT DISTINCT doc_id
+    FROM gr WHERE source <> 'src19' AND g IN (SELECT g FROM ev)
+    ORDER BY doc_id
+    """,
+)
