@@ -740,7 +740,8 @@ _register(
 # ------------------------------------------- eval-set decontamination -----
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: training docs sharing any 13-token
-    n-gram with the held-out set (source = src19) are flagged — the
+    n-gram with the held-out set (here every 20th doc id, a split that
+    cuts across the fixture's duplicate clusters) are flagged — the
     standard decontamination filter before training. The eval side's gram
     index is tiny, so the probe is a broadcast semi-join; the training
     corpus is scanned once and never shuffled on the gram key."""
@@ -749,11 +750,11 @@ def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, greatest(size(split(text, '\\\\s+'))-12, 1)), "
         "i -> array_join(slice(split(text, '\\\\s+'), i, 13), ' '))"
     )
-    train = docs.where("source <> 'src19'").select(
+    train = docs.where("doc_id % 20 <> 0").select(
         F.col("doc_id"), F.explode(grams).alias("g")
     )
     eval_grams = (
-        docs.where("source = 'src19'").select(F.explode(grams).alias("g")).distinct()
+        docs.where("doc_id % 20 = 0").select(F.explode(grams).alias("g")).distinct()
     )
     flagged = (
         train.join(F.broadcast(eval_grams), "g", "left_semi")
@@ -767,18 +768,18 @@ _register(
     "dedup_decontaminate",
     _decontaminate,
     """
-    WITH tk AS (SELECT doc_id, source,
+    WITH tk AS (SELECT doc_id,
                        regexp_split_to_array(text, '\\s+') AS toks
                 FROM documents),
-    pos AS (SELECT doc_id, source, toks,
+    pos AS (SELECT doc_id, toks,
                    unnest(range(1, greatest(len(toks)-11, 2))) AS i
             FROM tk),
-    gr AS (SELECT doc_id, source,
+    gr AS (SELECT doc_id,
                   array_to_string(toks[i:i+12], ' ') AS g
            FROM pos),
-    ev AS (SELECT DISTINCT g FROM gr WHERE source = 'src19')
+    ev AS (SELECT DISTINCT g FROM gr WHERE doc_id % 20 = 0)
     SELECT DISTINCT doc_id
-    FROM gr WHERE source <> 'src19' AND g IN (SELECT g FROM ev)
+    FROM gr WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
     ORDER BY doc_id
     """,
 )
