@@ -271,6 +271,14 @@ def w_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _format_roundtrip(spark, sf_dir, "json")
 
 
+def w_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "orc")
+
+
+def w_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _format_roundtrip(spark, sf_dir, "xml")
+
+
 _FORMAT_RT_ORACLE = (
     "SELECT o_orderstatus, count(*) AS n, "
     "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, "
@@ -314,6 +322,8 @@ QUERIES = {
     "w8_quarantine": w8_quarantine,
     "w_csv_roundtrip": w_csv_roundtrip,
     "w_json_roundtrip": w_json_roundtrip,
+    "w_orc_roundtrip": w_orc_roundtrip,
+    "w_xml_roundtrip": w_xml_roundtrip,
 }
 
 ORACLES = {
@@ -382,4 +392,6 @@ ORACLES = {
     ),
     "w_csv_roundtrip": _FORMAT_RT_ORACLE,
     "w_json_roundtrip": _FORMAT_RT_ORACLE,
+    "w_orc_roundtrip": _FORMAT_RT_ORACLE,
+    "w_xml_roundtrip": _FORMAT_RT_ORACLE,
 }
