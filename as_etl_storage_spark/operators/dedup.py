@@ -115,6 +115,64 @@ def _jaccard_filter(inter: Column, union: Column, p: int, q: int) -> Column:
     return ratio_at_least(inter, union, p, q)
 
 
+def shingle_array(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(doc, distinct character-n-gram array) computed entirely in-row —
+    no explode, no groupBy, no shuffle. Same gram formula as
+    :func:`shingle_table` (positions 1..max(len-n+1, 1)); NULL-text rows
+    are dropped, matching the exploded form which emits no rows for them."""
+    grams = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col})-{n - 1}, 1)), "
+        f"i -> substring({text_col}, i, {n})))"
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), grams.alias("shingles")
+    )
+
+
+def verify_jaccard_arrays(
+    candidates: DataFrame,
+    doc_arrays: DataFrame,
+    p: int,
+    q: int,
+) -> DataFrame:
+    """Exact-jaccard verification via per-pair in-row array intersection.
+
+    The inverted-index formulation (:func:`verify_jaccard`) shuffles
+    |candidates| x |shared shingles| joined rows; this one joins each
+    pair to its two shingle *arrays* (candidate docs are small by
+    design, so both sides broadcast) and computes
+    ``size(array_intersect(...))`` inside codegen — the only rows in
+    flight are the candidate pairs themselves. Output is identical:
+    intersection over string shingles, exact integer threshold."""
+    a = doc_arrays.select(
+        F.col("doc").alias("doc_i"), F.col("shingles").alias("sh_i")
+    )
+    b = doc_arrays.select(
+        F.col("doc").alias("doc_j"), F.col("shingles").alias("sh_j")
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_j"))
+    union = F.size("sh_i") + F.size("sh_j") - inter
+    return (
+        candidates.join(F.broadcast(a), "doc_i")
+        .join(F.broadcast(b), "doc_j")
+        .select(
+            "doc_i",
+            "doc_j",
+            inter.alias("inter_"),
+            union.alias("union_"),
+        )
+        .where(_jaccard_filter(F.col("inter_"), F.col("union_"), p, q))
+        .select(
+            "doc_i",
+            "doc_j",
+            F.round(F.col("inter_") / F.col("union_"), 4).alias("jac"),
+        )
+    )
+
+
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
     """128 minhash values per doc in a single aggregation (one shuffle).
     Hash family: double-hashed xxhash64 (see ``_double_hashed``) —
@@ -248,8 +306,9 @@ def minhash_dedup_pairs(
       3. candidate pairs are persisted (small by design) because they feed
          both the verification join and the candidate-doc filter;
       4. verification re-shingles only candidate documents (broadcast
-         semi-join) instead of re-deriving the full shingle table — the
-         exact-jaccard join touches a few hundred docs, not the corpus.
+         semi-join) into in-row arrays — the exact-jaccard check is a
+         per-pair ``array_intersect``, touching a few hundred docs, not
+         the corpus, with no inverted-index shuffle.
     """
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
@@ -266,8 +325,8 @@ def minhash_dedup_pairs(
     docs_c = base.join(
         F.broadcast(cand_docs), base["doc_id_src"] == F.col("doc"), "left_semi"
     )
-    sh_c = shingle_table(docs_c, "doc_id_src", "text_src", 5, distinct=True)
-    return verify_jaccard(cands, sh_c, p, q)
+    arrays_c = shingle_array(docs_c, "doc_id_src", "text_src", 5)
+    return verify_jaccard_arrays(cands, arrays_c, p, q)
 
 
 def incremental_dedup_pairs(
@@ -322,8 +381,8 @@ def incremental_dedup_pairs(
     docs_c = both.join(
         F.broadcast(cand_docs), both["doc_id_src"] == F.col("doc"), "left_semi"
     )
-    sh_c = shingle_table(docs_c, "doc_id_src", "text_src", 5, distinct=True)
-    return verify_jaccard(cands, sh_c, p, q)
+    arrays_c = shingle_array(docs_c, "doc_id_src", "text_src", 5)
+    return verify_jaccard_arrays(cands, arrays_c, p, q)
 
 
 def ngram_jaccard_pairs(
