@@ -99,14 +99,26 @@ def shingle_table(
     oracle formula: positions 1..max(len-n+1, 1).
 
     ``distinct=False`` skips the dedup shuffle — safe for MinHash signature
-    computation (min over a multiset equals min over its set)."""
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col})-{n - 1}, 1)), "
-        f"i -> substring({text_col}, i, {n}))"
+    computation (min over a multiset equals min over its set).
+
+    Positions are exploded first and the substring is taken *after* the
+    explode: building the gram array with ``transform`` runs interpreted
+    (higher-order functions have no codegen), while the post-explode
+    substring projection stays inside whole-stage codegen. NULL text
+    still yields one position (``greatest`` skips NULLs) whose substring
+    is NULL — filtered, as in the array form."""
+    positions = F.expr(f"sequence(1, greatest(length({text_col})-{n - 1}, 1))")
+    out = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(text_col).alias("text_src_"),
+            F.explode(positions).alias("i"),
+        )
+        .select(
+            "doc", F.expr(f"substring(text_src_, i, {n})").alias("shingle")
+        )
+        .where(F.col("shingle").isNotNull())
     )
-    out = df.select(
-        F.col(id_col).alias("doc"), F.explode(grams).alias("shingle")
-    ).where(F.col("shingle").isNotNull())  # null text -> no shingles
     return out.distinct() if distinct else out
 
 

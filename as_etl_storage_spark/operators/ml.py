@@ -51,13 +51,17 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     map-side partial aggregation collapses the k scored rows per point
     before any shuffle, where a row_number window would sort-shuffle all
     N*k rows. (dist, cid) is unique per group, so the array field never
-    participates in the comparison."""
-    d2 = (
-        _dot(F.col("v"), F.col("v"))
-        - 2 * _dot(F.col("v"), F.col("cv"))
-        + _dot(F.col("cv"), F.col("cv"))
-    )
-    scored = corpus.join(F.broadcast(centroids)).select(
+    participates in the comparison.
+
+    Squared norms are precomputed per point and per centroid before the
+    k-way join: array folds are interpreted (no codegen for higher-order
+    functions), so evaluating ||v||^2 and ||c||^2 inside the pair loop
+    would triple the dominant per-pair cost. Same expression tree shape
+    (n2v - 2*dot) + n2c, so distances are bit-identical."""
+    corp = corpus.withColumn("n2v", _dot(F.col("v"), F.col("v")))
+    cents = centroids.withColumn("n2c", _dot(F.col("cv"), F.col("cv")))
+    d2 = F.col("n2v") - 2 * _dot(F.col("v"), F.col("cv")) + F.col("n2c")
+    scored = corp.join(F.broadcast(cents)).select(
         "vid", F.struct(d2.alias("dist"), "cid", "v").alias("s")
     )
     return scored.groupBy("vid").agg(F.min("s").alias("s")).select(
