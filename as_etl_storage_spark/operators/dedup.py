@@ -367,10 +367,10 @@ def incremental_dedup_pairs(
     corp_base = corpus_df.select(
         F.col(ids[0]).alias("doc_id_src"), F.col(ids[1]).alias("text_src")
     )
-    b_new = banded_signatures(
+    b_new = oph_banded_signatures(
         shingle_table(new_base, "doc_id_src", "text_src", 5, distinct=False)
     )
-    b_corp = banded_signatures(
+    b_corp = oph_banded_signatures(
         shingle_table(corp_base, "doc_id_src", "text_src", 5, distinct=False)
     )
     cands = (
@@ -505,24 +505,24 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Token hash is the first 15 hex chars of md5 (60 bits, positive int64) so
     the DuckDB oracle can reproduce it exactly; all arithmetic is integer.
+
+    Frequency weighting needs no (doc, token) pre-count: summing
+    ``count * (2b - 1)`` over distinct tokens equals summing ``2b - 1``
+    over raw token instances, so the whole signature is ONE shuffle (the
+    per-doc aggregation, with map-side partial combine) instead of two.
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
-        )
-        .groupBy("doc", "t")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-        )
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
     )
     # all 60 bit-sums in ONE aggregation — a per-bit explode would shuffle
     # 60x the token rows; 60 sum() columns stay inside whole-stage codegen
     # (session raises codegen.maxFields accordingly)
     sums = toks.groupBy("doc").agg(
         *[
-            F.expr(f"sum(c * (2 * ((h >> {b}) & 1) - 1)) AS s{b}")
+            F.expr(f"sum(2 * ((h >> {b}) & 1) - 1) AS s{b}")
             for b in range(60)
         ]
     )

@@ -57,7 +57,7 @@ _SESSIONIZE_SQL = """
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND CURRENT ROW) AS session_seq
       FROM flagged)
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            count(*) AS n_events,
            count(DISTINCT event_type) AS n_types,
            min(ts) AS session_start,
