@@ -263,6 +263,80 @@ def rarity_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_counts(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    min_count: int = 3,
+) -> DataFrame:
+    """Adjacent-token bigram frequencies per group, keeping only bigrams
+    seen >= ``min_count`` times (a deterministic set — no top-k ties).
+    The bigram array is built in-plan (transform over an index sequence),
+    so the only shuffle is the final (group, bigram) aggregation with
+    map-side partial combine.
+
+    Scale: output is the repeated tail of the bigram distribution, far
+    smaller than the token stream; shuffle bytes ∝ distinct bigrams per
+    group. For corpus-wide stats at 100 TB, hash the bigram to 64 bits
+    for the shuffle and join the strings back only for the survivors."""
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col),
+        _tokens(F.lower(F.col(text_col))).alias("tk"),
+    ).where(F.size("tk") >= 2)
+    bg = staged.select(
+        F.col(group_col),
+        F.explode(
+            F.expr("transform(sequence(1, size(tk)-1), i -> concat(tk[i-1], ' ', tk[i]))")
+        ).alias("bigram"),
+    )
+    return (
+        bg.groupBy(group_col, "bigram")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 3,
+    max_df: int = 10,
+) -> DataFrame:
+    """Inverted index over mid-frequency terms: term -> ordered posting
+    list of document ids plus document frequency. Stopword-grade terms
+    (df > ``max_df``) and hapaxes (df < ``min_df``) are dropped before
+    the postings are materialized, so the listagg only ever aggregates
+    the mid-band — the standard trick that keeps posting lists bounded.
+
+    Plan: distinct (term, doc) pairs -> df counts -> band filter ->
+    ordered listagg. Two shuffles on the term key; the second one only
+    carries the banded subset. At 100 TB the df table is vocabulary-sized
+    and the band filter is a broadcast semi-join against it."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("t").agg(F.count("*").alias("df"))
+    band = dfreq.where(
+        (F.col("df") >= min_df) & (F.col("df") <= max_df)
+    )
+    return (
+        toks.join(F.broadcast(band), "t")
+        .groupBy("t", "df")
+        .agg(
+            F.expr("listagg(cast(doc AS STRING), ',') WITHIN GROUP (ORDER BY doc)").alias(
+                "postings"
+            )
+        )
+        .select(F.col("t").alias("term"), "df", "postings")
+    )
+
+
 def boilerplate_phrases(
     df: DataFrame,
     id_col: str,
@@ -293,6 +367,47 @@ def boilerplate_phrases(
         gr.groupBy("source", "gram")
         .agg(F.countDistinct("doc").alias("n_docs"))
         .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    fixed-token-budget training sequence ("pack") where its first token
+    lands when documents are concatenated in id order within each group.
+    This is the standard LLM pretraining packing scheme (stream docs,
+    cut every ``budget`` tokens); the pack id is a pure prefix-sum —
+    ``(running_tokens - own_tokens) DIV budget`` — so it needs one
+    window sort per group, no sequential scan.
+
+    Scale: the window sorts within group partitions only (no global
+    order). At 100 TB, packing is normally run per shard/file anyway —
+    pass a (shard, source) composite group to bound each sort. Output
+    is one row per pack: doc span, doc count, token total.
+    """
+    toks = F.size(_tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.where(F.col(text_col).isNotNull()).select(
+        F.col(group_col), F.col(id_col), toks.alias("toks")
+    )
+    return (
+        staged.withColumn("start", F.sum("toks").over(w) - F.col("toks"))
+        .groupBy(group_col, F.expr(f"start DIV {budget}").alias("pack_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("pack_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
     )
 
 

@@ -787,3 +787,77 @@ QUERIES["q_null_safe_join"] = sql_query(
 ORACLES["q_null_safe_join"] = _NULLSAFE_TMPL.format(
     eq="a.pk IS NOT DISTINCT FROM b.pk", str_t="VARCHAR"
 )
+
+
+# --------------------------------------- weighted bottom-k sampling -------
+# deterministic weighted sampling: each row draws a 60-bit uniform key from
+# md5(id) and its priority is key DIV weight — higher-weight rows get
+# systematically smaller priorities, so the bottom-k by priority is a
+# weighted sample that is rerun- and partitioning-stable (same rows on any
+# cluster layout, unlike seeded df.sample). Integer-only arithmetic, so
+# both engines agree bit-for-bit; the top-k sort runs on (priority, key)
+# AFTER a cheap projection, and at 100 TB becomes a per-partition bottom-k
+# + driver merge (TakeOrderedAndProject — no global sort).
+_WSAMPLE_SPARK = """
+    SELECT o_orderkey, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice,
+                 CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),
+                           16, 10) AS BIGINT)
+                 DIV greatest(CAST(o_totalprice AS BIGINT), 1) AS priority
+          FROM orders)
+    ORDER BY priority, o_orderkey
+    LIMIT 100
+"""
+_WSAMPLE_DUCK = """
+    SELECT o_orderkey, o_totalprice
+    FROM (SELECT o_orderkey, o_totalprice,
+                 ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
+                 // greatest(CAST(o_totalprice AS BIGINT), 1) AS priority
+          FROM orders)
+    ORDER BY priority, o_orderkey
+    LIMIT 100
+"""
+QUERIES["q_weighted_sample"] = sql_query(("orders",), _WSAMPLE_SPARK)
+ORACLES["q_weighted_sample"] = _WSAMPLE_DUCK
+
+
+# ------------------------------------- HLL set-intersection estimate ------
+# mergeable-sketch set algebra: |A∩B| ≈ est(A) + est(B) - est(A∪B) by
+# inclusion-exclusion — the only way to intersect distinct-sets at 100 TB
+# without co-shuffling the raw keys (sketches are KB-sized and union in
+# O(registers)). Validated in-plan against the exact INTERSECT count; HLL
+# is deterministic for fixed input, so the booleans are stable. Error
+# compounds through inclusion-exclusion (three ±1.6% terms), pinned at 10%
+# of the UNION size (the correct denominator for the subtraction's error).
+_HLL_INT_SPARK = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1994),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1995),
+    exact AS (SELECT count(*) AS n_both
+              FROM (SELECT * FROM a INTERSECT SELECT * FROM b)),
+    exact_u AS (SELECT count(*) AS n_union
+                FROM (SELECT * FROM a UNION SELECT * FROM b)),
+    sk AS (SELECT (SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) FROM a)
+                  + (SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey)) FROM b)
+                  - (SELECT hll_sketch_estimate(hll_sketch_agg(o_custkey))
+                     FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+                  AS n_est)
+    SELECT e.n_both, u.n_union,
+           (abs(sk.n_est - e.n_both) <= 0.10 * u.n_union + 10)
+             AS est_within_tol
+    FROM exact e, exact_u u, sk
+"""
+_HLL_INT_DUCK = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1994),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE year(o_orderdate) = 1995)
+    SELECT (SELECT count(*)
+            FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+           (SELECT count(*)
+            FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+           TRUE AS est_within_tol
+"""
+QUERIES["q_hll_intersect_validated"] = sql_query(("orders",), _HLL_INT_SPARK)
+ORACLES["q_hll_intersect_validated"] = _HLL_INT_DUCK

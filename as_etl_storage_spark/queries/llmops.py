@@ -385,7 +385,7 @@ _register(
                         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
                  FROM documents),
     c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
-    SELECT doc_id, max(c) AS max_c, sum(c) AS n_tok,
+    SELECT doc_id, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS n_tok,
            round(max(c)::DOUBLE / sum(c), 4) AS rep_ratio
     FROM c GROUP BY doc_id
     """,
@@ -781,5 +781,86 @@ _register(
     SELECT DISTINCT doc_id
     FROM gr WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM ev)
     ORDER BY doc_id
+    """,
+)
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", "source", budget=256)
+
+
+_register(
+    "text_pack_sequences",
+    _pack_sequences,
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(text, '\\s+')) AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT source, doc_id, toks,
+             CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - toks AS BIGINT) AS start
+      FROM t
+    )
+    SELECT source, start // 256 AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY source, start // 256
+    """,
+)
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_counts(docs, "text", "source", min_count=3)
+
+
+_register(
+    "text_bigrams_top",
+    _bigrams,
+    """
+    WITH tk AS (
+      SELECT source, regexp_split_to_array(lower(text), '\\s+') AS l
+      FROM documents WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM tk WHERE len(l) >= 2
+    )
+    SELECT source, bigram, CAST(count(*) AS BIGINT) AS n
+    FROM bg GROUP BY source, bigram HAVING count(*) >= 3
+    """,
+)
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.inverted_index(docs, "doc_id", "text", min_df=3, max_df=10)
+
+
+_register(
+    "text_inverted_index",
+    _inverted_index,
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    tok2 AS (SELECT DISTINCT doc_id, t FROM tok WHERE t <> ''),
+    dfr AS (SELECT t, count(*) AS df FROM tok2 GROUP BY t
+            HAVING count(*) BETWEEN 3 AND 10)
+    SELECT tok2.t AS term, CAST(dfr.df AS BIGINT) AS df,
+           string_agg(tok2.doc_id::VARCHAR, ',' ORDER BY tok2.doc_id)
+             AS postings
+    FROM tok2 JOIN dfr ON tok2.t = dfr.t
+    GROUP BY tok2.t, dfr.df
     """,
 )

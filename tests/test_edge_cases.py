@@ -92,6 +92,44 @@ class TestNullAndEmptyText:
             rows = fn(weird_docs, "doc_id", "text").collect()
             assert len(rows) == 5, fn.__name__
 
+    def test_pack_sequences_boundary(self, spark):
+        # 4 docs of 3 tokens each, budget 5: doc pack = floor(start/5)
+        # starts are 0,3,6,9 -> packs 0,0,1,1; totals/conservation hold
+        docs = spark.createDataFrame(
+            [(i, "a b c", "s") for i in range(1, 5)] + [(9, None, "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["pack_id"]: r for r in
+                text.pack_sequences(docs, "doc_id", "text", "source", 5).collect()}
+        assert set(rows) == {0, 1}
+        assert rows[0]["n_docs"] == 2 and rows[0]["first_doc"] == 1
+        assert rows[1]["n_docs"] == 2 and rows[1]["last_doc"] == 4
+        assert sum(r["pack_tokens"] for r in rows.values()) == 12  # null dropped
+
+    def test_bigram_counts_short_docs(self, spark):
+        # single-token and null docs produce no bigrams (and no crash from
+        # Spark's descending sequence(1, 0) trap); repeated bigrams count
+        docs = spark.createDataFrame(
+            [(1, "a b a b", "s"), (2, "solo", "s"), (3, None, "s"),
+             (4, "a b", "s"), (5, "", "s")],
+            "doc_id long, text string, source string",
+        )
+        rows = {r["bigram"]: r["n"] for r in
+                text.bigram_counts(docs, "text", "source", min_count=2).collect()}
+        assert rows == {"a b": 3}  # 2 from doc 1 + 1 from doc 4
+
+    def test_inverted_index_bands_and_orders(self, spark):
+        docs = spark.createDataFrame(
+            [(3, "x common"), (1, "x common"), (2, "x rare"), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["term"]: r for r in
+                text.inverted_index(docs, "doc_id", "text",
+                                    min_df=2, max_df=2).collect()}
+        # 'x' has df=3 (> max), 'rare' df=1 (< min), 'common' df=2 stays
+        assert set(rows) == {"common"}
+        assert rows["common"]["postings"] == "1,3"  # ordered by doc_id
+
 
 class TestEmptyInputs:
     def test_empty_edges_components(self, spark):
