@@ -135,3 +135,33 @@ def test_streak_reuses_user_partitioning(spark):
     # lineage: only ONE user_id exchange of the distinct-day relation
     plan = plan_of(spark, "q_streak_longest")
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_pack_sequences_single_exchange(spark):
+    # hashpartitioning(source) from the window is a valid distribution for
+    # the (source, pack_id) groupBy, so the whole packing pipeline is ONE
+    # shuffle — the property that lets it pack 100 TB per-shard
+    plan = plan_of(spark, "text_pack_sequences")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bigrams_no_join(spark):
+    # bigrams are built in-plan (transform over an index sequence), not by
+    # a positional self-join of the token stream
+    plan = plan_of(spark, "text_bigrams_top")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_inverted_index_band_broadcast(spark):
+    # the df-band table is vocabulary-sized: broadcast, never shuffled
+    plan = plan_of(spark, "text_inverted_index")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_no_global_sort(spark):
+    # bottom-k is per-partition TakeOrderedAndProject + driver merge,
+    # not a rangepartitioning exchange + full Sort
+    plan = plan_of(spark, "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
