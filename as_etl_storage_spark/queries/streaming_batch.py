@@ -195,3 +195,44 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+def _cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events fixture through the streaming CDC upsert in 4
+    micro-batches (re-sharded to 4 files, maxFilesPerTrigger=1). The final
+    table is batch-boundary-independent (keep-latest is associative), so
+    the streaming result hash-matches the batch keep-latest oracle."""
+    import os
+    import tempfile
+
+    from as_etl_storage_spark.streaming.micro_batch import cdc_upsert_stream
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="cdc_upsert_")
+    src = os.path.join(base, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    out = cdc_upsert_stream(
+        spark,
+        src,
+        os.path.join(base, "target"),
+        os.path.join(base, "ckpt"),
+        ["user_id"],
+        ["ts", "event_id"],
+    )
+    return out.select("user_id", "event_id", "event_type", "ts", "value")
+
+
+_register(
+    "stream_cdc_upsert",
+    _cdc_upsert,
+    """
+    SELECT user_id, event_id, event_type, ts, value
+    FROM (SELECT event_id, ts, user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1
+    """,
+)

@@ -269,3 +269,56 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     got = spark.read.parquet(target)
     assert got.count() == ev.count()  # no loss
     assert got.select("event_id").distinct().count() == ev.count()  # no dupes
+
+
+def test_cdc_upsert_convergence_and_replay(spark, tmp_path):
+    """Streaming CDC upsert: (1) the drained table equals the batch
+    keep-latest regardless of batch boundaries; (2) re-applying an
+    already-applied batch (crash replay between data write and checkpoint
+    commit) leaves the table unchanged; (3) a resumed stream with NEW
+    changes conditionally updates only where the change is newer."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.dedup import keep_latest
+    from as_etl_storage_spark.streaming.micro_batch import cdc_upsert_stream
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.parquet(src)
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    out = cdc_upsert_stream(
+        spark, src, target, ckpt, ["user_id"], ["ts", "event_id"]
+    )
+    want = keep_latest(ev, ["user_id"], ["ts", "event_id"])
+    assert out.count() == want.count() == ev.select("user_id").distinct().count()
+    assert out.exceptAll(want).count() == 0 and want.exceptAll(out).count() == 0
+
+    # replay: draining again from the SAME checkpoint (no new files) and
+    # even re-running the whole stream with a FRESH checkpoint (full
+    # replay of every batch) must converge to the same table
+    before = sorted(out.collect())
+    cdc_upsert_stream(spark, src, target, ckpt, ["user_id"], ["ts", "event_id"])
+    cdc_upsert_stream(
+        spark, src, target, str(tmp_path / "ckpt2"), ["user_id"], ["ts", "event_id"]
+    )
+    assert sorted(spark.read.parquet(target).collect()) == before
+
+    # resumed stream with one newer and one older change for user 1
+    top = spark.read.parquet(target).where("user_id = 1").collect()[0]
+    newer = spark.createDataFrame(
+        [
+            (10_000_000, top["ts"], 1, "stale_loses_tiebreak", 0.0),
+            (10_000_001, top["ts"], 1, "wins_tiebreak", 1.0),
+        ],
+        ev.schema,
+    )
+    newer.coalesce(1).write.mode("append").parquet(src)
+    out2 = cdc_upsert_stream(
+        spark, src, target, ckpt, ["user_id"], ["ts", "event_id"]
+    )
+    row = out2.where("user_id = 1").collect()
+    assert len(row) == 1 and row[0]["event_type"] == "wins_tiebreak"
