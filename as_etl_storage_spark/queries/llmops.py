@@ -864,3 +864,47 @@ _register(
     GROUP BY tok2.t, dfr.df
     """,
 )
+
+
+def _corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible distributed corpus shuffle: every doc gets a stable
+    (shard, pos) from a seeded hash — the same permutation on any cluster
+    layout or rerun, unlike orderBy(rand(seed)) whose sampling depends on
+    partitioning. Ordering work is per-shard (16 independent sorts, no
+    global order/SinglePartition); at 100 TB raise the shard count so each
+    sort fits an executor, then write one shard per training file."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':42')), "
+        "1, 15), 16, 10) AS BIGINT)"
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(f"pmod({h}, 16)").alias("shard"),
+            F.expr(h).alias("hkey"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_register(
+    "corpus_shuffle_shards",
+    _corpus_shuffle,
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 15))::BIGINT
+               AS hkey
+      FROM documents
+    )
+    SELECT doc_id, hkey % 16 AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % 16
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)

@@ -110,3 +110,65 @@ def test_vectorized_cosine_topk_matches_jvm(spark):
     sa = sorted(map(tuple, a.collect()))
     sb = sorted(map(tuple, b.collect()))
     assert sa == sb and len(sa) > 0
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),  # group
+            st.lists(st.sampled_from("ab c"), min_size=0, max_size=12).map("".join),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(2, 7),  # budget
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conserves_tokens(spark, docs, budget):
+    """Packing is a partition of the doc stream: token totals and doc
+    counts are conserved, every pack respects the id-order concatenation
+    (first_doc <= last_doc, packs ordered by first_doc within a group)."""
+    from as_etl_storage_spark.operators.text import pack_sequences
+
+    rows = [(i, t, f"g{g}") for i, (g, t) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    packs = pack_sequences(df, "doc_id", "text", "source", budget).collect()
+    # mirror Spark's split(text, '\s+') (java limit -1: trailing empties
+    # kept) with re.split, which has the same semantics
+    import re
+
+    toks = {i: len(re.split(r"\s+", t)) for i, t, _ in rows}
+    assert sum(p["pack_tokens"] for p in packs) == sum(
+        toks[i] for i, t, _ in rows
+    )
+    assert sum(p["n_docs"] for p in packs) == len(rows)
+    for g in {r[2] for r in rows}:
+        gp = sorted(
+            (p for p in packs if p["source"] == g), key=lambda p: p["pack_id"]
+        )
+        spans = [(p["first_doc"], p["last_doc"]) for p in gp]
+        assert all(a <= b for a, b in spans)
+        # packs tile the id order: consecutive spans never interleave
+        assert all(
+            spans[k][1] <= spans[k + 1][0] for k in range(len(spans) - 1)
+        )
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_bigram_total_matches_token_count(spark, token_lists):
+    """Sum of all bigram counts (min_count=1) == sum over docs of
+    max(len-1, 0) — the bigram builder neither drops nor fabricates."""
+    from as_etl_storage_spark.operators.text import bigram_counts
+
+    rows = [(i, " ".join(ts), "s") for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = bigram_counts(df, "text", "source", min_count=1).collect()
+    want = sum(max(len(ts) - 1, 0) for ts in token_lists if ts)
+    assert sum(r["n"] for r in got) == want
