@@ -230,10 +230,13 @@ def oph_banded_signatures(shingles: DataFrame) -> DataFrame:
     its bin for every doc containing it), which exact-jaccard
     verification removes; false-negative odds at near-dup similarity are
     the same ~j^8-per-band as the classic scheme."""
+    # ONE xxhash64 per shingle: low 7 bits pick the bin, the remaining
+    # 57 bits are the rank value — independent enough for min-ranking
+    # within a bin, and it halves the hash work on the full shingle stream
     hashed = shingles.select(
         "doc",
         F.expr(f"pmod(xxhash64(shingle), {N_HASHES}L) AS bin"),
-        F.expr(f"pmod(xxhash64(shingle, 1), {_P}L) AS v"),
+        F.expr(f"abs(xxhash64(shingle) DIV {N_HASHES}L) AS v"),
     )
     mins = hashed.groupBy("doc", "bin").agg(F.min("v").alias("mv"))
     return (

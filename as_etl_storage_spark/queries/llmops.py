@@ -908,3 +908,33 @@ _register(
     FROM h
     """,
 )
+
+
+def _mm_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical multimodal dedup: group binary payloads by content
+    hash — the first pass of any image/audio dedup pipeline (exact file
+    dup removal before expensive perceptual hashing). The md5 runs
+    executor-side over the binary column; the shuffle carries (hash, id),
+    never payload bytes — the property that matters when payloads are MB
+    and the corpus is 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    wb = multimodal.attach_binary(docs, "doc_id", "text")
+    return (
+        wb.select("doc_id", F.md5("payload").alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_register(
+    "mm_binary_dedup",
+    _mm_binary_dedup,
+    """
+    SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
