@@ -122,6 +122,34 @@ def pii_flags(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("has_pii", total > 0)
 
 
+#: redaction placeholders, applied in this order: earlier replacements
+#: must not produce text later patterns could match (placeholders carry
+#: no digits or '@'), and specific patterns run before general ones
+#: (phones before digit runs)
+REDACTIONS = (
+    ("emails", "<EMAIL>"),
+    ("urls", "<URL>"),
+    ("phones", "<PHONE>"),
+    ("digit_runs", "<NUM>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction transform: replace emails/urls/phones/long digit runs
+    with typed placeholders — the scrub stage that follows ``pii_flags``
+    in a training-data pipeline. A chain of regexp_replace calls, fully
+    codegen'd, zero shuffle; order is fixed so the output is
+    deterministic (see REDACTIONS)."""
+    clean = F.col(text_col)
+    for name, placeholder in REDACTIONS:
+        clean = F.regexp_replace(clean, PII_PATTERNS[name], placeholder)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (~clean.eqNullSafe(F.col(text_col))).alias("redacted"),
+    )
+
+
 def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Most-frequent-token share — high values flag boilerplate/spam.
     One explode + two aggregations, all integer until the final division."""

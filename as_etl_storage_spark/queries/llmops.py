@@ -938,3 +938,29 @@ _register(
     FROM documents GROUP BY md5(text)
     """,
 )
+
+
+def _redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs, "doc_id", "text")
+
+
+_register(
+    "text_redact_pii",
+    _redact,
+    """
+    WITH r AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '\\d{3}[-.]\\d{3}[-.]\\d{4}', '<PHONE>', 'g'),
+               '\\d{4,}', '<NUM>', 'g') AS clean_text
+      FROM documents
+    )
+    SELECT doc_id, clean_text,
+           (clean_text IS DISTINCT FROM text) AS redacted
+    FROM r
+    """,
+)

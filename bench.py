@@ -92,6 +92,23 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
+
+    # ETL-copy throughput: full lineitem parquet read -> parquet write,
+    # the reference's own workload shape (parallel table copy). Rows/s
+    # here vs the reference's micro-batched INSERT path (1000-row
+    # batches over <=4 connections) is the single-node throughput
+    # comparison BASELINE.md calls for.
+    import shutil
+    import tempfile
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    n_rows = li.count()
+    copy_dir = tempfile.mkdtemp(prefix="bench_copy_")
+    t0 = time.perf_counter()
+    li.write.mode("overwrite").parquet(os.path.join(copy_dir, "out"))
+    copy_s = time.perf_counter() - t0
+    shutil.rmtree(copy_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -100,6 +117,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extra": {
+                    "etl_copy_rows": n_rows,
+                    "etl_copy_sec": round(copy_s, 4),
+                    "etl_copy_rows_per_sec": int(n_rows / copy_s),
+                },
             }
         )
     )
