@@ -395,3 +395,35 @@ ORACLES = {
     "w_orc_roundtrip": _FORMAT_RT_ORACLE,
     "w_xml_roundtrip": _FORMAT_RT_ORACLE,
 }
+
+
+# --- small-file compaction (the 100 TB table-maintenance operator) ---------
+def w_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shatter orders into 64 small files, compact to target size, verify
+    contents unchanged (aggregate roundtrip) and the file count actually
+    dropped (in-plan boolean). Compaction is the maintenance op that keeps
+    scan task counts sane after many small appends."""
+    from as_etl_storage_spark.writers.layout import compact
+
+    out = _scratch_dir()
+    path = os.path.join(out, "compact_t.parquet")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    before, after = compact(spark, path, target_rows_per_file=1_000_000)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+    ).withColumn("compacted_ok", F.lit(bool(before == 64 and after == 1)))
+
+
+QUERIES["w_compact_roundtrip"] = w_compact_roundtrip
+ORACLES["w_compact_roundtrip"] = (
+    "SELECT o_orderstatus, count(*) AS n, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS sum_key, "
+    "count(DISTINCT o_custkey) AS n_cust, TRUE AS compacted_ok "
+    "FROM orders GROUP BY o_orderstatus"
+)

@@ -261,3 +261,25 @@ class TestProductQuantization:
             by_q.setdefault(r["query_id"], []).append(r["rank"])
         assert set(by_q) == {0, 1, 2}
         assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+
+
+class TestRedaction:
+    def test_redact_pii_order_and_nulls(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "mail bob1234@x.com or call 555-123-4567 ref 99999"),
+                (2, "see https://a.b/c?id=123456 now"),
+                (3, None),
+                (4, "clean text"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in
+                text.redact_pii(docs, "doc_id", "text").collect()}
+        # email consumed BEFORE digit_runs could eat its digits; phone
+        # before digit_runs; remaining long run becomes <NUM>
+        assert rows[1]["clean_text"] == "mail <EMAIL> or call <PHONE> ref <NUM>"
+        # the whole URL (digits included) collapses to one placeholder
+        assert rows[2]["clean_text"] == "see <URL> now"
+        assert rows[3]["clean_text"] is None and rows[3]["redacted"] is False
+        assert rows[4]["clean_text"] == "clean text" and not rows[4]["redacted"]
