@@ -861,3 +861,30 @@ _HLL_INT_DUCK = """
 """
 QUERIES["q_hll_intersect_validated"] = sql_query(("orders",), _HLL_INT_SPARK)
 ORACLES["q_hll_intersect_validated"] = _HLL_INT_DUCK
+
+
+# ------------------------------------------- schema-evolution union -------
+# merging two schema versions of the same feed (the additive-evolution
+# read path: older files lack the new column): unionByName with
+# allowMissingColumns fills the gap with NULLs — positional UNION would
+# silently misalign. Oracle is DuckDB's UNION ALL BY NAME.
+def _union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.where("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    v2 = orders.where("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").alias("price")
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)
+
+
+QUERIES["q_union_by_name"] = _union_by_name
+ORACLES["q_union_by_name"] = """
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 2 = 1
+"""
