@@ -803,7 +803,8 @@ _WSAMPLE_SPARK = """
     FROM (SELECT o_orderkey, o_totalprice,
                  CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 15),
                            16, 10) AS BIGINT)
-                 DIV greatest(CAST(o_totalprice AS BIGINT), 1) AS priority
+                 DIV greatest(CAST(floor(o_totalprice) AS BIGINT), 1)
+                   AS priority
           FROM orders)
     ORDER BY priority, o_orderkey
     LIMIT 100
@@ -812,7 +813,8 @@ _WSAMPLE_DUCK = """
     SELECT o_orderkey, o_totalprice
     FROM (SELECT o_orderkey, o_totalprice,
                  ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT
-                 // greatest(CAST(o_totalprice AS BIGINT), 1) AS priority
+                 // greatest(CAST(floor(o_totalprice) AS BIGINT), 1)
+                   AS priority
           FROM orders)
     ORDER BY priority, o_orderkey
     LIMIT 100

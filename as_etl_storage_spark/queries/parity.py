@@ -413,11 +413,14 @@ def w_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.repartition(64).write.mode("overwrite").parquet(path)
     before, after = compact(spark, path, target_rows_per_file=1_000_000)
     back = spark.read.parquet(path)
+    n_rows = back.count()
+    expected_after = max(1, -(-n_rows // 1_000_000))  # ceil division
+    ok = after == expected_after and before >= after
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
         F.sum("o_orderkey").cast("long").alias("sum_key"),
         F.countDistinct("o_custkey").alias("n_cust"),
-    ).withColumn("compacted_ok", F.lit(bool(before == 64 and after == 1)))
+    ).withColumn("compacted_ok", F.lit(bool(ok)))
 
 
 QUERIES["w_compact_roundtrip"] = w_compact_roundtrip

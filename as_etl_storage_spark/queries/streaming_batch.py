@@ -203,14 +203,14 @@ def _cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is batch-boundary-independent (keep-latest is associative), so
     the streaming result hash-matches the batch keep-latest oracle."""
     import os
-    import tempfile
 
+    from as_etl_storage_spark.queries.parity import _scratch_dir
     from as_etl_storage_spark.streaming.micro_batch import cdc_upsert_stream
 
     ev = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    base = tempfile.mkdtemp(prefix="cdc_upsert_")
+    base = _scratch_dir()
     src = os.path.join(base, "src")
     ev.repartition(4).write.mode("overwrite").parquet(src)
     out = cdc_upsert_stream(
