@@ -220,3 +220,15 @@ def test_job_spec_zorder_write(spark, tmp_path):
         for f in files
     ]
     assert sum(widths) / len(widths) < glob * 0.6
+
+
+def test_compact_multi_file_target(spark, tmp_path):
+    # target smaller than the table: ceil(rows/target) output files, not 1
+    orders = load_table(spark, SF, "orders")
+    path = str(tmp_path / "fragmented2.parquet")
+    orders.repartition(40).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    target = max(1, n_rows // 3)
+    n_before, n_after = compact(spark, path, target_rows_per_file=target)
+    assert n_after == -(-n_rows // target)  # ceil
+    assert spark.read.parquet(path).count() == n_rows
