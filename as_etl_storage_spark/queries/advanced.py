@@ -890,3 +890,22 @@ ORACLES["q_union_by_name"] = """
     SELECT o_orderkey, o_orderstatus, o_totalprice AS price
     FROM orders WHERE o_orderkey % 2 = 1
 """
+
+
+# --------------------------------------------------- per-group mode -------
+# statistical mode with deterministic tie-break (count desc, value asc) —
+# the row_number-over-counts shape shared verbatim by both engines; the
+# count aggregation is two-phase, the window sorts only the per-key
+# distinct-value counts (bounded by the value domain, not row count)
+_MODE_SQL = """
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY user_id, event_type),
+    r AS (SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY n DESC, event_type) AS rn
+          FROM c)
+    SELECT user_id, event_type AS mode_event, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+"""
+QUERIES["q_mode_per_user"] = sql_query(("events",), _MODE_SQL)
+ORACLES["q_mode_per_user"] = _MODE_SQL

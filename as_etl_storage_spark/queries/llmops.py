@@ -964,3 +964,43 @@ _register(
     FROM r
     """,
 )
+
+
+def _sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats: split on [.!?]+ runs, count non-blank
+    segments, average characters per sentence. Both engines keep trailing
+    empty segments (java limit -1 / duck regexp_split_to_array), so the
+    non-blank filter makes the counts identical; the division is guarded
+    with nullif (ANSI mode turns x/0 into an error, not null)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "size(filter(split(text, '[.!?]+'), s -> trim(s) != ''))"
+        ).alias("n_sentences"),
+        F.expr(
+            "round(aggregate(transform(filter(split(text, '[.!?]+'), "
+            "s -> trim(s) != ''), s -> length(trim(s))), 0, "
+            "(a, x) -> a + x) / nullif(size(filter(split(text, '[.!?]+'), "
+            "s -> trim(s) != '')), 0), 4)"
+        ).alias("avg_sentence_chars"),
+    )
+
+
+_register(
+    "text_sentence_stats",
+    _sentence_stats,
+    """
+    WITH seg AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[.!?]+'),
+                         s -> trim(s) <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           len(sents) AS n_sentences,
+           round(list_sum(list_transform(sents, s -> length(trim(s))))
+                 / nullif(len(sents), 0), 4) AS avg_sentence_chars
+    FROM seg
+    """,
+)
