@@ -23,8 +23,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import DataStreamWriter
 
-#: events fixture schema (ts is read as long ns in parquet; see sources)
+#: events fixture schema when ts is stored natively as timestamp[us]
 EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: legacy variant: ts stored as TIMESTAMP(NANOS), read as int64 ns
+EVENTS_SCHEMA_NS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),  # ns epoch in the raw files
@@ -37,11 +49,29 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def file_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream over a directory of events parquet files, with the
-    ns->us timestamp conversion applied (same as the batch reader)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over a directory of events parquet files.
+
+    Encoding-aware the same way the batch reader is
+    (sources/parquet.py ``read_parquet_table``): probe the parquet footer
+    with pyarrow; only when ``ts`` is physically TIMESTAMP(NANOS) read it as
+    int64 ns (``nanosAsLong``) and truncate to micros — otherwise read the
+    native ``timestamp[us]`` schema directly. Streams can't infer schemas,
+    so the footer probe (a driver-side metadata read, not a data scan)
+    picks between the two declared schemas.
+
+    ``ts`` is always emitted as TIMESTAMP (not TIMESTAMP_NTZ): event-time
+    watermarks require TIMESTAMP, and with the session pinned to UTC the
+    NTZ->TIMESTAMP cast preserves the wall-clock instant, so stream results
+    join/compare cleanly against the NTZ batch reader output.
+    """
+    from as_etl_storage_spark.sources.parquet import _nanos_timestamp_columns
+
+    if "ts" in _nanos_timestamp_columns(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_SCHEMA_NS).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 class MicroBatchWriter:

@@ -107,16 +107,18 @@ def test_funnel_conversions_stream_matches_batch(spark, tmp_path):
     from as_etl_storage_spark.streaming.stateful import funnel_conversions
 
     ev = load_table(spark, SF, "events")
+    # ts is TIMESTAMP_NTZ — cast through TIMESTAMP for a numeric median
+    ts_us = "unix_micros(CAST(ts AS TIMESTAMP))"
     cutoff = ev.agg(
-        F.expr("percentile_approx(CAST(ts AS DOUBLE), 0.5)").alias("m")
+        F.expr(f"percentile_approx({ts_us}, 0.5)").alias("m")
     ).collect()[0]["m"]
     d = tmp_path / "funnel_in"
     d.mkdir()
     # two halves, each written time-sorted; lexicographic file order = time order
-    ev.where(F.col("ts").cast("double") <= cutoff).orderBy("ts", "event_id").coalesce(
+    ev.where(F.expr(f"{ts_us} <= {cutoff}")).orderBy("ts", "event_id").coalesce(
         1
     ).write.parquet(str(d / "p0"))
-    ev.where(F.col("ts").cast("double") > cutoff).orderBy("ts", "event_id").coalesce(
+    ev.where(F.expr(f"{ts_us} > {cutoff}")).orderBy("ts", "event_id").coalesce(
         1
     ).write.parquet(str(d / "p1"))
     flat = tmp_path / "funnel_flat"
