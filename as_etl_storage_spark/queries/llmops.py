@@ -159,6 +159,36 @@ _register(
 )
 
 
+def _ann_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_vectorized(
+        emb, "vec_id", "embedding", 5, "vid % 50 = 0"
+    )
+
+
+# same oracle as the JVM-fold baseline: the BLAS matmul path is
+# equality-tested against it at sf0.001 and sf0.01 (tests/test_similarity),
+# so both are hash-gated against the identical DuckDB SQL
+_register(
+    "ann_topk_vectorized",
+    _ann_vectorized,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS vid,
+                      list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+               FROM q JOIN n ON q.vec_id <> n.vec_id),
+    r AS (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    SELECT qid AS query_id, vid AS neighbor_id, rn AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_bucket_topk(emb, "vec_id", "embedding", 3, n_bits=8)
