@@ -105,8 +105,12 @@ class Engine:
         )
         if dialect == "parquet":
             writer = ParquetWriter(self.spark, spec)
-        elif dialect in ("csv", "json", "orc"):
+        elif dialect in ("csv", "json", "orc", "xml"):
             writer = FileFormatWriter(self.spark, spec, dialect)
+        elif dialect in ("mysql", "oracle"):
+            from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+            writer = JdbcWriter(self.spark, spec, dialect)
         else:
             raise WriterError(f"unsupported writer dialect {dialect!r}")
         return writer.write(df)

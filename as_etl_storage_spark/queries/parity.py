@@ -188,6 +188,49 @@ def p5_type_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P6: Oracle read normalization (oracle/field.go:191-205) ---------------
+def p6_oracle_empty_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle dialect read rules on a staged frame: empty string ≡ NULL for
+    every string column (applied first), then CHAR/NCHAR trim — so a
+    blanks-only CHAR survives the NULL check and trims to the empty string,
+    exactly the reference's evaluation order."""
+    from as_etl_storage_spark.sources.jdbc import ORACLE
+
+    df = load_table(spark, sf_dir, "customer")
+    staged = df.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(""))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("  ")).alias("c_name"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("   "))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_class"),
+    )
+    return ORACLE.normalize(staged, {"c_name": "CHAR", "c_class": "CHAR"})
+
+
+# --- P8: Oracle write-side stringify (oracle/field.go:257-287) -------------
+def p8_write_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle write coercion: every non-binary column binds as its string
+    rendering (booleans '1'/'0', NULL stays NULL); doubles go through the
+    declared DECIMAL(12,2) first (P7 write coercion) so the rendering is
+    exact on both engines."""
+    from as_etl_storage_spark.sources.jdbc import ORACLE
+
+    df = load_table(spark, sf_dir, "orders")
+    staged = df.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_even"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey_opt"),
+    )
+    return ORACLE.write_frame(staged)
+
+
 # --- P10: duplicate column rename (db.go:425-432) --------------------------
 def p10_dup_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "lineitem")
@@ -316,6 +359,8 @@ QUERIES = {
     "s13_declared_ranges": s13_declared_ranges,
     "p4_trim_char": p4_trim_char,
     "p5_type_coercion": p5_type_coercion,
+    "p6_oracle_empty_null": p6_oracle_empty_null,
+    "p8_write_stringify": p8_write_stringify,
     "p10_dup_rename": p10_dup_rename,
     "w1_insert_append": w1_insert_append,
     "w2_replace_merge": w2_replace_merge,
@@ -375,6 +420,24 @@ ORACLES = {
         "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty_dec, "
         "CAST(l_orderkey AS VARCHAR) AS key_str, "
         "(l_quantity > 25) AS qty_gt25 FROM lineitem"
+    ),
+    "p6_oracle_empty_null": (
+        "SELECT c_custkey, "
+        "NULLIF(CASE WHEN c_custkey % 7 = 0 THEN '' ELSE c_mktsegment END, '')"
+        " AS segment, "
+        "trim(NULLIF('  ' || c_name || '  ', '')) AS c_name, "
+        "trim(NULLIF(CASE WHEN c_custkey % 11 = 0 THEN '   ' "
+        "ELSE c_mktsegment END, '')) AS c_class "
+        "FROM customer"
+    ),
+    "p8_write_stringify": (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey, "
+        "o_orderstatus, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS o_totalprice, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN '1' ELSE '0' END AS is_even, "
+        "CAST(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END "
+        "AS VARCHAR) AS custkey_opt "
+        "FROM orders"
     ),
     "p10_dup_rename": (
         "SELECT l_orderkey, l_quantity AS l_orderkey1, l_linenumber FROM lineitem"

@@ -39,8 +39,12 @@ def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteR
     dialect = spec.writer.dialect or "parquet"
     if dialect == "parquet":
         writer = ParquetWriter(spark, spec.writer)
-    elif dialect in ("csv", "json", "orc"):
+    elif dialect in ("csv", "json", "orc", "xml"):
         writer = FileFormatWriter(spark, spec.writer, dialect)
+    elif dialect in ("mysql", "oracle"):
+        from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+        writer = JdbcWriter(spark, spec.writer, dialect)
     else:
         raise WriterError(f"unsupported writer dialect {dialect!r}")
     return writer.write(df)

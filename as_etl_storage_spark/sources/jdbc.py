@@ -16,6 +16,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from as_etl_storage_spark.plans.split import RangeConvertor, range_predicates
 from as_etl_storage_spark.spec import ConnectionSpec
@@ -29,18 +31,94 @@ class JdbcDialectRules:
     oracle ``"x"`` (database/oracle/source.go:72-74).
     ``empty_string_is_null``: Oracle semantics (oracle/field.go:194-196).
     ``trim_char_types``: CHAR/NCHAR trim rule (P4; database/config.go:97-111).
+    ``write_all_as_string``: Oracle write-side stringify — the reference
+    converts every non-binary value to a string before binding
+    (oracle/field.go:257-287); booleans become '1'/'0', nil binds as the
+    empty string which Oracle stores as NULL.
     """
 
     name: str
     quote: str
     empty_string_is_null: bool = False
     trim_char_types: tuple[str, ...] = ()
+    write_all_as_string: bool = False
     fetch_size: int = 10_000
     batch_size: int = 1000  # writer default parity (writer/config.go:21)
     extra_read_options: dict = field(default_factory=dict)
 
     def quoted(self, identifier: str) -> str:
         return f"{self.quote}{identifier}{self.quote}"
+
+    def normalize(
+        self,
+        df: DataFrame,
+        field_types: dict[str, str] | None = None,
+        trim_char: bool = True,
+    ) -> DataFrame:
+        """Apply the dialect's read-side normalization rules (P4/P6).
+
+        ``field_types`` maps column name -> declared database type name
+        (``DatabaseTypeName()`` in the reference, e.g. ``CHAR``,
+        ``VARCHAR2``) — JDBC loses it after the scan, so callers pass the
+        catalog's declaration. Rules, in reference order
+        (oracle/field.go:191-205):
+
+        * ``empty_string_is_null``: an empty string becomes NULL for every
+          string column *before* trimming (a string of blanks survives the
+          NULL check, then trims to the empty string — matching the
+          reference exactly);
+        * ``trim_char_types``: CHAR/NCHAR columns lose leading+trailing
+          whitespace (config.go:97-111 ``strings.TrimSpace``), gated on
+          the job-level ``trimChar`` flag like ``BaseConfig.TrimChar``.
+        """
+        field_types = field_types or {}
+        str_cols = {
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        }
+        out = df
+        for c in df.columns:
+            if c not in str_cols:
+                continue
+            col = F.col(c)
+            changed = False
+            if self.empty_string_is_null:
+                col = F.nullif(col, F.lit(""))
+                changed = True
+            if trim_char and field_types.get(c, "").upper() in self.trim_char_types:
+                col = F.trim(col)
+                changed = True
+            if changed:
+                out = out.withColumn(c, col)
+        return out
+
+    def write_frame(self, df: DataFrame) -> DataFrame:
+        """Apply the dialect's write-side coercion (P8).
+
+        Oracle parity (oracle/field.go:257-287): every non-binary column is
+        converted to its string rendering before binding — booleans to
+        '1'/'0', numerics/dates via plain CAST, NULL stays NULL (the
+        reference binds the empty string, which Oracle stores as NULL; the
+        relational equivalent under ``empty_string_is_null`` is NULL).
+        Binary columns (BLOB/RAW) bind as raw bytes, unchanged. Dialects
+        without ``write_all_as_string`` return the frame untouched.
+        """
+        if not self.write_all_as_string:
+            return df
+        cols = []
+        for f_ in df.schema.fields:
+            c = F.col(f_.name)
+            if isinstance(f_.dataType, (T.BinaryType, T.StringType)):
+                cols.append(c.alias(f_.name))
+            elif isinstance(f_.dataType, T.BooleanType):
+                cols.append(
+                    F.when(c.isNull(), F.lit(None).cast("string"))
+                    .when(c, F.lit("1"))
+                    .otherwise(F.lit("0"))
+                    .alias(f_.name)
+                )
+            else:
+                cols.append(c.cast("string").alias(f_.name))
+        return df.select(*cols)
 
 
 MYSQL = JdbcDialectRules(
@@ -56,6 +134,7 @@ ORACLE = JdbcDialectRules(
     quote='"',
     empty_string_is_null=True,
     trim_char_types=("CHAR", "NCHAR"),
+    write_all_as_string=True,
 )
 
 DIALECTS = {"mysql": MYSQL, "oracle": ORACLE}
@@ -133,9 +212,17 @@ class JdbcSource:
         ``spark.read.jdbc(url, table, predicates=[...])``."""
         return range_predicates(key, lower, upper, num, convertor)
 
-    def read(self, **split_kwargs) -> DataFrame:
+    def read(
+        self,
+        field_types: dict[str, str] | None = None,
+        trim_char: bool = True,
+        **split_kwargs,
+    ) -> DataFrame:
+        """Load and apply the dialect's read-side normalization (P4/P6):
+        CHAR trim + Oracle empty-string≡NULL, per ``field_types`` (the
+        declared DB type name per column, from the target catalog)."""
         opts = self.read_options(**split_kwargs)
         reader = self.spark.read.format("jdbc")
         for k, v in opts.items():
             reader = reader.option(k, v)
-        return reader.load()
+        return self.rules.normalize(reader.load(), field_types, trim_char)

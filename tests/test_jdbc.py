@@ -78,3 +78,59 @@ def test_pool_spec_parsing():
     )
     assert c.pool.max_open_conns == 8
     assert c.pool.max_idle_conns == 4  # reference default
+
+
+def test_oracle_normalize_rules(spark):
+    # P6: empty string -> NULL first, then CHAR trim (oracle/field.go:191-205)
+    from as_etl_storage_spark.sources.jdbc import ORACLE
+
+    df = spark.createDataFrame(
+        [("", "  pad  ", "   ", "keep")],
+        "a string, b string, c string, d string",
+    )
+    row = ORACLE.normalize(df, {"b": "CHAR", "c": "CHAR"}).collect()[0]
+    assert row["a"] is None          # empty -> NULL (VARCHAR2, no trim rule)
+    assert row["b"] == "pad"         # CHAR trims both sides
+    assert row["c"] == ""            # blanks survive NULL check, trim to ""
+    assert row["d"] == "keep"
+
+
+def test_mysql_normalize_keeps_empty(spark):
+    # MySQL has no empty-string rule; CHAR trim still applies
+    from as_etl_storage_spark.sources.jdbc import MYSQL
+
+    df = spark.createDataFrame([("", " x ")], "a string, b string")
+    row = MYSQL.normalize(df, {"b": "CHAR"}).collect()[0]
+    assert row["a"] == ""
+    assert row["b"] == "x"
+
+
+def test_normalize_trim_char_gate(spark):
+    # job-level trimChar=false disables the trim rule (BaseConfig.TrimChar)
+    from as_etl_storage_spark.sources.jdbc import ORACLE
+
+    df = spark.createDataFrame([(" x ",)], "b string")
+    row = ORACLE.normalize(df, {"b": "CHAR"}, trim_char=False).collect()[0]
+    assert row["b"] == " x "
+
+
+def test_oracle_write_frame_stringifies(spark):
+    # P8: every non-binary column binds as a string; bool -> '1'/'0';
+    # NULL stays NULL; binary passes through (oracle/field.go:257-287)
+    from as_etl_storage_spark.sources.jdbc import MYSQL, ORACLE
+
+    df = spark.createDataFrame(
+        [(1, 2.5, True, None, bytearray(b"\x01"))],
+        "i long, d double, b boolean, n string, raw binary",
+    )
+    out = ORACLE.write_frame(df)
+    types = dict(out.dtypes)
+    assert types == {
+        "i": "string", "d": "string", "b": "string",
+        "n": "string", "raw": "binary",
+    }
+    row = out.collect()[0]
+    assert row["i"] == "1" and row["d"] == "2.5" and row["b"] == "1"
+    assert row["n"] is None and bytes(row["raw"]) == b"\x01"
+    # non-Oracle dialects leave the frame untouched
+    assert MYSQL.write_frame(df) is df
