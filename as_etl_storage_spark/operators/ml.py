@@ -70,6 +70,50 @@ def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _assign_np(corpus: DataFrame, cent_rows: list) -> DataFrame:
+    """BLAS-vectorized nearest-centroid: the collected k x dim centroid
+    matrix is closed over (bounded driver value, the same class as
+    ``_materialize``), and each Arrow batch scores against ALL centroids
+    with one matmul — the production path for wide embeddings, exactly the
+    ``cosine_topk_vectorized`` pattern. The corpus is scanned once and
+    never shuffled.
+
+    Tie-break parity: centroids are sorted by cid and ``argmin`` takes the
+    first minimum, so exact distance ties resolve to the smallest cid like
+    the JVM ``min(struct(dist, cid))``. Distance values differ from the
+    sequential JVM fold in the last ulp (SIMD pairwise summation), so
+    near-tie assignments can flip — callers that need the hash-stable
+    variant use ``impl='jvm'``; the validated-diagnostics contract
+    (booleans) is invariant to either."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    cids = np.array([r["cid"] for r in cent_rows], dtype="int64")
+    order = np.argsort(cids, kind="stable")
+    cids = cids[order]
+    cmat = np.array([cent_rows[int(i)]["cv"] for i in order], dtype="float64")
+    n2c = (cmat * cmat).sum(axis=1)
+
+    schema = "vid long, v array<double>, cid long, dist double"
+
+    def score(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            m = np.array(list(pdf["v"]), dtype="float64")
+            d2 = (m * m).sum(axis=1, keepdims=True) - 2.0 * (m @ cmat.T) + n2c
+            j = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "v": pdf["v"],
+                    "cid": cids[j],
+                    "dist": d2[np.arange(len(j)), j],
+                }
+            )
+
+    return corpus.mapInPandas(score, schema)
+
+
 def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     """New centroid = decimal-exact per-dimension mean of assigned points;
     clusters that lost all points keep their previous centroid."""
@@ -124,6 +168,15 @@ def _materialize(centroids: DataFrame) -> DataFrame:
 MATERIALIZE_EVERY = 4
 
 
+def _assign_impl(corpus: DataFrame, centroids: DataFrame, impl: str) -> DataFrame:
+    """Dispatch one assignment pass. ``vectorized`` collects the bounded
+    centroid table (k x dim) and scores via ``_assign_np``; ``jvm`` keeps
+    the whole pass declarative (hash-stable distances)."""
+    if impl == "vectorized":
+        return _assign_np(corpus, centroids.collect())
+    return _assign(corpus, centroids)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
@@ -131,17 +184,26 @@ def kmeans_assign(
     k: int = 8,
     iters: int = 2,
     materialize_every: int = MATERIALIZE_EVERY,
+    impl: str = "vectorized",
 ) -> DataFrame:
-    """Run ``iters`` Lloyd iterations; return (vid, cid) assignments."""
+    """Run ``iters`` Lloyd iterations; return (vid, cid) assignments.
+
+    ``impl='vectorized'`` (default) collects the k x dim centroids each
+    iteration — which also pins lineage every round, subsuming
+    ``materialize_every`` — and scores each Arrow batch with one matmul.
+    ``impl='jvm'`` is the fully-declarative baseline with bit-stable
+    sequential-fold distances."""
     corpus = _prepared(df, id_col, vec_col)
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     for i in range(iters):
-        centroids = _update(_assign(corpus, centroids), centroids)
-        if materialize_every and (i + 1) % materialize_every == 0:
+        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
+        if impl == "vectorized" or (
+            materialize_every and (i + 1) % materialize_every == 0
+        ):
             centroids = _materialize(centroids)
-    return _assign(corpus, centroids).select(
+    return _assign_impl(corpus, centroids, impl).select(
         "vid", F.col("cid").alias("cluster_id")
     )
 
@@ -153,24 +215,35 @@ def kmeans_validated(
     k: int = 8,
     iters: int = 2,
     materialize_every: int = MATERIALIZE_EVERY,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Diagnostics row with in-plan validation booleans (the approx-sketch
     testing pattern, see q_approx_bounds): Lloyd's objective is provably
     non-increasing, so ``obj_decreased`` must be TRUE; every point gets
     exactly one cluster, so ``all_assigned`` must be TRUE; the cluster
-    count stays within [1, k]. The oracle pins all three."""
+    count stays within [1, k]. The oracle pins all three — they hold under
+    either assignment ``impl`` (the booleans are invariant to last-ulp
+    distance differences; centroid updates stay decimal-exact)."""
     corpus = _prepared(df, id_col, vec_col)
+    if impl == "vectorized":
+        # the per-iteration centroid collect makes each round its own job,
+        # so the corpus is scanned 2 + iters times; cache the prepared
+        # (vid, v) projection once — at cluster scale this is the standard
+        # iterate-over-cached-features shape (MEMORY_AND_DISK, spillable)
+        corpus = corpus.persist()
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
-    obj0 = _objective(_assign(corpus, centroids)).select(
+    obj0 = _objective(_assign_impl(corpus, centroids, impl)).select(
         F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
     )
     for i in range(iters):
-        centroids = _update(_assign(corpus, centroids), centroids)
-        if materialize_every and (i + 1) % materialize_every == 0:
+        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
+        if impl == "vectorized" or (
+            materialize_every and (i + 1) % materialize_every == 0
+        ):
             centroids = _materialize(centroids)
-    objN = _objective(_assign(corpus, centroids))
+    objN = _objective(_assign_impl(corpus, centroids, impl))
     return objN.crossJoin(obj0).select(
         F.col("n_assigned").alias("n_points"),
         ((F.col("n_clusters") >= 1) & (F.col("n_clusters") <= k)).alias(

@@ -47,3 +47,16 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     df = _blobs(spark)
     row = kmeans_validated(df, "vid_in", "vec", k=3, iters=2).collect()[0]
     assert row["n_points"] == 12 and row["n_clusters_ok"]
+
+
+def test_kmeans_impls_agree(spark):
+    # vectorized (BLAS matmul) and jvm (sequential fold) assignment paths
+    # produce identical clusterings on well-separated data, and identical
+    # validation booleans always
+    df = _blobs(spark)
+    a = kmeans_assign(df, "vid_in", "vec", k=2, iters=2, impl="vectorized")
+    b = kmeans_assign(df, "vid_in", "vec", k=2, iters=2, impl="jvm")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    va = kmeans_validated(df, "vid_in", "vec", k=2, iters=2, impl="vectorized")
+    vb = kmeans_validated(df, "vid_in", "vec", k=2, iters=2, impl="jvm")
+    assert va.collect() == vb.collect()
