@@ -8,6 +8,8 @@ bounded events fixture so the driver can hash-match results against DuckDB
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -234,5 +236,125 @@ _register(
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) t
     WHERE rn = 1
+    """,
+)
+
+
+# --- real streaming execution, oracle-gated --------------------------------
+# The queries above prove the *semantics* on bounded frames; these two run
+# the actual Structured Streaming engine (file source -> StreamExecution ->
+# state store -> sink, drained with availableNow) and hash-match the same
+# batch oracles — so streaming execution itself is under the driver gate,
+# not just its batch analog. Single-batch drains are deterministic: the
+# watermark starts at -inf, so nothing is dropped and complete-mode state
+# equals the batch aggregation exactly.
+def _staged_events_dir(sf_dir: str, name: str, copies: int = 1) -> str:
+    """Copy the events fixture into a scratch dir as a file-stream source
+    (``copies`` > 1 duplicates every row for dedup exercises)."""
+    import shutil
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+
+    base = _scratch_dir()
+    indir = os.path.join(base, f"{name}_in")
+    os.makedirs(indir, exist_ok=True)
+    src = os.path.join(sf_dir, "events.parquet")
+    files = (
+        sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    i = 0
+    for _ in range(copies):
+        for f in files:
+            shutil.copy(f, os.path.join(indir, f"p{i:04d}.parquet"))
+            i += 1
+    return indir
+
+
+def _drain(out, work: str, mode: str):
+    """Run a streaming DataFrame to a parquet sink via foreachBatch and
+    return the final materialized result path."""
+    target = os.path.join(work, "out")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode(write_mode).parquet(target)
+
+    q = (
+        out.writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target
+
+
+def _exec_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregate through the REAL streaming engine
+    (complete mode; the final micro-batch state is the full aggregation)."""
+    from as_etl_storage_spark.streaming.micro_batch import file_stream
+
+    indir = _staged_events_dir(sf_dir, "exec_tumbling")
+    work = os.path.dirname(indir)
+    stream = file_stream(spark, indir)
+    target = _drain(tumbling_counts(stream), work, "complete")
+    got = spark.read.parquet(target)
+    # stream side carries TIMESTAMP (watermark requirement); hash-compare
+    # against the NTZ batch oracle in the session's UTC wall-clock
+    return got.withColumn(
+        "window_start", F.col("window_start").cast("timestamp_ntz")
+    )
+
+
+_register(
+    "stream_exec_tumbling",
+    _exec_tumbling,
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup through the real engine: the source dir
+    holds TWO copies of every event file, dropDuplicatesWithinWatermark
+    keeps the first arrival per event_id — the emitted set is exactly the
+    distinct fixture."""
+    from as_etl_storage_spark.streaming.micro_batch import (
+        dedup_within_watermark,
+        file_stream,
+    )
+
+    indir = _staged_events_dir(sf_dir, "exec_dedup", copies=2)
+    work = os.path.dirname(indir)
+    stream = file_stream(spark, indir)
+    target = _drain(dedup_within_watermark(stream), work, "append")
+    got = spark.read.parquet(target)
+    return got.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+_register(
+    "stream_exec_dedup",
+    _exec_dedup,
+    """
+    SELECT DISTINCT event_id, ts, user_id, event_type, value, props
+    FROM events
     """,
 )

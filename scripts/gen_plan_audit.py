@@ -50,6 +50,13 @@ AUDITED = {
     "no rangepartitioning exchange, no global sort",
     "ann_topk_bruteforce": "query vectors broadcast to the corpus "
     "(BroadcastNestedLoopJoin); the corpus is never shuffled",
+    "ann_topk_vectorized": "benched ANN path: one corpus scan into "
+    "mapInPandas (BLAS matmul per Arrow batch against the closed-over "
+    "query matrix); shuffle carries only per-batch local top-k, not the "
+    "corpus",
+    "ml_kmeans_validated": "per-iteration assignment is one corpus scan "
+    "into mapInPandas (broadcast centroid matrix); the only exchanges "
+    "carry k*dim partial sums (decimal-exact), never the corpus",
     "dedup_minhash_lsh": "LSH candidate generation is an equi-join on "
     "(band, signature) — no cartesian product anywhere",
     "dedup_simhash": "60 bit-sums in one aggregation pass (single token "
