@@ -596,3 +596,60 @@ def embedding_cosine_pairs(
         .where(cos >= threshold)
         .select(F.col("a.vid").alias("vec_i"), F.col("b.vid").alias("vec_j"))
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Centroid-blocked embedding near-dup: the scale path for semantic
+    dedup. Every vector is assigned to its nearest seed centroid (the k
+    smallest-id vectors — deterministic, no RNG), then only within-block
+    pairs are scored; cosine >= threshold survives.
+
+    vs ``embedding_cosine_pairs`` (all-pairs O(N^2)): blocking cuts the
+    pair space ~k-fold per well-spread block and the block join is an
+    equi-join on the centroid id — no cross product between blocks. The
+    trade is recall at block borders (a true near-dup pair straddling two
+    centroids is missed), the standard semantic-dedup trade — raise k and
+    union several seeds-offset runs to tighten it. At 100 TB the seeds
+    come from a trained k-means (operators/ml) instead of smallest-id
+    rows; the plan shape is identical.
+
+    Cross-engine determinism: squared L2 is computed in dot-product form
+    (n2v - 2*dot + n2c) with sequential folds — the exact expression
+    DuckDB's list_dot_product evaluates — so assignments are bit-identical
+    on both engines and the oracle can hash-match the pair set.
+    """
+    e = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("n2", vec_dot(F.col("v"), F.col("v")))
+    seeds = e.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("n2").alias("n2c"),
+    )
+    d2 = F.col("n2") - 2 * vec_dot(F.col("v"), F.col("cv")) + F.col("n2c")
+    assigned = (
+        e.join(F.broadcast(seeds))
+        .select("vid", "v", F.struct(d2.alias("d2"), "cid").alias("s"))
+        .groupBy("vid")
+        .agg(F.min("s").alias("s"), F.first("v").alias("v"))
+        .select("vid", "v", F.col("s.cid").alias("cid"))
+        .withColumn("norm", vec_norm(F.col("v")))
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    cos = vec_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .where(cos >= threshold)
+        .select(F.col("a.vid").alias("vec_i"), F.col("b.vid").alias("vec_j"))
+    )

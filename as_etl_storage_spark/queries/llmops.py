@@ -133,6 +133,36 @@ _register(
 )
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_pairs(emb, "vec_id", "embedding", 8, 0.45)
+
+
+_register(
+    "dedup_semantic_blocked",
+    _dedup_semantic,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    seeds AS (SELECT vec_id AS cid, v AS cv, n2 AS n2c FROM n WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, v,
+             (min(struct_pack(
+                d2 := n2 - 2 * list_dot_product(v, cv) + n2c,
+                cid := cid))).cid AS cid
+      FROM n CROSS JOIN seeds
+      GROUP BY vec_id, v, n2
+    ),
+    nn AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm
+           FROM assigned)
+    SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+    FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+
+
 # ----------------------------------------------------------- similarity ----
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -322,3 +322,42 @@ def test_cdc_upsert_convergence_and_replay(spark, tmp_path):
     )
     row = out2.where("user_id = 1").collect()
     assert len(row) == 1 and row[0]["event_type"] == "wins_tiebreak"
+
+
+def test_file_stream_handles_legacy_nanos_encoding(spark, tmp_path):
+    """The fixture generation drifted TIMESTAMP(NANOS) -> timestamp[us];
+    file_stream must probe the footer and handle BOTH encodings with
+    identical results (the ns reader divides to micros)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, SF, "events").limit(200).toPandas()
+    us_dir = tmp_path / "us_in"
+    ns_dir = tmp_path / "ns_in"
+    us_dir.mkdir()
+    ns_dir.mkdir()
+    table = pa.Table.from_pandas(ev, preserve_index=False)
+    # native microseconds variant
+    pq.write_table(table, us_dir / "p0.parquet")
+    # legacy nanosecond variant of the same rows
+    ns_schema = pa.schema(
+        [
+            f if f.name != "ts" else pa.field("ts", pa.timestamp("ns"))
+            for f in table.schema
+        ]
+    )
+    pq.write_table(table.cast(ns_schema), ns_dir / "p0.parquet")
+
+    def drain(indir, out):
+        stream = file_stream(spark, str(indir))
+        w = MicroBatchWriter(str(out))
+        w.run_available_now(stream)
+        return spark.read.parquet(str(out)).select(
+            "event_id", "ts", "user_id"
+        )
+
+    got_us = drain(us_dir, tmp_path / "out_us")
+    got_ns = drain(ns_dir, tmp_path / "out_ns")
+    assert got_us.count() == 200
+    assert got_us.exceptAll(got_ns).count() == 0
+    assert got_ns.exceptAll(got_us).count() == 0
