@@ -199,27 +199,62 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Top-``nprobe`` centroid assignments per vector (cosine rank with
+    cid tie-break): probe lists for the query side of IVF search. With
+    nprobe=1 this is exactly ``ivf_assign``."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("norm").alias("cn")
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    scored = corpus.join(F.broadcast(centroids)).select(
+        "vid", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= nprobe)
+        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("centroid_id"))
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     n_centroids: int = 16,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search with nprobe=1: each vector's neighbors are ranked only
-    within its centroid's inverted list. Candidate set shrinks ~n_centroids
-    times vs brute force; the join key is the centroid id (equi-join, AQE
-    handles list-size skew)."""
-    assign = ivf_assign(df, id_col, vec_col, n_centroids)
+    """IVF search: every corpus vector lives in exactly ONE inverted list
+    (its nearest centroid); each query probes its ``nprobe`` nearest lists
+    and ranks only those candidates. Candidate set shrinks
+    ~n_centroids/nprobe times vs brute force; the join key is the centroid
+    id (equi-join, AQE handles list-size skew). Raising nprobe is the
+    standard recall lever — the plan shape does not change, only the probe
+    fan-out."""
     e = _prepared(df, id_col, vec_col).join(
-        assign.select(F.col("vec_id").alias("vid"), "centroid_id"), "vid"
+        ivf_assign(df, id_col, vec_col, n_centroids).select(
+            F.col("vec_id").alias("vid"), "centroid_id"
+        ),
+        "vid",
     )
-    a = e.alias("a")
+    probes = ivf_probe_assign(df, id_col, vec_col, n_centroids, nprobe).select(
+        F.col("vec_id").alias("vid"), F.col("centroid_id").alias("probe_cid")
+    )
+    a = e.join(probes, "vid").alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     scored = a.join(
         b,
-        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        (F.col("a.probe_cid") == F.col("b.centroid_id"))
         & (F.col("a.vid") != F.col("b.vid")),
     ).select(
         F.col("a.vid").alias("qid"),
@@ -227,6 +262,8 @@ def ivf_topk(
         F.col("b.vid").alias("vid"),
         cos.alias("cos"),
     )
+    # a query probing several lists can meet the same neighbor only once
+    # (each corpus vector is in one list), so no dedup is needed pre-rank
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -540,6 +540,45 @@ _register(
 )
 
 
+def _ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", 3, n_centroids=16, nprobe=2
+    )
+
+
+_register(
+    "ann_ivf_probe2",
+    _ann_ivf_probe2,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+    assign_scored AS (
+      SELECT n.vec_id AS vid, cent.cid,
+             row_number() OVER (PARTITION BY n.vec_id
+                                ORDER BY list_dot_product(n.v, cent.cv)
+                                         / (n.nrm * cent.cn) DESC, cent.cid) AS rnk
+      FROM n CROSS JOIN cent),
+    assign AS (SELECT vid, cid AS centroid_id FROM assign_scored WHERE rnk = 1),
+    probes AS (SELECT vid, cid AS probe_cid FROM assign_scored WHERE rnk <= 2),
+    ec AS (SELECT n.*, a.centroid_id FROM n JOIN assign a ON n.vec_id = a.vid),
+    scored AS (
+      SELECT a.vec_id AS qid, a.centroid_id, b.vec_id AS vid,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+      FROM ec a JOIN probes p ON a.vec_id = p.vid
+                JOIN ec b
+        ON p.probe_cid = b.centroid_id AND a.vec_id <> b.vec_id),
+    r AS (SELECT qid, centroid_id, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    SELECT qid AS query_id, centroid_id, vid AS neighbor_id, rn AS rank
+    FROM r WHERE rn <= 3
+    """,
+)
+
+
 # --------------------------------------------------- corpus vocabulary ----
 def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

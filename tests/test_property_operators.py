@@ -172,3 +172,29 @@ def test_bigram_total_matches_token_count(spark, token_lists):
     got = bigram_counts(df, "text", "source", min_count=1).collect()
     want = sum(max(len(ts) - 1, 0) for ts in token_lists if ts)
     assert sum(r["n"] for r in got) == want
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    # probing more lists can only grow each query's candidate pool, so
+    # recall against exact brute-force top-k must be monotone in nprobe
+    from as_etl_storage_spark.operators.similarity import cosine_topk, ivf_topk
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", 3, "vid >= 0").collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, "vec_id", "embedding", 3, n_centroids=16, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 > r1  # at sf0.001 wider probing must actually help
