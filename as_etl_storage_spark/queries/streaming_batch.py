@@ -241,7 +241,7 @@ _register(
 
 
 # --- real streaming execution, oracle-gated --------------------------------
-# The queries above prove the *semantics* on bounded frames; these two run
+# The queries above prove the *semantics* on bounded frames; these run
 # the actual Structured Streaming engine (file source -> StreamExecution ->
 # state store -> sink, drained with availableNow) and hash-match the same
 # batch oracles — so streaming execution itself is under the driver gate,
@@ -321,6 +321,52 @@ _register(
            round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
     FROM events
     GROUP BY 1, 2
+    """,
+)
+
+
+def _exec_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows through the real engine (session_window
+    state merging in the state store, complete mode)."""
+    from as_etl_storage_spark.streaming.micro_batch import file_stream
+
+    indir = _staged_events_dir(sf_dir, "exec_session")
+    work = os.path.dirname(indir)
+    stream = file_stream(spark, indir)
+    target = _drain(session_windows(stream), work, "complete")
+    got = spark.read.parquet(target)
+    return got.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+_register(
+    "stream_exec_session",
+    _exec_session,
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL '10 minutes' THEN 1
+                  ELSE 0 END AS new_session
+      FROM o),
+    ids AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           count(*) AS n_events
+    FROM ids GROUP BY user_id, session_id
     """,
 )
 
