@@ -64,7 +64,16 @@ def plan_read(spark: SparkSession, reader: ReaderSpec) -> DataFrame:
         return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), frames)
 
     source.ping()
-    df = source.read()
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+
+    if isinstance(source, JdbcSource):
+        # dialect read normalization (P4/P6): job-level trimChar +
+        # declared column type names pick which rules fire
+        df = source.read(
+            field_types=reader.field_types or None, trim_char=reader.trim_char
+        )
+    else:
+        df = source.read()
     if list(reader.columns) != ["*"]:
         df = df.select(*reader.columns)
     if reader.where:

@@ -157,6 +157,14 @@ class ReaderSpec:
     query_sql: tuple[str, ...] = ()
     username: str = ""
     password: str = ""
+    #: job-level CHAR-trim toggle (BaseConfig.TrimChar, config.go:74) —
+    #: consumed by the JDBC dialects' read normalization (P4)
+    trim_char: bool = False
+    #: column -> declared DB type name (e.g. CHAR, VARCHAR2). The reference
+    #: reads these from the live catalog (DatabaseTypeName()); with no
+    #: database in the loop the job declares them so the dialect rules
+    #: (trim/empty-string) know which columns they govern
+    field_types: dict[str, str] = field(default_factory=dict)
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ReaderSpec":
@@ -169,6 +177,8 @@ class ReaderSpec:
             query_sql=tuple(obj.get("querySql", []) or []),
             username=obj.get("username", ""),
             password=obj.get("password", ""),
+            trim_char=bool(obj.get("trimChar", False)),
+            field_types=dict(obj.get("fieldTypes", {}) or {}),
         )
         spec.validate()
         return spec

@@ -88,3 +88,24 @@ def test_job_roundtrip_json_string():
     )
     assert job.reader.where == "a > 1"
     assert job.writer is None
+
+
+def test_reader_spec_trim_char_and_field_types():
+    from as_etl_storage_spark.spec import ReaderSpec
+
+    spec = ReaderSpec.from_json(
+        {
+            "dialect": "jdbc-oracle",
+            "connection": {"url": "jdbc:oracle://db", "table": {"name": "t"}},
+            "column": ["*"],
+            "trimChar": True,
+            "fieldTypes": {"name": "CHAR", "note": "VARCHAR2"},
+        }
+    )
+    assert spec.trim_char is True
+    assert spec.field_types == {"name": "CHAR", "note": "VARCHAR2"}
+    # defaults: off / empty (reference BaseConfig.TrimChar zero value)
+    d = ReaderSpec.from_json(
+        {"connection": {"url": "/x", "table": {"name": "t"}}, "column": ["*"]}
+    )
+    assert d.trim_char is False and d.field_types == {}
