@@ -331,7 +331,14 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("doc_id_src"), F.col(text_col).alias("text_src")
     ).repartition(n_parts)
     sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
-    cands = lsh_candidates(oph_banded_signatures(sh_raw)).persist()
+    # persist the banded signatures: the LSH self-join consumes them as
+    # BOTH sides and Catalyst does not reuse the (explode -> two groupBy)
+    # signature subplan across the aliases (verified in the physical plan:
+    # Generate + the signature HashAggregates appear once per side). At
+    # fixture scale the duplicate stages hide in idle cores; over a real
+    # corpus the signature pass is the dominant cost and must run once.
+    banded = oph_banded_signatures(sh_raw).persist()
+    cands = lsh_candidates(banded).persist()
     cand_docs = (
         cands.select(F.col("doc_i").alias("doc"))
         .union(cands.select(F.col("doc_j").alias("doc")))
