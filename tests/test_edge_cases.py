@@ -283,3 +283,48 @@ class TestRedaction:
         assert rows[2]["clean_text"] == "see <URL> now"
         assert rows[3]["clean_text"] is None and rows[3]["redacted"] is False
         assert rows[4]["clean_text"] == "clean text" and not rows[4]["redacted"]
+
+
+class TestRound4Additions:
+    def test_semantic_dedup_fewer_vectors_than_k(self, spark):
+        # corpus smaller than the seed count: every vector is its own seed,
+        # blocks are singletons unless vectors coincide — no crash, exact
+        # duplicates still pair (identical vectors share a nearest seed)
+        df = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+            "vid long, v array<double>",
+        )
+        got = dedup.semantic_dedup_pairs(df, "vid", "v", k=8, threshold=0.9)
+        assert {(r["vec_i"], r["vec_j"]) for r in got.collect()} == {(0, 2)}
+
+    def test_ivf_nprobe_exceeds_centroids(self, spark):
+        # nprobe > n_centroids degrades to probing every list: results must
+        # equal the full brute-force ranking restricted to list membership
+        df = spark.createDataFrame(
+            [(i, [float(i % 4) + 1.0, float(i // 4) + 1.0]) for i in range(12)],
+            "vid long, v array<double>",
+        )
+        wide = similarity.ivf_topk(df, "vid", "v", 2, n_centroids=4, nprobe=99)
+        capped = similarity.ivf_topk(df, "vid", "v", 2, n_centroids=4, nprobe=4)
+        assert sorted(map(tuple, wide.collect())) == sorted(
+            map(tuple, capped.collect())
+        )
+
+    def test_oracle_normalize_empty_frame(self, spark):
+        from as_etl_storage_spark.sources.jdbc import ORACLE
+
+        df = spark.createDataFrame([], "a string, b int")
+        out = ORACLE.normalize(df, {"a": "CHAR"})
+        assert out.count() == 0 and out.columns == ["a", "b"]
+
+    def test_jdbc_insert_sql_zero_columns_rejected(self, spark):
+        from as_etl_storage_spark.spec import WriterSpec
+        from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+        spec = WriterSpec.from_json(
+            {"connection": {"url": "jdbc:mysql://db", "table": {"name": "t"}}}
+        )
+        w = JdbcWriter(spark, spec, "mysql")
+        # zero rows -> values-less statement is malformed; the renderer
+        # must still emit a syntactically complete single-row template
+        assert w.insert_sql(["a"], n_rows=1).endswith("values(?)")
