@@ -591,10 +591,16 @@ def embedding_cosine_pairs(
     Output is id pairs only — float values stay internal so the comparison
     is robust to last-bit effects. At scale use the LSH-bucketed variant in
     operators/similarity."""
-    e = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("norm", vec_norm(F.col("v")))
+    e = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("norm", vec_norm(F.col("v")))
+        # zero-norm vectors have no direction: cosine is undefined and the
+        # ANSI division would fail the job on one corrupt row
+        .where(F.col("norm") > 0)
+    )
     a = e.alias("a")
     b = e.alias("b")
     cos = vec_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
@@ -635,6 +641,10 @@ def semantic_dedup_pairs(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("n2", vec_dot(F.col("v"), F.col("v")))
+    # zero-norm vectors: assignment (L2) would be fine but the cosine
+    # verification divides by the norm — exclude them like every other
+    # cosine operator (no direction, undefined similarity)
+    e = e.where(F.col("n2") > 0)
     seeds = e.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"),
         F.col("v").alias("cv"),

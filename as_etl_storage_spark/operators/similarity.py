@@ -27,10 +27,19 @@ from as_etl_storage_spark.functions import vec_dot as _dot, vec_norm as _norm
 
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("norm", _norm(F.col("v")))
+    """Project (vid, v, norm), dropping null and zero-norm vectors: a zero
+    vector has no direction, so cosine against it is undefined — under
+    ANSI SQL the division errors out and kills the job on the one corrupt
+    row a real corpus always contains. Excluding it matches the effective
+    oracle behavior (NaN fails every similarity threshold)."""
+    return (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("norm", _norm(F.col("v")))
+        .where(F.col("norm") > 0)
+    )
 
 
 def cosine_topk(
@@ -80,11 +89,15 @@ def knn_label_vote(
 
     Plan shape matches cosine_topk: the query set broadcasts, the corpus is
     scanned once with no shuffle; the vote is a tiny per-query aggregate."""
-    corpus = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.col(label_col).alias("nlabel"),
-    ).withColumn("norm", _norm(F.col("v")))
+    corpus = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(label_col).alias("nlabel"),
+        )
+        .withColumn("norm", _norm(F.col("v")))
+        .where(F.col("norm") > 0)  # see _prepared
+    )
     queries = corpus.where(query_pred).select(
         F.col("vid").alias("qid"),
         F.col("v").alias("qv"),

@@ -328,3 +328,22 @@ class TestRound4Additions:
         # zero rows -> values-less statement is malformed; the renderer
         # must still emit a syntactically complete single-row template
         assert w.insert_sql(["a"], n_rows=1).endswith("values(?)")
+
+    def test_cosine_ops_survive_zero_vectors(self, spark):
+        # one zero vector in the corpus must not kill the job (ANSI
+        # division); it simply can't be anyone's neighbor or pair
+        df = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.0, 0.0]),  # corrupt row
+                (2, [1.0, 0.001]),
+                (3, [0.0, 1.0]),
+            ],
+            "vid long, v array<double>",
+        )
+        topk = similarity.cosine_topk(df, "vid", "v", 2, "vid >= 0").collect()
+        assert all(r["neighbor_id"] != 1 and r["query_id"] != 1 for r in topk)
+        pairs = dedup.embedding_cosine_pairs(df, "vid", "v", 0.9).collect()
+        assert {(r["vec_i"], r["vec_j"]) for r in pairs} == {(0, 2)}
+        sem = dedup.semantic_dedup_pairs(df, "vid", "v", k=2, threshold=0.9)
+        assert {(r["vec_i"], r["vec_j"]) for r in sem.collect()} == {(0, 2)}
