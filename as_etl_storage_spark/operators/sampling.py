@@ -1,0 +1,85 @@
+"""Deterministic corpus re-sampling — the mixing step a training-data
+pipeline runs after profiling (see the ``q_data_mix_report`` contract
+query): given a grouped corpus, downsample every group toward a target so
+no source/language dominates the mix.
+
+No RNG anywhere: membership is a pure function of the row id via the
+cross-engine md5 hash (functions.md5_prefix64), so reruns, retries and
+partial re-ingests keep exactly the same rows — the property that makes
+distributed sampling reproducible and the oracle hash-checkable.
+
+The keep decision is an exact integer comparison (bucket * n_group <
+buckets * n_target), the same cross-multiplication trick as
+``functions.ratio_at_least`` — no float threshold, so engines can never
+disagree at the boundary.
+
+Scale: one count aggregation per group (map-side combined), the per-group
+counts broadcast back, and one hash+compare per row in the scan — the
+corpus is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.functions import md5_prefix64
+
+#: hash-space granularity of the keep decision; rates resolve to 1e-6
+BUCKETS = 1_000_000
+
+
+def rebalance_to_min_group(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Downsample every group to ~the size of the smallest group.
+
+    A row is kept iff ``hash_bucket(id) * n_group < buckets * n_min`` —
+    i.e. with probability n_min/n_group, deterministically in the row id.
+    The smallest group keeps every row; expected post-sample sizes are
+    equal across groups (the uniform-mix special case of mix targeting).
+    """
+    per = df.groupBy(*group_cols).agg(F.count("*").alias("n_g"))
+    n_min = per.agg(F.min("n_g").alias("n_min"))
+    bucket = F.pmod(md5_prefix64(F.col(id_col).cast("string")), F.lit(buckets))
+    return (
+        df.join(F.broadcast(per), group_cols)
+        .crossJoin(F.broadcast(n_min))
+        .where(bucket * F.col("n_g") < F.lit(buckets) * F.col("n_min"))
+        .select(*df.columns)
+    )
+
+
+def sample_to_rates(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    rates: dict[tuple | str, float],
+    default_rate: float = 1.0,
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Per-group deterministic sampling at explicit rates (a mixing table:
+    e.g. {'src3': 0.1} keeps ~10% of src3 and everything else). Rates are
+    quantized to 1/buckets and applied as exact integer thresholds.
+
+    Single group column: keys are the column's values. Multiple group
+    columns: keys are tuples in ``group_cols`` order.
+    """
+    import itertools
+
+    quantized = {
+        k if isinstance(k, tuple) else (k,): int(round(r * buckets))
+        for k, r in rates.items()
+    }
+    default_q = int(round(default_rate * buckets))
+    threshold = F.lit(default_q)
+    for key, q in quantized.items():
+        match = F.lit(True)
+        for col, val in itertools.zip_longest(group_cols, key):
+            match = match & (F.col(col) == F.lit(val))
+        threshold = F.when(match, F.lit(q)).otherwise(threshold)
+    bucket = F.pmod(md5_prefix64(F.col(id_col).cast("string")), F.lit(buckets))
+    return df.where(bucket < threshold)

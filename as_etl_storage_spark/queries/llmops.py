@@ -836,6 +836,33 @@ _register(
 )
 
 
+# ------------------------------------------------ corpus rebalancing ------
+def _rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-mix resample: every (source, lang) group downsampled to
+    ~the smallest group's size, membership a pure function of doc_id
+    (operators/sampling.rebalance_to_min_group)."""
+    from as_etl_storage_spark.operators.sampling import rebalance_to_min_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = rebalance_to_min_group(docs, "doc_id", ["source", "lang"])
+    return kept.select("doc_id", "source", "lang")
+
+
+_register(
+    "corpus_rebalance_sample",
+    _rebalance,
+    """
+    WITH per AS (SELECT source, lang, count(*) AS n_g
+                 FROM documents GROUP BY 1, 2),
+    m AS (SELECT min(n_g) AS n_min FROM per)
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d JOIN per USING (source, lang) CROSS JOIN m
+    WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 1000000) * n_g < 1000000 * n_min
+    """,
+)
+
+
 # ------------------------------------------- eval-set decontamination -----
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: training docs sharing any 13-token

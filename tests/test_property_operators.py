@@ -198,3 +198,36 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4
     assert r4 > r1  # at sf0.001 wider probing must actually help
+
+
+def test_rebalance_determinism_and_bounds(spark, sf_dir):
+    from as_etl_storage_spark.operators.sampling import (
+        rebalance_to_min_group,
+        sample_to_rates,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = rebalance_to_min_group(docs, "doc_id", ["source"])
+    b = rebalance_to_min_group(docs, "doc_id", ["source"])
+    # pure function of doc_id: reruns keep exactly the same rows
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    sizes = dict(
+        a.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    orig = dict(
+        docs.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    n_min = min(orig.values())
+    # smallest group keeps everything; no group grows
+    assert any(sizes.get(s, 0) == n for s, n in orig.items() if n == n_min)
+    assert all(sizes.get(s, 0) <= n for s, n in orig.items())
+
+    # explicit-rate sampling: rate 0 removes the group, rate 1 keeps it
+    out = sample_to_rates(
+        docs, "doc_id", ["source"], {"src0": 0.0}, default_rate=1.0
+    )
+    kept = {r["source"] for r in out.select("source").distinct().collect()}
+    assert "src0" not in kept
+    assert out.count() == docs.where(F.col("source") != "src0").count()
