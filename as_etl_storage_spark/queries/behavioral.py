@@ -920,6 +920,37 @@ _register(
 )
 
 
+def _interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER interval join: clicks without views AND views without a
+    qualifying click both survive (null other-side columns) — the complete
+    stream-stream join matrix; state bounding is identical to left_outer
+    (both sides watermarked, emission at watermark passage)."""
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_join(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'view'"),
+        how="full_outer",
+    )
+
+
+_register(
+    "stream_interval_join_full",
+    _interval_join_full,
+    """
+    SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+    """,
+)
+
+
 # ------------------------------------------------- integer PageRank -------
 # Iterative graph processing on the supplier -> part bipartite graph from
 # lineitem. All arithmetic is INTEGER (ranks scaled by 1e6, damping 85/100

@@ -235,9 +235,14 @@ def interval_join(
         & (F.col("view_ts") <= F.col("click_ts"))
         & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    return c.join(v, cond, how).select(
-        "user_id", "click_id", "click_ts", "view_id", "view_ts"
+    joined = c.join(v, cond, how)
+    # full outer: unmatched views carry a null click-side user_id
+    uid = (
+        F.coalesce(F.col("user_id"), F.col("v_user_id")).alias("user_id")
+        if how == "full_outer"
+        else F.col("user_id")
     )
+    return joined.select(uid, "click_id", "click_ts", "view_id", "view_ts")
 
 
 def enrich_with_dim(
