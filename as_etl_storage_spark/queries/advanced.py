@@ -86,6 +86,65 @@ _register(
 )
 
 
+# ----------------------------------------------- dedup drop list ----------
+def _dedup_drop_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of the dedup pipeline: near-dup pairs ->
+    connected components -> keep ONE canonical doc per cluster (longest
+    text, tie-break smallest doc_id) -> emit everything else as the drop
+    list. This is the table an ingest job anti-joins against."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", p=4, q=5)
+    comp = connected_components(pairs.select("doc_i", "doc_j"))
+    sized = comp.join(
+        docs.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("len").desc(), F.col("doc_id")
+    )
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "cluster_id")
+    )
+
+
+_register(
+    "dedup_drop_list",
+    _dedup_drop_list,
+    """
+    WITH RECURSIVE
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-3, 2))) AS g
+            FROM documents),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    dup AS (SELECT i, j
+            FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+            WHERE inter * 5 >= (x.n + y.n - inter) * 4),
+    edges AS (SELECT i AS u, j AS v FROM dup UNION SELECT j, i FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id))
+    SELECT doc_id, cluster_id FROM ranked WHERE rn > 1
+    """,
+)
+
+
 # --------------------------------------- applyInPandas event transitions --
 def _transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(load_table(spark, sf_dir, "events"))
