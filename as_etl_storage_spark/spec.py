@@ -232,6 +232,10 @@ class WriterSpec:
     evolve_schema: bool = False  # allow additive schema changes on append
     partition_by: tuple[str, ...] = ()  # hive-style partition directories
     zorder_by: tuple[str, ...] = ()  # Morton-cluster files on these columns
+    #: overwrite replaces ONLY the partitions present in the incoming batch
+    #: (Spark dynamic partition overwrite) instead of truncating the table —
+    #: the at-scale update path for date/source-partitioned tables
+    dynamic_partition_overwrite: bool = False
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -255,6 +259,9 @@ class WriterSpec:
             evolve_schema=bool(obj.get("evolveSchema", False)),
             partition_by=tuple(obj.get("partitionBy", []) or []),
             zorder_by=tuple(obj.get("zorderBy", []) or []),
+            dynamic_partition_overwrite=bool(
+                obj.get("dynamicPartitionOverwrite", False)
+            ),
         )
         spec.validate()
         return spec
@@ -277,6 +284,8 @@ class WriterSpec:
             raise SpecError("partitionBy is not supported on versioned tables")
         if set(self.partition_by) & set(self.zorder_by):
             raise SpecError("a column cannot be both partitionBy and zorderBy")
+        if self.dynamic_partition_overwrite and not self.partition_by:
+            raise SpecError("dynamicPartitionOverwrite requires partitionBy")
 
 
 @dataclass(frozen=True)

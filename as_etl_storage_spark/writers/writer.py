@@ -91,6 +91,11 @@ class ParquetWriter:
             writer = writer.option("rowTag", "row").option("rootTag", "rows")
         if self.spec.partition_by:
             writer = writer.partitionBy(*self.spec.partition_by)
+            if mode == "overwrite" and self.spec.dynamic_partition_overwrite:
+                # replace only the partitions present in the batch — the
+                # at-scale update path for date/source-partitioned tables
+                # (full-table truncate would rewrite 100 TB to update a day)
+                writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.save(path)
 
     def _arrange(self, df: DataFrame) -> DataFrame:

@@ -232,3 +232,35 @@ def test_compact_multi_file_target(spark, tmp_path):
     n_before, n_after = compact(spark, path, target_rows_per_file=target)
     assert n_after == -(-n_rows // target)  # ceil
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """dynamicPartitionOverwrite: overwrite replaces ONLY the partitions
+    present in the incoming batch; untouched partitions survive."""
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.writer import ParquetWriter
+
+    def spec(dynamic):
+        return WriterSpec.from_json(
+            {
+                "connection": {"url": str(tmp_path), "table": {"name": "t_dyn"}},
+                "writeMode": "overwrite",
+                "partitionBy": ["d"],
+                "dynamicPartitionOverwrite": dynamic,
+            }
+        )
+
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "id long, d string"
+    )
+    ParquetWriter(spark, spec(False)).write(full)
+    # update only partition 'a' with one new row
+    patch = spark.createDataFrame([(9, "a")], "id long, d string")
+    ParquetWriter(spark, spec(True)).write(patch)
+    got = spark.read.parquet(str(tmp_path / "t_dyn.parquet"))
+    rows = {(r["id"], r["d"]) for r in got.collect()}
+    assert rows == {(9, "a"), (3, "b"), (4, "b")}  # 'b' untouched
+    # static overwrite (the default) truncates the whole table
+    ParquetWriter(spark, spec(False)).write(patch)
+    got2 = spark.read.parquet(str(tmp_path / "t_dyn.parquet"))
+    assert {(r["id"], r["d"]) for r in got2.collect()} == {(9, "a")}
