@@ -371,6 +371,73 @@ _register(
 )
 
 
+def _exec_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator through the real engine: the
+    applyInPandasWithState funnel state machine drains in TWO time-ordered
+    micro-batches (maxFilesPerTrigger=1), so a user's view/click/purchase
+    can land in different batches and conversion depends on state carried
+    across them. Hash-matches the batch stepwise-min oracle."""
+    import shutil
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.streaming.stateful import funnel_conversions
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch_dir()
+    halves = os.path.join(base, "exec_funnel_halves")
+    indir = os.path.join(base, "exec_funnel_in")
+    os.makedirs(indir, exist_ok=True)
+    ts_us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    cutoff = ev.agg(
+        F.expr(f"percentile_approx({ts_us}, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    for i, pred in enumerate([f"{ts_us} <= {cutoff}", f"{ts_us} > {cutoff}"]):
+        ev.where(F.expr(pred)).orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(halves, f"p{i}"))
+    part = 0
+    for i in range(2):
+        for f in sorted(os.listdir(os.path.join(halves, f"p{i}"))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(indir, f"part-{part:03d}.parquet")
+                shutil.copy(os.path.join(halves, f"p{i}", f), dst)
+                # the file source orders batches by MODIFICATION TIME, not
+                # name — pin strictly increasing mtimes so batch order is
+                # the time order the state machine requires
+                os.utime(dst, (1_000_000_000 + part, 1_000_000_000 + part))
+                part += 1
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    work = os.path.join(base, "exec_funnel_work")
+    os.makedirs(work, exist_ok=True)
+    target = _drain(funnel_conversions(stream), work, "update")
+    return spark.read.parquet(target).select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
+
+
+_register(
+    "stream_exec_funnel",
+    _exec_funnel,
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY 1, 2),
+    p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY 1, 2, 3)
+    SELECT user_id, t_view, t_click, t_purchase FROM p
+    """,
+)
+
+
 def _exec_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup through the real engine: the source dir
     holds TWO copies of every event file, dropDuplicatesWithinWatermark

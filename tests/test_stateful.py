@@ -127,17 +127,25 @@ def test_funnel_conversions_stream_matches_batch(spark, tmp_path):
 
     for i, part in enumerate(sorted(_glob.glob(str(d / "p*" / "*.parquet")))):
         shutil.copy(part, flat / f"part-{i:03d}.parquet")
+        # the file source orders batches by MODIFICATION TIME, not name —
+        # pin strictly increasing mtimes so the two micro-batches arrive
+        # in time order (state carry-over is the point of this test)
+        os.utime(flat / f"part-{i:03d}.parquet", (1e9 + i, 1e9 + i))
 
-    # halves were re-written by Spark with real timestamps — read them
-    # back with that schema directly (file_stream expects the fixture's
-    # raw nanos-long encoding)
-    stream = spark.readStream.schema(ev.schema).parquet(str(flat))
+    # halves were re-written by Spark with native timestamps — read them
+    # back with that schema directly. maxFilesPerTrigger is a SOURCE
+    # option (on the sink it is silently ignored and everything drains in
+    # one batch, testing nothing).
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
     out = funnel_conversions(stream)
     target = str(tmp_path / "conv.parquet")
     q = (
         out.writeStream.outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
-        .option("maxFilesPerTrigger", "1")
         .trigger(availableNow=True)
         .foreachBatch(
             lambda batch, _id: batch.write.mode("append").parquet(target)
