@@ -371,6 +371,35 @@ _register(
 )
 
 
+def _exec_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) windows through the real engine: every event
+    contributes to width/slide windows, complete mode."""
+    from as_etl_storage_spark.streaming.micro_batch import file_stream
+
+    indir = _staged_events_dir(sf_dir, "exec_sliding")
+    work = os.path.dirname(indir)
+    stream = file_stream(spark, indir)
+    target = _drain(sliding_counts(stream), work, "complete")
+    got = spark.read.parquet(target)
+    return got.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"), "n"
+    )
+
+
+_register(
+    "stream_exec_sliding",
+    _exec_sliding,
+    """
+    WITH starts AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+               AS window_start
+      FROM events)
+    SELECT window_start, count(*) AS n FROM starts GROUP BY 1
+    """,
+)
+
+
 def _exec_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator through the real engine: the
     applyInPandasWithState funnel state machine drains in TWO time-ordered
