@@ -486,6 +486,88 @@ def w_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("compacted_ok", F.lit(bool(ok)))
 
 
+# --- C5/C6/W5 execution proof: live JDBC boundary via embedded Derby -------
+# The reference's whole purpose is moving rows through real database
+# connections (database/db.go:203-236, dbms/writer/batch_writer.go:159-261).
+# No MySQL/Oracle server exists in this environment, but Derby (embedded,
+# on Spark's classpath) lets the SAME JdbcWriter/JdbcSource code run a real
+# save()/load(): these queries are the execution proof for the option maps
+# the mysql/oracle dialects share.
+def _jdbc_url(tag: str) -> str:
+    # one in-memory database per invocation: Derby memory DBs live until
+    # the JVM exits, so a unique name keeps reruns independent; the handful
+    # of rows involved is negligible against the driver heap.
+    return f"jdbc:derby:memory:{tag}_{uuid.uuid4().hex[:12]};create=true"
+
+
+def w_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JDBC write (append) + read back (C5-shaped source/sink on the
+    executable dialect), hash-compared against the source table."""
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = _jdbc_url("rt")
+    spec = WriterSpec.from_json(
+        {
+            "connection": {"url": url, "table": {"name": "orders_rt"}},
+            "writeMode": "insert",
+            "column": ["o_orderkey", "o_custkey", "o_orderstatus",
+                       "o_totalprice"],
+        }
+    )
+    src = load_table(spark, sf_dir, "orders")
+    JdbcWriter(spark, spec, dialect="derby").write(src)
+    back = JdbcSource(spark, spec.connection, dialect="derby").read()
+    return back.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def w_jdbc_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 on the live connector: base append, then a replace batch merged
+    through the staging path (append to ``__stage`` + set-based
+    delete-then-insert executed inside the database) — the semantics MySQL's
+    REPLACE INTO has (mysql/table.go:100-146), actually executed."""
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = _jdbc_url("rp")
+    base = WriterSpec.from_json(
+        {
+            "connection": {"url": url, "table": {"name": "orders_rp"}},
+            "writeMode": "insert",
+            "column": ["o_orderkey", "o_orderstatus"],
+        }
+    )
+    src = load_table(spark, sf_dir, "orders")
+    JdbcWriter(spark, base, dialect="derby").write(src)
+    upsert = WriterSpec.from_json(
+        {
+            "connection": {"url": url, "table": {"name": "orders_rp"}},
+            "writeMode": "replace",
+            "mergeKeys": ["o_orderkey"],
+        }
+    )
+    batch = (
+        src.where("o_orderkey <= 1000")
+        .select("o_orderkey", "o_orderstatus")
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    JdbcWriter(spark, upsert, dialect="derby").write(batch)
+    back = JdbcSource(spark, base.connection, dialect="derby").read()
+    return back.select("o_orderkey", "o_orderstatus")
+
+
+QUERIES["w_jdbc_roundtrip"] = w_jdbc_roundtrip
+ORACLES["w_jdbc_roundtrip"] = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"
+)
+QUERIES["w_jdbc_replace"] = w_jdbc_replace
+ORACLES["w_jdbc_replace"] = (
+    "SELECT o_orderkey, CASE WHEN o_orderkey <= 1000 THEN 'X' "
+    "ELSE o_orderstatus END AS o_orderstatus FROM orders"
+)
+
 QUERIES["w_compact_roundtrip"] = w_compact_roundtrip
 ORACLES["w_compact_roundtrip"] = (
     "SELECT o_orderstatus, count(*) AS n, "

@@ -41,7 +41,7 @@ def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteR
         writer = ParquetWriter(spark, spec.writer)
     elif dialect in ("csv", "json", "orc", "xml"):
         writer = FileFormatWriter(spark, spec.writer, dialect)
-    elif dialect in ("mysql", "oracle"):
+    elif dialect in ("mysql", "oracle", "derby"):
         from as_etl_storage_spark.writers.jdbc import JdbcWriter
 
         writer = JdbcWriter(spark, spec.writer, dialect)

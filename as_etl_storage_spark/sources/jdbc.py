@@ -45,6 +45,15 @@ class JdbcDialectRules:
     fetch_size: int = 10_000
     batch_size: int = 1000  # writer default parity (writer/config.go:21)
     extra_read_options: dict = field(default_factory=dict)
+    #: JDBC driver class, passed as the ``driver`` option on read AND write
+    #: (needed when the driver does not self-register via ServiceLoader on
+    #: the executor classloader — Derby embedded, notably).
+    driver: str = ""
+    #: DDL type used for string columns when the WRITER creates the table
+    #: (``createTableColumnTypes``). Derby needs this: Spark's default maps
+    #: StringType -> CLOB, and Derby CLOBs reject comparison predicates, so
+    #: pushed-down filters on written string columns would fail.
+    create_string_type: str = ""
 
     def quoted(self, identifier: str) -> str:
         return f"{self.quote}{identifier}{self.quote}"
@@ -137,7 +146,30 @@ ORACLE = JdbcDialectRules(
     write_all_as_string=True,
 )
 
-DIALECTS = {"mysql": MYSQL, "oracle": ORACLE}
+DERBY = JdbcDialectRules(
+    name="derby",
+    quote='"',
+    trim_char_types=("CHAR", "NCHAR"),
+    driver="org.apache.derby.jdbc.EmbeddedDriver",
+    create_string_type="VARCHAR(8000)",
+)
+"""In-process execution dialect.
+
+The reference's verifiable boundary stops at the rendered SQL/option maps
+because no MySQL/Oracle server exists in the test environment; Derby
+(embedded, on Spark's classpath) closes that gap: the SAME JdbcWriter /
+JdbcSource code paths run a real ``save()``/``load()`` against
+``jdbc:derby:memory:*``. Semantics parity: Derby quotes like Oracle (``"``),
+trims CHAR like both, and supports the staging-merge replace path via
+delete-then-insert (MySQL ``REPLACE INTO`` has exactly those semantics:
+delete the existing key row, insert the new one — mysql/table.go:100-146).
+
+Scale note: an in-memory Derby lives in the driver JVM, so this dialect is
+for parity tests only — local[n] executors share that JVM; a real cluster
+would use the mysql/oracle dialects against a network database.
+"""
+
+DIALECTS = {"mysql": MYSQL, "oracle": ORACLE, "derby": DERBY}
 
 
 class JdbcSource:
@@ -169,6 +201,8 @@ class JdbcSource:
             "password": self.password,
             "fetchsize": str(self.rules.fetch_size),
         }
+        if self.rules.driver:
+            opts["driver"] = self.rules.driver
         opts.update(self.rules.extra_read_options)
         return opts
 

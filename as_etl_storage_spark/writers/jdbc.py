@@ -18,19 +18,27 @@ Reference parity map (W3/W5 + write-mode dispatch db.go:380-396):
     batches binds natively; the write-side stringify rule
     (oracle/field.go:257-287) is applied via ``JdbcDialectRules.write_frame``;
   * MySQL ``replace`` mode (mysql/table.go:99-130 ``REPLACE INTO``): Spark's
-    JDBC writer only speaks INSERT, so replace renders the dialect statement
-    for a staging-table merge — ``replace_sql``/``insert_sql`` produce the
-    exact SQL the reference builds, unit-testable without a live server.
+    JDBC writer only speaks INSERT, so replace EXECUTES a staging-table
+    merge — bulk-append the batch into ``<table>__stage``, then run the
+    dialect's set-based merge over a real JDBC connection
+    (``merge_statements``: MySQL ``REPLACE INTO … SELECT``, generic
+    delete-then-insert keyed on mergeKeys — the exact semantics MySQL's
+    REPLACE has). ``replace_sql``/``insert_sql`` still render the
+    reference's row-bind statements for parity unit tests.
     Oracle registers no replace mode (oracle/table.go:62-69) and raises,
     matching the reference's "ExecParam is not exist" error.
 
-No live database exists in the test environment, so everything up to the
-actual ``save()`` is pure option/SQL construction with unit tests; ``write``
-is exercised end-to-end only when a reachable JDBC url is configured.
+No MySQL/Oracle server exists in the test environment, but the embedded
+Derby dialect (sources/jdbc.py DERBY) runs this writer's real
+``save()`` + merge path end-to-end against ``jdbc:derby:memory:*`` — see
+tests/test_jdbc_writer.py and the ``w_jdbc_*`` contract queries.
 
 Scale: at 100 TB the bottleneck is the database, not Spark — the pool cap
 keeps the target from being connection-flooded by a 1000-executor cluster,
-and ``batchsize`` controls round-trips per connection.
+``batchsize`` controls round-trips per connection, and the replace merge is
+set-based SQL executed inside the database engine (Spark only bulk-loads
+the staging table in parallel; the merge itself never moves rows through
+Spark).
 """
 
 from __future__ import annotations
@@ -73,6 +81,15 @@ class JdbcWriter:
         t = self.spec.connection.table
         return ".".join(self.rules.quoted(p) for p in (t.schema, t.name) if p)
 
+    def staging_table(self) -> str:
+        """Qualified name of the replace-mode staging table."""
+        t = self.spec.connection.table
+        return ".".join(
+            self.rules.quoted(p)
+            for p in (t.schema, f"{t.name}__stage")
+            if p
+        )
+
     def write_options(self) -> dict:
         """The spark.write.jdbc option map (W5 knobs).
 
@@ -81,7 +98,7 @@ class JdbcWriter:
         axis; ``truncate`` keeps overwrite from dropping the table (the
         reference's overwrite is a truncate-then-insert, not DDL).
         """
-        return {
+        opts = {
             "url": self.spec.connection.url,
             "dbtable": self.qualified_table(),
             "user": self.user,
@@ -90,24 +107,53 @@ class JdbcWriter:
             "isolationLevel": "READ_COMMITTED" if self.transactional else "NONE",
             "truncate": "true",
         }
+        if self.rules.driver:
+            opts["driver"] = self.rules.driver
+        return opts
 
     def save_mode(self) -> str:
         mode = self.spec.write_mode
         if mode == "replace":
-            if self.rules.name != "mysql":
+            if self.rules.name == "oracle":
                 # oracle/table.go:62-69: no replace ExecParam registered
                 raise WriterError(
                     f"writeMode=replace is not supported by the "
                     f"{self.rules.name!r} dialect (reference parity: only "
                     "MySQL registers a replace exec mode)"
                 )
-            # staging-table path: append to a staging table, then run
-            # replace_sql() against it (Spark's JDBC writer is INSERT-only)
+            # staging-table path (see _write_replace): bulk-append to a
+            # staging table, then merge (Spark's JDBC writer is INSERT-only)
             return "append"
         try:
             return _SAVE_MODES[mode]
         except KeyError:  # pragma: no cover - spec.validate guards
             raise WriterError(f"unknown writeMode {mode!r}") from None
+
+    def merge_statements(self, columns: list[str]) -> list[str]:
+        """Set-based merge from the staging table into the target.
+
+        MySQL renders the REPLACE form the reference builds row-wise
+        (mysql/table.go:100-146); every other replace-capable dialect gets
+        the semantic expansion of REPLACE — delete the target rows whose
+        merge key appears in the staging batch, then insert the whole batch.
+        Both shapes execute entirely inside the database engine.
+        """
+        keys = list(self.spec.merge_keys)
+        if not keys:
+            raise WriterError("replace mode requires mergeKeys")
+        target, stage = self.qualified_table(), self.staging_table()
+        cols = ",".join(self.rules.quoted(c) for c in columns)
+        if self.rules.name == "mysql":
+            return [f"replace into {target}({cols}) select {cols} from {stage}"]
+        on = " and ".join(
+            f"{stage}.{self.rules.quoted(k)} = {target}.{self.rules.quoted(k)}"
+            for k in keys
+        )
+        return [
+            f"delete from {target} where exists "
+            f"(select 1 from {stage} where {on})",
+            f"insert into {target}({cols}) select {cols} from {stage}",
+        ]
 
     def insert_sql(self, columns: list[str], n_rows: int = 1) -> str:
         """Render the dialect's batch INSERT (mysql/table.go INSERT path,
@@ -159,14 +205,91 @@ class JdbcWriter:
             df = df.coalesce(cap)
         return df
 
+    def execute_sql(self, statements: list[str], ignore_errors: bool = False) -> None:
+        """Run statements over a raw JDBC connection on the driver.
+
+        This is the reference's direct-exec path (database/db.go:203-236):
+        control statements — pre/postSQL hooks, the replace merge, DDL —
+        are single set-based commands the database executes itself, so one
+        driver-side connection is the right shape (the bulk row traffic
+        goes through the parallel ``save()``, never through here).
+        """
+        jvm = self.spark.sparkContext._jvm
+        if self.rules.driver:
+            jvm.java.lang.Class.forName(self.rules.driver)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.spec.connection.url, self.user, self.password
+        )
+        try:
+            stmt = conn.createStatement()
+            try:
+                for sql in statements:
+                    try:
+                        stmt.execute(sql)
+                    except Exception:
+                        if not ignore_errors:
+                            raise
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    def run_pre_sql(self) -> None:
+        """W9 hooks, executed on the target database (writer/task.go runs
+        them over the live connection; SELECTs were rejected at spec time)."""
+        if self.spec.pre_sql:
+            self.execute_sql(list(self.spec.pre_sql))
+
+    def run_post_sql(self) -> None:
+        if self.spec.post_sql:
+            self.execute_sql(list(self.spec.post_sql))
+
+    def _save(self, df: DataFrame, dbtable: str, mode: str) -> None:
+        writer = df.write.format("jdbc").mode(mode)
+        for k, v in self.write_options().items():
+            writer = writer.option(k, v)
+        if self.rules.create_string_type:
+            from pyspark.sql import types as T
+
+            decls = [
+                f"{f.name} {self.rules.create_string_type}"
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
+            if decls:
+                writer = writer.option(
+                    "createTableColumnTypes", ", ".join(decls)
+                )
+        writer.option("dbtable", dbtable).save()
+
+    def _write_replace(self, out: DataFrame) -> None:
+        """REPLACE upsert via staging merge (mysql/table.go:100-146).
+
+        1. ensure the target exists (0-row append creates it if absent);
+        2. bulk-load the batch into ``<table>__stage`` in parallel;
+        3. execute the dialect's set-based merge inside the database;
+        4. drop the staging table.
+        """
+        self.save_mode()  # dialect validation (oracle raises)
+        stmts = self.merge_statements(out.columns)  # mergeKeys validation
+        self._save(out.limit(0), self.qualified_table(), "append")
+        self._save(out, self.staging_table(), "overwrite")
+        try:
+            self.execute_sql(stmts)
+        finally:
+            self.execute_sql(
+                [f"drop table {self.staging_table()}"], ignore_errors=True
+            )
+
     def write(self, df: DataFrame) -> WriteResult:
         """Execute the JDBC write. Requires a reachable database url."""
         out = self.prepare_frame(df)
-        mode = self.save_mode()
-        writer = out.write.format("jdbc").mode(mode)
-        for k, v in self.write_options().items():
-            writer = writer.option(k, v)
-        writer.save()
+        self.run_pre_sql()
+        if self.spec.write_mode == "replace":
+            self._write_replace(out)
+        else:
+            self._save(out, self.qualified_table(), self.save_mode())
+        self.run_post_sql()
         return WriteResult(
             target_path=self.spec.connection.url,
             written=-1,  # the database owns the count; -1 = not observable

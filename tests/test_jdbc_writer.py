@@ -144,3 +144,117 @@ def test_runner_rejects_unknown_but_accepts_jdbc_dialects():
 
     src = inspect.getsource(runner.run_job)
     assert "mysql" in src and "oracle" in src
+
+
+# --- live execution via embedded Derby -------------------------------------
+# The mysql/oracle dialects stop at option maps (no server in this env);
+# Derby is on Spark's classpath and runs the SAME save()/load()/merge code
+# for real (db.go:203-236, dbms/writer/batch_writer.go:159-261 execution
+# parity). One in-memory database per test keeps them independent.
+import uuid
+
+from as_etl_storage_spark.sources.jdbc import JdbcSource
+
+
+def _derby_writer(spark, table, **spec_kw):
+    url = f"jdbc:derby:memory:t_{uuid.uuid4().hex[:10]};create=true"
+    spec = WriterSpec.from_json(
+        {"connection": {"url": url, "table": {"name": table}}, **spec_kw}
+    )
+    return JdbcWriter(spark, spec, "derby")
+
+
+def test_derby_live_append_roundtrip(spark):
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "concat('v_', id % 5) AS s", "CAST(id * 1.5 AS DOUBLE) AS v"
+    )
+    w = _derby_writer(spark, "t1", writeMode="insert")
+    w.write(df)
+    w.write(df)  # second append doubles
+    back = JdbcSource(spark, w.spec.connection, dialect="derby").read()
+    assert back.count() == 1000
+    # string columns round-trip as comparable VARCHAR, not CLOB
+    assert back.where("s = 'v_3'").count() == 200
+
+
+def test_derby_live_overwrite_truncates(spark):
+    df = spark.range(0, 100).selectExpr("id AS k")
+    w = _derby_writer(spark, "t2", writeMode="insert")
+    w.write(df)
+    ow = JdbcWriter(spark, WriterSpec.from_json(
+        {"connection": {"url": w.spec.connection.url,
+                        "table": {"name": "t2"}},
+         "writeMode": "overwrite"}), "derby")
+    ow.write(df.limit(7))
+    back = JdbcSource(spark, w.spec.connection, dialect="derby").read()
+    assert back.count() == 7
+
+
+def test_derby_live_replace_merges_not_appends(spark):
+    # the round-4 latent bug: replace mode must upsert, never plain-append
+    base = spark.range(0, 300).selectExpr(
+        "id AS k", "concat('s_', id % 3) AS s"
+    )
+    w = _derby_writer(spark, "t3", writeMode="insert")
+    w.write(base)
+    up = JdbcWriter(spark, WriterSpec.from_json(
+        {"connection": {"url": w.spec.connection.url,
+                        "table": {"name": "t3"}},
+         "writeMode": "replace", "mergeKeys": ["k"]}), "derby")
+    batch = spark.range(200, 400).selectExpr("id AS k", "'X' AS s")
+    up.write(batch)
+    back = JdbcSource(spark, w.spec.connection, dialect="derby").read()
+    assert back.count() == 400  # 0..399, no duplicate keys
+    assert back.where("s = 'X'").count() == 200
+    assert back.where("k < 200 AND s = 'X'").count() == 0
+    # staging table dropped after the merge
+    with pytest.raises(Exception):
+        JdbcSource(
+            spark, up.spec.connection, dialect="derby"
+        ).spark.read.format("jdbc").option(
+            "url", up.spec.connection.url
+        ).option("driver", "org.apache.derby.jdbc.EmbeddedDriver").option(
+            "dbtable", '"t3__stage"'
+        ).load().count()
+
+
+def test_derby_replace_requires_merge_keys(spark):
+    # guarded at spec-parse time (writer/config.go validation parity);
+    # the writer's own merge_statements guard backs it up for direct use
+    from as_etl_storage_spark.spec import SpecError
+
+    with pytest.raises(SpecError, match="mergeKeys"):
+        _derby_writer(spark, "t4", writeMode="replace")
+    w = _derby_writer(spark, "t4", writeMode="replace", mergeKeys=["k"])
+    object.__setattr__(w.spec, "merge_keys", ())
+    with pytest.raises(WriterError, match="mergeKeys"):
+        w.merge_statements(["k"])
+
+
+def test_derby_pre_post_sql_execute_on_database(spark):
+    # W9 hooks run over the live connection: postSQL deletes a slice
+    w = _derby_writer(spark, "t5", writeMode="insert",
+                      postSQL=['delete from "t5" where "k" < 10'])
+    df = spark.range(0, 50).selectExpr("id AS k")
+    w.write(df)
+    back = JdbcSource(spark, w.spec.connection, dialect="derby").read()
+    assert back.count() == 40
+
+
+def test_derby_merge_statements_rendering(spark):
+    w = _derby_writer(spark, "t6", writeMode="replace", mergeKeys=["k"])
+    stmts = w.merge_statements(["k", "s"])
+    assert stmts == [
+        'delete from "t6" where exists '
+        '(select 1 from "t6__stage" where "t6__stage"."k" = "t6"."k")',
+        'insert into "t6"("k","s") select "k","s" from "t6__stage"',
+    ]
+
+
+def test_mysql_merge_statement_is_replace_into(spark):
+    w = _writer(spark, writeMode="replace", mergeKeys=["o_orderkey"])
+    stmts = w.merge_statements(["o_orderkey", "s"])
+    assert stmts == [
+        "replace into `main`.`orders`(`o_orderkey`,`s`) "
+        "select `o_orderkey`,`s` from `main`.`orders__stage`"
+    ]
