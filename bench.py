@@ -53,21 +53,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # untimed warm-up at the smallest fixture: JIT-compiles the generated
-    # code and starts Python workers for the same plan shapes, so the timed
-    # numbers below measure steady-state execution, not first-run
-    # compilation (cold-vs-warm is 3-6x on the widest plans)
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in HEADLINE:
-            fn = QUERIES.get(name)
-            if fn is not None:
-                try:
-                    fn(spark, warm_dir).write.mode("overwrite").format(
-                        "noop"
-                    ).save()
-                except Exception:
-                    pass
+    # untimed warm-up of every query AT THE BENCH SCALE: warming at sf0.001
+    # proved insufficient (r4: q_sessionize timed 3.52s cold vs 0.94s
+    # steady) because AQE can pick different physical plans per scale, so
+    # the first sf0.1 run still pays codegen+JIT for plans the small warm-up
+    # never compiled. One full untimed pass makes every timed run below a
+    # steady-state measurement.
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is not None:
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+            except Exception:
+                pass
+            spark.catalog.clearCache()
 
     # best-of-N per query: the box is shared, so a single pass can catch a
     # transient load spike and misreport a query by 2-4x; the min of the
@@ -81,6 +82,10 @@ def main() -> None:
         "ann_topk_bruteforce",
         "dedup_minhash_lsh",
         "ml_kmeans_validated",
+        # promoted in r5: their single-spike history dominated r4 totals
+        "q_sessionize",
+        "q_table_stats",
+        "q_dau_wau",
     }
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
