@@ -337,8 +337,14 @@ def minhash_dedup_pairs(
     # Generate + the signature HashAggregates appear once per side). At
     # fixture scale the duplicate stages hide in idle cores; over a real
     # corpus the signature pass is the dominant cost and must run once.
+    # Lifecycle: the eager localCheckpoint of the (small-by-design)
+    # candidate pairs cuts their lineage back to materialized blocks, so
+    # the signatures can be unpersisted HERE instead of leaking in the
+    # CacheManager until session end; the checkpoint blocks themselves are
+    # ContextCleaner-managed — freed when the caller drops the result.
     banded = oph_banded_signatures(sh_raw).persist()
-    cands = lsh_candidates(banded).persist()
+    cands = lsh_candidates(banded).localCheckpoint(eager=True)
+    banded.unpersist()
     cand_docs = (
         cands.select(F.col("doc_i").alias("doc"))
         .union(cands.select(F.col("doc_j").alias("doc")))
@@ -392,7 +398,10 @@ def incremental_dedup_pairs(
         )
         .select(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
         .distinct()
-        .persist()
+        # eager localCheckpoint, not persist: candidates feed two consumers
+        # (verification join + candidate-doc filter) but must not outlive
+        # the call in the CacheManager — checkpoint blocks are GC-cleaned
+        .localCheckpoint(eager=True)
     )
     cand_docs = (
         cands.select(F.col("doc_i").alias("doc"))

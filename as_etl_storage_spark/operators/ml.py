@@ -227,10 +227,15 @@ def kmeans_validated(
     corpus = _prepared(df, id_col, vec_col)
     if impl == "vectorized":
         # the per-iteration centroid collect makes each round its own job,
-        # so the corpus is scanned 2 + iters times; cache the prepared
-        # (vid, v) projection once — at cluster scale this is the standard
-        # iterate-over-cached-features shape (MEMORY_AND_DISK, spillable)
-        corpus = corpus.persist()
+        # so the corpus is scanned 2 + iters times; materialize the
+        # prepared (vid, v) projection once. localCheckpoint rather than
+        # persist: same MEMORY_AND_DISK block reuse across the iteration
+        # jobs, but the blocks are ContextCleaner-freed when the result is
+        # dropped instead of pinned in the CacheManager until an explicit
+        # unpersist the lazy return value makes impossible. (On a real
+        # cluster where executor loss must be survivable, swap for
+        # persist + a caller-managed lifecycle or a reliable checkpoint.)
+        corpus = corpus.localCheckpoint(eager=True)
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )

@@ -15,3 +15,10 @@ SF = "/root/testdata/sf0.001"
 def test_query_matches_oracle(spark, name):
     problems = run_and_compare(spark, SF, name, QUERIES[name], ORACLES.get(name))
     assert not problems, "\n".join(problems)
+    # persist-lifecycle contract: a query must not leave CacheManager
+    # entries behind (they leak executor memory across a long multi-query
+    # job — r4 verdict item 3). Operators that need cross-consumer reuse
+    # use eager localCheckpoint, whose blocks are GC-managed instead.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        f"{name} left persisted relations in the CacheManager"
+    )
