@@ -500,3 +500,166 @@ _register(
     FROM events
     """,
 )
+
+
+def _staged_time_halves(
+    spark: SparkSession, sf_dir: str, name: str, sentinel_days: int = 0
+) -> str:
+    """Stage the events fixture as TWO time-ordered files (split at the
+    median ts, strictly increasing mtimes) so ``maxFilesPerTrigger=1``
+    replays them as two in-order micro-batches. With ``sentinel_days`` > 0,
+    append three more single-row files of far-future click/view events
+    (sentinel user_ids < -900) whose only job is to walk the event-time
+    watermark past every real row. Three are needed because the global
+    watermark is the MIN across both join sides and is applied one batch
+    late: batch 3 advances the click side, batch 4 the view side (the min
+    now clears the real-data max), and batch 5 makes the engine evict
+    against it — flushing every unmatched row deterministically."""
+    import shutil
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch_dir()
+    halves = os.path.join(base, f"{name}_halves")
+    indir = os.path.join(base, f"{name}_in")
+    os.makedirs(indir, exist_ok=True)
+    ts_us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    cutoff = ev.agg(
+        F.expr(f"percentile_approx({ts_us}, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    parts = [
+        ev.where(F.expr(f"{ts_us} <= {cutoff}")),
+        ev.where(F.expr(f"{ts_us} > {cutoff}")),
+    ]
+    if sentinel_days:
+        hi = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        for i, etype in enumerate(("click", "view", "click")):
+            parts.append(
+                spark.createDataFrame(
+                    [(-900 - i, hi, -999 - i, etype, 0.0, "{}")],
+                    schema=ev.schema,
+                ).withColumn(
+                    "ts",
+                    F.col("ts")
+                    + F.expr(f"INTERVAL {sentinel_days * (i + 1)} DAYS"),
+                )
+            )
+    part = 0
+    for i, pdf in enumerate(parts):
+        pdir = os.path.join(halves, f"p{i}")
+        # watermarks require TIMESTAMP, not the batch reader's NTZ; the
+        # session tz is pinned UTC so the instants agree
+        pdf = pdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        pdf.orderBy("ts", "event_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pdir)
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(indir, f"part-{part:03d}.parquet")
+                shutil.copy(os.path.join(pdir, f), dst)
+                # file source orders batches by MODIFICATION TIME — pin it
+                os.utime(dst, (1_000_000_000 + part, 1_000_000_000 + part))
+                part += 1
+    return indir
+
+
+def _exec_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER interval join through the REAL engine, drained
+    as two time-ordered micro-batches: a second-batch click can only pair
+    with a first-batch view via the view rows the join keeps in the state
+    store, so join-state carryover across batches is what this proves.
+    The watermark delay is far beyond the fixture span, so no state is
+    evicted and the result is exactly the batch/oracle join."""
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    indir = _staged_time_halves(spark, sf_dir, "exec_ivj")
+    work = os.path.join(os.path.dirname(indir), "exec_ivj_work")
+    os.makedirs(work, exist_ok=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    out = interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'view'"),
+        watermark="3650 days",
+    )
+    target = _drain(out, work, "append")
+    got = spark.read.parquet(target)
+    return got.select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+
+
+_register(
+    "stream_exec_interval_join",
+    _exec_interval_join,
+    """
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+    """,
+)
+
+
+def _exec_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join through the real engine —
+    the hard half of the matrix: unmatched rows are emitted only when the
+    watermark passes their eviction bound, so the staged input appends two
+    far-future sentinel rows (batch 3 advances the watermark, batch 4 makes
+    the engine evict against it), flushing every unmatched click and view
+    before the availableNow drain stops. Sentinel rows themselves are
+    outside every real user_id and filtered from the sink read-back."""
+    from as_etl_storage_spark.streaming.micro_batch import interval_join
+
+    indir = _staged_time_halves(
+        spark, sf_dir, "exec_ivjf", sentinel_days=3650
+    )
+    work = os.path.join(os.path.dirname(indir), "exec_ivjf_work")
+    os.makedirs(work, exist_ok=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    out = interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'view'"),
+        watermark="0 seconds",
+        how="full_outer",
+    )
+    target = _drain(out, work, "append")
+    got = spark.read.parquet(target).where("user_id > -900 OR user_id IS NULL")
+    return got.select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+
+
+_register(
+    "stream_exec_interval_join_full",
+    _exec_interval_join_full,
+    """
+    SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           v.event_id AS view_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL '30 minutes'
+    """,
+)
