@@ -646,19 +646,37 @@ def semantic_dedup_pairs(
     DuckDB's list_dot_product evaluates — so assignments are bit-identical
     on both engines and the oracle can hash-match the pair set.
     """
-    e = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn("n2", vec_dot(F.col("v"), F.col("v")))
-    # zero-norm vectors: assignment (L2) would be fine but the cosine
-    # verification divides by the norm — exclude them like every other
-    # cosine operator (no direction, undefined similarity)
-    e = e.where(F.col("n2") > 0)
+    e = _cosine_prepared(df, id_col, vec_col)
     seeds = e.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"),
         F.col("v").alias("cv"),
         F.col("n2").alias("n2c"),
     )
+    return _blocked_cosine_pairs(e, seeds, threshold)
+
+
+def _cosine_prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vid, v, n2) projection with zero-norm vectors excluded: assignment
+    (L2) would tolerate them but the cosine verification divides by the
+    norm — no direction, undefined similarity."""
+    return (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("n2", vec_dot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
+
+
+def _blocked_cosine_pairs(
+    e: DataFrame, seeds: DataFrame, threshold: float
+) -> DataFrame:
+    """Core of centroid-blocked semantic dedup: nearest-seed assignment
+    (squared L2 in dot-product form, cid tie-break), then within-block
+    cosine verification only — equi-join on the block id, never a cross
+    product between blocks. ``seeds`` is a bounded (cid, cv, n2c) table
+    and is broadcast."""
     d2 = F.col("n2") - 2 * vec_dot(F.col("v"), F.col("cv")) + F.col("n2c")
     assigned = (
         e.join(F.broadcast(seeds))
@@ -679,3 +697,56 @@ def semantic_dedup_pairs(
         .where(cos >= threshold)
         .select(F.col("a.vid").alias("vec_i"), F.col("b.vid").alias("vec_j"))
     )
+
+
+def semantic_dedup_pairs_seeded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Centroid-blocked semantic dedup seeded from TRAINED centroids
+    (operators/ml.kmeans_centroids) instead of smallest-id rows — the
+    100 TB path docs/SCALE.md promises: k-means pulls the seeds toward the
+    data's actual density modes, so blocks align with real clusters and
+    border-pair recall beats arbitrary-seed blocking at the same k.
+    ``centroids`` is a bounded (cid, cv) table (k x dim driver value)."""
+    e = _cosine_prepared(df, id_col, vec_col)
+    seeds = centroids.select(
+        F.col("cid"),
+        F.col("cv").cast("array<double>").alias("cv"),
+    ).withColumn("n2c", vec_dot(F.col("cv"), F.col("cv")))
+    return _blocked_cosine_pairs(e, seeds, threshold)
+
+
+def semantic_dedup_pairs_multi(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_sets: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Multi-seed-union recall variant: run the blocked dedup under
+    ``n_sets`` disjoint seed sets (id-ranked slices [s*k, (s+1)*k)) and
+    union the pair sets. A true near-dup pair missed at one blocking
+    border is found unless it straddles a border in EVERY seeding — the
+    standard recall lever; cost is linear in ``n_sets`` (each run is the
+    same equi-join shape), still never all-pairs. The union is a pair-key
+    distinct, so the result is order- and partitioning-independent."""
+    e = _cosine_prepared(df, id_col, vec_col)
+    runs = []
+    for s in range(n_sets):
+        seeds = e.where(
+            (F.col("vid") >= s * k) & (F.col("vid") < (s + 1) * k)
+        ).select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("n2").alias("n2c"),
+        )
+        runs.append(_blocked_cosine_pairs(e, seeds, threshold))
+    out = runs[0]
+    for r in runs[1:]:
+        out = out.union(r)
+    return out.distinct()

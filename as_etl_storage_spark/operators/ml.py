@@ -208,6 +208,31 @@ def kmeans_assign(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    impl: str = "jvm",
+) -> DataFrame:
+    """Trained centroid table (cid, cv) — the seed source for
+    centroid-blocked semantic dedup (operators/dedup.semantic_dedup_pairs
+    _seeded). ``impl='jvm'`` by default: sequential-fold distances are
+    bit-stable, and with the decimal-exact updates the returned centroids
+    are identical under any partitioning — so downstream blocking is
+    hash-reproducible. Centroids are pinned as literal rows every round
+    (bounded k x dim driver value), killing geometric lineage."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
+        centroids = _materialize(centroids)
+    return centroids
+
+
 def kmeans_validated(
     df: DataFrame,
     id_col: str,

@@ -163,6 +163,98 @@ _register(
 )
 
 
+def _dedup_semantic_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_pairs_multi(emb, "vec_id", "embedding", 8, 2, 0.45)
+
+
+# the multi-seed-union recall lever, fully SQL-expressible: two disjoint
+# id-ranked seed sets ([0,8) and [8,16)), union of the blocked pair sets
+_register(
+    "dedup_semantic_multiseed",
+    _dedup_semantic_multi,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e),
+    s0 AS (SELECT vec_id AS cid, v AS cv, n2 AS n2c FROM n WHERE vec_id < 8),
+    s1 AS (SELECT vec_id AS cid, v AS cv, n2 AS n2c FROM n
+           WHERE vec_id >= 8 AND vec_id < 16),
+    a0 AS (
+      SELECT vec_id, v,
+             (min(struct_pack(
+                d2 := n2 - 2 * list_dot_product(v, cv) + n2c,
+                cid := cid))).cid AS cid
+      FROM n CROSS JOIN s0 GROUP BY vec_id, v, n2),
+    a1 AS (
+      SELECT vec_id, v,
+             (min(struct_pack(
+                d2 := n2 - 2 * list_dot_product(v, cv) + n2c,
+                cid := cid))).cid AS cid
+      FROM n CROSS JOIN s1 GROUP BY vec_id, v, n2),
+    n0 AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM a0),
+    n1 AS (SELECT vec_id, v, cid, sqrt(list_dot_product(v, v)) AS nrm FROM a1)
+    SELECT DISTINCT vec_i, vec_j FROM (
+      SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+      FROM n0 a JOIN n0 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+      UNION ALL
+      SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+      FROM n1 a JOIN n1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)
+    """,
+)
+
+
+def _dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-seed semantic dedup, validated in-plan (the approx-sketch
+    testing pattern): the k-means-seeded blocked pair set is compared
+    against the exact all-pairs set computed in the SAME plan — precision
+    must be exact (every blocked pair is cosine-verified with the same
+    threshold) and recall must clear a floor the deterministic pipeline
+    reproduces bit-identically (jvm-fold distances + decimal-exact centroid
+    updates). The oracle pins the exact all-pairs count and the booleans."""
+    from as_etl_storage_spark.operators.ml import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 8, 2, impl="jvm")
+    blocked = dedup.semantic_dedup_pairs_seeded(
+        emb, "vec_id", "embedding", cents, 0.45
+    )
+    allp = dedup.embedding_cosine_pairs(emb, "vec_id", "embedding", 0.45)
+    joined = allp.alias("t").join(
+        blocked.alias("b"),
+        (F.col("t.vec_i") == F.col("b.vec_i"))
+        & (F.col("t.vec_j") == F.col("b.vec_j")),
+        "full_outer",
+    )
+    return joined.agg(
+        F.count(F.col("t.vec_i")).alias("n_true_pairs"),
+        (
+            F.count(F.when(F.col("t.vec_i").isNotNull() & F.col("b.vec_i").isNotNull(), 1))
+            >= F.count(F.col("t.vec_i")) * F.lit(0.25)
+        ).alias("recall_ok"),
+        (
+            F.count(F.when(F.col("t.vec_i").isNull(), 1)) == F.lit(0)
+        ).alias("precision_exact"),
+    )
+
+
+_register(
+    "dedup_semantic_kmeans",
+    _dedup_semantic_kmeans,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT count(*) AS n_true_pairs, TRUE AS recall_ok, TRUE AS precision_exact
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+    """,
+)
+
+
 # ----------------------------------------------------------- similarity ----
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -231,3 +231,41 @@ def test_rebalance_determinism_and_bounds(spark, sf_dir):
     kept = {r["source"] for r in out.select("source").distinct().collect()}
     assert "src0" not in kept
     assert out.count() == docs.where(F.col("source") != "src0").count()
+
+
+def test_semantic_dedup_seeding_recall_properties(spark):
+    """Recall/precision contract of the blocked semantic-dedup family vs
+    the exact all-pairs oracle on the fixture: (1) blocked results are a
+    subset of all-pairs (precision exact — every candidate is
+    cosine-verified at the same threshold); (2) the multi-seed union is a
+    superset of the single-seed run (its first seed set IS the single
+    run); (3) k-means-trained seeds clear the recall floor the contract
+    query pins."""
+    from as_etl_storage_spark.operators import dedup
+    from as_etl_storage_spark.operators.ml import kmeans_centroids
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    allp = set(
+        map(tuple, dedup.embedding_cosine_pairs(
+            emb, "vec_id", "embedding", 0.45).collect())
+    )
+    single = set(
+        map(tuple, dedup.semantic_dedup_pairs(
+            emb, "vec_id", "embedding", 8, 0.45).collect())
+    )
+    multi = set(
+        map(tuple, dedup.semantic_dedup_pairs_multi(
+            emb, "vec_id", "embedding", 8, 2, 0.45).collect())
+    )
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 8, 2, impl="jvm")
+    seeded = set(
+        map(tuple, dedup.semantic_dedup_pairs_seeded(
+            emb, "vec_id", "embedding", cents, 0.45).collect())
+    )
+    assert single <= allp and multi <= allp and seeded <= allp
+    assert single <= multi
+    assert allp and len(seeded & allp) / len(allp) >= 0.25
+    # trained seeds must not lose to arbitrary smallest-id seeds here
+    # (they align blocks with density modes on this fixture)
+    assert len(seeded & allp) >= len(single & allp)
