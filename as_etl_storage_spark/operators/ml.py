@@ -18,11 +18,13 @@ Determinism contract:
     with one final double division;
   * empty clusters keep their previous centroid.
 
-Scale notes: per iteration the corpus is scanned once and shuffled only at
-the (cid, dim) partial aggregation — k*dim groups, i.e. tiny. Lineage grows
-linearly with iterations; at 100 TB checkpoint (or persist) the assignment
-every few iterations and swap the declarative centroid recursion for a
-k*dim collect (bounded, same class of driver value as split boundaries).
+Scale notes: per iteration the corpus is scanned once. The vectorized
+impl's centroid update is SHUFFLE-FREE — per-partition k x dim partial
+sums via mapInPandas, combined on the driver (partitions*k*dim doubles,
+the same bounded-value class as split boundaries); the jvm impl shuffles
+only the (cid, dim) partial aggregation — k*dim groups, i.e. tiny.
+Lineage never grows: vectorized centroids are literal rows each round,
+and the jvm path pins them every MATERIALIZE_EVERY iterations.
 """
 
 from __future__ import annotations
@@ -140,6 +142,74 @@ def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Vectorized centroid update: per-partition k x dim partial sums via
+    ``mapInPandas``, combined on the driver — replaces ``_update``'s
+    posexplode shuffle of N x dim rows with ZERO shuffle; the only data
+    movement is partitions x k x dim doubles to the driver, the same
+    bounded-value class as ``_materialize``'s collect (which this
+    subsumes: the result is already literal rows).
+
+    Partials are combined in (cid, partition_id) order, so the float
+    accumulation is deterministic for a fixed partitioning; like the
+    ``_assign_np`` distances it can differ from the decimal-exact
+    ``_update`` in the last ulp — callers needing hash-stable centroids
+    use ``impl='jvm'``. Empty clusters keep their previous centroid."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator as _It
+
+    from pyspark import TaskContext
+
+    spark = assigned.sparkSession
+    old = {r["cid"]: list(r["cv"]) for r in centroids.collect()}
+
+    schema = "pid long, cid long, sx array<double>, n long"
+
+    def partial(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        sums: dict = {}
+        counts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype="float64")
+            cids = pdf["cid"].to_numpy()
+            for c in np.unique(cids):
+                mask = cids == c
+                block = m[mask].sum(axis=0)
+                if c in sums:
+                    sums[c] = sums[c] + block
+                else:
+                    sums[c] = block
+                counts[c] = counts.get(c, 0) + int(mask.sum())
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "pid": pid,
+                    "cid": list(sums),
+                    "sx": [sums[c] for c in sums],
+                    "n": [counts[c] for c in sums],
+                }
+            )
+
+    rows = assigned.select("cid", "v").mapInPandas(partial, schema).collect()
+    acc: dict = {}
+    cnt: dict = {}
+    for r in sorted(rows, key=lambda r: (r["cid"], r["pid"])):
+        v = np.array(r["sx"], dtype="float64")
+        acc[r["cid"]] = acc[r["cid"]] + v if r["cid"] in acc else v
+        cnt[r["cid"]] = cnt.get(r["cid"], 0) + r["n"]
+    out = [
+        (
+            cid,
+            (acc[cid] / cnt[cid]).tolist() if cid in acc else cv,
+        )
+        for cid, cv in sorted(old.items())
+    ]
+    return spark.createDataFrame(out, "cid long, cv array<double>")
+
+
 def _objective(assigned: DataFrame) -> DataFrame:
     """Total within-cluster squared distance, decimal-exact sum (order-free
     over per-row doubles that are themselves deterministic)."""
@@ -177,6 +247,17 @@ def _assign_impl(corpus: DataFrame, centroids: DataFrame, impl: str) -> DataFram
     return _assign(corpus, centroids)
 
 
+def _update_impl(
+    assigned: DataFrame, centroids: DataFrame, impl: str
+) -> DataFrame:
+    """Dispatch one centroid update. ``vectorized`` returns literal rows
+    (shuffle-free partial sums, lineage already pinned); ``jvm`` is the
+    decimal-exact declarative aggregation."""
+    if impl == "vectorized":
+        return _update_np(assigned, centroids)
+    return _update(assigned, centroids)
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str,
@@ -198,8 +279,10 @@ def kmeans_assign(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     for i in range(iters):
-        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
-        if impl == "vectorized" or (
+        centroids = _update_impl(
+            _assign_impl(corpus, centroids, impl), centroids, impl
+        )
+        if impl != "vectorized" and (
             materialize_every and (i + 1) % materialize_every == 0
         ):
             centroids = _materialize(centroids)
@@ -228,8 +311,11 @@ def kmeans_centroids(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
-        centroids = _materialize(centroids)
+        centroids = _update_impl(
+            _assign_impl(corpus, centroids, impl), centroids, impl
+        )
+        if impl != "vectorized":
+            centroids = _materialize(centroids)
     return centroids
 
 
@@ -268,8 +354,10 @@ def kmeans_validated(
         F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
     )
     for i in range(iters):
-        centroids = _update(_assign_impl(corpus, centroids, impl), centroids)
-        if impl == "vectorized" or (
+        centroids = _update_impl(
+            _assign_impl(corpus, centroids, impl), centroids, impl
+        )
+        if impl != "vectorized" and (
             materialize_every and (i + 1) % materialize_every == 0
         ):
             centroids = _materialize(centroids)

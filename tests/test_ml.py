@@ -60,3 +60,56 @@ def test_kmeans_impls_agree(spark):
     va = kmeans_validated(df, "vid_in", "vec", k=2, iters=2, impl="vectorized")
     vb = kmeans_validated(df, "vid_in", "vec", k=2, iters=2, impl="jvm")
     assert va.collect() == vb.collect()
+
+
+def test_update_np_matches_decimal_update(spark):
+    """The shuffle-free vectorized centroid update must agree with the
+    decimal-exact declarative one to float tolerance (same means, same
+    empty-cluster carryover)."""
+    import numpy as np
+
+    from as_etl_storage_spark.operators.ml import (
+        _assign,
+        _prepared,
+        _update,
+        _update_np,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = _prepared(emb, "vec_id", "embedding")
+    from pyspark.sql import functions as F
+
+    cents = corpus.where(F.col("vid") < 8).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = _assign(corpus, cents)
+    exact = {r["cid"]: np.array(r["cv"]) for r in _update(assigned, cents).collect()}
+    fast = {r["cid"]: np.array(r["cv"]) for r in _update_np(assigned, cents).collect()}
+    assert sorted(exact) == sorted(fast)
+    # the declarative path quantizes each addend to decimal(28,10), so the
+    # two means legitimately differ by up to ~1e-10 per dimension
+    for cid in exact:
+        np.testing.assert_allclose(fast[cid], exact[cid], rtol=0, atol=1e-9)
+
+
+def test_update_np_zero_shuffle(spark):
+    """The vectorized update plan must contain no Exchange: partial sums
+    are per-partition mapInPandas, combined on the driver."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.ml import (
+        _assign_np,
+        _prepared,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = _prepared(emb, "vec_id", "embedding")
+    cents = corpus.where(F.col("vid") < 8).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = _assign_np(corpus, cents.collect())
+    # the partial-sum projection feeding the driver combine
+    partial_plan = assigned.select("cid", "v")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in partial_plan
