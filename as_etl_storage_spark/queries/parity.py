@@ -558,6 +558,45 @@ def w_jdbc_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_orderstatus")
 
 
+def s_jdbc_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 EXECUTED on the live connector: the radix-128 string-split
+    predicates (plans/split.py, the capability Spark's partitionColumn
+    lacks) drive a real parallel JDBC read — one WHERE clause per
+    partition, one Derby connection each — and the union of the partition
+    scans must reproduce the table exactly (no overlap, no gap across the
+    boundaries)."""
+    from as_etl_storage_spark.plans.split import StringConvertor
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = _jdbc_url("sp")
+    spec = WriterSpec.from_json(
+        {
+            "connection": {"url": url, "table": {"name": "orders_sp"}},
+            "writeMode": "insert",
+            "column": ["o_orderkey", "o_orderpriority"],
+        }
+    )
+    src = load_table(spark, sf_dir, "orders")
+    JdbcWriter(spark, spec, dialect="derby").write(src)
+    source = JdbcSource(spark, spec.connection, dialect="derby")
+    row = src.agg(
+        F.min("o_orderpriority").alias("lo"), F.max("o_orderpriority").alias("hi")
+    ).collect()[0]
+    conv = StringConvertor()
+    conv.fit(row["lo"], row["hi"])
+    preds = source.string_split_predicates(
+        '"o_orderpriority"', row["lo"], row["hi"], 4, conv
+    )
+    back = source.read_predicates(preds)
+    return back.select("o_orderkey", "o_orderpriority")
+
+
+QUERIES["s_jdbc_split_read"] = s_jdbc_split_read
+ORACLES["s_jdbc_split_read"] = (
+    "SELECT o_orderkey, o_orderpriority FROM orders"
+)
+
 QUERIES["w_jdbc_roundtrip"] = w_jdbc_roundtrip
 ORACLES["w_jdbc_roundtrip"] = (
     "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders"

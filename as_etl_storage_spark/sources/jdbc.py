@@ -260,3 +260,35 @@ class JdbcSource:
         for k, v in opts.items():
             reader = reader.option(k, v)
         return self.rules.normalize(reader.load(), field_types, trim_char)
+
+    def read_predicates(
+        self,
+        predicates: list[str],
+        field_types: dict[str, str] | None = None,
+        trim_char: bool = True,
+    ) -> DataFrame:
+        """Load with an explicit per-partition predicate list — the
+        execution half of the string-key split (S10): Spark's native
+        partitionColumn only accepts numeric/date/timestamp keys, so the
+        radix-128 ranges from ``string_split_predicates`` become one WHERE
+        clause per partition, one connection each (capped upstream by the
+        pool limit, C2)."""
+        table = self.connection.table
+        qualified = ".".join(
+            self.rules.quoted(p) for p in (table.schema, table.name) if p
+        )
+        props = {
+            "user": self.user,
+            "password": self.password,
+            "fetchsize": str(self.rules.fetch_size),
+        }
+        if self.rules.driver:
+            props["driver"] = self.rules.driver
+        props.update({k: str(v) for k, v in self.rules.extra_read_options.items()})
+        df = self.spark.read.jdbc(
+            self.connection.url,
+            qualified,
+            predicates=list(predicates),
+            properties=props,
+        )
+        return self.rules.normalize(df, field_types, trim_char)

@@ -1,0 +1,170 @@
+"""Scale-stress harness: measure how the headline dedup/ANN operators
+scale when the documents/embeddings fixtures are deterministically
+upsampled 1x / 3x / 10x.
+
+The plan shapes are machine-asserted elsewhere (tests/test_plan_properties
+.py); this script provides the MEASURED curve behind the 100 TB claims in
+docs/SCALE.md: signature/scoring cost should grow ~linearly with corpus
+size, and the executed stage count should stay constant (no combinatorial
+plan growth).
+
+Upsampling is duplication with id offsets plus a deterministic per-copy
+mutation so the duplicate-pair workload stays proportional instead of
+exploding quadratically inside copy groups:
+  * documents: vowels are rotated per copy (translate), so cross-copy
+    shingle overlap falls below the near-dup threshold while each copy
+    keeps the original's internal near-dup structure;
+  * embeddings: a copy- and dimension-dependent offset tilts every vector
+    direction, so cross-copy cosine pairs are not all near-dups.
+ANN uses a FIXED query set (copy-0 ids only) so the measured growth is the
+corpus-scan side, Q constant.
+
+Usage: python scripts/scale_stress.py [sf_dir] — writes one JSON line per
+(factor, operator) with wall seconds and executed stage count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from as_etl_storage_spark.operators import dedup, similarity  # noqa: E402
+from as_etl_storage_spark.queries.common import load_table  # noqa: E402
+from as_etl_storage_spark.session import get_spark  # noqa: E402
+
+ID_OFF = 10_000_000  # copy c shifts ids by c * ID_OFF
+VOWELS = "aeiou"
+
+
+def upsample_docs(docs: DataFrame, factor: int) -> DataFrame:
+    parts = []
+    for c in range(factor):
+        rot = VOWELS[c % 5 :] + VOWELS[: c % 5]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + c * ID_OFF).alias("doc_id"),
+                F.translate(F.col("text"), VOWELS, rot).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def upsample_emb(emb: DataFrame, factor: int) -> DataFrame:
+    parts = []
+    for c in range(factor):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + c * ID_OFF).alias("vec_id"),
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: x
+                    + F.lit(0.02 * c) * ((i * 7 + c * 13) % 11 - 5),
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def timed(spark, name: str, df: DataFrame) -> tuple[float, int, int]:
+    """Execute df to a noop sink inside a job group; return (sec, n_rows
+    is NOT collected — rows stay distributed), jobs, stages."""
+    sc = spark.sparkContext
+    group = f"stress_{name}_{time.monotonic_ns()}"
+    sc.setJobGroup(group, name)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    sec = time.perf_counter() - t0
+    sc.setJobGroup("", "")
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup(group)
+    stages = set()
+    for j in jobs:
+        info = tracker.getJobInfo(j)
+        if info is not None:
+            stages.update(info.stageIds)
+    return sec, len(jobs), len(stages)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark("scale-stress")
+    docs0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb0 = load_table(spark, sf_dir, "embeddings")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "scale_stress",
+    )
+    results = []
+    for factor in (1, 3, 10):
+        ddir = os.path.join(scratch, f"docs_{factor}")
+        edir = os.path.join(scratch, f"emb_{factor}")
+        # write the upsampled fixtures out so every operator reads a real
+        # scan (not an in-memory union lineage) — same shape as the bench
+        upsample_docs(docs0, factor).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(ddir)
+        upsample_emb(emb0, factor).repartition(32).write.mode(
+            "overwrite"
+        ).parquet(edir)
+        docs = spark.read.parquet(ddir)
+        emb = spark.read.parquet(edir)
+
+        cases = {
+            "minhash_lsh": lambda: dedup.minhash_dedup_pairs(
+                docs, "doc_id", "text"
+            ),
+            # fixed k: block population grows with N, so within-block
+            # pairs grow quadratically — measured here as the honest
+            # anti-curve that motivates the scaled-k configuration
+            "semantic_fixed_k": lambda: dedup.semantic_dedup_pairs(
+                emb, "vec_id", "embedding", 8, 0.45
+            ),
+            # k scaled with N keeps expected block size constant: the
+            # within-block pair count (and runtime) stays ~linear in N —
+            # the configuration the 100 TB claim rests on
+            "semantic_scaled_k": lambda: dedup.semantic_dedup_pairs(
+                emb, "vec_id", "embedding", 8 * factor, 0.45
+            ),
+            "ann_vectorized": lambda: similarity.cosine_topk_vectorized(
+                emb,
+                "vec_id",
+                "embedding",
+                5,
+                f"vid % 50 = 0 AND vid < {ID_OFF}",  # fixed Q (copy 0)
+            ),
+        }
+        for name, make in cases.items():
+            # one warm-up, then the timed run (steady state, like bench.py)
+            make().write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+            sec, jobs, stages = timed(spark, name, make())
+            spark.catalog.clearCache()
+            row = {
+                "factor": factor,
+                "operator": name,
+                "sec": round(sec, 3),
+                "jobs": jobs,
+                "stages": stages,
+            }
+            results.append(row)
+            print(json.dumps(row), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
