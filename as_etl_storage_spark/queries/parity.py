@@ -592,6 +592,53 @@ def s_jdbc_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_orderpriority")
 
 
+def job_jdbc_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core job shape — database source -> storage sink —
+    executed LIVE through the whole stack: JSON JobSpec -> dialect
+    registry (C1) -> JdbcSource.read with ping (C4) + projection/filter ->
+    ParquetWriter. Stage a lineitem slice into Derby, run the job spec,
+    read the parquet target back."""
+    from as_etl_storage_spark.runner import run_job
+
+    url = _jdbc_url("job")
+    stage_spec = WriterSpec.from_json(
+        {
+            "connection": {"url": url, "table": {"name": "li_src"}},
+            "writeMode": "insert",
+            "column": ["l_orderkey", "l_linenumber", "l_quantity",
+                       "l_extendedprice"],
+        }
+    )
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    JdbcWriter(spark, stage_spec, dialect="derby").write(
+        load_table(spark, sf_dir, "lineitem")
+    )
+    out = _scratch_dir()
+    result = run_job(
+        spark,
+        {
+            "reader": {
+                "dialect": "jdbc-derby",
+                "connection": {"url": url, "table": {"name": "li_src"}},
+                "column": ["l_orderkey", "l_quantity", "l_extendedprice"],
+                "where": "l_quantity > 30",
+            },
+            "writer": {
+                "connection": {"url": out, "table": {"name": "li_out"}},
+                "writeMode": "insert",
+            },
+        },
+    )
+    return spark.read.parquet(result.target_path)
+
+
+QUERIES["job_jdbc_to_parquet"] = job_jdbc_to_parquet
+ORACLES["job_jdbc_to_parquet"] = (
+    "SELECT l_orderkey, l_quantity, l_extendedprice "
+    "FROM lineitem WHERE l_quantity > 30"
+)
+
 QUERIES["s_jdbc_split_read"] = s_jdbc_split_read
 ORACLES["s_jdbc_split_read"] = (
     "SELECT o_orderkey, o_orderpriority FROM orders"

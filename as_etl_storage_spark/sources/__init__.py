@@ -18,6 +18,7 @@ register_dialect("versioned", VersionedSource, replace=True)
 register_dialect("text", TextLinesSource, replace=True)
 register_dialect("jdbc-mysql", lambda spark, conn, **kw: JdbcSource(spark, conn, "mysql", **kw), replace=True)
 register_dialect("jdbc-oracle", lambda spark, conn, **kw: JdbcSource(spark, conn, "oracle", **kw), replace=True)
+register_dialect("jdbc-derby", lambda spark, conn, **kw: JdbcSource(spark, conn, "derby", **kw), replace=True)
 
 __all__ = [
     "register_dialect",

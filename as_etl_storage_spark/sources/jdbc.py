@@ -54,6 +54,9 @@ class JdbcDialectRules:
     #: StringType -> CLOB, and Derby CLOBs reject comparison predicates, so
     #: pushed-down filters on written string columns would fail.
     create_string_type: str = ""
+    #: 1-row connectivity probe (C4 parity, database/db.go Ping): each
+    #: dialect's no-table SELECT form.
+    probe_sql: str = "select 1"
 
     def quoted(self, identifier: str) -> str:
         return f"{self.quote}{identifier}{self.quote}"
@@ -144,6 +147,7 @@ ORACLE = JdbcDialectRules(
     empty_string_is_null=True,
     trim_char_types=("CHAR", "NCHAR"),
     write_all_as_string=True,
+    probe_sql="select 1 from dual",
 )
 
 DERBY = JdbcDialectRules(
@@ -152,6 +156,7 @@ DERBY = JdbcDialectRules(
     trim_char_types=("CHAR", "NCHAR"),
     driver="org.apache.derby.jdbc.EmbeddedDriver",
     create_string_type="VARCHAR(8000)",
+    probe_sql="values 1",
 )
 """In-process execution dialect.
 
@@ -260,6 +265,40 @@ class JdbcSource:
         for k, v in opts.items():
             reader = reader.option(k, v)
         return self.rules.normalize(reader.load(), field_types, trim_char)
+
+    def ping(self) -> None:
+        """Connectivity probe (C4, database/db.go Ping): resolving the
+        1-row probe query's schema opens a real connection and runs the
+        dialect's no-table SELECT — failure surfaces as the driver's
+        connect error, exactly the reference's ping semantics."""
+        (
+            self.spark.read.format("jdbc")
+            .options(**self._base_options())
+            .option("query", self.rules.probe_sql)
+            .load()
+        )
+
+    def min_max(self, key: str, where: str = "") -> tuple[object, object]:
+        """Split-bound discovery (S12) pushed to the database: one
+        min/max aggregate executed by the remote engine, returning a
+        bounded two-value row — never a table scan through Spark."""
+        table = self.connection.table
+        qualified = ".".join(
+            self.rules.quoted(p) for p in (table.schema, table.name) if p
+        )
+        sql = f"select min({key}) as lo, max({key}) as hi from {qualified}"
+        if where:
+            sql += f" where {where}"
+        row = (
+            self.spark.read.format("jdbc")
+            .options(**self._base_options())
+            .option("query", sql)
+            .load()
+            .collect()[0]
+        )
+        # positional: identifier case of the aliases is dialect-folded
+        # (Derby/Oracle uppercase unquoted names)
+        return row[0], row[1]
 
     def read_predicates(
         self,

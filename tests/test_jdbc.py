@@ -191,3 +191,38 @@ def test_derby_live_string_predicate_split_read(spark):
     assert back.rdd.getNumPartitions() == 5
     assert back.count() == 500
     assert back.select("k").distinct().count() == 500  # no overlap
+
+
+def test_derby_ping_and_min_max(spark):
+    """C4 ping resolves a live connection; S12 min/max is pushed to the
+    database (one-row result, no Spark-side scan)."""
+    import uuid
+
+    import pytest
+
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.spec import ConnectionSpec, WriterSpec
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = f"jdbc:derby:memory:pg_{uuid.uuid4().hex[:10]};create=true"
+    spec = WriterSpec.from_json(
+        {"connection": {"url": url, "table": {"name": "t_ping"}},
+         "writeMode": "insert"}
+    )
+    JdbcWriter(spark, spec, "derby").write(
+        spark.range(5, 42).selectExpr("id AS k")
+    )
+    src = JdbcSource(spark, spec.connection, dialect="derby")
+    src.ping()  # no raise = reachable
+    assert src.min_max('"k"') == (5, 41)
+    # unreachable database -> ping surfaces the driver's connect error
+    bad = JdbcSource(
+        spark,
+        ConnectionSpec.from_json(
+            {"url": "jdbc:derby:memory:definitely_absent_db",
+             "table": {"name": "t"}}
+        ),
+        dialect="derby",
+    )
+    with pytest.raises(Exception, match="(?i)database.*not found|error"):
+        bad.ping()
