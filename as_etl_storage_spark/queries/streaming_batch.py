@@ -502,6 +502,44 @@ _register(
 )
 
 
+def _exec_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment through the REAL engine: each micro-batch
+    joins the broadcast customer snapshot (stream side never shuffles),
+    aggregated in complete mode — hash-matched to the batch oracle."""
+    from as_etl_storage_spark.streaming.micro_batch import (
+        enrich_with_dim,
+        file_stream,
+    )
+
+    indir = _staged_events_dir(sf_dir, "exec_enrich")
+    work = os.path.dirname(indir)
+    stream = file_stream(spark, indir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_with_dim(stream, cust, "user_id", ["c_mktsegment"])
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
+    )
+    target = _drain(agg, work, "complete")
+    return spark.read.parquet(target)
+
+
+_register(
+    "stream_exec_enrich",
+    _exec_enrich,
+    """
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4)))::DOUBLE, 4) AS sum_value
+    FROM events LEFT JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+
+
 def _staged_time_halves(
     spark: SparkSession, sf_dir: str, name: str, sentinel_days: int = 0
 ) -> str:

@@ -281,14 +281,38 @@ class JdbcWriter:
                 [f"drop table {self.staging_table()}"], ignore_errors=True
             )
 
+    def _with_retry(self, fn, what: str):
+        """Job-level retry with backoff (W7, batch_writer.go:104-126) on
+        the database write. Semantic errors (WriterError) never retry;
+        transient connect/exec failures do. Append retries can duplicate
+        only if the failure hit after commit — the reference accepts the
+        same window; the replace staging merge re-runs idempotently (the
+        staging overwrite resets, the delete-then-insert is keyed)."""
+        import time as _time
+
+        last = None
+        for attempt in range(max(1, self.spec.retry.max_retries)):
+            try:
+                return fn()
+            except WriterError:
+                raise
+            except Exception as exc:
+                last = exc
+                _time.sleep(min(2.0**attempt * 0.1, 5.0))
+        raise WriterError(f"{what} failed after retries: {last}") from last
+
     def write(self, df: DataFrame) -> WriteResult:
         """Execute the JDBC write. Requires a reachable database url."""
         out = self.prepare_frame(df)
         self.run_pre_sql()
         if self.spec.write_mode == "replace":
-            self._write_replace(out)
+            self._with_retry(lambda: self._write_replace(out), "jdbc replace")
         else:
-            self._save(out, self.qualified_table(), self.save_mode())
+            mode = self.save_mode()
+            self._with_retry(
+                lambda: self._save(out, self.qualified_table(), mode),
+                f"jdbc {mode}",
+            )
         self.run_post_sql()
         return WriteResult(
             target_path=self.spec.connection.url,

@@ -55,8 +55,10 @@ AUDITED = {
     "query matrix); shuffle carries only per-batch local top-k, not the "
     "corpus",
     "ml_kmeans_validated": "per-iteration assignment is one corpus scan "
-    "into mapInPandas (broadcast centroid matrix); the only exchanges "
-    "carry k*dim partial sums (decimal-exact), never the corpus",
+    "into mapInPandas (broadcast centroid matrix); the centroid update is "
+    "shuffle-free (per-partition partial sums combined on the driver), so "
+    "the only exchanges left are the single-row objective aggregates — "
+    "the corpus is never shuffled",
     "dedup_minhash_lsh": "LSH candidate generation is an equi-join on "
     "(band, signature) — no cartesian product anywhere",
     "dedup_simhash": "60 bit-sums in one aggregation pass (single token "
