@@ -968,3 +968,95 @@ _MODE_SQL = """
 """
 QUERIES["q_mode_per_user"] = sql_query(("events",), _MODE_SQL)
 ORACLES["q_mode_per_user"] = _MODE_SQL
+
+
+# ------------------------------- end-to-end training-data prep pipeline ----
+def _pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ingest chain a training-data pipeline actually runs, as ONE
+    composed plan: quality filter -> exact dedup (normalized text, keep
+    smallest id) -> near-dup drop list (MinHash+LSH candidates, exact
+    verification, connected components, longest-text canonical keeper) ->
+    anti-join the drop list -> per-language corpus stats. Every stage is an
+    operator that is also gated standalone; this query proves the
+    COMPOSITION stays correct and each intermediate feeds the next without
+    materialization barriers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.where(F.length("text") >= 50)
+    norm = F.lower(F.trim(F.col("text")))
+    keep_ids = (
+        quality.groupBy(norm.alias("norm"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = quality.join(F.broadcast(keep_ids), "doc_id", "left_semi")
+    pairs = dedup.minhash_dedup_pairs(uniq, "doc_id", "text", p=4, q=5)
+    comp = connected_components(pairs.select("doc_i", "doc_j"))
+    sized = comp.join(
+        uniq.select("doc_id", F.length("text").alias("len")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("len").desc(), F.col("doc_id")
+    )
+    drop = (
+        sized.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    final = uniq.join(F.broadcast(drop), "doc_id", "left_anti")
+    return final.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias(
+            "n_tokens"
+        ),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+
+
+_register(
+    "pipeline_training_prep",
+    _pipeline_training_prep,
+    """
+    WITH RECURSIVE
+    quality AS (SELECT * FROM documents WHERE length(text) >= 50),
+    keep AS (SELECT min(doc_id) AS doc_id FROM quality
+             GROUP BY lower(trim(text))),
+    uniq AS (SELECT q.* FROM quality q JOIN keep USING (doc_id)),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-3, 2))) AS g
+            FROM uniq),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    pair AS (SELECT a.doc_id i, b.doc_id j, count(*) AS inter
+             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    dup AS (SELECT i, j
+            FROM pair JOIN sz x ON x.doc_id = i JOIN sz y ON y.doc_id = j
+            WHERE inter * 5 >= (x.n + y.n - inter) * 4),
+    edges AS (SELECT i AS u, j AS v FROM dup UNION SELECT j, i FROM dup),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+             FROM reach GROUP BY u),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rn
+      FROM comp c JOIN uniq d USING (doc_id)),
+    drop_list AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    final AS (SELECT * FROM uniq
+              WHERE doc_id NOT IN (SELECT doc_id FROM drop_list))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM final GROUP BY lang
+    """,
+)
