@@ -212,6 +212,39 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign_seeded(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    nprobe: int = 1,
+) -> DataFrame:
+    """``ivf_probe_assign`` with TRAINED centroids — the production IVF
+    quantizer the smallest-id variants stand in for: pass
+    ``operators/ml.kmeans_centroids`` output (cid, cv) and the cells align
+    with the corpus's density modes. Plan identical: the bounded centroid
+    table broadcasts, the corpus is scanned once, never shuffled.
+    Zero-norm centroids are dropped (no direction under cosine)."""
+    corpus = _prepared(df, id_col, vec_col)
+    cents = (
+        centroids.select(
+            F.col("cid"), F.col("cv").cast("array<double>").alias("cv")
+        )
+        .withColumn("cn", _norm(F.col("cv")))
+        .where(F.col("cn") > 0)
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vid", "cid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= nprobe)
+        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("centroid_id"))
+    )
+
+
 def ivf_probe_assign(
     df: DataFrame,
     id_col: str,

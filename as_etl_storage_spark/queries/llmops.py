@@ -255,6 +255,79 @@ _register(
 )
 
 
+def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-centroid IVF, validated in-plan: corpus cells from k-means
+    centroids (jvm impl — bit-stable, hash-reproducible), queries probe
+    their top-6 of 16 cells, and the candidate set is compared against the
+    exact brute-force top-5 computed in the SAME plan. Gates: recall over
+    the floor the deterministic pipeline reproduces, and the candidate
+    count strictly below the brute-force comparison count (the point of
+    IVF). The oracle pins the exact brute-force pair count + booleans."""
+    from as_etl_storage_spark.operators.ml import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = "vid % 50 = 0"
+    bf = similarity.cosine_topk(emb, "vec_id", "embedding", 5, pred)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", 16, 2, impl="jvm")
+    corp_cells = similarity.ivf_probe_assign_seeded(
+        emb, "vec_id", "embedding", cents, 1
+    )
+    q_cells = similarity.ivf_probe_assign_seeded(
+        emb.where("vec_id % 50 = 0"), "vec_id", "embedding", cents, 6
+    )
+    cand = (
+        q_cells.withColumnRenamed("vec_id", "qid")
+        .join(corp_cells.withColumnRenamed("vec_id", "vid"), "centroid_id")
+        .where("qid != vid")
+        .select("qid", "vid")
+        .distinct()
+    )
+    hits = bf.join(
+        cand,
+        (bf["query_id"] == cand["qid"]) & (bf["neighbor_id"] == cand["vid"]),
+        "left",
+    ).agg(
+        F.count("*").alias("n_bf_pairs"),
+        F.count(cand["qid"]).alias("n_hit"),
+    )
+    counts = cand.agg(F.count("*").alias("n_cand")).crossJoin(
+        emb.agg(
+            F.count("*").alias("n_corpus"),
+            F.count(F.when(F.expr("vec_id % 50 = 0"), 1)).alias("n_q"),
+        )
+    )
+    return hits.crossJoin(counts).select(
+        "n_bf_pairs",
+        (F.col("n_hit") >= F.col("n_bf_pairs") * F.lit(0.6)).alias(
+            "recall_ok"
+        ),
+        (F.col("n_cand") < F.col("n_q") * (F.col("n_corpus") - 1)).alias(
+            "cand_lt_bruteforce"
+        ),
+    )
+
+
+_register(
+    "ann_ivf_kmeans",
+    _ann_ivf_kmeans,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+    scored AS (SELECT q.vec_id AS qid, n.vec_id AS vid,
+                      list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+               FROM q JOIN n ON q.vec_id <> n.vec_id),
+    r AS (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+          FROM scored)
+    SELECT count(*) AS n_bf_pairs, TRUE AS recall_ok,
+           TRUE AS cand_lt_bruteforce
+    FROM r WHERE rn <= 5
+    """,
+)
+
+
 # ----------------------------------------------------------- similarity ----
 def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
