@@ -633,6 +633,44 @@ def job_jdbc_to_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(result.target_path)
 
 
+def job_parquet_to_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the reference's core shape — storage -> database —
+    through the same JSON JobSpec stack: parquet reader (projection +
+    filter) -> JdbcWriter on the live dialect, then the table is read back
+    over JDBC for the hash compare."""
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.spec import ConnectionSpec
+
+    url = _jdbc_url("p2j")
+    run_job(
+        spark,
+        {
+            "reader": {
+                "connection": {"url": sf_dir, "table": {"name": "customer"}},
+                "column": ["c_custkey", "c_name", "c_acctbal"],
+                "where": "c_acctbal > 0",
+            },
+            "writer": {
+                "dialect": "derby",
+                "connection": {"url": url, "table": {"name": "cust_out"}},
+                "writeMode": "insert",
+            },
+        },
+    )
+    back = JdbcSource(
+        spark,
+        ConnectionSpec.from_json({"url": url, "table": {"name": "cust_out"}}),
+        dialect="derby",
+    ).read()
+    return back.select("c_custkey", "c_name", "c_acctbal")
+
+
+QUERIES["job_parquet_to_jdbc"] = job_parquet_to_jdbc
+ORACLES["job_parquet_to_jdbc"] = (
+    "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 0"
+)
+
 QUERIES["job_jdbc_to_parquet"] = job_jdbc_to_parquet
 ORACLES["job_jdbc_to_parquet"] = (
     "SELECT l_orderkey, l_quantity, l_extendedprice "

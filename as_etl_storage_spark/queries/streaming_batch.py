@@ -701,3 +701,58 @@ _register(
      AND v.ts >= c.ts - INTERVAL '30 minutes'
     """,
 )
+
+
+def _exec_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState running totals)
+    through the REAL engine across two time-ordered micro-batches: a
+    user's count accumulates in the state store between batches, each
+    batch emits that user's updated total (update mode), and keep-latest
+    per user over the batch sequence must equal the batch aggregation.
+    Output sticks to the integer count — float accumulation order inside
+    the state machine is engine-specific, counts are order-free."""
+    from pyspark.sql import Window
+
+    from as_etl_storage_spark.streaming.stateful import user_activity_totals
+
+    indir = _staged_time_halves(spark, sf_dir, "exec_totals")
+    base = os.path.dirname(indir)
+    work = os.path.join(base, "exec_totals_work")
+    os.makedirs(work, exist_ok=True)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    out = user_activity_totals(stream)
+    target = os.path.join(work, "out")
+
+    def sink(batch_df, bid):
+        batch_df.withColumn("__bid", F.lit(int(bid))).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(target)
+    w = Window.partitionBy("user_id").orderBy(F.col("__bid").desc())
+    return (
+        got.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "n_events")
+    )
+
+
+_register(
+    "stream_exec_running_totals",
+    _exec_running_totals,
+    """
+    SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    """,
+)
