@@ -225,3 +225,111 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------- real codec: PPM ------
+# The decode steps above are documented stand-ins (no image libraries in
+# the environment). PPM (P6) needs none: the format is an ASCII header +
+# raw RGB bytes, decodable with numpy alone — so for this format the
+# pipeline is REAL end to end: real bytes in the binary column, a real
+# parser, statistics computed from the decoded pixel buffer (and the
+# synthesis rule is arithmetic, so a SQL oracle can reproduce the
+# expected statistics independently).
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_b", T.LongType()),
+    ]
+)
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 16 + 4, doc_id % 12 + 4
+
+
+def _ppm_encode(doc_id: int) -> bytes:
+    """Deterministic REAL P6 image: pixel byte i of doc d is
+    (d*7 + i) % 256 over a (d%16+4) x (d%12+4) RGB raster."""
+    import numpy as np
+
+    w, h = _ppm_dims(doc_id)
+    pixels = (np.arange(w * h * 3, dtype=np.int64) * 1 + doc_id * 7) % 256
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def _ppm_decode(payload: bytes):
+    """Parse a P6 payload: header (magic, dims, maxval) + raw RGB buffer.
+    Raises ValueError on malformed input like any real decoder."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) < 4:
+        raise ValueError("truncated PPM header")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = np.frombuffer(parts[3], dtype=np.uint8)
+    if raster.size != w * h * 3:
+        raise ValueError("raster size mismatch")
+    return w, h, raster.reshape(h, w, 3)
+
+
+def synth_ppm(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a REAL P6 payload per row (mapInPandas; bytes built with
+    numpy on executors — the payload never touches the driver)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_ppm_encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(synth, schema)
+
+
+def decode_ppm_stats(with_ppm: DataFrame) -> DataFrame:
+    """Really decode the P6 payloads and compute per-channel integer sums
+    from the pixel buffer — Arrow-batched, no shuffle, exact integers so
+    the result is hash-stable."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"width": [], "height": [], "sum_r": [], "sum_g": [], "sum_b": []}
+            for payload in pdf["payload"]:
+                w, h, px = _ppm_decode(payload)
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "sum_r": pd.array(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.array(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.array(rows["sum_b"], dtype="int64"),
+                }
+            )
+
+    return with_ppm.mapInPandas(decode, PPM_STATS_SCHEMA)

@@ -532,6 +532,34 @@ _register(
 )
 
 
+def _mm_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec roundtrip: executors synthesize genuine P6 PPM images
+    (header + raw RGB raster, numpy), the decoder parses the actual bytes
+    back and sums the pixel channels — nothing faked anywhere in the
+    Spark path. The oracle reproduces the expected statistics purely
+    arithmetically (the synthesis rule is (doc_id*7 + i) % 256), so a
+    parser bug on either side breaks the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_ppm_stats(multimodal.synth_ppm(docs, "doc_id"))
+
+
+_register(
+    "mm_ppm_roundtrip",
+    _mm_ppm,
+    """
+    WITH d AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+               FROM documents),
+    px AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d),
+    v AS (SELECT doc_id, w, h, i, (doc_id * 7 + i) % 256 AS val FROM px)
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN val END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN val END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN val END) AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id, w, h
+    """,
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(

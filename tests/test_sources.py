@@ -238,3 +238,30 @@ def test_map_in_arrow_decode_matches_pandas(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() == docs.count()
+
+
+def test_ppm_codec_is_real(spark):
+    """The P6 codec parses actual bytes: a hand-built payload decodes to
+    its true dims/sums, and malformed input raises like a real decoder."""
+    import numpy as np
+    import pytest
+
+    from as_etl_storage_spark.operators.multimodal import (
+        _ppm_decode,
+        _ppm_encode,
+    )
+
+    payload = _ppm_encode(10)
+    w, h, px = _ppm_decode(payload)
+    assert (w, h) == (10 % 16 + 4, 10 % 12 + 4)
+    assert px.shape == (h, w, 3)
+    expect = (np.arange(w * h * 3, dtype=np.int64) + 70) % 256
+    assert (px.reshape(-1) == expect).all()
+    # a hand-built 1x1 red pixel image decodes exactly
+    one = b"P6\n1 1\n255\n" + bytes([255, 0, 0])
+    w1, h1, px1 = _ppm_decode(one)
+    assert (w1, h1) == (1, 1) and px1[0, 0].tolist() == [255, 0, 0]
+    with pytest.raises(ValueError, match="P6"):
+        _ppm_decode(b"JFIF....")
+    with pytest.raises(ValueError, match="size mismatch"):
+        _ppm_decode(b"P6\n2 2\n255\n" + bytes(5))
