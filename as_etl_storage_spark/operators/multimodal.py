@@ -333,3 +333,117 @@ def decode_ppm_stats(with_ppm: DataFrame) -> DataFrame:
             )
 
     return with_ppm.mapInPandas(decode, PPM_STATS_SCHEMA)
+
+
+# ---------------------------------------------------- real codec: WAV ------
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_pcm", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return doc_id % 500 + 100
+
+
+def _wav_encode(doc_id: int, sample_rate: int = 16_000) -> bytes:
+    """Deterministic REAL mono 16-bit PCM WAV: sample i of doc d is
+    ((d*13 + i*37) % 65536) - 32768, little-endian, canonical 44-byte
+    RIFF/fmt/data header layout."""
+    import struct
+
+    import numpy as np
+
+    n = _wav_n_samples(doc_id)
+    samples = (
+        (np.arange(n, dtype=np.int64) * 37 + doc_id * 13) % 65536 - 32768
+    ).astype("<i2")
+    data = samples.tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def _wav_decode(payload: bytes):
+    """Parse a canonical PCM WAV: validate RIFF/WAVE magic, read the fmt
+    chunk (PCM, mono, 16-bit enforced), slice the data chunk into an int16
+    sample array. Raises ValueError on malformed input."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    fmt_size, audio_fmt, channels, rate, _byte_rate, _align, bits = (
+        struct.unpack("<IHHIIHH", payload[16:36])
+    )
+    if (fmt_size, audio_fmt, channels, bits) != (16, 1, 1, 16):
+        raise ValueError("unsupported WAV layout (need canonical PCM mono 16)")
+    if payload[36:40] != b"data":
+        raise ValueError("missing data chunk")
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    raw = payload[44 : 44 + data_len]
+    if len(raw) != data_len:
+        raise ValueError("truncated data chunk")
+    return rate, np.frombuffer(raw, dtype="<i2")
+
+
+def synth_wav(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a REAL PCM WAV payload per row (executor-side numpy)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_wav_encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(synth, schema)
+
+
+def decode_wav_stats(with_wav: DataFrame) -> DataFrame:
+    """Really decode the WAV payloads: header fields + exact integer PCM
+    statistics from the sample buffer (hash-stable)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"sample_rate": [], "n_samples": [], "sum_pcm": [], "peak": []}
+            for payload in pdf["payload"]:
+                rate, pcm = _wav_decode(payload)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(int(pcm.size))
+                rows["sum_pcm"].append(int(pcm.sum(dtype=np.int64)))
+                rows["peak"].append(int(np.abs(pcm.astype(np.int64)).max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="int32"),
+                    "n_samples": pd.array(rows["n_samples"], dtype="int32"),
+                    "sum_pcm": pd.array(rows["sum_pcm"], dtype="int64"),
+                    "peak": pd.array(rows["peak"], dtype="int32"),
+                }
+            )
+
+    return with_wav.mapInPandas(decode, WAV_STATS_SCHEMA)

@@ -560,6 +560,31 @@ _register(
 )
 
 
+def _mm_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec roundtrip (WAV/PCM): canonical RIFF headers built
+    and parsed for real, exact integer PCM statistics from the decoded
+    sample buffer; oracle reproduces them arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.decode_wav_stats(multimodal.synth_wav(docs, "doc_id"))
+
+
+_register(
+    "mm_wav_roundtrip",
+    _mm_wav,
+    """
+    WITH d AS (SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id, n,
+                 (doc_id * 13 + i * 37) % 65536 - 32768 AS pcm
+          FROM s)
+    SELECT doc_id, 16000 AS sample_rate, CAST(n AS INT) AS n_samples,
+           CAST(sum(pcm) AS BIGINT) AS sum_pcm,
+           CAST(max(abs(pcm)) AS INT) AS peak
+    FROM v GROUP BY doc_id, n
+    """,
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(

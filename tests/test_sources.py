@@ -265,3 +265,34 @@ def test_ppm_codec_is_real(spark):
         _ppm_decode(b"JFIF....")
     with pytest.raises(ValueError, match="size mismatch"):
         _ppm_decode(b"P6\n2 2\n255\n" + bytes(5))
+
+
+def test_wav_codec_is_real(spark):
+    """The WAV codec builds and parses canonical RIFF/PCM bytes: a
+    hand-built 3-sample file decodes exactly; malformed layouts raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from as_etl_storage_spark.operators.multimodal import (
+        _wav_decode,
+        _wav_encode,
+    )
+
+    rate, pcm = _wav_decode(_wav_encode(7, sample_rate=8000))
+    assert rate == 8000 and pcm.size == 7 % 500 + 100
+    data = np.array([-1, 0, 32767], dtype="<i2").tobytes()
+    hand = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 44100, 88200, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate2, pcm2 = _wav_decode(hand)
+    assert rate2 == 44100 and pcm2.tolist() == [-1, 0, 32767]
+    with pytest.raises(ValueError, match="RIFF"):
+        _wav_decode(b"OggS....")
+    with pytest.raises(ValueError, match="unsupported WAV layout"):
+        _wav_decode(
+            hand[:20] + struct.pack("<H", 2) + hand[22:]  # stereo
+        )
