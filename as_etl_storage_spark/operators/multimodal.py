@@ -1,11 +1,15 @@
 """Multimodal-column operators: images/audio/video as opaque binary columns
 with typed metadata, processed through Arrow-batched pandas pipelines.
 
-The decode step is STUBBED (no image/audio libraries in this environment):
-``decode_image_meta`` ships a deterministic fake decoder so the Spark-side
-plumbing — binary column handling, mapInPandas schema contract, Arrow batch
-shape, partition parallelism — is real and testable end-to-end. Swap
-``_fake_decode`` for a PIL/libav call in production; nothing else changes.
+Codec reality, stated precisely: formats that need external libraries
+(JPEG/PNG via PIL, video via libav) ship deterministic STUBS
+(``_fake_decode``/``_fake_resize``) so the Spark-side plumbing — binary
+column handling, mapInPandas schema contract, Arrow batch shape, partition
+parallelism — is real and testable end-to-end; swap the stub for the
+library call in production, nothing else changes. Formats decodable with
+numpy alone are REAL: PPM (P6) images (``_ppm_encode``/``_ppm_decode`` +
+stride resize) and canonical PCM WAV audio (``_wav_encode``/
+``_wav_decode``), both oracle-gated on genuinely parsed bytes.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 binary payloads stay in the executors — never collected. For very large
@@ -447,3 +451,37 @@ def decode_wav_stats(with_wav: DataFrame) -> DataFrame:
             )
 
     return with_wav.mapInPandas(decode, WAV_STATS_SCHEMA)
+
+
+def resize_ppm_stats(with_ppm: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL resize on the decoded raster: nearest-neighbor downsample by
+    ``stride`` (every stride-th row/column of the actual pixel buffer),
+    returning the downsampled dimensions and exact channel sums. The
+    Python stays Arrow-batched and shuffle-free; at corpus scale this is
+    the decode->transform template with a genuine transform."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"width": [], "height": [], "sum_r": [], "sum_g": [], "sum_b": []}
+            for payload in pdf["payload"]:
+                _w, _h, px = _ppm_decode(payload)
+                small = px[::stride, ::stride, :]
+                sums = small.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows["width"].append(small.shape[1])
+                rows["height"].append(small.shape[0])
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.array(rows["width"], dtype="int32"),
+                    "height": pd.array(rows["height"], dtype="int32"),
+                    "sum_r": pd.array(rows["sum_r"], dtype="int64"),
+                    "sum_g": pd.array(rows["sum_g"], dtype="int64"),
+                    "sum_b": pd.array(rows["sum_b"], dtype="int64"),
+                }
+            )
+
+    return with_ppm.mapInPandas(resize, PPM_STATS_SCHEMA)

@@ -585,6 +585,39 @@ _register(
 )
 
 
+def _mm_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize: stride-2 nearest-neighbor downsample of the actually
+    decoded raster; the oracle samples the same pixel positions
+    arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_ppm_stats(
+        multimodal.synth_ppm(docs, "doc_id"), stride=2
+    )
+
+
+_register(
+    "mm_ppm_resize",
+    _mm_ppm_resize,
+    """
+    WITH d AS (SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+               FROM documents),
+    xs AS (SELECT doc_id, w, h, unnest(range(0, w, 2)) AS x FROM d),
+    xy AS (SELECT doc_id, w, h, x, unnest(range(0, h, 2)) AS y FROM xs),
+    px AS (SELECT doc_id, w, h, x, y, unnest(range(0, 3)) AS c FROM xy),
+    v AS (SELECT doc_id, w, h, c,
+                 (doc_id * 7 + ((y * w + x) * 3 + c)) % 256 AS val
+          FROM px)
+    SELECT doc_id,
+           CAST((w + 1) // 2 AS INT) AS width,
+           CAST((h + 1) // 2 AS INT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b
+    FROM v GROUP BY doc_id, w, h
+    """,
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(
