@@ -8,8 +8,9 @@ column handling, mapInPandas schema contract, Arrow batch shape, partition
 parallelism — is real and testable end-to-end; swap the stub for the
 library call in production, nothing else changes. Formats decodable with
 numpy alone are REAL: PPM (P6) images (``_ppm_encode``/``_ppm_decode`` +
-stride resize) and canonical PCM WAV audio (``_wav_encode``/
-``_wav_decode``), both oracle-gated on genuinely parsed bytes.
+stride resize), canonical PCM WAV audio (``_wav_encode``/``_wav_decode``),
+and a raw multi-frame video container (``_vid_encode``/``_vid_decode`` +
+stride frame sampling) — all oracle-gated on genuinely parsed bytes.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 binary payloads stay in the executors — never collected. For very large
@@ -485,3 +486,104 @@ def resize_ppm_stats(with_ppm: DataFrame, stride: int = 2) -> DataFrame:
             )
 
     return with_ppm.mapInPandas(resize, PPM_STATS_SCHEMA)
+
+
+# ------------------------------------------- real codec: video container ---
+VID_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+    ]
+)
+
+
+def _vid_shape(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, width, height) of doc's synthetic clip."""
+    return doc_id % 6 + 2, doc_id % 8 + 4, doc_id % 5 + 3
+
+
+def _vid_encode(doc_id: int) -> bytes:
+    """Deterministic REAL multi-frame container: ASCII header
+    ``VID\\n{n} {w} {h}\\n`` followed by n raw RGB frames; pixel byte i of
+    the whole clip is (doc_id*7 + i) % 256 — so frame f starts at byte
+    offset f*w*h*3 into the raster."""
+    import numpy as np
+
+    n, w, h = _vid_shape(doc_id)
+    raster = (np.arange(n * w * h * 3, dtype=np.int64) + doc_id * 7) % 256
+    return f"VID\n{n} {w} {h}\n".encode() + raster.astype(np.uint8).tobytes()
+
+
+def _vid_decode(payload: bytes):
+    """Parse the container: header + (n, w, h)-shaped frame array."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"VID\n"):
+        raise ValueError("not a VID container")
+    parts = payload.split(b"\n", 2)
+    if len(parts) < 3:
+        raise ValueError("truncated VID header")
+    n, w, h = (int(x) for x in parts[1].split())
+    raster = np.frombuffer(parts[2], dtype=np.uint8)
+    if raster.size != n * w * h * 3:
+        raise ValueError("raster size mismatch")
+    return n, w, h, raster.reshape(n, h, w, 3)
+
+
+def synth_vid(df: DataFrame, id_col: str) -> DataFrame:
+    """Attach a REAL multi-frame payload per row (executor-side numpy)."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_vid_encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(synth, schema)
+
+
+def sample_vid_frames(with_vid: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode the container, keep every
+    ``every_n``-th frame of the actual raster, one output row per sampled
+    frame with its exact pixel sum. The frame loop touches only the
+    sampled frames' buffers — the shape a video pipeline needs (decode
+    once, process a stride of frames)."""
+    import numpy as np
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "width": [], "height": [],
+                   "sum_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, w, h, frames = _vid_decode(payload)
+                for f in range(0, n, every_n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_px"].append(
+                        int(frames[f].sum(dtype=np.int64))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                    "sum_px": pd.array(out["sum_px"], dtype="int64"),
+                }
+            )
+
+    return with_vid.mapInPandas(sample, VID_FRAME_SCHEMA)

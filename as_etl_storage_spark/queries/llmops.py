@@ -618,6 +618,37 @@ _register(
 )
 
 
+def _mm_vid_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: every 2nd frame of an actually parsed
+    multi-frame container, exact per-frame pixel sums; oracle reproduces
+    the sampled frames arithmetically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_vid_frames(
+        multimodal.synth_vid(docs, "doc_id"), every_n=2
+    )
+
+
+_register(
+    "mm_vid_frame_sample",
+    _mm_vid_frames,
+    """
+    WITH d AS (SELECT doc_id, doc_id % 6 + 2 AS n, doc_id % 8 + 4 AS w,
+                      doc_id % 5 + 3 AS h
+               FROM documents),
+    fr AS (SELECT doc_id, n, w, h, unnest(range(0, n, 2)) AS f FROM d),
+    px AS (SELECT doc_id, w, h, f, unnest(range(0, w * h * 3)) AS i
+           FROM fr),
+    v AS (SELECT doc_id, w, h, f,
+                 (doc_id * 7 + f * w * h * 3 + i) % 256 AS val
+          FROM px)
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum(val) AS BIGINT) AS sum_px
+    FROM v GROUP BY doc_id, f, w, h
+    """,
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(

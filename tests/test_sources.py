@@ -296,3 +296,27 @@ def test_wav_codec_is_real(spark):
         _wav_decode(
             hand[:20] + struct.pack("<H", 2) + hand[22:]  # stereo
         )
+
+
+def test_vid_codec_is_real(spark):
+    """The VID container parses actual bytes: frames reshape to the
+    declared dims, frame f's first byte equals the synthesis rule, and
+    malformed containers raise."""
+    import pytest
+
+    from as_etl_storage_spark.operators.multimodal import (
+        _vid_decode,
+        _vid_encode,
+        _vid_shape,
+    )
+
+    n, w, h = _vid_shape(9)
+    cnt, ww, hh, frames = _vid_decode(_vid_encode(9))
+    assert (cnt, ww, hh) == (n, w, h)
+    assert frames.shape == (n, h, w, 3)
+    for f in range(n):
+        assert frames[f, 0, 0, 0] == (9 * 7 + f * w * h * 3) % 256
+    with pytest.raises(ValueError, match="VID"):
+        _vid_decode(b"RIFF....")
+    with pytest.raises(ValueError, match="size mismatch"):
+        _vid_decode(b"VID\n2 2 2\n" + bytes(5))
