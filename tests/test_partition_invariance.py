@@ -26,6 +26,16 @@ CLAIMANTS = [
     "text_fingerprint",
     "q_scalable_ntile",
     "seq_event_transitions",
+    # round-5 claimants: trained-seed blocking derives from jvm k-means
+    # centroids (decimal-exact updates + bit-stable fold distances), the
+    # multi-seed union is a pair-key distinct, the composed prep pipeline
+    # inherits both, and the real codecs are pure byte arithmetic
+    "dedup_semantic_kmeans",
+    "dedup_semantic_multiseed",
+    "pipeline_training_prep",
+    "mm_ppm_roundtrip",
+    "mm_wav_roundtrip",
+    "mm_vid_frame_sample",
 ]
 
 
@@ -40,3 +50,26 @@ def test_result_independent_of_shuffle_partitions(spark, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
     assert base == alt and len(base) > 0
+
+
+def test_kmeans_centroids_partition_invariant(spark):
+    """The hash-stability claim behind trained-seed semantic dedup: jvm
+    k-means centroids must be BIT-identical under different input
+    partitionings (decimal-exact updates, sequential-fold distances)."""
+    from as_etl_storage_spark.operators.ml import kmeans_centroids
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    a = {
+        r["cid"]: tuple(r["cv"])
+        for r in kmeans_centroids(
+            emb.repartition(3), "vec_id", "embedding", 8, 2, impl="jvm"
+        ).collect()
+    }
+    b = {
+        r["cid"]: tuple(r["cv"])
+        for r in kmeans_centroids(
+            emb.repartition(17), "vec_id", "embedding", 8, 2, impl="jvm"
+        ).collect()
+    }
+    assert a == b  # exact float equality, not approx
