@@ -1060,3 +1060,19 @@ _register(
     FROM final GROUP BY lang
     """,
 )
+
+
+# ----------------------------------------------- LATERAL correlated join --
+# per-customer top-2 orders via a correlated LATERAL subquery — the same
+# SQL string runs on both engines. Catalyst decorrelates the lateral into
+# a window-ranked join (no per-row re-execution); deterministic via the
+# unique (o_totalprice, o_orderkey) order.
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS o
+"""
+QUERIES["q_lateral_topn"] = sql_query(("customer", "orders"), _LATERAL_SQL)
+ORACLES["q_lateral_topn"] = _LATERAL_SQL

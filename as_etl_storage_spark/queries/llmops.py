@@ -649,6 +649,33 @@ _register(
 )
 
 
+def _mm_wav_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature windows: exact integer energy + peak per
+    128-sample frame of the genuinely decoded PCM buffer."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.wav_window_features(
+        multimodal.synth_wav(docs, "doc_id"), window=128
+    )
+
+
+_register(
+    "mm_wav_windows",
+    _mm_wav_windows,
+    """
+    WITH d AS (SELECT doc_id, doc_id % 500 + 100 AS n FROM documents),
+    s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+    v AS (SELECT doc_id, i // 128 AS window_idx,
+                 (doc_id * 13 + i * 37) % 65536 - 32768 AS pcm
+          FROM s)
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx,
+           CAST(count(*) AS INT) AS n_in_window,
+           CAST(sum(pcm * pcm) AS BIGINT) AS sum_sq,
+           CAST(max(abs(pcm)) AS INT) AS peak
+    FROM v GROUP BY doc_id, window_idx
+    """,
+)
+
+
 def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = multimodal.decode_image_meta(
