@@ -750,3 +750,77 @@ def semantic_dedup_pairs_multi(
     for r in runs[1:]:
         out = out.union(r)
     return out.distinct()
+
+
+def segment_dedup_rebuild(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Cross-document segment-level exact dedup with document rebuild —
+    the C4/RefinedWeb "line dedup" step: when the same paragraph (here: a
+    fixed ``seg_tokens``-token window, since the fixtures have no line
+    structure) appears in many documents, keep only its globally first
+    occurrence and strip it everywhere else, then reassemble each
+    document from its surviving segments in original order.
+
+    First occurrence is the corpus-wide minimum (doc_id, seg_idx) per
+    distinct segment text — a deterministic total order, so the rebuilt
+    corpus is identical under any partitioning. Documents whose every
+    segment loses emit an empty clean_text (n_kept = 0) rather than
+    disappearing: the caller decides the drop policy.
+
+    Scale: one shuffle keyed on the segment text to elect owners (min
+    struct, map-side combinable), one shuffle back on doc_id for the
+    ordered reassembly. At 100 TB, shuffle the 128-bit segment hash
+    instead of the text (xxhash64 x 2 seeds) and join the strings back
+    only for owners — collision risk ~N^2/2^128, the standard trade."""
+    segs = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.filter(
+                F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+            ).alias("tk"),
+        )
+        # all-whitespace docs are dropped (no segments): Spark's sequence()
+        # would otherwise step BACKWARD for an empty array (stop < start)
+        .where(F.size("tk") > 0)
+        .select(
+            "doc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(tk)/{seg_tokens}.0) AS INT)-1), "
+                    f"s -> struct(s AS seg_idx, "
+                    f"array_join(slice(tk, s*{seg_tokens}+1, {seg_tokens}), ' ') AS seg))"
+                )
+            ).alias("x"),
+        )
+        .select("doc", F.col("x.seg_idx").alias("seg_idx"), F.col("x.seg").alias("seg"))
+    )
+    owner = segs.groupBy("seg").agg(
+        F.min(F.struct("doc", "seg_idx")).alias("first")
+    )
+    kept = segs.join(owner, "seg").withColumn(
+        "is_owner",
+        (F.col("doc") == F.col("first.doc")) & (F.col("seg_idx") == F.col("first.seg_idx")),
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.sum(F.when(F.col("is_owner"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("is_owner"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("is_owner"), F.struct("seg_idx", "seg"))
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return rebuilt.select(
+        F.col("doc").alias(id_col), "n_kept", "n_removed", "clean_text"
+    )

@@ -439,6 +439,93 @@ def pack_sequences(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval: rank documents against a small bag of query terms —
+    the quality-targeted selection step of a training-data pipeline
+    (retrieve corpus documents most similar to a trusted seed set), and
+    the lexical half of hybrid lexical+ANN search.
+
+    Okapi BM25 with the standard +1 idf smoothing:
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl))``.
+
+    Hash-stability across engines: every per-term contribution is rounded
+    to 6 decimals and cast to DECIMAL before the per-document sum, so the
+    total is an exact decimal sum — order-independent under any shuffle
+    or partitioning; only the final scalar rounding touches floats.
+
+    Scale: the query-term list is a literal broadcast; the token stream is
+    filtered to query terms BEFORE the (doc, term) aggregation, so shuffle
+    bytes ∝ matching tokens only, never the corpus. Corpus stats (N,
+    avgdl, per-term df) are single-row / |terms|-row aggregates joined by
+    broadcast. At 100 TB the df/avgdl stats come from the standing corpus
+    profile instead of a rescan — the scoring join is unchanged."""
+    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    dlen = toks.groupBy("doc").agg(F.count("*").alias("dl"))
+    stats = dlen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        toks.where(F.array_contains(terms, F.col("t")))
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = hits.groupBy("t").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") * (F.lit(k1) + 1.0) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        hits.join(F.broadcast(dfreq), "t")
+        .join(dlen, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc",
+            F.round(idf * norm, 6).cast("decimal(18,6)").alias("part"),
+        )
+    )
+    # global top-k via orderBy+limit -> TakeOrderedAndProject (map-side
+    # per-partition top-k, driver merges k*partitions rows). A global
+    # row_number window would move EVERY scored doc to one partition:
+    # InferWindowGroupLimit does not fire for empty partition specs.
+    # The rank window then runs over k rows only.
+    w = Window.orderBy(F.col("dscore").desc(), F.col("doc"))
+    return (
+        contrib.groupBy("doc")
+        .agg(F.sum("part").cast("decimal(18,6)").alias("dscore"))
+        .orderBy(F.col("dscore").desc(), F.col("doc"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        # rank on the exact decimal; surface a double (one deterministic
+        # final conversion) so the score column compares uniformly
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("dscore").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 # ---------------------------------------------------------------- UDTF ----
 def make_chunker(chunk_size: int = 32, use_arrow: bool = True):
     """Python UDTF that splits a document into fixed-size token windows —

@@ -1439,3 +1439,134 @@ _register(
     FROM seg
     """,
 )
+
+
+# ------------------------------------------------- round-5 extensions ----
+def _bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-targeted selection: BM25-rank the corpus against a seed
+    term set (operators/text.bm25_topk)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "merge"], k=20
+    )
+
+
+_register(
+    "text_bm25_topk",
+    _bm25,
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT doc_id, t, count(*) AS tf FROM tok2
+             WHERE t IN ('join', 'merge', 'spark', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY 1),
+    contrib AS (
+      SELECT h.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((h.tf * (1.2 + 1.0))
+                  / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+               6) AS DECIMAL(18,6)) AS part
+      FROM hits h JOIN dfreq d USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    sc AS (SELECT doc_id, CAST(sum(part) AS DECIMAL(18,6)) AS dscore
+           FROM contrib GROUP BY 1),
+    r AS (SELECT doc_id, dscore,
+                 row_number() OVER (ORDER BY dscore DESC, doc_id) AS rank
+          FROM sc)
+    SELECT doc_id, CAST(dscore AS DOUBLE) AS score, rank
+    FROM r WHERE rank <= 20
+    """,
+)
+
+
+def _seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document segment dedup + rebuild
+    (operators/dedup.segment_dedup_rebuild)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.segment_dedup_rebuild(docs, "doc_id", "text", seg_tokens=10)
+
+
+_register(
+    "dedup_paragraph_rebuild",
+    _seg_dedup,
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    seg AS (
+      SELECT doc_id, s AS seg_idx,
+             array_to_string(tk[s*10+1 : s*10+10], ' ') AS seg
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk)/10.0) AS INT))) AS s
+            FROM tk WHERE len(tk) > 0)
+    ),
+    own AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text
+    FROM own GROUP BY doc_id
+    """,
+)
+
+
+def _ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized candidate scan + exact float rerank
+    (operators/similarity.int8_topk_rescore)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.int8_topk_rescore(
+        emb, "vec_id", "embedding", 5, "vid % 50 = 0", mult=4
+    )
+
+
+_register(
+    "ann_int8_rescore",
+    _ann_int8,
+    """
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    q0 AS (SELECT vec_id, v,
+                  list_max(list_transform(v, x -> abs(x))) AS amax
+           FROM e),
+    b AS (SELECT vec_id, v,
+                 list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5)
+                                             AS INT)) AS qv,
+                 amax / 127.0 AS scale
+          FROM q0 WHERE amax > 0),
+    q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+    sc AS (SELECT q.vec_id AS qid, b.vec_id AS vid, q.v AS qval, b.v AS v,
+                  list_dot_product(list_transform(q.qv, x -> x::DOUBLE),
+                                   list_transform(b.qv, x -> x::DOUBLE))
+                  * q.scale * b.scale AS approx
+           FROM q JOIN b ON q.vec_id <> b.vec_id),
+    cand AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                          ORDER BY approx DESC, vid) AS crank
+             FROM sc),
+    resc AS (SELECT qid, vid,
+                    list_dot_product(qval, v)
+                    / (sqrt(list_dot_product(qval, qval))
+                       * sqrt(list_dot_product(v, v))) AS cos
+             FROM cand WHERE crank <= 20),
+    r AS (SELECT qid, vid,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos DESC, vid) AS rank
+          FROM resc)
+    SELECT qid AS query_id, vid AS neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+)

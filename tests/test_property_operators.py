@@ -269,3 +269,99 @@ def test_semantic_dedup_seeding_recall_properties(spark):
     # trained seeds must not lose to arbitrary smallest-id seeds here
     # (they align blocks with density modes on this fixture)
     assert len(seeded & allp) >= len(single & allp)
+
+
+def test_segment_dedup_conserves_segments(spark, sf_dir):
+    # every segment is either kept exactly once corpus-wide (its first
+    # occurrence) or removed; per-doc kept+removed equals the doc's
+    # segment count and global kept equals the distinct-segment count
+    from as_etl_storage_spark.operators.dedup import segment_dedup_rebuild
+    from as_etl_storage_spark.queries.common import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = segment_dedup_rebuild(docs, "doc_id", "text", seg_tokens=10)
+    segs = docs.where("text IS NOT NULL").select(
+        "doc_id",
+        F.expr(
+            "filter(split(text, '\\\\s+'), t -> t != '')"
+        ).alias("tk"),
+    ).where(F.size("tk") > 0)
+    per_doc = {
+        r["doc_id"]: -(-r["n"] // 10)  # ceil
+        for r in segs.select(
+            "doc_id", F.size("tk").alias("n")
+        ).collect()
+    }
+    got = {r["doc_id"]: (r["n_kept"], r["n_removed"]) for r in out.collect()}
+    assert set(got) == set(per_doc)
+    for d, n_segs in per_doc.items():
+        assert sum(got[d]) == n_segs
+    n_distinct = (
+        segs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST(ceil(size(tk)/10.0) AS INT)-1), "
+                    "s -> array_join(slice(tk, s*10+1, 10), ' '))"
+                )
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(k for k, _ in got.values()) == n_distinct
+    # a rebuilt doc never gains tokens
+    for r in out.collect():
+        assert r["n_kept"] * 10 + 9 >= len([t for t in r["clean_text"].split() if t])
+
+
+def test_int8_rescore_recall_and_widening(spark, sf_dir):
+    # int8 candidate scan + exact rerank: recall vs exact brute force is
+    # high at mult=4 and can only improve as the candidate pool widens
+    # (the rerank is exact, so wider pools converge to brute force)
+    from as_etl_storage_spark.operators.similarity import (
+        cosine_topk,
+        int8_topk_rescore,
+    )
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, "vec_id", "embedding", 3, "vid % 10 = 0").collect()
+    }
+
+    def recall(mult):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in int8_topk_rescore(
+                emb, "vec_id", "embedding", 3, "vid % 10 = 0", mult=mult
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 <= r8
+    assert r8 >= 0.9  # 64-dim int8 with 8x widening is near-exact
+
+
+def test_bm25_rank_and_monotonicity(spark, sf_dir):
+    # ranks are contiguous from 1 with non-increasing scores, every hit
+    # contains a query term, and adding a query term never lowers a
+    # surviving doc's score (BM25 contributions are non-negative)
+    from as_etl_storage_spark.operators.text import bm25_topk
+    from as_etl_storage_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = bm25_topk(docs, "doc_id", "text", ["spark", "join"], k=500)
+    big = bm25_topk(docs, "doc_id", "text", ["spark", "join", "window"], k=500)
+    rows = sorted(
+        (r["rank"], r["score"], r["doc_id"]) for r in small.collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
+    s_small = {r["doc_id"]: r["score"] for r in small.collect()}
+    s_big = {r["doc_id"]: r["score"] for r in big.collect()}
+    assert set(s_small) <= set(s_big)
+    for d, s in s_small.items():
+        assert s_big[d] >= s - 1e-9
