@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from as_etl_storage_spark.operators import dedup, multimodal, similarity, text
+from as_etl_storage_spark.operators import (
+    dedup,
+    multimodal,
+    retrieval,
+    similarity,
+    text,
+)
 from as_etl_storage_spark.queries.common import load_table
 
 QUERIES: dict = {}
@@ -1568,5 +1574,83 @@ _register(
                                     ORDER BY cos DESC, vid) AS rank
           FROM resc)
     SELECT qid AS query_id, vid AS neighbor_id, rank FROM r WHERE rank <= 5
+    """,
+)
+
+
+def _hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-100 and cosine-ANN
+    top-100 (query = embedding of item 0, the fixtures' doc_id==vec_id
+    alignment) fused with reciprocal-rank fusion
+    (operators/retrieval.rrf_fuse). Missing-from-ranker is surfaced as
+    rank 0 (ranks are 1-based) so the columns stay non-null integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text.bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "merge"], k=100
+    ).select("doc_id", "rank")
+    vec = similarity.cosine_topk(emb, "vec_id", "embedding", 100, "vid = 0").select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = retrieval.rrf_fuse([lex, vec], "doc_id", k=20)
+    return fused.select(
+        "doc_id",
+        F.coalesce("rank_0", F.lit(0)).alias("lex_rank"),
+        F.coalesce("rank_1", F.lit(0)).alias("vec_rank"),
+        "score",
+        "fused_rank",
+    )
+
+
+_register(
+    "hybrid_search_rrf",
+    _hybrid_rrf,
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY 1),
+    st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    hits AS (SELECT doc_id, t, count(*) AS tf FROM tok2
+             WHERE t IN ('join', 'merge', 'spark', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY 1),
+    contrib AS (
+      SELECT h.doc_id,
+             CAST(round(
+               ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * ((h.tf * (1.2 + 1.0))
+                  / (h.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))),
+               6) AS DECIMAL(18,6)) AS part
+      FROM hits h JOIN dfreq d USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+    ),
+    sc AS (SELECT doc_id, CAST(sum(part) AS DECIMAL(18,6)) AS dscore
+           FROM contrib GROUP BY 1),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY dscore DESC, doc_id) AS rank_0
+            FROM sc QUALIFY rank_0 <= 100),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+          FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT * FROM n WHERE vec_id = 0),
+    vsc AS (SELECT n.vec_id AS doc_id,
+                   list_dot_product(q.v, n.v) / (q.nrm * n.nrm) AS cos
+            FROM q JOIN n ON n.vec_id <> q.vec_id),
+    vec AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_1
+            FROM vsc QUALIFY rank_1 <= 100),
+    f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+                 lex.rank_0, vec.rank_1,
+                 coalesce(1.0 / (60.0 + lex.rank_0), 0.0)
+                 + coalesce(1.0 / (60.0 + vec.rank_1), 0.0) AS score
+          FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+    SELECT doc_id,
+           CAST(coalesce(rank_0, 0) AS INT) AS lex_rank,
+           CAST(coalesce(rank_1, 0) AS INT) AS vec_rank,
+           score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM f QUALIFY fused_rank <= 20
     """,
 )
