@@ -20,6 +20,8 @@ order ends in a unique key (event_id / o_orderkey / c_custkey).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from as_etl_storage_spark.queries.common import load_table, sql_query
@@ -1033,3 +1035,59 @@ _TRIANGLE_SQL = """
 """
 QUERIES["q_triangle_count"] = sql_query(("lineitem",), _TRIANGLE_SQL)
 ORACLES["q_triangle_count"] = _TRIANGLE_SQL
+
+
+# ------------------------------------------------- bucketed join ----------
+def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-write co-located join: both sides are saved bucketed (and
+    sorted) on the join key with the SAME bucket count, so the sort-merge
+    join reads bucket i against bucket i directly — NO Exchange on either
+    side (asserted in tests/test_plan_properties.py). This is the standard
+    amortization for a fact table joined repeatedly on one key at 100 TB:
+    pay one shuffle at ingest, then every later join is shuffle-free.
+    The merge hint keeps the demo on the sort-merge path (the fixture fits
+    under the broadcast threshold, which would also skip the shuffle but
+    proves nothing about bucketing)."""
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in (lt, ot):
+        # the catalog is in-memory per session but warehouse dirs persist:
+        # a stale dir from an earlier session blocks CREATE TABLE
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+    joined = spark.table(lt).hint("merge").join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    rev = F.expr(
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+    )
+
+
+_register(
+    "w_bucketed_join",
+    _w_bucketed_join,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)

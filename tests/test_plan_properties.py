@@ -165,3 +165,30 @@ def test_weighted_sample_no_global_sort(spark):
     plan = plan_of(spark, "q_weighted_sample")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # both sides bucket-sorted on the join key with equal bucket counts:
+    # the sort-merge join must read bucket i vs bucket i with NO shuffle
+    # on either side (the whole point of paying the shuffle at ingest)
+    from as_etl_storage_spark.queries.behavioral import _w_bucketed_join
+
+    df = _w_bucketed_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in join_part
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+
+
+def test_bm25_global_topk_avoids_single_partition_window(spark):
+    # global top-k must plan as TakeOrderedAndProject (map-side top-k),
+    # not a single-partition row_number window over every scored doc
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_int8_rescore_broadcasts_queries(spark):
+    # quantized candidate scan: query side broadcast, corpus scanned once
+    plan = plan_of(spark, "ann_int8_rescore")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
