@@ -77,3 +77,44 @@ def global_ntile(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
         ),
     ).otherwise(F.ceil(r / F.greatest(F.lit(base), F.lit(1))))
     return ranked.withColumn("bucket", bucket.cast("int"))
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Prefix sum of ``value_col`` over a global order — the scale-safe
+    form of ``sum(v) OVER (ORDER BY …)``, which would single-partition the
+    relation. Same two-pass shape as global_rank: range-repartition on the
+    order key (unique total order required), per-partition sums to the
+    driver (O(partitions) longs), local windowed cumsum + broadcast
+    offset. Bit-identical to the single-partition window for any unique
+    order because the per-partition sums are exact (use integer/decimal
+    value columns; float would reintroduce order-dependence)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(parts, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    sums = rp.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
+    by_pid = {r[_PID]: r["s"] for r in sums}
+    offsets = []
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID}: int, {_OFFSET}: long"
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rp.withColumn(_LOCAL, F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )

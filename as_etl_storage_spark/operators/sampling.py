@@ -83,3 +83,57 @@ def sample_to_rates(
         threshold = F.when(match, F.lit(q)).otherwise(threshold)
     bucket = F.pmod(md5_prefix64(F.col(id_col).cast("string")), F.lit(buckets))
     return df.where(bucket < threshold)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    anchor_pred: str,
+    m: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive training:
+    for every anchor row (rows matching ``anchor_pred``), emit ``m``
+    pseudo-random corpus rows as negatives. The "random" pick is a pure
+    LCG over the anchor id and slot — ``((id % M) * 48271 + slot *
+    1299721 + seed) % M % N`` with M = 2^31-1 — exact 64-bit integer
+    arithmetic both engines evaluate identically (products stay < 2^47,
+    no overflow under ANSI), so reruns and the oracle produce the same
+    pairs. Accidental positives (negative == anchor) are dropped, the
+    standard in-batch-negative correction.
+
+    Scale: the corpus index comes from operators/rank.global_rank (range
+    repartition + offsets — never a single-partition window); the pick
+    join is an equi-join on the dense index. Corpus scanned twice (index,
+    join), anchors × m rows shuffled — linear, skew-free (LCG spreads
+    picks uniformly)."""
+    from as_etl_storage_spark.operators.rank import global_rank
+
+    M = 2147483647
+    indexed = global_rank(df.select(F.col(id_col)), [id_col])
+    n = indexed.count()  # bounded driver scalar (same class as split bounds)
+    anchors = (
+        indexed.where(anchor_pred)
+        .select(F.col(id_col).alias("anchor_id"))
+        .select(
+            "anchor_id", F.explode(F.expr(f"sequence(1, {m})")).alias("neg_slot")
+        )
+    )
+    pick = (
+        (
+            (F.col("anchor_id") % M) * 48271
+            + (F.col("neg_slot") * 1299721 + F.lit(seed))
+        )
+        % M
+        % F.lit(n)
+        + 1
+    )
+    neg = indexed.select(
+        F.col(id_col).alias("neg_id"), F.col("global_rank").alias("neg_gr")
+    )
+    return (
+        anchors.withColumn("neg_gr", pick)
+        .join(neg, "neg_gr")
+        .where(F.col("neg_id") != F.col("anchor_id"))
+        .select("anchor_id", "neg_slot", "neg_id")
+    )

@@ -1654,3 +1654,110 @@ _register(
     FROM f QUALIFY fused_rank <= 20
     """,
 )
+
+
+def _negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-training negative sampling
+    (operators/sampling.negative_samples): 4 LCG-picked corpus negatives
+    per anchor (anchors = doc_id % 20 = 0)."""
+    from as_etl_storage_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    return negative_samples(docs, "doc_id", "doc_id % 20 = 0", m=4, seed=1)
+
+
+_register(
+    "corpus_negative_pairs",
+    _negative_pairs,
+    """
+    WITH idx AS (SELECT doc_id,
+                        row_number() OVER (ORDER BY doc_id) AS gr
+                 FROM documents),
+    n AS (SELECT count(*) AS n FROM documents),
+    anch AS (SELECT doc_id AS anchor_id FROM documents WHERE doc_id % 20 = 0),
+    slots AS (SELECT unnest(range(1, 5)) AS neg_slot),
+    cand AS (SELECT a.anchor_id, s.neg_slot,
+                    ((a.anchor_id % 2147483647) * 48271
+                     + (s.neg_slot * 1299721 + 1)) % 2147483647 % n.n + 1
+                      AS neg_gr
+             FROM anch a CROSS JOIN slots s CROSS JOIN n)
+    SELECT c.anchor_id, CAST(c.neg_slot AS BIGINT) AS neg_slot,
+           i.doc_id AS neg_id
+    FROM cand c JOIN idx i ON i.gr = c.neg_gr
+    WHERE i.doc_id <> c.anchor_id
+    """,
+)
+
+
+def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by an integer quality
+    key (stopword-rate proxy, best first) and keep rows while the global
+    running token total stays within 60% of the corpus — the "fill the
+    training budget with the best data" step. The prefix sum is
+    operators/rank.global_running_sum (range repartition + per-partition
+    offsets), never a single-partition window; the budget cutoff is a
+    bounded driver scalar in exact integer arithmetic."""
+    from as_etl_storage_spark.operators.rank import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = "array('the','a','an','of','and','or','is','to','in')"
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("tk"),
+        )
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("toks"),
+            F.expr(
+                f"(size(filter(tk, t -> array_contains({stop_arr}, lower(t))))"
+                " * 1000L) DIV size(tk)"
+            ).alias("q"),
+        )
+    )
+    total = staged.agg(F.sum("toks")).collect()[0][0]
+    cutoff = total * 3 // 5
+    ranked = global_running_sum(
+        staged.withColumn("negq", -F.col("q")),
+        ["negq", "doc_id"],
+        "toks",
+        "cum_tokens",
+    )
+    return ranked.where(F.col("cum_tokens") <= cutoff).select(
+        "doc_id", "toks", "cum_tokens"
+    )
+
+
+_register(
+    "corpus_budget_select",
+    _budget_select,
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id, len(tk) AS toks,
+             (len(list_filter(tk, x -> list_contains(
+                 ['the','a','an','of','and','or','is','to','in'],
+                 lower(x)))) * 1000) // len(tk) AS q
+      FROM t WHERE len(tk) > 0
+    ),
+    tot AS (SELECT sum(toks) AS total FROM s),
+    r AS (
+      SELECT doc_id, toks,
+             sum(toks) OVER (ORDER BY -q, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_tokens
+      FROM s
+    )
+    SELECT doc_id, CAST(toks AS BIGINT) AS toks,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r CROSS JOIN tot
+    WHERE cum_tokens <= total * 3 // 5
+    """,
+)

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from as_etl_storage_spark.operators import dedup, similarity  # noqa: E402
+from as_etl_storage_spark.operators import dedup, similarity, text  # noqa: E402
 from as_etl_storage_spark.queries.common import load_table  # noqa: E402
 from as_etl_storage_spark.session import get_spark  # noqa: E402
 
@@ -146,6 +146,23 @@ def main() -> None:
                 "embedding",
                 5,
                 f"vid % 50 = 0 AND vid < {ID_OFF}",  # fixed Q (copy 0)
+            ),
+            # filtered token agg + tiny stat joins: cost ∝ matching tokens
+            "bm25": lambda: text.bm25_topk(
+                docs, "doc_id", "text", ["spark", "join", "window", "merge"]
+            ),
+            # two shuffles (segment-key ownership, doc-key reassembly),
+            # both ∝ segment count — linear in corpus bytes
+            "segment_dedup": lambda: dedup.segment_dedup_rebuild(
+                docs, "doc_id", "text"
+            ),
+            # int8 candidate scan with fixed Q: corpus-scan side linear
+            "int8_rescore": lambda: similarity.int8_topk_rescore(
+                emb,
+                "vec_id",
+                "embedding",
+                5,
+                f"vid % 50 = 0 AND vid < {ID_OFF}",
             ),
         }
         for name, make in cases.items():

@@ -365,3 +365,48 @@ def test_bm25_rank_and_monotonicity(spark, sf_dir):
     assert set(s_small) <= set(s_big)
     for d, s in s_small.items():
         assert s_big[d] >= s - 1e-9
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    # the two-pass prefix sum must be bit-identical to the plain
+    # (single-partition) window for a unique total order
+    from pyspark.sql import Window, functions as F
+
+    from as_etl_storage_spark.operators.rank import global_running_sum
+
+    rows = [(i, (i * 37) % 11) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    got = {
+        r["k"]: r["rs"]
+        for r in global_running_sum(df, ["k"], "v", "rs").collect()
+    }
+    w = (
+        Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["k"]: r["rs"]
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_negative_samples_properties(spark, sf_dir):
+    # every anchor gets <= m negatives (an accidental positive is the only
+    # drop), negatives are real corpus ids, never the anchor, and reruns
+    # are identical (pure function of ids)
+    from as_etl_storage_spark.operators.sampling import negative_samples
+    from as_etl_storage_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    a = negative_samples(docs, "doc_id", "doc_id % 10 = 0", m=3, seed=7)
+    rows = a.collect()
+    per_anchor = {}
+    for r in rows:
+        assert r["neg_id"] in ids and r["neg_id"] != r["anchor_id"]
+        per_anchor.setdefault(r["anchor_id"], set()).add(r["neg_slot"])
+    assert per_anchor and all(len(s) <= 3 for s in per_anchor.values())
+    b = {(r["anchor_id"], r["neg_slot"], r["neg_id"]) for r in
+         negative_samples(docs, "doc_id", "doc_id % 10 = 0", m=3, seed=7).collect()}
+    assert b == {(r["anchor_id"], r["neg_slot"], r["neg_id"]) for r in rows}
