@@ -67,6 +67,28 @@ AUDITED = {
     "probe stays partition-local",
     "skew_salted_join": "salt explodes the small side only; the skewed fact "
     "keys spread over n_salts partitions",
+    "w_bucketed_join": "bucketed co-located join: both sides bucket-sorted "
+    "on the key at ingest, so the SortMergeJoin has NO Exchange on either "
+    "side (SelectedBucketsCount 8 out of 8) — the shuffle was paid once at "
+    "write time",
+    "text_bm25_topk": "BM25: token stream filtered to query terms before "
+    "the (doc, term) aggregation; stats joins broadcast; global top-k is "
+    "TakeOrderedAndProject, never a single-partition window",
+    "ann_int8_rescore": "int8 ANN: quantized queries broadcast over one "
+    "corpus scan (BroadcastNestedLoopJoin); only mult·k candidates per "
+    "query reach the exact-cosine rerank window",
+    "dedup_paragraph_rebuild": "segment dedup: ownership election is one "
+    "hashpartitioning(seg) aggregation; reassembly one "
+    "hashpartitioning(doc) aggregation — no joins wider than the segment "
+    "stream",
+    "hybrid_search_rrf": "rank fusion: the full-outer join touches only "
+    "|rankers|·n already-truncated top rows; each ranker keeps its own "
+    "scale shape below",
+    "corpus_budget_select": "distributed prefix sum: rangepartitioning + "
+    "broadcast per-partition offsets; no single-partition window anywhere",
+    "corpus_negative_pairs": "negative sampling: LCG pick equi-joins the "
+    "dense global_rank index (rangepartitioning, offsets broadcast); "
+    "anchors×m rows shuffled, corpus never replicated",
 }
 
 _DETAIL = re.compile(r"\(\d+\)|#\d+L?|\[plan_id=\d+\]")
