@@ -559,3 +559,85 @@ def make_chunker(chunk_size: int = 32, use_arrow: bool = True):
                 yield doc_id, i // chunk_size, " ".join(window), len(window)
 
     return ChunkTokens
+
+
+def tfidf_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int = 20,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via a term-partitioned
+    self-join — the classic sparse-vector similarity search that scales
+    where dense ANN does not apply (no embeddings needed): candidate
+    pairs meet ONLY through shared mid-band terms, so the join is an
+    equi-join keyed on the term, never an all-pairs product.
+
+    The document-frequency band (``min_df``..``max_df``) is the fan-out
+    governor: stopword-frequency terms would each contribute O(N²) pairs
+    and say nothing about similarity, so they are dropped exactly as the
+    inverted-index operator drops them; ultra-rare terms below ``min_df``
+    cannot form pairs at all. At 100 TB the band plus a per-term posting
+    cap (drop terms whose posting list exceeds a bound, standard in MinHash
+    pipelines too) keeps the pair stream ∝ corpus size.
+
+    Determinism: per-term weights are rounded to DECIMAL(18,6) once, so
+    every downstream sum (norms, pair dot products) is exact decimal
+    arithmetic — order-independent under any shuffle; the one float
+    division per pair and the sqrt per doc are single correctly-rounded
+    ops both engines agree on bit-for-bit."""
+    toks = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .groupBy("doc", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = toks.groupBy("t").agg(F.count("*").alias("dfreq"))
+    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    weighted = (
+        toks.join(
+            F.broadcast(
+                stats.where(
+                    (F.col("dfreq") >= min_df) & (F.col("dfreq") <= max_df)
+                )
+            ),
+            "t",
+        )
+        .select(
+            "doc",
+            "t",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a = weighted.alias("a")
+    b = weighted.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_i"), F.col("b.doc").alias("doc_j"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_i"), F.col("nrm").alias("ni"))
+    nb = norms.select(F.col("doc").alias("doc_j"), F.col("nrm").alias("nj"))
+    sim = F.col("dot") / (F.col("ni") * F.col("nj"))
+    return (
+        dots.join(na, "doc_i")
+        .join(nb, "doc_j")
+        .where(sim >= threshold)
+        .select("doc_i", "doc_j", F.round(sim, 4).alias("sim"))
+    )

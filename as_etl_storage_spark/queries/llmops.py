@@ -1761,3 +1761,74 @@ _register(
     WHERE cum_tokens <= total * 3 // 5
     """,
 )
+
+
+def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs through shared mid-band terms
+    (operators/text.tfidf_similar_pairs) — term-partitioned sparse
+    similarity, the no-embedding complement to the ANN family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_similar_pairs(
+        docs, "doc_id", "text", min_df=2, max_df=20, threshold=0.5
+    )
+
+
+_register(
+    "text_tfidf_pairs",
+    _tfidf_pairs,
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t <> ''
+           GROUP BY 1, 2),
+    st AS (SELECT t, count(*) AS dfreq FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+    w AS (SELECT tf.doc_id, tf.t,
+                 CAST(round(tf.tf * ln(nd.n / st.dfreq), 6)
+                      AS DECIMAL(18,6)) AS w
+          FROM tf JOIN st USING (t) CROSS JOIN nd
+          WHERE st.dfreq BETWEEN 2 AND 20),
+    nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nrm
+            FROM w GROUP BY 1),
+    dots AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                    CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+             FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_i, doc_j, round(dot / (x.nrm * y.nrm), 4) AS sim
+    FROM dots JOIN nrm x ON x.doc_id = doc_i
+              JOIN nrm y ON y.doc_id = doc_j
+    WHERE dot / (x.nrm * y.nrm) >= 0.5
+    """,
+)
+
+
+# normalization-uplift report: how many extra duplicate groups appear once
+# text is canonicalized (lowercase, punctuation stripped, whitespace
+# collapsed) — the standard pre-dedup normalization decision, quantified.
+# Pure per-source aggregation; the normalization chain is codegen'd
+# (Spark replaces all matches by default; DuckDB needs the 'g' flag).
+_NORM_SPARK = """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS distinct_raw,
+           count(DISTINCT trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ''),
+               ' +', ' '))) AS distinct_norm
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+"""
+_NORM_DUCK = """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT text) AS distinct_raw,
+           count(DISTINCT trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS distinct_norm
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+"""
+from as_etl_storage_spark.queries.common import sql_query as _sql_query  # noqa: E402
+
+_register("dedup_norm_uplift", _sql_query(("documents",), _NORM_SPARK), _NORM_DUCK)
