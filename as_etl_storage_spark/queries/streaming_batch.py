@@ -756,3 +756,87 @@ _register(
     SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
     """,
 )
+
+
+def _exec_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus ingest with dedup-at-the-door through the REAL
+    engine: documents arrive as two id-ordered micro-batches
+    (maxFilesPerTrigger=1, mtime-pinned); each foreachBatch invocation
+    dedupes within the batch (keep min doc_id per text), anti-joins on
+    the content key against the corpus table written so far, and appends
+    only the survivors. Cross-batch state lives in the TABLE, not the
+    state store — the ingest-dedup pattern that scales: state-store bytes
+    stay O(0) while the corpus grows, and the anti-join is an equi-join
+    on the content hash (at 100 TB: semi-join the corpus scan against the
+    batch's broadcast key set). Batches are id-ordered, so keep-first
+    across the batch sequence equals the global min-id exact dedup — the
+    oracle the final corpus is hash-gated against."""
+    import shutil
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    base = _scratch_dir()
+    halves = os.path.join(base, "ingest_halves")
+    indir = os.path.join(base, "ingest_in")
+    work = os.path.join(base, "ingest_work")
+    os.makedirs(indir, exist_ok=True)
+    os.makedirs(work, exist_ok=True)
+    cutoff = docs.agg(F.expr("percentile_approx(doc_id, 0.5)").alias("m")).collect()[
+        0
+    ]["m"]
+    parts = [
+        docs.where(F.col("doc_id") <= cutoff),
+        docs.where(F.col("doc_id") > cutoff),
+    ]
+    part = 0
+    for i, pdf in enumerate(parts):
+        pdir = os.path.join(halves, f"p{i}")
+        pdf.orderBy("doc_id").coalesce(1).write.mode("overwrite").parquet(pdir)
+        for f in sorted(os.listdir(pdir)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(indir, f"part-{part:03d}.parquet")
+                shutil.copy(os.path.join(pdir, f), dst)
+                # file source orders batches by MODIFICATION TIME — pin it
+                os.utime(dst, (1_000_000_000 + part, 1_000_000_000 + part))
+                part += 1
+    target = os.path.join(work, "corpus")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(indir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+    )
+    from pyspark.sql import Window
+
+    def sink(batch_df, _bid):
+        w = Window.partitionBy("text").orderBy("doc_id")
+        fresh = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .drop("__rn")
+        )
+        if os.path.isdir(target):
+            corpus_keys = spark.read.parquet(target).select("text")
+            fresh = fresh.join(corpus_keys, "text", "left_anti")
+        fresh.select(*batch_df.columns).write.mode("append").parquet(target)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).select("doc_id")
+
+
+_register(
+    "stream_exec_ingest_dedup",
+    _exec_ingest_dedup,
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY text
+    """,
+)
