@@ -699,3 +699,42 @@ ORACLES["w_compact_roundtrip"] = (
     "count(DISTINCT o_custkey) AS n_cust, TRUE AS compacted_ok "
     "FROM orders GROUP BY o_orderstatus"
 )
+
+
+def s_pyds_rangesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-split parallel read through the Spark 4 Python DataSource API
+    (sources/pyds.RangeSplitDataSource): partitions() emits one split per
+    do_split range (reader/job.go:122-187 parity), bounds come from
+    parquet footer stats (S12 at zero scan cost), each task reads its
+    range via a pyarrow predicate. The aggregate proves no range gap,
+    overlap, or loss."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import RangeSplitDataSource
+
+    spark.dataSource.register(RangeSplitDataSource)
+    df = (
+        spark.read.format("rangesplit")
+        .option("path", os.path.join(sf_dir, "orders.parquet"))
+        .option("key", "o_orderkey")
+        .option("num", "8")
+        .option("columns", "o_orderkey,o_custkey,o_totalprice,o_orderstatus")
+        .load()
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+QUERIES["s_pyds_rangesplit"] = s_pyds_rangesplit
+ORACLES["s_pyds_rangesplit"] = (
+    "SELECT o_orderstatus, count(*) AS n, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+    "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+    "FROM orders GROUP BY o_orderstatus"
+)

@@ -320,3 +320,42 @@ def test_vid_codec_is_real(spark):
         _vid_decode(b"RIFF....")
     with pytest.raises(ValueError, match="size mismatch"):
         _vid_decode(b"VID\n2 2 2\n" + bytes(5))
+
+
+def test_pyds_rangesplit_partitions_and_pushdown(spark, sf_dir):
+    # the Python DataSource's splits must reproduce do_split exactly and
+    # partition the key domain without gap/overlap/loss
+    import os
+
+    from as_etl_storage_spark.plans.split import do_split
+    from as_etl_storage_spark.sources.pyds import (
+        RangeSplitDataSource,
+        RangeSplitReader,
+        _key_bounds,
+    )
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    lo, hi = _key_bounds(path, "o_orderkey")
+    reader = RangeSplitReader(
+        {"path": path, "key": "o_orderkey", "num": "5"}
+    )
+    parts = reader.partitions()
+    assert [(p.lo, p.hi) for p in parts] == do_split(lo, hi, 5)
+    assert parts[0].lo == lo and parts[-1].hi == hi and parts[-1].closed
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo and not a.closed
+
+    spark.dataSource.register(RangeSplitDataSource)
+    df = (
+        spark.read.format("rangesplit")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .option("num", "5")
+        .option("columns", "o_orderkey")
+        .load()
+    )
+    native = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == native.count()
+    assert df.select("o_orderkey").distinct().count() == \
+        native.select("o_orderkey").distinct().count()
