@@ -840,3 +840,65 @@ _register(
     GROUP BY text
     """,
 )
+
+
+def _exec_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python streaming DataSource through the REAL engine: the docreplay
+    source (sources/pyds.DocReplayDataSource) emits the documents fixture
+    in key-ordered 30-row micro-batches with absolute-position offsets;
+    the drain appends every batch to a parquet sink. The union of all
+    micro-batches must equal the table exactly — offset management (not
+    the transform) is what is under test; readBetweenOffsets gives
+    checkpoint recovery identical rows, which the reference's record
+    channel cannot do (a crashed batch is lost upstream,
+    batch_writer.go:159-261)."""
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.sources.pyds import DocReplayDataSource
+
+    spark.dataSource.register(DocReplayDataSource)
+    work = os.path.join(_scratch_dir(), "pyds_replay")
+    os.makedirs(work, exist_ok=True)
+    import time
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    expected = pq.ParquetFile(src).metadata.num_rows
+    stream = (
+        spark.readStream.format("docreplay")
+        .option("path", src)
+        .option("key", "doc_id")
+        .option("batchrows", "30")
+        .load()
+    )
+    target = os.path.join(work, "out")
+    done = {"n": 0}
+
+    def sink(batch_df, _bid):
+        done["n"] += batch_df.count()
+        batch_df.write.mode("append").parquet(target)
+
+    # availableNow prefetches only ONE simple-reader batch, so run a
+    # continuous trigger and stop once every offset has been drained
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while done["n"] < expected and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return spark.read.parquet(target).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_register(
+    "stream_exec_pyds_replay",
+    _exec_pyds_replay,
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)

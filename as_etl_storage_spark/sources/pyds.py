@@ -24,7 +24,12 @@ a parity/extensibility surface, not the default path.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _PA_TO_DDL = {
     "int64": "bigint",
@@ -126,3 +131,69 @@ class RangeSplitDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return RangeSplitReader(self.options)
+
+
+class _Replay:
+    """Shared row access for the replay stream: the parquet table sorted by
+    the key column, loaded lazily once per reader instance."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.key = options.get("key", "doc_id")
+        self.batch_rows = int(options.get("batchrows", "200"))
+        self._rows = None
+
+    def rows(self):
+        if self._rows is None:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(self.path)
+            t = t.sort_by(self.key)
+            self._rows = list(zip(*(t.column(n).to_pylist() for n in t.column_names)))
+        return self._rows
+
+
+class DocReplayStreamReader(SimpleDataSourceStreamReader, _Replay):
+    """Offset-managed replay of a parquet table as a stream, ``batchrows``
+    rows per micro-batch in key order. The offset is the absolute row
+    position — readBetweenOffsets replays any window exactly, which is
+    what gives checkpoint recovery the same rows after a crash (the
+    reference's record channel, batch_writer.go:159-261, has no such
+    replay: a crashed batch is simply lost upstream)."""
+
+    def __init__(self, options):
+        _Replay.__init__(self, options)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        rows = self.rows()
+        lo = start["pos"]
+        hi = min(lo + self.batch_rows, len(rows))
+        return iter(rows[lo:hi]), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self.rows()[start["pos"] : end["pos"]])
+
+
+class DocReplayDataSource(DataSource):
+    """``spark.readStream.format("docreplay")`` — a Python streaming
+    source with deterministic offsets over a parquet fixture; the
+    micro-batch accumulator surface (SURVEY W6) expressed through the
+    Spark 4 Python streaming DataSource API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "docreplay"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(_data_files(self.options["path"])[0])
+        return ", ".join(
+            f"{n} {_PA_TO_DDL[str(sch.field(n).type)]}" for n in sch.names
+        )
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return DocReplayStreamReader(self.options)
