@@ -712,6 +712,10 @@ def s_pyds_rangesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from as_etl_storage_spark.sources.pyds import RangeSplitDataSource
 
+    # runtime-settable; required because the reader implements pushFilters
+    # (initialization refuses otherwise) and the driver's own session may
+    # not carry the builder config from session.py
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(RangeSplitDataSource)
     df = (
         spark.read.format("rangesplit")

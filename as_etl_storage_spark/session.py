@@ -36,6 +36,9 @@ def get_spark(app_name: str = "as_etl_storage_spark") -> SparkSession:
         # out of whole-stage codegen at the default 100-field cap and run 2x
         # slower; 300 keeps them compiled without risking 64KB method limits
         .config("spark.sql.codegen.maxFields", "300")
+        # let Python DataSources (sources/pyds) receive pushFilters —
+        # off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -27,8 +27,29 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
+)
+
+#: comparison filters the scan can evaluate natively via pyarrow dataset
+#: expressions (single-column attributes only)
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
 )
 
 _PA_TO_DDL = {
@@ -85,6 +106,44 @@ class RangeSplitReader(DataSourceReader):
         self.num = int(options.get("num", "8"))
         cols = options.get("columns", "")
         self.columns = [c.strip() for c in cols.split(",") if c.strip()] or None
+        self.pushed = []
+
+    def pushFilters(self, filters):
+        """Predicate pushdown through the official API (reference P2: the
+        `where` string rendered into the scan SQL, reader/parameter.go:
+        115-118): comparison filters are kept and evaluated inside the
+        pyarrow scan — row groups whose footer stats exclude the predicate
+        are never read. Anything else is returned for Spark to apply."""
+        for flt in filters:
+            if isinstance(flt, _PUSHABLE) and len(flt.attribute) == 1:
+                self.pushed.append(flt)
+            else:
+                yield flt
+
+    def _pushed_expr(self):
+        import pyarrow.dataset as ds
+
+        expr = None
+        for flt in self.pushed:
+            f = ds.field(flt.attribute[0])
+            if isinstance(flt, EqualTo):
+                e = f == flt.value
+            elif isinstance(flt, GreaterThan):
+                e = f > flt.value
+            elif isinstance(flt, GreaterThanOrEqual):
+                e = f >= flt.value
+            elif isinstance(flt, LessThan):
+                e = f < flt.value
+            elif isinstance(flt, LessThanOrEqual):
+                e = f <= flt.value
+            elif isinstance(flt, In):
+                e = f.isin(list(flt.value))
+            elif isinstance(flt, IsNull):
+                e = f.is_null()
+            else:  # IsNotNull
+                e = ~f.is_null()
+            expr = e if expr is None else expr & e
+        return expr
 
     def partitions(self):
         from as_etl_storage_spark.plans.split import do_split
@@ -101,8 +160,12 @@ class RangeSplitReader(DataSourceReader):
 
         f = ds.field(self.key)
         upper = (f <= partition.hi) if partition.closed else (f < partition.hi)
+        filt = (f >= partition.lo) & upper
+        pushed = self._pushed_expr()
+        if pushed is not None:
+            filt = filt & pushed
         scanner = ds.dataset(_data_files(self.path)).scanner(
-            columns=self.columns, filter=(f >= partition.lo) & upper
+            columns=self.columns, filter=filt
         )
         yield from scanner.to_batches()
 

@@ -334,6 +334,7 @@ def test_pyds_rangesplit_partitions_and_pushdown(spark, sf_dir):
         _key_bounds,
     )
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     path = os.path.join(sf_dir, "orders.parquet")
     lo, hi = _key_bounds(path, "o_orderkey")
     reader = RangeSplitReader(
@@ -359,3 +360,53 @@ def test_pyds_rangesplit_partitions_and_pushdown(spark, sf_dir):
     assert df.count() == native.count()
     assert df.select("o_orderkey").distinct().count() == \
         native.select("o_orderkey").distinct().count()
+
+
+def test_pyds_filter_pushdown(spark, sf_dir):
+    # comparison predicates reach the pyarrow scan (P2 through the
+    # official pushFilters API); the plan must not re-read what the
+    # source already filtered, and results must match the native reader
+    import os
+
+    from pyspark.sql.datasource import GreaterThan, StringContains
+    from as_etl_storage_spark.sources.pyds import (
+        RangeSplitDataSource,
+        RangeSplitReader,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    path = os.path.join(sf_dir, "orders.parquet")
+    reader = RangeSplitReader({"path": path, "key": "o_orderkey", "num": "2"})
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("o_totalprice",), 200000.0),
+                StringContains(("o_orderstatus",), "O"),
+            ]
+        )
+    )
+    # the comparison is consumed, the string predicate handed back
+    assert [type(f) for f in leftover] == [StringContains]
+    assert [type(f) for f in reader.pushed] == [GreaterThan]
+    rows = [
+        b.num_rows
+        for p in reader.partitions()
+        for b in reader.read(p)
+    ]
+    native = spark.read.parquet(path)
+    assert sum(rows) == native.where("o_totalprice > 200000.0").count()
+
+    spark.dataSource.register(RangeSplitDataSource)
+    df = (
+        spark.read.format("rangesplit")
+        .option("path", path)
+        .option("key", "o_orderkey")
+        .option("num", "4")
+        .option("columns", "o_orderkey,o_totalprice,o_orderstatus")
+        .load()
+        .where("o_totalprice > 200000.0 AND o_orderstatus = 'F'")
+    )
+    want = native.where("o_totalprice > 200000.0 AND o_orderstatus = 'F'")
+    assert df.count() == want.count()
+    assert df.agg({"o_orderkey": "sum"}).collect()[0][0] == \
+        want.agg({"o_orderkey": "sum"}).collect()[0][0]
