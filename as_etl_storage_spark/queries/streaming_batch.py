@@ -902,3 +902,70 @@ _register(
     _exec_pyds_replay,
     "SELECT doc_id, lang, source, n_chars FROM documents",
 )
+
+
+def _exec_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python streaming SINK with two-phase commit through the real
+    engine: the docreplay source feeds micro-batches into the jsonaudit
+    writer (sources/pyds.JsonAuditStreamWriter) — per-partition data
+    files + an atomic manifest line per committed batch; the read side
+    resolves the table through the manifest only, so aborted/uncommitted
+    files can never appear. Hash-gated: the manifest-resolved table must
+    equal the source table exactly."""
+    import json
+    import time
+
+    import pyarrow.parquet as pq
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.sources.pyds import (
+        DocReplayDataSource,
+        JsonAuditDataSource,
+        read_json_audit,
+    )
+
+    spark.dataSource.register(DocReplayDataSource)
+    spark.dataSource.register(JsonAuditDataSource)
+    work = os.path.join(_scratch_dir(), "pyds_sink")
+    outdir = os.path.join(work, "audit")
+    os.makedirs(outdir, exist_ok=True)
+    src = os.path.join(sf_dir, "documents.parquet")
+    expected = pq.ParquetFile(src).metadata.num_rows
+    stream = (
+        spark.readStream.format("docreplay")
+        .option("path", src)
+        .option("key", "doc_id")
+        .option("batchrows", "40")
+        .load()
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    q = (
+        stream.writeStream.format("jsonaudit")
+        .option("outdir", outdir)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+    def committed() -> int:
+        manifest = os.path.join(outdir, "manifest.jsonl")
+        if not os.path.exists(manifest):
+            return 0
+        with open(manifest, encoding="utf-8") as fh:
+            return sum(json.loads(line)["rows"] for line in fh)
+
+    deadline = time.time() + 120
+    while committed() < expected and time.time() < deadline:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return read_json_audit(spark, outdir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_register(
+    "stream_exec_pyds_sink",
+    _exec_pyds_sink,
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)

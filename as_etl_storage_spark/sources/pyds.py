@@ -37,6 +37,8 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    DataSourceStreamWriter,
+    WriterCommitMessage,
 )
 
 #: comparison filters the scan can evaluate natively via pyarrow dataset
@@ -260,3 +262,95 @@ class DocReplayDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return DocReplayStreamReader(self.options)
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path, self.n = path, n
+
+
+class JsonAuditStreamWriter(DataSourceStreamWriter):
+    """Streaming sink with an explicit two-phase commit: every partition
+    task writes its rows to a uniquely-named JSON-lines data file and
+    returns a commit message; ``commit()`` atomically appends one
+    manifest line per micro-batch listing exactly the committed files,
+    ``abort()`` deletes the orphans. Readers resolve the table through
+    the manifest ONLY, so uncommitted/aborted files are invisible —
+    the transactional batch-write protocol (reference W5: BatchExec*
+    with transaction modes, database/db.go:203-236) restated as
+    manifest-commit, which is also precisely how the versioned writer
+    (writers/versioned.py) and every log-structured table format get
+    atomicity out of a non-transactional store."""
+
+    def __init__(self, options):
+        self.outdir = options["outdir"]
+
+    def write(self, iterator) -> "_Committed":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(os.path.join(self.outdir, "data"), exist_ok=True)
+        name = f"b-p{part:03d}-{uuid.uuid4().hex[:12]}.jsonl"
+        path = os.path.join(self.outdir, "data", name)
+        n = 0
+        with open(path, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _Committed(path, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = os.path.join(self.outdir, "manifest.jsonl")
+        entry = {
+            "batch": batchId,
+            "files": [m.path for m in messages if m is not None and m.n > 0],
+            "rows": sum(m.n for m in messages if m is not None),
+        }
+        # atomic append: single write() of one line on a local fs
+        with open(manifest, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        for m in messages:
+            if m is not None and m.n == 0:
+                os.remove(m.path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonAuditDataSource(DataSource):
+    """``df.writeStream.format("jsonaudit")`` — manifest-committed
+    JSON-lines sink (see JsonAuditStreamWriter)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonaudit"
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return JsonAuditStreamWriter(self.options)
+
+
+def read_json_audit(spark, outdir: str):
+    """Load a jsonaudit table: manifest-listed files only."""
+    import json
+    import os
+
+    manifest = os.path.join(outdir, "manifest.jsonl")
+    files = []
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            for line in fh:
+                files.extend(json.loads(line)["files"])
+    if not files:
+        raise ValueError(f"no committed batches under {outdir}")
+    return spark.read.json(files)
