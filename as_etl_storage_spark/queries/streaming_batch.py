@@ -875,8 +875,10 @@ def _exec_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = {"n": 0}
 
     def sink(batch_df, _bid):
-        done["n"] += batch_df.count()
         batch_df.write.mode("append").parquet(target)
+        # count AFTER the write: the stop-poll below must not be able to
+        # kill an in-flight final write once the total looks complete
+        done["n"] += batch_df.count()
 
     # availableNow prefetches only ONE simple-reader batch, so run a
     # continuous trigger and stop once every offset has been drained
