@@ -85,6 +85,47 @@ def sample_to_rates(
     return df.where(bucket < threshold)
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    # 1e3 (not BUCKETS=1e6): the squared compare multiplies bucket^2 by
+    # n_g, and 1e6^2 * n_g overflows int64 once a group passes ~9e6 rows;
+    # 1e3^2 keeps exact arithmetic to ~9e12-row groups at 0.1% rate
+    # granularity — the right trade for a 100 TB corpus
+    buckets: int = 1_000,
+) -> DataFrame:
+    """Temperature-based mix flattening at alpha = 0.5 — the standard
+    multilingual-LLM rebalance (sample share ∝ n_g^alpha): high-resource
+    groups are downsampled, low-resource groups kept whole, so the mix
+    flattens without starving big groups the way uniform rebalance does.
+
+    At alpha = 0.5 the feasibility-maximal per-group keep rate reduces to
+    ``sqrt(n_min / n_g)`` (each group lands at sqrt(n_min * n_g) rows:
+    the geometric mean of itself and the smallest group). The square-root
+    threshold is applied WITHOUT floats: keep iff
+    ``bucket(id)^2 * n_g < buckets^2 * n_min`` — squaring the rate
+    inequality keeps everything in exact 64-bit integers, so engines can
+    never disagree at the boundary (the same cross-multiplication idea as
+    rebalance_to_min_group, one power higher).
+
+    Scale: identical shape to rebalance_to_min_group — one per-group
+    count aggregation broadcast back, one hash+compare per row in the
+    scan; the corpus is never shuffled."""
+    per = df.groupBy(*group_cols).agg(F.count("*").alias("n_g"))
+    n_min = per.agg(F.min("n_g").alias("n_min"))
+    bucket = F.pmod(md5_prefix64(F.col(id_col).cast("string")), F.lit(buckets))
+    return (
+        df.join(F.broadcast(per), group_cols)
+        .crossJoin(F.broadcast(n_min))
+        .where(
+            bucket * bucket * F.col("n_g")
+            < F.lit(buckets) * F.lit(buckets) * F.col("n_min")
+        )
+        .select(*df.columns)
+    )
+
+
 def negative_samples(
     df: DataFrame,
     id_col: str,

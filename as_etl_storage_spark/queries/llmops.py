@@ -1869,3 +1869,37 @@ _register(
     LIMIT 20
     """,
 )
+
+
+def _temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature mix over (source, lang) groups
+    (operators/sampling.temperature_mix); report post-mix group sizes so
+    the flattening is visible in one row per group."""
+    from as_etl_storage_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix(docs, "doc_id", ["source", "lang"])
+    return kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n_kept"), F.min("doc_id").alias("first_doc")
+    )
+
+
+_register(
+    "corpus_temperature_mix",
+    _temperature_mix,
+    """
+    WITH per AS (SELECT source, lang, count(*) AS n_g
+                 FROM documents GROUP BY 1, 2),
+    mn AS (SELECT min(n_g) AS n_min FROM per),
+    kept AS (
+      SELECT d.*
+      FROM documents d JOIN per USING (source, lang) CROSS JOIN mn
+      WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
+            * (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000)
+            * per.n_g
+            < 1000 * 1000 * mn.n_min
+    )
+    SELECT source, lang, count(*) AS n_kept, min(doc_id) AS first_doc
+    FROM kept GROUP BY source, lang
+    """,
+)

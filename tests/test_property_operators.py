@@ -410,3 +410,41 @@ def test_negative_samples_properties(spark, sf_dir):
     b = {(r["anchor_id"], r["neg_slot"], r["neg_id"]) for r in
          negative_samples(docs, "doc_id", "doc_id % 10 = 0", m=3, seed=7).collect()}
     assert b == {(r["anchor_id"], r["neg_slot"], r["neg_id"]) for r in rows}
+
+
+def test_temperature_mix_flattens(spark, sf_dir):
+    # alpha=0.5 mix: smallest group keeps everything, no group grows,
+    # and the kept size tracks sqrt(n_min*n_g) (geometric-mean target);
+    # rerun-identical (pure function of ids)
+    import math
+
+    from as_etl_storage_spark.operators.sampling import temperature_mix
+    from as_etl_storage_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    orig = {
+        (r["source"], r["lang"]): r["count"]
+        for r in docs.groupBy("source", "lang").count().collect()
+    }
+    kept_df = temperature_mix(docs, "doc_id", ["source", "lang"])
+    kept = {
+        (r["source"], r["lang"]): r["count"]
+        for r in kept_df.groupBy("source", "lang").count().collect()
+    }
+    n_min = min(orig.values())
+    for g, n in orig.items():
+        k = kept.get(g, 0)
+        assert k <= n
+        if n == n_min:
+            assert k == n  # smallest group untouched
+        target = math.sqrt(n_min * n)
+        # hash-thresholded binomial: allow generous slack on the fixture
+        assert abs(k - target) <= max(6, 4 * math.sqrt(target))
+    again = {
+        (r["source"], r["lang"]): r["count"]
+        for r in temperature_mix(docs, "doc_id", ["source", "lang"])
+        .groupBy("source", "lang")
+        .count()
+        .collect()
+    }
+    assert again == kept
