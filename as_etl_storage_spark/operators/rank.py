@@ -28,13 +28,28 @@ _LOCAL = "__rank_local"
 _OFFSET = "__rank_offset"
 
 
+def _partitioned_once(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Range-partition on the order key and PIN the placement: the two-pass
+    scheme runs one job to collect per-partition stats and another to emit
+    output, but repartitionByRange samples its boundaries per
+    materialization — without pinning, a boundary row can land in
+    partition p in the stats job and p+1 in the output job, silently
+    corrupting every offset after it. The eager localCheckpoint
+    materializes the partitioned blocks once so both jobs read the SAME
+    placement (blocks are ContextCleaner-managed, freed when the caller
+    drops the result)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartitionByRange(parts, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+
 def _ranked_with_total(
     df: DataFrame, order_cols: list[str]
 ) -> tuple[DataFrame, int]:
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    rp = df.repartitionByRange(parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
+    rp = _partitioned_once(df, order_cols)
     counts = rp.groupBy(_PID).count().collect()
     by_pid = {r[_PID]: r["count"] for r in counts}
     offsets = []
@@ -42,6 +57,11 @@ def _ranked_with_total(
     for pid in sorted(by_pid):
         offsets.append((pid, acc))
         acc += by_pid[pid]
+    if not offsets:
+        ranked = rp.withColumn("global_rank", F.lit(None).cast("long")).drop(
+            _PID
+        )
+        return ranked, 0
     off_df = df.sparkSession.createDataFrame(
         offsets, f"{_PID}: int, {_OFFSET}: long"
     )
@@ -93,28 +113,36 @@ def global_running_sum(
     offset. Bit-identical to the single-partition window for any unique
     order because the per-partition sums are exact (use integer/decimal
     value columns; float would reintroduce order-dependence)."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
-    rp = df.repartitionByRange(parts, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
-    sums = rp.groupBy(_PID).agg(F.sum(value_col).alias("s")).collect()
-    by_pid = {r[_PID]: r["s"] for r in sums}
+    rp = _partitioned_once(df, order_cols)
+    stats = rp.groupBy(_PID).agg(
+        F.sum(value_col).alias("s"), F.count(value_col).alias("nn")
+    ).collect()
+    by_pid = {r[_PID]: (r["s"], r["nn"]) for r in stats}
     offsets = []
-    acc = 0
+    acc, nn_acc = 0, 0
     for pid in sorted(by_pid):
-        offsets.append((pid, acc))
-        acc += by_pid[pid]
+        offsets.append((pid, acc, 1 if nn_acc > 0 else 0))
+        s, nn = by_pid[pid]
+        acc += s or 0  # an all-NULL partition contributes nothing
+        nn_acc += nn
+    if not offsets:
+        return rp.withColumn(out_col, F.lit(None).cast("long")).drop(_PID)
     off_df = df.sparkSession.createDataFrame(
-        offsets, f"{_PID}: int, {_OFFSET}: long"
+        offsets, f"{_PID}: int, {_OFFSET}: long, __rank_prior: int"
     )
     w = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = F.sum(value_col).over(w)
+    # SQL window-sum NULL semantics: the running sum is NULL only while NO
+    # non-null value has been seen anywhere in the global prefix
+    out = F.when(
+        local.isNull() & (F.col("__rank_prior") == 0), F.lit(None)
+    ).otherwise(F.col(_OFFSET) + F.coalesce(local, F.lit(0)))
     return (
-        rp.withColumn(_LOCAL, F.sum(value_col).over(w))
-        .join(F.broadcast(off_df), _PID)
-        .withColumn(out_col, F.col(_OFFSET) + F.col(_LOCAL))
-        .drop(_PID, _LOCAL, _OFFSET)
+        rp.join(F.broadcast(off_df), _PID)
+        .withColumn(out_col, out)
+        .drop(_PID, _OFFSET, "__rank_prior")
     )

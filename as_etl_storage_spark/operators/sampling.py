@@ -148,11 +148,16 @@ def negative_samples(
     join is an equi-join on the dense index. Corpus scanned twice (index,
     join), anchors × m rows shuffled — linear, skew-free (LCG spreads
     picks uniformly)."""
-    from as_etl_storage_spark.operators.rank import global_rank
+    from as_etl_storage_spark.operators.rank import _ranked_with_total
 
     M = 2147483647
-    indexed = global_rank(df.select(F.col(id_col)), [id_col])
-    n = indexed.count()  # bounded driver scalar (same class as split bounds)
+    # _ranked_with_total already collects per-partition counts whose sum
+    # is the corpus size — no second count() job
+    indexed, n = _ranked_with_total(df.select(F.col(id_col)), [id_col])
+    if n == 0:  # pick % 0 would be an ANSI division-by-zero
+        return df.sparkSession.createDataFrame(
+            [], "anchor_id long, neg_slot int, neg_id long"
+        )
     anchors = (
         indexed.where(anchor_pred)
         .select(F.col(id_col).alias("anchor_id"))

@@ -468,7 +468,7 @@ def bm25_topk(
     avgdl, per-term df) are single-row / |terms|-row aggregates joined by
     broadcast. At 100 TB the df/avgdl stats come from the standing corpus
     profile instead of a rescan — the scoring join is unchanged."""
-    terms = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    terms = F.array(*[F.lit(t.lower()) for t in sorted({t.lower() for t in query_terms})])
     toks = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -599,7 +599,9 @@ def tfidf_similar_pairs(
         .agg(F.count("*").alias("tf"))
     )
     stats = toks.groupBy("t").agg(F.count("*").alias("dfreq"))
-    n_docs = df.where(F.col(text_col).isNotNull()).count()
+    nd = df.where(F.col(text_col).isNotNull()).agg(
+        F.count("*").alias("n_docs")
+    )
     weighted = (
         toks.join(
             F.broadcast(
@@ -609,11 +611,14 @@ def tfidf_similar_pairs(
             ),
             "t",
         )
+        .crossJoin(F.broadcast(nd))
         .select(
             "doc",
             "t",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq")), 6
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                6,
             )
             .cast("decimal(18,6)")
             .alias("w"),

@@ -953,8 +953,14 @@ def _exec_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = os.path.join(outdir, "manifest.jsonl")
         if not os.path.exists(manifest):
             return 0
+        rows_by_batch = {}
         with open(manifest, encoding="utf-8") as fh:
-            return sum(json.loads(line)["rows"] for line in fh)
+            for line in fh:
+                entry = json.loads(line)
+                # last entry per batch id wins (replayed batches append a
+                # second line; counting both would stop the drain early)
+                rows_by_batch[entry["batch"]] = entry["rows"]
+        return sum(rows_by_batch.values())
 
     deadline = time.time() + 120
     while committed() < expected and time.time() < deadline:

@@ -341,16 +341,22 @@ class JsonAuditDataSource(DataSource):
 
 
 def read_json_audit(spark, outdir: str):
-    """Load a jsonaudit table: manifest-listed files only."""
+    """Load a jsonaudit table: manifest-listed files only. A batch
+    replayed after checkpoint recovery appends a SECOND manifest line for
+    the same batch id (commit() is append-only by design); keeping the
+    LAST entry per batch id makes the replay invisible to readers — the
+    replacement, not the union, is the committed state."""
     import json
     import os
 
     manifest = os.path.join(outdir, "manifest.jsonl")
-    files = []
+    by_batch: dict = {}
     if os.path.exists(manifest):
         with open(manifest, encoding="utf-8") as fh:
             for line in fh:
-                files.extend(json.loads(line)["files"])
+                entry = json.loads(line)
+                by_batch[entry["batch"]] = entry["files"]
+    files = [f for batch in sorted(by_batch) for f in by_batch[batch]]
     if not files:
         raise ValueError(f"no committed batches under {outdir}")
     return spark.read.json(files)

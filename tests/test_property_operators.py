@@ -448,3 +448,23 @@ def test_temperature_mix_flattens(spark, sf_dir):
         .collect()
     }
     assert again == kept
+
+
+def test_global_running_sum_null_semantics(spark):
+    # NULLs must reproduce the single-partition window exactly: the
+    # running sum is NULL only while no non-null value has been seen
+    from pyspark.sql import Window, functions as F
+
+    from as_etl_storage_spark.operators.rank import global_running_sum
+
+    rows = [(0, None), (1, None), (2, 5), (3, None), (4, 2), (5, None)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+    got = {
+        r["k"]: r["rs"] for r in global_running_sum(df, ["k"], "v", "rs").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[0] is None and got[3] == 5 and got[5] == 7

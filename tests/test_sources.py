@@ -410,3 +410,27 @@ def test_pyds_filter_pushdown(spark, sf_dir):
     assert df.count() == want.count()
     assert df.agg({"o_orderkey": "sum"}).collect()[0][0] == \
         want.agg({"o_orderkey": "sum"}).collect()[0][0]
+
+
+def test_json_audit_replayed_batch_invisible(spark, tmp_path):
+    # a batch committed twice (checkpoint-recovery replay) must read back
+    # once: last manifest entry per batch id wins
+    import json
+
+    from as_etl_storage_spark.sources.pyds import read_json_audit
+
+    outdir = str(tmp_path)
+    data = tmp_path / "data"
+    data.mkdir()
+    f1, f2 = data / "b0-try1.jsonl", data / "b0-try2.jsonl"
+    f1.write_text('{"k": 1}\n{"k": 2}\n')
+    f2.write_text('{"k": 1}\n{"k": 2}\n')
+    manifest = tmp_path / "manifest.jsonl"
+    manifest.write_text(
+        json.dumps({"batch": 0, "files": [str(f1)], "rows": 2})
+        + "\n"
+        + json.dumps({"batch": 0, "files": [str(f2)], "rows": 2})
+        + "\n"
+    )
+    got = read_json_audit(spark, outdir)
+    assert got.count() == 2  # not 4
