@@ -96,7 +96,13 @@ def test_global_ntile_no_single_partition_window(spark):
     out = global_ntile(cust, ["c_acctbal", "c_custkey"], 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    assert "Exchange rangepartitioning" in plan
+    # the range exchange runs inside the pinned localCheckpoint
+    # materialization (placement must be identical across the offsets job
+    # and this output job), so the final plan reads the checkpointed
+    # blocks instead of showing the exchange inline
+    assert (
+        "Exchange rangepartitioning" in plan or "Scan ExistingRDD" in plan
+    )
 
 
 def test_pq_luts_broadcast_corpus_not_shuffled_as_vectors(spark):
