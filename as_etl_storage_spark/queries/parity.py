@@ -742,3 +742,34 @@ ORACLES["s_pyds_rangesplit"] = (
     "min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
     "FROM orders GROUP BY o_orderstatus"
 )
+
+
+def w_pyds_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 multi-row INSERT through the official Python batch-write API
+    (sources/pyds.JsonAuditBatchWriter): partition tasks write data
+    files, commit() publishes them in one atomic manifest line; a failed
+    job leaves no manifest entry, so readers keep the prior committed
+    state — the writer atomicity the reference gets from database
+    transactions (database/table.go:156-214, db.go:203-236)."""
+    from as_etl_storage_spark.sources.pyds import (
+        JsonAuditDataSource,
+        read_json_audit,
+    )
+
+    spark.dataSource.register(JsonAuditDataSource)
+    out = os.path.join(_scratch_dir(), "pyds_batch_audit")
+    os.makedirs(out, exist_ok=True)
+    src = load_table(spark, sf_dir, "orders").where("o_orderkey <= 3000").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.format("jsonaudit").mode("overwrite").option("outdir", out).save()
+    return read_json_audit(spark, out).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+QUERIES["w_pyds_batch_sink"] = w_pyds_batch_sink
+ORACLES["w_pyds_batch_sink"] = (
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+    "FROM orders WHERE o_orderkey <= 3000"
+)

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
     DataSourceStreamWriter,
+    DataSourceWriter,
     WriterCommitMessage,
 )
 
@@ -339,6 +340,9 @@ class JsonAuditDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
         return JsonAuditStreamWriter(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        return JsonAuditBatchWriter(self.options, overwrite)
+
 
 def read_json_audit(spark, outdir: str):
     """Load a jsonaudit table: manifest-listed files only. A batch
@@ -360,3 +364,45 @@ def read_json_audit(spark, outdir: str):
     if not files:
         raise ValueError(f"no committed batches under {outdir}")
     return spark.read.json(files)
+
+
+class JsonAuditBatchWriter(DataSourceWriter):
+    """Batch counterpart of JsonAuditStreamWriter — the reference's
+    multi-row INSERT (W1, database/table.go:156-214) through the official
+    batch write API, with the same two-phase manifest commit: partition
+    tasks write uniquely-named data files, commit() appends one atomic
+    manifest line (batch id -1 = batch write), abort() removes orphans.
+    A failed job therefore leaves data files but never a manifest entry —
+    readers see the previous committed state, exactly the writer
+    atomicity the reference gets from database transactions."""
+
+    def __init__(self, options, overwrite: bool):
+        self.outdir = options["outdir"]
+        self.overwrite = overwrite
+
+    # partition-task side is identical to the streaming writer
+    write = JsonAuditStreamWriter.write
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = os.path.join(self.outdir, "manifest.jsonl")
+        entry = {
+            "batch": -1,
+            "files": [m.path for m in messages if m is not None and m.n > 0],
+            "rows": sum(m.n for m in messages if m is not None),
+        }
+        mode = "w" if self.overwrite else "a"
+        with open(manifest, mode, encoding="utf-8") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        for m in messages:
+            if m is not None and m.n == 0:
+                os.remove(m.path)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
