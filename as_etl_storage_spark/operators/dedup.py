@@ -824,3 +824,63 @@ def segment_dedup_rebuild(
     return rebuilt.select(
         F.col("doc").alias(id_col), "n_kept", "n_removed", "clean_text"
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    p: int = 3,
+    q: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the classical record-linkage method):
+    order the corpus by a sort key under which near-duplicates land close
+    together — here the lowercased text itself, so docs sharing long
+    prefixes become neighbors — then take only pairs within ``window``
+    positions of each other as candidates, and verify with exact shingle
+    jaccard >= p/q. Complements the hash blockings (LSH bands, simhash
+    blocks, centroid blocks): SNM catches prefix-similar pairs that
+    differ *within* every hashed band, and its candidate count is
+    strictly N·window — linear by construction, no skew possible.
+
+    Scale shape: the global order comes from operators/rank.global_rank
+    (range repartition + pinned placement + broadcast offsets — never a
+    single-partition window); the neighbor join is an equi-join on
+    (rank + k) for k in 1..window; verification joins the candidate docs'
+    in-row shingle arrays (broadcast — candidates are small by design).
+    The standard recall lever is multi-pass SNM with different sort keys
+    (reversed text, token-sorted text), unioned like the multi-seed
+    semantic dedup."""
+    from as_etl_storage_spark.operators.rank import global_rank
+
+    keyed = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.col(text_col)).alias("skey"),
+    )
+    ranked = global_rank(keyed, ["skey", "doc"]).select(
+        "doc", F.col("global_rank").alias("rnk")
+    )
+    a = ranked.select(F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a"))
+    b = ranked.select(F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b"))
+    cands = (
+        a.select(
+            "doc_a",
+            F.explode(F.expr(f"sequence(1, {window})")).alias("k"),
+            F.col("rnk_a"),
+        )
+        .withColumn("rnk_b", F.col("rnk_a") + F.col("k"))
+        .join(b, "rnk_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_i"),
+            F.greatest("doc_a", "doc_b").alias("doc_j"),
+        )
+        .distinct()
+    )
+    arrays = shingle_array(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
+        "doc",
+        "t",
+        5,
+    )
+    return verify_jaccard_arrays(cands, arrays, p, q)

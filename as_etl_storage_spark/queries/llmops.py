@@ -1903,3 +1903,41 @@ _register(
     FROM kept GROUP BY source, lang
     """,
 )
+
+
+def _snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking
+    (operators/dedup.sorted_neighborhood_pairs): lexicographic order,
+    window 3, exact 5-gram jaccard >= 3/5 verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=3, p=3, q=5
+    )
+
+
+_register(
+    "dedup_sorted_neighborhood",
+    _snm_pairs,
+    """
+    WITH keyed AS (SELECT doc_id, lower(text) AS skey
+                   FROM documents WHERE text IS NOT NULL),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS rnk
+          FROM keyed),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_i,
+                    greatest(a.doc_id, b.doc_id) AS doc_j
+             FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-3, 2))) AS g
+            FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_i, c.doc_j, count(*) AS inter
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_i
+                          JOIN sh y ON y.doc_id = c.doc_j AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_i, doc_j,
+           round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+    FROM inter JOIN sz x ON x.doc_id = doc_i JOIN sz y ON y.doc_id = doc_j
+    WHERE inter * 5 >= (x.n + y.n - inter) * 3
+    """,
+)
