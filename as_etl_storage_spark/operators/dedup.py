@@ -884,3 +884,58 @@ def sorted_neighborhood_pairs(
         5,
     )
     return verify_jaccard_arrays(cands, arrays, p, q)
+
+
+def sorted_neighborhood_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    p: int = 3,
+    q: int = 5,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood: one pass sorted by the text, one by
+    its REVERSE — a pair whose difference sits in the prefix (invisible
+    to the forward sort) is adjacent in the reversed sort unless it
+    differs at both ends. The standard SNM recall lever; cost is linear
+    in passes, candidates stay N·window per pass. Pairs are unioned
+    before a single verification, so each survivor is verified once."""
+    from as_etl_storage_spark.operators.rank import global_rank
+
+    def pass_cands(skey_col):
+        keyed = df.where(F.col(text_col).isNotNull()).select(
+            F.col(id_col).alias("doc"), skey_col.alias("skey")
+        )
+        ranked = global_rank(keyed, ["skey", "doc"]).select(
+            "doc", F.col("global_rank").alias("rnk")
+        )
+        a = ranked.select(
+            F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a")
+        )
+        b = ranked.select(
+            F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b")
+        )
+        return (
+            a.select(
+                "doc_a",
+                F.explode(F.expr(f"sequence(1, {window})")).alias("k"),
+                "rnk_a",
+            )
+            .withColumn("rnk_b", F.col("rnk_a") + F.col("k"))
+            .join(b, "rnk_b")
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_i"),
+                F.greatest("doc_a", "doc_b").alias("doc_j"),
+            )
+        )
+
+    fwd = pass_cands(F.lower(F.col(text_col)))
+    rev = pass_cands(F.reverse(F.lower(F.col(text_col))))
+    cands = fwd.union(rev).distinct()
+    arrays = shingle_array(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
+        "doc",
+        "t",
+        5,
+    )
+    return verify_jaccard_arrays(cands, arrays, p, q)

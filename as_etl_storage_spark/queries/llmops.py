@@ -1941,3 +1941,49 @@ _register(
     WHERE inter * 5 >= (x.n + y.n - inter) * 3
     """,
 )
+
+
+def _snm_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass SNM (forward + reversed sort keys) — the recall lever
+    (operators/dedup.sorted_neighborhood_multi)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.sorted_neighborhood_multi(
+        docs, "doc_id", "text", window=3, p=3, q=5
+    )
+
+
+_register(
+    "dedup_snm_multikey",
+    _snm_multi,
+    """
+    WITH keyed AS (SELECT doc_id, lower(text) AS sk1,
+                          reverse(lower(text)) AS sk2
+                   FROM documents WHERE text IS NOT NULL),
+    r1 AS (SELECT doc_id, row_number() OVER (ORDER BY sk1, doc_id) AS rnk
+           FROM keyed),
+    r2 AS (SELECT doc_id, row_number() OVER (ORDER BY sk2, doc_id) AS rnk
+           FROM keyed),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_i,
+             greatest(a.doc_id, b.doc_id) AS doc_j
+      FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 3
+      UNION
+      SELECT DISTINCT least(a.doc_id, b.doc_id),
+             greatest(a.doc_id, b.doc_id)
+      FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 3
+    ),
+    pos AS (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text)-3, 2))) AS g
+            FROM documents WHERE text IS NOT NULL),
+    sh AS (SELECT DISTINCT doc_id, substring(text, g::INT, 5) AS s FROM pos),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT c.doc_i, c.doc_j, count(*) AS inter
+              FROM cand c JOIN sh x ON x.doc_id = c.doc_i
+                          JOIN sh y ON y.doc_id = c.doc_j AND y.s = x.s
+              GROUP BY 1, 2)
+    SELECT doc_i, doc_j,
+           round(inter::DOUBLE / (x.n + y.n - inter), 4) AS jac
+    FROM inter JOIN sz x ON x.doc_id = doc_i JOIN sz y ON y.doc_id = doc_j
+    WHERE inter * 5 >= (x.n + y.n - inter) * 3
+    """,
+)
