@@ -48,6 +48,24 @@ HEADLINE = [
 ]
 
 
+#: round-5 additions, timed as an EXTENSION section (extra.extended_sec):
+#: kept out of the headline total so round-over-round totals stay
+#: comparable on the same 25-query set.
+EXTENDED = [
+    "text_bm25_topk",
+    "hybrid_search_rrf",
+    "ann_int8_rescore",
+    "dedup_paragraph_rebuild",
+    "dedup_sorted_neighborhood",
+    "text_tfidf_pairs",
+    "text_cms_heavy_hitters",
+    "corpus_budget_select",
+    "corpus_temperature_mix",
+    "corpus_negative_pairs",
+    "w_bucketed_join",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -115,6 +133,21 @@ def main() -> None:
     # here vs the reference's micro-batched INSERT path (1000-row
     # batches over <=4 connections) is the single-node throughput
     # comparison BASELINE.md calls for.
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            extended[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            extended[name] = -1.0
+        spark.catalog.clearCache()
+
     import shutil
     import tempfile
 
@@ -139,6 +172,7 @@ def main() -> None:
                     "etl_copy_sec": round(copy_s, 4),
                     "etl_copy_rows_per_sec": int(n_rows / copy_s),
                     "per_run_sec": runs,
+                    "extended_sec": extended,
                 },
             }
         )
