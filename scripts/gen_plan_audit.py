@@ -89,6 +89,13 @@ AUDITED = {
     "corpus_negative_pairs": "negative sampling: LCG pick equi-joins the "
     "dense global_rank index (rangepartitioning, offsets broadcast); "
     "anchors×m rows shuffled, corpus never replicated",
+    "dedup_sorted_neighborhood": "SNM blocking: neighbor candidates via an "
+    "equi-join on (rank + k) over the pinned distributed rank — candidate "
+    "count strictly N·window, no single-partition window, no cartesian "
+    "product",
+    "corpus_temperature_mix": "temperature mix: per-group counts broadcast "
+    "back over one corpus scan; the keep decision is a pure integer "
+    "compare — the corpus is never shuffled",
 }
 
 _DETAIL = re.compile(r"\(\d+\)|#\d+L?|\[plan_id=\d+\]")
