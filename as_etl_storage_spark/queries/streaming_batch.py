@@ -977,3 +977,76 @@ _register(
     _exec_pyds_sink,
     "SELECT doc_id, lang, source, n_chars FROM documents",
 )
+
+
+def _exec_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals through Spark 4's transformWithStateInPandas
+    (the successor stateful API: typed ValueState handles on the RocksDB
+    state store) across two time-ordered micro-batches — counts AND an
+    integer-cents value sum accumulate in the store between batches;
+    keep-latest per user over the batch sequence must equal the batch
+    aggregation. Exercises the new-API state carryover the same way
+    stream_exec_running_totals exercises applyInPandasWithState."""
+    from pyspark.sql import Window
+
+    from as_etl_storage_spark.streaming.stateful import user_totals_tws
+
+    indir = _staged_time_halves(spark, sf_dir, "exec_tws")
+    base = os.path.dirname(indir)
+    work = os.path.join(base, "exec_tws_work")
+    os.makedirs(work, exist_ok=True)
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(spark.read.parquet(indir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(indir)
+        )
+        out = user_totals_tws(stream)
+        target = os.path.join(work, "out")
+
+        def sink(batch_df, bid):
+            batch_df.withColumn("__bid", F.lit(int(bid))).write.mode(
+                "append"
+            ).parquet(target)
+
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )
+    got = spark.read.parquet(target)
+    w = Window.partitionBy("user_id").orderBy(F.col("__bid").desc())
+    return (
+        got.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "n_events", "sum_cents")
+    )
+
+
+# NOT registered as a contract query: transformWithStateInPandas requires
+# the protobuf package (see streaming/stateful.user_totals_tws), which
+# this environment does not ship. tests/test_stateful.py asserts the
+# guard; the query function stays importable for environments that have
+# protobuf (run it manually against the same oracle as
+# stream_exec_running_totals plus the integer-cents sum).
+TWS_ORACLE = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_id
+"""

