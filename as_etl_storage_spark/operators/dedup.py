@@ -149,13 +149,17 @@ def verify_jaccard_arrays(
     doc_arrays: DataFrame,
     p: int,
     q: int,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Exact-jaccard verification via per-pair in-row array intersection.
 
     The inverted-index formulation (:func:`verify_jaccard`) shuffles
     |candidates| x |shared shingles| joined rows; this one joins each
-    pair to its two shingle *arrays* (candidate docs are small by
-    design, so both sides broadcast) and computes
+    pair to its two shingle *arrays* (``broadcast=True`` for candidate
+    sets that are small by design — LSH survivors; pass ``broadcast=
+    False`` when candidates span the whole corpus, e.g. SNM windows, so
+    Catalyst plans a shuffled hash join instead of an OOM-prone
+    corpus-wide broadcast) and computes
     ``size(array_intersect(...))`` inside codegen — the only rows in
     flight are the candidate pairs themselves. Output is identical:
     intersection over string shingles, exact integer threshold."""
@@ -165,11 +169,13 @@ def verify_jaccard_arrays(
     b = doc_arrays.select(
         F.col("doc").alias("doc_j"), F.col("shingles").alias("sh_j")
     )
+    if broadcast:
+        a, b = F.broadcast(a), F.broadcast(b)
     inter = F.size(F.array_intersect("sh_i", "sh_j"))
     union = F.size("sh_i") + F.size("sh_j") - inter
     return (
-        candidates.join(F.broadcast(a), "doc_i")
-        .join(F.broadcast(b), "doc_j")
+        candidates.join(a, "doc_i")
+        .join(b, "doc_j")
         .select(
             "doc_i",
             "doc_j",
@@ -826,6 +832,42 @@ def segment_dedup_rebuild(
     )
 
 
+def _snm_candidates(
+    df: DataFrame, id_col: str, skey_col, window: int
+) -> DataFrame:
+    """One SNM pass: rank the corpus by ``skey_col`` via the pinned
+    distributed global rank, then pair each row with its next ``window``
+    neighbors in sort order — an equi-join on (rank + k), candidate count
+    strictly N·window."""
+    from as_etl_storage_spark.operators.rank import global_rank
+
+    if window < 1:
+        # Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of being
+        # empty — k=0 would emit every doc paired with itself
+        raise ValueError(f"window must be >= 1, got {window}")
+    keyed = df.where(skey_col.isNotNull()).select(
+        F.col(id_col).alias("doc"), skey_col.alias("skey")
+    )
+    ranked = global_rank(keyed, ["skey", "doc"]).select(
+        "doc", F.col("global_rank").alias("rnk")
+    )
+    a = ranked.select(F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a"))
+    b = ranked.select(F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b"))
+    return (
+        a.select(
+            "doc_a",
+            F.explode(F.expr(f"sequence(1, {window})")).alias("k"),
+            "rnk_a",
+        )
+        .withColumn("rnk_b", F.col("rnk_a") + F.col("k"))
+        .join(b, "rnk_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_i"),
+            F.greatest("doc_a", "doc_b").alias("doc_j"),
+        )
+    )
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
@@ -847,43 +889,22 @@ def sorted_neighborhood_pairs(
     Scale shape: the global order comes from operators/rank.global_rank
     (range repartition + pinned placement + broadcast offsets — never a
     single-partition window); the neighbor join is an equi-join on
-    (rank + k) for k in 1..window; verification joins the candidate docs'
-    in-row shingle arrays (broadcast — candidates are small by design).
-    The standard recall lever is multi-pass SNM with different sort keys
-    (reversed text, token-sorted text), unioned like the multi-seed
-    semantic dedup."""
-    from as_etl_storage_spark.operators.rank import global_rank
-
-    keyed = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc"),
-        F.lower(F.col(text_col)).alias("skey"),
-    )
-    ranked = global_rank(keyed, ["skey", "doc"]).select(
-        "doc", F.col("global_rank").alias("rnk")
-    )
-    a = ranked.select(F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a"))
-    b = ranked.select(F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b"))
-    cands = (
-        a.select(
-            "doc_a",
-            F.explode(F.expr(f"sequence(1, {window})")).alias("k"),
-            F.col("rnk_a"),
-        )
-        .withColumn("rnk_b", F.col("rnk_a") + F.col("k"))
-        .join(b, "rnk_b")
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_i"),
-            F.greatest("doc_a", "doc_b").alias("doc_j"),
-        )
-        .distinct()
-    )
+    (rank + k) for k in 1..window. Because every doc has neighbors, the
+    candidate set spans the corpus — so verification joins the shingle
+    arrays WITHOUT broadcast (shuffled hash join, bytes ∝ corpus), unlike
+    the LSH path whose survivors are small enough to broadcast. The
+    standard recall lever is multi-pass SNM with different sort keys —
+    see :func:`sorted_neighborhood_multi`."""
+    cands = _snm_candidates(
+        df, id_col, F.lower(F.col(text_col)), window
+    ).distinct()
     arrays = shingle_array(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
         "doc",
         "t",
         5,
     )
-    return verify_jaccard_arrays(cands, arrays, p, q)
+    return verify_jaccard_arrays(cands, arrays, p, q, broadcast=False)
 
 
 def sorted_neighborhood_multi(
@@ -900,37 +921,10 @@ def sorted_neighborhood_multi(
     differs at both ends. The standard SNM recall lever; cost is linear
     in passes, candidates stay N·window per pass. Pairs are unioned
     before a single verification, so each survivor is verified once."""
-    from as_etl_storage_spark.operators.rank import global_rank
-
-    def pass_cands(skey_col):
-        keyed = df.where(F.col(text_col).isNotNull()).select(
-            F.col(id_col).alias("doc"), skey_col.alias("skey")
-        )
-        ranked = global_rank(keyed, ["skey", "doc"]).select(
-            "doc", F.col("global_rank").alias("rnk")
-        )
-        a = ranked.select(
-            F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a")
-        )
-        b = ranked.select(
-            F.col("doc").alias("doc_b"), F.col("rnk").alias("rnk_b")
-        )
-        return (
-            a.select(
-                "doc_a",
-                F.explode(F.expr(f"sequence(1, {window})")).alias("k"),
-                "rnk_a",
-            )
-            .withColumn("rnk_b", F.col("rnk_a") + F.col("k"))
-            .join(b, "rnk_b")
-            .select(
-                F.least("doc_a", "doc_b").alias("doc_i"),
-                F.greatest("doc_a", "doc_b").alias("doc_j"),
-            )
-        )
-
-    fwd = pass_cands(F.lower(F.col(text_col)))
-    rev = pass_cands(F.reverse(F.lower(F.col(text_col))))
+    fwd = _snm_candidates(df, id_col, F.lower(F.col(text_col)), window)
+    rev = _snm_candidates(
+        df, id_col, F.reverse(F.lower(F.col(text_col))), window
+    )
     cands = fwd.union(rev).distinct()
     arrays = shingle_array(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
@@ -938,4 +932,4 @@ def sorted_neighborhood_multi(
         "t",
         5,
     )
-    return verify_jaccard_arrays(cands, arrays, p, q)
+    return verify_jaccard_arrays(cands, arrays, p, q, broadcast=False)

@@ -37,7 +37,17 @@ def _partitioned_once(df: DataFrame, order_cols: list[str]) -> DataFrame:
     corrupting every offset after it. The eager localCheckpoint
     materializes the partitioned blocks once so both jobs read the SAME
     placement (blocks are ContextCleaner-managed, freed when the caller
-    drops the result)."""
+    drops the result).
+
+    Known trades, accepted deliberately: (1) each call materializes a
+    full copy of the input — callers that rank twice (multi-pass SNM)
+    hold two copies until GC; (2) localCheckpoint is not fault-tolerant —
+    losing an executor fails the query instead of recomputing. On a real
+    cluster, swap in reliable ``checkpoint()`` (HDFS-backed) via
+    ``spark.sparkContext.setCheckpointDir`` for (2), or compute literal
+    boundary values with a deterministic full-pass quantile sketch and
+    bucket by comparison — both keep the two-job placement agreement this
+    function exists to guarantee."""
     parts = df.sparkSession.sparkContext.defaultParallelism
     return (
         df.repartitionByRange(parts, *order_cols)

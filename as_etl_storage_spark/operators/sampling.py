@@ -155,9 +155,13 @@ def negative_samples(
     # is the corpus size — no second count() job
     indexed, n = _ranked_with_total(df.select(F.col(id_col)), [id_col])
     if n == 0:  # pick % 0 would be an ANSI division-by-zero
-        return df.sparkSession.createDataFrame(
-            [], "anchor_id long, neg_slot int, neg_id long"
-        )
+        # empty frame with the SAME schema as the non-empty path (id
+        # columns keep the input id type)
+        return df.select(
+            F.col(id_col).alias("anchor_id"),
+            F.lit(1).cast("int").alias("neg_slot"),
+            F.col(id_col).alias("neg_id"),
+        ).limit(0)
     anchors = (
         indexed.where(anchor_pred)
         .select(F.col(id_col).alias("anchor_id"))

@@ -386,10 +386,15 @@ class JsonAuditBatchWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import uuid
 
         manifest = os.path.join(self.outdir, "manifest.jsonl")
         entry = {
-            "batch": -1,
+            # unique token per batch write: a constant id would make the
+            # last-entry-per-batch replay dedup in read_json_audit hide
+            # every EARLIER append-mode batch (silent data loss); stream
+            # batches keep their integer ids so replays still dedupe
+            "batch": f"batch-{uuid.uuid4().hex[:12]}",
             "files": [m.path for m in messages if m is not None and m.n > 0],
             "rows": sum(m.n for m in messages if m is not None),
         }

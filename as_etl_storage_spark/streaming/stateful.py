@@ -221,7 +221,12 @@ def make_totals_processor():
             )
             for pdf in rows:
                 n += len(pdf)
-                cents += int(round(pdf["value"].astype(float).sum() * 100))
+                # round PER ROW (like the oracle's sum(round(value*100)));
+                # rounding the batch sum once would drift: two 0.014s are
+                # 1+1=2 cents per-row but round(2.8)=3 summed-then-rounded
+                cents += int(
+                    (pdf["value"].astype(float) * 100).round().astype("int64").sum()
+                )
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}

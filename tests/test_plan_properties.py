@@ -103,6 +103,26 @@ def test_global_ntile_no_single_partition_window(spark):
     assert (
         "Exchange rangepartitioning" in plan or "Scan ExistingRDD" in plan
     )
+    # ...which means the plan string alone can no longer prove RANGE
+    # partitioning happened — verify the property directly: partitions
+    # are non-overlapping intervals of the order key
+    from as_etl_storage_spark.operators.rank import _partitioned_once
+    from pyspark.sql import functions as F
+
+    rp = _partitioned_once(
+        cust.select(F.col("c_acctbal").alias("k"), "c_custkey"),
+        ["k", "c_custkey"],
+    )
+    spans = {
+        r["__rank_pid"]: (r["lo"], r["hi"])
+        for r in rp.groupBy("__rank_pid")
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    }
+    assert len(spans) > 1  # genuinely spread across partitions
+    ordered = [spans[pid] for pid in sorted(spans)]
+    for (_, hi_prev), (lo_next, _) in zip(ordered, ordered[1:]):
+        assert hi_prev <= lo_next
 
 
 def test_pq_luts_broadcast_corpus_not_shuffled_as_vectors(spark):

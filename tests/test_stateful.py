@@ -196,4 +196,10 @@ def test_tws_totals_gated_without_protobuf(spark, sf_dir):
             f"read_parquet('{sf_dir}/events.parquet')"
         )
         want = con.sql(TWS_ORACLE).df()
-        assert len(got) == len(want)
+        gmap = {
+            r.user_id: (r.n_events, r.sum_cents) for r in got.itertuples()
+        }
+        wmap = {
+            r.user_id: (r.n_events, r.sum_cents) for r in want.itertuples()
+        }
+        assert gmap == wmap
