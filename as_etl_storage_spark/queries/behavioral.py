@@ -1052,20 +1052,29 @@ def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
+    from as_etl_storage_spark.queries.parity import SCRATCH
+
     tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    # explicit external-table locations under the repo scratch dir: the
+    # default warehouse is $CWD/spark-warehouse, and the caller's session
+    # (e.g. the driver's) may run from a different/unwritable cwd
+    base = os.path.join(SCRATCH, "bucketed")
     for t in (lt, ot):
-        # the catalog is in-memory per session but warehouse dirs persist:
+        # the catalog is in-memory per session but table dirs persist:
         # a stale dir from an earlier session blocks CREATE TABLE
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+        shutil.rmtree(os.path.join(base, t), ignore_errors=True)
     load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
-    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(lt)
+    ).write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).option("path", os.path.join(base, lt)).saveAsTable(lt)
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
-    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(ot)
+    ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).option("path", os.path.join(base, ot)).saveAsTable(ot)
     joined = spark.table(lt).hint("merge").join(
         spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
     )
