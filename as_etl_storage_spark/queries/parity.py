@@ -710,12 +710,14 @@ def s_pyds_rangesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap, or loss."""
     from pyspark.sql import functions as F
 
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import RangeSplitDataSource
 
     # runtime-settable; required because the reader implements pushFilters
     # (initialization refuses otherwise) and the driver's own session may
     # not carry the builder config from session.py
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(RangeSplitDataSource)
     df = (
         spark.read.format("rangesplit")
@@ -751,11 +753,13 @@ def w_pyds_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     job leaves no manifest entry, so readers keep the prior committed
     state — the writer atomicity the reference gets from database
     transactions (database/table.go:156-214, db.go:203-236)."""
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import (
         JsonAuditDataSource,
         read_json_audit,
     )
 
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(JsonAuditDataSource)
     out = os.path.join(_scratch_dir(), "pyds_batch_audit")
     os.makedirs(out, exist_ok=True)

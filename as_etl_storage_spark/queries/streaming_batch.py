@@ -853,8 +853,10 @@ def _exec_pyds_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel cannot do (a crashed batch is lost upstream,
     batch_writer.go:159-261)."""
     from as_etl_storage_spark.queries.parity import _scratch_dir
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import DocReplayDataSource
 
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(DocReplayDataSource)
     work = os.path.join(_scratch_dir(), "pyds_replay")
     os.makedirs(work, exist_ok=True)
@@ -920,13 +922,16 @@ def _exec_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from as_etl_storage_spark.queries.parity import _scratch_dir
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import (
         DocReplayDataSource,
         JsonAuditDataSource,
         read_json_audit,
     )
 
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(DocReplayDataSource)
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(JsonAuditDataSource)
     work = os.path.join(_scratch_dir(), "pyds_sink")
     outdir = os.path.join(work, "audit")

@@ -24,6 +24,7 @@ a parity/extensibility surface, not the default path.
 
 from __future__ import annotations
 
+from as_etl_storage_spark.plans.split import do_split
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -149,8 +150,6 @@ class RangeSplitReader(DataSourceReader):
         return expr
 
     def partitions(self):
-        from as_etl_storage_spark.plans.split import do_split
-
         lo, hi = _key_bounds(self.path, self.key)
         pairs = do_split(lo, hi, self.num)
         return [
@@ -411,3 +410,25 @@ class JsonAuditBatchWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+def ensure_worker_importable() -> None:
+    """Make the DataSource classes survivable in Spark's separate Python
+    worker processes regardless of the caller's environment.
+
+    This library runs in-place (not pip-installed), so a session whose
+    driver found the package via cwd/sys.path spawns plan/read/write
+    worker subprocesses that CANNOT import it — and a by-reference pickle
+    of the DataSource class dies there with
+    PYTHON_DATA_SOURCE_ERROR. Registering the modules for BY-VALUE
+    cloudpickle serialization makes every class (and the split arithmetic
+    they reference) self-contained in the pickle stream; only stdlib,
+    pyspark and pyarrow — present in every worker — are imported at
+    unpickle time. Idempotent; call before spark.dataSource.register."""
+    from pyspark import cloudpickle
+
+    import as_etl_storage_spark.plans.split as _split
+    import as_etl_storage_spark.sources.pyds as _pyds
+
+    cloudpickle.register_pickle_by_value(_pyds)
+    cloudpickle.register_pickle_by_value(_split)

@@ -328,6 +328,7 @@ def test_pyds_rangesplit_partitions_and_pushdown(spark, sf_dir):
     import os
 
     from as_etl_storage_spark.plans.split import do_split
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import (
         RangeSplitDataSource,
         RangeSplitReader,
@@ -346,6 +347,7 @@ def test_pyds_rangesplit_partitions_and_pushdown(spark, sf_dir):
     for a, b in zip(parts, parts[1:]):
         assert a.hi == b.lo and not a.closed
 
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(RangeSplitDataSource)
     df = (
         spark.read.format("rangesplit")
@@ -369,6 +371,7 @@ def test_pyds_filter_pushdown(spark, sf_dir):
     import os
 
     from pyspark.sql.datasource import GreaterThan, StringContains
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import (
         RangeSplitDataSource,
         RangeSplitReader,
@@ -396,6 +399,7 @@ def test_pyds_filter_pushdown(spark, sf_dir):
     native = spark.read.parquet(path)
     assert sum(rows) == native.where("o_totalprice > 200000.0").count()
 
+    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(RangeSplitDataSource)
     df = (
         spark.read.format("rangesplit")
@@ -417,6 +421,7 @@ def test_json_audit_replayed_batch_invisible(spark, tmp_path):
     # once: last manifest entry per batch id wins
     import json
 
+    import as_etl_storage_spark.sources.pyds as pyds_mod
     from as_etl_storage_spark.sources.pyds import read_json_audit
 
     outdir = str(tmp_path)
