@@ -26,6 +26,11 @@ DEC = "DECIMAL(18,2)"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # worker-import safety for sessions started outside the repo root —
+    # see pickle_safety; idempotent, so per-call cost is a boolean check
+    from as_etl_storage_spark.pickle_safety import ensure_worker_importable
+
+    ensure_worker_importable()
     return read_parquet_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 

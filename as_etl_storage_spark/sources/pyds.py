@@ -413,22 +413,10 @@ class JsonAuditBatchWriter(DataSourceWriter):
 
 
 def ensure_worker_importable() -> None:
-    """Make the DataSource classes survivable in Spark's separate Python
-    worker processes regardless of the caller's environment.
+    """Delegates to pickle_safety.ensure_worker_importable (kept here for
+    the call sites that register pyds sources explicitly)."""
+    from as_etl_storage_spark.pickle_safety import (
+        ensure_worker_importable as _ensure,
+    )
 
-    This library runs in-place (not pip-installed), so a session whose
-    driver found the package via cwd/sys.path spawns plan/read/write
-    worker subprocesses that CANNOT import it — and a by-reference pickle
-    of the DataSource class dies there with
-    PYTHON_DATA_SOURCE_ERROR. Registering the modules for BY-VALUE
-    cloudpickle serialization makes every class (and the split arithmetic
-    they reference) self-contained in the pickle stream; only stdlib,
-    pyspark and pyarrow — present in every worker — are imported at
-    unpickle time. Idempotent; call before spark.dataSource.register."""
-    from pyspark import cloudpickle
-
-    import as_etl_storage_spark.plans.split as _split
-    import as_etl_storage_spark.sources.pyds as _pyds
-
-    cloudpickle.register_pickle_by_value(_pyds)
-    cloudpickle.register_pickle_by_value(_split)
+    _ensure()
