@@ -895,9 +895,9 @@ def sorted_neighborhood_pairs(
     the LSH path whose survivors are small enough to broadcast. The
     standard recall lever is multi-pass SNM with different sort keys —
     see :func:`sorted_neighborhood_multi`."""
-    cands = _snm_candidates(
-        df, id_col, F.lower(F.col(text_col)), window
-    ).distinct()
+    # one pass yields each canonical pair exactly once (global ranks are
+    # unique), so no dedup shuffle is needed — unlike the multi-pass union
+    cands = _snm_candidates(df, id_col, F.lower(F.col(text_col)), window)
     arrays = shingle_array(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
         "doc",

@@ -127,18 +127,34 @@ def global_running_sum(
     stats = rp.groupBy(_PID).agg(
         F.sum(value_col).alias("s"), F.count(value_col).alias("nn")
     ).collect()
+    # offsets carry the SUM type (long for integers, Decimal for decimal
+    # value columns — the docstring's contract), not a hardcoded long
+    sum_type = rp.select(F.sum(value_col).alias("s")).schema["s"].dataType
+    from decimal import Decimal as _D
+
+    from pyspark.sql import types as _T
+
+    zero = _D(0) if isinstance(sum_type, _T.DecimalType) else 0
     by_pid = {r[_PID]: (r["s"], r["nn"]) for r in stats}
     offsets = []
-    acc, nn_acc = 0, 0
+    acc, nn_acc = zero, 0
     for pid in sorted(by_pid):
         offsets.append((pid, acc, 1 if nn_acc > 0 else 0))
         s, nn = by_pid[pid]
-        acc += s or 0  # an all-NULL partition contributes nothing
+        if s is not None:  # an all-NULL partition contributes nothing
+            acc += s
         nn_acc += nn
     if not offsets:
-        return rp.withColumn(out_col, F.lit(None).cast("long")).drop(_PID)
+        return rp.withColumn(out_col, F.lit(None).cast(sum_type)).drop(_PID)
     off_df = df.sparkSession.createDataFrame(
-        offsets, f"{_PID}: int, {_OFFSET}: long, __rank_prior: int"
+        offsets,
+        _T.StructType(
+            [
+                _T.StructField(_PID, _T.IntegerType()),
+                _T.StructField(_OFFSET, sum_type),
+                _T.StructField("__rank_prior", _T.IntegerType()),
+            ]
+        ),
     )
     w = (
         Window.partitionBy(_PID)

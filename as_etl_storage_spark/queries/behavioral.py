@@ -1052,14 +1052,13 @@ def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import shutil
 
-    from as_etl_storage_spark.queries.parity import SCRATCH
-
     tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    # explicit external-table locations under the repo scratch dir: the
-    # default warehouse is $CWD/spark-warehouse, and the caller's session
-    # (e.g. the driver's) may run from a different/unwritable cwd
-    base = os.path.join(SCRATCH, "bucketed")
+    # explicit external-table locations OUTSIDE both $CWD/spark-warehouse
+    # (the caller's session may run from a different/unwritable cwd) and
+    # the TTL-GC'd .scratch root (parity._scratch_dir deletes hour-old
+    # entries — it must never collect live table files)
+    base = "/root/repo/.scratch-tables"
     for t in (lt, ot):
         # the catalog is in-memory per session but table dirs persist:
         # a stale dir from an earlier session blocks CREATE TABLE

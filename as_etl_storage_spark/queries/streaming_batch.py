@@ -931,7 +931,6 @@ def _exec_pyds_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pyds_mod.ensure_worker_importable()
     spark.dataSource.register(DocReplayDataSource)
-    pyds_mod.ensure_worker_importable()
     spark.dataSource.register(JsonAuditDataSource)
     work = os.path.join(_scratch_dir(), "pyds_sink")
     outdir = os.path.join(work, "audit")

@@ -359,7 +359,9 @@ def read_json_audit(spark, outdir: str):
             for line in fh:
                 entry = json.loads(line)
                 by_batch[entry["batch"]] = entry["files"]
-    files = [f for batch in sorted(by_batch) for f in by_batch[batch]]
+    # insertion order, NOT sorted(): stream batches use int ids and batch
+    # writes use string tokens — sorting mixed keys is a TypeError
+    files = [f for fs in by_batch.values() for f in fs]
     if not files:
         raise ValueError(f"no committed batches under {outdir}")
     return spark.read.json(files)

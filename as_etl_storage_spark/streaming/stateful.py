@@ -220,13 +220,17 @@ def make_totals_processor():
                 self._state.get() if self._state.exists() else (0, 0)
             )
             for pdf in rows:
+                import numpy as np
+
                 n += len(pdf)
                 # round PER ROW (like the oracle's sum(round(value*100)));
                 # rounding the batch sum once would drift: two 0.014s are
-                # 1+1=2 cents per-row but round(2.8)=3 summed-then-rounded
-                cents += int(
-                    (pdf["value"].astype(float) * 100).round().astype("int64").sum()
-                )
+                # 1+1=2 cents per-row but round(2.8)=3 summed-then-rounded.
+                # HALF AWAY FROM ZERO via trunc(x + sign*0.5): SQL round
+                # semantics — numpy/pandas .round() is half-to-even and
+                # disagrees at exact .5 cents
+                v = pdf["value"].astype(float).to_numpy() * 100
+                cents += int(np.trunc(v + np.sign(v) * 0.5).sum())
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}

@@ -468,3 +468,24 @@ def test_global_running_sum_null_semantics(spark):
     }
     assert got == want
     assert got[0] is None and got[3] == 5 and got[5] == 7
+
+
+def test_global_running_sum_decimal_values(spark):
+    # the documented contract allows decimal value columns: offsets must
+    # carry the sum type, not a hardcoded long
+    from decimal import Decimal
+
+    from pyspark.sql import Window, functions as F
+
+    from as_etl_storage_spark.operators.rank import global_running_sum
+
+    rows = [(i, Decimal(f"{i}.25")) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v decimal(10,2)").repartition(7)
+    got = {
+        r["k"]: r["rs"] for r in global_running_sum(df, ["k"], "v", "rs").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert got == want
