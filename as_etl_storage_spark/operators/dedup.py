@@ -868,6 +868,15 @@ def _snm_candidates(
     )
 
 
+#: classical SNM sorts on a TRUNCATED key, not the whole record: the sort
+#: only has to bring likely duplicates within ``window`` positions, and a
+#: prefix this long already orders ties the same way the full text would
+#: wherever the prefixes differ — while at 100 TB it keeps corpus-text
+#: bytes out of the rank's sample/shuffle path (precision is owned by the
+#: exact-jaccard verification either way)
+_SNM_KEY_LEN = 64
+
+
 def sorted_neighborhood_pairs(
     df: DataFrame,
     id_col: str,
@@ -875,29 +884,37 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     p: int = 3,
     q: int = 5,
+    key_len: int = _SNM_KEY_LEN,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (the classical record-linkage method):
     order the corpus by a sort key under which near-duplicates land close
-    together — here the lowercased text itself, so docs sharing long
-    prefixes become neighbors — then take only pairs within ``window``
-    positions of each other as candidates, and verify with exact shingle
-    jaccard >= p/q. Complements the hash blockings (LSH bands, simhash
-    blocks, centroid blocks): SNM catches prefix-similar pairs that
-    differ *within* every hashed band, and its candidate count is
-    strictly N·window — linear by construction, no skew possible.
+    together — here the first ``key_len`` chars of the lowercased text
+    (doc id tie-break), so docs sharing long prefixes become neighbors —
+    then take only pairs within ``window`` positions of each other as
+    candidates, and verify with exact shingle jaccard >= p/q. Complements
+    the hash blockings (LSH bands, simhash blocks, centroid blocks): SNM
+    catches prefix-similar pairs that differ *within* every hashed band,
+    and its candidate count is strictly N·window — linear by
+    construction, no skew possible.
 
     Scale shape: the global order comes from operators/rank.global_rank
-    (range repartition + pinned placement + broadcast offsets — never a
-    single-partition window); the neighbor join is an equi-join on
-    (rank + k) for k in 1..window. Because every doc has neighbors, the
-    candidate set spans the corpus — so verification joins the shingle
-    arrays WITHOUT broadcast (shuffled hash join, bytes ∝ corpus), unlike
-    the LSH path whose survivors are small enough to broadcast. The
-    standard recall lever is multi-pass SNM with different sort keys —
-    see :func:`sorted_neighborhood_multi`."""
+    (boundary-literal bucketing + broadcast offsets — never a
+    single-partition window), and only the ``key_len``-char key rides
+    through its shuffle, not the corpus text; the neighbor join is an
+    equi-join on (rank + k) for k in 1..window. Because every doc has
+    neighbors, the candidate set spans the corpus — so verification joins
+    the shingle arrays WITHOUT broadcast (shuffled hash join, bytes ∝
+    corpus), unlike the LSH path whose survivors are small enough to
+    broadcast. The standard recall lever is multi-pass SNM with different
+    sort keys — see :func:`sorted_neighborhood_multi`."""
     # one pass yields each canonical pair exactly once (global ranks are
     # unique), so no dedup shuffle is needed — unlike the multi-pass union
-    cands = _snm_candidates(df, id_col, F.lower(F.col(text_col)), window)
+    cands = _snm_candidates(
+        df,
+        id_col,
+        F.substring(F.lower(F.col(text_col)), 1, key_len),
+        window,
+    )
     arrays = shingle_array(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),
         "doc",
@@ -914,16 +931,26 @@ def sorted_neighborhood_multi(
     window: int = 3,
     p: int = 3,
     q: int = 5,
+    key_len: int = _SNM_KEY_LEN,
 ) -> DataFrame:
-    """Multi-pass sorted-neighborhood: one pass sorted by the text, one by
-    its REVERSE — a pair whose difference sits in the prefix (invisible
-    to the forward sort) is adjacent in the reversed sort unless it
-    differs at both ends. The standard SNM recall lever; cost is linear
-    in passes, candidates stay N·window per pass. Pairs are unioned
-    before a single verification, so each survivor is verified once."""
-    fwd = _snm_candidates(df, id_col, F.lower(F.col(text_col)), window)
+    """Multi-pass sorted-neighborhood: one pass sorted by a prefix key of
+    the text, one by a prefix key of its REVERSE (i.e. the text's suffix)
+    — a pair whose difference sits in the prefix (invisible to the
+    forward sort) is adjacent in the reversed sort unless it differs at
+    both ends. The standard SNM recall lever; cost is linear in passes,
+    candidates stay N·window per pass. Pairs are unioned before a single
+    verification, so each survivor is verified once."""
+    fwd = _snm_candidates(
+        df,
+        id_col,
+        F.substring(F.lower(F.col(text_col)), 1, key_len),
+        window,
+    )
     rev = _snm_candidates(
-        df, id_col, F.reverse(F.lower(F.col(text_col))), window
+        df,
+        id_col,
+        F.substring(F.reverse(F.lower(F.col(text_col))), 1, key_len),
+        window,
     )
     cands = fwd.union(rev).distinct()
     arrays = shingle_array(

@@ -1907,8 +1907,9 @@ _register(
 
 def _snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood near-dup blocking
-    (operators/dedup.sorted_neighborhood_pairs): lexicographic order,
-    window 3, exact 5-gram jaccard >= 3/5 verification."""
+    (operators/dedup.sorted_neighborhood_pairs): lexicographic order on a
+    64-char lowercased prefix key (doc-id tie-break), window 3, exact
+    5-gram jaccard >= 3/5 verification."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.sorted_neighborhood_pairs(
         docs, "doc_id", "text", window=3, p=3, q=5
@@ -1919,7 +1920,7 @@ _register(
     "dedup_sorted_neighborhood",
     _snm_pairs,
     """
-    WITH keyed AS (SELECT doc_id, lower(text) AS skey
+    WITH keyed AS (SELECT doc_id, substring(lower(text), 1, 64) AS skey
                    FROM documents WHERE text IS NOT NULL),
     r AS (SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) AS rnk
           FROM keyed),
@@ -1956,8 +1957,8 @@ _register(
     "dedup_snm_multikey",
     _snm_multi,
     """
-    WITH keyed AS (SELECT doc_id, lower(text) AS sk1,
-                          reverse(lower(text)) AS sk2
+    WITH keyed AS (SELECT doc_id, substring(lower(text), 1, 64) AS sk1,
+                          substring(reverse(lower(text)), 1, 64) AS sk2
                    FROM documents WHERE text IS NOT NULL),
     r1 AS (SELECT doc_id, row_number() OVER (ORDER BY sk1, doc_id) AS rnk
            FROM keyed),

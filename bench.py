@@ -159,6 +159,32 @@ def main() -> None:
     copy_s = time.perf_counter() - t0
     shutil.rmtree(copy_dir, ignore_errors=True)
 
+    # Driver contract: the FINAL stdout line must be ONE compact JSON dict.
+    # r5 lesson (BENCH_r05.json "parsed": null): carrying per_run_sec +
+    # extended_sec inline grew the line past the driver's tail capture, so
+    # the driver saw a truncated dict. The headline line now stays small
+    # (metric/value/unit/queries/sf + 3 scalar extras, ~1 KB); the full
+    # detail (per-run arrays, extended section) goes to bench_detail.json
+    # next to this script and to stderr for humans.
+    detail = {
+        "per_run_sec": runs,
+        "extended_sec": extended,
+        "etl_copy_rows": n_rows,
+        "etl_copy_sec": round(copy_s, 4),
+        "etl_copy_rows_per_sec": int(n_rows / copy_s),
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -171,10 +197,9 @@ def main() -> None:
                     "etl_copy_rows": n_rows,
                     "etl_copy_sec": round(copy_s, 4),
                     "etl_copy_rows_per_sec": int(n_rows / copy_s),
-                    "per_run_sec": runs,
-                    "extended_sec": extended,
                 },
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

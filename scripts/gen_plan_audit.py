@@ -24,6 +24,28 @@ from as_etl_storage_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
+#: queries whose claim is about broadcast-threshold behavior must be
+#: captured at a scale where the fact side actually EXCEEDS the
+#: threshold — at sf0.01 AQE happily broadcasts lineitem itself, which
+#: makes "the fact is never shuffled" true for the wrong reason
+SF_OVERRIDE = {
+    "q5_local_supplier_volume": "/root/testdata/sf0.1",
+    "q1_pricing_summary": "/root/testdata/sf0.1",
+}
+
+#: per-query session-conf overrides during capture. For q5 the broadcast
+#: threshold is scaled DOWN in proportion to the test data, so the capture
+#: shows the 100 TB plan shape: true dimensions (region/nation/supplier)
+#: fit the threshold and broadcast; customer/orders/lineitem do not, so
+#: the fact-side joins plan as key-partitioned SortMergeJoins. At default
+#: threshold the sf0.1 estimate still lets the fact side broadcast, which
+#: proves nothing about scale.
+CONF_OVERRIDE = {
+    "q5_local_supplier_volume": {
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024),
+    },
+}
+
 #: query -> the scale claim its plan must exhibit
 AUDITED = {
     "s1_scan_project_filter": "filters and projection reach the parquet scan "
@@ -31,8 +53,13 @@ AUDITED = {
     "what the scan already skipped via row-group stats",
     "q1_pricing_summary": "two-phase aggregation: partial HashAggregate "
     "before the exchange, final after — shuffle carries K groups, not N rows",
-    "q5_local_supplier_volume": "star join: every dimension broadcasts; the "
-    "fact table is never shuffled for a join",
+    "q5_local_supplier_volume": "star join at the 100 TB shape (captured "
+    "at sf0.1 with the broadcast threshold scaled down in proportion): "
+    "sides that fit the threshold (region, nation, supplier, customer's "
+    "2-column projection) broadcast; the one genuinely big-to-big join "
+    "(orders-lineitem) is a key-partitioned SortMergeJoin — no side of a "
+    "big join is ever replicated, and the facts shuffle only on their "
+    "join keys",
     "q_topk_orders": "global top-k is TakeOrderedAndProject (per-partition "
     "heap + driver merge of k·P rows), not a global sort",
     "q_window_rank": "ranked filter plans as WindowGroupLimit: the per-group "
@@ -84,15 +111,17 @@ AUDITED = {
     "hybrid_search_rrf": "rank fusion: the full-outer join touches only "
     "|rankers|·n already-truncated top rows; each ranker keeps its own "
     "scale shape below",
-    "corpus_budget_select": "distributed prefix sum: rangepartitioning + "
-    "broadcast per-partition offsets; no single-partition window anywhere",
+    "corpus_budget_select": "distributed prefix sum: boundary-literal "
+    "bucketing (bucket id is a pure expression — no range exchange, no "
+    "checkpoint copy) + broadcast per-bucket offsets; no single-partition "
+    "window anywhere",
     "corpus_negative_pairs": "negative sampling: LCG pick equi-joins the "
-    "dense global_rank index (rangepartitioning, offsets broadcast); "
-    "anchors×m rows shuffled, corpus never replicated",
+    "dense global_rank index (boundary-literal buckets, offsets "
+    "broadcast); anchors×m rows shuffled, corpus never replicated",
     "dedup_sorted_neighborhood": "SNM blocking: neighbor candidates via an "
-    "equi-join on (rank + k) over the pinned distributed rank — candidate "
-    "count strictly N·window, no single-partition window, no cartesian "
-    "product",
+    "equi-join on (rank + k) over the boundary-literal distributed rank, "
+    "whose shuffle carries only a 64-char prefix key — candidate count "
+    "strictly N·window, no single-partition window, no cartesian product",
     "corpus_temperature_mix": "temperature mix: per-group counts broadcast "
     "back over one corpus scan; the keep decision is a pure integer "
     "compare — the corpus is never shuffled",
@@ -147,14 +176,22 @@ def main() -> None:
         "Generated by `scripts/gen_plan_audit.py` at sf0.01 (plans are",
         "data-size-independent apart from AQE's runtime join demotions;",
         "broadcast choices shown here hold whenever the build side fits",
-        "`spark.sql.autoBroadcastJoinThreshold`). The load-bearing",
+        "`spark.sql.autoBroadcastJoinThreshold`; queries whose CLAIM is",
+        "about which side broadcasts are captured at sf0.1 instead, where",
+        "the fact side exceeds the threshold). The load-bearing",
         "properties are ALSO asserted in `tests/test_plan_properties.py`;",
         "this file shows the full operator tree each assertion lives in.",
         "",
     ]
     for name, claim in AUDITED.items():
-        df = QUERIES[name](spark, SF)
+        overrides = CONF_OVERRIDE.get(name, {})
+        saved = {k: spark.conf.get(k) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = QUERIES[name](spark, SF_OVERRIDE.get(name, SF))
         plan = df._jdf.queryExecution().executedPlan().toString()
+        for k, v in saved.items():
+            spark.conf.set(k, v)
         lines += [f"## {name}", "", f"**Claim:** {claim}", "", "```"]
         lines += skeleton(plan)
         lines += ["```", "", "Evidence:", ""]

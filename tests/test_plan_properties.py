@@ -96,16 +96,18 @@ def test_global_ntile_no_single_partition_window(spark):
     out = global_ntile(cust, ["c_acctbal", "c_custkey"], 4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
-    # the range exchange runs inside the pinned localCheckpoint
-    # materialization (placement must be identical across the offsets job
-    # and this output job), so the final plan reads the checkpointed
-    # blocks instead of showing the exchange inline
-    assert (
-        "Exchange rangepartitioning" in plan or "Scan ExistingRDD" in plan
-    )
-    # ...which means the plan string alone can no longer prove RANGE
-    # partitioning happened — verify the property directly: partitions
-    # are non-overlapping intervals of the order key
+    # round-6 boundary-literal bucketing: the bucket id is a pure
+    # expression of the row's key columns, so the plan carries NO range
+    # exchange, and the DATA side reads the source parquet inline instead
+    # of a localCheckpoint copy (r5's plan read "Scan ExistingRDD" for the
+    # data; now ExistingRDD appears only for the tiny broadcast offsets
+    # table) — only the window's hash exchange on the bucket id moves data
+    assert "Exchange rangepartitioning" not in plan
+    assert "Scan parquet" in plan
+    assert "Exchange hashpartitioning(__rank_pid" in plan
+    # the plan string alone can't prove range-ordered placement — verify
+    # the property directly: buckets are non-overlapping intervals of the
+    # order key
     from as_etl_storage_spark.operators.rank import _partitioned_once
     from pyspark.sql import functions as F
 
