@@ -319,9 +319,10 @@ def minhash_dedup_pairs(
     MinHash+LSH candidate generation, exact verification.
 
     Plan shape (tuned for scale AND small-input parallelism):
-      1. repartition docs to full parallelism before the explode — a small
-         input file would otherwise single-thread the 128-hash signature
-         computation;
+      1. spread_small_scan before the explode — a single-row-group input
+         file would otherwise single-thread the 128-hash signature
+         computation; a well-split table passes through with no added
+         shuffle;
       2. signatures from the *non-distinct* shingle stream (min is
          idempotent) — saves a full dedup shuffle of the largest relation;
       3. candidate pairs are persisted (small by design) because they feed
@@ -331,11 +332,14 @@ def minhash_dedup_pairs(
          per-pair ``array_intersect``, touching a few hundred docs, not
          the corpus, with no inverted-index shuffle.
     """
-    spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(id_col).alias("doc_id_src"), F.col(text_col).alias("text_src")
-    ).repartition(n_parts)
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    base = spread_small_scan(
+        df.select(
+            F.col(id_col).alias("doc_id_src"),
+            F.col(text_col).alias("text_src"),
+        )
+    )
     sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
     # persist the banded signatures: the LSH self-join consumes them as
     # BOTH sides and Catalyst does not reuse the (explode -> two groupBy)
@@ -428,6 +432,9 @@ def ngram_jaccard_pairs(
     """Exact all-pairs token-n-gram jaccard >= p/q via inverted index —
     correctness baseline for the LSH path (quadratic in near-dup cluster
     size; prefer minhash_dedup_pairs at scale)."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    df = spread_small_scan(df)
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+'))-{n - 1}, 1)), "
         f"i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' '))"
@@ -535,7 +542,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ``count * (2b - 1)`` over distinct tokens equals summing ``2b - 1``
     over raw token instances, so the whole signature is ONE shuffle (the
     per-doc aggregation, with map-side partial combine) instead of two.
+    spread_small_scan widens the tokenize+hash stage when the input file
+    is unsplittable (no-op on a well-split table).
     """
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    df = spread_small_scan(df)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
@@ -782,6 +794,9 @@ def segment_dedup_rebuild(
     ordered reassembly. At 100 TB, shuffle the 128-bit segment hash
     instead of the text (xxhash64 x 2 seeds) and join the strings back
     only for owners — collision risk ~N^2/2^128, the standard trade."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    df = spread_small_scan(df)
     segs = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -835,10 +850,10 @@ def segment_dedup_rebuild(
 def _snm_candidates(
     df: DataFrame, id_col: str, skey_col, window: int
 ) -> DataFrame:
-    """One SNM pass: rank the corpus by ``skey_col`` via the pinned
-    distributed global rank, then pair each row with its next ``window``
-    neighbors in sort order — an equi-join on (rank + k), candidate count
-    strictly N·window."""
+    """One SNM pass: rank the corpus by ``skey_col`` via the
+    boundary-literal distributed global rank, then pair each row with its
+    next ``window`` neighbors in sort order — an equi-join on (rank + k),
+    candidate count strictly N·window."""
     from as_etl_storage_spark.operators.rank import global_rank
 
     if window < 1:
@@ -907,6 +922,9 @@ def sorted_neighborhood_pairs(
     corpus), unlike the LSH path whose survivors are small enough to
     broadcast. The standard recall lever is multi-pass SNM with different
     sort keys — see :func:`sorted_neighborhood_multi`."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    df = spread_small_scan(df)
     # one pass yields each canonical pair exactly once (global ranks are
     # unique), so no dedup shuffle is needed — unlike the multi-pass union
     cands = _snm_candidates(
@@ -940,6 +958,9 @@ def sorted_neighborhood_multi(
     both ends. The standard SNM recall lever; cost is linear in passes,
     candidates stay N·window per pass. Pairs are unioned before a single
     verification, so each survivor is verified once."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    df = spread_small_scan(df)
     fwd = _snm_candidates(
         df,
         id_col,

@@ -3,31 +3,37 @@ window functions.
 
 A plain ``ntile(n) OVER (ORDER BY col)`` moves the whole relation to ONE
 partition (Spark warns exactly this); at 100 TB that is not a slow plan, it
-is a dead one. The classic fix is two passes:
+is a dead one. The scale-safe form here:
 
-  1. bucket rows by the order key into ``parts`` ordered ranges;
-  2. count rows per bucket — a handful of longs to the driver (same
-     bounded class as split boundaries) — and turn them into per-bucket
-     rank offsets;
-  3. rank locally inside each bucket (window PARTITION BY bucket id, one
-     hash shuffle) and add the offset.
+  1. bucket rows by the order key into ``parts`` ordered ranges
+     (boundary-literal: one bounded sample job collects ~parts-1 key
+     tuples; the bucket id is a pure Catalyst expression of the row's own
+     key columns against those literals — lexicographic, NULLS FIRST);
+  2. rank/cumsum locally inside each bucket (window PARTITION BY bucket
+     id — the ONE corpus-bytes shuffle);
+  3. turn per-bucket totals into per-bucket offsets IN-PLAN: bucket
+     counts/sums come from a groupBy whose map-side partial aggregation
+     shuffles ≤ parts rows per input partition; the ≤ parts-row stats
+     run a bounded cumulative window (offset + grand total on the same
+     tiny exchange) and broadcast-join back. No driver collect and no
+     single-partition exchange anywhere.
 
 The result is bit-identical to the single-partition form for any unique
 total order (enforced by requiring tie-break columns), including exact
 ntile bucket sizing (first ``total % n`` buckets get the extra row).
 
-Bucketing is BOUNDARY-LITERAL: one bounded sample job collects ~parts-1
-boundary key tuples to the driver, and the bucket id is a pure Catalyst
-expression of the row's own key columns compared against those literals
-(lexicographic, NULLS FIRST — matching Spark's default ascending sort).
-Because the id is a deterministic function of row values, the stats job
-and the output job agree on placement BY CONSTRUCTION — unlike
+Because the bucket id is a deterministic function of row values, every
+job and task retry computes identical placement BY CONSTRUCTION — unlike
 ``repartitionByRange``, which re-samples boundaries per materialization
 and therefore needed an eager localCheckpoint to pin placement (the
 round-5 design). The literal scheme needs no materialized copy, is
-fault-tolerant (any recomputation yields the same ids), and removes the
-extra range exchange: the only data shuffle is the window's own hash
-exchange on the bucket id.
+fault-tolerant, and costs exactly two jobs per operator: the boundary
+sample and the caller's action.
+
+The offsets window uses ``partitionBy(lit(0))`` — physically a single
+partition, but over the ≤ parts-row stats relation only, the same
+bounded class as split boundaries; the corpus itself never sees an
+unpartitioned window.
 """
 
 from __future__ import annotations
@@ -40,6 +46,8 @@ from pyspark.sql import functions as F
 _PID = "__rank_pid"
 _LOCAL = "__rank_local"
 _OFFSET = "__rank_offset"
+_BCNT = "__rank_bcnt"
+_W = "__rank_w"
 
 #: sampled keys per target bucket; 40 gives boundary rank error ~2.5% of a
 #: bucket with high probability — imbalance only costs parallelism evenness,
@@ -83,31 +91,69 @@ def _key_gt(order_cols: list[str], boundary: tuple):
 def _sample_boundaries(
     df: DataFrame, order_cols: list[str], parts: int
 ) -> list[tuple]:
-    """One bounded job: sample ~parts*_SAMPLE_PER_BUCKET key tuples,
-    sort on the driver, return ≤ parts-1 distinct ascending boundaries.
-    Collect size is O(parts), independent of data size — the same bounded
-    class as split boundaries. An unlucky sample only skews bucket sizes
-    (lost parallelism), never correctness."""
+    """ONE bounded job: per-partition weighted reservoir of
+    ~_SAMPLE_PER_BUCKET key tuples via mapInPandas (vectorized
+    ``DataFrame.sample`` per Arrow batch — no Python row loop), each
+    carrying weight = partition_rows / sample_rows; the driver
+    weight-merges them into ≤ parts-1 ascending boundary tuples (the
+    same per-partition-sketch scheme Spark's own RangePartitioner uses,
+    minus a separate count job to size a global sample fraction).
+    Collect size is O(input_partitions × _SAMPLE_PER_BUCKET), independent
+    of row count — the same bounded class as split boundaries. An
+    unlucky sample only skews bucket sizes (lost parallelism), never
+    correctness: bucket ids stay a pure function of the collected
+    literals."""
     if parts <= 1:
         return []
     keys = df.select(*[F.col(c) for c in order_cols])
-    cnt = keys.count()
-    if cnt == 0:
-        return []
-    target = parts * _SAMPLE_PER_BUCKET
-    frac = min(1.0, target / cnt)
-    rows = keys.sample(fraction=frac, seed=42).collect()
+    k = _SAMPLE_PER_BUCKET
+    from pyspark.sql import types as _T
+
+    out_schema = _T.StructType(
+        list(keys.schema.fields) + [_T.StructField(_W, _T.DoubleType())]
+    )
+    names = list(keys.columns)
+
+    def sampler(batches):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(42)
+        picks, total = [], 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            total += n
+            picks.append(pdf.sample(n=min(k, n), random_state=rng))
+        if total:
+            allp = picks[0] if len(picks) == 1 else pd.concat(picks)
+            if len(allp) > k:
+                allp = allp.sample(n=k, random_state=rng)
+            out = allp.copy()
+            out[_W] = float(total) / len(allp)
+            yield out
+
+    rows = keys.mapInPandas(sampler, schema=out_schema).collect()
     if not rows:
         return []
-    tuples = sorted((tuple(r) for r in rows), key=_py_sort_key)
-    # evenly spaced picks, consecutive-deduped (duplicate boundaries would
-    # only create empty buckets, but why carry dead comparisons)
-    picks: list[tuple] = []
-    for i in range(1, parts):
-        b = tuples[min(len(tuples) - 1, int(i * len(tuples) / parts))]
-        if not picks or b != picks[-1]:
-            picks.append(b)
-    return picks
+    weighted = sorted(
+        ((tuple(r[c] for c in names), r[_W]) for r in rows),
+        key=lambda t: _py_sort_key(t[0]),
+    )
+    total_w = sum(w for _, w in weighted)
+    step = total_w / parts
+    picks_out: list[tuple] = []
+    cum, nxt = 0.0, step
+    for key, w in weighted:
+        cum += w
+        while cum >= nxt and len(picks_out) < parts - 1:
+            # consecutive-dedupe: duplicate boundaries would only create
+            # empty buckets, but why carry dead comparisons
+            if not picks_out or key != picks_out[-1]:
+                picks_out.append(key)
+            nxt += step
+    return picks_out
 
 
 def _bucketed_once(df: DataFrame, order_cols: list[str]) -> DataFrame:
@@ -131,57 +177,88 @@ def _bucketed_once(df: DataFrame, order_cols: list[str]) -> DataFrame:
 _partitioned_once = _bucketed_once
 
 
-def _ranked_with_total(
-    df: DataFrame, order_cols: list[str]
-) -> tuple[DataFrame, int]:
-    rp = _bucketed_once(df, order_cols)
-    counts = rp.groupBy(_PID).count().collect()
-    by_pid = {r[_PID]: r["count"] for r in counts}
-    offsets = []
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets.append((pid, acc))
-        acc += by_pid[pid]
-    if not offsets:
-        ranked = rp.withColumn("global_rank", F.lit(None).cast("long")).drop(
-            _PID
-        )
-        return ranked, 0
-    off_df = df.sparkSession.createDataFrame(
-        offsets, f"{_PID}: int, {_OFFSET}: long"
+#: the offsets relation holds one row per bucket (≤ defaultParallelism by
+#: construction) — a constant-partition window over it is bounded, the
+#: same class as split boundaries. The partition key is ``pmod(pid, 1)``
+#: (always 0) rather than ``lit(0)``: a foldable literal is optimized out
+#: of the partition spec, which would both re-emit WindowExec's "No
+#: Partition Defined" warning and plan an ``Exchange SinglePartition`` —
+#: the constant-but-unfoldable key keeps the spec, so the plan shows an
+#: ordinary hash exchange over the ≤ parts stats rows and the warning
+#: stays reserved for genuinely unbounded windows
+def _offsets_window() -> Window:
+    return (
+        Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
-    ranked = (
-        rp.withColumn(_LOCAL, F.row_number().over(w))
-        .join(F.broadcast(off_df), _PID)
+
+
+def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Shared kernel: the input frame plus ``global_rank`` and
+    ``__rank_total`` (global row count, long) columns. The corpus moves
+    through exactly ONE hash exchange (the bucket id feeding the local
+    row_number window); per-bucket counts come from a separate groupBy
+    lineage whose map-side partial aggregation shuffles ≤ parts rows per
+    input partition — never corpus bytes. The ≤ parts-row stats then run
+    the bounded offsets window (cumulative offset + grand total on the
+    same tiny exchange) and broadcast-join back — zero driver collects,
+    zero single-partition exchanges anywhere in the plan."""
+    rp = _bucketed_once(df, order_cols)
+    w_local = Window.partitionBy(_PID).orderBy(*order_cols)
+    ann = rp.withColumn(_LOCAL, F.row_number().over(w_local))
+    stats = rp.groupBy(_PID).agg(F.count(F.lit(1)).alias(_BCNT))
+    w_all = Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+    offs = stats.withColumn(
+        _OFFSET,
+        F.coalesce(F.sum(_BCNT).over(_offsets_window()), F.lit(0)).cast(
+            "long"
+        ),
+    ).withColumn("__rank_total", F.sum(_BCNT).over(w_all).cast("long"))
+    return (
+        ann.join(F.broadcast(offs.select(_PID, _OFFSET, "__rank_total")), _PID)
         .withColumn("global_rank", F.col(_OFFSET) + F.col(_LOCAL))
         .drop(_PID, _LOCAL, _OFFSET)
     )
-    return ranked, acc
 
 
 def global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Add a ``global_rank`` column (1-based, row_number semantics) ordered
     by ``order_cols`` — which must form a unique total order (append a key
-    column as tie-break) — without ever collapsing data to one partition."""
-    return _ranked_with_total(df, order_cols)[0]
+    column as tie-break) — without ever collapsing data to one partition.
+    Costs two jobs: the boundary sample and the caller's action."""
+    return _ranked(df, order_cols).drop("__rank_total")
+
+
+def global_rank_with_total(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """:func:`global_rank` plus a ``__rank_total`` column carrying the
+    global row count (long) on every row — recovered from the rank's own
+    per-bucket stats and attached via the same broadcast join, so callers
+    that need N in an expression (modulo picks, ntile sizing) stay fully
+    in-plan with no count() job and no single-partition aggregate."""
+    return _ranked(df, order_cols)
 
 
 def global_ntile(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     """Add a ``bucket`` column with exact SQL ``ntile(n)`` semantics (the
     first ``total % n`` buckets hold one extra row) over the global order,
-    built on global_rank — no single-partition exchange anywhere."""
-    ranked, total = _ranked_with_total(df, order_cols)
-    base, rem = divmod(total, n)
+    built on global_rank — no single-partition exchange anywhere, and the
+    total-count arithmetic stays in-plan (the total rides the broadcast
+    offsets row, exact integer expressions)."""
+    out = _ranked(df, order_cols)
+    total = F.col("__rank_total")
+    base = F.expr(f"__rank_total DIV {n}")
+    rem = total % n
     big = rem * (base + 1)
     r = F.col("global_rank")
+    base1 = F.greatest(base, F.lit(1))
     bucket = F.when(
-        F.lit(rem) > 0,
+        rem > 0,
         F.when(r <= big, F.ceil(r / (base + 1))).otherwise(
-            F.lit(rem) + F.ceil((r - big) / F.greatest(F.lit(base), F.lit(1)))
+            rem + F.ceil((r - big) / base1)
         ),
-    ).otherwise(F.ceil(r / F.greatest(F.lit(base), F.lit(1))))
-    return ranked.withColumn("bucket", bucket.cast("int"))
+    ).otherwise(F.ceil(r / base1))
+    return out.withColumn("bucket", bucket.cast("int")).drop("__rank_total")
 
 
 def global_running_sum(
@@ -189,62 +266,61 @@ def global_running_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "running_sum",
+    total_col: str | None = None,
 ) -> DataFrame:
     """Prefix sum of ``value_col`` over a global order — the scale-safe
     form of ``sum(v) OVER (ORDER BY …)``, which would single-partition the
-    relation. Same two-pass shape as global_rank: boundary-literal
-    bucketing on the order key (unique total order required), per-bucket
-    sums to the driver (O(buckets) values), local windowed cumsum +
-    broadcast offset. Bit-identical to the single-partition window for any
-    unique order because the per-bucket sums are exact (use
-    integer/decimal value columns; float would reintroduce
-    order-dependence)."""
+    relation. Boundary-literal bucketing on the order key (unique total
+    order required); local windowed cumsum and per-bucket sums share one
+    hash exchange; the ≤ parts-row bucket stats cumulate in the bounded
+    offsets window and broadcast-join back. Bit-identical to the
+    single-partition window for any unique order because the per-bucket
+    sums are exact (use integer/decimal value columns; float would
+    reintroduce order-dependence).
+
+    ``total_col``: optionally attach the exact global sum of
+    ``value_col`` as a column — recovered from the prefix sum's own
+    per-bucket stats and attached via the same broadcast join, so
+    callers that filter against a fraction of the corpus total (budget
+    selection) stay fully in-plan instead of paying a separate aggregate
+    job over what may be an expensive upstream lineage."""
     rp = _bucketed_once(df, order_cols)
-    stats = rp.groupBy(_PID).agg(
-        F.sum(value_col).alias("s"), F.count(value_col).alias("nn")
-    ).collect()
     # offsets carry the SUM type (long for integers, Decimal for decimal
     # value columns — the docstring's contract), not a hardcoded long
     sum_type = rp.select(F.sum(value_col).alias("s")).schema["s"].dataType
-    from decimal import Decimal as _D
-
-    from pyspark.sql import types as _T
-
-    zero = _D(0) if isinstance(sum_type, _T.DecimalType) else 0
-    by_pid = {r[_PID]: (r["s"], r["nn"]) for r in stats}
-    offsets = []
-    acc, nn_acc = zero, 0
-    for pid in sorted(by_pid):
-        offsets.append((pid, acc, 1 if nn_acc > 0 else 0))
-        s, nn = by_pid[pid]
-        if s is not None:  # an all-NULL partition contributes nothing
-            acc += s
-        nn_acc += nn
-    if not offsets:
-        return rp.withColumn(out_col, F.lit(None).cast(sum_type)).drop(_PID)
-    off_df = df.sparkSession.createDataFrame(
-        offsets,
-        _T.StructType(
-            [
-                _T.StructField(_PID, _T.IntegerType()),
-                _T.StructField(_OFFSET, sum_type),
-                _T.StructField("__rank_prior", _T.IntegerType()),
-            ]
-        ),
-    )
-    w = (
+    w_local = (
         Window.partitionBy(_PID)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = F.sum(value_col).over(w)
+    ann = rp.withColumn("__rank_lsum", F.sum(value_col).over(w_local))
+    # per-bucket sums via groupBy: map-side partial aggregation shuffles
+    # ≤ parts rows per input partition, never corpus bytes
+    stats = rp.groupBy(_PID).agg(
+        F.sum(value_col).alias("__rank_bsum"),
+        F.count(value_col).alias("__rank_bnn"),
+    )
+    w_off = _offsets_window()
+    offs = stats.withColumn(
+        _OFFSET, F.sum("__rank_bsum").over(w_off).cast(sum_type)
+    ).withColumn(
+        "__rank_prior", F.coalesce(F.sum("__rank_bnn").over(w_off), F.lit(0))
+    )
+    bcast_cols = [_PID, _OFFSET, "__rank_prior"]
+    if total_col is not None:
+        w_all = Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        offs = offs.withColumn(
+            total_col, F.sum("__rank_bsum").over(w_all).cast(sum_type)
+        )
+        bcast_cols.append(total_col)
+    joined = ann.join(F.broadcast(offs.select(*bcast_cols)), _PID)
+    local = F.col("__rank_lsum")
+    zero = F.lit(0).cast(sum_type)
     # SQL window-sum NULL semantics: the running sum is NULL only while NO
     # non-null value has been seen anywhere in the global prefix
     out = F.when(
         local.isNull() & (F.col("__rank_prior") == 0), F.lit(None)
-    ).otherwise(F.col(_OFFSET) + F.coalesce(local, F.lit(0)))
-    return (
-        rp.join(F.broadcast(off_df), _PID)
-        .withColumn(out_col, out)
-        .drop(_PID, _OFFSET, "__rank_prior")
+    ).otherwise(F.coalesce(F.col(_OFFSET), zero) + F.coalesce(local, F.lit(0)))
+    return joined.withColumn(out_col, out).drop(
+        _PID, _OFFSET, "__rank_lsum", "__rank_prior"
     )

@@ -33,6 +33,8 @@ def rrf_fuse(
     double division; the sum is a fixed left-to-right chain over the
     (bounded, ordered) ranker list — no shuffle-order float accumulation.
     """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
     joined = None
     for i, r in enumerate(rankings):
         part = r.select(

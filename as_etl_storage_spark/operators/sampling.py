@@ -143,30 +143,34 @@ def negative_samples(
     pairs. Accidental positives (negative == anchor) are dropped, the
     standard in-batch-negative correction.
 
-    Scale: the corpus index comes from operators/rank.global_rank (range
-    repartition + offsets — never a single-partition window); the pick
-    join is an equi-join on the dense index. Corpus scanned twice (index,
-    join), anchors × m rows shuffled — linear, skew-free (LCG spreads
-    picks uniformly)."""
-    from as_etl_storage_spark.operators.rank import _ranked_with_total
+    Scale: the corpus index comes from operators/rank.global_rank
+    (boundary-literal buckets + broadcast offsets — never a
+    single-partition window); the pick join is an equi-join on the dense
+    index. ``anchor_pred`` may reference ANY column of ``df`` (e.g.
+    ``lang = 'en'``): it filters the full frame, and only the surviving
+    ids semi-join into the ranked index. The corpus size N rides the
+    rank's broadcast offsets join as a column, not a driver collect — an
+    empty corpus yields zero anchors, so ``% N`` never evaluates
+    against 0.
+    Corpus scanned three times (index, anchor filter, pick join),
+    anchors × m rows shuffled — linear, skew-free (LCG spreads picks
+    uniformly)."""
+    from as_etl_storage_spark.operators.rank import global_rank_with_total
 
     M = 2147483647
-    # _ranked_with_total already collects per-partition counts whose sum
-    # is the corpus size — no second count() job
-    indexed, n = _ranked_with_total(df.select(F.col(id_col)), [id_col])
-    if n == 0:  # pick % 0 would be an ANSI division-by-zero
-        # empty frame with the SAME schema as the non-empty path (id
-        # columns keep the input id type)
-        return df.select(
-            F.col(id_col).alias("anchor_id"),
-            F.lit(1).cast("int").alias("neg_slot"),
-            F.col(id_col).alias("neg_id"),
-        ).limit(0)
+    # the rank kernel's per-bucket stats already carry the corpus size —
+    # no second count() job; it rides the broadcast offsets row as the
+    # __rank_total column
+    indexed = global_rank_with_total(df.select(F.col(id_col)), [id_col])
     anchors = (
-        indexed.where(anchor_pred)
-        .select(F.col(id_col).alias("anchor_id"))
+        indexed.join(
+            df.where(anchor_pred).select(id_col), id_col, "left_semi"
+        )
+        .select(F.col(id_col).alias("anchor_id"), "__rank_total")
         .select(
-            "anchor_id", F.explode(F.expr(f"sequence(1, {m})")).alias("neg_slot")
+            "anchor_id",
+            F.explode(F.expr(f"sequence(1, {m})")).alias("neg_slot"),
+            "__rank_total",
         )
     )
     pick = (
@@ -175,7 +179,7 @@ def negative_samples(
             + (F.col("neg_slot") * 1299721 + F.lit(seed))
         )
         % M
-        % F.lit(n)
+        % F.col("__rank_total")
         + 1
     )
     neg = indexed.select(
@@ -183,6 +187,7 @@ def negative_samples(
     )
     return (
         anchors.withColumn("neg_gr", pick)
+        .drop("__rank_total")
         .join(neg, "neg_gr")
         .where(F.col("neg_id") != F.col("anchor_id"))
         .select("anchor_id", "neg_slot", "neg_id")

@@ -221,6 +221,13 @@ _q(
     """,
 )
 
+# semantics-reference: this query DELIBERATELY uses unpartitioned window
+# functions, so Spark logs its "No Partition Defined for Window operation"
+# WindowExec warning on every run — that warning is the point, not a
+# defect. It exists as the SQL-semantics baseline that the scale-safe
+# rewrite (q_scalable_ntile via operators/rank.global_ntile, asserted
+# bit-equal) is verified against. Do not "fix" it; at 100 TB use
+# global_ntile/global_rank instead.
 _q(
     "q_window_ntile",
     ("customer",),

@@ -1038,27 +1038,32 @@ ORACLES["q_triangle_count"] = _TRIANGLE_SQL
 
 
 # ------------------------------------------------- bucketed join ----------
-def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed-write co-located join: both sides are saved bucketed (and
-    sorted) on the join key with the SAME bucket count, so the sort-merge
-    join reads bucket i against bucket i directly — NO Exchange on either
-    side (asserted in tests/test_plan_properties.py). This is the standard
-    amortization for a fact table joined repeatedly on one key at 100 TB:
-    pay one shuffle at ingest, then every later join is shuffle-free.
-    The merge hint keeps the demo on the sort-merge path (the fixture fits
-    under the broadcast threshold, which would also skip the shuffle but
-    proves nothing about bucketing)."""
-    from pyspark.sql import functions as F
+def _bucketed_table_base() -> str:
+    """External-table root for bucketed fixtures, derived from the package
+    location (NOT a hardcoded absolute path — the repo may be checked out
+    anywhere). Kept OUTSIDE both $CWD/spark-warehouse (the caller's session
+    may run from a different/unwritable cwd) and the TTL-GC'd .scratch
+    root (parity._scratch_dir deletes hour-old entries — it must never
+    collect live table files)."""
+    import as_etl_storage_spark as _pkg
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    return os.path.join(repo_root, ".scratch-tables")
+
+
+def _bucketed_ingest(spark: SparkSession, sf_dir: str, force: bool) -> tuple[str, str]:
+    """Write lineitem and orders as bucketed+sorted external tables on the
+    join key (8 buckets each side). This is the one-time shuffle the
+    bucketed join amortizes; ``force=False`` reuses tables already
+    registered in this session so steady-state joins can be timed without
+    re-paying it."""
     import shutil
 
     tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    # explicit external-table locations OUTSIDE both $CWD/spark-warehouse
-    # (the caller's session may run from a different/unwritable cwd) and
-    # the TTL-GC'd .scratch root (parity._scratch_dir deletes hour-old
-    # entries — it must never collect live table files)
-    base = "/root/repo/.scratch-tables"
+    base = _bucketed_table_base()
+    if not force and spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot):
+        return lt, ot
     for t in (lt, ot):
         # the catalog is in-memory per session but table dirs persist:
         # a stale dir from an earlier session blocks CREATE TABLE
@@ -1074,6 +1079,12 @@ def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
         "overwrite"
     ).option("path", os.path.join(base, ot)).saveAsTable(ot)
+    return lt, ot
+
+
+def _bucketed_join_query(spark: SparkSession, lt: str, ot: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     joined = spark.table(lt).hint("merge").join(
         spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
     )
@@ -1086,9 +1097,49 @@ def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _w_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-write co-located join: both sides are saved bucketed (and
+    sorted) on the join key with the SAME bucket count, so the sort-merge
+    join reads bucket i against bucket i directly — NO Exchange on either
+    side (asserted in tests/test_plan_properties.py). This is the standard
+    amortization for a fact table joined repeatedly on one key at 100 TB:
+    pay one shuffle at ingest, then every later join is shuffle-free.
+    The merge hint keeps the demo on the sort-merge path (the fixture fits
+    under the broadcast threshold, which would also skip the shuffle but
+    proves nothing about bucketing). This entry re-pays the ingest every
+    call (write-path correctness); `w_bucketed_join_steady` times the
+    amortized join alone."""
+    lt, ot = _bucketed_ingest(spark, sf_dir, force=True)
+    return _bucketed_join_query(spark, lt, ot)
+
+
+def _w_bucketed_join_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state half of the bucketed-join amortization story: reuse
+    the session's already-ingested bucketed tables (ingesting only if
+    absent) and run just the zero-Exchange sort-merge join. bench.py times
+    this separately from `w_bucketed_join` so the one-time-write vs
+    every-query-join split is a visible number."""
+    lt, ot = _bucketed_ingest(spark, sf_dir, force=False)
+    return _bucketed_join_query(spark, lt, ot)
+
+
 _register(
     "w_bucketed_join",
     _w_bucketed_join,
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+
+_register(
+    "w_bucketed_join_steady",
+    _w_bucketed_join_steady,
     """
     SELECT o_orderpriority,
            count(*) AS n_items,

@@ -1694,12 +1694,17 @@ def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     key (stopword-rate proxy, best first) and keep rows while the global
     running token total stays within 60% of the corpus — the "fill the
     training budget with the best data" step. The prefix sum is
-    operators/rank.global_running_sum (range repartition + per-partition
-    offsets), never a single-partition window; the budget cutoff is a
-    bounded driver scalar in exact integer arithmetic."""
+    operators/rank.global_running_sum (boundary-literal buckets +
+    per-bucket offsets), never a single-partition window; the budget
+    cutoff stays IN-PLAN in exact integer arithmetic — the corpus token
+    total is recovered from the prefix sum's own per-bucket stats as a
+    broadcast one-row column instead of a separate corpus-wide aggregate
+    (the tokenize lineage is the expensive part — one fewer full
+    pass, and zero driver collects)."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
     from as_etl_storage_spark.operators.rank import global_running_sum
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     stop_arr = "array('the','a','an','of','and','or','is','to','in')"
     staged = (
         docs.where(F.col("text").isNotNull())
@@ -1717,17 +1722,16 @@ def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    total = staged.agg(F.sum("toks")).collect()[0][0]
-    cutoff = total * 3 // 5
     ranked = global_running_sum(
         staged.withColumn("negq", -F.col("q")),
         ["negq", "doc_id"],
         "toks",
         "cum_tokens",
+        total_col="__budget_total",
     )
-    return ranked.where(F.col("cum_tokens") <= cutoff).select(
-        "doc_id", "toks", "cum_tokens"
-    )
+    return ranked.where(
+        F.col("cum_tokens") <= F.expr("__budget_total * 3 DIV 5")
+    ).select("doc_id", "toks", "cum_tokens")
 
 
 _register(

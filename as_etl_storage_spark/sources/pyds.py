@@ -256,9 +256,18 @@ class DocReplayDataSource(DataSource):
         import pyarrow.parquet as pq
 
         sch = pq.read_schema(_data_files(self.options["path"])[0])
-        return ", ".join(
-            f"{n} {_PA_TO_DDL[str(sch.field(n).type)]}" for n in sch.names
-        )
+        fields = []
+        for n in sch.names:
+            t = str(sch.field(n).type)
+            if t not in _PA_TO_DDL:
+                # same actionable error as RangeSplitDataSource.schema,
+                # not a bare KeyError
+                raise ValueError(
+                    f"docreplay: unsupported column type {t!r} for {n!r}; "
+                    f"materialize a fixture without that column"
+                )
+            fields.append(f"{n} {_PA_TO_DDL[t]}")
+        return ", ".join(fields)
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return DocReplayStreamReader(self.options)

@@ -62,7 +62,12 @@ EXTENDED = [
     "corpus_budget_select",
     "corpus_temperature_mix",
     "corpus_negative_pairs",
+    # the amortization story, split into its two halves: w_bucketed_join
+    # re-pays the bucketed ingest every run (write-path cost);
+    # w_bucketed_join_steady reuses the session's tables and times only
+    # the zero-Exchange sort-merge join — the per-query cost at 100 TB
     "w_bucketed_join",
+    "w_bucketed_join_steady",
 ]
 
 

@@ -34,7 +34,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from as_etl_storage_spark.operators import dedup, similarity, text  # noqa: E402
+from as_etl_storage_spark.operators import (  # noqa: E402
+    dedup,
+    retrieval,
+    similarity,
+    text,
+)
+from as_etl_storage_spark.operators.rank import (  # noqa: E402
+    global_running_sum,
+)
 from as_etl_storage_spark.queries.common import load_table  # noqa: E402
 from as_etl_storage_spark.session import get_spark  # noqa: E402
 
@@ -95,6 +103,80 @@ def timed(spark, name: str, df: DataFrame) -> tuple[float, int, int]:
         if info is not None:
             stages.update(info.stageIds)
     return sec, len(jobs), len(stages)
+
+
+def _budget_select_stress(docs: DataFrame) -> DataFrame:
+    """Same pipeline as the corpus_budget_select query (token staging,
+    integer quality key, global_running_sum, budget cutoff), applied to
+    the upsampled corpus."""
+    stop_arr = "array('the','a','an','of','and','or','is','to','in')"
+    staged = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("tk"),
+        )
+        .where(F.size("tk") > 0)
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("toks"),
+            F.expr(
+                f"(size(filter(tk, t -> array_contains({stop_arr}, lower(t))))"
+                " * 1000L) DIV size(tk)"
+            ).alias("q"),
+        )
+    )
+    ranked = global_running_sum(
+        staged.withColumn("negq", -F.col("q")),
+        ["negq", "doc_id"],
+        "toks",
+        "cum_tokens",
+        total_col="__budget_total",
+    )
+    return ranked.where(
+        F.col("cum_tokens") <= F.expr("__budget_total * 3 DIV 5")
+    ).select("doc_id", "toks", "cum_tokens")
+
+
+def _hybrid_rrf_stress(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Same shape as the hybrid_search_rrf query: BM25 top-100 + cosine
+    top-100 (fixed single query vector) fused with RRF."""
+    lex = text.bm25_topk(
+        docs, "doc_id", "text", ["spark", "join", "window", "merge"], k=100
+    ).select("doc_id", "rank")
+    vec = similarity.cosine_topk(
+        emb, "vec_id", "embedding", 100, "vid = 0"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse([lex, vec], "doc_id", k=20)
+
+
+def _bucketed_join_stress(
+    spark, docs: DataFrame, scratch: str, factor: int
+) -> DataFrame:
+    """Bucket the upsampled corpus on doc_id (two projections, 8 buckets
+    each) once per factor — catalog-cached, so the warm-up call pays the
+    ingest and the timed call measures only the co-located join."""
+    ta, tb = f"stress_ba_{factor}", f"stress_bb_{factor}"
+    if not (spark.catalog.tableExists(ta) and spark.catalog.tableExists(tb)):
+        import shutil
+
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(scratch, t), ignore_errors=True)
+        docs.select("doc_id", F.length("text").alias("len_a")).write.bucketBy(
+            8, "doc_id"
+        ).sortBy("doc_id").mode("overwrite").option(
+            "path", os.path.join(scratch, ta)
+        ).saveAsTable(ta)
+        docs.select(
+            "doc_id", F.crc32(F.col("text")).alias("sig_b")
+        ).write.bucketBy(8, "doc_id").sortBy("doc_id").mode(
+            "overwrite"
+        ).option("path", os.path.join(scratch, tb)).saveAsTable(tb)
+    joined = spark.table(ta).hint("merge").join(spark.table(tb), "doc_id")
+    return joined.groupBy(F.col("doc_id") % 97).agg(
+        F.count("*").alias("n"), F.sum("len_a").alias("s")
+    )
 
 
 def main() -> None:
@@ -163,6 +245,24 @@ def main() -> None:
                 "embedding",
                 5,
                 f"vid % 50 = 0 AND vid < {ID_OFF}",
+            ),
+            # 64-char prefix sort key + rank equi-join: candidates exactly
+            # N*window, shuffle carries the prefix key, never corpus text
+            "snm": lambda: dedup.sorted_neighborhood_pairs(
+                docs, "doc_id", "text"
+            ),
+            # two-pass distributed prefix sum (boundary-literal buckets):
+            # token staging + one bucket-count job + one bucketed window
+            "budget_select": lambda: _budget_select_stress(docs),
+            # two already-truncated top-100 lists full-outer joined: the
+            # fusion cost is O(|rankers| * k); growth comes only from the
+            # rankers' own corpus scans
+            "hybrid_rrf": lambda: _hybrid_rrf_stress(docs, emb),
+            # steady-state bucketed join: ingest paid once (untimed, in
+            # the warm-up call via force=False reuse), the timed run is
+            # the zero-Exchange bucket-i-vs-bucket-i sort-merge join
+            "bucketed_join_steady": lambda: _bucketed_join_stress(
+                spark, docs, scratch, factor
             ),
         }
         for name, make in cases.items():

@@ -226,3 +226,89 @@ def test_derby_ping_and_min_max(spark):
     )
     with pytest.raises(Exception, match="(?i)database.*not found|error"):
         bad.ping()
+
+
+def test_derby_live_non_ascii_split_key_rejected(spark):
+    """Reference parity (split.go:263-287): a string split key containing
+    a non-ASCII character is a spec-level ERROR, never a silent mis-split.
+    Exercised live: the offending bound comes back from a real Derby
+    min/max probe, and the split raises before any partition predicate is
+    rendered."""
+    import uuid
+
+    import pytest
+
+    from as_etl_storage_spark.plans.split import SplitError, StringConvertor
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = f"jdbc:derby:memory:na_{uuid.uuid4().hex[:10]};create=true"
+    spec = WriterSpec.from_json(
+        {"connection": {"url": url, "table": {"name": "t_nonascii"}},
+         "writeMode": "insert"}
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "café"), (4, "zulu")],
+        "k long, s string",
+    )
+    JdbcWriter(spark, spec, "derby").write(df)
+    src = JdbcSource(spark, spec.connection, dialect="derby")
+    # Derby UCS_BASIC (codepoint) order puts 'café' > 'caf', and max()
+    # returns 'zulu' (ASCII) — force the non-ASCII row to be a BOUND by
+    # probing max over the subset, as a reference job with maxValue unset
+    # would discover it
+    lo, hi = src.min_max('"s"')
+    assert lo == "alpha" and hi == "zulu"
+    conv = StringConvertor()
+    conv.fit(lo, hi)
+    with pytest.raises(SplitError, match="non-ASCII"):
+        # encoding any non-ASCII key (here as a declared bound, the same
+        # to_int path every key takes) must raise the spec error
+        conv.to_int("café")
+    # and the full predicate path raises too when the domain itself has a
+    # non-ASCII bound
+    conv2 = StringConvertor()
+    conv2.fit("alpha", "café")
+    with pytest.raises(SplitError, match="non-ASCII"):
+        src.string_split_predicates('"s"', "alpha", "café", 3, conv2)
+
+
+def test_derby_live_mixed_case_split_tiles_domain(spark):
+    """Mixed-case keys under Derby's default UCS_BASIC collation
+    (codepoint order — uppercase sorts before lowercase, same as the
+    radix-128 encoding): the rendered predicates must tile the domain
+    with no overlap and no gap, so case-adjacent keys land in exactly one
+    partition."""
+    import uuid
+
+    from as_etl_storage_spark.plans.split import StringConvertor
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = f"jdbc:derby:memory:mc_{uuid.uuid4().hex[:10]};create=true"
+    spec = WriterSpec.from_json(
+        {"connection": {"url": url, "table": {"name": "t_case"}},
+         "writeMode": "insert"}
+    )
+    keys = [
+        "Apple", "apple", "APPLE", "Banana", "banana", "BANANA",
+        "Cherry", "cherry", "CHERRY", "date", "Date", "DATE",
+        "Zebra", "zebra", "ZEBRA", "a", "Z", "m", "M",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(keys)], "k long, s string"
+    )
+    JdbcWriter(spark, spec, "derby").write(df)
+    src = JdbcSource(spark, spec.connection, dialect="derby")
+    lo, hi = src.min_max('"s"')
+    # codepoint order: 'APPLE' (uppercase) is the min, 'zebra' the max
+    assert lo == "APPLE" and hi == "zebra"
+    conv = StringConvertor()
+    conv.fit(lo, hi)
+    preds = src.string_split_predicates('"s"', lo, hi, 4, conv)
+    back = src.read_predicates(preds)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == len(keys)  # no gap
+    assert back.select("k").distinct().count() == len(keys)  # no overlap

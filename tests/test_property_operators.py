@@ -412,6 +412,36 @@ def test_negative_samples_properties(spark, sf_dir):
     assert b == {(r["anchor_id"], r["neg_slot"], r["neg_id"]) for r in rows}
 
 
+def test_negative_samples_predicate_on_non_id_column(spark, sf_dir):
+    # anchor_pred may reference ANY df column (the natural contrastive
+    # anchor filter is attribute-based, e.g. lang) — the predicate runs
+    # on the full frame and only ids semi-join into the ranked index
+    from as_etl_storage_spark.operators.sampling import negative_samples
+    from as_etl_storage_spark.queries.common import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = docs.select("lang").where("lang IS NOT NULL").first()["lang"]
+    want = {
+        r["doc_id"]
+        for r in docs.where(docs.lang == lang).select("doc_id").collect()
+    }
+    out = negative_samples(docs, "doc_id", f"lang = '{lang}'", m=2, seed=3)
+    got = {r["anchor_id"] for r in out.collect()}
+    # every anchor produced comes from the predicate's rows (an anchor
+    # can only vanish entirely if all its picks were accidental positives
+    # — impossible for m=2 distinct slots against this corpus size)
+    assert got == want
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    import pytest
+
+    from as_etl_storage_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
+
+
 def test_temperature_mix_flattens(spark, sf_dir):
     # alpha=0.5 mix: smallest group keeps everything, no group grows,
     # and the kept size tracks sqrt(n_min*n_g) (geometric-mean target);
