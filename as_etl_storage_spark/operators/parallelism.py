@@ -13,7 +13,21 @@ well-split table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def constant_partition_key(col: Column) -> Column:
+    """A window/exchange partition key that is 0 for EVERY row yet not
+    foldable (``pmod(xxhash64(col), 1)``). Use it on windows whose input
+    is already bounded (post-``limit`` top-k rows, per-bucket stats):
+    a plain empty partition spec plans ``Exchange SinglePartition`` and
+    logs WindowExec's "No Partition Defined" warning on every run, while
+    a foldable ``lit(0)`` is optimized out back to the empty spec. With
+    this key the plan shows an ordinary hash exchange and the warning
+    stays reserved for windows that genuinely move a whole relation to
+    one partition."""
+    return F.pmod(F.xxhash64(col), F.lit(1))
 
 
 def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -47,7 +47,16 @@ def rrf_fuse(
             F.lit(1.0) / (F.lit(float(k_const)) + F.col(f"rank_{i}")), F.lit(0.0)
         )
         score = term if score is None else score + term
-    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    from as_etl_storage_spark.operators.parallelism import (
+        constant_partition_key,
+    )
+
+    # constant-but-unfoldable partition key: the window input is k rows
+    # (post-limit), so this is bounded either way — the key just keeps
+    # the "No Partition Defined" warning out of every run's log
+    w = Window.partitionBy(constant_partition_key(F.col("id"))).orderBy(
+        F.col("score").desc(), F.col("id")
+    )
     return (
         joined.withColumn("score", score)
         # global top-k: orderBy+limit -> TakeOrderedAndProject (map-side

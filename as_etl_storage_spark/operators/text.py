@@ -508,8 +508,16 @@ def bm25_topk(
     # per-partition top-k, driver merges k*partitions rows). A global
     # row_number window would move EVERY scored doc to one partition:
     # InferWindowGroupLimit does not fire for empty partition specs.
-    # The rank window then runs over k rows only.
-    w = Window.orderBy(F.col("dscore").desc(), F.col("doc"))
+    # The rank window then runs over k rows only; the constant-but-
+    # unfoldable partition key keeps WindowExec's "No Partition Defined"
+    # warning out of the log (the input is bounded either way).
+    from as_etl_storage_spark.operators.parallelism import (
+        constant_partition_key,
+    )
+
+    w = Window.partitionBy(constant_partition_key(F.col("doc"))).orderBy(
+        F.col("dscore").desc(), F.col("doc")
+    )
     return (
         contrib.groupBy("doc")
         .agg(F.sum("part").cast("decimal(18,6)").alias("dscore"))

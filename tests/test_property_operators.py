@@ -519,3 +519,68 @@ def test_global_running_sum_decimal_values(spark):
         r["k"]: r["rs"] for r in df.withColumn("rs", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    keys=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=True, allow_infinity=True, width=32),
+            ),
+            st.one_of(st.none(), st.text(max_size=6)),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_global_rank_matches_row_number_on_hostile_keys(spark, keys):
+    # boundary-literal bucketing must reproduce Spark's ASC NULLS FIRST /
+    # NaN-greatest total order bit-for-bit on the key types where a
+    # hand-rolled comparison most easily diverges: NULLs in any slot,
+    # NaN / ±inf floats, duplicated keys, unicode strings — with a
+    # unique id appended as the required tie-break
+    from pyspark.sql import Window, functions as F
+
+    from as_etl_storage_spark.operators.rank import global_rank
+
+    rows = [(float(a) if a is not None else None, b, i)
+            for i, (a, b) in enumerate(keys)]
+    df = spark.createDataFrame(
+        rows, "a double, b string, id long"
+    ).repartition(5)
+    got = {
+        r["id"]: r["global_rank"]
+        for r in global_rank(df, ["a", "b", "id"]).collect()
+    }
+    w = Window.orderBy("a", "b", "id")
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_running_sum_total_col_in_plan(spark):
+    # total_col attaches the exact corpus sum on every row, stays the
+    # SUM type, and adds no single-partition exchange to the plan
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.rank import global_running_sum
+
+    rows = [(i, Decimal(f"{i}.50")) for i in range(30)]
+    df = spark.createDataFrame(rows, "k long, v decimal(10,2)").repartition(4)
+    out = global_running_sum(df, ["k"], "v", "rs", total_col="tot")
+    rows_out = out.collect()
+    expect_total = sum(Decimal(f"{i}.50") for i in range(30))
+    assert all(r["tot"] == expect_total for r in rows_out)
+    assert dict(out.dtypes)["tot"].startswith("decimal")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
