@@ -93,14 +93,20 @@ def _sample_boundaries(
 ) -> list[tuple]:
     """ONE bounded job: per-partition weighted reservoir of
     ~_SAMPLE_PER_BUCKET key tuples via mapInPandas (vectorized
-    ``DataFrame.sample`` per Arrow batch — no Python row loop), each
-    carrying weight = partition_rows / sample_rows; the driver
-    weight-merges them into ≤ parts-1 ascending boundary tuples (the
-    same per-partition-sketch scheme Spark's own RangePartitioner uses,
-    minus a separate count job to size a global sample fraction).
-    Collect size is O(input_partitions × _SAMPLE_PER_BUCKET), independent
-    of row count — the same bounded class as split boundaries. An
-    unlucky sample only skews bucket sizes (lost parallelism), never
+    ``DataFrame.sample`` per Arrow batch — no Python row loop); the
+    driver weight-merges them into ≤ parts-1 ascending boundary tuples
+    (the same per-partition-sketch scheme Spark's own RangePartitioner
+    uses, minus a separate count job to size a global sample fraction).
+    Each pick carries weight = its OWN batch's rows / picks — a single
+    partition-level weight would over-represent small batches (a 100-row
+    tail batch yields picks at 100× the rate of a 10k-row batch, fatal
+    when the input arrives pre-sorted on the key); the partition-level
+    cap is then an Efraimidis–Spirakis weighted reservoir (top-k by
+    u^(1/w), inclusion probability ∝ weight) so survivors represent the
+    partition uniformly and share weight partition_rows / k. Collect
+    size is O(input_partitions × _SAMPLE_PER_BUCKET), independent of row
+    count — the same bounded class as split boundaries. An unlucky
+    sample only skews bucket sizes (lost parallelism), never
     correctness: bucket ids stay a pure function of the collected
     literals."""
     if parts <= 1:
@@ -125,14 +131,18 @@ def _sample_boundaries(
             if n == 0:
                 continue
             total += n
-            picks.append(pdf.sample(n=min(k, n), random_state=rng))
+            p = pdf.sample(n=min(k, n), random_state=rng).copy()
+            p[_W] = float(n) / len(p)
+            picks.append(p)
         if total:
             allp = picks[0] if len(picks) == 1 else pd.concat(picks)
             if len(allp) > k:
-                allp = allp.sample(n=k, random_state=rng)
-            out = allp.copy()
-            out[_W] = float(total) / len(allp)
-            yield out
+                es_keys = rng.random_sample(len(allp)) ** (
+                    1.0 / allp[_W].to_numpy()
+                )
+                allp = allp.iloc[np.argsort(-es_keys)[:k]].copy()
+                allp[_W] = float(total) / len(allp)
+            yield allp
 
     rows = keys.mapInPandas(sampler, schema=out_schema).collect()
     if not rows:
@@ -194,6 +204,15 @@ def _offsets_window() -> Window:
     )
 
 
+#: sibling of :func:`_offsets_window` for grand totals over the same tiny
+#: stats exchange: unbounded frame, same constant-but-unfoldable key —
+#: keep the pmod idiom in these two helpers ONLY (a foldable ``lit(0)``
+#: is optimized out and re-plans Exchange SinglePartition + the
+#: WindowExec warning)
+def _totals_window() -> Window:
+    return Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+
+
 def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
     """Shared kernel: the input frame plus ``global_rank`` and
     ``__rank_total`` (global row count, long) columns. The corpus moves
@@ -208,7 +227,7 @@ def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     ann = rp.withColumn(_LOCAL, F.row_number().over(w_local))
     stats = rp.groupBy(_PID).agg(F.count(F.lit(1)).alias(_BCNT))
-    w_all = Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+    w_all = _totals_window()
     offs = stats.withColumn(
         _OFFSET,
         F.coalesce(F.sum(_BCNT).over(_offsets_window()), F.lit(0)).cast(
@@ -308,7 +327,7 @@ def global_running_sum(
     )
     bcast_cols = [_PID, _OFFSET, "__rank_prior"]
     if total_col is not None:
-        w_all = Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        w_all = _totals_window()
         offs = offs.withColumn(
             total_col, F.sum("__rank_bsum").over(w_all).cast(sum_type)
         )

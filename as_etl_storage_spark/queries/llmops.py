@@ -1689,22 +1689,25 @@ _register(
 )
 
 
-def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget corpus selection: rank documents by an integer quality
-    key (stopword-rate proxy, best first) and keep rows while the global
-    running token total stays within 60% of the corpus — the "fill the
-    training budget with the best data" step. The prefix sum is
-    operators/rank.global_running_sum (boundary-literal buckets +
-    per-bucket offsets), never a single-partition window; the budget
-    cutoff stays IN-PLAN in exact integer arithmetic — the corpus token
-    total is recovered from the prefix sum's own per-bucket stats as a
-    broadcast one-row column instead of a separate corpus-wide aggregate
-    (the tokenize lineage is the expensive part — one fewer full
-    pass, and zero driver collects)."""
+def budget_select_pipeline(docs: DataFrame) -> DataFrame:
+    """Token-budget corpus selection over a documents frame — the SINGLE
+    definition shared by the `corpus_budget_select` contract query and
+    `scripts/scale_stress.py` (so the measured scale curve is always the
+    shipped pipeline, never a drifted copy). Rank documents by an
+    integer quality key (stopword-rate proxy, best first) and keep rows
+    while the global running token total stays within 60% of the corpus
+    — the "fill the training budget with the best data" step. The
+    prefix sum is operators/rank.global_running_sum (boundary-literal
+    buckets + per-bucket offsets), never a single-partition window; the
+    budget cutoff stays IN-PLAN in exact integer arithmetic — the
+    corpus token total is recovered from the prefix sum's own
+    per-bucket stats as a broadcast column instead of a separate
+    corpus-wide aggregate (the tokenize lineage is the expensive part —
+    one fewer full pass, and zero driver collects)."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
     from as_etl_storage_spark.operators.rank import global_running_sum
 
-    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    docs = spread_small_scan(docs)
     stop_arr = "array('the','a','an','of','and','or','is','to','in')"
     staged = (
         docs.where(F.col("text").isNotNull())
@@ -1732,6 +1735,12 @@ def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(
         F.col("cum_tokens") <= F.expr("__budget_total * 3 DIV 5")
     ).select("doc_id", "toks", "cum_tokens")
+
+
+def _budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See :func:`budget_select_pipeline` — this entry binds it to the
+    driver's documents fixture."""
+    return budget_select_pipeline(load_table(spark, sf_dir, "documents"))
 
 
 _register(

@@ -40,9 +40,6 @@ from as_etl_storage_spark.operators import (  # noqa: E402
     similarity,
     text,
 )
-from as_etl_storage_spark.operators.rank import (  # noqa: E402
-    global_running_sum,
-)
 from as_etl_storage_spark.queries.common import load_table  # noqa: E402
 from as_etl_storage_spark.session import get_spark  # noqa: E402
 
@@ -106,36 +103,12 @@ def timed(spark, name: str, df: DataFrame) -> tuple[float, int, int]:
 
 
 def _budget_select_stress(docs: DataFrame) -> DataFrame:
-    """Same pipeline as the corpus_budget_select query (token staging,
-    integer quality key, global_running_sum, budget cutoff), applied to
-    the upsampled corpus."""
-    stop_arr = "array('the','a','an','of','and','or','is','to','in')"
-    staged = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("tk"),
-        )
-        .where(F.size("tk") > 0)
-        .select(
-            "doc_id",
-            F.size("tk").cast("long").alias("toks"),
-            F.expr(
-                f"(size(filter(tk, t -> array_contains({stop_arr}, lower(t))))"
-                " * 1000L) DIV size(tk)"
-            ).alias("q"),
-        )
-    )
-    ranked = global_running_sum(
-        staged.withColumn("negq", -F.col("q")),
-        ["negq", "doc_id"],
-        "toks",
-        "cum_tokens",
-        total_col="__budget_total",
-    )
-    return ranked.where(
-        F.col("cum_tokens") <= F.expr("__budget_total * 3 DIV 5")
-    ).select("doc_id", "toks", "cum_tokens")
+    """THE shipped corpus_budget_select pipeline (imported, not copied —
+    the curve must measure the code that ships), applied to the
+    upsampled corpus."""
+    from as_etl_storage_spark.queries.llmops import budget_select_pipeline
+
+    return budget_select_pipeline(docs)
 
 
 def _hybrid_rrf_stress(docs: DataFrame, emb: DataFrame) -> DataFrame:
@@ -151,11 +124,17 @@ def _hybrid_rrf_stress(docs: DataFrame, emb: DataFrame) -> DataFrame:
 
 
 def _bucketed_join_stress(
-    spark, docs: DataFrame, scratch: str, factor: int
+    spark, docs: DataFrame, factor: int
 ) -> DataFrame:
     """Bucket the upsampled corpus on doc_id (two projections, 8 buckets
     each) once per factor — catalog-cached, so the warm-up call pays the
-    ingest and the timed call measures only the co-located join."""
+    ingest and the timed call measures only the co-located join. Table
+    files live under the NON-GC'd `.scratch-tables` root (shared with
+    behavioral._bucketed_table_base): the TTL-GC'd `.scratch` root
+    deletes hour-old entries and must never collect live table files."""
+    from as_etl_storage_spark.queries.behavioral import _bucketed_table_base
+
+    scratch = _bucketed_table_base()
     ta, tb = f"stress_ba_{factor}", f"stress_bb_{factor}"
     if not (spark.catalog.tableExists(ta) and spark.catalog.tableExists(tb)):
         import shutil
@@ -262,7 +241,7 @@ def main() -> None:
             # the warm-up call via force=False reuse), the timed run is
             # the zero-Exchange bucket-i-vs-bucket-i sort-merge join
             "bucketed_join_steady": lambda: _bucketed_join_stress(
-                spark, docs, scratch, factor
+                spark, docs, factor
             ),
         }
         for name, make in cases.items():

@@ -254,24 +254,25 @@ def test_derby_live_non_ascii_split_key_rejected(spark):
     )
     JdbcWriter(spark, spec, "derby").write(df)
     src = JdbcSource(spark, spec.connection, dialect="derby")
-    # Derby UCS_BASIC (codepoint) order puts 'café' > 'caf', and max()
-    # returns 'zulu' (ASCII) — force the non-ASCII row to be a BOUND by
-    # probing max over the subset, as a reference job with maxValue unset
-    # would discover it
+    # over the full table Derby's max() is 'zulu' (ASCII) …
     lo, hi = src.min_max('"s"')
     assert lo == "alpha" and hi == "zulu"
+    # … so probe a WHERE subset (as a reference job with maxValue unset
+    # and a where clause would) to make the LIVE Derby probe return the
+    # non-ASCII value as the discovered upper bound
+    lo2, hi2 = src.min_max('"s"', where="\"s\" < 'zulu'")
+    assert lo2 == "alpha" and hi2 == "café"
     conv = StringConvertor()
-    conv.fit(lo, hi)
+    conv.fit(lo2, hi2)
     with pytest.raises(SplitError, match="non-ASCII"):
-        # encoding any non-ASCII key (here as a declared bound, the same
-        # to_int path every key takes) must raise the spec error
-        conv.to_int("café")
+        # encoding the Derby-discovered bound must raise the spec error
+        conv.to_int(hi2)
     # and the full predicate path raises too when the domain itself has a
     # non-ASCII bound
     conv2 = StringConvertor()
-    conv2.fit("alpha", "café")
+    conv2.fit(lo2, hi2)
     with pytest.raises(SplitError, match="non-ASCII"):
-        src.string_split_predicates('"s"', "alpha", "café", 3, conv2)
+        src.string_split_predicates('"s"', lo2, hi2, 3, conv2)
 
 
 def test_derby_live_mixed_case_split_tiles_domain(spark):
