@@ -51,12 +51,17 @@ class FileSource(ParquetSource):
             reader = reader.option("header", "true")
             if self.schema_override is None:
                 reader = reader.option("inferSchema", "true")
+        # read from a COPY of the configured options: popping from
+        # self.options would make the second read() on the same source
+        # silently lose the setting (e.g. xml rowTag falling back to
+        # "row" and parsing zero rows)
+        opts = dict(self.options)
         if self.fmt == "xml":
-            reader = reader.option("rowTag", self.options.pop("rowTag", "row"))
+            reader = reader.option("rowTag", opts.pop("rowTag", "row"))
         if self.schema_override is not None:
             reader = reader.schema(self.schema_override)
-        if self.options:
-            reader = reader.options(**self.options)
+        if opts:
+            reader = reader.options(**opts)
         df = reader.load(self.table_path(name))
         deduped = dedupe_column_names(df.columns)
         if deduped != df.columns:

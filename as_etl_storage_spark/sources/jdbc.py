@@ -310,8 +310,12 @@ class JdbcSource:
         execution half of the string-key split (S10): Spark's native
         partitionColumn only accepts numeric/date/timestamp keys, so the
         radix-128 ranges from ``string_split_predicates`` become one WHERE
-        clause per partition, one connection each (capped upstream by the
-        pool limit, C2)."""
+        clause per partition, one connection each. Concurrency is capped
+        here to ``pool.maxOpenConns`` (C2, source.go:12): every predicate
+        still runs (they tile the key domain), but a coalesce merges them
+        into ≤ cap partitions so each task opens its connections
+        sequentially — a 64-way split against a 4-connection pool reads
+        4-wide instead of flooding the database."""
         table = self.connection.table
         qualified = ".".join(
             self.rules.quoted(p) for p in (table.schema, table.name) if p
@@ -330,4 +334,7 @@ class JdbcSource:
             predicates=list(predicates),
             properties=props,
         )
+        cap = self.connection.pool.max_open_conns
+        if len(predicates) > cap:
+            df = df.coalesce(cap)
         return self.rules.normalize(df, field_types, trim_char)

@@ -49,11 +49,25 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ns_cols:
-        # integer division: float division would lose precision at 2^60 ns
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # set the legacy flag only around THIS plan's construction and restore
+    # it after: leaving it on session-wide would make every later plain
+    # spark.read.parquet of a NANOS table silently return bigint
+    # nanoseconds (no conversion, no error) instead of failing fast.
+    # Restoring is safe for this DataFrame — the parquet relation captures
+    # its schema at resolution time, not at execution time.
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(key)  # effective value ("false" when unset)
+    spark.conf.set(key, "true")
+    try:
+        df = spark.read.parquet(path)
+        for c in ns_cols:
+            # integer division: float division loses precision at 2^60 ns
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+        # force analysis while the flag is on so the relation's schema
+        # (ns column as long) is fixed into the plan before we restore
+        df.schema
+    finally:
+        spark.conf.set(key, prior)
     return df
 
 
@@ -103,16 +117,26 @@ class ParquetSource:
 
     def _read_pinned(self, path: str) -> DataFrame:
         if os.path.isdir(path):
+            # recursive: a hive-partitioned layout (writer partition_by)
+            # keeps its data files under key=value subdirectories — a
+            # top-level-only listing would pin ZERO files and reject the
+            # exact layouts the writer produces
             files = sorted(
-                os.path.join(path, f)
-                for f in os.listdir(path)
+                os.path.join(root, f)
+                for root, _dirs, names in os.walk(path)
+                for f in names
                 if f.endswith(".parquet")
             )
         else:
             files = [path]
         if not files:
             raise SourceError(f"no parquet files to snapshot in {path}")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if os.path.isdir(path):
+            # basePath recovers the partition columns from the pinned
+            # file paths, matching the unpinned read's schema
+            reader = reader.option("basePath", path)
+        return reader.parquet(*files)
 
     def schema(self, name: str | None = None) -> T.StructType:
         """S3 schema probe — zero data read (footer only)."""

@@ -67,6 +67,25 @@ _PA_TO_DDL = {
 }
 
 
+def _json_default(v):
+    """json.dumps serializer for Spark column values it cannot handle
+    natively: timestamp/date → ISO strings, decimal → string (exact, no
+    float rounding), binary → hex. Without this a single timestamp
+    column crashes every jsonaudit write task with TypeError. Shared by
+    the streaming and batch writers (module-level so the batch class,
+    which borrows the stream ``write`` method, resolves it too)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
 def _data_files(path: str) -> list[str]:
     import os
 
@@ -86,7 +105,24 @@ def _key_bounds(path: str, key: str) -> tuple[int, int]:
     lo = hi = None
     for f in _data_files(path):
         md = pq.ParquetFile(f).metadata
-        idx = md.schema.to_arrow_schema().get_field_index(key)
+        if md.num_row_groups == 0:
+            continue
+        # row_group(...).column(i) takes the parquet LEAF column index,
+        # which diverges from the Arrow top-level field index as soon as
+        # any nested/struct column precedes the key — resolve by leaf
+        # path instead (path_in_schema equals the column name for the
+        # flat key columns this source supports)
+        leaf_paths = [
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.num_columns)
+        ]
+        try:
+            idx = leaf_paths.index(key)
+        except ValueError:
+            raise ValueError(
+                f"rangesplit: split key {key!r} not found among parquet "
+                f"leaf columns {leaf_paths} in {f}"
+            ) from None
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st is None or not st.has_min_max:  # pragma: no cover
@@ -308,7 +344,9 @@ class JsonAuditStreamWriter(DataSourceStreamWriter):
         n = 0
         with open(path, "w", encoding="utf-8") as fh:
             for row in iterator:
-                fh.write(json.dumps(row.asDict()) + "\n")
+                fh.write(
+                    json.dumps(row.asDict(), default=_json_default) + "\n"
+                )
                 n += 1
         return _Committed(path, n)
 

@@ -67,6 +67,11 @@ def file_stream(spark: SparkSession, path: str) -> DataFrame:
     from as_etl_storage_spark.sources.parquet import _nanos_timestamp_columns
 
     if "ts" in _nanos_timestamp_columns(path):
+        # unlike the batch reader (which restores the flag after pinning
+        # its relation schema), a stream re-plans a scan every micro-batch
+        # for the query's whole lifetime, so the flag must stay set while
+        # any NANOS stream may run. Batch reads stay safe either way:
+        # read_parquet_table handles both encodings explicitly.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.readStream.schema(EVENTS_SCHEMA_NS).parquet(path)
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

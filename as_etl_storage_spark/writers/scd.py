@@ -44,6 +44,11 @@ def scd2_apply(
         updates.select(
             F.col(key),
             *[F.col(c).alias(f"__new_{c}") for c in tracked],
+            # explicit presence marker: inferring "an update row matched"
+            # from the nullness of the new values would silently drop an
+            # update that sets EVERY tracked attribute to NULL (a real
+            # change the eqNullSafe diff below exists to catch)
+            F.lit(True).alias("__matched"),
         )
     )
     cur = dim.where(F.col("is_current"))
@@ -53,12 +58,9 @@ def scd2_apply(
     diffs = [
         ~F.col(c).eqNullSafe(F.col(f"__new_{c}")) for c in tracked
     ]
-    has_update = F.col(f"__new_{tracked[0]}").isNotNull() | reduce(
-        lambda a, b: a | b,
-        [F.col(f"__new_{c}").isNotNull() for c in tracked[1:]],
-        F.lit(False),
+    changed = F.coalesce(F.col("__matched"), F.lit(False)) & reduce(
+        lambda a, b: a | b, diffs
     )
-    changed = has_update & reduce(lambda a, b: a | b, diffs)
 
     carried = joined.where(~changed).select(dim.columns)
     closed = (

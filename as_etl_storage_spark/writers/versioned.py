@@ -172,14 +172,30 @@ class VersionedTable:
         if not files:
             return self.spark.createDataFrame([], "dummy string").limit(0)
         paths = [os.path.join(self.path, f) for f in files]
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: a version committed after additive evolution
+        # (evolveSchema) references files with both the old and the new
+        # column set — without merging, the table schema would be whatever
+        # file happens to be listed first and added columns would silently
+        # vanish
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
-    def vacuum(self, retain_last: int = 1) -> int:
+    def vacuum(self, retain_last: int = 1, grace_seconds: float = 600.0) -> int:
         """Delete data files unreferenced by the last ``retain_last``
-        versions (and their manifests). Returns files removed."""
+        versions (and their manifests). Returns files removed.
+
+        ``grace_seconds`` (Delta's retention-window idea, scaled to this
+        sandbox): files younger than the grace are kept even when
+        unreferenced — the commit protocol writes data files FIRST and
+        references them only at the O_EXCL manifest commit, so an
+        in-flight writer's fresh files are always momentarily
+        unreferenced; vacuuming them would let its commit succeed while
+        pointing at deleted files. Pass 0 only when no concurrent writer
+        can exist."""
+        import time as _time
+
         vs = self._versions()
         if len(vs) <= retain_last:
             return 0
@@ -188,10 +204,26 @@ class VersionedTable:
         for v in keep_versions:
             keep_files.update(self._manifest(v)["files"])
         removed = 0
+        now = _time.time()
+
+        def _old_enough(full: str) -> bool:
+            try:
+                return now - os.path.getmtime(full) >= grace_seconds
+            except OSError:
+                return False  # already gone (concurrent vacuum)
+
         for f in os.listdir(self.path):
             if f.endswith(".parquet") and f not in keep_files:
-                os.remove(os.path.join(self.path, f))
+                full = os.path.join(self.path, f)
+                if not _old_enough(full):
+                    continue
+                os.remove(full)
                 removed += 1
         for v in vs[:-retain_last]:
-            os.remove(os.path.join(self.log_dir, f"{v:08d}.json"))
+            # the same grace applies to manifests: deleting a young
+            # version's manifest while its files are grace-protected
+            # would orphan the files AND lose the version early
+            mf = os.path.join(self.log_dir, f"{v:08d}.json")
+            if _old_enough(mf):
+                os.remove(mf)
         return removed

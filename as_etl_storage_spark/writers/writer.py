@@ -141,8 +141,12 @@ class ParquetWriter:
         path = self.target_path()
         if not os.path.exists(path):
             return
-        target = self._read_target(path).schema
-        incoming = df.schema
+        self._check_compat_schemas(self._read_target(path).schema, df.schema, path)
+
+    def _check_compat_schemas(self, target, incoming, path: str) -> None:
+        """Comparison core shared by the file path (target schema read
+        from the target directory) and the versioned path (target schema
+        from the latest committed version)."""
         t_names = [f.name for f in target.fields]
         i_names = [f.name for f in incoming.fields]
         # type changes on existing columns are never allowed — appending a
@@ -305,35 +309,45 @@ class ParquetWriter:
         clean = self._arrange(clean)
         rejected = 0
         reject_path = ""
+        reject_cached = None
         if reject is not None:
             reject_path = self.reject_path()
             reject_cached = reject.cache()
             rejected = reject_cached.count()
-            if rejected:
-                self._write_df(reject_cached, reject_path, "append")
-            reject_cached.unpersist()
 
         path = self.target_path()
         mode = self.spec.write_mode
-        if self.spec.versioned:
-            return self._write_versioned(clean, rejected, reject_path)
-        if mode in ("insert",):
-            self.check_schema_compat(clean)
-            written = self._with_retry(lambda: self._append(clean, path), "append")
-        elif mode == "overwrite":
-            written = self._with_retry(
-                lambda: self._overwrite(clean, path), "overwrite"
-            )
-        elif mode == "replace":
-            written = self._with_retry(
-                lambda: self._merge_replace(clean, path), "replace"
-            )
-        elif mode == "ignore":
-            written = self._with_retry(
-                lambda: self._insert_ignore(clean, path), "ignore"
-            )
-        else:  # pragma: no cover - spec.validate guards
-            raise WriterError(f"unknown writeMode {mode!r}")
+        try:
+            if self.spec.versioned:
+                written, path = self._write_versioned(clean)
+            elif mode in ("insert",):
+                self.check_schema_compat(clean)
+                written = self._with_retry(
+                    lambda: self._append(clean, path), "append"
+                )
+            elif mode == "overwrite":
+                written = self._with_retry(
+                    lambda: self._overwrite(clean, path), "overwrite"
+                )
+            elif mode == "replace":
+                written = self._with_retry(
+                    lambda: self._merge_replace(clean, path), "replace"
+                )
+            elif mode == "ignore":
+                written = self._with_retry(
+                    lambda: self._insert_ignore(clean, path), "ignore"
+                )
+            else:  # pragma: no cover - spec.validate guards
+                raise WriterError(f"unknown writeMode {mode!r}")
+            # dead-letter rows are recorded only once the main write has
+            # SUCCEEDED: appending them first would double-count every bad
+            # row when a failed job is fixed and re-run (the re-run
+            # quarantines the same set again)
+            if reject_cached is not None and rejected:
+                self._write_df(reject_cached, reject_path, "append")
+        finally:
+            if reject_cached is not None:
+                reject_cached.unpersist()
 
         self.run_post_sql()
         return WriteResult(
@@ -343,12 +357,11 @@ class ParquetWriter:
             reject_path=reject_path,
         )
 
-    def _write_versioned(
-        self, clean: DataFrame, rejected: int, reject_path: str
-    ) -> WriteResult:
+    def _write_versioned(self, clean: DataFrame) -> tuple[int, str]:
         """Transaction-log table path (writers/versioned.py): atomic
         commits, snapshot isolation, time travel — Delta semantics on
-        plain parquet."""
+        plain parquet. Returns (rows written, table dir); the caller owns
+        reject recording and postSQL so ordering matches the file path."""
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
         table_dir = os.path.join(
@@ -358,10 +371,18 @@ class ParquetWriter:
             raise WriterError("versioned tables require the parquet backend")
         vt = VersionedTable(self.spark, table_dir)
         mode = self.spec.write_mode
+        exists = vt.latest_version() is not None
+        if exists and mode in ("insert", "replace"):
+            # same W11 gate as the file path: appending/merging a drifted
+            # schema would commit mixed-schema files the reader then
+            # resolves arbitrarily (overwrite legitimately redefines it)
+            self._check_compat_schemas(
+                vt.read().schema, clean.schema, table_dir
+            )
         clean.cache()
         written = clean.count()
         if mode == "insert":
-            vt.append(clean) if vt.latest_version() is not None else vt.overwrite(clean)
+            vt.append(clean) if exists else vt.overwrite(clean)
         elif mode == "overwrite":
             vt.overwrite(clean)
         elif mode == "replace":
@@ -369,13 +390,7 @@ class ParquetWriter:
         else:
             raise WriterError(f"writeMode {mode!r} unsupported for versioned tables")
         clean.unpersist()
-        self.run_post_sql()
-        return WriteResult(
-            target_path=table_dir,
-            written=written,
-            rejected=rejected,
-            reject_path=reject_path,
-        )
+        return written, table_dir
 
 
 class FileFormatWriter(ParquetWriter):

@@ -188,7 +188,9 @@ def test_derby_live_string_predicate_split_read(spark):
         '"s"', "key_0000", "key_0499", 5, conv
     )
     back = src.read_predicates(preds)
-    assert back.rdd.getNumPartitions() == 5
+    # 5 predicates tile the domain, but concurrency is pool-capped (C2):
+    # the scan coalesces to maxOpenConns=4 partitions
+    assert back.rdd.getNumPartitions() == 4
     assert back.count() == 500
     assert back.select("k").distinct().count() == 500  # no overlap
 
@@ -313,3 +315,37 @@ def test_derby_live_mixed_case_split_tiles_domain(spark):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == len(keys)  # no gap
     assert back.select("k").distinct().count() == len(keys)  # no overlap
+
+
+def test_read_predicates_capped_by_pool_limit(spark):
+    """C2: a predicate list wider than pool.maxOpenConns must coalesce so
+    concurrent connections never exceed the pool cap — every predicate
+    still runs (the ranges tile the domain), just ≤ cap at a time."""
+    import uuid
+
+    from as_etl_storage_spark.plans.split import StringConvertor
+    from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+    url = f"jdbc:derby:memory:cap_{uuid.uuid4().hex[:10]};create=true"
+    spec = WriterSpec.from_json(
+        {"connection": {"url": url, "table": {"name": "t_cap"}},
+         "writeMode": "insert"}
+    )
+    keys = [f"k{i:03d}" for i in range(64)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(keys)], "k long, s string"
+    )
+    JdbcWriter(spark, spec, "derby").write(df)
+    src = JdbcSource(spark, spec.connection, dialect="derby")
+    lo, hi = src.min_max('"s"')
+    conv = StringConvertor()
+    conv.fit(lo, hi)
+    preds = src.string_split_predicates('"s"', lo, hi, 16, conv)
+    assert len(preds) == 16
+    back = src.read_predicates(preds)
+    # default pool cap is 4 (source.go:12)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == len(keys)
+    assert back.select("k").distinct().count() == len(keys)

@@ -439,3 +439,115 @@ def test_json_audit_replayed_batch_invisible(spark, tmp_path):
     )
     got = read_json_audit(spark, outdir)
     assert got.count() == 2  # not 4
+
+
+def test_rangesplit_key_bounds_after_struct_column(tmp_path):
+    """Row-group stats are addressed by parquet LEAF index, which diverges
+    from the Arrow field index when a struct column precedes the key —
+    the old field-index lookup silently read the wrong column's stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from as_etl_storage_spark.sources.pyds import _key_bounds
+
+    t = pa.table({
+        "s": pa.array([{"a": i, "b": i * 1000} for i in range(50)]),
+        "id": pa.array(range(100, 150)),
+    })
+    p = str(tmp_path / "nested.parquet")
+    pq.write_table(t, p)
+    assert _key_bounds(p, "id") == (100, 149)
+    with pytest.raises(ValueError, match="not found among parquet leaf"):
+        _key_bounds(p, "nope")
+
+
+def test_filesource_options_survive_repeat_reads(spark, tmp_path):
+    """read() must not mutate the configured options: the second read on
+    the same source instance previously lost rowTag and parsed with the
+    'row' default."""
+    from as_etl_storage_spark.sources.files import FileSource
+    from as_etl_storage_spark.spec import ConnectionSpec
+
+    xml = (
+        "<records><record><k>1</k><v>a</v></record>"
+        "<record><k>2</k><v>b</v></record></records>"
+    )
+    (tmp_path / "t.xml").write_text(xml)
+    conn = ConnectionSpec.from_json(
+        {"url": str(tmp_path), "table": {"name": "t"}}
+    )
+    src = FileSource(spark, conn, "xml", options={"rowTag": "record"})
+    assert src.read().count() == 2
+    assert src.read().count() == 2  # second read keeps rowTag
+
+
+def test_pinned_snapshot_reads_partitioned_layout(spark, tmp_path):
+    """snapshot=True on a hive-partitioned table (writer partition_by)
+    must pin the leaf files recursively and recover partition columns."""
+    from as_etl_storage_spark.sources.parquet import ParquetSource
+    from as_etl_storage_spark.spec import ConnectionSpec
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(30)], "id: long, part: int, s: string"
+    )
+    target = str(tmp_path / "pt.parquet")
+    df.write.partitionBy("part").parquet(target)
+    conn = ConnectionSpec.from_json(
+        {"url": str(tmp_path), "table": {"name": "pt"}}
+    )
+    got = ParquetSource(spark, conn).read(snapshot=True)
+    assert got.count() == 30
+    assert "part" in got.columns
+    assert got.select("part").distinct().count() == 3
+
+
+def test_nanos_flag_restored_after_batch_read(spark, tmp_path):
+    """read_parquet_table converts TIMESTAMP(NANOS) but must NOT leave the
+    session-wide nanosAsLong flag set: a later plain read of a NANOS file
+    should still fail fast instead of silently returning bigints."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from as_etl_storage_spark.sources.parquet import read_parquet_table
+
+    p = str(tmp_path / "ns.parquet")
+    ts = pa.array(np.arange(5) * 10**9 + 123456789, type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"id": pa.array(range(5)), "ts": ts}), p)
+    df = read_parquet_table(spark, p)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    first = df.orderBy("id").first()["ts"]
+    assert first.microsecond == 123456  # ns truncated to micros
+    # the converted frame stays executable after the restore
+    assert df.count() == 5
+
+
+def test_jsonaudit_serializes_rich_types(spark, tmp_path):
+    """The jsonaudit writers must serialize timestamp/date/decimal/binary
+    columns instead of crashing every task with TypeError."""
+    import json
+    import os
+
+    from as_etl_storage_spark.sources.pyds import JsonAuditDataSource
+
+    spark.dataSource.register(JsonAuditDataSource)
+    out = str(tmp_path / "audit")
+    df = spark.sql(
+        "SELECT TIMESTAMP '2024-01-02 03:04:05.123456' AS ts, "
+        "DATE '2024-06-30' AS d, CAST(1.25 AS DECIMAL(10,2)) AS dec, "
+        "X'DEADBEEF' AS bin, 7 AS n"
+    )
+    df.write.format("jsonaudit").mode("overwrite").option("outdir", out).save()
+    manifest = os.path.join(out, "manifest.jsonl")
+    entry = json.loads(open(manifest).read().strip().splitlines()[-1])
+    rows = []
+    for f in entry["files"]:
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["d"] == "2024-06-30" and r["dec"] == "1.25"
+    assert r["bin"] == "deadbeef" and r["n"] == 7
+    assert r["ts"].startswith("2024-01-02T03:04:05.123456")

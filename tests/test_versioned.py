@@ -110,7 +110,12 @@ def test_vacuum_removes_unreferenced(spark, table, tmp_path):
     orders = load_table(spark, SF, "orders")
     table.overwrite(orders.limit(100))
     table.overwrite(orders.limit(10))  # v0's files now unreferenced by v1
-    removed = table.vacuum(retain_last=1)
+    # default grace window protects just-written files (they are younger
+    # than any realistic retention) — an immediate vacuum removes nothing
+    assert table.vacuum(retain_last=1) == 0
+    assert table.read(version_as_of=0).count() == 100  # still readable
+    # grace_seconds=0 (single-writer maintenance) actually collects
+    removed = table.vacuum(retain_last=1, grace_seconds=0.0)
     assert removed >= 1
     assert table.read().count() == 10  # latest intact
     with pytest.raises(VersionedTableError):
@@ -229,3 +234,100 @@ def test_time_travel_through_job_spec(spark, tmp_path):
     assert read_version(0).written == n0
     assert read_version(None).written == n0 + n_appended  # latest
     assert read_version(1).written == n0 + n_appended
+
+
+def test_scd2_all_null_update_still_closes_row(spark):
+    """An update that sets EVERY tracked attribute to NULL is a real
+    change: the old current row must close and a NULL-valued current row
+    open — inferring 'matched' from new-value nullness silently dropped
+    exactly this case."""
+    from as_etl_storage_spark.writers.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(
+        spark.createDataFrame([(1, "a@x"), (2, "b@x")], "k: long, email: string"),
+        version=1,
+    )
+    updates = spark.createDataFrame(
+        [(1, None)], "k: long, email: string"
+    )
+    out = scd2_apply(dim, updates, "k", ["email"], version=2).collect()
+    rows = {(r["k"], r["email"], r["valid_to"], r["is_current"]) for r in out}
+    assert rows == {
+        (1, "a@x", 2, False),   # closed by the NULL update
+        (1, None, None, True),  # fresh current row with the NULL value
+        (2, "b@x", None, True), # untouched
+    }
+
+
+def test_versioned_insert_enforces_schema_compat(spark, tmp_path):
+    """The versioned branch runs the same W11 gate as the file path:
+    appending a drifted schema is an error without evolveSchema, and
+    additive evolution round-trips through the manifest read (mergeSchema:
+    the added column must not silently vanish)."""
+    import pytest
+
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.writer import ParquetWriter, WriterError
+
+    def spec(evolve=False):
+        obj = {
+            "connection": {"url": str(tmp_path), "table": {"name": "vt_compat"}},
+            "writeMode": "insert",
+            "versioned": True,
+        }
+        if evolve:
+            obj["evolveSchema"] = True
+        return WriterSpec.from_json(obj)
+
+    base = spark.createDataFrame([(1, "x")], "a: long, b: string")
+    ParquetWriter(spark, spec()).write(base)
+    drifted = spark.createDataFrame([(2, "y", 9.5)], "a: long, b: string, c: double")
+    with pytest.raises(WriterError, match="schema mismatch"):
+        ParquetWriter(spark, spec()).write(drifted)
+    retyped = spark.createDataFrame([(3, 4)], "a: long, b: long")
+    with pytest.raises(WriterError, match="type changes"):
+        ParquetWriter(spark, spec(evolve=True)).write(retyped)
+    ParquetWriter(spark, spec(evolve=True)).write(drifted)  # additive ok
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    table = VersionedTable(spark, str(tmp_path / "vt_compat"))
+    got = table.read()
+    assert set(got.columns) == {"a", "b", "c"}  # mergeSchema keeps c
+    assert got.count() == 2
+    assert got.where("c IS NOT NULL").count() == 1
+
+
+def test_quarantine_rejects_recorded_only_after_main_write(spark, tmp_path):
+    """A failed main write must leave the dead-letter table EMPTY: rejects
+    recorded before the failure would double-count once the job is fixed
+    and re-run."""
+    import os
+
+    import pytest
+
+    from as_etl_storage_spark.spec import WriterSpec
+    from as_etl_storage_spark.writers.writer import ParquetWriter, WriterError
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 30)], "k: long, v: long"
+    )
+    ok_spec = WriterSpec.from_json({
+        "connection": {"url": str(tmp_path), "table": {"name": "q_t"}},
+        "writeMode": "insert",
+        "quarantinePredicate": "v >= 0",
+    })
+    res = ParquetWriter(spark, ok_spec).write(df)
+    assert res.written == 2 and res.rejected == 1
+    reject_before = spark.read.parquet(res.reject_path).count()
+    # schema-compat failure (retyped column) hits AFTER quarantine
+    # splitting but before any data lands — a deterministic main-write
+    # failure
+    drifted = spark.createDataFrame(
+        [(4, "oops")], "k: long, v: string"
+    )
+    with pytest.raises(WriterError, match="type changes|schema mismatch"):
+        ParquetWriter(spark, ok_spec).write(
+            drifted.selectExpr("k", "CAST(NULL AS STRING) AS v")
+        )
+    # the failed attempt recorded nothing
+    assert spark.read.parquet(res.reject_path).count() == reject_before
