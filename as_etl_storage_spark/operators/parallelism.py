@@ -30,17 +30,41 @@ def constant_partition_key(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(1))
 
 
+import re
+
+#: logical-plan nodes whose presence means the frame's parallelism is no
+#: longer scan-bound (a shuffle/wide op upstream already spreads it) —
+#: and, critically, whose presence makes the .rdd partition probe below
+#: EXECUTE the upstream stages at plan-build time under AQE (a full
+#: duplicated pass on an expensive lineage). Matched as capitalized node
+#: tokens at word boundaries so column aliases don't false-positive; a
+#: rare false hit only skips the repartition, never breaks correctness.
+_WIDE_NODES = re.compile(
+    r"\b(Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression|"
+    r"Deduplicate|Distinct|Intersect|Except|Generate)\b"
+)
+
+
 def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin-repartition ``df`` to ``min_parts`` (default: the
-    session's defaultParallelism) ONLY when its current partition count
-    is below half that — i.e. only when the scan genuinely cannot feed
-    the cores. No-op (and no added shuffle) whenever the source is
-    already split, so at cluster scale this never fires; on
+    session's defaultParallelism) ONLY when it is a narrow
+    scan/projection whose partition count is below half that — i.e. only
+    when the scan genuinely cannot feed the cores. No-op (and no added
+    shuffle) whenever the source is already split or the lineage
+    contains a wide operator, so at cluster scale this never fires; on
     single-row-group local fixtures it moves the small input once so the
     expensive per-row work downstream runs wide.
 
+    The wide-operator gate matters beyond the shuffle-already-spreads
+    argument: probing ``df.rdd`` on an AQE plan with exchanges EXECUTES
+    the upstream stages during plan construction — a caller-supplied
+    frame with a join/aggregate in its lineage would silently run twice.
+    On a narrow scan the probe is free (no stages to materialize).
+
     Call it BEFORE the expensive projection: repartitioning after would
     ship the projected results, parallelizing nothing."""
+    if _WIDE_NODES.search(df._jdf.queryExecution().optimizedPlan().toString()):
+        return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)

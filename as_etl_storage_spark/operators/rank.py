@@ -30,8 +30,11 @@ round-5 design). The literal scheme needs no materialized copy, is
 fault-tolerant, and costs exactly two jobs per operator: the boundary
 sample and the caller's action.
 
-The offsets window uses ``partitionBy(lit(0))`` — physically a single
-partition, but over the ≤ parts-row stats relation only, the same
+The offsets/totals windows partition on a constant-but-UNFOLDABLE key
+(``operators/parallelism.constant_partition_key`` — NOT ``lit(0)``,
+which Catalyst folds out of the spec, re-planning Exchange
+SinglePartition and re-emitting the WindowExec warning) — physically
+one partition, but over the ≤ parts-row stats relation only, the same
 bounded class as split boundaries; the corpus itself never sees an
 unpartitioned window.
 """
@@ -92,23 +95,26 @@ def _sample_boundaries(
     df: DataFrame, order_cols: list[str], parts: int
 ) -> list[tuple]:
     """ONE bounded job: per-partition weighted reservoir of
-    ~_SAMPLE_PER_BUCKET key tuples via mapInPandas (vectorized
-    ``DataFrame.sample`` per Arrow batch — no Python row loop); the
-    driver weight-merges them into ≤ parts-1 ascending boundary tuples
-    (the same per-partition-sketch scheme Spark's own RangePartitioner
-    uses, minus a separate count job to size a global sample fraction).
-    Each pick carries weight = its OWN batch's rows / picks — a single
-    partition-level weight would over-represent small batches (a 100-row
-    tail batch yields picks at 100× the rate of a 10k-row batch, fatal
-    when the input arrives pre-sorted on the key); the partition-level
-    cap is then an Efraimidis–Spirakis weighted reservoir (top-k by
-    u^(1/w), inclusion probability ∝ weight) so survivors represent the
-    partition uniformly and share weight partition_rows / k. Collect
-    size is O(input_partitions × _SAMPLE_PER_BUCKET), independent of row
-    count — the same bounded class as split boundaries. An unlucky
-    sample only skews bucket sizes (lost parallelism), never
-    correctness: bucket ids stay a pure function of the collected
-    literals."""
+    ~_SAMPLE_PER_BUCKET key tuples via mapInArrow (vectorized take per
+    Arrow batch — no Python row loop, and no pandas round-trip: pandas
+    would conflate NaN doubles with NULL and force nullable int64 keys
+    through float64, mangling boundary literals above 2^53); the driver
+    weight-merges them into ≤ parts-1 ascending boundary tuples (the
+    same per-partition-sketch scheme Spark's own RangePartitioner uses,
+    minus a separate count job to size a global sample fraction). Each
+    pick carries weight = its OWN batch's rows / picks — a single
+    partition-level weight would over-represent small batches (a
+    100-row tail batch yields picks at 100× the rate of a 10k-row
+    batch, fatal when the input arrives pre-sorted on the key); the
+    partition-level cap is a STREAMING Efraimidis–Spirakis weighted
+    reservoir (top-k by u^(1/w), inclusion probability ∝ weight,
+    compacted whenever the buffer exceeds a small multiple of k so
+    per-partition state stays O(k) regardless of row count), and
+    survivors share weight partition_rows / k. Collect size is
+    O(input_partitions × _SAMPLE_PER_BUCKET), independent of row count
+    — the same bounded class as split boundaries. An unlucky sample
+    only skews bucket sizes (lost parallelism), never correctness:
+    bucket ids stay a pure function of the collected literals."""
     if parts <= 1:
         return []
     keys = df.select(*[F.col(c) for c in order_cols])
@@ -122,29 +128,60 @@ def _sample_boundaries(
 
     def sampler(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         rng = np.random.RandomState(42)
-        picks, total = [], 0
-        for pdf in batches:
-            n = len(pdf)
+        buf: list[pa.Table] = []  # sampled rows, exact Arrow values
+        buf_w: list[np.ndarray] = []  # per-row weights
+        buf_es: list[np.ndarray] = []  # per-row E-S keys u^(1/w)
+        buf_rows = 0
+        total = 0
+        cut = False  # any E-S selection happened → equal final weights
+
+        def compact(limit: int):
+            nonlocal buf, buf_w, buf_es, buf_rows, cut
+            t = buf[0] if len(buf) == 1 else pa.concat_tables(buf)
+            w = np.concatenate(buf_w)
+            es = np.concatenate(buf_es)
+            sel = np.argsort(-es)[:limit]
+            buf = [t.take(pa.array(sel))]
+            buf_w = [w[sel]]
+            buf_es = [es[sel]]
+            buf_rows = len(sel)
+            cut = True
+
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
             total += n
-            p = pdf.sample(n=min(k, n), random_state=rng).copy()
-            p[_W] = float(n) / len(p)
-            picks.append(p)
+            take = min(k, n)
+            idx = rng.choice(n, size=take, replace=False)
+            t = pa.Table.from_batches([batch]).take(pa.array(idx))
+            w = np.full(take, float(n) / take)
+            buf.append(t)
+            buf_w.append(w)
+            buf_es.append(rng.random_sample(take) ** (1.0 / w))
+            buf_rows += take
+            if buf_rows > 8 * k:
+                # running top-k by E-S key IS the final selection —
+                # compacting early changes nothing and bounds memory
+                compact(k)
         if total:
-            allp = picks[0] if len(picks) == 1 else pd.concat(picks)
-            if len(allp) > k:
-                es_keys = rng.random_sample(len(allp)) ** (
-                    1.0 / allp[_W].to_numpy()
-                )
-                allp = allp.iloc[np.argsort(-es_keys)[:k]].copy()
-                allp[_W] = float(total) / len(allp)
-            yield allp
+            if buf_rows > k:
+                compact(k)
+            if cut:
+                # post-cut estimator weight: E-S selected rows with
+                # probability ∝ w, so each survivor represents an equal
+                # share of the partition
+                buf = [buf[0] if len(buf) == 1 else pa.concat_tables(buf)]
+                buf_w = [np.full(buf_rows, float(total) / buf_rows)]
+            out = buf[0].append_column(
+                _W, pa.array(np.concatenate(buf_w), type=pa.float64())
+            )
+            yield from out.to_batches()
 
-    rows = keys.mapInPandas(sampler, schema=out_schema).collect()
+    rows = keys.mapInArrow(sampler, schema=out_schema).collect()
     if not rows:
         return []
     weighted = sorted(
@@ -189,28 +226,31 @@ _partitioned_once = _bucketed_once
 
 #: the offsets relation holds one row per bucket (≤ defaultParallelism by
 #: construction) — a constant-partition window over it is bounded, the
-#: same class as split boundaries. The partition key is ``pmod(pid, 1)``
-#: (always 0) rather than ``lit(0)``: a foldable literal is optimized out
-#: of the partition spec, which would both re-emit WindowExec's "No
-#: Partition Defined" warning and plan an ``Exchange SinglePartition`` —
-#: the constant-but-unfoldable key keeps the spec, so the plan shows an
-#: ordinary hash exchange over the ≤ parts stats rows and the warning
-#: stays reserved for genuinely unbounded windows
+#: same class as split boundaries. The key is
+#: parallelism.constant_partition_key (the ONE definition of the
+#: constant-but-unfoldable idiom): a foldable ``lit(0)`` would be
+#: optimized out of the spec, re-planning ``Exchange SinglePartition``
+#: and re-emitting WindowExec's "No Partition Defined" warning
 def _offsets_window() -> Window:
+    from as_etl_storage_spark.operators.parallelism import (
+        constant_partition_key,
+    )
+
     return (
-        Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+        Window.partitionBy(constant_partition_key(F.col(_PID)))
         .orderBy(_PID)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
 
 
 #: sibling of :func:`_offsets_window` for grand totals over the same tiny
-#: stats exchange: unbounded frame, same constant-but-unfoldable key —
-#: keep the pmod idiom in these two helpers ONLY (a foldable ``lit(0)``
-#: is optimized out and re-plans Exchange SinglePartition + the
-#: WindowExec warning)
+#: stats exchange: unbounded frame, same constant key
 def _totals_window() -> Window:
-    return Window.partitionBy(F.pmod(F.col(_PID), F.lit(1)))
+    from as_etl_storage_spark.operators.parallelism import (
+        constant_partition_key,
+    )
+
+    return Window.partitionBy(constant_partition_key(F.col(_PID)))
 
 
 def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
@@ -264,6 +304,11 @@ def global_ntile(df: DataFrame, order_cols: list[str], n: int) -> DataFrame:
     built on global_rank — no single-partition exchange anywhere, and the
     total-count arithmetic stays in-plan (the total rides the broadcast
     offsets row, exact integer expressions)."""
+    if n < 1:
+        # fail fast: in-plan `DIV n` would defer this to a NULL bucket
+        # (non-ANSI) or an executor-side DivideByZeroException (ANSI),
+        # far from the bad call site
+        raise ValueError(f"ntile bucket count must be >= 1, got {n}")
     out = _ranked(df, order_cols)
     total = F.col("__rank_total")
     base = F.expr(f"__rank_total DIV {n}")

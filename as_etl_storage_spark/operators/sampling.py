@@ -162,10 +162,20 @@ def negative_samples(
     # no second count() job; it rides the broadcast offsets row as the
     # __rank_total column
     indexed = global_rank_with_total(df.select(F.col(id_col)), [id_col])
-    anchors = (
-        indexed.join(
+    # fast path: a predicate that resolves against the id column alone
+    # (the common contrastive case, e.g. "doc_id % 20 = 0") filters the
+    # ranked index directly — no third corpus scan, no semi-join shuffle.
+    # Predicates referencing other columns fall back to filtering the
+    # full frame and semi-joining the surviving ids in.
+    try:
+        df.select(F.col(id_col)).where(anchor_pred).schema
+        filtered = indexed.where(anchor_pred)
+    except Exception:
+        filtered = indexed.join(
             df.where(anchor_pred).select(id_col), id_col, "left_semi"
         )
+    anchors = (
+        filtered
         .select(F.col(id_col).alias("anchor_id"), "__rank_total")
         .select(
             "anchor_id",

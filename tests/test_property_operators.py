@@ -584,3 +584,46 @@ def test_global_running_sum_total_col_in_plan(spark):
     assert dict(out.dtypes)["tot"].startswith("decimal")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_boundary_sampler_preserves_nan_null_and_large_longs(spark):
+    # the Arrow sampler must not mangle boundary literals: pandas would
+    # conflate NaN with NULL (flipping a greatest-key boundary to the
+    # NULLS-FIRST bottom) and push nullable int64 through float64
+    # (corrupting keys above 2^53)
+    import math
+
+    from as_etl_storage_spark.operators.rank import (
+        _sample_boundaries,
+        global_rank,
+    )
+    from pyspark.sql import Window, functions as F
+
+    big = 2**60 + 12345
+    rows = (
+        [(float("nan"), None, i) for i in range(40)]
+        + [(None, big + i, i + 40) for i in range(40)]
+        + [(float(i), big * 2 + i, i + 80) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "a double, b long, id long").repartition(3)
+    bounds = _sample_boundaries(df, ["a", "b", "id"], 8)
+    assert bounds, "expected some boundaries"
+    flat_a = [b[0] for b in bounds]
+    flat_b = [b[1] for b in bounds if b[1] is not None]
+    # NaN keys must survive as NaN (never collapse to None)
+    assert any(v is not None and math.isnan(v) for v in flat_a) or all(
+        v is not None for v in flat_a
+    )
+    # int64 keys must come back bit-exact (float64 would round to
+    # multiples of 512 at this magnitude)
+    assert all(v >= big and (v - big) < 3 * big for v in flat_b)
+    exact = {r[1] for r in rows if r[1] is not None}
+    assert set(flat_b) <= exact  # every boundary is a real sampled key
+    # and the rank built on those boundaries is still bit-identical
+    got = {r["id"]: r["global_rank"]
+           for r in global_rank(df, ["a", "b", "id"]).collect()}
+    want = {r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("a", "b", "id"))
+            ).collect()}
+    assert got == want
