@@ -1039,16 +1039,31 @@ ORACLES["q_triangle_count"] = _TRIANGLE_SQL
 
 # ------------------------------------------------- bucketed join ----------
 def _bucketed_table_base() -> str:
-    """External-table root for bucketed fixtures, derived from the package
-    location (NOT a hardcoded absolute path — the repo may be checked out
-    anywhere). Kept OUTSIDE both $CWD/spark-warehouse (the caller's session
-    may run from a different/unwritable cwd) and the TTL-GC'd .scratch
-    root (parity._scratch_dir deletes hour-old entries — it must never
+    """External-table root for bucketed fixtures. Resolution order:
+    ``$SPARK_GRAFT_TABLE_DIR`` if set; else ``.scratch-tables`` next to
+    the package checkout when that prefix is writable (NOT a hardcoded
+    absolute path — the repo may be checked out anywhere); else a stable
+    per-user tempdir (covers pip-installed/site-packages layouts where
+    the package parent is read-only or not a real directory). Kept
+    OUTSIDE both $CWD/spark-warehouse (the caller's session may run from
+    a different/unwritable cwd) and the TTL-GC'd .scratch root
+    (parity._scratch_dir deletes hour-old entries — it must never
     collect live table files)."""
+    import getpass
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_TABLE_DIR")
+    if env:
+        return env
     import as_etl_storage_spark as _pkg
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
-    return os.path.join(repo_root, ".scratch-tables")
+    if os.path.isdir(repo_root) and os.access(repo_root, os.W_OK):
+        return os.path.join(repo_root, ".scratch-tables")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"as-etl-storage-spark-tables-{getpass.getuser()}",
+    )
 
 
 def _bucketed_ingest(spark: SparkSession, sf_dir: str, force: bool) -> tuple[str, str]:
@@ -1057,9 +1072,18 @@ def _bucketed_ingest(spark: SparkSession, sf_dir: str, force: bool) -> tuple[str
     bucketed join amortizes; ``force=False`` reuses tables already
     registered in this session so steady-state joins can be timed without
     re-paying it."""
+    import hashlib
     import shutil
 
-    tag = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    # tag on basename + a digest of the ABSOLUTE path: keying on the
+    # basename alone would serve dataset A's cached tables to a
+    # same-basename dataset B (e.g. two sf0.1 dirs) — silently wrong rows
+    norm = os.path.abspath(sf_dir.rstrip("/"))
+    digest = hashlib.sha1(norm.encode()).hexdigest()[:8]
+    tag = (
+        "".join(c if c.isalnum() else "_" for c in os.path.basename(norm))
+        + f"_{digest}"
+    )
     lt, ot = f"b_lineitem_{tag}", f"b_orders_{tag}"
     base = _bucketed_table_base()
     if not force and spark.catalog.tableExists(lt) and spark.catalog.tableExists(ot):
@@ -1123,10 +1147,10 @@ def _w_bucketed_join_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucketed_join_query(spark, lt, ot)
 
 
-_register(
-    "w_bucketed_join",
-    _w_bucketed_join,
-    """
+# ONE oracle for both bucketed-join entries: the force/steady pair must
+# validate against bit-identical expected results or the amortization
+# parity story is meaningless
+_BUCKETED_JOIN_SQL = """
     SELECT o_orderpriority,
            count(*) AS n_items,
            round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1134,19 +1158,7 @@ _register(
                       AS DOUBLE), 2) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
-    """,
-)
+    """
 
-_register(
-    "w_bucketed_join_steady",
-    _w_bucketed_join_steady,
-    """
-    SELECT o_orderpriority,
-           count(*) AS n_items,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * CAST(1 - l_discount AS DECIMAL(18,2)))
-                      AS DOUBLE), 2) AS revenue
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
+_register("w_bucketed_join", _w_bucketed_join, _BUCKETED_JOIN_SQL)
+_register("w_bucketed_join_steady", _w_bucketed_join_steady, _BUCKETED_JOIN_SQL)
