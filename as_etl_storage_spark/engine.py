@@ -20,12 +20,7 @@ from pyspark.sql import types as T
 
 from as_etl_storage_spark.sources import get_dialect
 from as_etl_storage_spark.spec import ConnectionSpec, TableRef, WriterSpec
-from as_etl_storage_spark.writers.writer import (
-    FileFormatWriter,
-    ParquetWriter,
-    WriteResult,
-    WriterError,
-)
+from as_etl_storage_spark.writers.writer import WriteResult
 
 
 class SourceHandle:
@@ -103,14 +98,10 @@ class Engine:
             merge_keys=tuple(merge_keys or ()),
             **spec_overrides,
         )
-        if dialect == "parquet":
-            writer = ParquetWriter(self.spark, spec)
-        elif dialect in ("csv", "json", "orc", "xml"):
-            writer = FileFormatWriter(self.spark, spec, dialect)
-        elif dialect in ("mysql", "oracle"):
-            from as_etl_storage_spark.writers.jdbc import JdbcWriter
+        # same invariants as the JSON job path: unknown mode / bad
+        # batchSize / SELECT in hooks fail HERE, not after preSQL has
+        # already executed deep inside the writer
+        spec.validate()
+        from as_etl_storage_spark.writers.writer import make_writer
 
-            writer = JdbcWriter(self.spark, spec, dialect)
-        else:
-            raise WriterError(f"unsupported writer dialect {dialect!r}")
-        return writer.write(df)
+        return make_writer(self.spark, spec).write(df)

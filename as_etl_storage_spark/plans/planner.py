@@ -116,12 +116,18 @@ def plan_split_predicates(
     if split.range.left and split.range.right:  # S13 pre-declared bounds
         lo, hi = split.range.left, split.range.right
         if range_type == "bigint":
-            lo, hi = int(lo), int(hi)
+            try:
+                lo, hi = int(lo), int(hi)
+            except ValueError as exc:
+                raise SplitError(
+                    f"bigint split bounds must be integers, got "
+                    f"left={lo!r} right={hi!r}"
+                ) from exc
         elif range_type == "time":
-            from datetime import datetime
+            from as_etl_storage_spark.plans.split import parse_time_bound
 
-            lo = datetime.fromisoformat(lo)
-            hi = datetime.fromisoformat(hi)
+            lo = parse_time_bound(lo, split.range.layout)
+            hi = parse_time_bound(hi, split.range.layout)
     else:  # S12 min/max discovery, honoring user where
         lo, hi = source.min_max(split.key, reader.where)
     if lo is None or hi is None:

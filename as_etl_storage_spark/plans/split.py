@@ -27,7 +27,7 @@ At Spark scale these ranges serve two purposes:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import date, datetime, timezone
 from typing import Protocol
 
 #: accuracy -> unit in nanoseconds (split.go:289-359; layout prefix lengths
@@ -131,10 +131,17 @@ class StringConvertor:
 
     RADIX = 128
 
-    def __init__(self, width: int = 0):
+    def __init__(self, width: int = 0, backslash_escapes: bool = True):
         #: fixed digit width; 0 = unfitted (plain variable-length codec,
         #: round-trip only — never use for range boundaries)
         self.width = width
+        #: whether the TARGET SQL parser treats backslash as an escape in
+        #: string literals. True for Spark SQL (default parser) and MySQL
+        #: — a key like ``C:\alpha`` must render as ``'C:\\alpha'`` or the
+        #: predicate silently matches the wrong string and drops rows.
+        #: False for standard-SQL engines (Derby, Oracle) where backslash
+        #: is an ordinary character.
+        self.backslash_escapes = backslash_escapes
 
     def fit(self, min_value: str, max_value: str) -> None:
         """Pin the encoding width from the split domain's bounds."""
@@ -180,7 +187,10 @@ class StringConvertor:
         return "".join(chr(d) for d in digits)
 
     def literal(self, value: str) -> str:
-        escaped = str(value).replace("'", "''")
+        escaped = str(value)
+        if self.backslash_escapes:
+            escaped = escaped.replace("\\", "\\\\")
+        escaped = escaped.replace("'", "''")
         return f"'{escaped}'"
 
 
@@ -197,7 +207,11 @@ class TimeConvertor:
         self.accuracy = accuracy
         self.unit_ns = _TIME_UNITS_NS[accuracy]
 
-    def to_int(self, value: datetime) -> int:
+    def to_int(self, value) -> int:
+        if isinstance(value, date) and not isinstance(value, datetime):
+            # DateType split keys (types.TYPE_TIME includes DateType):
+            # promote to midnight UTC — a bare date has no .tzinfo
+            value = datetime(value.year, value.month, value.day)
         if value.tzinfo is None:
             value = value.replace(tzinfo=timezone.utc)
         # integer arithmetic only — float timestamps lose sub-ms precision
@@ -216,6 +230,55 @@ class TimeConvertor:
         fmt = _ACCURACY_FMT[self.accuracy]
         s = value.strftime(fmt)
         return f"TIMESTAMP '{s}'"
+
+    def literal_exact(self, value) -> str:
+        """Full-precision literal, independent of the accuracy format —
+        used for the final closed upper bound, where rendering the
+        accuracy-FLOORED boundary would silently exclude every row
+        between floor(max) and max (e.g. a 13:45 event under day
+        accuracy)."""
+        if isinstance(value, date) and not isinstance(value, datetime):
+            value = datetime(value.year, value.month, value.day)
+        return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+
+
+#: Go reference-layout tokens → strptime directives, longest first so
+#: "2006" is consumed before its "06"/"01"-shaped substrings
+_GO_LAYOUT_TOKENS = [
+    ("2006", "%Y"),
+    (".000000", ".%f"),
+    (".000", ".%f"),
+    ("15", "%H"),
+    ("01", "%m"),
+    ("02", "%d"),
+    ("04", "%M"),
+    ("05", "%S"),
+]
+
+
+def parse_time_bound(value: str, layout: str = "") -> datetime:
+    """Parse a declared S13 time bound: ISO-8601 by default, or the job's
+    Go reference layout when ``split.range.layout`` is declared
+    (split.go:47-61 — the reference parses bounds with the job's layout,
+    e.g. ``2006/01/02`` for ``2026/03/01``)."""
+    if not layout:
+        try:
+            return datetime.fromisoformat(value)
+        except ValueError as exc:
+            raise SplitError(
+                f"time bound {value!r} is not ISO-8601; declare "
+                f"split.range.layout for other formats"
+            ) from exc
+    fmt = layout
+    for go, py in _GO_LAYOUT_TOKENS:
+        fmt = fmt.replace(go, py)
+    try:
+        return datetime.strptime(value, fmt)
+    except ValueError as exc:
+        raise SplitError(
+            f"time bound {value!r} does not match layout {layout!r} "
+            f"(strptime {fmt!r})"
+        ) from exc
 
 
 def convertor_for(range_type: str, accuracy: str = "day") -> RangeConvertor:
@@ -264,11 +327,23 @@ def range_predicates(
 ) -> list[str]:
     """Render the per-task predicates the reference injects into each scan
     (templates at reader/job.go:184-187 via split.go:184-196):
-    ``key >= lo AND key < hi``; last range ``<= hi``."""
+    ``key >= lo AND key < hi``; last range ``<= hi``.
+
+    The final CLOSED bound renders the ORIGINAL ``max_value`` at full
+    precision, not the decoded boundary: integer encoding floors time
+    keys to the accuracy unit, and ``<= floor(max)`` would silently drop
+    every row in (floor(max), max] — e.g. any afternoon timestamp on the
+    last day under the default day accuracy. Interior bounds stay
+    floored, which is safe: range i's ``< b`` and range i+1's ``>= b``
+    share the same literal, so the tiling has no gap or overlap."""
     preds = []
+    exact = getattr(convertor, "literal_exact", convertor.literal)
     for lo, hi, closed in split_ranges(min_value, max_value, num, convertor):
-        op = "<=" if closed else "<"
+        if closed:
+            op, hi_lit = "<=", exact(max_value)
+        else:
+            op, hi_lit = "<", convertor.literal(hi)
         preds.append(
-            f"{key} >= {convertor.literal(lo)} AND {key} {op} {convertor.literal(hi)}"
+            f"{key} >= {convertor.literal(lo)} AND {key} {op} {hi_lit}"
         )
     return preds

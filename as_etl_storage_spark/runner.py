@@ -20,12 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from as_etl_storage_spark.plans.planner import plan_read
 from as_etl_storage_spark.spec import JobSpec
-from as_etl_storage_spark.writers.writer import (
-    FileFormatWriter,
-    ParquetWriter,
-    WriteResult,
-    WriterError,
-)
+from as_etl_storage_spark.writers.writer import WriteResult
 
 
 def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteResult | DataFrame:
@@ -36,15 +31,6 @@ def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteR
     df = plan_read(spark, spec.reader)
     if spec.writer is None:
         return df
-    dialect = spec.writer.dialect or "parquet"
-    if dialect == "parquet":
-        writer = ParquetWriter(spark, spec.writer)
-    elif dialect in ("csv", "json", "orc", "xml"):
-        writer = FileFormatWriter(spark, spec.writer, dialect)
-    elif dialect in ("mysql", "oracle", "derby"):
-        from as_etl_storage_spark.writers.jdbc import JdbcWriter
+    from as_etl_storage_spark.writers.writer import make_writer
 
-        writer = JdbcWriter(spark, spec.writer, dialect)
-    else:
-        raise WriterError(f"unsupported writer dialect {dialect!r}")
-    return writer.write(df)
+    return make_writer(spark, spec.writer).write(df)

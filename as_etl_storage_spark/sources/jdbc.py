@@ -57,6 +57,11 @@ class JdbcDialectRules:
     #: 1-row connectivity probe (C4 parity, database/db.go Ping): each
     #: dialect's no-table SELECT form.
     probe_sql: str = "select 1"
+    #: whether the engine's SQL parser treats backslash as an escape in
+    #: string literals (MySQL default: yes; standard SQL — Derby, Oracle:
+    #: no). Split-predicate rendering must match or backslash-bearing
+    #: keys silently select the wrong rows.
+    backslash_escapes_in_literal: bool = False
 
     def quoted(self, identifier: str) -> str:
         return f"{self.quote}{identifier}{self.quote}"
@@ -139,6 +144,7 @@ MYSQL = JdbcDialectRules(
     trim_char_types=("CHAR", "NCHAR"),
     # ParseTime=true parity (mysql/config.go:42-50): JDBC driver handles
     # temporal conversion; no option needed.
+    backslash_escapes_in_literal=True,
 )
 
 ORACLE = JdbcDialectRules(
@@ -248,7 +254,12 @@ class JdbcSource:
         self, key: str, lower: str, upper: str, num: int, convertor: RangeConvertor
     ) -> list[str]:
         """Radix-128 predicate list for string split keys (S10) — feed to
-        ``spark.read.jdbc(url, table, predicates=[...])``."""
+        ``spark.read.jdbc(url, table, predicates=[...])``. Literal escaping
+        follows the DIALECT's parser (these predicates execute on the
+        remote engine, not in Spark): backslashes double under MySQL,
+        pass through under standard-SQL engines."""
+        if hasattr(convertor, "backslash_escapes"):
+            convertor.backslash_escapes = self.rules.backslash_escapes_in_literal
         return range_predicates(key, lower, upper, num, convertor)
 
     def read(

@@ -25,18 +25,40 @@ class SourceError(RuntimeError):
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot read
-    natively — detected from the footer (cheap, metadata-only)."""
+    """Columns physically stored as parquet INT64 TIMESTAMP(NANOS), which
+    Spark 4 cannot read natively — detected from the footer (cheap,
+    metadata-only). The check MUST use the parquet physical+logical type,
+    not the Arrow schema: pyarrow reports Spark's own default INT96
+    timestamps as ``timestamp[ns]`` too, and flagging those would apply
+    the int64 ``div 1000`` rewrite to a column Spark reads natively as
+    TIMESTAMP — every Spark-written timestamp table would crash with a
+    DATATYPE_MISMATCH instead of reading back."""
     try:
-        import pyarrow.dataset as ds
-        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-        schema = ds.dataset(path, format="parquet").schema
-        return [
-            f.name
-            for f in schema
-            if isinstance(f.type, pa.TimestampType) and f.type.unit == "ns"
-        ]
+        if os.path.isdir(path):
+            f = None
+            for root, _dirs, names in os.walk(path):
+                cand = sorted(n for n in names if n.endswith(".parquet"))
+                if cand:
+                    f = os.path.join(root, cand[0])
+                    break
+            if f is None:
+                return []
+        else:
+            f = path
+        sch = pq.ParquetFile(f).schema
+        out = []
+        for i in range(len(sch)):
+            col = sch.column(i)
+            lt = str(col.logical_type)
+            if (
+                col.physical_type == "INT64"
+                and lt.startswith("Timestamp")
+                and "nanoseconds" in lt
+            ):
+                out.append(col.path)
+        return out
     except Exception:
         return []
 

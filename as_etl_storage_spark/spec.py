@@ -67,6 +67,14 @@ class SplitRange:
             raise SpecError(
                 f"split.range.type {self.type!r} not in {SPLIT_RANGE_TYPES}"
             )
+        if bool(self.left) != bool(self.right):
+            # silently falling back to min/max discovery would run a
+            # full-table aggregate with bounds the user didn't declare
+            raise SpecError(
+                "split.range declares only one of left/right — declare "
+                "both (S13 pre-declared bounds) or neither (S12 min/max "
+                "discovery)"
+            )
 
 
 @dataclass(frozen=True)
@@ -80,14 +88,21 @@ class SplitSpec:
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "SplitSpec":
         rng = obj.get("range", {}) or {}
+
+        def bound(name: str) -> str:
+            # JSON null means "not declared" — str(None) would turn it
+            # into the truthy literal "None" and take the S13 branch
+            v = rng.get(name)
+            return "" if v is None else str(v)
+
         return SplitSpec(
             key=obj.get("key", ""),
             time_accuracy=obj.get("timeAccuracy", ""),
             range=SplitRange(
                 type=rng.get("type", ""),
                 layout=rng.get("layout", ""),
-                left=str(rng.get("left", "")),
-                right=str(rng.get("right", "")),
+                left=bound("left"),
+                right=bound("right"),
             ),
         )
 

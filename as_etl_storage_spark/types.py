@@ -126,13 +126,21 @@ class FieldInfo:
 
 def dedupe_column_names(names: list[str]) -> list[str]:
     """On duplicate result-set column names, rename to name+ordinal —
-    parity with database/db.go:425-432 (P10)."""
-    seen: dict[str, int] = {}
+    parity with database/db.go:425-432 (P10). Generated names are
+    themselves claimed and collision-checked: ['a','a','a1'] must NOT
+    produce ['a','a1','a1'] (the rename colliding with a real column
+    would recreate the ambiguity this exists to remove)."""
+    used = set(names)  # real names always win their first occurrence
+    taken: set[str] = set()
     out: list[str] = []
     for i, name in enumerate(names):
-        if name in seen:
-            out.append(f"{name}{i}")
-        else:
-            seen[name] = i
+        if name not in taken:
+            taken.add(name)
             out.append(name)
+            continue
+        cand = f"{name}{i}"
+        while cand in used or cand in taken:
+            cand = f"{cand}_"
+        taken.add(cand)
+        out.append(cand)
     return out

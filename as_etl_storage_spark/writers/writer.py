@@ -405,3 +405,20 @@ class FileFormatWriter(ParquetWriter):
             raise WriterError(f"unsupported writer format {fmt!r}")
         super().__init__(spark, spec)
         self.fmt = fmt
+
+
+def make_writer(spark: SparkSession, spec: WriterSpec):
+    """THE writer-dialect dispatch, shared by the job-spec path
+    (runner.run_job) and the programmatic path (engine.Engine.write) —
+    two hand-rolled copies had already diverged (the engine lacked
+    derby). Raises WriterError for unknown dialects."""
+    dialect = spec.dialect or "parquet"
+    if dialect == "parquet":
+        return ParquetWriter(spark, spec)
+    if dialect in ("csv", "json", "orc", "xml"):
+        return FileFormatWriter(spark, spec, dialect)
+    if dialect in ("mysql", "oracle", "derby"):
+        from as_etl_storage_spark.writers.jdbc import JdbcWriter
+
+        return JdbcWriter(spark, spec, dialect)
+    raise WriterError(f"unsupported writer dialect {dialect!r}")

@@ -137,13 +137,27 @@ def test_job_spec_roundtrip_to_jdbc_writer(spark):
 
 
 def test_runner_rejects_unknown_but_accepts_jdbc_dialects():
-    # dispatch surface: mysql/oracle route to JdbcWriter (runner.py)
+    # dispatch surface: ONE shared factory (writers.writer.make_writer)
+    # routes mysql/oracle/derby to JdbcWriter for BOTH run_job and
+    # Engine.write — hand-rolled copies had diverged (engine lacked derby)
     import inspect
 
-    from as_etl_storage_spark import runner
+    import pytest
 
-    src = inspect.getsource(runner.run_job)
-    assert "mysql" in src and "oracle" in src
+    from as_etl_storage_spark import engine, runner
+    from as_etl_storage_spark.spec import ConnectionSpec, TableRef, WriterSpec
+    from as_etl_storage_spark.writers.writer import WriterError, make_writer
+
+    for mod in (runner.run_job, engine.Engine.write):
+        assert "make_writer" in inspect.getsource(mod)
+    src = inspect.getsource(make_writer)
+    assert "mysql" in src and "oracle" in src and "derby" in src
+    bad = WriterSpec(
+        dialect="sqlite",
+        connection=ConnectionSpec(url="/x", table=TableRef(name="t")),
+    )
+    with pytest.raises(WriterError, match="unsupported writer dialect"):
+        make_writer(None, bad)
 
 
 # --- live execution via embedded Derby -------------------------------------

@@ -187,3 +187,149 @@ class TestRangePredicates:
         assert ranges[-1][1] == 1000
         assert ranges[-1][2] is True
         assert all(not closed for _, _, closed in ranges[:-1])
+
+
+def test_time_last_bound_keeps_sub_accuracy_rows(spark):
+    """Day-accuracy split over a max with an afternoon component: the last
+    CLOSED predicate must use the exact max, not floor(max) — otherwise
+    every row in (floor(max), max] silently vanishes from the scan."""
+    from datetime import datetime
+
+    from as_etl_storage_spark.plans.split import TimeConvertor, range_predicates
+
+    lo = datetime(2026, 1, 1, 0, 0)
+    hi = datetime(2026, 1, 3, 13, 45)
+    preds = range_predicates("ts", lo, hi, 2, TimeConvertor("day"))
+    assert "13:45" in preds[-1]  # exact max, not the floored boundary
+    df = spark.createDataFrame(
+        [(datetime(2026, 1, 1, 0, 0),), (datetime(2026, 1, 3, 13, 45),)],
+        "ts timestamp",
+    )
+    got = sum(df.where(p).count() for p in preds)
+    assert got == 2  # no gap, no overlap, afternoon row included
+
+
+def test_string_backslash_literal_escaping(spark):
+    """Backslash-bearing keys: Spark's parser treats backslash as an
+    escape, so the literal must double it — and the rendered predicates
+    must actually tile backslash keys on a live frame."""
+    from as_etl_storage_spark.plans.split import StringConvertor, range_predicates
+
+    keys = ["C:\\alpha", "C:\\zeta", "plain"]
+    conv = StringConvertor()
+    conv.fit(min(keys), max(keys))
+    preds = range_predicates("k", min(keys), max(keys), 3, conv)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    assert sum(df.where(p).count() for p in preds) == len(keys)
+    # standard-SQL dialects (Derby/Oracle) render the raw backslash
+    raw = StringConvertor(backslash_escapes=False)
+    assert raw.literal("C:\\x") == "'C:\\x'"
+
+
+def test_date_split_key_supported(spark, tmp_path):
+    """A DateType split key (TYPE_TIME) must split, not crash on
+    .tzinfo: dates promote to midnight and the ranges tile the table."""
+    from as_etl_storage_spark.plans.planner import plan_split_union
+    from as_etl_storage_spark.spec import ReaderSpec
+
+    df = spark.sql(
+        "SELECT sequence(DATE '2026-01-01', DATE '2026-03-11') AS ds"
+    ).selectExpr("explode(ds) AS d", "1 AS v")
+    p = str(tmp_path)
+    df.write.parquet(p + "/dates.parquet")
+    reader = ReaderSpec.from_json({
+        "connection": {"url": p, "table": {"name": "dates"}},
+        "column": ["*"],
+        "split": {"key": "d", "range": {"type": "time"}},
+    })
+    out = plan_split_union(spark, reader, 4)
+    assert out.count() == df.count()
+    assert out.select("d").distinct().count() == df.count()
+
+
+def test_declared_time_bounds_with_go_layout(spark, tmp_path):
+    """split.range.layout governs bound parsing (split.go:47-61):
+    a 2006/01/02-layout spec must parse and tile."""
+    from datetime import datetime
+
+    from as_etl_storage_spark.plans.planner import plan_split_union
+    from as_etl_storage_spark.spec import ReaderSpec
+
+    rows = [(datetime(2026, 1, 2, 8, 0), i) for i in range(10)] + [
+        (datetime(2026, 2, 27, 23, 59), 99)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v int")
+    p = str(tmp_path)
+    df.write.parquet(p + "/evts.parquet")
+    reader = ReaderSpec.from_json({
+        "connection": {"url": p, "table": {"name": "evts"}},
+        "column": ["*"],
+        "split": {
+            "key": "ts",
+            "range": {
+                "type": "time",
+                "layout": "2006/01/02",
+                "left": "2026/01/02",
+                "right": "2026/03/01",
+            },
+        },
+    })
+    out = plan_split_union(spark, reader, 3)
+    assert out.count() == len(rows)
+
+
+def test_half_declared_bounds_rejected():
+    """Declaring only one of left/right is a SpecError, not a silent
+    fallback to full min/max discovery; JSON null means undeclared."""
+    import pytest
+
+    from as_etl_storage_spark.spec import ReaderSpec, SpecError, SplitSpec
+
+    with pytest.raises(SpecError, match="only one of left/right"):
+        ReaderSpec.from_json({
+            "connection": {"url": "/x", "table": {"name": "t"}},
+            "column": ["*"],
+            "split": {"key": "k", "range": {"type": "bigint", "left": "5"}},
+        }).validate()
+    s = SplitSpec.from_json(
+        {"key": "k", "range": {"type": "bigint", "left": None, "right": None}}
+    )
+    assert s.range.left == "" and s.range.right == ""
+
+
+def test_dedupe_generated_name_collision():
+    """['a','a','a1'] must not rename the duplicate to the real column
+    'a1' — generated names are collision-checked."""
+    from as_etl_storage_spark.types import dedupe_column_names
+
+    out = dedupe_column_names(["a", "a", "a1"])
+    assert out[0] == "a" and len(set(out)) == 3
+    assert out[2] == "a1"  # the real column keeps its name
+
+
+def test_engine_write_validates_spec(spark, tmp_path):
+    """Engine.write enforces the same spec invariants as the JSON job
+    path: unknown mode and SELECT hooks fail before any side effects."""
+    import pytest
+
+    from as_etl_storage_spark.engine import Engine
+    from as_etl_storage_spark.spec import SpecError
+
+    eng = Engine(spark)
+    df = spark.range(3).selectExpr("id AS k")
+    with pytest.raises(SpecError, match="writeMode"):
+        eng.write(df, str(tmp_path), "t1", mode="append")
+    with pytest.raises(SpecError, match="SELECT"):
+        eng.write(df, str(tmp_path), "t2", pre_sql=("SELECT 1",))
+    # derby now dispatches through the shared factory
+    import uuid
+
+    url = f"jdbc:derby:memory:eng_{uuid.uuid4().hex[:8]};create=true"
+    res = eng.write(df, url, "t_eng", dialect="derby")
+    # JDBC write result reports -1 (the database owns the count); verify
+    # the rows round-trip instead
+    assert res.written == -1
+    back = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", '"t_eng"'
+    ).option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+    assert back.count() == 3
