@@ -20,7 +20,29 @@ from as_etl_storage_spark.spec import ReaderSpec, WriterSpec
 from as_etl_storage_spark.types import dedupe_column_names
 from as_etl_storage_spark.writers.writer import ParquetWriter
 
-SCRATCH = "/root/repo/.scratch"
+def _scratch_root() -> str:
+    """TTL-GC'd scratch root, derived from the package location (NOT a
+    hardcoded absolute path — the repo may be checked out anywhere), with
+    an env override and a per-user tempdir fallback for layouts where the
+    package parent is not a writable checkout (pip-installed)."""
+    import getpass
+    import tempfile
+
+    env = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if env:
+        return env
+    import as_etl_storage_spark as _pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+    if os.path.isdir(repo_root) and os.access(repo_root, os.W_OK):
+        return os.path.join(repo_root, ".scratch")
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"as-etl-storage-spark-scratch-{getpass.getuser()}",
+    )
+
+
+SCRATCH = _scratch_root()
 
 
 def _scratch_dir() -> str:
@@ -583,10 +605,10 @@ def s_jdbc_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = src.agg(
         F.min("o_orderpriority").alias("lo"), F.max("o_orderpriority").alias("hi")
     ).collect()[0]
-    conv = StringConvertor()
-    conv.fit(row["lo"], row["hi"])
+    # no pre-fit: split_ranges refits the convertor from these same
+    # bounds unconditionally — a caller-side fit would be dead code
     preds = source.string_split_predicates(
-        '"o_orderpriority"', row["lo"], row["hi"], 4, conv
+        '"o_orderpriority"', row["lo"], row["hi"], 4, StringConvertor()
     )
     back = source.read_predicates(preds)
     return back.select("o_orderkey", "o_orderpriority")

@@ -405,46 +405,46 @@ def _exec_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandasWithState funnel state machine drains in TWO time-ordered
     micro-batches (maxFilesPerTrigger=1), so a user's view/click/purchase
     can land in different batches and conversion depends on state carried
-    across them. Hash-matches the batch stepwise-min oracle."""
-    import shutil
+    across them. Hash-matches the batch stepwise-min oracle. Staging is
+    the shared :func:`_staged_time_halves` (no sentinels — the state
+    machine uses no watermark, so nothing needs flushing)."""
+    from pyspark.sql import types as T
 
     from as_etl_storage_spark.queries.parity import _scratch_dir
     from as_etl_storage_spark.streaming.stateful import funnel_conversions
 
+    indir = _staged_time_halves(spark, sf_dir, "exec_funnel")
+    # the staged files carry ts as TIMESTAMP (the shared staging's
+    # watermark convention) — declare the matching stream schema
     ev = load_table(spark, sf_dir, "events")
-    base = _scratch_dir()
-    halves = os.path.join(base, "exec_funnel_halves")
-    indir = os.path.join(base, "exec_funnel_in")
-    os.makedirs(indir, exist_ok=True)
-    ts_us = "unix_micros(CAST(ts AS TIMESTAMP))"
-    cutoff = ev.agg(
-        F.expr(f"percentile_approx({ts_us}, 0.5)").alias("m")
-    ).collect()[0]["m"]
-    for i, pred in enumerate([f"{ts_us} <= {cutoff}", f"{ts_us} > {cutoff}"]):
-        ev.where(F.expr(pred)).orderBy("ts", "event_id").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(halves, f"p{i}"))
-    part = 0
-    for i in range(2):
-        for f in sorted(os.listdir(os.path.join(halves, f"p{i}"))):
-            if f.endswith(".parquet"):
-                dst = os.path.join(indir, f"part-{part:03d}.parquet")
-                shutil.copy(os.path.join(halves, f"p{i}", f), dst)
-                # the file source orders batches by MODIFICATION TIME, not
-                # name — pin strictly increasing mtimes so batch order is
-                # the time order the state machine requires
-                os.utime(dst, (1_000_000_000 + part, 1_000_000_000 + part))
-                part += 1
+    sch = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.TimestampType() if f.name == "ts" else f.dataType,
+                f.nullable,
+            )
+            for f in ev.schema.fields
+        ]
+    )
     stream = (
-        spark.readStream.schema(ev.schema)
+        spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", 1)
         .parquet(indir)
     )
-    work = os.path.join(base, "exec_funnel_work")
+    work = os.path.join(_scratch_dir(), "exec_funnel_work")
     os.makedirs(work, exist_ok=True)
     target = _drain(funnel_conversions(stream), work, "update")
-    return spark.read.parquet(target).select(
-        "user_id", "t_view", "t_click", "t_purchase"
+    # like every stream_exec_* sibling: surface wall-clock NTZ so the
+    # driver's toPandas() hash-compare is timezone-independent (the
+    # session tz is pinned UTC, so the instants agree with the oracle)
+    got = spark.read.parquet(target)
+    return got.select(
+        "user_id",
+        *[
+            F.col(c).cast("timestamp_ntz").alias(c)
+            for c in ("t_view", "t_click", "t_purchase")
+        ],
     )
 
 
@@ -653,9 +653,12 @@ _register(
 def _exec_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER stream-stream interval join through the real engine —
     the hard half of the matrix: unmatched rows are emitted only when the
-    watermark passes their eviction bound, so the staged input appends two
-    far-future sentinel rows (batch 3 advances the watermark, batch 4 makes
-    the engine evict against it), flushing every unmatched click and view
+    watermark passes their eviction bound, so the staged input appends
+    THREE far-future sentinel rows (click/view/click — the global
+    watermark is the MIN across both join sides and applies one batch
+    late: batch 3 advances the click side, batch 4 the view side, batch 5
+    makes the engine evict against the now-cleared min; see
+    :func:`_staged_time_halves`), flushing every unmatched click and view
     before the availableNow drain stops. Sentinel rows themselves are
     outside every real user_id and filtered from the sink read-back."""
     from as_etl_storage_spark.streaming.micro_batch import interval_join
