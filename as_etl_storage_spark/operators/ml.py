@@ -18,13 +18,16 @@ Determinism contract:
     with one final double division;
   * empty clusters keep their previous centroid.
 
-Scale notes: per iteration the corpus is scanned once. The vectorized
-impl's centroid update is SHUFFLE-FREE — per-partition k x dim partial
-sums via mapInPandas, combined on the driver (partitions*k*dim doubles,
-the same bounded-value class as split boundaries); the jvm impl shuffles
-only the (cid, dim) partial aggregation — k*dim groups, i.e. tiny.
-Lineage never grows: vectorized centroids are literal rows each round,
-and the jvm path pins them every MATERIALIZE_EVERY iterations.
+Scale notes: per iteration the corpus is scanned once and NEVER
+shuffled. The vectorized impl's centroid update computes per-partition
+k x dim partial sums via mapInPandas and combines them in-plan with a
+groupBy(cid) whose exchange carries <= partitions x k partial rows —
+no driver-proportional pull anywhere; the jvm impl shuffles only the
+(cid, dim) partial aggregation — k*dim groups, i.e. tiny. Lineage
+never grows: the vectorized assignment closes over the collected k-row
+centroid table each round (so each iteration's plan is corpus-depth,
+not iteration-depth), and the jvm path pins centroids as literals
+every MATERIALIZE_EVERY iterations.
 """
 
 from __future__ import annotations
@@ -144,17 +147,24 @@ def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     """Vectorized centroid update: per-partition k x dim partial sums via
-    ``mapInPandas``, combined on the driver — replaces ``_update``'s
-    posexplode shuffle of N x dim rows with ZERO shuffle; the only data
-    movement is partitions x k x dim doubles to the driver, the same
-    bounded-value class as ``_materialize``'s collect (which this
-    subsumes: the result is already literal rows).
+    ``mapInPandas`` (the corpus itself is NEVER shuffled), combined
+    IN-PLAN by a ``groupBy(cid)`` whose exchange carries at most
+    partitions x k partial rows — never corpus bytes and, unlike the
+    earlier driver combine of those same partials, never a
+    driver-proportional pull (on a 100k-partition cluster with large
+    k x dim that collect was a multi-GB driver transfer per iteration).
+    The only remaining driver round-trip is the k-row OLD centroid table
+    for the empty-cluster fallback — bounded by k, independent of
+    partition count, the same class as ``_materialize``.
 
-    Partials are combined in (cid, partition_id) order, so the float
-    accumulation is deterministic for a fixed partitioning; like the
-    ``_assign_np`` distances it can differ from the decimal-exact
-    ``_update`` in the last ulp — callers needing hash-stable centroids
-    use ``impl='jvm'``. Empty clusters keep their previous centroid."""
+    Determinism: per-cid partials are ``array_sort``-ed by partition id
+    and left-folded with ``zip_with`` elementwise adds — the identical
+    (cid, pid)-ordered sequence of double additions the driver loop
+    performed, so centroids are bit-unchanged for a fixed partitioning;
+    like the ``_assign_np`` distances they can differ from the
+    decimal-exact ``_update`` in the last ulp — callers needing
+    hash-stable centroids use ``impl='jvm'``. Empty clusters keep their
+    previous centroid."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator as _It
@@ -162,7 +172,14 @@ def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     from pyspark import TaskContext
 
     spark = assigned.sparkSession
-    old = {r["cid"]: list(r["cv"]) for r in centroids.collect()}
+    # bounded k-row collect; re-created as literal rows so the returned
+    # plan's fallback side never chains the previous iteration's lineage
+    old = spark.createDataFrame(
+        sorted(
+            (r["cid"], list(r["cv"])) for r in centroids.collect()
+        ),
+        "cid long, cv array<double>",
+    )
 
     schema = "pid long, cid long, sx array<double>, n long"
 
@@ -193,21 +210,30 @@ def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
                 }
             )
 
-    rows = assigned.select("cid", "v").mapInPandas(partial, schema).collect()
-    acc: dict = {}
-    cnt: dict = {}
-    for r in sorted(rows, key=lambda r: (r["cid"], r["pid"])):
-        v = np.array(r["sx"], dtype="float64")
-        acc[r["cid"]] = acc[r["cid"]] + v if r["cid"] in acc else v
-        cnt[r["cid"]] = cnt.get(r["cid"], 0) + r["n"]
-    out = [
-        (
-            cid,
-            (acc[cid] / cnt[cid]).tolist() if cid in acc else cv,
-        )
-        for cid, cv in sorted(old.items())
-    ]
-    return spark.createDataFrame(out, "cid long, cv array<double>")
+    partials = assigned.select("cid", "v").mapInPandas(partial, schema)
+    # in-plan combine: pid-ordered left fold of the per-partition sums,
+    # then one double division per dimension — the exact operation order
+    # of the removed driver loop
+    new = partials.groupBy("cid").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pid", "sx"))),
+            F.lit(None).cast("array<double>"),
+            lambda acc, s: F.when(acc.isNull(), s["sx"]).otherwise(
+                F.zip_with(acc, s["sx"], lambda a, b: a + b)
+            ),
+        ).alias("sx"),
+        F.sum("n").alias("n"),
+    )
+    new = new.select(
+        "cid", F.transform("sx", lambda x: x / F.col("n")).alias("cv")
+    )
+    # broadcast the <= k-row new side (stats are opaque behind
+    # mapInPandas, so hint explicitly); left-outer keeps empty clusters
+    return (
+        old.select("cid", F.col("cv").alias("old_cv"))
+        .join(F.broadcast(new), "cid", "left")
+        .select("cid", F.coalesce("cv", "old_cv").alias("cv"))
+    )
 
 
 def _objective(assigned: DataFrame) -> DataFrame:
@@ -250,8 +276,9 @@ def _assign_impl(corpus: DataFrame, centroids: DataFrame, impl: str) -> DataFram
 def _update_impl(
     assigned: DataFrame, centroids: DataFrame, impl: str
 ) -> DataFrame:
-    """Dispatch one centroid update. ``vectorized`` returns literal rows
-    (shuffle-free partial sums, lineage already pinned); ``jvm`` is the
+    """Dispatch one centroid update. ``vectorized`` combines
+    per-partition partial sums in-plan (corpus never shuffled; the next
+    iteration's bounded centroid collect executes it); ``jvm`` is the
     decimal-exact declarative aggregation."""
     if impl == "vectorized":
         return _update_np(assigned, centroids)

@@ -203,21 +203,53 @@ def _sample_boundaries(
     return picks_out
 
 
-def _bucketed_once(df: DataFrame, order_cols: list[str]) -> DataFrame:
-    """Attach ``__rank_pid``: the count of sampled boundary tuples the
-    row's key exceeds — a pure expression, so every job (stats, output,
-    task retries) computes the identical placement with no pinning.
+def _bucket_search_expr(
+    order_cols: list[str], boundaries: list[tuple], lo: int = 0, hi: int | None = None
+) -> "F.Column":
+    """Balanced binary-search tree of nested CASE WHENs over the sorted
+    boundary literals: bucket id = count of boundaries the row's key
+    exceeds. Each boundary appears at exactly one tree node, so the
+    expression still has O(parts) nodes — but evaluation walks ONE
+    root-to-leaf path, i.e. O(log parts) comparisons per row, vs the
+    O(parts) sum-of-WHENs chain this replaced. Placement is bit-identical
+    to the counting form: boundaries are strictly ascending under the
+    same total order ``_key_gt`` implements (consecutive-deduped in
+    ``_sample_boundaries``), so ``key > b[mid]`` implies ``key > b[i]``
+    for all i <= mid and its negation implies ``not key > b[j]`` for all
+    j >= mid — the search index IS the exceed-count. ``_key_gt``'s
+    three-valued NULL fallthrough (NULL compare → otherwise-branch →
+    lower half) is exactly NULLS-FIRST, unchanged."""
+    if hi is None:
+        hi = len(boundaries)
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        _key_gt(order_cols, boundaries[mid]),
+        _bucket_search_expr(order_cols, boundaries, mid + 1, hi),
+    ).otherwise(_bucket_search_expr(order_cols, boundaries, lo, mid))
 
-    Expression size is O(parts × len(order_cols)) comparisons; at
-    cluster scale keep ``parts`` at defaultParallelism (hundreds), not
-    shuffle-partition counts (tens of thousands) — bucket ids feed a hash
-    exchange, so more buckets than cores buys nothing."""
-    parts = df.sparkSession.sparkContext.defaultParallelism
+
+def _bucketed_once(
+    df: DataFrame, order_cols: list[str], parts: int | None = None
+) -> DataFrame:
+    """Attach ``__rank_pid``: the count of sampled boundary tuples the
+    row's key exceeds — a pure expression (binary-search CASE tree, see
+    ``_bucket_search_expr``), so every job (stats, output, task retries)
+    computes the identical placement with no pinning.
+
+    Per-row cost is O(log parts × len(order_cols)) comparisons — the CASE
+    tree evaluates one root-to-leaf path — so ``parts`` can track cluster
+    core counts (hundreds+) without the bucket id becoming a per-row CPU
+    constant on the corpus's one exchange path. Bucket ids feed a hash
+    exchange, so more buckets than cores still buys nothing; default
+    stays defaultParallelism."""
+    if parts is None:
+        parts = df.sparkSession.sparkContext.defaultParallelism
     boundaries = _sample_boundaries(df, order_cols, parts)
-    pid = F.lit(0)
-    for b in boundaries:
-        pid = pid + F.when(_key_gt(order_cols, b), 1).otherwise(0)
-    return df.withColumn(_PID, pid.cast("int"))
+    return df.withColumn(
+        _PID, _bucket_search_expr(order_cols, boundaries).cast("int")
+    )
 
 
 # round-5 name, kept as an alias for external references/tests

@@ -93,14 +93,17 @@ def test_update_np_matches_decimal_update(spark):
         np.testing.assert_allclose(fast[cid], exact[cid], rtol=0, atol=1e-9)
 
 
-def test_update_np_zero_shuffle(spark):
-    """The vectorized update plan must contain no Exchange: partial sums
-    are per-partition mapInPandas, combined on the driver."""
+def test_update_np_zero_corpus_shuffle(spark):
+    """The corpus never shuffles in the vectorized update: the partial-sum
+    projection contains no Exchange at all, and the full update plan's only
+    hash exchange is the groupBy(cid) over the <= partitions x k partial
+    rows (in-plan combine — no driver collect of partials)."""
     from pyspark.sql import functions as F
 
     from as_etl_storage_spark.operators.ml import (
         _assign_np,
         _prepared,
+        _update_np,
     )
     from as_etl_storage_spark.queries.common import load_table
 
@@ -110,6 +113,18 @@ def test_update_np_zero_shuffle(spark):
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     assigned = _assign_np(corpus, cents.collect())
-    # the partial-sum projection feeding the driver combine
-    partial_plan = assigned.select("cid", "v")._jdf.queryExecution().executedPlan().toString()
+    partial_plan = (
+        assigned.select("cid", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Exchange" not in partial_plan
+    plan = (
+        _update_np(assigned, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(cid" in plan

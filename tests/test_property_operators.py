@@ -627,3 +627,43 @@ def test_boundary_sampler_preserves_nan_null_and_large_longs(spark):
                 "rn", F.row_number().over(Window.orderBy("a", "b", "id"))
             ).collect()}
     assert got == want
+
+
+def test_bucket_search_tree_equals_linear_count(spark):
+    # the binary-search CASE tree must place every key exactly where the
+    # O(parts) sum-of-WHENs exceed-count did — including NULL slots in
+    # keys AND boundaries, where _key_gt's three-valued fallthrough does
+    # the NULLS-FIRST work
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.rank import (
+        _bucket_search_expr,
+        _key_gt,
+    )
+
+    cols = ["a", "b"]
+    boundaries = [
+        (None, 1),
+        (0, None),
+        (0, 5),
+        (2, 2),
+        (7, 0),
+    ]
+    vals = [None, 0, 1, 2, 3, 5, 6, 7, 8]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "a int, b int")
+    linear = F.lit(0)
+    for bnd in boundaries:
+        linear = linear + F.when(_key_gt(cols, bnd), 1).otherwise(0)
+    got = df.select(
+        _bucket_search_expr(cols, boundaries).cast("int").alias("tree"),
+        linear.cast("int").alias("lin"),
+    ).collect()
+    assert all(r["tree"] == r["lin"] for r in got)
+    # degenerate shapes: no boundaries → bucket 0; one boundary → 0/1 split
+    one = df.select(
+        _bucket_search_expr(cols, []).cast("int").alias("t0"),
+        _bucket_search_expr(cols, [(2, 2)]).cast("int").alias("t1"),
+        (F.when(_key_gt(cols, (2, 2)), 1).otherwise(0)).alias("l1"),
+    ).collect()
+    assert all(r["t0"] == 0 and r["t1"] == r["l1"] for r in one)
