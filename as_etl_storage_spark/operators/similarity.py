@@ -25,6 +25,45 @@ from pyspark.sql import functions as F
 
 from as_etl_storage_spark.functions import vec_dot as _dot, vec_norm as _norm
 
+#: hard cap on the query side of brute-force/rescored ANN. The query set
+#: is collected (vectorized path) or built into a driver-side broadcast
+#: relation (JVM paths); both are safe only while it stays query-sized. A
+#: user predicate that matches 1% of a 100 TB corpus would otherwise OOM
+#: the driver — fail fast with an actionable error instead. Callers with
+#: genuinely larger query sets raise ``max_queries`` explicitly (driver
+#: memory permitting) or switch to the bucketed strategies
+#: (lsh_bucket_topk / ivf_topk), whose query side is never collected.
+MAX_QUERY_ROWS = 100_000
+
+
+def _check_query_cap(queries: DataFrame, query_pred: str, cap: int) -> None:
+    """One cheap guard job: LIMIT cap+1 over the filtered scan (filter and
+    limit both push down), raising before any collect/broadcast is
+    attempted. Runs on the JVM broadcast paths, where the relation build
+    — not a visible ``.collect()`` — is the driver-memory hazard."""
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"query_pred {query_pred!r} matches more than {cap} rows; "
+            f"brute-force ANN collects/broadcasts the query side — pass "
+            f"max_queries to raise the cap, or use a bucketed strategy "
+            f"(lsh_bucket_topk / ivf_topk) for corpus-sized query sets"
+        )
+
+
+def _collect_query_rows(queries: DataFrame, query_pred: str, cap: int) -> list:
+    """Bounded collect for the vectorized path: the LIMIT bounds the pull
+    itself, so an oversized predicate raises after at most cap+1 rows
+    reach the driver — no separate guard job."""
+    rows = queries.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"query_pred {query_pred!r} matches more than {cap} rows; "
+            f"vectorized ANN collects the query side — pass max_queries "
+            f"to raise the cap, or use a bucketed strategy "
+            f"(lsh_bucket_topk / ivf_topk) for corpus-sized query sets"
+        )
+    return rows
+
 
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Project (vid, v, norm), dropping null and zero-norm vectors: a zero
@@ -48,14 +87,17 @@ def cosine_topk(
     vec_col: str,
     k: int,
     query_pred: str,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query row (rows satisfying
     query_pred) against the whole corpus. The query side is broadcast —
-    the corpus is scanned once, never shuffled."""
+    the corpus is scanned once, never shuffled. ``max_queries`` caps the
+    query side (see MAX_QUERY_ROWS); oversized predicates raise."""
     corpus = _prepared(df, id_col, vec_col)
     queries = corpus.where(query_pred).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
+    _check_query_cap(queries, query_pred, max_queries)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
     scored = (
         F.broadcast(queries)
@@ -81,6 +123,7 @@ def knn_label_vote(
     label_col: str,
     k: int,
     query_pred: str,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """kNN classification eval: predict each query vector's label by
     majority vote over its k exact cosine neighbors (tie-break: smaller
@@ -104,6 +147,7 @@ def knn_label_vote(
         F.col("norm").alias("qn"),
         F.col("nlabel").alias("true_label"),
     )
+    _check_query_cap(queries, query_pred, max_queries)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
     scored = (
         F.broadcast(queries)
@@ -329,6 +373,7 @@ def cosine_topk_vectorized(
     vec_col: str,
     k: int,
     query_pred: str,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Numpy-vectorized variant of cosine_topk: the (small) query set is
     collected into one normalized matrix Q and closed over; each corpus
@@ -349,7 +394,9 @@ def cosine_topk_vectorized(
     from collections.abc import Iterator as _It
 
     corpus = _prepared(df, id_col, vec_col)
-    qrows = corpus.where(query_pred).collect()
+    qrows = _collect_query_rows(
+        corpus.where(query_pred), query_pred, max_queries
+    )
     qids = np.array([r["vid"] for r in qrows], dtype="int64")
     qm = np.array([r["v"] for r in qrows], dtype="float64")
     qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
@@ -512,6 +559,7 @@ def int8_topk_rescore(
     k: int,
     query_pred: str,
     mult: int = 4,
+    max_queries: int = MAX_QUERY_ROWS,
 ) -> DataFrame:
     """Scalar-quantized ANN with exact rescoring — the memory/IO lever for
     100 TB embedding stores: per-vector symmetric int8 quantization
@@ -551,6 +599,7 @@ def int8_topk_rescore(
         F.col("scale").alias("qscale"),
         F.col("v").alias("qval"),
     )
+    _check_query_cap(queries, query_pred, max_queries)
     idot = F.aggregate(
         F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),

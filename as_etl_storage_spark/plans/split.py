@@ -226,9 +226,21 @@ class TimeConvertor:
             microsecond=ns // 1000
         )
 
+    @staticmethod
+    def _as_utc_wall(value: datetime) -> datetime:
+        """Timezone-aware bounds (e.g. an S13 ISO string with an offset)
+        must be converted to UTC BEFORE rendering: strftime prints the
+        wall time and drops tzinfo, and the rendered literal is then
+        interpreted as session-UTC — shifting the bound by the offset
+        and silently excluding the rows in the gap. Naive values pass
+        through (already session-UTC by contract)."""
+        if value.tzinfo is not None:
+            return value.astimezone(timezone.utc)
+        return value
+
     def literal(self, value: datetime) -> str:
         fmt = _ACCURACY_FMT[self.accuracy]
-        s = value.strftime(fmt)
+        s = self._as_utc_wall(value).strftime(fmt)
         return f"TIMESTAMP '{s}'"
 
     def literal_exact(self, value) -> str:
@@ -239,6 +251,7 @@ class TimeConvertor:
         accuracy)."""
         if isinstance(value, date) and not isinstance(value, datetime):
             value = datetime(value.year, value.month, value.day)
+        value = self._as_utc_wall(value)
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
 
 

@@ -240,8 +240,10 @@ class JdbcSource:
         if split_key and num_partitions > 1 and convertor is None:
             # native numeric/time split; parallel connections are bounded by
             # the pool limit (C2 parity: pool.maxOpenConns default 4,
-            # database/source.go:11-14 — each JDBC partition holds one conn)
-            capped = min(num_partitions, self.connection.pool.max_open_conns)
+            # database/source.go:11-14 — each JDBC partition holds one conn).
+            # cap <= 0 means UNLIMITED, like Go's sql.SetMaxOpenConns(0)
+            cap = self.connection.pool.max_open_conns
+            capped = min(num_partitions, cap) if cap > 0 else num_partitions
             opts.update(
                 partitionColumn=split_key,
                 lowerBound=str(lower),
@@ -257,8 +259,14 @@ class JdbcSource:
         ``spark.read.jdbc(url, table, predicates=[...])``. Literal escaping
         follows the DIALECT's parser (these predicates execute on the
         remote engine, not in Spark): backslashes double under MySQL,
-        pass through under standard-SQL engines."""
+        pass through under standard-SQL engines. The convertor is COPIED
+        before the dialect's escaping rule is applied — mutating the
+        caller's instance would silently carry this dialect's escaping
+        into a later source's predicates when a convertor is reused."""
         if hasattr(convertor, "backslash_escapes"):
+            import copy
+
+            convertor = copy.copy(convertor)
             convertor.backslash_escapes = self.rules.backslash_escapes_in_literal
         return range_predicates(key, lower, upper, num, convertor)
 
@@ -345,7 +353,9 @@ class JdbcSource:
             predicates=list(predicates),
             properties=props,
         )
+        # cap <= 0 means UNLIMITED (Go sql.SetMaxOpenConns(0) parity) —
+        # coalesce(0) would be an error, not an unbounded read
         cap = self.connection.pool.max_open_conns
-        if len(predicates) > cap:
+        if cap > 0 and len(predicates) > cap:
             df = df.coalesce(cap)
         return self.rules.normalize(df, field_types, trim_char)

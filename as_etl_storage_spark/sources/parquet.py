@@ -37,27 +37,37 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
-            f = None
-            for root, _dirs, names in os.walk(path):
+            # a directory can MIX encodings (nanos files appended after
+            # non-nanos ones or vice versa), so one footer is not enough:
+            # sample the first AND last sorted file of each directory
+            # (appends sort to one end under part-file naming), bounded
+            # at 16 footers total — still metadata-only
+            files: list[str] = []
+            for root, _dirs, names in sorted(os.walk(path)):
                 cand = sorted(n for n in names if n.endswith(".parquet"))
                 if cand:
-                    f = os.path.join(root, cand[0])
+                    files.append(os.path.join(root, cand[0]))
+                    if len(cand) > 1:
+                        files.append(os.path.join(root, cand[-1]))
+                if len(files) >= 16:
                     break
-            if f is None:
+            if not files:
                 return []
         else:
-            f = path
-        sch = pq.ParquetFile(f).schema
-        out = []
-        for i in range(len(sch)):
-            col = sch.column(i)
-            lt = str(col.logical_type)
-            if (
-                col.physical_type == "INT64"
-                and lt.startswith("Timestamp")
-                and "nanoseconds" in lt
-            ):
-                out.append(col.path)
+            files = [path]
+        out: list[str] = []
+        for f in files:
+            sch = pq.ParquetFile(f).schema
+            for i in range(len(sch)):
+                col = sch.column(i)
+                lt = str(col.logical_type)
+                if (
+                    col.physical_type == "INT64"
+                    and lt.startswith("Timestamp")
+                    and "nanoseconds" in lt
+                    and col.path not in out
+                ):
+                    out.append(col.path)
         return out
     except Exception:
         return []

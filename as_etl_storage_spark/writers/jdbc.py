@@ -200,8 +200,9 @@ class JdbcWriter:
         if list(self.spec.columns) and list(self.spec.columns) != ["*"]:
             df = df.select(*self.spec.columns)
         df = self.rules.write_frame(df)
+        # cap <= 0 means UNLIMITED (Go sql.SetMaxOpenConns(0) parity)
         cap = self.spec.connection.pool.max_open_conns
-        if df.rdd.getNumPartitions() > cap:
+        if cap > 0 and df.rdd.getNumPartitions() > cap:
             df = df.coalesce(cap)
         return df
 

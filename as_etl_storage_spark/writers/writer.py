@@ -380,16 +380,22 @@ class ParquetWriter:
                 vt.read().schema, clean.schema, table_dir
             )
         clean.cache()
-        written = clean.count()
-        if mode == "insert":
-            vt.append(clean) if exists else vt.overwrite(clean)
-        elif mode == "overwrite":
-            vt.overwrite(clean)
-        elif mode == "replace":
-            vt.replace(clean, list(self.spec.merge_keys))
-        else:
-            raise WriterError(f"writeMode {mode!r} unsupported for versioned tables")
-        clean.unpersist()
+        try:
+            written = clean.count()
+            if mode == "insert":
+                vt.append(clean) if exists else vt.overwrite(clean)
+            elif mode == "overwrite":
+                vt.overwrite(clean)
+            elif mode == "replace":
+                vt.replace(clean, list(self.spec.merge_keys))
+            else:
+                raise WriterError(
+                    f"writeMode {mode!r} unsupported for versioned tables"
+                )
+        finally:
+            # release the cache on the error path too — a failed commit
+            # otherwise leaks the cached frame for the session lifetime
+            clean.unpersist()
         return written, table_dir
 
 

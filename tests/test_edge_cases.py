@@ -347,3 +347,32 @@ class TestRound4Additions:
         assert {(r["vec_i"], r["vec_j"]) for r in pairs} == {(0, 2)}
         sem = dedup.semantic_dedup_pairs(df, "vid", "v", k=2, threshold=0.9)
         assert {(r["vec_i"], r["vec_j"]) for r in sem.collect()} == {(0, 2)}
+
+
+def test_ann_query_side_cap_guards_driver(spark):
+    # brute-force ANN collects/broadcasts the query side; a predicate
+    # matching a corpus-sized set must fail fast with an actionable error
+    # instead of OOMing the driver
+    import pytest
+
+    from as_etl_storage_spark.operators import similarity
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk(
+            emb, "vec_id", "embedding", 3, "vid >= 0", max_queries=5
+        )
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk_vectorized(
+            emb, "vec_id", "embedding", 3, "vid >= 0", max_queries=5
+        )
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.int8_topk_rescore(
+            emb, "vec_id", "embedding", 3, "vid >= 0", max_queries=5
+        )
+    # query-sized predicates pass through unchanged
+    got = similarity.cosine_topk(
+        emb, "vec_id", "embedding", 3, "vid < 3", max_queries=5
+    )
+    assert got.count() > 0

@@ -349,3 +349,31 @@ def test_read_predicates_capped_by_pool_limit(spark):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == len(keys)
     assert back.select("k").distinct().count() == len(keys)
+
+
+def test_pool_cap_zero_means_unlimited(spark):
+    # Go's sql.SetMaxOpenConns(0) means UNLIMITED (database/sql semantics);
+    # a 0 cap must not collapse numPartitions to 0 or coalesce(0) a
+    # predicate read
+    from as_etl_storage_spark.spec import PoolSpec
+
+    conn = ConnectionSpec(
+        url="jdbc:mysql://db:3306/main",
+        table=TableRef(schema="main", name="orders"),
+        pool=PoolSpec(max_open_conns=0),
+    )
+    src = JdbcSource(spark, conn, "mysql", user="u", password="p")
+    opts = src.read_options(
+        split_key="o_orderkey", lower=1, upper=100000, num_partitions=16
+    )
+    assert opts["numPartitions"] == "16"
+
+
+def test_string_split_does_not_mutate_convertor(spark):
+    # a StringConvertor reused across sources of different dialects must
+    # not silently inherit the previous dialect's literal escaping
+    conv = StringConvertor()
+    assert conv.backslash_escapes is True
+    src = _source(spark, "derby")  # derby renders backslashes raw
+    src.string_split_predicates("c_name", "AAA", "ZZZ", 2, conv)
+    assert conv.backslash_escapes is True

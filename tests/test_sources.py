@@ -551,3 +551,28 @@ def test_jsonaudit_serializes_rich_types(spark, tmp_path):
     assert r["d"] == "2024-06-30" and r["dec"] == "1.25"
     assert r["bin"] == "deadbeef" and r["n"] == 7
     assert r["ts"].startswith("2024-01-02T03:04:05.123456")
+
+
+def test_nanos_detection_samples_multiple_files(tmp_path):
+    """A directory mixing native-us and TIMESTAMP(NANOS) files must flag
+    the nanos column regardless of which file sorts first — one footer
+    is not a dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from as_etl_storage_spark.sources.parquet import _nanos_timestamp_columns
+
+    d = tmp_path / "mixed.parquet"
+    d.mkdir()
+    us = pa.array(np.arange(3) * 10**6, type=pa.timestamp("us"))
+    pq.write_table(
+        pa.table({"id": pa.array(range(3)), "ts": us}),
+        str(d / "part-000.parquet"),
+    )
+    ns = pa.array(np.arange(3) * 10**9 + 123456789, type=pa.timestamp("ns"))
+    pq.write_table(
+        pa.table({"id": pa.array(range(3)), "ts": ns}),
+        str(d / "part-001.parquet"),
+    )
+    assert _nanos_timestamp_columns(str(d)) == ["ts"]

@@ -333,3 +333,21 @@ def test_engine_write_validates_spec(spark, tmp_path):
         "dbtable", '"t_eng"'
     ).option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
     assert back.count() == 3
+
+
+def test_time_literals_convert_aware_bounds_to_utc():
+    # an S13 bound declared with a non-UTC ISO offset must render as its
+    # UTC instant: strftime drops tzinfo, and the literal is interpreted
+    # as session-UTC — the offset would silently shift the bound
+    from datetime import datetime
+
+    from as_etl_storage_spark.plans.split import TimeConvertor
+
+    c = TimeConvertor("day")
+    aware = datetime.fromisoformat("2024-03-01T02:00:00+05:00")
+    # 02:00+05:00 == 2024-02-29T21:00 UTC — the DATE changes
+    assert c.literal_exact(aware) == "TIMESTAMP '2024-02-29 21:00:00.000000'"
+    assert "2024-02-29" in c.literal(aware)
+    # naive values pass through unchanged (already session-UTC)
+    naive = datetime(2024, 3, 1, 2, 0, 0)
+    assert c.literal_exact(naive) == "TIMESTAMP '2024-03-01 02:00:00.000000'"
