@@ -251,20 +251,29 @@ def user_totals_tws(events: DataFrame) -> DataFrame:
 
     ENVIRONMENT GATE: the new API's state server speaks protobuf between
     the JVM and the Python worker; without the ``protobuf`` package the
-    driver worker crashes with an opaque ImportError mid-query. This
-    container does not ship protobuf (and installs are off), so the
-    guard below fails fast with the actionable message; the
-    applyInPandasWithState twin (``user_activity_totals``) is the
-    executable path here and is real-engine oracle-gated
-    (stream_exec_running_totals)."""
+    driver worker crashes with an opaque ImportError mid-query. Unblock
+    attempts, recorded so the gate is self-documenting:
+    ``import google.protobuf`` fails with ``ModuleNotFoundError: No
+    module named 'google'``; ``pip download protobuf`` cannot reach any
+    index (DNS failure — the container is offline); pyspark vendors NO
+    protobuf runtime (``pyspark/sql/streaming/proto/StateMessage_pb2.py``
+    is generated code that imports ``google.protobuf`` and validates
+    runtime version 6.33.0 — the missing wheel is exactly
+    ``protobuf==6.33.*``), and a hand-vendored stand-in would have to
+    reimplement the protobuf wire format the JVM state server speaks,
+    i.e. the package itself. The guard below therefore fails fast with
+    the actionable message; the applyInPandasWithState twin
+    (``user_activity_totals``) is the executable path here and is
+    real-engine oracle-gated (stream_exec_running_totals)."""
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as exc:
         raise RuntimeError(
-            "transformWithStateInPandas needs the 'protobuf' package for "
-            "its state-server protocol; it is not installed in this "
-            "environment. Use user_activity_totals "
-            "(applyInPandasWithState) instead."
+            "transformWithStateInPandas needs the 'protobuf' wheel "
+            "(pyspark's generated StateMessage_pb2 validates runtime "
+            "6.33.0, so protobuf==6.33.*) for its state-server protocol; "
+            f"import fails with: {exc!r}. Install it, or use "
+            "user_activity_totals (applyInPandasWithState) instead."
         ) from exc
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=make_totals_processor()(),

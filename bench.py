@@ -99,7 +99,15 @@ def main() -> None:
     # an extra run because a single spike on them dominates the total, and
     # every per-run time is reported so a reviewer can separate code
     # effects from box noise.
+    # SPARK_GRAFT_BENCH_RUNS=N raises the per-query run count;
+    # SPARK_GRAFT_BENCH_STAT=median reports the per-query median instead
+    # of the min (with RUNS>=3 this makes captures comparable across
+    # rounds on a noisy box; default stays min so historical BENCH_r*
+    # totals remain like-for-like).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min").lower()
+    if stat not in ("min", "median"):
+        raise SystemExit(f"SPARK_GRAFT_BENCH_STAT must be min|median, got {stat!r}")
     heavy = {
         "ann_topk_vectorized",
         "ann_topk_bruteforce",
@@ -130,7 +138,12 @@ def main() -> None:
             # query's leftover heap pressure
             spark.catalog.clearCache()
         runs[name] = per_run
-        timings[name] = min(per_run)
+        if stat == "median":
+            import statistics
+
+            timings[name] = round(statistics.median(per_run), 4)
+        else:
+            timings[name] = min(per_run)
     total = round(sum(timings.values()), 4)
 
     # ETL-copy throughput: full lineitem parquet read -> parquet write,
@@ -179,6 +192,12 @@ def main() -> None:
         "etl_copy_rows_per_sec": int(n_rows / copy_s),
         "sf": sf,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+        "stat": stat,
+        "n_runs": n_runs,
+        # correctness evidence for ALL registered queries (not just this
+        # headline subset) is the committed per-round sweep artifact:
+        "sweep_artifact": "SWEEP_r{N}.txt "
+        "(python scripts/oracle_sweep.py <sf_dir> SWEEP_r{N}.txt)",
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"

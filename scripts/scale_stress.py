@@ -46,6 +46,60 @@ from as_etl_storage_spark.session import get_spark  # noqa: E402
 ID_OFF = 10_000_000  # copy c shifts ids by c * ID_OFF
 VOWELS = "aeiou"
 
+#: dimension/other tables symlinked unchanged into the relational clone
+TPCH_LINK = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: the reference-parity/relational headline queries measured at 1x/3x/10x
+#: (the SHIPPED functions, run against the upsampled clone directory)
+REL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q_rollup",
+    "q_range_join",
+    "s5_split_union",
+]
+
+
+def make_relational_dir(spark, sf_dir: str, scratch: str, factor: int) -> str:
+    """Clone of ``sf_dir`` where the FACT tables (lineitem, orders) are
+    deterministically upsampled ``factor``x with orderkey offsets — more
+    orders per existing customer/part/supplier, dims fixed: the shape a
+    real warehouse grows in, and exactly what keeps q3/q5's dim joins
+    broadcast-able while their fact join grows. Everything else is
+    symlinked unchanged, so the shipped (spark, sf_dir) query functions
+    run against the clone as-is."""
+    out = os.path.join(scratch, f"rel_{factor}")
+    os.makedirs(out, exist_ok=True)
+    for t in TPCH_LINK:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.lexists(dst):
+            os.symlink(src, dst)
+    key_off = 1_000_000_000
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        base = load_table(spark, sf_dir, tbl)
+        parts = [
+            base.withColumn(key, F.col(key) + F.lit(c * key_off))
+            for c in range(factor)
+        ]
+        up = parts[0]
+        for p in parts[1:]:
+            up = up.union(p)
+        up.repartition(32).write.mode("overwrite").parquet(
+            os.path.join(out, f"{tbl}.parquet")
+        )
+    return out
+
 
 def upsample_docs(docs: DataFrame, factor: int) -> DataFrame:
     parts = []
@@ -244,6 +298,14 @@ def main() -> None:
                 spark, docs, factor
             ),
         }
+        # relational/parity core over the upsampled fact tables — the same
+        # 1x/3x/10x evidence the LLM-ops families carry
+        rel_dir = make_relational_dir(spark, sf_dir, scratch, factor)
+        from as_etl_storage_spark.queries import QUERIES as _ALL
+
+        for qname in REL_QUERIES:
+            fn = _ALL[qname]
+            cases[qname] = lambda fn=fn, d=rel_dir: fn(spark, d)
         for name, make in cases.items():
             # one warm-up, then the timed run (steady state, like bench.py)
             make().write.mode("overwrite").format("noop").save()
@@ -259,6 +321,61 @@ def main() -> None:
             }
             results.append(row)
             print(json.dumps(row), flush=True)
+
+    # rank-kernel bucket placement: with the binary-search CASE tree the
+    # per-row cost is O(log parts), so walltime over the SAME corpus must
+    # stay ~flat as parts grows 8x — and at parts=256 the retired
+    # sum-of-WHENs chain (rebuilt here verbatim for contrast) shows the
+    # O(parts) cost the tree removed. Measured on the 10x lineitem
+    # (~6M rows, two-column key) so per-row cost dominates the constant
+    # boundary-sample job.
+    from as_etl_storage_spark.operators.rank import (
+        _bucket_search_expr,
+        _bucketed_once,
+        _key_gt,
+        _sample_boundaries,
+    )
+
+    li10 = spark.read.parquet(
+        os.path.join(scratch, "rel_10", "lineitem.parquet")
+    ).select("l_orderkey", "l_linenumber")
+    key = ["l_orderkey", "l_linenumber"]
+    for parts in (32, 256):
+        make = lambda p=parts: _bucketed_once(li10, key, parts=p)  # noqa: E731
+        make().write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+        sec, jobs, stages = timed(spark, f"rank_bucket_parts{parts}", make())
+        row = {
+            "factor": 1,
+            "operator": f"rank_bucket_parts{parts}",
+            "sec": round(sec, 3),
+            "jobs": jobs,
+            "stages": stages,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    bounds = _sample_boundaries(li10, key, 256)
+    for form, expr_of in (
+        ("tree", lambda: _bucket_search_expr(key, bounds)),
+        ("linear_chain", lambda: sum(
+            (F.when(_key_gt(key, b), 1).otherwise(0) for b in bounds),
+            start=F.lit(0),
+        )),
+    ):
+        make = lambda e=expr_of: li10.withColumn(  # noqa: E731
+            "pid", e().cast("int")
+        )
+        make().write.mode("overwrite").format("noop").save()
+        sec, jobs, stages = timed(spark, f"rank_expr_{form}_256", make())
+        row = {
+            "factor": 1,
+            "operator": f"rank_expr_{form}_256",
+            "sec": round(sec, 3),
+            "jobs": jobs,
+            "stages": stages,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
     spark.stop()
 
 
