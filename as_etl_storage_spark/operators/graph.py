@@ -25,7 +25,17 @@ def connected_components(
 ) -> DataFrame:
     """Cluster assignment for every vertex appearing in ``edges``.
     Returns (doc_id, cluster_id) where cluster_id = min vertex id in the
-    component."""
+    component.
+
+    Min-label propagation moves a label ONE hop per round, so a
+    component whose diameter exceeds ``max_iter`` has not converged when
+    the loop ends — and an unconverged result is silently WRONG cluster
+    ids (vertices of one component still carrying several labels), the
+    worst failure mode for a dedup keep-one stage built on top. The loop
+    therefore raises when it exits by iteration count with changes still
+    in flight; near-dup clusters have tiny diameters in practice, and a
+    corpus that genuinely trips this wants a larger ``max_iter`` or the
+    large-star/small-star contraction noted in the module docstring."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -33,6 +43,7 @@ def connected_components(
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("id"), F.col("u").alias("label"))
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["id"])
@@ -58,4 +69,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): a component's diameter "
+            f"exceeds max_iter and the labels are NOT final — raise "
+            f"max_iter (propagation is one hop per round)"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

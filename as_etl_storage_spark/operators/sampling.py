@@ -66,19 +66,27 @@ def sample_to_rates(
     quantized to 1/buckets and applied as exact integer thresholds.
 
     Single group column: keys are the column's values. Multiple group
-    columns: keys are tuples in ``group_cols`` order.
+    columns: keys are tuples in ``group_cols`` order — a key of the wrong
+    arity raises (a short key would otherwise compare a column against
+    NULL, never match, and silently sample that group at the default
+    rate: a config typo must not change the mix without a sound).
     """
-    import itertools
-
     quantized = {
         k if isinstance(k, tuple) else (k,): int(round(r * buckets))
         for k, r in rates.items()
     }
+    for key in quantized:
+        if len(key) != len(group_cols):
+            raise ValueError(
+                f"rate key {key!r} has {len(key)} parts but group_cols "
+                f"{group_cols} has {len(group_cols)} — keys must match "
+                f"group_cols arity exactly"
+            )
     default_q = int(round(default_rate * buckets))
     threshold = F.lit(default_q)
     for key, q in quantized.items():
         match = F.lit(True)
-        for col, val in itertools.zip_longest(group_cols, key):
+        for col, val in zip(group_cols, key):
             match = match & (F.col(col) == F.lit(val))
         threshold = F.when(match, F.lit(q)).otherwise(threshold)
     bucket = F.pmod(md5_prefix64(F.col(id_col).cast("string")), F.lit(buckets))

@@ -57,7 +57,14 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality features + composite score. All ratios are single
-    divisions of integer counts (deterministic doubles)."""
+    divisions of integer counts (deterministic doubles).
+
+    The char-count division is ``try_divide``: under ANSI mode (the
+    session default) a plain ``/`` raises DIVIDE_BY_ZERO on the empty
+    document every real corpus contains — one degenerate row must score
+    NULL, not kill the 100 TB job. Identical results wherever the
+    denominator is non-zero. (The token-count divisions are safe by
+    construction: ``split`` returns at least one element.)"""
     text = F.col(text_col)
     toks = _tokens(text)
     n_tokens = F.size(toks)
@@ -73,7 +80,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     avg_tok = F.round(sum_tok_len / n_tokens, 4)
-    punct_ratio = F.round(n_punct / n_chars, 4)
+    punct_ratio = F.round(F.try_divide(n_punct, n_chars), 4)
     stop_hits = n_stop
     return df.select(
         F.col(id_col),

@@ -102,12 +102,25 @@ class VersionedTable:
                 "base": base_version,
             }
             target = os.path.join(self.log_dir, f"{version:08d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the O_EXCL race; loop re-reads the log
-            with os.fdopen(fd, "w") as fh:
+            # the manifest must APPEAR atomically complete: a bare
+            # O_EXCL-create-then-write has a crash window where the
+            # version exists as an empty/torn file, and every later
+            # _manifest() then fails — the table is bricked. Write the
+            # full manifest to a temp name (fsync'd), then os.link it to
+            # the version name: link both fails like O_EXCL when the
+            # version exists (the optimistic-concurrency race is
+            # unchanged) and exposes only the complete bytes.
+            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the commit race; loop re-reads the log
+            os.unlink(tmp)
             return version
         raise VersionedTableError("could not commit after 50 attempts")
 
@@ -170,7 +183,13 @@ class VersionedTable:
             )
         files = self._manifest(version)["files"]
         if not files:
-            return self.spark.createDataFrame([], "dummy string").limit(0)
+            # unreachable through the write API (Spark emits at least one
+            # part file even for an empty frame); a hand-edited manifest
+            # gets an error, not a fabricated one-column schema
+            raise VersionedTableError(
+                f"version {version} references no data files; the schema "
+                f"is unrecoverable from an empty manifest"
+            )
         paths = [os.path.join(self.path, f) for f in files]
         # mergeSchema: a version committed after additive evolution
         # (evolveSchema) references files with both the old and the new

@@ -376,3 +376,56 @@ def test_ann_query_side_cap_guards_driver(spark):
         emb, "vec_id", "embedding", 3, "vid < 3", max_queries=5
     )
     assert got.count() > 0
+
+
+def test_quality_score_survives_degenerate_documents(spark):
+    # ANSI mode is the session default, so the empty document every real
+    # corpus contains must score NULL ratios — not kill the job with
+    # DIVIDE_BY_ZERO on n_chars
+    from as_etl_storage_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "hello world."), (2, ""), (3, None), (4, "   ")],
+        "id long, txt string",
+    )
+    rows = {r["id"]: r for r in text_ops.quality_score(df, "id", "txt").collect()}
+    assert rows[1]["punct_ratio"] is not None
+    assert rows[2]["punct_ratio"] is None  # 0 chars -> NULL, not a crash
+    assert rows[3]["n_tokens"] is None     # NULL text propagates NULL
+    assert rows[4]["punct_ratio"] == 0.0   # whitespace-only: 0 punct / 3 chars
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # min-label propagation moves one hop per round: a chain longer than
+    # max_iter must FAIL FAST, not silently return multiple labels for
+    # one component (which a keep-one dedup stage would then act on)
+    import pytest
+
+    from as_etl_storage_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_i long, doc_j long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(chain, max_iter=15).collect()
+    }
+    assert set(got.values()) == {0}  # one component, min-id label
+
+
+def test_sample_to_rates_rejects_wrong_arity_keys(spark):
+    # a rate key of the wrong arity would compare a group column against
+    # NULL — never matching — and silently sample at the default rate
+    import pytest
+
+    from as_etl_storage_spark.operators.sampling import sample_to_rates
+
+    df = spark.createDataFrame(
+        [(1, "s1", "en"), (2, "s2", "de")], "id long, src string, lang string"
+    )
+    with pytest.raises(ValueError, match="arity"):
+        sample_to_rates(df, "id", ["src", "lang"], {"s1": 0.5})
+    ok = sample_to_rates(df, "id", ["src", "lang"], {("s1", "en"): 1.0})
+    assert ok.count() >= 1

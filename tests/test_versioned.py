@@ -331,3 +331,34 @@ def test_quarantine_rejects_recorded_only_after_main_write(spark, tmp_path):
         )
     # the failed attempt recorded nothing
     assert spark.read.parquet(res.reject_path).count() == reject_before
+
+
+def test_commit_leaves_no_temp_manifests_and_rejects_empty(spark, tmp_path):
+    """Commits appear atomically (link from a fully-written temp file):
+    after any number of commits no temp files remain in the log, and a
+    hand-written manifest with no data files reads as an explicit error
+    instead of a fabricated one-column schema."""
+    import json
+    import os
+
+    import pytest
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    t = str(tmp_path / "t")
+    vt = VersionedTable(spark, t)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    vt.overwrite(df)
+    vt.append(df)
+    assert not [f for f in os.listdir(vt.log_dir) if f.startswith(".tmp-")]
+    # manifest content is complete JSON (the atomicity the link buys)
+    for f in os.listdir(vt.log_dir):
+        with open(os.path.join(vt.log_dir, f)) as fh:
+            json.load(fh)
+    with open(os.path.join(vt.log_dir, "00000002.json"), "w") as fh:
+        json.dump({"version": 2, "op": "overwrite", "files": [], "base": 1}, fh)
+    with pytest.raises(VersionedTableError, match="no data files"):
+        vt.read()
