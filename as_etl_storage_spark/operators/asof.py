@@ -46,9 +46,16 @@ def asof_join(
         *[F.col(c).alias(f"_p_{c}") for c in payload],
     )
     unioned = l_tag.unionByName(r_tag)
+    # payload columns close the sort: two right rows tied on (_t, _side)
+    # would otherwise order by shuffle accident and last(ignorenulls)
+    # would carry a run-dependent payload — with the tie-break the winner
+    # at an exactly-duplicated right timestamp is the greatest payload
+    # tuple, deterministically (identical payloads make the pick moot).
+    # Left rows are unaffected: each computes its own frame, and the
+    # preceding tied-left rows it may include carry only NULL payloads.
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy("_t", "_side", *[F.col(f"_p_{c}") for c in payload])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

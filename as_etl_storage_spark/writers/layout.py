@@ -86,6 +86,15 @@ def zorder_key(cols: list[str], bounds: dict, bits: int = 12) -> F.Column:
     are driver-side scalars from one min/max aggregate (bounded, same class
     of driver value as split boundaries)."""
     n = len(cols)
+    if bits * n > 63:
+        # JVM shiftleft is mod-64: bit positions past 63 silently wrap
+        # onto low bits and the key stops being a Morton order — refuse
+        # rather than emit a corrupt layout
+        raise ValueError(
+            f"zorder_key needs bits*len(cols) <= 63 to fit one long; got "
+            f"{bits}*{n} = {bits * n} — lower bits (e.g. "
+            f"{63 // n} for {n} columns)"
+        )
     buckets = []
     for c in cols:
         lo, hi = bounds[c]

@@ -429,3 +429,22 @@ def test_sample_to_rates_rejects_wrong_arity_keys(spark):
         sample_to_rates(df, "id", ["src", "lang"], {"s1": 0.5})
     ok = sample_to_rates(df, "id", ["src", "lang"], {("s1", "en"): 1.0})
     assert ok.count() >= 1
+
+
+def test_asof_join_deterministic_on_tied_right_timestamps(spark):
+    # two right rows at the SAME (key, time): the carried payload must be
+    # a deterministic pick (greatest payload tuple), not shuffle order
+    from as_etl_storage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 5, "b")], "k long, t long, p string"
+    )
+    picks = set()
+    for n in (1, 7):
+        got = asof_join(
+            left, right.repartition(n), "k", "t", "t", ["p"]
+        ).collect()
+        assert len(got) == 1
+        picks.add(got[0]["p"])
+    assert picks == {"b"}  # greatest payload tuple, every partitioning

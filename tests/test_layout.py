@@ -264,3 +264,18 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     ParquetWriter(spark, spec(False)).write(patch)
     got2 = spark.read.parquet(str(tmp_path / "t_dyn.parquet"))
     assert {(r["id"], r["d"]) for r in got2.collect()} == {(9, "a")}
+
+
+def test_zorder_key_rejects_bit_overflow():
+    # shiftleft is mod-64 on the JVM: bits*n_cols > 63 would silently wrap
+    # bit positions and destroy the Morton order
+    import pytest
+
+    from as_etl_storage_spark.writers.layout import zorder_key
+
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key(
+            ["a", "b", "c", "d", "e", "f"],
+            {c: (0, 100) for c in "abcdef"},
+            bits=12,
+        )
