@@ -334,6 +334,12 @@ class ParquetWriter:
                     lambda: self._merge_replace(clean, path), "replace"
                 )
             elif mode == "ignore":
+                # same W11 gate as insert: ignore APPENDS its fresh rows,
+                # so a drifted/retyped column would write mixed-schema
+                # files just like an unchecked insert (replace is
+                # implicitly protected — unionByName rejects type
+                # conflicts; overwrite legitimately redefines)
+                self.check_schema_compat(clean)
                 written = self._with_retry(
                     lambda: self._insert_ignore(clean, path), "ignore"
                 )

@@ -266,6 +266,23 @@ class TestWriter:
             with pytest.raises(WriterError, match="type change"):
                 run_job(spark, job)
 
+    def test_ignore_mode_gates_schema(self, spark, tmp_path):
+        """ignore APPENDS its fresh rows, so it must run the same W11
+        schema gate as insert — a retyped column would otherwise write
+        mixed-schema files silently."""
+        from as_etl_storage_spark.writers.writer import WriterError
+
+        run_job(spark, self._job(tmp_path))
+        job = self._job(tmp_path, mode="ignore", mergeKeys=["o_orderkey"])
+        job["reader"]["querySql"] = [
+            "SELECT * EXCEPT (o_totalprice), "
+            "CAST(o_totalprice AS STRING) AS o_totalprice FROM orders"
+        ]
+        del job["reader"]["column"]
+        del job["reader"]["connection"]["table"]
+        with pytest.raises(WriterError, match="type change"):
+            run_job(spark, job)
+
 
 class TestFileFormatWriters:
     def _job(self, tmp, dialect, mode="insert", **writer_over):
