@@ -343,6 +343,12 @@ def kmeans_centroids(
         )
         if impl != "vectorized":
             centroids = _materialize(centroids)
+    if impl == "vectorized":
+        # the in-plan update returns a corpus-lineage frame; pin the
+        # bounded k x dim result so downstream consumers (seeded dedup
+        # blocking reuses the table repeatedly) don't re-scan the corpus
+        # per use — the documented "literal rows" return contract
+        centroids = _materialize(centroids)
     return centroids
 
 
