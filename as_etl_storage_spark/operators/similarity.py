@@ -36,12 +36,35 @@ from as_etl_storage_spark.functions import vec_dot as _dot, vec_norm as _norm
 MAX_QUERY_ROWS = 100_000
 
 
-def _check_query_cap(queries: DataFrame, query_pred: str, cap: int) -> None:
-    """One cheap guard job: LIMIT cap+1 over the filtered scan (filter and
-    limit both push down), raising before any collect/broadcast is
-    attempted. Runs on the JVM broadcast paths, where the relation build
-    — not a visible ``.collect()`` — is the driver-memory hazard."""
-    if queries.limit(cap + 1).count() > cap:
+def _check_query_cap(
+    queries: DataFrame,
+    query_pred: str,
+    cap: int,
+    df: DataFrame | None = None,
+    id_col: str | None = None,
+) -> None:
+    """One cheap guard job: LIMIT cap+1 over the filtered scan, raising
+    before any collect/broadcast is attempted. Runs on the JVM broadcast
+    paths, where the relation build — not a visible ``.collect()`` — is
+    the driver-memory hazard.
+
+    The count prefers an id-only projection of the RAW frame (predicates
+    almost always reference just ``vid``): the prepared/quantized frames
+    filter on per-row array folds (norm > 0, amax > 0), so counting THEM
+    would evaluate vector math across the whole corpus — a second heavy
+    pass at 100 TB, where the pruned id scan is near-metadata. The cheap
+    count can only over-count (it skips the zero-norm drop), so the
+    guard errs toward raising — the safe direction. Predicates that
+    reference prepared columns fall back to the prepared frame."""
+    guarded = queries
+    if df is not None and id_col is not None:
+        try:
+            cheap = df.select(F.col(id_col).alias("vid")).where(query_pred)
+            cheap.schema  # force analysis: does the pred resolve on id alone?
+            guarded = cheap
+        except Exception:
+            pass
+    if guarded.limit(cap + 1).count() > cap:
         raise ValueError(
             f"query_pred {query_pred!r} matches more than {cap} rows; "
             f"brute-force ANN collects/broadcasts the query side — pass "
@@ -97,7 +120,7 @@ def cosine_topk(
     queries = corpus.where(query_pred).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("norm").alias("qn")
     )
-    _check_query_cap(queries, query_pred, max_queries)
+    _check_query_cap(queries, query_pred, max_queries, df, id_col)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
     scored = (
         F.broadcast(queries)
@@ -147,7 +170,7 @@ def knn_label_vote(
         F.col("norm").alias("qn"),
         F.col("nlabel").alias("true_label"),
     )
-    _check_query_cap(queries, query_pred, max_queries)
+    _check_query_cap(queries, query_pred, max_queries, df, id_col)
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
     scored = (
         F.broadcast(queries)
@@ -599,7 +622,7 @@ def int8_topk_rescore(
         F.col("scale").alias("qscale"),
         F.col("v").alias("qval"),
     )
-    _check_query_cap(queries, query_pred, max_queries)
+    _check_query_cap(queries, query_pred, max_queries, df, id_col)
     idot = F.aggregate(
         F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
