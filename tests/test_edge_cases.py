@@ -448,3 +448,23 @@ def test_asof_join_deterministic_on_tied_right_timestamps(spark):
         assert len(got) == 1
         picks.add(got[0]["p"])
     assert picks == {"b"}  # greatest payload tuple, every partitioning
+
+
+def test_ann_query_cap_fallback_for_prepared_columns(spark):
+    # a predicate referencing a PREPARED column (norm) cannot resolve on
+    # the cheap id-only projection; the guard must fall back to the
+    # prepared frame and both enforce the cap and pass small sets through
+    import pytest
+
+    from as_etl_storage_spark.operators import similarity
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.cosine_topk(
+            emb, "vec_id", "embedding", 3, "norm > 0", max_queries=5
+        )
+    got = similarity.cosine_topk(
+        emb, "vec_id", "embedding", 3, "norm > 0 AND vid < 3", max_queries=5
+    )
+    assert got.count() > 0
