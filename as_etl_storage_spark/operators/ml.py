@@ -145,7 +145,7 @@ def _update(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
+def _update_np(assigned: DataFrame, cent_rows: list) -> DataFrame:
     """Vectorized centroid update: per-partition k x dim partial sums via
     ``mapInPandas`` (the corpus itself is NEVER shuffled), combined
     IN-PLAN by a ``groupBy(cid)`` whose exchange carries at most
@@ -153,9 +153,13 @@ def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     earlier driver combine of those same partials, never a
     driver-proportional pull (on a 100k-partition cluster with large
     k x dim that collect was a multi-GB driver transfer per iteration).
-    The only remaining driver round-trip is the k-row OLD centroid table
-    for the empty-cluster fallback — bounded by k, independent of
-    partition count, the same class as ``_materialize``.
+    The OLD centroids arrive as already-collected rows (``cent_rows``) —
+    the SAME k-row collect the vectorized assignment closed over, done
+    once per iteration by ``_step`` (collecting a DataFrame here too
+    would re-execute the previous iteration's full corpus job a second
+    time); they are re-created as literal rows for the empty-cluster
+    fallback — bounded by k, independent of partition count, the same
+    class as ``_materialize``.
 
     Determinism: per-cid partials are ``array_sort``-ed by partition id
     and left-folded with ``zip_with`` elementwise adds — the identical
@@ -172,12 +176,10 @@ def _update_np(assigned: DataFrame, centroids: DataFrame) -> DataFrame:
     from pyspark import TaskContext
 
     spark = assigned.sparkSession
-    # bounded k-row collect; re-created as literal rows so the returned
-    # plan's fallback side never chains the previous iteration's lineage
+    # literal rows: the returned plan's fallback side never chains the
+    # previous iteration's lineage
     old = spark.createDataFrame(
-        sorted(
-            (r["cid"], list(r["cv"])) for r in centroids.collect()
-        ),
+        sorted((r["cid"], list(r["cv"])) for r in cent_rows),
         "cid long, cv array<double>",
     )
 
@@ -273,16 +275,21 @@ def _assign_impl(corpus: DataFrame, centroids: DataFrame, impl: str) -> DataFram
     return _assign(corpus, centroids)
 
 
-def _update_impl(
-    assigned: DataFrame, centroids: DataFrame, impl: str
-) -> DataFrame:
-    """Dispatch one centroid update. ``vectorized`` combines
-    per-partition partial sums in-plan (corpus never shuffled; the next
-    iteration's bounded centroid collect executes it); ``jvm`` is the
-    decimal-exact declarative aggregation."""
+def _step(corpus: DataFrame, centroids: DataFrame, impl: str) -> DataFrame:
+    """One Lloyd iteration (assign + update). In the vectorized impl the
+    incoming centroids are collected EXACTLY once — the bounded k-row
+    pull whose execution runs the previous iteration's corpus job — and
+    the collected rows feed BOTH the assignment matmul and the update's
+    empty-cluster fallback. Collecting per phase instead (as the
+    pre-round-8 code did via separate assign/update dispatchers) executed
+    that uncached corpus-lineage job twice per iteration, doubling the
+    per-iteration scan cost the module docstring promises is single.
+    ``jvm`` stays fully declarative (no collect; callers pin lineage via
+    ``_materialize``)."""
     if impl == "vectorized":
-        return _update_np(assigned, centroids)
-    return _update(assigned, centroids)
+        cent_rows = centroids.collect()
+        return _update_np(_assign_np(corpus, cent_rows), cent_rows)
+    return _update(_assign(corpus, centroids), centroids)
 
 
 def kmeans_assign(
@@ -306,9 +313,7 @@ def kmeans_assign(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     for i in range(iters):
-        centroids = _update_impl(
-            _assign_impl(corpus, centroids, impl), centroids, impl
-        )
+        centroids = _step(corpus, centroids, impl)
         if impl != "vectorized" and (
             materialize_every and (i + 1) % materialize_every == 0
         ):
@@ -338,9 +343,7 @@ def kmeans_centroids(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        centroids = _update_impl(
-            _assign_impl(corpus, centroids, impl), centroids, impl
-        )
+        centroids = _step(corpus, centroids, impl)
         if impl != "vectorized":
             centroids = _materialize(centroids)
     if impl == "vectorized":
@@ -387,9 +390,7 @@ def kmeans_validated(
         F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
     )
     for i in range(iters):
-        centroids = _update_impl(
-            _assign_impl(corpus, centroids, impl), centroids, impl
-        )
+        centroids = _step(corpus, centroids, impl)
         if impl != "vectorized" and (
             materialize_every and (i + 1) % materialize_every == 0
         ):

@@ -85,7 +85,10 @@ def test_update_np_matches_decimal_update(spark):
     )
     assigned = _assign(corpus, cents)
     exact = {r["cid"]: np.array(r["cv"]) for r in _update(assigned, cents).collect()}
-    fast = {r["cid"]: np.array(r["cv"]) for r in _update_np(assigned, cents).collect()}
+    fast = {
+        r["cid"]: np.array(r["cv"])
+        for r in _update_np(assigned, cents.collect()).collect()
+    }
     assert sorted(exact) == sorted(fast)
     # the declarative path quantizes each addend to decimal(28,10), so the
     # two means legitimately differ by up to ~1e-10 per dimension
@@ -121,10 +124,39 @@ def test_update_np_zero_corpus_shuffle(spark):
     )
     assert "Exchange" not in partial_plan
     plan = (
-        _update_np(assigned, cents)
+        _update_np(assigned, cents.collect())
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(cid" in plan
+
+
+def test_kmeans_vectorized_one_collect_per_iteration(spark, monkeypatch):
+    """Each vectorized Lloyd iteration collects the previous centroids
+    EXACTLY once (that collect executes the prior iteration's corpus
+    job; the rows feed both the assignment matmul and the update's
+    fallback). Regression for the round-7 advisor finding: separate
+    assign/update dispatchers each collected the same uncached centroid
+    lineage, re-running every iteration's corpus job twice. Collect
+    budget for iters Lloyd rounds: one per iteration + the final
+    assignment's = iters + 1."""
+    # patch the CLASSIC implementation class: in PySpark 4 the public
+    # pyspark.sql.DataFrame is the dispatch facade and instances resolve
+    # collect() on the classic subclass, bypassing a facade-level patch
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    df = _blobs(spark)
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    plan = kmeans_assign(df, "vid_in", "vec", k=2, iters=3)
+    assert calls["n"] == 3 + 1, f"expected iters+1 collects, got {calls['n']}"
+    monkeypatch.undo()
+    assert plan.count() == 12
