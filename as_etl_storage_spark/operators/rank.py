@@ -230,26 +230,97 @@ def _bucket_search_expr(
     ).otherwise(_bucket_search_expr(order_cols, boundaries, lo, mid))
 
 
+#: max boundary literals whose comparison code shares ONE generated
+#: method. HotSpot refuses to JIT-compile methods past ~8000 bytecodes
+#: (-XX:DontCompileHugeMethods); a single CASE tree past ~32 boundaries
+#: crossed that limit and ran as interpreted bytecode — a measured ~6x
+#: per-row constant (docs/SCALE.md). 32 keeps every method comfortably
+#: inside the compile limit with the two-column keys the kernel sees.
+_JIT_GROUP = 32
+
+
+def _attach_exceed_count(
+    df: DataFrame, order_cols: list[str], boundaries: list[tuple], out_col: str
+) -> DataFrame:
+    """Attach ``out_col`` = count of ``boundaries`` the row's key exceeds,
+    keeping every generated codegen method under the HotSpot JIT limit.
+
+    ≤ ``_JIT_GROUP`` boundaries: one binary-search CASE tree (one method,
+    compiles). Beyond that, a MULTI-LEVEL form: boundaries split into
+    groups of ``_JIT_GROUP``; a coarse pass (recursing on the group-end
+    boundaries, so arbitrarily many groups stay JIT-safe too) yields the
+    group index; then a CHAIN of Projects — one per group, each holding
+    only that group's ≤ _JIT_GROUP-boundary subtree — resolves the count
+    within the matched group. Exceed-count arithmetic keeps placement
+    bit-identical to the single tree: boundaries are strictly ascending,
+    so exceeding a group's END boundary implies exceeding the whole
+    group, the coarse index c fixes c × _JIT_GROUP exceeded boundaries,
+    and only group c's interior needs comparing (its end boundary is
+    provably not exceeded and is skipped).
+
+    Why a chain of Projects instead of one CASE over all subtrees:
+    whole-stage codegen inlines every expression of a Project into one
+    consume method (expression-level splitting is disabled when inputs
+    arrive as codegen variables), so a single expression re-creates the
+    8 KB cliff no matter how it is factored. Separate Project operators
+    each get their OWN consume method (codegen splits per operator), so
+    each method carries one subtree. Each chain link re-references the
+    accumulator column twice (``when(prev.isNotNull(), prev)``) — a
+    non-cheap expression consumed twice is exactly what stops Catalyst's
+    CollapseProject from folding the chain back into one giant
+    expression. Per-row cost: one coarse tree walk + one group-count
+    null-check per group + one subtree walk — O(parts/_JIT_GROUP)
+    null-checks dominate asymptotically but are single branch
+    instructions; measured cost stays at the JIT-compiled floor where
+    the one-method tree ran 6x slower interpreted (docs/SCALE.md)."""
+    n = len(boundaries)
+    if n <= _JIT_GROUP:
+        return df.withColumn(
+            out_col, _bucket_search_expr(order_cols, boundaries).cast("int")
+        )
+    s = _JIT_GROUP
+    n_groups = -(-n // s)
+    ends = [boundaries[min((g + 1) * s - 1, n - 1)] for g in range(n_groups - 1)]
+    ccol, fcol = f"{out_col}_c", f"{out_col}_f"
+    df = _attach_exceed_count(df, order_cols, ends, ccol)
+    df = df.withColumn(fcol, F.lit(None).cast("int"))
+    for g in range(n_groups):
+        lo, hi = g * s, min((g + 1) * s, n)
+        if g < n_groups - 1:
+            hi -= 1  # the group-end boundary is never exceeded inside g
+        subtree = _bucket_search_expr(order_cols, boundaries[lo:hi]).cast("int")
+        prev = F.col(fcol)
+        df = df.withColumn(
+            fcol,
+            F.when(prev.isNotNull(), prev).otherwise(
+                F.when(F.col(ccol) == g, subtree)
+            ),
+        )
+    return df.withColumn(
+        out_col, (F.col(ccol) * s + F.col(fcol)).cast("int")
+    ).drop(ccol, fcol)
+
+
 def _bucketed_once(
     df: DataFrame, order_cols: list[str], parts: int | None = None
 ) -> DataFrame:
     """Attach ``__rank_pid``: the count of sampled boundary tuples the
-    row's key exceeds — a pure expression (binary-search CASE tree, see
-    ``_bucket_search_expr``), so every job (stats, output, task retries)
+    row's key exceeds — a pure expression (binary-search CASE trees, see
+    ``_attach_exceed_count``), so every job (stats, output, task retries)
     computes the identical placement with no pinning.
 
-    Per-row cost is O(log parts × len(order_cols)) comparisons — the CASE
-    tree evaluates one root-to-leaf path — so ``parts`` can track cluster
-    core counts (hundreds+) without the bucket id becoming a per-row CPU
-    constant on the corpus's one exchange path. Bucket ids feed a hash
-    exchange, so more buckets than cores still buys nothing; default
-    stays defaultParallelism."""
+    Per-row comparison cost is O(log parts × len(order_cols)) — each
+    lookup walks one root-to-leaf path — and past ``_JIT_GROUP``
+    boundaries the expression is factored across Project operators so
+    every generated method stays JIT-compilable; ``parts`` can track
+    cluster core counts (hundreds+) without bucket placement becoming a
+    per-row CPU constant on the corpus's one exchange path. Bucket ids
+    feed a hash exchange, so more buckets than cores still buys nothing;
+    default stays defaultParallelism."""
     if parts is None:
         parts = df.sparkSession.sparkContext.defaultParallelism
     boundaries = _sample_boundaries(df, order_cols, parts)
-    return df.withColumn(
-        _PID, _bucket_search_expr(order_cols, boundaries).cast("int")
-    )
+    return _attach_exceed_count(df, order_cols, boundaries, _PID)
 
 
 # round-5 name, kept as an alias for external references/tests

@@ -322,13 +322,14 @@ def main() -> None:
             results.append(row)
             print(json.dumps(row), flush=True)
 
-    # rank-kernel bucket placement: with the binary-search CASE tree the
-    # per-row cost is O(log parts), so walltime over the SAME corpus must
-    # stay ~flat as parts grows 8x — and at parts=256 the retired
-    # sum-of-WHENs chain (rebuilt here verbatim for contrast) shows the
-    # O(parts) cost the tree removed. Measured on the 10x lineitem
-    # (~6M rows, two-column key) so per-row cost dominates the constant
-    # boundary-sample job.
+    # rank-kernel bucket placement: with the grouped-subtree multi-level
+    # form every generated method stays JIT-compilable, so walltime over
+    # the SAME corpus must stay near the 32-part floor as parts grows 8x
+    # (no interpreted-bytecode cliff at 64) — and at parts=256 the
+    # retired sum-of-WHENs chain (rebuilt here verbatim for contrast)
+    # shows the O(parts) cost the tree removed. Measured on the 10x
+    # lineitem (~6M rows, two-column key) so per-row cost dominates the
+    # constant boundary-sample job.
     from as_etl_storage_spark.operators.rank import (
         _bucket_search_expr,
         _bucketed_once,
@@ -340,7 +341,7 @@ def main() -> None:
         os.path.join(scratch, "rel_10", "lineitem.parquet")
     ).select("l_orderkey", "l_linenumber")
     key = ["l_orderkey", "l_linenumber"]
-    for parts in (32, 256):
+    for parts in (32, 64, 256):
         make = lambda p=parts: _bucketed_once(li10, key, parts=p)  # noqa: E731
         make().write.mode("overwrite").format("noop").save()
         spark.catalog.clearCache()

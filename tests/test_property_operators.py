@@ -667,3 +667,57 @@ def test_bucket_search_tree_equals_linear_count(spark):
         (F.when(_key_gt(cols, (2, 2)), 1).otherwise(0)).alias("l1"),
     ).collect()
     assert all(r["t0"] == 0 and r["t1"] == r["l1"] for r in one)
+
+
+def test_multilevel_bucket_chain_matches_linear_count(spark):
+    # past _JIT_GROUP boundaries the bucket id switches to the chained
+    # multi-level form (one codegen method per subtree, see
+    # _attach_exceed_count); placement must stay bit-identical to the
+    # O(parts) exceed-count — including NULL boundary slots, NULL keys,
+    # and keys above/below/equal to every group-end boundary
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.operators.rank import (
+        _JIT_GROUP,
+        _attach_exceed_count,
+        _key_gt,
+    )
+
+    cols = ["a", "b"]
+    # 3 groups' worth of strictly ascending boundaries with NULL slots
+    n = 2 * _JIT_GROUP + 7
+    boundaries = [(None, 3)] + [
+        (i, None if i % 5 == 0 else i + 1) for i in range(n - 1)
+    ]
+    vals = [None, 0, 1, 2, 3, 7, 15, 31, 32, 33, 47, 62, 63, 64, 70, 99]
+    rows = [(x, y) for x in vals for y in vals]
+    df = spark.createDataFrame(rows, "a int, b int")
+    linear = F.lit(0)
+    for bnd in boundaries:
+        linear = linear + F.when(_key_gt(cols, bnd), 1).otherwise(0)
+    out = _attach_exceed_count(df, cols, boundaries, "chain").withColumn(
+        "lin", linear.cast("int")
+    )
+    got = out.collect()
+    assert all(r["chain"] == r["lin"] for r in got)
+    # no helper columns leak
+    assert set(out.columns) == {"a", "b", "chain", "lin"}
+
+
+def test_multilevel_bucket_chain_stays_unfused(spark):
+    # the chain only fixes the JIT cliff if Catalyst does NOT collapse it
+    # back into one giant expression: every chain link must survive as
+    # its own Project in the optimized plan (each gets its own codegen
+    # consume method). A Spark upgrade that re-collapses the chain would
+    # silently re-create the ~6x interpreted-bytecode constant.
+    from as_etl_storage_spark.operators.rank import (
+        _JIT_GROUP,
+        _attach_exceed_count,
+    )
+
+    n = 3 * _JIT_GROUP  # 3 fine groups + 1 coarse level
+    boundaries = [(i,) for i in range(n)]
+    df = spark.createDataFrame([(i,) for i in range(5)], "a int")
+    out = _attach_exceed_count(df, ["a"], boundaries, "pid")
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("Project") >= 3
