@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -139,12 +140,18 @@ def main() -> None:
             spark.catalog.clearCache()
         runs[name] = per_run
         if stat == "median":
-            import statistics
-
             timings[name] = round(statistics.median(per_run), 4)
         else:
             timings[name] = min(per_run)
     total = round(sum(timings.values()), 4)
+    # both stats always ship in the final line: "value" (per-query min,
+    # the like-for-like round-over-round number) and "value_median"
+    # (per-query medians summed) — a judge can separate a real
+    # regression (both move) from one-run box noise (min flat, median
+    # jumps) without a live re-measure
+    total_median = round(
+        sum(statistics.median(r) for r in runs.values()), 4
+    )
 
     # ETL-copy throughput: full lineitem parquet read -> parquet write,
     # the reference's own workload shape (parallel table copy). Rows/s
@@ -214,6 +221,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
+                "value_median": total_median,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
