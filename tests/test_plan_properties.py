@@ -220,3 +220,28 @@ def test_int8_rescore_broadcasts_queries(spark):
     plan = plan_of(spark, "ann_int8_rescore")
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vectorized_ann_guard_costs_no_extra_job(spark):
+    # the vectorized path's query-cap guard is folded into its one
+    # bounded collect (_collect_query_rows): BUILDING the frame must run
+    # exactly one Spark job. A refactor that reintroduces a pre-flight
+    # count job (the JVM broadcast paths' shape, where the relation
+    # build — not a visible collect — is the hazard) triples the query
+    # fan-in cost at 100 TB, where every corpus-adjacent job is a scan.
+    import time
+
+    from as_etl_storage_spark.operators.similarity import cosine_topk_vectorized
+    from as_etl_storage_spark.queries.common import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    sc = spark.sparkContext
+    group = f"ann_guard_{time.monotonic_ns()}"
+    sc.setJobGroup(group, "build vectorized ann frame")
+    cosine_topk_vectorized(emb, "vec_id", "embedding", 5, "vid < 8")
+    sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) == 1, (
+        f"expected the bounded query collect to be the ONLY job during "
+        f"frame construction, saw {len(jobs)}"
+    )
