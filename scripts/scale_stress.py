@@ -355,6 +355,49 @@ def main() -> None:
         }
         results.append(row)
         print(json.dumps(row), flush=True)
+    # rank-kernel skew: the realistic rank-by-score corpus shape is a
+    # heavily duplicated order key (90% one score) with an id tie-break.
+    # Boundary tuples INCLUDE the tie-break columns, so the heavy value
+    # must split across buckets instead of landing in one hot bucket —
+    # measured here as wall time + max/mean bucket-size spread vs the
+    # uniform-key case on the same rows.
+    from as_etl_storage_spark.operators.rank import _PID, global_rank
+
+    li10q = spark.read.parquet(
+        os.path.join(scratch, "rel_10", "lineitem.parquet")
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+    skew_key = ["score", "l_orderkey", "l_linenumber"]
+    skewed = li10q.withColumn(
+        "score",
+        F.when(
+            F.crc32(F.concat_ws("|", "l_orderkey", "l_linenumber")) % 10 < 9,
+            F.lit(0.0),
+        ).otherwise(F.col("l_quantity")),
+    ).select(*skew_key)
+    uniform = li10q.withColumnRenamed("l_quantity", "score").select(*skew_key)
+    for case, frame in (("skew90", skewed), ("uniform", uniform)):
+        make = lambda fr=frame: global_rank(fr, skew_key)  # noqa: E731
+        make().write.mode("overwrite").format("noop").save()
+        sec, jobs, stages = timed(spark, f"rank_{case}", make())
+        sizes = [
+            r["n"]
+            for r in _bucketed_once(frame, skew_key)
+            .groupBy(_PID)
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        row = {
+            "factor": 10,
+            "operator": f"rank_{case}",
+            "sec": round(sec, 3),
+            "jobs": jobs,
+            "stages": stages,
+            "buckets": len(sizes),
+            "max_over_mean": round(max(sizes) / (sum(sizes) / len(sizes)), 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     bounds = _sample_boundaries(li10, key, 256)
     for form, expr_of in (
         ("tree", lambda: _bucket_search_expr(key, bounds)),
