@@ -16,6 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
+
+
+def _orderable(dt: DataType) -> bool:
+    """Whether Spark can sort on this type (MapType — directly or nested —
+    is unorderable and would make the window's ORDER BY raise)."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -51,11 +64,19 @@ def asof_join(
     # would carry a run-dependent payload — with the tie-break the winner
     # at an exactly-duplicated right timestamp is the greatest payload
     # tuple, deterministically (identical payloads make the pick moot).
+    # Two caveats, by construction: (1) unorderable payload types (maps,
+    # or arrays/structs containing maps) cannot join the ORDER BY, so
+    # ties that differ ONLY in such columns stay run-dependent for them;
+    # (2) the carry is per-COLUMN last(ignorenulls) — if the winning tied
+    # row holds a NULL in one payload column, that column back-fills from
+    # an earlier tied row, so the result can mix columns across exact-tie
+    # rows rather than take the winner's full row.
     # Left rows are unaffected: each computes its own frame, and the
     # preceding tied-left rows it may include carry only NULL payloads.
+    tie_break = [F.col(f"_p_{c}") for c in payload if _orderable(right.schema[c].dataType)]
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side", *[F.col(f"_p_{c}") for c in payload])
+        .orderBy("_t", "_side", *tie_break)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -35,7 +35,18 @@ def connected_components(
     therefore raises when it exits by iteration count with changes still
     in flight; near-dup clusters have tiny diameters in practice, and a
     corpus that genuinely trips this wants a larger ``max_iter`` or the
-    large-star/small-star contraction noted in the module docstring."""
+    large-star/small-star contraction noted in the module docstring.
+
+    When the loop exits by count with the LAST round still changing, the
+    labels may in fact be final (a component whose diameter equals
+    ``max_iter`` converges exactly on the final round) — one extra
+    propagation round verifies before raising, so a genuinely-converged
+    result is never rejected."""
+    if max_iter < 1:
+        raise ValueError(
+            f"max_iter must be >= 1 (got {max_iter}): zero rounds would "
+            "return identity labels with convergence never observed"
+        )
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     sym = sym.localCheckpoint(eager=True)
@@ -70,10 +81,25 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing): a component's diameter "
-            f"exceeds max_iter and the labels are NOT final — raise "
-            f"max_iter (propagation is one hop per round)"
+        # the final allowed round changed labels — either unconverged, or
+        # that round was the one that finished (diameter == max_iter) and
+        # convergence is simply unobserved. One verification round tells
+        # them apart: zero further changes means the labels ARE final.
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["id"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
         )
+        still = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["u"], "left")
+            .where(F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label"))
+            .count()
+        )
+        if still != 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds "
+                f"({still} labels still changing): a component's diameter "
+                f"exceeds max_iter and the labels are NOT final — raise "
+                f"max_iter (propagation is one hop per round)"
+            )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

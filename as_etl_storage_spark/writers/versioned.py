@@ -215,14 +215,6 @@ class VersionedTable:
         can exist."""
         import time as _time
 
-        vs = self._versions()
-        if len(vs) <= retain_last:
-            return 0
-        keep_versions = vs[-retain_last:]
-        keep_files = set()
-        for v in keep_versions:
-            keep_files.update(self._manifest(v)["files"])
-        removed = 0
         now = _time.time()
 
         def _old_enough(full: str) -> bool:
@@ -231,6 +223,30 @@ class VersionedTable:
             except OSError:
                 return False  # already gone (concurrent vacuum)
 
+        # orphaned commit temps: a crash between os.link and
+        # os.unlink(tmp) leaves a .tmp-* behind — invisible to _versions
+        # (no .json suffix) so correctness holds, but nothing else ever
+        # deletes it. Swept before the retain_last early-return so even a
+        # single-version table gets cleaned; the grace window protects an
+        # in-flight committer's temp the same way it protects its files.
+        if os.path.isdir(self.log_dir):
+            for f in os.listdir(self.log_dir):
+                if f.startswith(".tmp-"):
+                    full = os.path.join(self.log_dir, f)
+                    if _old_enough(full):
+                        try:
+                            os.remove(full)
+                        except OSError:
+                            pass  # concurrent vacuum won the race
+
+        vs = self._versions()
+        if len(vs) <= retain_last:
+            return 0
+        keep_versions = vs[-retain_last:]
+        keep_files = set()
+        for v in keep_versions:
+            keep_files.update(self._manifest(v)["files"])
+        removed = 0
         for f in os.listdir(self.path):
             if f.endswith(".parquet") and f not in keep_files:
                 full = os.path.join(self.path, f)

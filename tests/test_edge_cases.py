@@ -468,3 +468,45 @@ def test_ann_query_cap_fallback_for_prepared_columns(spark):
         emb, "vec_id", "embedding", 3, "norm > 0 AND vid < 3", max_queries=5
     )
     assert got.count() > 0
+
+
+def test_asof_join_map_payload_skips_tie_break_not_crashes(spark):
+    # MapType is unorderable: it must be EXCLUDED from the tie-break sort
+    # (previously joining payloads into ORDER BY made this raise), while
+    # orderable payload columns keep their deterministic tied-row pick
+    from as_etl_storage_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 5, "a", {"x": 1}), (1, 5, "b", {"x": 2})],
+        "k long, t long, p string, m map<string,long>",
+    )
+    got = asof_join(left, right, "k", "t", "t", ["p", "m"]).collect()
+    assert len(got) == 1
+    assert got[0]["p"] == "b"  # orderable column still deterministic
+    # map payload is carried; only presence is asserted — the per-column
+    # carry caveat means tied rows may mix for non-tie-break columns
+    assert got[0]["m"] is not None
+
+
+def test_connected_components_max_iter_edges(spark):
+    # max_iter=0 would return identity labels with convergence never
+    # observed (the exact silent-wrong-result the guard exists for);
+    # diameter == max_iter converges ON the final round — the
+    # verification pass must accept it instead of false-positive raising
+    import pytest
+
+    from as_etl_storage_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_i long, doc_j long"
+    )
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(chain, max_iter=0)
+    # label 0 moves one hop per round: vertex 12 is reached exactly on
+    # round 12, so the loop exits with changed != 0 yet labels are final
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(chain, max_iter=12).collect()
+    }
+    assert set(got.values()) == {0}

@@ -362,3 +362,26 @@ def test_commit_leaves_no_temp_manifests_and_rejects_empty(spark, tmp_path):
         json.dump({"version": 2, "op": "overwrite", "files": [], "base": 1}, fh)
     with pytest.raises(VersionedTableError, match="no data files"):
         vt.read()
+
+
+def test_vacuum_sweeps_stale_commit_temps(spark, tmp_path):
+    """A crash between os.link and os.unlink(tmp) strands a .tmp-* file in
+    the log dir forever (no .json suffix => invisible to _versions).
+    vacuum sweeps temps older than the grace window — even on a table too
+    young for any version to be vacuumable — and leaves fresh ones alone
+    (they may belong to an in-flight committer)."""
+    import os
+
+    t = str(tmp_path / "t")
+    vt = VersionedTable(spark, t)
+    vt.overwrite(spark.createDataFrame([(1,)], "id long"))
+    stale = os.path.join(vt.log_dir, ".tmp-deadbeef")
+    fresh = os.path.join(vt.log_dir, ".tmp-cafef00d")
+    for p in (stale, fresh):
+        with open(p, "w") as fh:
+            fh.write("{}")
+    os.utime(stale, (0, 0))  # ancient mtime: crashed long ago
+    vt.vacuum(retain_last=1, grace_seconds=600.0)  # single version: no files removed
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)  # inside the grace window: protected
+    assert vt.read().count() == 1  # table unaffected
