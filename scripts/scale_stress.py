@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from as_etl_storage_spark.operators import (  # noqa: E402
     dedup,
+    ml,
     retrieval,
     similarity,
     text,
@@ -224,8 +225,21 @@ def main() -> None:
         ".scratch",
         "scale_stress",
     )
+    # SCALE_STRESS_FACTORS=1,10,30 extends (or shrinks) the default
+    # 1x/3x/10x sweep — the 30x deep point for the heaviest families runs
+    # with an ops filter so the quadratic anti-curve case isn't paid at
+    # 30x. SCALE_STRESS_OPS=minhash_lsh,snm,kmeans_validated restricts
+    # the per-factor cases; the rank-kernel tail sections (parts sweep,
+    # skew, chain contrast) only run on an unfiltered sweep — they are
+    # factor-independent and already measured there.
+    factors = tuple(
+        int(f)
+        for f in os.environ.get("SCALE_STRESS_FACTORS", "1,3,10").split(",")
+    )
+    ops_env = os.environ.get("SCALE_STRESS_OPS", "")
+    ops_filter = {o.strip() for o in ops_env.split(",") if o.strip()} or None
     results = []
-    for factor in (1, 3, 10):
+    for factor in factors:
         ddir = os.path.join(scratch, f"docs_{factor}")
         edir = os.path.join(scratch, f"emb_{factor}")
         # write the upsampled fixtures out so every operator reads a real
@@ -297,15 +311,28 @@ def main() -> None:
             "bucketed_join_steady": lambda: _bucketed_join_stress(
                 spark, docs, factor
             ),
+            # iterative Lloyd: per iteration one broadcast-centroid matmul
+            # scan + one in-plan partial combine (<= P*k rows); corpus is
+            # localCheckpointed once — runtime ∝ iters * N, stage count
+            # fixed by iters, never by N
+            "kmeans_validated": lambda: ml.kmeans_validated(
+                emb, "vec_id", "embedding", k=8, iters=2
+            ),
         }
+        if ops_filter is not None:
+            cases = {n: m for n, m in cases.items() if n in ops_filter}
         # relational/parity core over the upsampled fact tables — the same
         # 1x/3x/10x evidence the LLM-ops families carry
-        rel_dir = make_relational_dir(spark, sf_dir, scratch, factor)
-        from as_etl_storage_spark.queries import QUERIES as _ALL
+        rel_wanted = [
+            q for q in REL_QUERIES if ops_filter is None or q in ops_filter
+        ]
+        if rel_wanted:
+            rel_dir = make_relational_dir(spark, sf_dir, scratch, factor)
+            from as_etl_storage_spark.queries import QUERIES as _ALL
 
-        for qname in REL_QUERIES:
-            fn = _ALL[qname]
-            cases[qname] = lambda fn=fn, d=rel_dir: fn(spark, d)
+            for qname in rel_wanted:
+                fn = _ALL[qname]
+                cases[qname] = lambda fn=fn, d=rel_dir: fn(spark, d)
         for name, make in cases.items():
             # one warm-up, then the timed run (steady state, like bench.py)
             make().write.mode("overwrite").format("noop").save()
@@ -321,6 +348,10 @@ def main() -> None:
             }
             results.append(row)
             print(json.dumps(row), flush=True)
+
+    if ops_filter is not None:
+        spark.stop()
+        return
 
     # rank-kernel bucket placement: with the grouped-subtree multi-level
     # form every generated method stays JIT-compilable, so walltime over
