@@ -7,9 +7,12 @@ an append-only log of manifest files, one per version, each listing the
 data files that make up that version.
 
     <table>/
-      _log/00000000.json   {"version": 0, "op": "append", "files": [...]}
-      _log/00000001.json   ...
-      part-....parquet     data files (immutable once committed)
+      _log/00000000.json             {"version": 0, "op": "overwrite",
+                                      "files": [...]}    full snapshot
+      _log/00000001.json             {"version": 1, "op": "append",
+                                      "add": [...]}      delta
+      _log/00000010.checkpoint.json  {"files": [...]}    full snapshot
+      part-....parquet               data files (immutable once committed)
 
 Commit protocol: write data files first (invisible until referenced), then
 create the next manifest with O_EXCL — the filesystem's atomic create is
@@ -18,8 +21,20 @@ a fresh version number (optimistic concurrency, like Delta). Readers list
 the log once and pin a version => consistent snapshots for free; old
 versions stay readable until vacuumed.
 
-At 100 TB the same design holds (this is literally Delta's); swap the
-listing for a checkpointed log when versions reach thousands.
+Log scale (the part that must survive a 100 TB table with ~10^6 data
+files and an unbounded commit history): an *append* manifest records only
+its OWN files (``add``) — commit cost is O(new files), independent of
+table size, and two concurrent appends can never lose each other's files
+because neither rewrites the full list. Overwrite/replace are full
+snapshots by nature (``files``) — they reset the state. A reader
+reconstructs version v by walking back from v to the nearest full
+snapshot — a ``*.checkpoint.json`` (written best-effort every
+CHECKPOINT_EVERY appends, exactly Delta's parquet checkpoint idea) or a
+full manifest — then replaying the ``add`` deltas forward; replay depth
+is bounded by CHECKPOINT_EVERY. vacuum writes a checkpoint at the oldest
+retained version before truncating older manifests, so retained delta
+versions never dangle (Delta's rule: never clean the log past the last
+checkpoint).
 """
 
 from __future__ import annotations
@@ -33,6 +48,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 class VersionedTableError(RuntimeError):
     pass
+
+
+#: best-effort full-snapshot checkpoint cadence: bounds a reader's delta
+#: replay depth AND the log prefix vacuum must preserve. Small enough to
+#: keep replay trivial, large enough that checkpoint writes (O(files))
+#: stay rare on an append-heavy workload.
+CHECKPOINT_EVERY = 10
 
 
 class VersionedTable:
@@ -62,45 +84,105 @@ class VersionedTable:
         with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
             return json.load(fh)
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
+    def _state(self, version: int) -> list[str]:
+        """Full data-file list at ``version``: walk back to the nearest
+        full snapshot (checkpoint, or an overwrite/replace manifest
+        carrying ``files``), then replay the append ``add`` deltas
+        forward. Replay depth is bounded by CHECKPOINT_EVERY on a healthy
+        log; a vacuumed log always retains a snapshot at its oldest
+        version (see vacuum), so the walk cannot run off the front."""
+        adds: list[list[str]] = []
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    base = json.load(fh)["files"]
+                break
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                raise VersionedTableError(
+                    f"cannot reconstruct version {version}: manifest {v} is "
+                    f"missing and no checkpoint covers it — the log was "
+                    f"truncated past the last full snapshot"
+                )
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "files" in m:  # full snapshot (overwrite/replace, or v0)
+                base = m["files"]
+                break
+            adds.append(m["add"])
+            v -= 1
+        for a in reversed(adds):
+            base = base + a
+        return base
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Best-effort full-snapshot checkpoint AFTER manifest ``version``
+        is committed. Crash-safe by construction: readers that don't find
+        it replay deltas instead; temp+rename keeps a torn write from ever
+        appearing under the checkpoint name."""
+        state = self._state(version)
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": state}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._checkpoint_path(version))
+
     def _commit(
         self,
-        files: list[str],
+        files: list[str] | None,
         op: str,
         base_version: int | None,
         new_files: list[str] | None = None,
     ) -> int:
         """Atomic commit via O_EXCL manifest create with Delta-style
-        conflict resolution on version collision: an *append* re-reads the
-        log and rebases (latest manifest's files ∪ this commit's
-        ``new_files``) so a concurrent winner's files are never dropped; a
-        *replace* (merge) fails — its kept/updated row split was computed
-        against a now-stale snapshot and must be re-run; an *overwrite* is
+        conflict resolution on version collision. An *append* manifest is
+        a DELTA — it records only ``new_files`` under ``add`` — so commit
+        cost is O(new files) regardless of table size, and losing the
+        race needs no rebase: the delta composes with any winner's state
+        by construction (no full list is rewritten, so a concurrent
+        winner's files cannot be dropped). A *replace* (merge) fails on
+        collision — its kept/updated row split was computed against a
+        now-stale snapshot and must be re-run; an *overwrite* is
         whole-table last-writer-wins and retries as-is."""
         os.makedirs(self.log_dir, exist_ok=True)
         for _ in range(50):
             latest = self.latest_version()
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
-                if op == "append":
-                    prior = (
-                        self._manifest(latest)["files"] if latest is not None else []
-                    )
-                    files = prior + list(new_files or [])
-                elif op == "replace":
+                if op == "replace":
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
                         f"base {base_version}; replace was merged against a "
                         "stale snapshot — re-run the merge"
                     )
-                # overwrite: whole-table last-writer-wins; keep files as-is
+                # append: the delta needs no rebase; overwrite: whole-table
+                # last-writer-wins; both just take the next version number
                 base_version = latest
             version = (latest + 1) if latest is not None else 0
-            manifest = {
-                "version": version,
-                "op": op,
-                "files": files,
-                "base": base_version,
-            }
+            if op == "append" and version > 0:
+                manifest = {
+                    "version": version,
+                    "op": op,
+                    "add": list(new_files or []),
+                    "base": base_version,
+                }
+            else:
+                # overwrite/replace reset the state — full snapshot; an
+                # append creating the table (version 0) is one too
+                if files is None:
+                    files = list(new_files or [])
+                manifest = {
+                    "version": version,
+                    "op": op,
+                    "files": files,
+                    "base": base_version,
+                }
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             # the manifest must APPEAR atomically complete: a bare
             # O_EXCL-create-then-write has a crash window where the
@@ -121,6 +203,10 @@ class VersionedTable:
                 os.unlink(tmp)
                 continue  # lost the commit race; loop re-reads the log
             os.unlink(tmp)
+            if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
+                # bound future readers' delta replay. Best-effort AFTER
+                # the commit point: a crash here costs nothing but replay
+                self._write_checkpoint(version)
             return version
         raise VersionedTableError("could not commit after 50 attempts")
 
@@ -143,10 +229,11 @@ class VersionedTable:
 
     # -- write ops ------------------------------------------------------
     def append(self, df: DataFrame) -> int:
+        # delta commit: no read of the prior state at all — append cost
+        # is O(new files) whatever the table holds
         base = self.latest_version()
         new_files = self._write_data_files(df)
-        prior = self._manifest(base)["files"] if base is not None else []
-        return self._commit(prior + new_files, "append", base, new_files=new_files)
+        return self._commit(None, "append", base, new_files=new_files)
 
     def overwrite(self, df: DataFrame) -> int:
         base = self.latest_version()
@@ -181,7 +268,7 @@ class VersionedTable:
             raise VersionedTableError(
                 f"version {version} not found; available {vs[0]}..{vs[-1]}"
             )
-        files = self._manifest(version)["files"]
+        files = self._state(version)
         if not files:
             # unreachable through the write API (Spark emits at least one
             # part file even for an empty frame); a hand-edited manifest
@@ -245,7 +332,18 @@ class VersionedTable:
         keep_versions = vs[-retain_last:]
         keep_files = set()
         for v in keep_versions:
-            keep_files.update(self._manifest(v)["files"])
+            keep_files.update(self._state(v))
+        # Delta's log-cleanup rule: never truncate past the last full
+        # snapshot. The oldest RETAINED version must stay reconstructible
+        # once the manifests below it are gone — if it is an append delta
+        # with no checkpoint, snapshot it now (its state was just computed
+        # above; _write_checkpoint re-derives it from the intact log).
+        oldest_kept = keep_versions[0]
+        if (
+            not os.path.exists(self._checkpoint_path(oldest_kept))
+            and "files" not in self._manifest(oldest_kept)
+        ):
+            self._write_checkpoint(oldest_kept)
         removed = 0
         for f in os.listdir(self.path):
             if f.endswith(".parquet") and f not in keep_files:
@@ -261,4 +359,8 @@ class VersionedTable:
             mf = os.path.join(self.log_dir, f"{v:08d}.json")
             if _old_enough(mf):
                 os.remove(mf)
+            # a vacuumed version's checkpoint goes with its manifest
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp) and _old_enough(cp):
+                os.remove(cp)
         return removed

@@ -34,23 +34,27 @@ def test_snapshot_isolation(spark, table):
     assert table.read().count() == 20  # new read sees v1
 
 
-def test_concurrent_append_rebases_not_lost(spark, table):
-    """A version collision must rebase on the winner's manifest — the
-    concurrent append's files stay referenced (no lost update)."""
+def test_concurrent_append_not_lost(spark, table):
+    """A version collision must not drop the concurrent winner's files.
+    With delta-append manifests this holds by construction: each append
+    records only its OWN files, so neither writer rewrites the full list
+    — the loser just takes the next version number."""
     orders = load_table(spark, SF, "orders")
     table.overwrite(orders.limit(10))
     # committer A snapshots state, writes its data files, then stalls
     base = table.latest_version()
     new_a = table._write_data_files(orders.limit(5))
-    prior = table._manifest(base)["files"]
     # committer B wins the race with its own append
     table.append(orders.limit(7))
-    # A now commits with its stale prior — must rebase, not clobber B
-    v = table._commit(prior + new_a, "append", base, new_files=new_a)
+    # A now commits against its stale base — composes, not clobbers
+    v = table._commit(None, "append", base, new_files=new_a)
     assert v == 2
-    files = set(table._manifest(v)["files"])
+    files = set(table._state(v))
     assert set(new_a) <= files
-    assert set(table._manifest(1)["files"]) <= files  # B's files survive
+    assert set(table._state(1)) <= files  # B's files survive
+    # the append manifest is a DELTA: O(new files), never the full list
+    assert "files" not in table._manifest(v)
+    assert set(table._manifest(v)["add"]) == set(new_a)
     assert table.read().count() == 10 + 7 + 5
 
 
@@ -385,3 +389,58 @@ def test_vacuum_sweeps_stale_commit_temps(spark, tmp_path):
     assert not os.path.exists(stale)
     assert os.path.exists(fresh)  # inside the grace window: protected
     assert vt.read().count() == 1  # table unaffected
+
+
+def test_checkpoint_bounds_replay_and_survives_vacuum(spark, tmp_path):
+    """Append-heavy log: a checkpoint lands every CHECKPOINT_EVERY
+    appends; vacuum snapshots the oldest retained version before
+    truncating older manifests, so retained delta versions reconstruct
+    without the removed log prefix (Delta's never-clean-past-the-last-
+    checkpoint rule)."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(one)  # v0: full snapshot
+    for _ in range(CHECKPOINT_EVERY + 2):
+        vt.append(one)  # v1..v12: deltas
+    assert os.path.exists(vt._checkpoint_path(CHECKPOINT_EVERY))
+    # time travel across the delta chain, pre- and post-checkpoint
+    assert vt.read(version_as_of=3).count() == 4
+    assert vt.read(version_as_of=CHECKPOINT_EVERY + 1).count() == 12
+    assert vt.read().count() == CHECKPOINT_EVERY + 3
+    # vacuum down to the last 2 versions (both are append deltas; the
+    # oldest has no checkpoint yet) with no grace: old manifests AND the
+    # v10 checkpoint are removed, yet both kept versions still read
+    latest = vt.latest_version()
+    vt.vacuum(retain_last=2, grace_seconds=0.0)
+    assert os.path.exists(vt._checkpoint_path(latest - 1))
+    assert not os.path.exists(vt._checkpoint_path(CHECKPOINT_EVERY))
+    assert vt.read(version_as_of=latest - 1).count() == CHECKPOINT_EVERY + 2
+    assert vt.read().count() == CHECKPOINT_EVERY + 3
+    with pytest.raises(VersionedTableError):
+        vt.read(version_as_of=3)  # vacuumed away
+
+
+def test_append_commit_is_delta_sized(spark, tmp_path):
+    """The append path must never read or rewrite the full file list:
+    manifest byte size stays flat as the table grows (O(new files), the
+    property that keeps commits cheap at millions of data files)."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(one)
+    sizes = []
+    for v in (vt.append(one) for _ in range(5)):
+        sizes.append(os.path.getsize(os.path.join(vt.log_dir, f"{v:08d}.json")))
+    assert max(sizes) - min(sizes) <= 4  # version-number digits only
+    assert vt.read().count() == 6
