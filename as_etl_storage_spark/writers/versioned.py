@@ -155,11 +155,11 @@ class VersionedTable:
             latest = self.latest_version()
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
-                if op == "replace":
+                if op in ("replace", "compact"):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
-                        f"base {base_version}; replace was merged against a "
-                        "stale snapshot — re-run the merge"
+                        f"base {base_version}; {op} was computed against a "
+                        f"stale snapshot — re-run the {op}"
                     )
                 # append: the delta needs no rebase; overwrite: whole-table
                 # last-writer-wins; both just take the next version number
@@ -284,6 +284,44 @@ class VersionedTable:
         # file happens to be listed first and added columns would silently
         # vanish
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Bin-pack small data files into ~``target_file_bytes`` files as
+        a new version (Delta's OPTIMIZE). The append-heavy path that the
+        delta log makes cheap also breeds small files — the classic
+        100 TB read-amplification problem: a snapshot of 10^6 tiny files
+        pays 10^6 footer reads + task launches per scan. Compaction
+        rewrites the CURRENT snapshot's data into right-sized files and
+        commits a full-snapshot manifest; prior versions still reference
+        the old files (snapshot isolation holds), which vacuum reclaims
+        once out of retention.
+
+        Commits with the replace conflict rule: a concurrent writer
+        advancing the log aborts the compaction (its rewrite no longer
+        reflects the latest state) rather than clobbering. Returns the
+        new version. No-op (returns the current version) when the table
+        already has nothing to pack."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        files = self._state(base)
+        sizes = []
+        for f in files:
+            try:
+                sizes.append(os.path.getsize(os.path.join(self.path, f)))
+            except OSError as e:
+                raise VersionedTableError(
+                    f"version {base} references missing data file {f}"
+                ) from e
+        total = sum(sizes)
+        n_target = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= n_target:
+            return base  # already right-sized; nothing to rewrite
+        # one shuffle-free rewrite: coalesce narrows partitions without an
+        # exchange — at 10^6 inputs the scan parallelism stays wide and
+        # only the write fan-in narrows
+        df = self.read().coalesce(n_target)
+        return self._commit(self._write_data_files(df), "compact", base)
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]

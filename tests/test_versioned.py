@@ -444,3 +444,51 @@ def test_append_commit_is_delta_sized(spark, tmp_path):
         sizes.append(os.path.getsize(os.path.join(vt.log_dir, f"{v:08d}.json")))
     assert max(sizes) - min(sizes) <= 4  # version-number digits only
     assert vt.read().count() == 6
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """OPTIMIZE: many tiny append files rewrite into right-sized ones as
+    a new full-snapshot version; the pre-compaction version still reads
+    (snapshot isolation), and vacuum then reclaims the tiny files."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(one)
+    for _ in range(7):
+        vt.append(one)  # 8 tiny files
+    pre = vt.latest_version()
+    assert len(vt._state(pre)) == 8
+    v = vt.compact()  # default 128MB target => 1 output file
+    assert v == pre + 1
+    assert len(vt._state(v)) == 1
+    assert vt._manifest(v)["op"] == "compact"
+    assert vt.read().count() == 8  # same rows, fewer files
+    assert vt.read(version_as_of=pre).count() == 8  # old snapshot intact
+    # compacting an already-compact table is a no-op, not a new version
+    assert vt.compact() == v
+    removed = vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert removed == 8  # all tiny files reclaimed
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    """A writer advancing the log mid-compaction must abort the
+    compaction (its rewrite is stale) instead of clobbering the new
+    rows with the pre-compaction snapshot."""
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(one)
+    vt.append(one)
+    base = vt.latest_version()
+    files = vt._write_data_files(vt.read().coalesce(1))
+    vt.append(one)  # concurrent winner
+    with pytest.raises(VersionedTableError, match="stale"):
+        vt._commit(files, "compact", base)
+    assert vt.read().count() == 3  # winner's row survives
