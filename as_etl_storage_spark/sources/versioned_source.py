@@ -49,7 +49,12 @@ class VersionedSource:
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
         vt = VersionedTable(self.spark, self.table_path(name))
-        df = vt.read(version_as_of=self.connection.version_as_of)
+        if self.connection.changes_from is not None:
+            # incremental read: only rows appended after the cursor
+            # version — the job-spec surface of VersionedTable.changes
+            df = vt.changes(self.connection.changes_from)
+        else:
+            df = vt.read(version_as_of=self.connection.version_as_of)
         cols = df.columns
         deduped = dedupe_column_names(cols)
         if deduped != cols:

@@ -148,15 +148,28 @@ class ConnectionSpec:
     #: pinned version for time-travel reads on versioned tables (S7
     #: transactional-read parity); None = latest committed version
     version_as_of: int | None = None
+    #: incremental read on versioned tables: only rows appended AFTER
+    #: this version (exclusive) up to the latest. Mutually exclusive
+    #: with versionAsOf — a pinned snapshot and a delta are different
+    #: questions.
+    changes_from: int | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
         v = obj.get("versionAsOf")
+        cf = obj.get("changesFrom")
+        if v is not None and cf is not None:
+            raise SpecError(
+                "versionAsOf and changesFrom are mutually exclusive: a "
+                "pinned snapshot and an incremental delta are different "
+                "reads"
+            )
         return ConnectionSpec(
             url=obj.get("url", ""),
             table=TableRef.from_json(obj.get("table", {}) or {}),
             pool=PoolSpec.from_json(obj.get("pool", {}) or {}),
             version_as_of=int(v) if v is not None else None,
+            changes_from=int(cf) if cf is not None else None,
         )
 
 

@@ -492,3 +492,63 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
     with pytest.raises(VersionedTableError, match="stale"):
         vt._commit(files, "compact", base)
     assert vt.read().count() == 3  # winner's row survives
+
+
+def test_changes_incremental_read(spark, tmp_path):
+    """changes(from, to): only the rows appended in the range, answered
+    from delta manifests alone; a table rewrite (overwrite/compact) in
+    the range raises instead of fabricating a row diff."""
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(orders.limit(10))          # v0
+    vt.append(orders.limit(5))              # v1
+    vt.append(orders.limit(3))              # v2
+    assert vt.changes(0).count() == 8       # v1 + v2
+    assert vt.changes(1).count() == 3       # v2 only
+    assert vt.changes(0, to_version=1).count() == 5
+    assert vt.changes(2).count() == 0       # from == latest: empty
+    assert vt.changes(2).columns == vt.read().columns
+    with pytest.raises(VersionedTableError, match="backwards"):
+        vt.changes(2, to_version=1)
+    vt.compact()                            # v3: rewrite
+    with pytest.raises(VersionedTableError, match="full re-read"):
+        vt.changes(1)  # range crosses the rewrite
+    assert vt.changes(3).count() == 0       # after the rewrite: fine again
+
+
+def test_changes_through_job_spec(spark, tmp_path):
+    """changesFrom in the reader connection: the job copies only the
+    increment; mutually exclusive with versionAsOf."""
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.spec import SpecError
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    orders = load_table(spark, SF, "orders")
+    vt = VersionedTable(spark, str(tmp_path / "src" / "t"))
+    vt.overwrite(orders.limit(10))
+    vt.append(orders.limit(4))
+    job = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {
+                "url": str(tmp_path / "src"),
+                "table": {"name": "t"},
+                "changesFrom": 0,
+            },
+            "column": ["*"],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "inc"}},
+            "writeMode": "insert",
+        },
+    }
+    r = run_job(spark, job)
+    assert r.written == 4  # only the v1 increment, not the base 10
+    job["reader"]["connection"]["versionAsOf"] = 1
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        run_job(spark, job)
