@@ -120,15 +120,50 @@ class VersionedTable:
             base = base + a
         return base
 
+    def _stats_at(self, version: int) -> dict[str, dict]:
+        """File → column-bounds map at ``version``: same walk as _state,
+        with append layers overlaying the base snapshot. Old-format
+        manifests without ``stats`` contribute nothing — absent stats
+        disable skipping for those files, never correctness."""
+        layers: list[dict] = []
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    base = json.load(fh).get("stats", {})
+                break
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                return {}  # truncated below a snapshot: no skipping
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "files" in m:
+                base = m.get("stats", {})
+                break
+            layers.append(m.get("stats", {}))
+            v -= 1
+        for s in reversed(layers):
+            base = {**base, **s}
+        return base
+
     def _write_checkpoint(self, version: int) -> None:
         """Best-effort full-snapshot checkpoint AFTER manifest ``version``
         is committed. Crash-safe by construction: readers that don't find
         it replay deltas instead; temp+rename keeps a torn write from ever
         appearing under the checkpoint name."""
         state = self._state(version)
+        stats = self._stats_at(version)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": state}, fh)
+            json.dump(
+                {
+                    "version": version,
+                    "files": state,
+                    "stats": {f: s for f, s in stats.items() if f in set(state)},
+                },
+                fh,
+            )
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._checkpoint_path(version))
@@ -151,6 +186,11 @@ class VersionedTable:
         now-stale snapshot and must be re-run; an *overwrite* is
         whole-table last-writer-wins and retries as-is."""
         os.makedirs(self.log_dir, exist_ok=True)
+        # per-file min/max from the footers just written (Delta's add-file
+        # stats) — computed once; a commit-race retry reuses them
+        stats = self._collect_stats(
+            list(new_files or []) if op == "append" else list(files or [])
+        )
         for _ in range(50):
             latest = self.latest_version()
             if latest != base_version:
@@ -170,6 +210,7 @@ class VersionedTable:
                     "version": version,
                     "op": op,
                     "add": list(new_files or []),
+                    "stats": stats,
                     "base": base_version,
                 }
             else:
@@ -181,6 +222,7 @@ class VersionedTable:
                     "version": version,
                     "op": op,
                     "files": files,
+                    "stats": stats,
                     "base": base_version,
                 }
             target = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -227,6 +269,49 @@ class VersionedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return files
 
+    def _collect_stats(self, files: list[str]) -> dict[str, dict]:
+        """Per-file [min, max] for top-level primitive columns, read from
+        the parquet footers the write just produced (Delta's per-add-file
+        stats). A column missing min/max in ANY row group is dropped for
+        that file — absent stats mean "cannot skip", never "no rows".
+        Only JSON-faithful primitives are kept (int/float/str/bool):
+        timestamps/decimals would round-trip lossily through the manifest
+        and a lossy bound is a wrong bound."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for name in files:
+            f = pq.ParquetFile(os.path.join(self.path, name))
+            md = f.metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            dropped: set[str] = set()
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    cname = col.path_in_schema
+                    if "." in cname or cname in dropped:
+                        continue  # nested leaf — no top-level bound
+                    st = col.statistics
+                    ok_types = (int, float, str, bool)
+                    if (
+                        st is None
+                        or not st.has_min_max
+                        or not isinstance(st.min, ok_types)
+                        or not isinstance(st.max, ok_types)
+                    ):
+                        dropped.add(cname)
+                        mins.pop(cname, None)
+                        maxs.pop(cname, None)
+                        continue
+                    if cname not in mins or st.min < mins[cname]:
+                        mins[cname] = st.min
+                    if cname not in maxs or st.max > maxs[cname]:
+                        maxs[cname] = st.max
+            out[name] = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+        return out
+
     # -- write ops ------------------------------------------------------
     def append(self, df: DataFrame) -> int:
         # delta commit: no read of the prior state at all — append cost
@@ -259,7 +344,48 @@ class VersionedTable:
         return self._commit(self._write_data_files(merged), "replace", base)
 
     # -- read -----------------------------------------------------------
-    def read(self, version_as_of: int | None = None) -> DataFrame:
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+    @staticmethod
+    def _file_may_match(
+        fstats: dict, col: str, op: str, val: object
+    ) -> bool:
+        """Can a file with these column bounds hold a row satisfying
+        ``col op val``? Missing/incomparable bounds → True (cannot skip).
+        NULL rows are not covered by parquet min/max, but every supported
+        operator is NULL-eliminating (SQL comparison with NULL is never
+        true), so skipping on bounds alone stays correct."""
+        bounds = fstats.get(col)
+        if not bounds:
+            return True
+        lo, hi = bounds
+        try:
+            if op == "=":
+                return lo <= val <= hi
+            if op == "<":
+                return lo < val
+            if op == "<=":
+                return lo <= val
+            if op == ">":
+                return hi > val
+            return hi >= val  # >=
+        except TypeError:
+            return True  # literal not comparable to the stored bound
+
+    def read(
+        self,
+        version_as_of: int | None = None,
+        prune: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Snapshot read, optionally with manifest-level data skipping:
+        ``prune`` is a conjunction of ``(column, op, literal)`` simple
+        predicates (ops ``= < <= > >=``). Files whose stored min/max
+        bounds cannot satisfy ALL predicates are dropped from the scan
+        BEFORE Spark ever lists them — at 10⁶ files a selective predicate
+        skips the task launch and footer read per pruned file, which row-
+        group pruning inside the scan cannot do. The predicates are also
+        applied as real filters, so the result is exactly the filtered
+        snapshot (skipping is an optimization, never a semantic)."""
         vs = self._versions()
         if not vs:
             raise VersionedTableError(f"no committed versions at {self.path}")
@@ -269,6 +395,32 @@ class VersionedTable:
                 f"version {version} not found; available {vs[0]}..{vs[-1]}"
             )
         files = self._state(version)
+        kept = files
+        if prune:
+            for _, op, _v in prune:
+                if op not in self._PRUNE_OPS:
+                    raise VersionedTableError(
+                        f"unsupported prune op {op!r}; one of {self._PRUNE_OPS}"
+                    )
+            stats = self._stats_at(version)
+            kept = [
+                f
+                for f in files
+                if all(
+                    self._file_may_match(stats.get(f, {}), c, op, v)
+                    for (c, op, v) in prune
+                )
+            ]
+            if not kept:
+                # every file skipped: empty result, table schema intact
+                from pyspark.sql import functions as F
+
+                return (
+                    self.read(version_as_of=version)
+                    .where(F.lit(False))
+                    .limit(0)
+                )
+        files = kept
         if not files:
             # unreachable through the write API (Spark emits at least one
             # part file even for an empty frame); a hand-edited manifest
@@ -283,7 +435,22 @@ class VersionedTable:
         # column set — without merging, the table schema would be whatever
         # file happens to be listed first and added columns would silently
         # vanish
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        if prune:
+            from pyspark.sql import functions as F
+
+            for c, op, v in prune:
+                col = F.col(c)
+                df = df.where(
+                    {
+                        "=": col == F.lit(v),
+                        "<": col < F.lit(v),
+                        "<=": col <= F.lit(v),
+                        ">": col > F.lit(v),
+                        ">=": col >= F.lit(v),
+                    }[op]
+                )
+        return df
 
     def changes(
         self, from_version: int, to_version: int | None = None

@@ -552,3 +552,74 @@ def test_changes_through_job_spec(spark, tmp_path):
     job["reader"]["connection"]["versionAsOf"] = 1
     with pytest.raises(SpecError, match="mutually exclusive"):
         run_job(spark, job)
+
+
+def test_stats_pruned_read_skips_files(spark, tmp_path):
+    """Manifest-level data skipping: per-file min/max recorded at commit;
+    a selective prune predicate drops non-matching files from the scan
+    itself (inputFiles shrinks), while the result equals the plain
+    filtered snapshot."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    # three disjoint key ranges, one file each
+    vt.overwrite(spark.range(0, 100).coalesce(1))          # id 0..99
+    vt.append(spark.range(100, 200).coalesce(1))           # id 100..199
+    vt.append(spark.range(200, 300).coalesce(1))           # id 200..299
+    full = vt.read()
+    assert len(full.inputFiles()) == 3
+    pruned = vt.read(prune=[("id", ">=", 250)])
+    assert len(pruned.inputFiles()) == 1  # two files skipped via stats
+    assert pruned.count() == 50
+    assert vt.read(prune=[("id", "=", 150)]).count() == 1
+    assert len(vt.read(prune=[("id", "=", 150)]).inputFiles()) == 1
+    # conjunction narrows to nothing: empty result, schema intact
+    none = vt.read(prune=[("id", ">", 100), ("id", "<", 50)])
+    assert none.count() == 0 and none.columns == full.columns
+
+
+def test_stats_pruning_is_conservative_without_stats(spark, tmp_path):
+    """A file whose predicate column carries no min/max (all-NULL column:
+    parquet writes no bounds) must be KEPT by pruning — absent stats mean
+    cannot-skip; the real filter then eliminates its NULL rows."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))
+    vt.append(
+        spark.range(0, 5)
+        .select(F.lit(None).cast("long").alias("id"))
+        .coalesce(1)
+    )
+    got = vt.read(prune=[("id", "<", 3)])
+    # both files scanned (NULL file not skippable), NULL rows filtered
+    assert len(got.inputFiles()) == 2
+    assert got.count() == 3
+    with pytest.raises(VersionedTableError, match="unsupported prune op"):
+        vt.read(prune=[("id", "!=", 3)])
+
+
+def test_stats_survive_checkpoint_and_vacuum(spark, tmp_path):
+    """Skipping still works when the file bounds come from a checkpoint
+    (the log prefix that carried the append stats was vacuumed)."""
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))
+    for i in range(CHECKPOINT_EVERY + 1):
+        lo = (i + 1) * 100
+        vt.append(spark.range(lo, lo + 10).coalesce(1))
+    vt.vacuum(retain_last=1, grace_seconds=0.0)  # manifests 0..N-1 gone
+    n_files = CHECKPOINT_EVERY + 2
+    assert len(vt.read().inputFiles()) == n_files
+    pruned = vt.read(prune=[("id", "<", 10)])
+    assert len(pruned.inputFiles()) == 1  # bounds reconstructed via checkpoint
+    assert pruned.count() == 10
