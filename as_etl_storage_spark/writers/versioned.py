@@ -354,12 +354,35 @@ class VersionedTable:
         ``col op val``? Missing/incomparable bounds → True (cannot skip).
         NULL rows are not covered by parquet min/max, but every supported
         operator is NULL-eliminating (SQL comparison with NULL is never
-        true), so skipping on bounds alone stays correct."""
+        true), so skipping on bounds alone stays correct.
+
+        NaN needs care (measured against Spark's writer, not assumed):
+        Spark orders NaN GREATEST, writes ``max=NaN`` for any file
+        holding one, and ``NaN > x`` is True in Spark SQL while False in
+        Python — naive bound math would skip files whose NaN rows match.
+        A NaN upper bound therefore means "NaN present, non-NaN ceiling
+        unknown": > / >= can never skip, and = / < / <= may use only the
+        lower bound (NaN rows cannot equal a non-NaN literal or sort
+        below one). A NaN *literal* disables skipping outright."""
+        import math
+
         bounds = fstats.get(col)
         if not bounds:
             return True
         lo, hi = bounds
+        if lo is None or hi is None:
+            return True
         try:
+            if isinstance(val, float) and math.isnan(val):
+                return True  # NaN = NaN is true in Spark; never skip
+            if isinstance(hi, float) and math.isnan(hi):
+                if op == "=":
+                    return not val < lo
+                if op == "<":
+                    return lo < val
+                if op == "<=":
+                    return lo <= val
+                return True  # > / >=: the NaN rows always match
             if op == "=":
                 return lo <= val <= hi
             if op == "<":

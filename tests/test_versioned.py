@@ -623,3 +623,58 @@ def test_stats_survive_checkpoint_and_vacuum(spark, tmp_path):
     pruned = vt.read(prune=[("id", "<", 10)])
     assert len(pruned.inputFiles()) == 1  # bounds reconstructed via checkpoint
     assert pruned.count() == 10
+
+
+def test_stats_pruning_nan_semantics(spark, tmp_path):
+    """Spark writes max=NaN for a float file holding any NaN, and Spark
+    SQL orders NaN greatest (NaN > x is TRUE). Pruning must keep such
+    files for > / >= , may lower-bound-skip for < , and a NaN literal
+    never skips — every pruned result must equal the plain filter."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.createDataFrame([(1.0,), (2.0,)], "f double").coalesce(1)
+    )  # clean file: bounds [1, 2]
+    vt.append(
+        spark.createDataFrame(
+            [(10.0,), (float("nan"),)], "f double"
+        ).coalesce(1)
+    )  # NaN file: bounds [10, NaN]
+    vt.append(
+        spark.createDataFrame(
+            [(float("nan"),)], "f double"
+        ).coalesce(1)
+    )  # all-NaN file: bounds [NaN, NaN]
+    full = vt.read()
+
+    def check(op, val, expect_files):
+        got = vt.read(prune=[("f", op, val)])
+        want = {
+            "=": full.where(F.col("f") == val),
+            "<": full.where(F.col("f") < val),
+            "<=": full.where(F.col("f") <= val),
+            ">": full.where(F.col("f") > val),
+            ">=": full.where(F.col("f") >= val),
+        }[op]
+        assert got.count() == want.count(), (op, val)
+        assert len(got.inputFiles()) == expect_files, (op, val)
+
+    # f > 5: clean file skipped; BOTH NaN files kept (their NaN rows
+    # match under Spark ordering) — result is 10.0 + two NaN rows
+    check(">", 5.0, 2)
+    assert vt.read(prune=[("f", ">", 5.0)]).count() == 3
+    check(">=", 100.0, 2)  # only the NaN rows match, files still scanned
+    # f < 5: NaN rows never match; lower bounds skip both NaN files
+    check("<", 5.0, 1)
+    # f = 10: clean file skipped by bounds; all-NaN file kept
+    # conservatively (upper bound unknowable), NaN rows don't match
+    got = vt.read(prune=[("f", "=", 10.0)])
+    assert got.count() == 1
+    # NaN literal: no skipping, NaN = NaN is true in Spark
+    nan = float("nan")
+    got = vt.read(prune=[("f", "=", nan)])
+    assert len(got.inputFiles()) == 3
+    assert got.count() == 2  # the two NaN rows
