@@ -142,6 +142,54 @@ class MicroBatchWriter:
         q.awaitTermination()
 
 
+class VersionedStreamWriter:
+    """foreachBatch sink into a transaction-log table (writers/versioned)
+    with exactly-once semantics from the table's own txn ledger (Delta's
+    txnAppId/txnVersion recipe): each micro-batch appends under
+    ``txn=(app_id, batch_id)``, so a replayed batch — restart between the
+    data write and Spark's checkpoint commit — is skipped by the COMMIT
+    PROTOCOL itself, not by a marker file. Readers get snapshot
+    isolation while the stream runs, time travel per batch, and
+    ``changes(from_version)`` for downstream incremental consumers —
+    none of which the directory-per-batch sink (MicroBatchWriter) can
+    offer."""
+
+    def __init__(
+        self,
+        table_path: str,
+        app_id: str,
+        checkpoint: str | None = None,
+    ):
+        self.table_path = table_path
+        self.app_id = app_id
+        self.checkpoint = checkpoint or f"{table_path}.__checkpoint__"
+        self.batches_seen = 0
+        self.batches_skipped = 0
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        vt = VersionedTable(batch_df.sparkSession, self.table_path)
+        # the first batch creates the table: version 0 is a full-snapshot
+        # manifest that carries the txn ledger, so replaying batch 0
+        # after a crash is still a skip
+        v = vt.append(batch_df, txn=(self.app_id, batch_id))
+        if v is None:
+            self.batches_skipped += 1
+        else:
+            self.batches_seen += 1
+
+    def run_available_now(self, stream_df: DataFrame) -> None:
+        """Drain all currently-available input (test/bounded mode)."""
+        q = (
+            stream_df.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

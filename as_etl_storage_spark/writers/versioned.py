@@ -120,6 +120,36 @@ class VersionedTable:
             base = base + a
         return base
 
+    def _txns_at(self, version: int) -> dict[str, int]:
+        """Application → highest committed batch id at ``version`` (Delta
+        SetTransaction): the idempotence ledger for streaming appends.
+        Full-snapshot manifests and checkpoints embed the accumulated map
+        (``txns``) so markers survive overwrite/compact/vacuum; append
+        manifests carry their own ``txn`` pair."""
+        layers: list[list] = []
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    base = dict(json.load(fh).get("txns", {}))
+                break
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                return {}
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "files" in m:
+                base = dict(m.get("txns", {}))
+                break
+            if "txn" in m:
+                layers.append(m["txn"])
+            v -= 1
+        for app, batch in reversed(layers):
+            if batch > base.get(app, -1):
+                base[app] = batch
+        return base
+
     def _stats_at(self, version: int) -> dict[str, dict]:
         """File → column-bounds map at ``version``: same walk as _state,
         with append layers overlaying the base snapshot. Old-format
@@ -161,6 +191,7 @@ class VersionedTable:
                     "version": version,
                     "files": state,
                     "stats": {f: s for f, s in stats.items() if f in set(state)},
+                    "txns": self._txns_at(version),
                 },
                 fh,
             )
@@ -174,7 +205,8 @@ class VersionedTable:
         op: str,
         base_version: int | None,
         new_files: list[str] | None = None,
-    ) -> int:
+        txn: tuple[str, int] | None = None,
+    ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
         a DELTA — it records only ``new_files`` under ``add`` — so commit
@@ -193,6 +225,14 @@ class VersionedTable:
         )
         for _ in range(50):
             latest = self.latest_version()
+            if txn is not None and latest is not None:
+                # idempotence check INSIDE the retry loop: a concurrent
+                # same-app writer may have landed this batch between
+                # attempts (Delta's SetTransaction rule: skip when the
+                # app's highest committed batch already covers this one)
+                app, batch = txn
+                if self._txns_at(latest).get(app, -1) >= batch:
+                    return None
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
                 if op in ("replace", "compact"):
@@ -213,16 +253,24 @@ class VersionedTable:
                     "stats": stats,
                     "base": base_version,
                 }
+                if txn is not None:
+                    manifest["txn"] = [txn[0], txn[1]]
             else:
                 # overwrite/replace reset the state — full snapshot; an
                 # append creating the table (version 0) is one too
                 if files is None:
                     files = list(new_files or [])
+                txns = (
+                    self._txns_at(latest) if latest is not None else {}
+                )
+                if txn is not None and txn[1] > txns.get(txn[0], -1):
+                    txns[txn[0]] = txn[1]
                 manifest = {
                     "version": version,
                     "op": op,
                     "files": files,
                     "stats": stats,
+                    "txns": txns,
                     "base": base_version,
                 }
             target = os.path.join(self.log_dir, f"{version:08d}.json")
@@ -313,12 +361,34 @@ class VersionedTable:
         return out
 
     # -- write ops ------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
-        # delta commit: no read of the prior state at all — append cost
-        # is O(new files) whatever the table holds
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> int | None:
+        """Append as a new version. ``txn=(app_id, batch_id)`` makes the
+        append IDEMPOTENT (Delta's txnAppId/txnVersion): a batch id the
+        app has already committed is skipped — returns None and removes
+        its staged files — which is exactly what a replayed foreachBatch
+        micro-batch needs for exactly-once sink semantics. Commit cost
+        stays O(new files): the ledger check reads manifests, never
+        data."""
         base = self.latest_version()
+        if txn is not None and base is not None:
+            # cheap pre-check before paying the data write; the
+            # authoritative check re-runs inside the commit loop
+            if self._txns_at(base).get(txn[0], -1) >= txn[1]:
+                return None
         new_files = self._write_data_files(df)
-        return self._commit(None, "append", base, new_files=new_files)
+        v = self._commit(None, "append", base, new_files=new_files, txn=txn)
+        if v is None:
+            # lost an idempotence race after staging: the files are
+            # unreferenced by construction — remove them now instead of
+            # waiting for vacuum's grace sweep
+            for f in new_files:
+                try:
+                    os.remove(os.path.join(self.path, f))
+                except OSError:
+                    pass
+        return v
 
     def overwrite(self, df: DataFrame) -> int:
         base = self.latest_version()

@@ -678,3 +678,63 @@ def test_stats_pruning_nan_semantics(spark, tmp_path):
     got = vt.read(prune=[("f", "=", nan)])
     assert len(got.inputFiles()) == 3
     assert got.count() == 2  # the two NaN rows
+
+
+def test_txn_idempotent_append(spark, tmp_path):
+    """txn=(app, batch): a batch the app already committed is skipped
+    (returns None, no new version, staged files removed); a higher batch
+    commits; the ledger survives compaction and checkpoints (full
+    snapshots embed the accumulated txns map)."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    assert vt.append(one, txn=("app", 0)) == 0  # creates the table
+    assert vt.append(one, txn=("app", 1)) == 1
+    assert vt.append(one, txn=("app", 1)) is None  # replay: skipped
+    assert vt.append(one, txn=("app", 0)) is None  # old batch: skipped
+    assert vt.latest_version() == 1
+    assert vt.read().count() == 2
+    # no orphaned data files from the skipped replays
+    parquet = [f for f in os.listdir(vt.path) if f.endswith(".parquet")]
+    assert len(parquet) == 2
+    # a different app is an independent ledger
+    assert vt.append(one, txn=("other", 0)) == 2
+    # the ledger survives a table rewrite: compact embeds the txns map
+    vt.compact()
+    assert vt.append(one, txn=("app", 1)) is None
+    assert vt.append(one, txn=("app", 2)) is not None
+
+
+def test_versioned_stream_sink_exactly_once(spark, tmp_path):
+    """VersionedStreamWriter: drain a file stream into a versioned table;
+    re-running the SAME stream from a FRESH Spark checkpoint (the replay
+    case: all batches re-delivered) appends nothing — the table's txn
+    ledger, not the checkpoint, enforces exactly-once."""
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedStreamWriter,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    spark.range(0, 100).coalesce(1).write.parquet(str(src))
+    table = str(tmp_path / "vt")
+
+    def drain(checkpoint: str) -> VersionedStreamWriter:
+        w = VersionedStreamWriter(table, "ingest", checkpoint=checkpoint)
+        stream = spark.readStream.schema("id long").parquet(str(src))
+        w.run_available_now(stream)
+        return w
+
+    w1 = drain(str(tmp_path / "cp1"))
+    assert w1.batches_seen >= 1 and w1.batches_skipped == 0
+    vt = VersionedTable(spark, table)
+    assert vt.read().count() == 100
+    v_after = vt.latest_version()
+    # fresh checkpoint => Spark replays every batch from scratch
+    w2 = drain(str(tmp_path / "cp2"))
+    assert w2.batches_seen == 0 and w2.batches_skipped >= 1
+    assert vt.read().count() == 100  # no duplicates
+    assert vt.latest_version() == v_after  # no new versions either
