@@ -404,6 +404,72 @@ _register(
 )
 
 
+def _w_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read through the transaction log: changes(0) after two
+    appends must be exactly the appended rows — the "what's new since my
+    last cycle?" primitive, answered from delta manifests alone."""
+    import os
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    # fresh table per invocation: a re-run's overwrite would otherwise
+    # put a rewrite inside the changes range (which correctly raises)
+    out = os.path.join(_scratch_dir(), f"wchg-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, out)
+    vt.overwrite(orders.where("o_orderkey <= 1000"))
+    vt.append(orders.where("o_orderkey > 1000 AND o_orderkey <= 2000"))
+    vt.append(orders.where("o_orderkey > 2000 AND o_orderkey <= 3000"))
+    return vt.changes(0).select("o_orderkey", "o_orderstatus")
+
+
+_register(
+    "w_versioned_changes",
+    _w_versioned_changes,
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey > 1000 AND o_orderkey <= 3000
+    """,
+)
+
+
+def _w_versioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping: the pruned read must equal the plain
+    filter (file skipping is an optimization, never a semantic); the
+    bounds come from the per-file min/max recorded at commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    out = os.path.join(_scratch_dir(), "wprn")
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, out)
+    vt.overwrite(orders.where("o_orderkey <= 2000").coalesce(1))
+    vt.append(orders.where("o_orderkey > 2000").coalesce(1))
+    pruned = vt.read(prune=[("o_orderkey", ">", 2500)])
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_pruned_read",
+    _w_versioned_pruned,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+    FROM orders WHERE o_orderkey > 2500
+    GROUP BY o_orderstatus
+    """,
+)
+
+
 # --------------------------------------- partitioned-layout write query ---
 def _w_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + pruned read-back: the layout tool a 100 TB
