@@ -440,13 +440,16 @@ def _w_versioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter (file skipping is an optimization, never a semantic); the
     bounds come from the per-file min/max recorded at commit."""
     import os
+    import uuid
 
     from pyspark.sql import functions as F
 
     from as_etl_storage_spark.queries.parity import _scratch_dir
     from as_etl_storage_spark.writers.versioned import VersionedTable
 
-    out = os.path.join(_scratch_dir(), "wprn")
+    # fresh table per invocation: two concurrent runs sharing one path
+    # would interleave overwrite/append and duplicate the appended rows
+    out = os.path.join(_scratch_dir(), f"wprn-{uuid.uuid4().hex[:8]}")
     orders = load_table(spark, sf_dir, "orders")
     vt = VersionedTable(spark, out)
     vt.overwrite(orders.where("o_orderkey <= 2000").coalesce(1))

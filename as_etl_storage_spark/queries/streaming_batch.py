@@ -986,6 +986,71 @@ _register(
 )
 
 
+def _exec_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink through the REAL engine: a bounded
+    file stream (one file per micro-batch) is drained into a
+    transaction-log table, then drained AGAIN from a fresh Spark
+    checkpoint — the full-replay crash case, every batch re-delivered.
+    The table's own txn ledger (txnAppId/txnVersion in the commit
+    protocol, streaming/micro_batch.VersionedStreamWriter) must skip
+    every replayed batch: the second drain appends nothing, and the
+    final table hash-matches the plain batch oracle. The replay-skip is
+    asserted in-query (batches_skipped >= 1, zero new versions), so a
+    silently-duplicating sink fails loudly before the hash compare."""
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedStreamWriter,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    work = os.path.join(_scratch_dir(), f"vsink-{uuid.uuid4().hex[:8]}")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    src = os.path.join(work, "src")
+    docs.repartition(4).write.parquet(src)
+    table = os.path.join(work, "table")
+
+    def drain(checkpoint: str) -> VersionedStreamWriter:
+        w = VersionedStreamWriter(
+            table, "ingest", checkpoint=os.path.join(work, checkpoint)
+        )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        w.run_available_now(stream)
+        return w
+
+    first = drain("cp1")
+    if first.batches_seen < 2:
+        raise AssertionError(
+            f"expected a multi-batch drain, got {first.batches_seen}"
+        )
+    vt = VersionedTable(spark, table)
+    v_after_first = vt.latest_version()
+    # fresh checkpoint => Spark re-delivers every batch from scratch
+    second = drain("cp2")
+    if second.batches_seen != 0 or second.batches_skipped < 1:
+        raise AssertionError(
+            f"replay not skipped: seen={second.batches_seen} "
+            f"skipped={second.batches_skipped}"
+        )
+    if vt.latest_version() != v_after_first:
+        raise AssertionError("replay drain committed new versions")
+    return vt.read().select("doc_id", "lang", "source", "n_chars")
+
+
+_register(
+    "stream_exec_versioned_sink",
+    _exec_versioned_sink,
+    "SELECT doc_id, lang, source, n_chars FROM documents",
+)
+
+
 def _exec_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals through Spark 4's transformWithStateInPandas
     (the successor stateful API: typed ValueState handles on the RocksDB

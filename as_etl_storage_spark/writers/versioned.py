@@ -184,13 +184,14 @@ class VersionedTable:
         appearing under the checkpoint name."""
         state = self._state(version)
         stats = self._stats_at(version)
+        keep = set(state)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(
                 {
                     "version": version,
                     "files": state,
-                    "stats": {f: s for f, s in stats.items() if f in set(state)},
+                    "stats": {f: s for f, s in stats.items() if f in keep},
                     "txns": self._txns_at(version),
                 },
                 fh,
@@ -295,8 +296,14 @@ class VersionedTable:
             os.unlink(tmp)
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
                 # bound future readers' delta replay. Best-effort AFTER
-                # the commit point: a crash here costs nothing but replay
-                self._write_checkpoint(version)
+                # the commit point: the append IS committed, so a failure
+                # here (disk full, concurrent vacuum racing the manifest
+                # walk) must not surface as a failed append — a caller
+                # retrying a "failed" append would duplicate rows.
+                try:
+                    self._write_checkpoint(version)
+                except Exception:  # noqa: BLE001 - readers replay deltas instead
+                    pass
             return version
         raise VersionedTableError("could not commit after 50 attempts")
 
@@ -554,7 +561,9 @@ class VersionedTable:
         re-reads the table every cycle unless it can ask "what's new since
         the version I last processed?"; this answers from the delta
         manifests alone — O(versions-in-range) metadata, a scan over only
-        the NEW files, zero data shuffled or diffed.
+        the NEW files, zero data shuffled or diffed. ``from_version=-1``
+        reads from the very first version (a consumer bootstrapping on an
+        append-created table gets version 0's rows incrementally).
 
         Only append versions are incremental: an overwrite/replace/compact
         in the range rewires the file↔row mapping, so row-level changes
@@ -582,13 +591,21 @@ class VersionedTable:
                     f"incremental read is impossible — full re-read required"
                 )
             m = self._manifest(v)
-            if "add" not in m:
+            if "add" in m:
+                added.extend(m["add"])
+            elif m["op"] == "append":
+                # an append that CREATED the table (version 0) commits a
+                # full-snapshot manifest, but its "files" are exactly the
+                # appended files — so it IS incremental. Without this, a
+                # stream-created table (VersionedStreamWriter batch 0) has
+                # no changes() range covering its first batch.
+                added.extend(m["files"])
+            else:
                 raise VersionedTableError(
                     f"version {v} is {m['op']!r}, not an append: row-level "
                     f"changes cannot be derived from file lists across a "
                     f"table rewrite — full re-read required"
                 )
-            added.extend(m["add"])
         if not added:  # from == to: empty frame with the snapshot's schema
             return self.read(version_as_of=to_version).limit(0)
         paths = [os.path.join(self.path, f) for f in added]
