@@ -451,13 +451,23 @@ def _w_versioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would interleave overwrite/append and duplicate the appended rows
     out = os.path.join(_scratch_dir(), f"wprn-{uuid.uuid4().hex[:8]}")
     orders = load_table(spark, sf_dir, "orders")
+    # scale-relative split/prune keys: fixed literals left the sf0.001
+    # local gate comparing empty-vs-empty (vacuous pass) while sf0.01 hit
+    # real rows — thresholds must select at EVERY gate scale
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split, sel = 2 * hi // 3, 5 * hi // 6
     vt = VersionedTable(spark, out)
-    vt.overwrite(orders.where("o_orderkey <= 2000").coalesce(1))
-    vt.append(orders.where("o_orderkey > 2000").coalesce(1))
-    pruned = vt.read(prune=[("o_orderkey", ">", 2500)])
+    vt.overwrite(orders.where(F.col("o_orderkey") <= split).coalesce(1))
+    vt.append(orders.where(F.col("o_orderkey") > split).coalesce(1))
+    pruned = vt.read(prune=[("o_orderkey", ">", sel)])
+    if len(pruned.inputFiles()) != 1:
+        raise AssertionError("expected the low-key file to be skipped")
     return pruned.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
     )
 
 
@@ -466,10 +476,138 @@ _register(
     _w_versioned_pruned,
     """
     SELECT o_orderstatus, count(*) AS n,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
-    FROM orders WHERE o_orderkey > 2500
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_orderkey > (SELECT 5 * max(o_orderkey) // 6 FROM orders)
     GROUP BY o_orderstatus
     """,
+)
+
+
+def _w_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY through the transaction log: orderkey-ordered
+    ingest leaves every file spanning the whole custkey space (manifest
+    pruning on o_custkey keeps all files — asserted), the z-ordered
+    compaction re-clusters on (o_custkey, o_totalprice) and the
+    re-collected per-file stats must prune again (asserted) while the
+    query result stays exactly the plain filter — layout is never a
+    semantic."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    out = os.path.join(_scratch_dir(), f"wzo-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi, hi_cust = orders.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).collect()[0]
+    thr = 0.2 * hi_cust  # scale-independent selectivity (~20% of rows)
+    vt = VersionedTable(spark, out)
+    for q in range(4):  # arrival order = orderkey ranges
+        # first slice's lower bound is inclusive-of-everything: the
+        # fixture's keys start at 0, an exclusive "> 0" would drop it
+        lo_k = q * hi // 4 if q else -1
+        hi_k = (q + 1) * hi // 4
+        vt.append(
+            orders.where(
+                (F.col("o_orderkey") > lo_k) & (F.col("o_orderkey") <= hi_k)
+            ).coalesce(1)
+        )
+    if len(vt.read(prune=[("o_custkey", "<", thr)]).inputFiles()) != 4:
+        raise AssertionError("arrival layout should not prune on o_custkey")
+    vt.compact(target_file_bytes=8_000, zorder=["o_custkey", "o_totalprice"])
+    pruned = vt.read(prune=[("o_custkey", "<", thr)])
+    n_files = len(vt.read().inputFiles())
+    if not (0 < len(pruned.inputFiles()) < n_files):
+        raise AssertionError(
+            f"zorder stats not selective: {len(pruned.inputFiles())}/{n_files}"
+        )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_zorder_compact",
+    _w_versioned_zorder,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders WHERE o_custkey < (SELECT 0.2 * max(o_custkey) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+
+
+def _w_versioned_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-consumer recovery contract, end to end: a consumer
+    mirrors an upstream versioned table into a downstream one via
+    changes() (appending increments), and when a compaction lands inside
+    its range — changes() raises rather than fabricate a diff — it
+    recovers with a full re-read (overwrite), then resumes incrementally.
+    The first cycle consumes from version -1, covering the append-created
+    version 0 incrementally (no special bootstrap path). Downstream must
+    equal upstream exactly; no row lost, none double-delivered."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    root = os.path.join(_scratch_dir(), f"wvc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    up = VersionedTable(spark, os.path.join(root, "up"))
+    down = VersionedTable(spark, os.path.join(root, "down"))
+
+    def slice_(q: int, parts: int = 5) -> DataFrame:
+        # slice 0 is lower-unbounded: the fixture's keys start at 0
+        lo_k = q * hi // parts if q else -1
+        hi_k = (q + 1) * hi // parts
+        return orders.where(
+            (F.col("o_orderkey") > lo_k) & (F.col("o_orderkey") <= hi_k)
+        )
+
+    def consume(from_v: int) -> int:
+        latest = up.latest_version()
+        try:
+            down.append(up.changes(from_v, latest))
+        except VersionedTableError:
+            # rewrite inside the range: full re-read replaces downstream
+            down.overwrite(up.read(version_as_of=latest))
+        return latest
+
+    up.append(slice_(0))
+    up.append(slice_(1))
+    ckpt = consume(-1)  # incremental from nothing (v0 is an append)
+    up.append(slice_(2))
+    up.compact()  # rewrite races in before the next cycle
+    up.append(slice_(3))
+    ckpt = consume(ckpt)  # spans the compact -> recovery path
+    up.append(slice_(4))
+    consume(ckpt)  # back on the incremental path
+    return down.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_register(
+    "w_versioned_incremental_consume",
+    _w_versioned_consume,
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
 )
 
 

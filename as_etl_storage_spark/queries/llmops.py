@@ -1282,8 +1282,11 @@ _register(
 
 
 def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # band sized to the fixture's vocabulary (~31 terms, df 25..450 over
+    # 500 docs): the old [3, 10] band matched NOTHING, so the oracle
+    # compared empty-vs-empty and never validated a posting list
     docs = load_table(spark, sf_dir, "documents")
-    return text.inverted_index(docs, "doc_id", "text", min_df=3, max_df=10)
+    return text.inverted_index(docs, "doc_id", "text", min_df=2, max_df=400)
 
 
 _register(
@@ -1297,7 +1300,7 @@ _register(
     ),
     tok2 AS (SELECT DISTINCT doc_id, t FROM tok WHERE t <> ''),
     dfr AS (SELECT t, count(*) AS df FROM tok2 GROUP BY t
-            HAVING count(*) BETWEEN 3 AND 10)
+            HAVING count(*) BETWEEN 2 AND 400)
     SELECT tok2.t AS term, CAST(dfr.df AS BIGINT) AS df,
            string_agg(tok2.doc_id::VARCHAR, ',' ORDER BY tok2.doc_id)
              AS postings
@@ -1780,9 +1783,12 @@ def _tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine near-dup pairs through shared mid-band terms
     (operators/text.tfidf_similar_pairs) — term-partitioned sparse
     similarity, the no-embedding complement to the ANN family."""
+    # band/threshold sized to the fixture (narrow ~31-term vocabulary):
+    # the old df band [2, 20] excluded every term, so the pair stream —
+    # and the oracle compare — was vacuously empty
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_similar_pairs(
-        docs, "doc_id", "text", min_df=2, max_df=20, threshold=0.5
+        docs, "doc_id", "text", min_df=2, max_df=380, threshold=0.95
     )
 
 
@@ -1802,7 +1808,7 @@ _register(
                  CAST(round(tf.tf * ln(nd.n / st.dfreq), 6)
                       AS DECIMAL(18,6)) AS w
           FROM tf JOIN st USING (t) CROSS JOIN nd
-          WHERE st.dfreq BETWEEN 2 AND 20),
+          WHERE st.dfreq BETWEEN 2 AND 380),
     nrm AS (SELECT doc_id, sqrt(CAST(sum(w*w) AS DOUBLE)) AS nrm
             FROM w GROUP BY 1),
     dots AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
@@ -1812,7 +1818,7 @@ _register(
     SELECT doc_i, doc_j, round(dot / (x.nrm * y.nrm), 4) AS sim
     FROM dots JOIN nrm x ON x.doc_id = doc_i
               JOIN nrm y ON y.doc_id = doc_j
-    WHERE dot / (x.nrm * y.nrm) >= 0.5
+    WHERE dot / (x.nrm * y.nrm) >= 0.95
     """,
 )
 

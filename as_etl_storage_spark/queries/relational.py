@@ -176,12 +176,17 @@ _q(
                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
     """,
 )
+# the inner predicate keeps the anti join non-vacuous on the synthetic
+# fixture: every custkey there has orders, so a bare NOT EXISTS returned
+# ZERO rows at every gate scale — the values were never actually compared
 _q(
     "q_anti_join",
     ("customer", "orders"),
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 450000)
     """,
 )
 

@@ -44,6 +44,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class VersionedTableError(RuntimeError):
@@ -611,7 +612,11 @@ class VersionedTable:
         paths = [os.path.join(self.path, f) for f in added]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        zorder: list[str] | None = None,
+    ) -> int:
         """Bin-pack small data files into ~``target_file_bytes`` files as
         a new version (Delta's OPTIMIZE). The append-heavy path that the
         delta log makes cheap also breeds small files — the classic
@@ -622,11 +627,24 @@ class VersionedTable:
         the old files (snapshot isolation holds), which vacuum reclaims
         once out of retention.
 
+        ``zorder`` (Delta's OPTIMIZE ZORDER BY): rewrite clustered on the
+        Morton key over the listed numeric columns instead of a plain
+        coalesce. Appends cluster by ARRIVAL, so after N ingest cycles
+        every file's min/max spans the whole key space and
+        ``read(prune=...)`` skips nothing; the z-ordered rewrite gives
+        every output file a tight bound in ALL listed dimensions, making
+        the manifest stats (re-collected from the new footers at commit)
+        selective again — the layout half of the data-skipping story.
+        Costs one range shuffle instead of coalesce's shuffle-free
+        narrowing, paid once per OPTIMIZE cycle. A zorder compaction
+        always rewrites, even when the file count is already right-sized:
+        its purpose is re-clustering, not packing.
+
         Commits with the replace conflict rule: a concurrent writer
         advancing the log aborts the compaction (its rewrite no longer
         reflects the latest state) rather than clobbering. Returns the
         new version. No-op (returns the current version) when the table
-        already has nothing to pack."""
+        already has nothing to pack (plain mode only)."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
@@ -641,6 +659,28 @@ class VersionedTable:
                 ) from e
         total = sum(sizes)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
+        if zorder:
+            from as_etl_storage_spark.writers.layout import zorder_key
+
+            snap = self.read(version_as_of=base)
+            row = snap.agg(
+                *[
+                    f
+                    for c in zorder
+                    for f in (
+                        F.min(c).alias(f"{c}__lo"),
+                        F.max(c).alias(f"{c}__hi"),
+                    )
+                ]
+            ).collect()[0]
+            bounds = {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in zorder}
+            df = (
+                snap.withColumn("__zkey", zorder_key(zorder, bounds))
+                .repartitionByRange(n_target, "__zkey")
+                .sortWithinPartitions("__zkey")
+                .drop("__zkey")
+            )
+            return self._commit(self._write_data_files(df), "compact", base)
         if len(files) <= n_target:
             return base  # already right-sized; nothing to rewrite
         # one shuffle-free rewrite: coalesce narrows partitions without an

@@ -1,0 +1,97 @@
+"""Manifest-pruning evidence at file count (SCALE.md 'prune_1k_files').
+
+Builds a versioned table with ~1,000 small data files whose per-file
+min/max bounds partition the key space (repartitionByRange inside each
+append gives disjoint ranges per file), then measures a selective
+pruned read against the full-snapshot read over the same predicate.
+
+What this demonstrates for the 100 TB case: manifest skipping drops
+files from the scan BEFORE Spark ever lists them — the pruned plan's
+``inputFiles()`` is the kept set, so the per-file footer read and task
+launch (the dominant cost of a selective query over 10^6 small files)
+are never paid. Row-group pruning inside the scan cannot do this; it
+still opens every footer.
+
+Usage: python scripts/prune_stress.py  (prints one JSON row per case)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark import get_spark
+from as_etl_storage_spark.writers.versioned import VersionedTable
+
+ROWS = 1_000_000
+APPENDS = 20
+FILES_PER_APPEND = 50  # ~1,000 files total
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    spark = get_spark("prune-stress")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "prune_stress",
+    )
+    import shutil
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    vt = VersionedTable(spark, os.path.join(scratch, "t"))
+    per = ROWS // APPENDS
+    for a in range(APPENDS):
+        batch = (
+            spark.range(a * per, (a + 1) * per)
+            .withColumn("payload", F.md5(F.col("id").cast("string")))
+            .repartitionByRange(FILES_PER_APPEND, "id")
+        )
+        vt.append(batch)
+    n_files = len(vt._state(vt.latest_version()))
+    # selective predicate: one append's worth of ids -> ~FILES_PER_APPEND
+    # of n_files may match
+    lo, hi = 3 * per, 4 * per
+    pruned_df = vt.read(prune=[("id", ">=", lo), ("id", "<", hi)])
+    kept = len(pruned_df.inputFiles())
+    assert kept < n_files / 10, (
+        f"pruning ineffective: {kept}/{n_files} files survived"
+    )
+    full_df = vt.read().where((F.col("id") >= lo) & (F.col("id") < hi))
+    assert len(full_df.inputFiles()) == n_files  # full read lists everything
+    # warm-up both paths untimed (JIT, FS cache), then time
+    for df in (pruned_df, full_df):
+        df.write.mode("overwrite").format("noop").save()
+    t_pruned, n1 = timed(lambda: pruned_df.count())
+    t_full, n2 = timed(lambda: full_df.count())
+    assert n1 == n2 == hi - lo
+    print(
+        json.dumps(
+            {
+                "case": "prune_1k_files",
+                "files_total": n_files,
+                "files_kept": kept,
+                "files_skipped": n_files - kept,
+                "rows": n1,
+                "sec_pruned": round(t_pruned, 3),
+                "sec_full_scan": round(t_full, 3),
+                "speedup": round(t_full / t_pruned, 2),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -89,10 +89,36 @@ def _cell_eq(a, b) -> bool:
     return a == b
 
 
+# queries whose EMPTY result is the contract (everything else must
+# produce rows — an empty-vs-empty compare validates nothing; round 9
+# found three queries whose thresholds matched zero rows of the fixture
+# at EVERY gate scale and had therefore never had a value checked)
+EMPTY_OK = {"s3_schema_probe"}
+# queries legitimately empty at the fast sf0.001 gate only: their
+# selective TPC-H predicates need sf0.01 data to match, where the
+# committed SWEEP_r{N}.txt artifact (drift-guarded against the registry)
+# value-checks them every round
+EMPTY_OK_AT_SF0_001 = {
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q11_important_values",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+}
+
+
 def run_and_compare(spark, sf_dir: str, name: str, fn, oracle: str | None) -> list[str]:
     got = fn(spark, sf_dir).toPandas()
+    empty_ok = EMPTY_OK | (
+        EMPTY_OK_AT_SF0_001 if sf_dir.rstrip("/").endswith("sf0.001") else set()
+    )
+    if len(got) == 0 and name not in empty_ok:
+        return [
+            f"{name}: 0 rows at {sf_dir} — vacuous compare; retune the "
+            f"query to select against this fixture or add it to EMPTY_OK"
+        ]
     if oracle is None:
-        return [] if len(got) >= 0 else [f"{name}: no rows"]
+        return []
     con = duck_connection(sf_dir)
     want = con.sql(oracle).df()
     return compare_frames(got, want, name)

@@ -50,3 +50,33 @@ def test_readme_query_count_matches_registry():
         f"README.md states contract-query counts {sorted(counts)} but the "
         f"registry has {n_queries}"
     )
+
+
+def test_latest_sweep_artifact_matches_registry():
+    """The newest committed SWEEP_r{N}.txt must cover the registry
+    exactly, all ok — a round that changes the registry without re-running
+    scripts/oracle_sweep.py ships stale evidence (round-8 verdict: code
+    shipped with only SWEEP_r07 covering 219 of 221 queries)."""
+    sweeps = sorted(
+        REPO.glob("SWEEP_r*.txt"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert sweeps, "no SWEEP_r*.txt artifact committed"
+    latest = sweeps[-1]
+    swept: dict[str, str] = {}
+    for line in latest.read_text().splitlines():
+        m = re.match(r"(ok|FAIL)\s+(\S+)\s", line)
+        if m:
+            swept[m.group(2)] = m.group(1)
+    import __spark_entry__ as entry
+
+    registry = set(entry.queries())
+    missing = registry - set(swept)
+    stale = set(swept) - registry
+    assert not missing, (
+        f"{latest.name} missing {sorted(missing)}: re-run "
+        f"python scripts/oracle_sweep.py /root/testdata/sf0.01 {latest.name}"
+    )
+    assert not stale, f"{latest.name} lists unregistered queries: {sorted(stale)}"
+    failed = sorted(n for n, s in swept.items() if s != "ok")
+    assert not failed, f"{latest.name} records failures: {failed}"

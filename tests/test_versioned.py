@@ -738,3 +738,151 @@ def test_versioned_stream_sink_exactly_once(spark, tmp_path):
     assert w2.batches_seen == 0 and w2.batches_skipped >= 1
     assert vt.read().count() == 100  # no duplicates
     assert vt.latest_version() == v_after  # no new versions either
+
+
+def test_changes_from_minus_one_covers_append_created_table(spark, tmp_path):
+    """A table CREATED by append (e.g. VersionedStreamWriter batch 0)
+    commits version 0 as a full-snapshot manifest — but those files are
+    exactly the appended files, so changes(-1) must return them: a
+    bootstrapping incremental consumer reads the whole history without a
+    special first-cycle full-read path."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    vt.append(spark.createDataFrame([(3,)], "id long"))
+    got = sorted(r.id for r in vt.changes(-1).collect())
+    assert got == [1, 2, 3]
+    # and the ordinary "since v0" read still excludes v0's rows
+    assert sorted(r.id for r in vt.changes(0).collect()) == [3]
+    # overwrite-created v0 is NOT incremental: rows may replace history
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(spark.createDataFrame([(9,)], "id long"))
+    with pytest.raises(VersionedTableError, match="full re-read"):
+        vt2.changes(-1)
+
+
+def test_checkpoint_failure_does_not_fail_committed_append(spark, tmp_path, monkeypatch):
+    """_write_checkpoint runs AFTER the commit point; if it raises (disk
+    full, vacuum racing the manifest walk) the append must still report
+    success — a caller that retried a 'failed' append would duplicate
+    rows. Readers just replay deltas until the next checkpoint lands."""
+    from as_etl_storage_spark.writers import versioned as vmod
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    one = spark.createDataFrame([(1,)], "id long").coalesce(1)
+
+    def boom(self, version):
+        raise OSError("no space left on device")
+
+    monkeypatch.setattr(vmod.VersionedTable, "_write_checkpoint", boom)
+    for i in range(vmod.CHECKPOINT_EVERY + 1):
+        v = vt.append(one)
+        assert v == i  # including the checkpoint-eligible version
+    monkeypatch.undo()
+    assert vt.read().count() == vmod.CHECKPOINT_EVERY + 1
+
+
+def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
+    """The realistic 100 TB shape: an incremental consumer checkpoints
+    from_version and races a compactor. When a compact() lands inside its
+    range, changes() refuses to fabricate a diff — the documented
+    recovery contract is catch -> full re-read -> resume incremental from
+    the version the full read pinned. This test drives that loop end to
+    end and proves no row is lost or double-counted."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+
+    def batch(lo, hi):
+        return spark.createDataFrame([(i,) for i in range(lo, hi)], "id long")
+
+    consumed: set[int] = set()
+
+    def consume_increment(from_v: int) -> int:
+        """One consumer cycle. Returns the new checkpoint version."""
+        latest = vt.latest_version()
+        try:
+            rows = {r.id for r in vt.changes(from_v, latest).collect()}
+            assert consumed.isdisjoint(rows)  # incremental => no re-delivery
+            consumed.update(rows)
+        except VersionedTableError:
+            # a rewrite (compact) landed inside the range: full re-read of
+            # the snapshot at `latest`, REPLACING consumer state — rows
+            # already seen reappear here, which an idempotent downstream
+            # (exact dedup / upsert by key) absorbs by design
+            consumed.clear()
+            consumed.update(r.id for r in vt.read(version_as_of=latest).collect())
+        return latest
+
+    vt.append(batch(0, 10))
+    vt.append(batch(10, 20))
+    ckpt = consume_increment(-1)
+    assert consumed == set(range(20))
+
+    vt.append(batch(20, 30))
+    # compactor races in AFTER the append the consumer hasn't seen yet
+    assert vt.compact(target_file_bytes=1 << 30) > 2
+    vt.append(batch(30, 40))
+    ckpt = consume_increment(ckpt)  # range spans the compact -> recovery path
+    assert consumed == set(range(40))
+
+    # back on the incremental path afterwards
+    vt.append(batch(40, 50))
+    ckpt = consume_increment(ckpt)
+    assert consumed == set(range(50))
+    assert ckpt == vt.latest_version()
+
+
+def test_pruned_read_lists_only_kept_files(spark, tmp_path):
+    """Manifest pruning must act BEFORE Spark's file listing: the pruned
+    plan's inputFiles() is exactly the kept set, so a selective read over
+    a many-small-files table pays O(kept) footer reads + task launches,
+    not O(total). (The at-scale measurement lives in
+    scripts/prune_stress.py / docs/SCALE.md: 1,000 files, 950 skipped.)"""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    for a in range(4):
+        batch = (
+            spark.range(a * 100, (a + 1) * 100)
+            .withColumn("payload", F.md5(F.col("id").cast("string")))
+            .coalesce(1)
+        )
+        vt.append(batch)
+    full = vt.read()
+    assert len(full.inputFiles()) == 4
+    pruned = vt.read(prune=[("id", ">=", 200), ("id", "<", 300)])
+    assert len(pruned.inputFiles()) == 1  # 3 of 4 files never listed
+    got = sorted(r.id for r in pruned.collect())
+    assert got == list(range(200, 300))
+
+
+def test_compact_zorder_restores_prune_selectivity(spark, tmp_path):
+    """Appends cluster by ARRIVAL: every ingested file spans the whole
+    (x, y) space, so manifest pruning on either column keeps all files.
+    compact(zorder=[x, y]) rewrites clustered on the Morton key; the
+    re-collected per-file stats must then prune on BOTH columns, and the
+    data must be byte-identical to before the rewrite."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    for a in range(4):
+        batch = (
+            spark.range(a * 2500, (a + 1) * 2500)
+            .withColumn("x", F.col("id") % 1000)
+            .withColumn("y", (F.col("id") * 7919) % 1000)
+            .coalesce(1)
+        )
+        vt.append(batch)
+    before = {(r.id, r.x, r.y) for r in vt.read().collect()}
+    # arrival layout: every file spans x in [0,1000) -> nothing prunes
+    assert len(vt.read(prune=[("x", "<", 100)]).inputFiles()) == 4
+    # small target => several z-clustered output files to prune across
+    v = vt.compact(target_file_bytes=8_000, zorder=["x", "y"])
+    assert v == 4
+    files_now = len(vt.read().inputFiles())
+    assert files_now >= 4
+    for col in ("x", "y"):
+        kept = len(vt.read(prune=[(col, "<", 100)]).inputFiles())
+        assert kept < files_now, f"zorder did not make {col} selective"
+    # rewrite is a layout change only
+    assert {(r.id, r.x, r.y) for r in vt.read().collect()} == before
+    # prior versions still read the pre-compact files (snapshot isolation)
+    assert vt.read(version_as_of=3).count() == 10000
