@@ -55,6 +55,9 @@ def main() -> None:
         batch = (
             spark.range(a * per, (a + 1) * per)
             .withColumn("payload", F.md5(F.col("id").cast("string")))
+            # second dimension, uncorrelated with the file layout: every
+            # ingested file spans the whole y space (the zorder case below)
+            .withColumn("y", (F.col("id") * 7919) % 1_000_000)
             .repartitionByRange(FILES_PER_APPEND, "id")
         )
         vt.append(batch)
@@ -86,6 +89,36 @@ def main() -> None:
                 "sec_pruned": round(t_pruned, 3),
                 "sec_full_scan": round(t_full, 3),
                 "speedup": round(t_full / t_pruned, 2),
+            }
+        ),
+        flush=True,
+    )
+
+    # OPTIMIZE ZORDER: the ingest layout above clusters files by id, so a
+    # predicate on the uncorrelated y column prunes (almost) nothing; a
+    # z-ordered rewrite on (id, y) must make BOTH dimensions selective
+    # from the re-collected per-file stats.
+    y_pred = [("y", ">=", 100_000), ("y", "<", 200_000)]  # 10% of rows
+    kept_y_before = len(vt.read(prune=y_pred).inputFiles())
+    t0 = time.perf_counter()
+    vt.compact(target_file_bytes=512 * 1024, zorder=["id", "y"])
+    t_zorder = time.perf_counter() - t0
+    n_after = len(vt.read().inputFiles())
+    kept_y = len(vt.read(prune=y_pred).inputFiles())
+    kept_id = len(
+        vt.read(prune=[("id", ">=", lo), ("id", "<", hi)]).inputFiles()
+    )
+    assert kept_y < n_after / 2, f"zorder left y unselective: {kept_y}/{n_after}"
+    print(
+        json.dumps(
+            {
+                "case": "zorder_second_column",
+                "files_before": n_files,
+                "y_kept_before": kept_y_before,
+                "sec_zorder_rewrite": round(t_zorder, 3),
+                "files_after": n_after,
+                "y_kept_after": kept_y,
+                "id_kept_after": kept_id,
             }
         ),
         flush=True,
