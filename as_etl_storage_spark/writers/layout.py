@@ -114,6 +114,51 @@ def zorder_key(cols: list[str], bounds: dict, bits: int = 12) -> F.Column:
     return key
 
 
+def zorder_key_ranked(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> F.Column:
+    """Quantile (rank-bucketed) z-order key: each column is bucketed by
+    SAMPLED BOUNDARIES instead of equi-width value cells, then the bucket
+    bits are interleaved as in :func:`zorder_key`.
+
+    Why a second form: equi-width cells need a numeric column and waste
+    almost the whole cell range on skewed data (a power-law column lands
+    90% of rows in a handful of cells, so the interleaved key carries no
+    information in that dimension and file bounds stay wide). Rank
+    buckets are equi-POPULATED by construction — every cell holds ~1/2^bits
+    of the rows whatever the distribution — and the boundary comparison
+    is the rank kernel's ordering, so strings, dates and timestamps
+    z-order too (the width form would have to reject them).
+
+    Cost: one bounded boundary-sample job per column (the same
+    per-partition reservoir the global-rank kernel uses) + a JIT-safe
+    O(log 2^bits) binary-search expression per row — no shuffle beyond
+    the range repartition the caller does anyway."""
+    from as_etl_storage_spark.operators.rank import (
+        _bucket_search_expr,
+        _sample_boundaries,
+    )
+
+    n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key_ranked needs bits*len(cols) <= 63; got {bits}*{n}"
+        )
+    buckets = []
+    for c in cols:
+        bnds = _sample_boundaries(df, [c], 2**bits)
+        buckets.append(_bucket_search_expr([c], bnds).cast("long"))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            key = key + (
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+                ).cast("long")
+            )
+    return key
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

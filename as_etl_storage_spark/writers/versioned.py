@@ -660,22 +660,44 @@ class VersionedTable:
         total = sum(sizes)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
         if zorder:
-            from as_etl_storage_spark.writers.layout import zorder_key
+            from pyspark.sql.types import NumericType
+
+            from as_etl_storage_spark.writers.layout import (
+                zorder_key,
+                zorder_key_ranked,
+            )
 
             snap = self.read(version_as_of=base)
-            row = snap.agg(
-                *[
-                    f
-                    for c in zorder
-                    for f in (
-                        F.min(c).alias(f"{c}__lo"),
-                        F.max(c).alias(f"{c}__hi"),
-                    )
-                ]
-            ).collect()[0]
-            bounds = {c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in zorder}
+            numeric = {
+                f.name
+                for f in snap.schema.fields
+                if isinstance(f.dataType, NumericType)
+            }
+            if set(zorder) <= numeric:
+                # equi-width value cells: zero extra jobs beyond one
+                # min/max aggregate; right when the columns are numeric
+                # and roughly uniform
+                row = snap.agg(
+                    *[
+                        f
+                        for c in zorder
+                        for f in (
+                            F.min(c).alias(f"{c}__lo"),
+                            F.max(c).alias(f"{c}__hi"),
+                        )
+                    ]
+                ).collect()[0]
+                bounds = {
+                    c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in zorder
+                }
+                key = zorder_key(zorder, bounds)
+            else:
+                # strings/dates (or anything the width form can't cell):
+                # quantile buckets from sampled boundaries — also the
+                # skew-robust choice
+                key = zorder_key_ranked(snap, zorder)
             df = (
-                snap.withColumn("__zkey", zorder_key(zorder, bounds))
+                snap.withColumn("__zkey", key)
                 .repartitionByRange(n_target, "__zkey")
                 .sortWithinPartitions("__zkey")
                 .drop("__zkey")

@@ -886,3 +886,33 @@ def test_compact_zorder_restores_prune_selectivity(spark, tmp_path):
     assert {(r.id, r.x, r.y) for r in vt.read().collect()} == before
     # prior versions still read the pre-compact files (snapshot isolation)
     assert vt.read(version_as_of=3).count() == 10000
+
+
+def test_compact_zorder_ranked_string_column(spark, tmp_path):
+    """zorder on a STRING column takes the quantile (sampled-boundary)
+    path — the width form can't cell non-numerics. After the rewrite the
+    string column's per-file bounds must prune, and a numeric co-column
+    stays selective too; contents unchanged."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    for a in range(4):
+        batch = (
+            spark.range(a * 2500, (a + 1) * 2500)
+            .withColumn("s", F.md5(F.col("id").cast("string")))
+            .withColumn("y", (F.col("id") * 7919) % 1000)
+            .coalesce(1)
+        )
+        vt.append(batch)
+    before = vt.read().count()
+    # arrival files each span the whole md5 space: nothing prunes
+    assert len(vt.read(prune=[("s", "<", "2")]).inputFiles()) == 4
+    vt.compact(target_file_bytes=16_000, zorder=["s", "y"])
+    n_files = len(vt.read().inputFiles())
+    for col, op, val in (("s", "<", "2"), ("y", "<", 125)):
+        kept = len(vt.read(prune=[(col, op, val)]).inputFiles())
+        assert kept < n_files, f"ranked zorder left {col} unselective"
+    assert vt.read().count() == before
+    got = {r.s for r in vt.read(prune=[("s", "<", "2")]).collect() }
+    want = {r.s for r in vt.read().where("s < '2'").collect()}
+    assert got == want  # skipping is never a semantic
