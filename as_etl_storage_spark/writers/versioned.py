@@ -616,6 +616,7 @@ class VersionedTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder: list[str] | None = None,
+        zorder_cells: str = "auto",
     ) -> int:
         """Bin-pack small data files into ~``target_file_bytes`` files as
         a new version (Delta's OPTIMIZE). The append-heavy path that the
