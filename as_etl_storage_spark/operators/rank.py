@@ -91,6 +91,25 @@ def _key_gt(order_cols: list[str], boundary: tuple):
     return expr
 
 
+def _pick_boundaries(weighted: list[tuple], parts: int) -> list[tuple]:
+    """Driver-side weighted quantile step-pick over an ALREADY-SORTED
+    ``[(key_tuple, weight), ...]`` sample: walk cumulative weight and
+    emit a boundary every ``total/parts``, consecutive-deduped (duplicate
+    boundaries would only create empty buckets). Factored out so the
+    one-pass multi-column sampler reuses the exact arithmetic."""
+    total_w = sum(w for _, w in weighted)
+    step = total_w / parts
+    picks_out: list[tuple] = []
+    cum, nxt = 0.0, step
+    for key, w in weighted:
+        cum += w
+        while cum >= nxt and len(picks_out) < parts - 1:
+            if not picks_out or key != picks_out[-1]:
+                picks_out.append(key)
+            nxt += step
+    return picks_out
+
+
 def _sample_boundaries(
     df: DataFrame, order_cols: list[str], parts: int
 ) -> list[tuple]:
@@ -117,14 +136,28 @@ def _sample_boundaries(
     bucket ids stay a pure function of the collected literals."""
     if parts <= 1:
         return []
-    keys = df.select(*[F.col(c) for c in order_cols])
+    rows = _weighted_row_sample(df, order_cols)
+    if not rows:
+        return []
+    weighted = sorted(
+        ((tuple(r[c] for c in order_cols), r[_W]) for r in rows),
+        key=lambda t: _py_sort_key(t[0]),
+    )
+    return _pick_boundaries(weighted, parts)
+
+
+def _weighted_row_sample(df: DataFrame, cols: list[str]) -> list:
+    """The mapInArrow reservoir pass of ``_sample_boundaries``: returns
+    collected Rows of ``cols`` plus the ``_W`` weight column
+    (O(input_partitions × _SAMPLE_PER_BUCKET) rows, value-independent
+    row selection — see the docstring above for the scheme)."""
+    keys = df.select(*[F.col(c) for c in cols])
     k = _SAMPLE_PER_BUCKET
     from pyspark.sql import types as _T
 
     out_schema = _T.StructType(
         list(keys.schema.fields) + [_T.StructField(_W, _T.DoubleType())]
     )
-    names = list(keys.columns)
 
     def sampler(batches):
         import numpy as np
@@ -181,26 +214,38 @@ def _sample_boundaries(
             )
             yield from out.to_batches()
 
-    rows = keys.mapInArrow(sampler, schema=out_schema).collect()
-    if not rows:
-        return []
-    weighted = sorted(
-        ((tuple(r[c] for c in names), r[_W]) for r in rows),
-        key=lambda t: _py_sort_key(t[0]),
-    )
-    total_w = sum(w for _, w in weighted)
-    step = total_w / parts
-    picks_out: list[tuple] = []
-    cum, nxt = 0.0, step
-    for key, w in weighted:
-        cum += w
-        while cum >= nxt and len(picks_out) < parts - 1:
-            # consecutive-dedupe: duplicate boundaries would only create
-            # empty buckets, but why carry dead comparisons
-            if not picks_out or key != picks_out[-1]:
-                picks_out.append(key)
-            nxt += step
-    return picks_out
+    return keys.mapInArrow(sampler, schema=out_schema).collect()
+
+
+def sample_boundaries_multi(
+    df: DataFrame, cols: list[str], parts: int
+) -> dict[str, list[tuple]]:
+    """Per-column boundary tuples for EVERY listed column from ONE
+    sampling job. ``_sample_boundaries`` called per column launches one
+    full-column scan each — at 100 TB a 2-column ranked z-order key pays
+    the table read twice just to learn its cell edges. The reservoir
+    already carries whole sampled rows, so this runs the sampler once
+    over all columns and derives each column's boundaries from its
+    MARGINAL in the same sample (re-sorted per column, same weighted
+    step-pick).
+
+    Bit-identical to the per-column form: the reservoir's row picks and
+    Efraimidis–Spirakis keys depend only on the batch-size stream (fixed
+    seed, value-independent), and Arrow batches are row-count-sliced —
+    so the one-pass sample selects exactly the rows each per-column run
+    would, and per-column quantiles over the same rows are the same
+    literals (pinned by ``tests/test_layout.py``)."""
+    if parts <= 1:
+        return {c: [] for c in cols}
+    rows = _weighted_row_sample(df, cols)
+    out: dict[str, list[tuple]] = {}
+    for c in cols:
+        weighted = sorted(
+            (((r[c],), r[_W]) for r in rows),
+            key=lambda t: _py_sort_key(t[0]),
+        )
+        out[c] = _pick_boundaries(weighted, parts)
+    return out
 
 
 def _bucket_search_expr(
@@ -325,6 +370,13 @@ def _bucketed_once(
 
 # round-5 name, kept as an alias for external references/tests
 _partitioned_once = _bucketed_once
+
+# Public names for the two kernel pieces other modules build on (the
+# ranked z-order layout in writers/layout.py): same objects, stable
+# contract — sampled ascending boundary tuples in, JIT-safe exceed-count
+# column out. The underscore forms stay as the kernel's internal names.
+sample_boundaries = _sample_boundaries
+attach_exceed_count = _attach_exceed_count
 
 
 #: the offsets relation holds one row per bucket (≤ defaultParallelism by

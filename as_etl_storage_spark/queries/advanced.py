@@ -586,10 +586,17 @@ def _w_versioned_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     def consume(from_v: int) -> int:
         latest = up.latest_version()
         try:
-            down.append(up.changes(from_v, latest))
+            # changes() raises during its manifest walk — i.e. HERE, not
+            # at append time — so only the rewrite-in-range error lands in
+            # the except; a failure of the downstream append itself (e.g.
+            # commit-retry exhaustion) propagates instead of being
+            # misdiagnosed as a compaction and masked by an overwrite
+            inc = up.changes(from_v, latest)
         except VersionedTableError:
             # rewrite inside the range: full re-read replaces downstream
             down.overwrite(up.read(version_as_of=latest))
+        else:
+            down.append(inc)
         return latest
 
     up.append(slice_(0))

@@ -114,12 +114,12 @@ def zorder_key(cols: list[str], bounds: dict, bits: int = 12) -> F.Column:
     return key
 
 
-def zorder_key_ranked(
-    df: DataFrame, cols: list[str], bits: int = 8
-) -> F.Column:
-    """Quantile (rank-bucketed) z-order key: each column is bucketed by
-    SAMPLED BOUNDARIES instead of equi-width value cells, then the bucket
-    bits are interleaved as in :func:`zorder_key`.
+def attach_zorder_key_ranked(
+    df: DataFrame, cols: list[str], out_col: str, bits: int = 8
+) -> DataFrame:
+    """Attach ``out_col`` = quantile (rank-bucketed) z-order key: each
+    column is bucketed by SAMPLED BOUNDARIES instead of equi-width value
+    cells, then the bucket bits are interleaved as in :func:`zorder_key`.
 
     Why a second form: equi-width cells need a numeric column and waste
     almost the whole cell range on skewed data (a power-law column lands
@@ -130,33 +130,65 @@ def zorder_key_ranked(
     is the rank kernel's ordering, so strings, dates and timestamps
     z-order too (the width form would have to reject them).
 
-    Cost: one bounded boundary-sample job per column (the same
-    per-partition reservoir the global-rank kernel uses) + a JIT-safe
-    O(log 2^bits) binary-search expression per row — no shuffle beyond
-    the range repartition the caller does anyway."""
+    Cost: ONE bounded boundary-sample job for all listed columns
+    (``sample_boundaries_multi`` — the per-partition reservoir carries
+    whole rows, so every column's cell edges come from the same pass;
+    a 2-column key no longer reads the table twice) + the rank kernel's
+    ``attach_exceed_count`` bucket id per column. This is an attach-
+    (DataFrame-in/DataFrame-out) rather than key-expression API because
+    JIT safety REQUIRES it: 2^bits cells mean up to 2^bits − 1 boundary
+    comparisons per column, and a single CASE tree past ~32 boundaries
+    exceeds HotSpot's 8000-bytecode compile limit and runs interpreted
+    at a measured ~6× per-row cost (docs/SCALE.md) — the kernel's
+    multi-level Project chain keeps every generated method compilable,
+    and a Project chain cannot be expressed as one Column. The final
+    bit-interleave over the ≤ len(cols) bucket ids is plain integer
+    arithmetic (2 × bits × n ops), comfortably codegen'd."""
     from as_etl_storage_spark.operators.rank import (
-        _bucket_search_expr,
-        _sample_boundaries,
+        attach_exceed_count,
+        sample_boundaries_multi,
     )
 
     n = len(cols)
     if bits * n > 63:
         raise ValueError(
-            f"zorder_key_ranked needs bits*len(cols) <= 63; got {bits}*{n}"
+            f"attach_zorder_key_ranked needs bits*len(cols) <= 63; "
+            f"got {bits}*{n}"
         )
-    buckets = []
-    for c in cols:
-        bnds = _sample_boundaries(df, [c], 2**bits)
-        buckets.append(_bucket_search_expr([c], bnds).cast("long"))
+    boundaries = sample_boundaries_multi(df, cols, 2**bits)
+    bcols = []
+    for j, c in enumerate(cols):
+        bc = f"{out_col}__cell{j}"
+        df = attach_exceed_count(df, [c], boundaries[c], bc)
+        n_cells = len(boundaries[c]) + 1
+        if n_cells < 2**bits:
+            # a low-cardinality column dedupes to < 2^bits - 1 distinct
+            # boundaries, so the raw exceed-count spans only
+            # [0, n_cells-1] and its HIGH bits are constant zero — the
+            # interleave would then order almost entirely by the other
+            # columns and this one's file bounds stay wide. Rescale the
+            # cell id onto the full 2^bits range (floor(cell × 2^bits /
+            # n_cells), exact integer arithmetic) so the top bit splits
+            # the column's actual median whatever its cardinality.
+            df = df.withColumn(
+                bc,
+                F.floor(
+                    F.col(bc).cast("long") * F.lit(2**bits) / F.lit(n_cells)
+                ).cast("long"),
+            )
+        bcols.append(bc)
     key = F.lit(0).cast("long")
     for i in range(bits):
-        for j, b in enumerate(buckets):
+        for j, bc in enumerate(bcols):
             key = key + (
                 F.shiftleft(
-                    F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j
+                    F.shiftright(F.col(bc).cast("long"), i).bitwiseAND(
+                        F.lit(1)
+                    ),
+                    i * n + j,
                 ).cast("long")
             )
-    return key
+    return df.withColumn(out_col, key).drop(*bcols)
 
 
 def write_zordered(

@@ -641,6 +641,14 @@ class VersionedTable:
         always rewrites, even when the file count is already right-sized:
         its purpose is re-clustering, not packing.
 
+        ``zorder_cells`` picks the cell scheme: ``'width'`` = equi-width
+        value cells (numeric only; one min/max aggregate, zero sampling),
+        ``'ranked'`` = equi-populated quantile cells from one sampled-
+        boundary job (any orderable type; the skew-robust choice — force
+        it on a power-law numeric column where width cells collapse into
+        a handful of buckets), ``'auto'`` (default) = width when every
+        z-order column is numeric, ranked otherwise.
+
         Commits with the replace conflict rule: a concurrent writer
         advancing the log aborts the compaction (its rewrite no longer
         reflects the latest state) rather than clobbering. Returns the
@@ -664,17 +672,32 @@ class VersionedTable:
             from pyspark.sql.types import NumericType
 
             from as_etl_storage_spark.writers.layout import (
+                attach_zorder_key_ranked,
                 zorder_key,
-                zorder_key_ranked,
             )
 
+            if zorder_cells not in ("auto", "width", "ranked"):
+                raise ValueError(
+                    f"zorder_cells must be auto|width|ranked, got "
+                    f"{zorder_cells!r}"
+                )
             snap = self.read(version_as_of=base)
             numeric = {
                 f.name
                 for f in snap.schema.fields
                 if isinstance(f.dataType, NumericType)
             }
-            if set(zorder) <= numeric:
+            if zorder_cells == "width" and not set(zorder) <= numeric:
+                raise ValueError(
+                    "zorder_cells='width' needs numeric columns for "
+                    "equi-width cells; non-numeric in "
+                    f"{sorted(set(zorder) - numeric)} — use 'ranked'"
+                )
+            use_width = (
+                zorder_cells == "width"
+                or (zorder_cells == "auto" and set(zorder) <= numeric)
+            )
+            if use_width:
                 # equi-width value cells: zero extra jobs beyond one
                 # min/max aggregate; right when the columns are numeric
                 # and roughly uniform
@@ -691,15 +714,15 @@ class VersionedTable:
                 bounds = {
                     c: (row[f"{c}__lo"], row[f"{c}__hi"]) for c in zorder
                 }
-                key = zorder_key(zorder, bounds)
+                keyed = snap.withColumn("__zkey", zorder_key(zorder, bounds))
             else:
-                # strings/dates (or anything the width form can't cell):
-                # quantile buckets from sampled boundaries — also the
-                # skew-robust choice
-                key = zorder_key_ranked(snap, zorder)
+                # strings/dates (or anything the width form can't cell),
+                # or zorder_cells='ranked' forcing quantile cells on a
+                # skewed numeric column: equi-populated buckets from ONE
+                # sampled-boundary job across all listed columns
+                keyed = attach_zorder_key_ranked(snap, zorder, "__zkey")
             df = (
-                snap.withColumn("__zkey", key)
-                .repartitionByRange(n_target, "__zkey")
+                keyed.repartitionByRange(n_target, "__zkey")
                 .sortWithinPartitions("__zkey")
                 .drop("__zkey")
             )

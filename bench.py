@@ -100,13 +100,16 @@ def main() -> None:
     # an extra run because a single spike on them dominates the total, and
     # every per-run time is reported so a reviewer can separate code
     # effects from box noise.
-    # SPARK_GRAFT_BENCH_RUNS=N raises the per-query run count;
-    # SPARK_GRAFT_BENCH_STAT=median reports the per-query median instead
-    # of the min (with RUNS>=3 this makes captures comparable across
-    # rounds on a noisy box; default stays min so historical BENCH_r*
-    # totals remain like-for-like).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "min").lower()
+    # SPARK_GRAFT_BENCH_RUNS / SPARK_GRAFT_BENCH_STAT override the
+    # capture protocol. Default since r10: 5 runs, per-query MEDIAN —
+    # the r10 same-code double capture (docs/SCALE.md noise note)
+    # measured an 8% total spread (16.66 vs 15.33) with per-query ratios
+    # 0.68-1.15x even at median-of-5, and min-of-2 was strictly noisier;
+    # medians are the only stat that makes round-over-round totals
+    # comparable on this box. Historical BENCH_r01..r09 totals are
+    # min-of-2 and ~5-10% optimistic relative to this protocol.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    stat = os.environ.get("SPARK_GRAFT_BENCH_STAT", "median").lower()
     if stat not in ("min", "median"):
         raise SystemExit(f"SPARK_GRAFT_BENCH_STAT must be min|median, got {stat!r}")
     heavy = {
@@ -229,6 +232,11 @@ def main() -> None:
                     "etl_copy_rows": n_rows,
                     "etl_copy_sec": round(copy_s, 4),
                     "etl_copy_rows_per_sec": int(n_rows / copy_s),
+                    # capture protocol, so every BENCH_r*.json is
+                    # self-describing (r01-r09 predate these fields and
+                    # were min-of-2)
+                    "stat": stat,
+                    "n_runs": n_runs,
                 },
             },
             separators=(",", ":"),

@@ -799,9 +799,10 @@ def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
         """One consumer cycle. Returns the new checkpoint version."""
         latest = vt.latest_version()
         try:
-            rows = {r.id for r in vt.changes(from_v, latest).collect()}
-            assert consumed.isdisjoint(rows)  # incremental => no re-delivery
-            consumed.update(rows)
+            # changes() raises in its manifest walk, i.e. right here —
+            # keeping the downstream work OUT of the except scope so a
+            # downstream failure can't be misread as a compaction
+            inc = vt.changes(from_v, latest)
         except VersionedTableError:
             # a rewrite (compact) landed inside the range: full re-read of
             # the snapshot at `latest`, REPLACING consumer state — rows
@@ -809,6 +810,10 @@ def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
             # (exact dedup / upsert by key) absorbs by design
             consumed.clear()
             consumed.update(r.id for r in vt.read(version_as_of=latest).collect())
+        else:
+            rows = {r.id for r in inc.collect()}
+            assert consumed.isdisjoint(rows)  # incremental => no re-delivery
+            consumed.update(rows)
         return latest
 
     vt.append(batch(0, 10))
@@ -916,3 +921,46 @@ def test_compact_zorder_ranked_string_column(spark, tmp_path):
     got = {r.s for r in vt.read(prune=[("s", "<", "2")]).collect() }
     want = {r.s for r in vt.read().where("s < '2'").collect()}
     assert got == want  # skipping is never a semantic
+
+def test_compact_zorder_cells_parameter(spark, tmp_path):
+    """zorder_cells is a real switch (the r9-ADVICE dead-parameter fix):
+    'ranked' forces quantile cells on an all-numeric key — the skewed-
+    numeric escape hatch where 'auto' would pick width cells that
+    collapse into a handful of buckets; 'width' on a non-numeric column
+    and an unknown value are rejected loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    # power-law x: width cells would put ~all rows in the lowest cell
+    for a in range(3):
+        batch = (
+            spark.range(a * 3000, (a + 1) * 3000)
+            .withColumn(
+                "x", (F.pow(F.lit(10.0), (F.col("id") % 100) / 12.5)).cast("long")
+            )
+            .withColumn("y", (F.col("id") * 7919) % 1000)
+            .coalesce(1)
+        )
+        vt.append(batch)
+    before = {(r.id, r.x) for r in vt.read().collect()}
+    v = vt.compact(
+        target_file_bytes=16_000, zorder=["x", "y"], zorder_cells="ranked"
+    )
+    assert v == 3
+    n_files = len(vt.read().inputFiles())
+    # quantile cells keep the dense low range selective: the median of
+    # this power law sits near 100, so a <10 predicate must prune files
+    kept = len(vt.read(prune=[("x", "<", 10)]).inputFiles())
+    assert kept < n_files, "ranked cells left the dense range unselective"
+    assert {(r.id, r.x) for r in vt.read().collect()} == before
+
+    with pytest.raises(ValueError, match="auto|width|ranked"):
+        vt.compact(zorder=["x"], zorder_cells="morton")
+
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.append(
+        spark.range(100).withColumn("s", F.md5(F.col("id").cast("string")))
+    )
+    with pytest.raises(ValueError, match="ranked"):
+        vt2.compact(zorder=["s"], zorder_cells="width")
