@@ -618,6 +618,53 @@ _register(
 )
 
 
+def _w_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestampAsOf time travel, Delta's other half (versionAsOf's twin):
+    three appends land with a wall-clock captured between the 2nd and
+    3rd; read(timestamp_as_of=that instant) must return exactly the first
+    two slices — the snapshot that was current then — and must equal the
+    version_as_of read of the same commit bit for bit (asserted in-query:
+    the timestamp resolver and the version reader are independent paths
+    to the same manifest)."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wvt-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+
+    def slice_(q: int, parts: int = 3) -> DataFrame:
+        lo_k = q * hi // parts if q else -1
+        hi_k = (q + 1) * hi // parts
+        return orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).where((F.col("o_orderkey") > lo_k) & (F.col("o_orderkey") <= hi_k))
+
+    vt.append(slice_(0))
+    v_mid = vt.append(slice_(1))
+    t_mid = time.time()
+    vt.append(slice_(2))
+    assert vt.resolve_timestamp(t_mid) == v_mid
+    return vt.read(timestamp_as_of=t_mid)
+
+
+_register(
+    "w_versioned_time_travel",
+    _w_versioned_time_travel,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey <= 2 * (SELECT max(o_orderkey) FROM orders) // 3
+    """,
+)
+
+
 # --------------------------------------- partitioned-layout write query ---
 def _w_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + pruned read-back: the layout tool a 100 TB

@@ -1051,6 +1051,93 @@ _register(
 )
 
 
+def _exec_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC source through the REAL engine — the readStream half
+    of the versioned loop (the sink half is stream_exec_versioned_sink):
+    ``versioned_changes`` tails an upstream transaction-log table
+    version-by-version (offsets ARE log versions; executors read the
+    committed files, the driver only walks manifests) into a downstream
+    mirror. Three drains against one checkpoint: (1) two appends arrive
+    incrementally; (2) an append + COMPACT + append land inside the next
+    range — the source delivers the full snapshot (_change_type=
+    'snapshot') and the mirror takes the documented full-reread recovery
+    path (overwrite), asserted in-query; (3) a final append resumes the
+    incremental path, also asserted. Downstream must equal the full
+    upstream table exactly — no row lost, none double-delivered."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    import as_etl_storage_spark.sources.pyds as pyds_mod
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedMirrorConsumer,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    pyds_mod.ensure_worker_importable()
+    spark.dataSource.register(VersionedChangesDataSource)
+    work = os.path.join(_scratch_dir(), f"vsrc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    up_path = os.path.join(work, "up")
+    down_path = os.path.join(work, "down")
+    up = VersionedTable(spark, up_path)
+
+    def slice_(q: int, parts: int = 5) -> DataFrame:
+        lo_k = q * hi // parts if q else -1
+        hi_k = (q + 1) * hi // parts
+        return orders.select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).where((F.col("o_orderkey") > lo_k) & (F.col("o_orderkey") <= hi_k))
+
+    def drain() -> VersionedMirrorConsumer:
+        mirror = VersionedMirrorConsumer(down_path, "mirror")
+        stream = (
+            spark.readStream.format("versioned_changes")
+            .option("path", up_path)
+            .load()
+        )
+        mirror.run_available_now(stream)
+        return mirror
+
+    up.append(slice_(0))
+    up.append(slice_(1))
+    m1 = drain()
+    if m1.batches_appended < 1 or m1.snapshots_applied != 0:
+        raise AssertionError(
+            f"first drain should be incremental: appended="
+            f"{m1.batches_appended} snapshots={m1.snapshots_applied}"
+        )
+    up.append(slice_(2))
+    up.compact()  # rewrite races in mid-stream
+    up.append(slice_(3))
+    m2 = drain()
+    if m2.snapshots_applied != 1:
+        raise AssertionError(
+            f"compaction inside the range must trigger exactly one "
+            f"snapshot recovery, got {m2.snapshots_applied}"
+        )
+    up.append(slice_(4))
+    m3 = drain()
+    if m3.batches_appended < 1 or m3.snapshots_applied != 0:
+        raise AssertionError(
+            f"post-recovery drain should be incremental again: appended="
+            f"{m3.batches_appended} snapshots={m3.snapshots_applied}"
+        )
+    return VersionedTable(spark, down_path).read().select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_register(
+    "stream_exec_versioned_source",
+    _exec_versioned_source,
+    "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders",
+)
+
+
 def _exec_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals through Spark 4's transformWithStateInPandas
     (the successor stateful API: typed ValueState handles on the RocksDB

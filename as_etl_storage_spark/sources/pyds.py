@@ -28,6 +28,7 @@ from as_etl_storage_spark.plans.split import do_split
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -469,3 +470,179 @@ def ensure_worker_importable() -> None:
     )
 
     _ensure()
+
+
+# --------------------------------- versioned-table CDC streaming source ---
+#: extra arrow->DDL entries the CDC source accepts beyond _PA_TO_DDL (the
+#: versioned tables it tails routinely carry event-time columns)
+_CDC_PA_TO_DDL = dict(
+    _PA_TO_DDL, **{"timestamp[us]": "timestamp", "date32[day]": "date"}
+)
+
+
+def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
+    """(name, DDL type) pairs for the CURRENT snapshot's schema, from one
+    data-file footer of the latest committed version — metadata only, no
+    session and no data I/O."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(None, path)
+    latest = vt.latest_version()
+    if latest is None:
+        raise ValueError(f"versioned_changes: no committed versions at {path}")
+    first = vt._state(latest)[0]
+    sch = pq.read_schema(os.path.join(path, first))
+    fields = []
+    for n in sch.names:
+        t = str(sch.field(n).type)
+        if t not in _CDC_PA_TO_DDL:
+            raise ValueError(
+                f"versioned_changes: unsupported column type {t!r} for "
+                f"{n!r}; evolve the table without that column or extend "
+                f"the type map"
+            )
+        fields.append((n, _CDC_PA_TO_DDL[t]))
+    return fields
+
+
+class _ChangeFiles(InputPartition):
+    """One committed data file + its delivery metadata. Executors read
+    the file; the driver only ever walked the manifest log."""
+
+    def __init__(self, path: str, version: int, kind: str, columns: tuple):
+        self.path, self.version, self.kind = path, version, kind
+        self.columns = columns
+
+
+class VersionedChangesStreamReader(DataSourceStreamReader):
+    """CDC tail of a versioned table (writers/versioned.py), the
+    readStream analog of ``VersionedTable.changes`` — Delta's
+    ``spark.readStream.format("delta")`` restated over the manifest log.
+
+    Offsets are LOG VERSIONS: ``latestOffset`` lists the log (metadata
+    only), ``partitions(start, end)`` walks manifests ``start+1..end``
+    and emits one InputPartition per committed data file, and ``read``
+    runs on EXECUTORS as pyarrow->Arrow batches — the driver never
+    touches data bytes, so a 100 TB table streams with O(new files)
+    driver work per trigger and replay of any committed window is exact
+    (manifests and data files are immutable until vacuum; retention must
+    cover the stream's checkpoint lag, Delta's own rule).
+
+    A rewrite version inside the range (compact/overwrite/replace) makes
+    row-level deltas underivable — the batch consumer's documented
+    recovery applies: with ``onrewrite=snapshot`` (default) the batch
+    delivers the FULL snapshot at ``end`` with ``_change_type =
+    'snapshot'`` (downstream replaces instead of appending — the
+    streaming form of the consumer's overwrite path); ``onrewrite=fail``
+    raises instead, Delta's default posture for non-append commits.
+    Every delivered row carries ``_commit_version`` and ``_change_type``
+    ('insert' | 'snapshot'), the CDF-style metadata columns."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.on_rewrite = options.get("onrewrite", "snapshot").lower()
+        if self.on_rewrite not in ("snapshot", "fail"):
+            raise ValueError(
+                f"versioned_changes: onrewrite must be snapshot|fail, got "
+                f"{self.on_rewrite!r}"
+            )
+        self._columns = tuple(n for n, _ in _versioned_data_columns(self.path))
+
+    def _table(self):
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        # session-free: only the log-walk methods are used
+        return VersionedTable(None, self.path)
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        latest = self._table().latest_version()
+        return {"version": -1 if latest is None else latest}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        from_v, to_v = start["version"], end["version"]
+        if to_v <= from_v:
+            return []
+        vt = self._table()
+        appends: list[tuple[int, list[str]]] = []
+        rewrite = None
+        for v in range(from_v + 1, to_v + 1):
+            m = vt._manifest(v)
+            if m["op"] == "append":
+                # version 0 records its files under "files" (it IS the
+                # full snapshot); later appends are "add" deltas
+                appends.append((v, m.get("add") or m.get("files") or []))
+            else:
+                rewrite = (v, m["op"])
+        if rewrite is not None:
+            if self.on_rewrite == "fail":
+                raise RuntimeError(
+                    f"versioned_changes: version {rewrite[0]} is "
+                    f"{rewrite[1]!r}, not an append — row-level changes "
+                    f"cannot be derived across a table rewrite. Pass "
+                    f"onrewrite=snapshot to receive the full snapshot "
+                    f"with _change_type='snapshot' instead"
+                )
+            return [
+                _ChangeFiles(
+                    os.path.join(self.path, f), to_v, "snapshot", self._columns
+                )
+                for f in vt._state(to_v)
+            ]
+        return [
+            _ChangeFiles(os.path.join(self.path, f), v, "insert", self._columns)
+            for v, files in appends
+            for f in files
+        ]
+
+    def read(self, partition: _ChangeFiles):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path)
+        n = t.num_rows
+        arrays = []
+        for name in partition.columns:
+            if name in t.column_names:
+                arrays.append(t.column(name).combine_chunks())
+            else:
+                # additive schema evolution: files committed before the
+                # column existed deliver NULLs, as mergeSchema does
+                arrays.append(pa.nulls(n))
+        arrays.append(pa.array([partition.version] * n, type=pa.int64()))
+        arrays.append(pa.array([partition.kind] * n, type=pa.string()))
+        out = pa.table(
+            arrays, names=list(partition.columns) + ["_commit_version", "_change_type"]
+        )
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; the log is immutable
+
+
+class VersionedChangesDataSource(DataSource):
+    """``spark.readStream.format("versioned_changes").option("path", dir)``
+    — streaming CDC source over a versioned table; see
+    VersionedChangesStreamReader for semantics."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_changes"
+
+    def schema(self) -> str:
+        fields = [
+            f"{n} {t}" for n, t in _versioned_data_columns(self.options["path"])
+        ]
+        fields += ["_commit_version bigint", "_change_type string"]
+        return ", ".join(fields)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return VersionedChangesStreamReader(self.options)

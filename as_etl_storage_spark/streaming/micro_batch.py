@@ -190,6 +190,68 @@ class VersionedStreamWriter:
         q.awaitTermination()
 
 
+class VersionedMirrorConsumer:
+    """foreachBatch consumer for the ``versioned_changes`` CDC stream
+    (sources/pyds.VersionedChangesDataSource): mirrors an upstream
+    versioned table into a downstream one, closing the streaming loop the
+    batch consumer (queries/advanced._w_versioned_consume) opened.
+
+    Batches of ``_change_type='insert'`` rows append under
+    ``txn=(app_id, batch_id)`` — exactly-once by the table's own ledger,
+    as VersionedStreamWriter. A batch carrying ``_change_type='snapshot'``
+    rows is the source's rewrite-recovery delivery (an upstream
+    compact/overwrite/replace landed inside the consumed range): it
+    REPLACES downstream via ``overwrite`` — the streaming form of the
+    batch consumer's documented full-reread path. The overwrite needs no
+    txn guard: its content is a deterministic function of the upstream
+    version it snapshots, so a crash-replay re-overwrites with identical
+    rows (idempotent in effect), and the txn ledger survives overwrites
+    (full-snapshot manifests carry the ledger forward), so later insert
+    batches still deduplicate."""
+
+    def __init__(
+        self, table_path: str, app_id: str, checkpoint: str | None = None
+    ):
+        self.table_path = table_path
+        self.app_id = app_id
+        self.checkpoint = checkpoint or f"{table_path}.__checkpoint__"
+        self.batches_appended = 0
+        self.batches_skipped = 0
+        self.snapshots_applied = 0
+
+    def _write_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        vt = VersionedTable(batch_df.sparkSession, self.table_path)
+        data = batch_df.drop("_commit_version", "_change_type")
+        # a trigger's batch is homogeneous by construction (the source
+        # emits either append deltas or one full snapshot per range), so
+        # ONE bounded head() both classifies it and catches the empty
+        # trigger (appending an empty frame would mint a junk version)
+        head = batch_df.select("_change_type").head(1)
+        if not head:
+            return
+        if head[0][0] == "snapshot":
+            vt.overwrite(data)
+            self.snapshots_applied += 1
+        else:
+            v = vt.append(data, txn=(self.app_id, batch_id))
+            if v is None:
+                self.batches_skipped += 1
+            else:
+                self.batches_appended += 1
+
+    def run_available_now(self, stream_df: DataFrame) -> None:
+        """Drain all currently-available upstream commits."""
+        q = (
+            stream_df.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

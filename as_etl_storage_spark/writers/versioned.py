@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -254,6 +255,7 @@ class VersionedTable:
                     "add": list(new_files or []),
                     "stats": stats,
                     "base": base_version,
+                    "ts": time.time(),
                 }
                 if txn is not None:
                     manifest["txn"] = [txn[0], txn[1]]
@@ -274,6 +276,7 @@ class VersionedTable:
                     "stats": stats,
                     "txns": txns,
                     "base": base_version,
+                    "ts": time.time(),
                 }
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             # the manifest must APPEAR atomically complete: a bare
@@ -473,10 +476,58 @@ class VersionedTable:
         except TypeError:
             return True  # literal not comparable to the stored bound
 
+    def _commit_ts(self, version: int) -> float:
+        """Commit wall-clock of ``version`` as epoch seconds: the
+        manifest's ``ts`` field, falling back to the manifest FILE's
+        mtime for logs written before the field existed (the same source
+        Delta uses for its pre-InCommitTimestamp tables)."""
+        ts = self._manifest(version).get("ts")
+        if ts is not None:
+            return float(ts)
+        return os.path.getmtime(
+            os.path.join(self.log_dir, f"{version:08d}.json")
+        )
+
+    def resolve_timestamp(self, timestamp: object) -> int:
+        """Version whose snapshot was current at ``timestamp`` — the
+        LATEST version committed at-or-before it (Delta's timestampAsOf
+        rule). Accepts epoch seconds (int/float), a ``datetime`` (naive =
+        local time, as ``datetime.timestamp()`` defines), or an ISO-8601
+        string. Raises before the first commit: there is no "empty table"
+        version to travel to. Commit timestamps are made monotonic with a
+        running max before resolving (clock skew between committers must
+        not make a LATER version win an EARLIER timestamp — Delta applies
+        the same adjustment)."""
+        from datetime import datetime
+
+        if isinstance(timestamp, str):
+            timestamp = datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, datetime):
+            timestamp = timestamp.timestamp()
+        t = float(timestamp)
+        vs = self._versions()
+        if not vs:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        chosen = None
+        running = float("-inf")
+        for v in vs:
+            running = max(running, self._commit_ts(v))
+            if running <= t:
+                chosen = v
+            else:
+                break  # adjusted timestamps are monotonic: done
+        if chosen is None:
+            raise VersionedTableError(
+                f"timestamp {t} precedes the first commit "
+                f"({running}, version {vs[0]}) — no snapshot existed yet"
+            )
+        return chosen
+
     def read(
         self,
         version_as_of: int | None = None,
         prune: list[tuple[str, str, object]] | None = None,
+        timestamp_as_of: object = None,
     ) -> DataFrame:
         """Snapshot read, optionally with manifest-level data skipping:
         ``prune`` is a conjunction of ``(column, op, literal)`` simple
@@ -486,7 +537,17 @@ class VersionedTable:
         skips the task launch and footer read per pruned file, which row-
         group pruning inside the scan cannot do. The predicates are also
         applied as real filters, so the result is exactly the filtered
-        snapshot (skipping is an optimization, never a semantic)."""
+        snapshot (skipping is an optimization, never a semantic).
+
+        ``timestamp_as_of`` (exclusive with ``version_as_of``) is the
+        other half of Delta's time travel: the snapshot current at that
+        wall-clock instant — see :meth:`resolve_timestamp`."""
+        if timestamp_as_of is not None and version_as_of is not None:
+            raise VersionedTableError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        if timestamp_as_of is not None:
+            version_as_of = self.resolve_timestamp(timestamp_as_of)
         vs = self._versions()
         if not vs:
             raise VersionedTableError(f"no committed versions at {self.path}")

@@ -123,6 +123,65 @@ def main() -> None:
         ),
         flush=True,
     )
+    # RANKED vs WIDTH cells on a POWER-LAW column at 1000-file scale: the
+    # width form's equi-width cells collapse a skewed column's dense head
+    # into one cell (the interleaved key then carries no information in
+    # that dimension and file bounds stay wide); quantile cells are
+    # equi-populated by construction, so a dense-head predicate must
+    # prune. Same table compacted twice — width first, then ranked — so
+    # the comparison differs only in the cell scheme.
+    vt2 = VersionedTable(spark, os.path.join(scratch, "skew"))
+    for a in range(APPENDS):
+        batch = (
+            spark.range(a * per, (a + 1) * per)
+            # deterministic pseudo-uniform u in [0,1), then a power law
+            # spanning 8 decades: median ~1e4, 10% of rows below ~6
+            .withColumn(
+                "u",
+                (F.col("id") * 2654435761 % 2**32) / F.lit(float(2**32)),
+            )
+            .withColumn(
+                "x", F.floor(F.pow(F.lit(10.0), F.col("u") * 8)).cast("long")
+            )
+            .drop("u")
+            .withColumn("y", (F.col("id") * 7919) % 1_000_000)
+            .repartitionByRange(FILES_PER_APPEND, "id")
+        )
+        vt2.append(batch)
+    n2 = len(vt2._state(vt2.latest_version()))
+    x_pred = [("x", "<", 6)]  # ~10% of rows, all inside the dense head
+    kept_x_arrival = len(vt2.read(prune=x_pred).inputFiles())
+    vt2.compact(target_file_bytes=512 * 1024, zorder=["x", "y"],
+                zorder_cells="width")
+    n_width = len(vt2.read().inputFiles())
+    kept_x_width = len(vt2.read(prune=x_pred).inputFiles())
+    t0 = time.perf_counter()
+    vt2.compact(target_file_bytes=512 * 1024, zorder=["x", "y"],
+                zorder_cells="ranked")
+    t_ranked = time.perf_counter() - t0
+    n_ranked = len(vt2.read().inputFiles())
+    kept_x_ranked = len(vt2.read(prune=x_pred).inputFiles())
+    kept_y_ranked = len(vt2.read(prune=y_pred).inputFiles())
+    assert kept_x_ranked < n_ranked / 2, (
+        f"ranked cells left the dense head unselective: "
+        f"{kept_x_ranked}/{n_ranked}"
+    )
+    print(
+        json.dumps(
+            {
+                "case": "zorder_ranked_skew",
+                "files_arrival": n2,
+                "x_kept_arrival": kept_x_arrival,
+                "files_width": n_width,
+                "x_kept_width_cells": kept_x_width,
+                "sec_ranked_rewrite": round(t_ranked, 3),
+                "files_ranked": n_ranked,
+                "x_kept_ranked_cells": kept_x_ranked,
+                "y_kept_ranked_cells": kept_y_ranked,
+            }
+        ),
+        flush=True,
+    )
     spark.stop()
 
 

@@ -576,3 +576,130 @@ def test_nanos_detection_samples_multiple_files(tmp_path):
         str(d / "part-001.parquet"),
     )
     assert _nanos_timestamp_columns(str(d)) == ["ts"]
+
+
+# ----------------------------------- versioned_changes CDC stream source ---
+def _drain_versioned_changes(spark, path, cp, on_rewrite=None):
+    """Helper: availableNow drain of the CDC source; returns the batches
+    as [(batch_id, rows)]."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    out = []
+
+    def sink(df, bid):
+        out.append((bid, df.collect()))
+
+    reader = spark.readStream.format("versioned_changes").option("path", path)
+    if on_rewrite:
+        reader = reader.option("onrewrite", on_rewrite)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def test_versioned_changes_stream_tails_appends(spark, tmp_path):
+    """The CDC source delivers committed appends as 'insert' rows with
+    their _commit_version, resumes from the checkpoint offset across
+    restarts, and an idle drain (no new commits) delivers nothing."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    cp = str(tmp_path / "cp")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))
+    vt.append(spark.range(10, 30))
+
+    out = _drain_versioned_changes(spark, up, cp)
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(30))
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r._commit_version for r in rows} == {0, 1}
+
+    # restart with no new commits: nothing re-delivered
+    out = _drain_versioned_changes(spark, up, cp)
+    assert [r for _, b in out for r in b] == []
+
+    # restart after one more append: only the delta arrives
+    vt.append(spark.range(30, 35))
+    out = _drain_versioned_changes(spark, up, cp)
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(30, 35))
+    assert {r._commit_version for r in rows} == {2}
+
+
+def test_versioned_changes_rewrite_snapshot_and_fail(spark, tmp_path):
+    """A rewrite inside the consumed range: default delivers the FULL
+    snapshot tagged _change_type='snapshot' (the batch consumer's
+    full-reread recovery, lifted into streaming); onrewrite=fail raises
+    with an actionable message instead (Delta's default posture)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp1"))
+    assert sorted(r.id for _, b in out for r in b) == list(range(10))
+
+    vt.append(spark.range(10, 20))
+    vt.compact(target_file_bytes=1 << 30)
+    vt.append(spark.range(20, 25))
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp1"))
+    rows = [r for _, b in out for r in b]
+    assert {r._change_type for r in rows} == {"snapshot"}
+    assert sorted(r.id for r in rows) == list(range(25))  # full snapshot
+    assert {r._commit_version for r in rows} == {vt.latest_version()}
+
+    with pytest.raises((Py4JJavaError, Exception), match="rewrite"):
+        _drain_versioned_changes(
+            spark, up, str(tmp_path / "cp2"), on_rewrite="fail"
+        )
+
+
+def test_versioned_mirror_consumer_end_to_end(spark, tmp_path):
+    """VersionedMirrorConsumer over the CDC stream: inserts append
+    idempotently, a snapshot batch overwrites (recovery), and the final
+    mirror equals the upstream table exactly."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedMirrorConsumer,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = VersionedTable(spark, up_path)
+
+    def drain():
+        m = VersionedMirrorConsumer(down_path, "mirror")
+        m.run_available_now(
+            spark.readStream.format("versioned_changes")
+            .option("path", up_path)
+            .load()
+        )
+        return m
+
+    up.append(spark.range(0, 10))
+    up.append(spark.range(10, 20))
+    m = drain()
+    assert m.batches_appended >= 1 and m.snapshots_applied == 0
+    up.append(spark.range(20, 30))
+    up.compact(target_file_bytes=1 << 30)
+    up.append(spark.range(30, 40))
+    m = drain()
+    assert m.snapshots_applied == 1
+    up.append(spark.range(40, 50))
+    m = drain()
+    assert m.batches_appended >= 1 and m.snapshots_applied == 0
+    down = VersionedTable(spark, down_path)
+    assert sorted(r.id for r in down.read().collect()) == list(range(50))

@@ -964,3 +964,93 @@ def test_compact_zorder_cells_parameter(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ranked"):
         vt2.compact(zorder=["s"], zorder_cells="width")
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """read(timestamp_as_of=t) resolves to the LATEST version committed
+    at-or-before t (Delta's rule), errors before the first commit, takes
+    epoch floats / datetimes / ISO strings, and is exclusive with
+    version_as_of. Old manifests without a ts field resolve via file
+    mtime (pre-field logs stay travel-able)."""
+    import json as _json
+    import os as _os
+    import time as _time
+    from datetime import datetime
+
+    import pytest
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    t_before = _time.time()
+    _time.sleep(0.02)
+    vt.append(spark.range(0, 10))          # v0
+    t_after_v0 = _time.time()
+    _time.sleep(0.02)
+    vt.append(spark.range(10, 30))         # v1
+    t_after_v1 = _time.time()
+    _time.sleep(0.02)
+    vt.overwrite(spark.range(100, 105))    # v2
+
+    assert vt.read(timestamp_as_of=t_after_v0).count() == 10
+    assert vt.read(timestamp_as_of=t_after_v1).count() == 30
+    assert vt.read(timestamp_as_of=_time.time()).count() == 5
+    # same rows as the equivalent version read — the contract
+    assert {r.id for r in vt.read(timestamp_as_of=t_after_v1).collect()} == {
+        r.id for r in vt.read(version_as_of=1).collect()
+    }
+    # datetime and ISO-string forms resolve identically
+    assert vt.resolve_timestamp(datetime.fromtimestamp(t_after_v0)) == 0
+    assert (
+        vt.resolve_timestamp(datetime.fromtimestamp(t_after_v1).isoformat())
+        == 1
+    )
+    with pytest.raises(VersionedTableError, match="precedes the first"):
+        vt.read(timestamp_as_of=t_before)
+    with pytest.raises(VersionedTableError, match="not both"):
+        vt.read(version_as_of=1, timestamp_as_of=t_after_v1)
+
+    # pre-ts-field manifest: drop the field from v0 and resolve via mtime
+    mpath = _os.path.join(vt.log_dir, "00000000.json")
+    with open(mpath) as fh:
+        m = _json.load(fh)
+    del m["ts"]
+    with open(mpath, "w") as fh:
+        _json.dump(m, fh)
+    _os.utime(mpath, (t_before + 0.01, t_before + 0.01))
+    assert vt.resolve_timestamp(t_after_v0) == 0
+
+def test_vacuum_under_concurrent_pinned_reader(spark, tmp_path):
+    """The reader side of vacuum's safety story (the grace window covers
+    WRITERS): a reader pinned to an old version via version_as_of stays
+    fully readable as long as retention covers that version — the pinned
+    DataFrame resolved its file list at plan time, and retain_last
+    protects exactly those files. Once retention drops the version, (a)
+    re-reading it raises actionably (not a fabricated empty result), and
+    (b) the still-held pinned plan fails at collect time because its
+    files are genuinely gone — the documented contract: retention must
+    cover the longest-running reader, Delta's own rule."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.append(spark.range(0, 10))              # v0
+    vt.append(spark.range(10, 30))             # v1
+    vt.overwrite(spark.range(100, 105))        # v2: v0/v1 files now stale
+
+    pinned = vt.read(version_as_of=1)          # plan pins v1's file list
+    # retention covers v1: vacuum reclaims only v0-era garbage (none is
+    # exclusive to v0 — its files are part of v1's state), reader intact
+    vt.vacuum(retain_last=2, grace_seconds=0.0)
+    assert sorted(r.id for r in pinned.collect()) == list(range(30))
+    assert sorted(r.id for r in vt.read(version_as_of=1).collect()) == list(
+        range(30)
+    )
+
+    # retention drops v1: its files and manifest are reclaimed
+    removed = vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert removed > 0
+    with pytest.raises(VersionedTableError, match="not found"):
+        vt.read(version_as_of=1)
+    # the held pinned plan cannot fabricate data from deleted files
+    with pytest.raises(Exception):
+        pinned.collect()
+    # the retained latest is untouched
+    assert sorted(r.id for r in vt.read().collect()) == list(range(100, 105))
