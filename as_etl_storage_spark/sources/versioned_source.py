@@ -53,6 +53,9 @@ class VersionedSource:
             # incremental read: only rows appended after the cursor
             # version — the job-spec surface of VersionedTable.changes
             df = vt.changes(self.connection.changes_from)
+        elif self.connection.timestamp_as_of is not None:
+            # wall-clock time travel (Delta timestampAsOf parity)
+            df = vt.read(timestamp_as_of=self.connection.timestamp_as_of)
         else:
             df = vt.read(version_as_of=self.connection.version_as_of)
         cols = df.columns

@@ -153,16 +153,27 @@ class ConnectionSpec:
     #: with versionAsOf — a pinned snapshot and a delta are different
     #: questions.
     changes_from: int | None = None
+    #: wall-clock time travel on versioned tables: the snapshot current
+    #: at this instant (epoch seconds or ISO-8601 string; Delta's
+    #: timestampAsOf). Mutually exclusive with both versionAsOf (one
+    #: pin per read) and changesFrom.
+    timestamp_as_of: float | str | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
         v = obj.get("versionAsOf")
         cf = obj.get("changesFrom")
-        if v is not None and cf is not None:
+        ts = obj.get("timestampAsOf")
+        if sum(x is not None for x in (v, cf, ts)) > 1:
             raise SpecError(
-                "versionAsOf and changesFrom are mutually exclusive: a "
-                "pinned snapshot and an incremental delta are different "
-                "reads"
+                "versionAsOf, changesFrom and timestampAsOf are mutually "
+                "exclusive: a pinned snapshot (by version or instant) and "
+                "an incremental delta are different reads"
+            )
+        if ts is not None and not isinstance(ts, (int, float, str)):
+            raise SpecError(
+                f"timestampAsOf must be epoch seconds or an ISO-8601 "
+                f"string, got {type(ts).__name__}"
             )
         return ConnectionSpec(
             url=obj.get("url", ""),
@@ -170,6 +181,7 @@ class ConnectionSpec:
             pool=PoolSpec.from_json(obj.get("pool", {}) or {}),
             version_as_of=int(v) if v is not None else None,
             changes_from=int(cf) if cf is not None else None,
+            timestamp_as_of=ts,
         )
 
 

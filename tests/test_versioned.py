@@ -1054,3 +1054,65 @@ def test_vacuum_under_concurrent_pinned_reader(spark, tmp_path):
         pinned.collect()
     # the retained latest is untouched
     assert sorted(r.id for r in vt.read().collect()) == list(range(100, 105))
+
+def test_timestamp_as_of_through_job_spec(spark, tmp_path):
+    """timestampAsOf at the job-spec surface (the reader-dialect twin of
+    the versionAsOf test above): an instant captured between two commits
+    reads back the first commit's snapshot; combining pins is a spec
+    error."""
+    import time as _time
+
+    import pytest
+
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.spec import JobSpec, SpecError
+
+    write_job = {
+        "reader": {
+            "connection": {"url": SF, "table": {"name": "orders"}},
+            "column": ["*"],
+            "where": "o_orderkey <= 100",
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "vt"}},
+            "writeMode": "insert",
+            "versioned": True,
+        },
+    }
+    run_job(spark, write_job)                      # v0: keys <= 100
+    t_mid = _time.time()
+    write_job["reader"]["where"] = "o_orderkey > 100 AND o_orderkey <= 200"
+    run_job(spark, write_job)                      # v1: keys 101..200
+    n0 = load_table(spark, SF, "orders").where("o_orderkey <= 100").count()
+
+    read_job = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {
+                "url": str(tmp_path),
+                "table": {"name": "vt"},
+                "timestampAsOf": t_mid,
+            },
+            "column": ["*"],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "out"}},
+            "writeMode": "overwrite",
+        },
+    }
+    assert run_job(spark, read_job).written == n0
+
+    bad = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {
+                "url": str(tmp_path),
+                "table": {"name": "vt"},
+                "timestampAsOf": t_mid,
+                "versionAsOf": 0,
+            },
+        },
+        "writer": read_job["writer"],
+    }
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        JobSpec.from_json(bad)
