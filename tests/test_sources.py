@@ -703,3 +703,73 @@ def test_versioned_mirror_consumer_end_to_end(spark, tmp_path):
     assert m.batches_appended >= 1 and m.snapshots_applied == 0
     down = VersionedTable(spark, down_path)
     assert sorted(r.id for r in down.read().collect()) == list(range(50))
+
+
+def test_versioned_changes_offsets_are_pure_metadata(spark, tmp_path):
+    """Reader-level contract without a running stream: offsets come from
+    the manifest log alone, partitions(start, end) is a deterministic
+    pure function of the log (exact replay of any committed window — the
+    crash-recovery property), an empty range yields no partitions, and
+    every partition carries only file paths + delivery metadata (no data
+    was read: the driver's work is O(files) metadata)."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))
+    vt.append(spark.range(10, 30))
+
+    r = VersionedChangesStreamReader({"path": up})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}
+    p1 = r.partitions({"version": -1}, {"version": 1})
+    p2 = r.partitions({"version": -1}, {"version": 1})
+    assert [(p.path, p.version, p.kind) for p in p1] == [
+        (p.path, p.version, p.kind) for p in p2
+    ]
+    assert {p.kind for p in p1} == {"insert"}
+    assert r.partitions({"version": 1}, {"version": 1}) == []
+    # the second version's window alone replays exactly its own files
+    delta = r.partitions({"version": 0}, {"version": 1})
+    assert {p.version for p in delta} == {1}
+    rows = [row for p in delta for b in r.read(p) for row in b.to_pylist()]
+    assert sorted(x["id"] for x in rows) == list(range(10, 30))
+
+
+def test_versioned_mirror_replay_skipped_by_ledger(spark, tmp_path):
+    """Crash-replay exactly-once for the mirror: a FRESH Spark checkpoint
+    re-delivers the full consumed range, and the downstream table's own
+    txn ledger (not the checkpoint) skips it — no rows double-applied,
+    no new downstream versions."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedMirrorConsumer,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = VersionedTable(spark, up_path)
+    up.append(spark.range(0, 10))
+    up.append(spark.range(10, 30))
+
+    def drain(cp):
+        m = VersionedMirrorConsumer(
+            down_path, "mirror", checkpoint=str(tmp_path / cp)
+        )
+        m.run_available_now(
+            spark.readStream.format("versioned_changes")
+            .option("path", up_path)
+            .load()
+        )
+        return m
+
+    m1 = drain("cp1")
+    assert m1.batches_appended >= 1
+    down = VersionedTable(spark, down_path)
+    v_after = down.latest_version()
+    m2 = drain("cp2")  # fresh checkpoint: full re-delivery
+    assert m2.batches_skipped >= 1 and m2.batches_appended == 0
+    assert down.latest_version() == v_after
+    assert sorted(r.id for r in down.read().collect()) == list(range(30))
