@@ -550,14 +550,18 @@ _register(
 
 
 def _w_versioned_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The incremental-consumer recovery contract, end to end: a consumer
-    mirrors an upstream versioned table into a downstream one via
-    changes() (appending increments), and when a compaction lands inside
-    its range — changes() raises rather than fabricate a diff — it
-    recovers with a full re-read (overwrite), then resumes incrementally.
-    The first cycle consumes from version -1, covering the append-created
-    version 0 incrementally (no special bootstrap path). Downstream must
-    equal upstream exactly; no row lost, none double-delivered."""
+    """The incremental-consumer contract, end to end: a consumer mirrors
+    an upstream versioned table into a downstream one via changes()
+    (appending increments). A COMPACT inside its range is consumed
+    INCREMENTALLY — compact manifests carry data_change: false (Delta's
+    OPTIMIZE flag), so nightly layout maintenance never costs consumers
+    a re-read (asserted in-query). A data-changing rewrite (here a
+    replace) makes changes() raise rather than fabricate a diff, and the
+    consumer recovers with a full re-read (overwrite), then resumes
+    incrementally — also asserted. The first cycle consumes from version
+    -1, covering the append-created version 0 incrementally (no special
+    bootstrap path). Downstream must equal upstream exactly; no row
+    lost, none double-delivered."""
     import os
     import uuid
 
@@ -583,31 +587,35 @@ def _w_versioned_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") > lo_k) & (F.col("o_orderkey") <= hi_k)
         )
 
-    def consume(from_v: int) -> int:
+    def consume(from_v: int) -> tuple[int, bool]:
         latest = up.latest_version()
         try:
             # changes() raises during its manifest walk — i.e. HERE, not
             # at append time — so only the rewrite-in-range error lands in
             # the except; a failure of the downstream append itself (e.g.
             # commit-retry exhaustion) propagates instead of being
-            # misdiagnosed as a compaction and masked by an overwrite
+            # misdiagnosed as a rewrite and masked by an overwrite
             inc = up.changes(from_v, latest)
         except VersionedTableError:
-            # rewrite inside the range: full re-read replaces downstream
+            # data-changing rewrite inside the range: full re-read
+            # replaces downstream
             down.overwrite(up.read(version_as_of=latest))
-        else:
-            down.append(inc)
-        return latest
+            return latest, True
+        down.append(inc)
+        return latest, False
 
     up.append(slice_(0))
     up.append(slice_(1))
-    ckpt = consume(-1)  # incremental from nothing (v0 is an append)
+    ckpt, recovered = consume(-1)  # incremental from nothing (v0 appends)
+    assert not recovered
     up.append(slice_(2))
-    up.compact()  # rewrite races in before the next cycle
+    up.compact()  # OPTIMIZE races in before the next cycle
     up.append(slice_(3))
-    ckpt = consume(ckpt)  # spans the compact -> recovery path
-    up.append(slice_(4))
-    consume(ckpt)  # back on the incremental path
+    ckpt, recovered = consume(ckpt)
+    assert not recovered, "compact must be consumed incrementally"
+    up.replace(slice_(4), merge_keys=["o_orderkey"])  # data-changing
+    _, recovered = consume(ckpt)
+    assert recovered, "replace must force the full-reread recovery"
     return down.read().select("o_orderkey", "o_orderstatus", "o_totalprice")
 
 

@@ -1059,10 +1059,12 @@ def _exec_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     committed files, the driver only walks manifests) into a downstream
     mirror. Three drains against one checkpoint: (1) two appends arrive
     incrementally; (2) an append + COMPACT + append land inside the next
-    range — the source delivers the full snapshot (_change_type=
+    range — the compact carries data_change: false (Delta's OPTIMIZE
+    flag) and is skipped, so the drain stays INCREMENTAL straight across
+    the layout rewrite, asserted in-query; (3) a data-changing REPLACE
+    lands — the source delivers the full snapshot (_change_type=
     'snapshot') and the mirror takes the documented full-reread recovery
-    path (overwrite), asserted in-query; (3) a final append resumes the
-    incremental path, also asserted. Downstream must equal the full
+    path (overwrite), also asserted. Downstream must equal the full
     upstream table exactly — no row lost, none double-delivered."""
     import uuid
 
@@ -1111,20 +1113,21 @@ def _exec_versioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{m1.batches_appended} snapshots={m1.snapshots_applied}"
         )
     up.append(slice_(2))
-    up.compact()  # rewrite races in mid-stream
+    up.compact()  # OPTIMIZE races in mid-stream: data_change false
     up.append(slice_(3))
     m2 = drain()
-    if m2.snapshots_applied != 1:
+    if m2.batches_appended < 1 or m2.snapshots_applied != 0:
         raise AssertionError(
-            f"compaction inside the range must trigger exactly one "
-            f"snapshot recovery, got {m2.snapshots_applied}"
+            f"compaction must be skipped (stream stays incremental): "
+            f"appended={m2.batches_appended} "
+            f"snapshots={m2.snapshots_applied}"
         )
-    up.append(slice_(4))
+    up.replace(slice_(4), merge_keys=["o_orderkey"])  # data-changing
     m3 = drain()
-    if m3.batches_appended < 1 or m3.snapshots_applied != 0:
+    if m3.snapshots_applied != 1:
         raise AssertionError(
-            f"post-recovery drain should be incremental again: appended="
-            f"{m3.batches_appended} snapshots={m3.snapshots_applied}"
+            f"a data-changing rewrite must trigger exactly one snapshot "
+            f"recovery, got {m3.snapshots_applied}"
         )
     return VersionedTable(spark, down_path).read().select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

@@ -532,7 +532,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     (manifests and data files are immutable until vacuum; retention must
     cover the stream's checkpoint lag, Delta's own rule).
 
-    A rewrite version inside the range (compact/overwrite/replace) makes
+    A COMPACT version inside the range is skipped transparently — its
+    manifest carries ``data_change: false`` (Delta's OPTIMIZE flag), the
+    rows are unchanged, and the stream stays incremental across nightly
+    OPTIMIZE cycles. A DATA-CHANGING rewrite (overwrite/replace) makes
     row-level deltas underivable — the batch consumer's documented
     recovery applies: with ``onrewrite=snapshot`` (default) the batch
     delivers the FULL snapshot at ``end`` with ``_change_type =
@@ -571,11 +574,19 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         from_v, to_v = start["version"], end["version"]
         if to_v <= from_v:
             return []
+        from as_etl_storage_spark.writers.versioned import _layout_only
+
         vt = self._table()
         appends: list[tuple[int, list[str]]] = []
         rewrite = None
         for v in range(from_v + 1, to_v + 1):
             m = vt._manifest(v)
+            if _layout_only(m):
+                # compact (data_change: false): same rows, new packing —
+                # the stream continues incrementally straight across an
+                # OPTIMIZE, Delta's own behavior; only data-changing
+                # rewrites trigger the snapshot/fail path below
+                continue
             if m["op"] == "append":
                 # version 0 records its files under "files" (it IS the
                 # full snapshot); later appends are "add" deltas

@@ -59,6 +59,17 @@ class VersionedTableError(RuntimeError):
 CHECKPOINT_EVERY = 10
 
 
+def _layout_only(manifest: dict) -> bool:
+    """True for a version that re-packed the SAME rows (compact /
+    OPTIMIZE): its manifest carries ``data_change: false`` (Delta's flag
+    on OPTIMIZE add-actions), with the op name as the fallback for
+    manifests written before the flag existed. Incremental consumers
+    (``changes()``, the ``versioned_changes`` stream source) skip these
+    versions wholesale — the content delta across any range is exactly
+    its append deltas, however the snapshot is packed."""
+    return manifest.get("data_change") is False or manifest.get("op") == "compact"
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -278,6 +289,10 @@ class VersionedTable:
                     "base": base_version,
                     "ts": time.time(),
                 }
+                if op == "compact":
+                    # Delta's OPTIMIZE flag: same rows, new packing —
+                    # incremental consumers skip this version wholesale
+                    manifest["data_change"] = False
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             # the manifest must APPEAR atomically complete: a bare
             # O_EXCL-create-then-write has a crash window where the
@@ -627,9 +642,16 @@ class VersionedTable:
         reads from the very first version (a consumer bootstrapping on an
         append-created table gets version 0's rows incrementally).
 
-        Only append versions are incremental: an overwrite/replace/compact
-        in the range rewires the file↔row mapping, so row-level changes
-        cannot be derived from file lists — that raises, directing the
+        A COMPACT version in the range is skipped transparently: it is a
+        pure layout rewrite (its manifest carries ``data_change: false``,
+        Delta's OPTIMIZE flag) — the rows added in the range are exactly
+        the append deltas regardless of how the snapshot was re-packed.
+        This is what keeps incremental consumers incremental at 100 TB,
+        where OPTIMIZE runs nightly: without the flag every compaction
+        would force every downstream consumer into a full re-read.
+
+        Overwrite/replace DO change data: row-level changes cannot be
+        derived from their file lists, so those raise, directing the
         caller to a full re-read (the same limitation Delta CDF has when
         CDC files are disabled)."""
         vs = self._versions()
@@ -653,6 +675,8 @@ class VersionedTable:
                     f"incremental read is impossible — full re-read required"
                 )
             m = self._manifest(v)
+            if _layout_only(m):
+                continue  # compact: same rows, new packing — no change
             if "add" in m:
                 added.extend(m["add"])
             elif m["op"] == "append":
@@ -666,7 +690,7 @@ class VersionedTable:
                 raise VersionedTableError(
                     f"version {v} is {m['op']!r}, not an append: row-level "
                     f"changes cannot be derived from file lists across a "
-                    f"table rewrite — full re-read required"
+                    f"data-changing rewrite — full re-read required"
                 )
         if not added:  # from == to: empty frame with the snapshot's schema
             return self.read(version_as_of=to_version).limit(0)
@@ -712,9 +736,14 @@ class VersionedTable:
 
         Commits with the replace conflict rule: a concurrent writer
         advancing the log aborts the compaction (its rewrite no longer
-        reflects the latest state) rather than clobbering. Returns the
-        new version. No-op (returns the current version) when the table
-        already has nothing to pack (plain mode only)."""
+        reflects the latest state) rather than clobbering. The manifest
+        carries ``data_change: false`` (Delta's OPTIMIZE flag):
+        incremental consumers — ``changes()`` and the
+        ``versioned_changes`` stream source — skip the version
+        wholesale, so layout maintenance never costs consumers a
+        re-read. Returns the new version. No-op (returns the current
+        version) when the table already has nothing to pack (plain mode
+        only)."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")

@@ -634,11 +634,35 @@ def test_versioned_changes_stream_tails_appends(spark, tmp_path):
     assert {r._commit_version for r in rows} == {2}
 
 
+def test_versioned_changes_compact_is_transparent(spark, tmp_path):
+    """A compact inside the consumed range is SKIPPED (data_change:
+    false): the stream stays incremental straight across an OPTIMIZE —
+    only the append deltas arrive, none of the rewritten files."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    assert sorted(r.id for _, b in out for r in b) == list(range(10))
+
+    vt.append(spark.range(10, 20))          # v1
+    vt.compact(target_file_bytes=1 << 30)   # v2: layout only
+    vt.append(spark.range(20, 25))          # v3
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert {r._change_type for r in rows} == {"insert"}
+    assert sorted(r.id for r in rows) == list(range(10, 25))  # deltas only
+    assert {r._commit_version for r in rows} == {1, 3}  # compact invisible
+
+
 def test_versioned_changes_rewrite_snapshot_and_fail(spark, tmp_path):
-    """A rewrite inside the consumed range: default delivers the FULL
-    snapshot tagged _change_type='snapshot' (the batch consumer's
-    full-reread recovery, lifted into streaming); onrewrite=fail raises
-    with an actionable message instead (Delta's default posture)."""
+    """A DATA-CHANGING rewrite inside the consumed range: default
+    delivers the FULL snapshot tagged _change_type='snapshot' (the batch
+    consumer's full-reread recovery, lifted into streaming);
+    onrewrite=fail raises with an actionable message instead (Delta's
+    default posture)."""
     import pytest
     from py4j.protocol import Py4JJavaError
 
@@ -651,8 +675,8 @@ def test_versioned_changes_rewrite_snapshot_and_fail(spark, tmp_path):
     assert sorted(r.id for _, b in out for r in b) == list(range(10))
 
     vt.append(spark.range(10, 20))
-    vt.compact(target_file_bytes=1 << 30)
-    vt.append(spark.range(20, 25))
+    vt.overwrite(spark.range(0, 22))
+    vt.append(spark.range(22, 25))
 
     out = _drain_versioned_changes(spark, up, str(tmp_path / "cp1"))
     rows = [r for _, b in out for r in b]
@@ -668,8 +692,10 @@ def test_versioned_changes_rewrite_snapshot_and_fail(spark, tmp_path):
 
 def test_versioned_mirror_consumer_end_to_end(spark, tmp_path):
     """VersionedMirrorConsumer over the CDC stream: inserts append
-    idempotently, a snapshot batch overwrites (recovery), and the final
-    mirror equals the upstream table exactly."""
+    idempotently, a compact upstream is invisible (the drain stays
+    incremental), a data-changing overwrite delivers a snapshot batch
+    the mirror applies as an overwrite (recovery), and the final mirror
+    equals the upstream table exactly."""
     from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
     from as_etl_storage_spark.streaming.micro_batch import (
         VersionedMirrorConsumer,
@@ -697,8 +723,11 @@ def test_versioned_mirror_consumer_end_to_end(spark, tmp_path):
     up.compact(target_file_bytes=1 << 30)
     up.append(spark.range(30, 40))
     m = drain()
-    assert m.snapshots_applied == 1
-    up.append(spark.range(40, 50))
+    assert m.batches_appended >= 1 and m.snapshots_applied == 0
+    up.overwrite(spark.range(0, 45))
+    m = drain()
+    assert m.snapshots_applied == 1 and m.batches_appended == 0
+    up.append(spark.range(45, 50))
     m = drain()
     assert m.batches_appended >= 1 and m.snapshots_applied == 0
     down = VersionedTable(spark, down_path)

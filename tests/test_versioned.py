@@ -496,8 +496,10 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
 
 def test_changes_incremental_read(spark, tmp_path):
     """changes(from, to): only the rows appended in the range, answered
-    from delta manifests alone; a table rewrite (overwrite/compact) in
-    the range raises instead of fabricating a row diff."""
+    from delta manifests alone. A COMPACT in the range is skipped
+    transparently (data_change: false — same rows, new packing); a
+    data-changing rewrite (overwrite) raises instead of fabricating a
+    row diff."""
     from as_etl_storage_spark.writers.versioned import (
         VersionedTable,
         VersionedTableError,
@@ -515,10 +517,15 @@ def test_changes_incremental_read(spark, tmp_path):
     assert vt.changes(2).columns == vt.read().columns
     with pytest.raises(VersionedTableError, match="backwards"):
         vt.changes(2, to_version=1)
-    vt.compact()                            # v3: rewrite
+    vt.compact()                            # v3: layout-only rewrite
+    assert vt._manifest(3)["data_change"] is False
+    assert vt.changes(1).count() == 3       # OPTIMIZE skipped: still v2
+    assert vt.changes(0).count() == 8       # v1 + v2, compact invisible
+    assert vt.changes(3).count() == 0
+    vt.overwrite(orders.limit(7))           # v4: data-changing rewrite
     with pytest.raises(VersionedTableError, match="full re-read"):
-        vt.changes(1)  # range crosses the rewrite
-    assert vt.changes(3).count() == 0       # after the rewrite: fine again
+        vt.changes(1)  # range crosses the overwrite
+    assert vt.changes(4).count() == 0       # after the rewrite: fine again
 
 
 def test_changes_through_job_spec(spark, tmp_path):
@@ -781,19 +788,22 @@ def test_checkpoint_failure_does_not_fail_committed_append(spark, tmp_path, monk
     assert vt.read().count() == vmod.CHECKPOINT_EVERY + 1
 
 
-def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
+def test_changes_consumer_across_compaction_and_rewrite(spark, tmp_path):
     """The realistic 100 TB shape: an incremental consumer checkpoints
-    from_version and races a compactor. When a compact() lands inside its
-    range, changes() refuses to fabricate a diff — the documented
-    recovery contract is catch -> full re-read -> resume incremental from
-    the version the full read pinned. This test drives that loop end to
-    end and proves no row is lost or double-counted."""
+    from_version and races layout/data maintenance. A compact() inside
+    its range is consumed INCREMENTALLY (data_change: false — nightly
+    OPTIMIZE must not cost consumers a re-read). A data-changing
+    overwrite makes changes() refuse to fabricate a diff — the recovery
+    contract is catch -> full re-read -> resume incremental from the
+    version the full read pinned. This test drives both legs end to end
+    and proves no row is lost or double-counted."""
     vt = VersionedTable(spark, str(tmp_path / "t"))
 
     def batch(lo, hi):
         return spark.createDataFrame([(i,) for i in range(lo, hi)], "id long")
 
     consumed: set[int] = set()
+    recoveries = {"n": 0}
 
     def consume_increment(from_v: int) -> int:
         """One consumer cycle. Returns the new checkpoint version."""
@@ -801,15 +811,16 @@ def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
         try:
             # changes() raises in its manifest walk, i.e. right here —
             # keeping the downstream work OUT of the except scope so a
-            # downstream failure can't be misread as a compaction
+            # downstream failure can't be misread as a rewrite
             inc = vt.changes(from_v, latest)
         except VersionedTableError:
-            # a rewrite (compact) landed inside the range: full re-read of
-            # the snapshot at `latest`, REPLACING consumer state — rows
-            # already seen reappear here, which an idempotent downstream
-            # (exact dedup / upsert by key) absorbs by design
+            # a data-changing rewrite landed inside the range: full
+            # re-read of the snapshot at `latest`, REPLACING consumer
+            # state — rows already seen reappear here, which an
+            # idempotent downstream (exact dedup / upsert) absorbs
             consumed.clear()
             consumed.update(r.id for r in vt.read(version_as_of=latest).collect())
+            recoveries["n"] += 1
         else:
             rows = {r.id for r in inc.collect()}
             assert consumed.isdisjoint(rows)  # incremental => no re-delivery
@@ -825,12 +836,20 @@ def test_changes_consumer_recovers_across_compaction(spark, tmp_path):
     # compactor races in AFTER the append the consumer hasn't seen yet
     assert vt.compact(target_file_bytes=1 << 30) > 2
     vt.append(batch(30, 40))
-    ckpt = consume_increment(ckpt)  # range spans the compact -> recovery path
+    ckpt = consume_increment(ckpt)  # spans the compact: stays incremental
+    assert recoveries["n"] == 0, "OPTIMIZE must not force a re-read"
     assert consumed == set(range(40))
 
-    # back on the incremental path afterwards
-    vt.append(batch(40, 50))
+    # a data-changing rewrite DOES force the recovery leg
+    vt.overwrite(batch(0, 45))
     ckpt = consume_increment(ckpt)
+    assert recoveries["n"] == 1
+    assert consumed == set(range(45))
+
+    # back on the incremental path afterwards
+    vt.append(batch(45, 50))
+    ckpt = consume_increment(ckpt)
+    assert recoveries["n"] == 1
     assert consumed == set(range(50))
     assert ckpt == vt.latest_version()
 
