@@ -494,8 +494,12 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
     latest = vt.latest_version()
     if latest is None:
         raise ValueError(f"versioned_changes: no committed versions at {path}")
-    first = vt._state(latest)[0]
-    sch = pq.read_schema(os.path.join(path, first))
+    # NEWEST file of the snapshot: under additive schema evolution the
+    # most recent append's files carry the superset schema (the first
+    # file may predate an added column, which would silently drop it
+    # from the stream); older files' missing columns null-fill in read()
+    newest = vt._state(latest)[-1]
+    sch = pq.read_schema(os.path.join(path, newest))
     fields = []
     for n in sch.names:
         t = str(sch.field(n).type)

@@ -802,3 +802,25 @@ def test_versioned_mirror_replay_skipped_by_ledger(spark, tmp_path):
     assert m2.batches_skipped >= 1 and m2.batches_appended == 0
     assert down.latest_version() == v_after
     assert sorted(r.id for r in down.read().collect()) == list(range(30))
+
+
+def test_versioned_changes_additive_schema_evolution(spark, tmp_path):
+    """The CDC stream's declared schema comes from the NEWEST snapshot
+    file, so a column added by additive evolution is present; files
+    committed before the column existed deliver NULLs for it (the
+    mergeSchema behavior, at the stream boundary)."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 5))                                   # v0: id
+    vt.append(spark.range(5, 10).withColumn("extra", F.col("id") * 10))
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(10))
+    got = {r.id: r.extra for r in rows}
+    assert all(got[i] is None for i in range(5))       # pre-evolution
+    assert all(got[i] == i * 10 for i in range(5, 10))  # post-evolution
