@@ -545,17 +545,20 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     delivers the FULL snapshot at ``end`` with ``_change_type =
     'snapshot'`` (downstream replaces instead of appending — the
     streaming form of the consumer's overwrite path); ``onrewrite=fail``
-    raises instead, Delta's default posture for non-append commits.
+    raises instead, Delta's default posture for non-append commits;
+    ``onrewrite=skip`` ignores the rewrite and keeps tailing appends
+    (Delta's ``skipChangeCommits`` — right when downstream only wants
+    the append stream and accepts missing rewrite-era corrections).
     Every delivered row carries ``_commit_version`` and ``_change_type``
     ('insert' | 'snapshot'), the CDF-style metadata columns."""
 
     def __init__(self, options):
         self.path = options["path"]
         self.on_rewrite = options.get("onrewrite", "snapshot").lower()
-        if self.on_rewrite not in ("snapshot", "fail"):
+        if self.on_rewrite not in ("snapshot", "fail", "skip"):
             raise ValueError(
-                f"versioned_changes: onrewrite must be snapshot|fail, got "
-                f"{self.on_rewrite!r}"
+                f"versioned_changes: onrewrite must be snapshot|fail|skip, "
+                f"got {self.on_rewrite!r}"
             )
         self._columns = tuple(n for n, _ in _versioned_data_columns(self.path))
 
@@ -597,14 +600,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 appends.append((v, m.get("add") or m.get("files") or []))
             else:
                 rewrite = (v, m["op"])
-        if rewrite is not None:
+        if rewrite is not None and self.on_rewrite != "skip":
             if self.on_rewrite == "fail":
                 raise RuntimeError(
                     f"versioned_changes: version {rewrite[0]} is "
                     f"{rewrite[1]!r}, not an append — row-level changes "
                     f"cannot be derived across a table rewrite. Pass "
                     f"onrewrite=snapshot to receive the full snapshot "
-                    f"with _change_type='snapshot' instead"
+                    f"with _change_type='snapshot' instead, or "
+                    f"onrewrite=skip to keep tailing appends only"
                 )
             return [
                 _ChangeFiles(

@@ -824,3 +824,26 @@ def test_versioned_changes_additive_schema_evolution(spark, tmp_path):
     got = {r.id: r.extra for r in rows}
     assert all(got[i] is None for i in range(5))       # pre-evolution
     assert all(got[i] == i * 10 for i in range(5, 10))  # post-evolution
+
+
+def test_versioned_changes_onrewrite_skip(spark, tmp_path):
+    """onrewrite=skip (Delta's skipChangeCommits): a data-changing
+    rewrite in the range is ignored and only the append deltas flow —
+    downstream gets the append stream, accepting that rewrite-era
+    corrections are not reflected."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))            # v0
+    vt.append(spark.range(10, 20))           # v1
+    vt.overwrite(spark.range(100, 105))      # v2: data-changing
+    vt.append(spark.range(20, 25))           # v3
+
+    out = _drain_versioned_changes(
+        spark, up, str(tmp_path / "cp"), on_rewrite="skip"
+    )
+    rows = [r for _, b in out for r in b]
+    assert {r._change_type for r in rows} == {"insert"}
+    assert sorted(r.id for r in rows) == list(range(25))  # appends only
+    assert {r._commit_version for r in rows} == {0, 1, 3}
