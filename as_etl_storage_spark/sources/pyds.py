@@ -560,6 +560,15 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 f"versioned_changes: onrewrite must be snapshot|fail|skip, "
                 f"got {self.on_rewrite!r}"
             )
+        sv = options.get("startingversion")
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "versioned_changes: startingVersion and startingTimestamp "
+                "are mutually exclusive"
+            )
+        self.starting_version = int(sv) if sv is not None else None
+        self.starting_timestamp = st
         self._columns = tuple(n for n, _ in _versioned_data_columns(self.path))
 
     def _table(self):
@@ -569,6 +578,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         return VersionedTable(None, self.path)
 
     def initialOffset(self) -> dict:
+        """First-start offset (ignored on checkpoint resume, as Delta's
+        startingVersion/startingTimestamp are): ``startingVersion=v``
+        begins delivery AT version v; ``startingTimestamp=t`` at the
+        first version committed after the latest snapshot current at t
+        (``resolve_timestamp``); default delivers from the first
+        version."""
+        if self.starting_version is not None:
+            return {"version": self.starting_version - 1}
+        if self.starting_timestamp is not None:
+            from as_etl_storage_spark.writers.versioned import (
+                VersionedTableError,
+            )
+
+            ts = self.starting_timestamp
+            try:
+                ts = float(ts)
+            except (TypeError, ValueError):
+                pass  # ISO-8601 string: resolve_timestamp parses it
+            try:
+                return {"version": self._table().resolve_timestamp(ts)}
+            except VersionedTableError:
+                return {"version": -1}  # before the first commit: all
         return {"version": -1}
 
     def latestOffset(self) -> dict:

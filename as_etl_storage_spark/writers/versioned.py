@@ -630,7 +630,10 @@ class VersionedTable:
         return df
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        from_timestamp: object = None,
     ) -> DataFrame:
         """Rows ADDED after ``from_version`` up to and including
         ``to_version`` (default: latest) — the incremental-read primitive
@@ -653,7 +656,25 @@ class VersionedTable:
         Overwrite/replace DO change data: row-level changes cannot be
         derived from their file lists, so those raise, directing the
         caller to a full re-read (the same limitation Delta CDF has when
-        CDC files are disabled)."""
+        CDC files are disabled).
+
+        ``from_timestamp`` (exclusive with ``from_version``; Delta CDF's
+        startingTimestamp): rows added after the snapshot current at
+        that instant — resolved through :meth:`resolve_timestamp`, an
+        instant before the first commit meaning "from the beginning"."""
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise VersionedTableError(
+                    "pass from_version OR from_timestamp, not both"
+                )
+            try:
+                from_version = self.resolve_timestamp(from_timestamp)
+            except VersionedTableError:
+                from_version = -1  # before the first commit
+        elif from_version is None:
+            raise VersionedTableError(
+                "changes() needs from_version or from_timestamp"
+            )
         vs = self._versions()
         if not vs:
             raise VersionedTableError(f"no committed versions at {self.path}")

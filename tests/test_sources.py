@@ -847,3 +847,59 @@ def test_versioned_changes_onrewrite_skip(spark, tmp_path):
     assert {r._change_type for r in rows} == {"insert"}
     assert sorted(r.id for r in rows) == list(range(25))  # appends only
     assert {r._commit_version for r in rows} == {0, 1, 3}
+
+
+def test_versioned_changes_starting_version_and_timestamp(spark, tmp_path):
+    """startingVersion / startingTimestamp (Delta parity): a fresh
+    stream begins delivery at the pinned point instead of version 0;
+    the two options are mutually exclusive."""
+    import time as _time
+
+    import pytest
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))    # v0
+    t_mid = _time.time()
+    _time.sleep(0.02)
+    vt.append(spark.range(10, 20))   # v1
+    vt.append(spark.range(20, 25))   # v2
+
+    def drain(**opts):
+        from as_etl_storage_spark.sources.pyds import (
+            VersionedChangesDataSource,
+        )
+
+        spark.dataSource.register(VersionedChangesDataSource)
+        out = []
+        reader = spark.readStream.format("versioned_changes").option(
+            "path", up
+        )
+        for k, v in opts.items():
+            reader = reader.option(k, str(v))
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(lambda df, b: out.append(df.collect()))
+            .option(
+                "checkpointLocation",
+                str(tmp_path / f"cp{len(list(opts))}{_time.monotonic_ns()}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return [r for b in out for r in b]
+
+    rows = drain(startingversion=1)
+    assert sorted(r.id for r in rows) == list(range(10, 25))  # v1 + v2
+    rows = drain(startingtimestamp=t_mid)
+    assert sorted(r.id for r in rows) == list(range(10, 25))
+    rows = drain(startingtimestamp=0.0)  # before the first commit: all
+    assert sorted(r.id for r in rows) == list(range(25))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VersionedChangesStreamReader(
+            {"path": up, "startingversion": "1", "startingtimestamp": "0"}
+        )

@@ -1135,3 +1135,29 @@ def test_timestamp_as_of_through_job_spec(spark, tmp_path):
     }
     with pytest.raises(SpecError, match="mutually exclusive"):
         JobSpec.from_json(bad)
+
+def test_changes_from_timestamp(spark, tmp_path):
+    """changes(from_timestamp=t) — Delta CDF's startingTimestamp: rows
+    added after the snapshot current at t; an instant before the first
+    commit means 'from the beginning'; combining pins is an error."""
+    import time as _time
+
+    import pytest
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    t_before = _time.time()
+    _time.sleep(0.02)
+    vt.append(spark.range(0, 10))
+    t_mid = _time.time()
+    _time.sleep(0.02)
+    vt.append(spark.range(10, 30))
+
+    assert sorted(r.id for r in vt.changes(from_timestamp=t_mid).collect()) == list(
+        range(10, 30)
+    )
+    assert vt.changes(from_timestamp=t_before).count() == 30  # everything
+    assert vt.changes(from_timestamp=_time.time()).count() == 0
+    with pytest.raises(VersionedTableError, match="not both"):
+        vt.changes(0, from_timestamp=t_mid)
+    with pytest.raises(VersionedTableError, match="from_version or"):
+        vt.changes()
