@@ -435,6 +435,47 @@ _register(
 )
 
 
+def _w_versioned_changes_since_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """changes(from_timestamp=t) — Delta CDF's startingTimestamp at the
+    batch surface: an instant captured between two appends yields
+    exactly the rows the later append added (resolved through the
+    manifest commit clocks, monotonic-adjusted)."""
+    import os
+    import time
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_scratch_dir(), f"wcts-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    # scale-relative split key so the local sf0.001 gate compares real
+    # rows too (fixed literals made the compare vacuous there)
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split = hi // 2
+    vt = VersionedTable(spark, out)
+    vt.append(orders.where(F.col("o_orderkey") <= split))
+    t_mid = time.time()
+    vt.append(orders.where(F.col("o_orderkey") > split))
+    return vt.changes(from_timestamp=t_mid).select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+_register(
+    "w_versioned_changes_since_ts",
+    _w_versioned_changes_since_ts,
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders) // 2
+    """,
+)
+
+
 def _w_versioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-stats data skipping: the pruned read must equal the plain
     filter (file skipping is an optimization, never a semantic); the
