@@ -1,0 +1,116 @@
+"""Transaction-log metadata costs at COMMIT-COUNT scale (SCALE.md
+'log_1k_versions').
+
+The file-count story (prune_stress.py) measures many files per version;
+this measures many VERSIONS: a 1,000-append log — the shape an
+always-on streaming sink produces in a day at one commit per ~90 s —
+and the driver-side metadata operations every reader pays:
+
+  * latest_version(): one directory listing, O(versions)
+  * read() state reconstruction: checkpoint + bounded delta replay
+    (<= CHECKPOINT_EVERY manifests), NOT an O(versions) walk
+  * changes(lo, hi): manifest walk proportional to the RANGE, not the
+    log length — the incremental consumer's steady-state cost is
+    O(new versions)
+  * CDC stream partitions(-1, latest): full-log walk, the worst case a
+    fresh stream with no startingVersion pays exactly once
+
+Usage: python scripts/log_stress.py  (prints one JSON row per case)
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from as_etl_storage_spark import get_spark
+from as_etl_storage_spark.writers.versioned import VersionedTable
+
+VERSIONS = 1_000
+ROWS_PER = 100
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    spark = get_spark("log-stress")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "log_stress",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    path = os.path.join(scratch, "t")
+    vt = VersionedTable(spark, path)
+
+    # 1,000 appends of one file each; write the parquet once and link it
+    # per version so the ingest isn't the bottleneck of the measurement —
+    # the LOG is under test, not the writer
+    t0 = time.perf_counter()
+    first = None
+    for v in range(VERSIONS):
+        if first is None:
+            vt.append(spark.range(v * ROWS_PER, (v + 1) * ROWS_PER).coalesce(1))
+            first = vt._state(0)[0]
+        else:
+            # clone the committed data file under a fresh name and commit
+            # it through the real protocol (manifest + stats path intact)
+            name = f"part-clone-{v:05d}.parquet"
+            os.link(os.path.join(path, first), os.path.join(path, name))
+            vt._commit(None, "append", vt.latest_version(), new_files=[name])
+    t_ingest = time.perf_counter() - t0
+
+    latest = vt.latest_version()
+    assert latest == VERSIONS - 1
+    t_latest, _ = timed(vt.latest_version)
+    t_state, files = timed(lambda: vt._state(latest))
+    assert len(files) == VERSIONS
+    # incremental consumer's steady-state: a 10-version range near the tip
+    t_changes_10, df10 = timed(lambda: vt.changes(latest - 10, latest))
+    # fresh-consumer worst case: the whole log
+    t_changes_all, df_all = timed(lambda: vt.changes(-1, latest))
+    n_all = df_all.count()
+    assert n_all == VERSIONS * ROWS_PER
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+
+    r = VersionedChangesStreamReader({"path": path})
+    t_parts_all, parts = timed(
+        lambda: r.partitions({"version": -1}, {"version": latest})
+    )
+    assert len(parts) == VERSIONS
+    t_parts_10, tail = timed(
+        lambda: r.partitions({"version": latest - 10}, {"version": latest})
+    )
+    assert len(tail) == 10
+
+    print(
+        json.dumps(
+            {
+                "case": "log_1k_versions",
+                "versions": VERSIONS,
+                "sec_ingest_total": round(t_ingest, 2),
+                "sec_latest_version": round(t_latest, 4),
+                "sec_state_reconstruct": round(t_state, 4),
+                "sec_changes_10_versions": round(t_changes_10, 4),
+                "sec_changes_full_log": round(t_changes_all, 4),
+                "sec_cdc_partitions_full_log": round(t_parts_all, 4),
+                "sec_cdc_partitions_10_versions": round(t_parts_10, 4),
+                "rows_total": n_all,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
