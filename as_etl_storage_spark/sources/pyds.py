@@ -550,10 +550,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
     (Delta's ``skipChangeCommits`` — right when downstream only wants
     the append stream and accepts missing rewrite-era corrections).
     Every delivered row carries ``_commit_version`` and ``_change_type``
-    ('insert' | 'snapshot'), the CDF-style metadata columns."""
+    ('insert' | 'snapshot'), the CDF-style metadata columns.
+
+    ``readChangeFeed=true`` (Delta CDF streaming): versions committed by
+    row-level DML (delete/update/merge) deliver their ``_cdc/`` change
+    files — rows tagged delete / update_preimage / update_postimage /
+    insert — instead of tripping the rewrite path, so a downstream
+    consumer can APPLY deletes and updates incrementally. Only
+    overwrite/replace (which record no change files) still follow
+    ``onrewrite``."""
 
     def __init__(self, options):
         self.path = options["path"]
+        self.read_change_feed = str(
+            options.get("readchangefeed", "false")
+        ).lower() in ("true", "1")
         self.on_rewrite = options.get("onrewrite", "snapshot").lower()
         if self.on_rewrite not in ("snapshot", "fail", "skip"):
             raise ValueError(
@@ -615,7 +626,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         from as_etl_storage_spark.writers.versioned import _layout_only
 
         vt = self._table()
-        appends: list[tuple[int, list[str]]] = []
+        appends: list[tuple[int, list[str], str]] = []
         rewrite = None
         for v in range(from_v + 1, to_v + 1):
             m = vt._manifest(v)
@@ -628,7 +639,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             if m["op"] == "append":
                 # version 0 records its files under "files" (it IS the
                 # full snapshot); later appends are "add" deltas
-                appends.append((v, m.get("add") or m.get("files") or []))
+                appends.append((v, m.get("add") or m.get("files") or [], "insert"))
+            elif self.read_change_feed and "cdc" in m:
+                # row-level DML with change files: deliver the recorded
+                # change rows (their _change_type travels IN the files)
+                appends.append((v, m["cdc"], "cdf"))
             else:
                 rewrite = (v, m["op"])
         if rewrite is not None and self.on_rewrite != "skip":
@@ -648,8 +663,8 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 for f in vt._state(to_v)
             ]
         return [
-            _ChangeFiles(os.path.join(self.path, f), v, "insert", self._columns)
-            for v, files in appends
+            _ChangeFiles(os.path.join(self.path, f), v, kind, self._columns)
+            for v, files, kind in appends
             for f in files
         ]
 
@@ -668,7 +683,12 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 # column existed deliver NULLs, as mergeSchema does
                 arrays.append(pa.nulls(n))
         arrays.append(pa.array([partition.version] * n, type=pa.int64()))
-        arrays.append(pa.array([partition.kind] * n, type=pa.string()))
+        if partition.kind == "cdf":
+            # change files carry their own row-level _change_type
+            # (delete / update_preimage / update_postimage / insert)
+            arrays.append(t.column("_change_type").combine_chunks().cast(pa.string()))
+        else:
+            arrays.append(pa.array([partition.kind] * n, type=pa.string()))
         out = pa.table(
             arrays, names=list(partition.columns) + ["_commit_version", "_change_type"]
         )

@@ -220,6 +220,8 @@ class VersionedTable:
         base_version: int | None,
         new_files: list[str] | None = None,
         txn: tuple[str, int] | None = None,
+        cdc: list[str] | None = None,
+        known_stats: dict[str, dict] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -230,13 +232,21 @@ class VersionedTable:
         winner's files cannot be dropped). A *replace* (merge) fails on
         collision — its kept/updated row split was computed against a
         now-stale snapshot and must be re-run; an *overwrite* is
-        whole-table last-writer-wins and retries as-is."""
+        whole-table last-writer-wins and retries as-is.
+
+        ``cdc``: change-data file names (under ``_cdc/``) recorded on
+        row-level DML commits (delete/update/merge) — Delta's CDF
+        add-cdc-file actions. ``known_stats``: bounds already in the log
+        for files this commit KEEPS (the untouched side of a file-pruned
+        DML rewrite) — footers are re-read only for files not covered, so
+        a delete touching 3 of 10^6 files collects 3 footers, not 10^6."""
         os.makedirs(self.log_dir, exist_ok=True)
         # per-file min/max from the footers just written (Delta's add-file
         # stats) — computed once; a commit-race retry reuses them
-        stats = self._collect_stats(
-            list(new_files or []) if op == "append" else list(files or [])
-        )
+        stat_files = list(new_files or []) if op == "append" else list(files or [])
+        known = known_stats or {}
+        stats = self._collect_stats([f for f in stat_files if f not in known])
+        stats.update({f: known[f] for f in stat_files if f in known})
         for _ in range(50):
             latest = self.latest_version()
             if txn is not None and latest is not None:
@@ -249,7 +259,7 @@ class VersionedTable:
                     return None
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
-                if op in ("replace", "compact"):
+                if op in ("replace", "compact", "delete", "update", "merge"):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
                         f"base {base_version}; {op} was computed against a "
@@ -293,6 +303,10 @@ class VersionedTable:
                     # Delta's OPTIMIZE flag: same rows, new packing —
                     # incremental consumers skip this version wholesale
                     manifest["data_change"] = False
+                if cdc:
+                    # row-level change files (Delta CDF add-cdc-file):
+                    # what changed, readable without diffing snapshots
+                    manifest["cdc"] = list(cdc)
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             # the manifest must APPEAR atomically complete: a bare
             # O_EXCL-create-then-write has a crash window where the
@@ -342,6 +356,28 @@ class VersionedTable:
 
         shutil.rmtree(staging, ignore_errors=True)
         return files
+
+    def _write_cdc_files(self, df: DataFrame) -> list[str]:
+        """Write change rows under ``_cdc/`` and return their manifest
+        names (``_cdc/cdc-*.parquet``). Change files are NOT part of any
+        snapshot — _state never lists them — they are per-version CDF
+        payload, referenced only by their commit's ``cdc`` field and read
+        only by change_feed()/the CDF stream."""
+        cdc_dir = os.path.join(self.path, "_cdc")
+        staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(cdc_dir, exist_ok=True)
+        names = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"cdc-{uuid.uuid4().hex[:12]}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(cdc_dir, name))
+            names.append(f"_cdc/{name}")
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
 
     def _collect_stats(self, files: list[str]) -> dict[str, dict]:
         """Per-file [min, max] for top-level primitive columns, read from
@@ -438,6 +474,315 @@ class VersionedTable:
         )
         merged = kept.unionByName(incoming)
         return self._commit(self._write_data_files(merged), "replace", base)
+
+    # -- row-level DML (file-pruned rewrite + change-data files) --------
+    @staticmethod
+    def _as_condition(predicate) -> "F.Column":
+        """Predicate (SQL string or Column) as a null-safe match
+        condition: SQL row-level DML matches rows where the predicate is
+        TRUE — a NULL outcome means "not matched", never "matched", so
+        the raw expression is coalesced to false before use."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        return F.coalesce(cond.cast("boolean"), F.lit(False))
+
+    def _scan_files(self, names: list[str]) -> DataFrame:
+        paths = [os.path.join(self.path, f) for f in names]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    _FILE_NAME = "__vt_file"
+
+    def _with_file_name(self, df: DataFrame) -> DataFrame:
+        # basename of the hidden file-source metadata column — joins the
+        # row back to its manifest entry without any data in the key
+        return df.withColumn(
+            self._FILE_NAME,
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+
+    def _split_touched(
+        self, base: int, cond: "F.Column"
+    ) -> tuple[list[str], list[str]]:
+        """Phase 1 of every row-level DML (Delta's find-touched-files
+        scan): ONE column-pruned pass over the snapshot collects the
+        DISTINCT file names holding at least one matching row — the scan
+        reads only the predicate's columns plus the file-name metadata,
+        and the collect is bounded by the file count, never the row
+        count. Files with no matching rows are carried into the next
+        version untouched: a delete matching 3 of 10^6 files rewrites 3
+        files."""
+        files = self._state(base)
+        touched_rows = (
+            self._with_file_name(self._scan_files(files))
+            .where(cond)
+            .select(self._FILE_NAME)
+            .distinct()
+            .collect()
+        )
+        touched = {r[self._FILE_NAME] for r in touched_rows}
+        return (
+            [f for f in files if f in touched],
+            [f for f in files if f not in touched],
+        )
+
+    def delete(self, predicate) -> int | None:
+        """DELETE WHERE ``predicate`` as a new version (Delta's row-level
+        delete). Two phases: find touched files (one column-pruned scan),
+        then rewrite ONLY those files without their matching rows —
+        untouched files are carried by name and their manifest stats are
+        reused, so the write AND the footer-stat cost are proportional to
+        the files actually hit, not the table. The deleted rows are
+        written to ``_cdc/`` with ``_change_type='delete'`` (Delta CDF),
+        so incremental consumers can apply the delete without a snapshot
+        diff. NULL-predicate rows are kept (SQL: WHERE matches only
+        TRUE). Returns the new version, or None when nothing matched (no
+        commit — the snapshot is already the result).
+
+        Snapshot isolation holds: prior versions still reference the
+        original files; vacuum reclaims them once out of retention.
+        Commits with the replace conflict rule — a concurrent commit
+        means the touched split is stale, so the delete aborts rather
+        than resurrecting concurrently-written rows."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        cond = self._as_condition(predicate)
+        touched, untouched = self._split_touched(base, cond)
+        if not touched:
+            return None
+        scan_t = self._scan_files(touched).persist()
+        try:
+            kept_files = self._write_data_files(scan_t.where(~cond))
+            cdc = self._write_cdc_files(
+                scan_t.where(cond).withColumn("_change_type", F.lit("delete"))
+            )
+        finally:
+            scan_t.unpersist()
+        known = self._stats_at(base)
+        return self._commit(
+            untouched + kept_files,
+            "delete",
+            base,
+            cdc=cdc,
+            known_stats={f: known[f] for f in untouched if f in known},
+        )
+
+    def update(self, predicate, assignments: dict) -> int | None:
+        """UPDATE SET ``assignments`` WHERE ``predicate`` as a new
+        version. ``assignments`` maps existing column names to SQL
+        expression strings (or Columns) evaluated against the OLD row —
+        standard UPDATE semantics, so ``{"a": "b", "b": "a"}`` swaps.
+        Same file-pruned two-phase plan as :meth:`delete`; the change
+        files carry both ``update_preimage`` and ``update_postimage``
+        rows (Delta CDF's update pair). Returns the new version, or None
+        when nothing matched."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        cond = self._as_condition(predicate)
+        snap_cols = self.read(version_as_of=base).columns
+        bad = set(assignments) - set(snap_cols)
+        if bad:
+            raise VersionedTableError(
+                f"UPDATE assigns to columns not in the table: {sorted(bad)}; "
+                f"columns are {snap_cols}"
+            )
+        exprs = {
+            c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in assignments.items()
+        }
+
+        def _updated(df: DataFrame, when) -> DataFrame:
+            # all assignments see the OLD row: select() evaluates every
+            # expression against the input frame, never sequentially
+            return df.select(
+                *[
+                    (
+                        F.when(when, exprs[c]).otherwise(F.col(c)).alias(c)
+                        if c in exprs
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ]
+            )
+
+        touched, untouched = self._split_touched(base, cond)
+        if not touched:
+            return None
+        scan_t = self._scan_files(touched).persist()
+        try:
+            new_files = self._write_data_files(_updated(scan_t, cond))
+            matched = scan_t.where(cond)
+            cdc = self._write_cdc_files(
+                matched.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                ).unionByName(
+                    _updated(matched, F.lit(True)).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+        finally:
+            scan_t.unpersist()
+        known = self._stats_at(base)
+        return self._commit(
+            untouched + new_files,
+            "update",
+            base,
+            cdc=cdc,
+            known_stats={f: known[f] for f in untouched if f in known},
+        )
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+    ) -> int | None:
+        """MERGE ``source`` into the table on equi-keys ``on`` (Delta's
+        MERGE INTO, the upsert/CDC-apply primitive). ``when_matched``:
+        ``'update'`` replaces each matched target row with its source row,
+        ``'delete'`` removes it, None leaves it. ``when_not_matched``:
+        ``'insert'`` appends source rows matching no target row, None
+        drops them. ``replace()`` is exactly
+        ``merge(df, keys)`` minus the change feed — kept for the narrow
+        writer surface.
+
+        File-pruned like delete/update: touched files are those holding a
+        KEY-matched target row (found with one semi-join scan); only they
+        are rewritten, inserts land in fresh files, everything else is
+        carried by name with stats reused. Change files record the full
+        CDF story: update_preimage/update_postimage (or delete) for
+        matched rows, insert for new rows.
+
+        A source with duplicate keys among the matched rows raises —
+        "which source row wins?" is ambiguous (Delta's multiple-source-
+        rows-matched error). ``source`` is evaluated several times
+        (match split, rewrite, inserts); pass a cached or deterministic
+        frame. Returns the new version, or None when the merge is a
+        complete no-op (no matches and nothing to insert)."""
+        if when_matched not in ("update", "delete", None):
+            raise VersionedTableError(
+                f"when_matched must be 'update', 'delete' or None, "
+                f"got {when_matched!r}"
+            )
+        if when_not_matched not in ("insert", None):
+            raise VersionedTableError(
+                f"when_not_matched must be 'insert' or None, "
+                f"got {when_not_matched!r}"
+            )
+        base = self.latest_version()
+        if base is None:
+            if when_not_matched == "insert":
+                # MERGE creating the table = insert everything
+                return self.overwrite(source)
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        target = self.read(version_as_of=base)
+        if set(target.columns) != set(source.columns):
+            raise VersionedTableError(
+                f"merge requires identical columns; target {target.columns} "
+                f"vs source {source.columns}"
+            )
+        missing = set(on) - set(target.columns)
+        if missing:
+            raise VersionedTableError(
+                f"merge keys {sorted(missing)} not in columns {target.columns}"
+            )
+        source = source.select(*target.columns)
+        src_keys = source.select(*on).distinct()
+        target_keys = target.select(*on).distinct()
+        # cardinality rule: among KEY-MATCHED rows, a duplicated source
+        # key means one target row has two candidate replacements
+        if when_matched is not None:
+            dup = (
+                source.join(target_keys, on=on, how="left_semi")
+                .groupBy(*on)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise VersionedTableError(
+                    "merge source has duplicate keys among matched rows — "
+                    "a target row would match multiple source rows; "
+                    "de-duplicate the source on the merge keys first"
+                )
+        files = self._state(base)
+        touched: list[str] = []
+        untouched = files
+        if when_matched is not None:
+            t_rows = (
+                self._with_file_name(self._scan_files(files))
+                .join(src_keys, on=on, how="left_semi")
+                .select(self._FILE_NAME)
+                .distinct()
+                .collect()
+            )
+            t_set = {r[self._FILE_NAME] for r in t_rows}
+            touched = [f for f in files if f in t_set]
+            untouched = [f for f in files if f not in t_set]
+        cdc_frames: list[DataFrame] = []
+        new_files: list[str] = []
+        matched_src = source.join(target_keys, on=on, how="left_semi")
+        if touched:
+            scan_t = self._scan_files(touched).persist()
+            try:
+                kept = scan_t.join(src_keys, on=on, how="left_anti")
+                if when_matched == "update":
+                    rewritten = kept.unionByName(
+                        matched_src.select(*scan_t.columns)
+                    )
+                else:  # delete
+                    rewritten = kept
+                new_files += self._write_data_files(rewritten)
+                pre = scan_t.join(src_keys, on=on, how="left_semi")
+                if when_matched == "update":
+                    cdc_frames.append(
+                        pre.withColumn("_change_type", F.lit("update_preimage"))
+                    )
+                    cdc_frames.append(
+                        matched_src.select(*scan_t.columns).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                else:
+                    cdc_frames.append(
+                        pre.withColumn("_change_type", F.lit("delete"))
+                    )
+                if when_not_matched == "insert":
+                    inserts = source.join(target_keys, on=on, how="left_anti")
+                    if not inserts.isEmpty():
+                        new_files += self._write_data_files(inserts)
+                        cdc_frames.append(
+                            inserts.withColumn("_change_type", F.lit("insert"))
+                        )
+                from functools import reduce
+
+                cdc = self._write_cdc_files(
+                    reduce(lambda a, b: a.unionByName(b), cdc_frames)
+                )
+            finally:
+                scan_t.unpersist()
+        else:
+            if when_not_matched != "insert":
+                return None  # no matches, nothing to insert
+            inserts = source.join(target_keys, on=on, how="left_anti")
+            if inserts.isEmpty():
+                return None  # nothing matched AND nothing new
+            new_files = self._write_data_files(inserts)
+            cdc = self._write_cdc_files(
+                inserts.withColumn("_change_type", F.lit("insert"))
+            )
+        known = self._stats_at(base)
+        return self._commit(
+            untouched + new_files,
+            "merge",
+            base,
+            cdc=cdc,
+            known_stats={f: known[f] for f in untouched if f in known},
+        )
 
     # -- read -----------------------------------------------------------
     _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
@@ -708,15 +1053,122 @@ class VersionedTable:
                 # no changes() range covering its first batch.
                 added.extend(m["files"])
             else:
+                hint = (
+                    " (its change files carry deletes/updates — read them "
+                    "with change_feed())"
+                    if "cdc" in m
+                    else ""
+                )
                 raise VersionedTableError(
                     f"version {v} is {m['op']!r}, not an append: row-level "
                     f"changes cannot be derived from file lists across a "
-                    f"data-changing rewrite — full re-read required"
+                    f"data-changing rewrite — full re-read required{hint}"
                 )
         if not added:  # from == to: empty frame with the snapshot's schema
             return self.read(version_as_of=to_version).limit(0)
         paths = [os.path.join(self.path, f) for f in added]
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def change_feed(
+        self,
+        from_version: int | None = None,
+        to_version: int | None = None,
+        from_timestamp: object = None,
+    ) -> DataFrame:
+        """Row-level change feed over a version range (Delta CDF's
+        ``readChangeFeed``): table columns plus ``_change_type`` (insert /
+        delete / update_preimage / update_postimage) and
+        ``_commit_version``. Where :meth:`changes` answers "what rows are
+        NEW?" and must refuse any data-changing rewrite, this answers
+        "what HAPPENED?": appends become ``insert`` rows read straight
+        from their data files (no change file is ever written for an
+        append — Delta's optimization — so the feed costs nothing extra
+        on the hot path), and delete/update/merge versions are served
+        from the ``_cdc/`` files their commit recorded.
+
+        The whole range is planned as TWO scans regardless of how many
+        versions it spans: one over all insert files, one over all change
+        files, each joined to a broadcast (file → version) map built from
+        the manifests — never one job per version. Layout-only versions
+        (compact) contribute nothing. Overwrite/replace record no change
+        files (their row-level story is unknowable from file lists), so a
+        range crossing one raises, directing the consumer to a snapshot
+        re-read — the same contract Delta CDF has for non-CDC commits."""
+        if from_timestamp is not None:
+            if from_version is not None:
+                raise VersionedTableError(
+                    "pass from_version OR from_timestamp, not both"
+                )
+            try:
+                from_version = self.resolve_timestamp(from_timestamp)
+            except VersionedTableError:
+                from_version = -1
+        elif from_version is None:
+            raise VersionedTableError(
+                "change_feed() needs from_version or from_timestamp"
+            )
+        vs = self._versions()
+        if not vs:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        to_version = vs[-1] if to_version is None else to_version
+        if to_version not in vs:
+            raise VersionedTableError(
+                f"version {to_version} not found; available {vs[0]}..{vs[-1]}"
+            )
+        if from_version > to_version:
+            raise VersionedTableError(
+                f"change_feed range is backwards: from {from_version} "
+                f"to {to_version}"
+            )
+        insert_files: list[tuple[str, int]] = []
+        cdc_files: list[tuple[str, int]] = []
+        for v in range(from_version + 1, to_version + 1):
+            if v not in vs:
+                raise VersionedTableError(
+                    f"version {v} in the change_feed range was vacuumed; "
+                    f"the change history is gone — full re-read required"
+                )
+            m = self._manifest(v)
+            if _layout_only(m):
+                continue
+            if "cdc" in m:
+                cdc_files.extend((f, v) for f in m["cdc"])
+            elif "add" in m:
+                insert_files.extend((f, v) for f in m["add"])
+            elif m["op"] == "append":
+                insert_files.extend((f, v) for f in m["files"])
+            else:
+                raise VersionedTableError(
+                    f"version {v} is {m['op']!r} and recorded no change "
+                    f"files: its row-level changes are unknowable — "
+                    f"full re-read required"
+                )
+        cols = self.read(version_as_of=to_version).columns
+        out_cols = [*cols, "_change_type", "_commit_version"]
+        frames: list[DataFrame] = []
+        for pairs, is_cdc in ((insert_files, False), (cdc_files, True)):
+            if not pairs:
+                continue
+            vmap = self.spark.createDataFrame(
+                [(os.path.basename(f), v) for f, v in pairs],
+                schema=f"{self._FILE_NAME} string, _commit_version bigint",
+            )
+            scan = self._with_file_name(
+                self._scan_files([f for f, _ in pairs])
+            ).join(F.broadcast(vmap), on=self._FILE_NAME, how="inner")
+            if not is_cdc:
+                scan = scan.withColumn("_change_type", F.lit("insert"))
+            frames.append(scan.select(*out_cols))
+        if not frames:  # range covers only layout-only versions, or empty
+            return (
+                self.read(version_as_of=to_version)
+                .limit(0)
+                .withColumn("_change_type", F.lit(""))
+                .withColumn("_commit_version", F.lit(0).cast("bigint"))
+            )
+        from functools import reduce
+
+        return reduce(lambda a, b: a.unionByName(b), frames)
 
     def compact(
         self,
@@ -913,6 +1365,24 @@ class VersionedTable:
                     continue
                 os.remove(full)
                 removed += 1
+        # change files are referenced by their commit's manifest, not by
+        # any snapshot: keep those of RETAINED versions (their change
+        # feed must stay readable), reclaim the rest under the same grace
+        cdc_dir = os.path.join(self.path, "_cdc")
+        if os.path.isdir(cdc_dir):
+            keep_cdc = set()
+            for v in keep_versions:
+                keep_cdc.update(
+                    os.path.basename(f)
+                    for f in self._manifest(v).get("cdc", [])
+                )
+            for f in os.listdir(cdc_dir):
+                if f.endswith(".parquet") and f not in keep_cdc:
+                    full = os.path.join(cdc_dir, f)
+                    if not _old_enough(full):
+                        continue
+                    os.remove(full)
+                    removed += 1
         for v in vs[:-retain_last]:
             # the same grace applies to manifests: deleting a young
             # version's manifest while its files are grace-protected
