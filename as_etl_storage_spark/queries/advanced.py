@@ -714,6 +714,175 @@ _register(
 )
 
 
+def _w_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE (writers/versioned.py:delete): remove the 'F'
+    orders from a versioned copy and read the result — the snapshot must
+    equal the plain SQL anti-filter, and the two-phase file-pruned plan
+    (find touched files, rewrite only those) is a layout detail the
+    result must not betray. Reference scope: the reference has no
+    row-level store (internal/writer/writer.go writes whole result
+    sets); this is Delta-style DML surface on the Spark side."""
+    import os
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wdel-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders)
+    vt.delete("o_orderstatus = 'F'")
+    return vt.read()
+
+
+_register(
+    "w_versioned_delete",
+    _w_versioned_delete,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'F')
+    """,
+)
+
+
+def _w_versioned_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE: double the open orders' totalprice in place; the
+    new snapshot must equal the CASE expression over the source table
+    (matched rows transformed, unmatched rows byte-identical)."""
+    import os
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wupd-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders)
+    vt.update("o_orderstatus = 'O'", {"o_totalprice": "o_totalprice * 2"})
+    return vt.read()
+
+
+_register(
+    "w_versioned_update",
+    _w_versioned_update,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+
+
+def _w_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert): target holds the LOW half of orders, the
+    source overlaps it — keys in (hi/4, hi/2] update (negated price),
+    keys above hi/2 insert — so the merged table is exactly the full
+    orders set with the source's transform applied to every key above
+    hi/4. The file-pruned rewrite and the cardinality rule are exercised
+    on real data; the oracle is one CASE over the union."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmrg-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders.where(F.col("o_orderkey") <= hi // 2))
+    source = orders.where(F.col("o_orderkey") > hi // 4).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    vt.merge(source, ["o_orderkey"])
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge",
+    _w_versioned_merge,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 4
+                THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+
+
+def _w_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed across mixed commits (Delta CDF): two appends,
+    a delete and an update produce a deterministic version history; the
+    feed over the whole log must carry exactly the insert rows, the
+    deleted rows, and the update pre/postimage pairs, each stamped with
+    its commit version — reconstructed in the oracle as literal-tagged
+    unions over the source table."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wcdf-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split = hi // 2
+    vt = VersionedTable(spark, root)
+    vt.append(orders.where(F.col("o_orderkey") <= split))   # v0
+    vt.append(orders.where(F.col("o_orderkey") > split))    # v1
+    vt.delete(f"o_orderkey <= {split // 2}")                # v2
+    # the update sees the POST-delete snapshot: its pre/postimages cover
+    # only the surviving 'F' keys — the oracle scopes the same way
+    vt.update(
+        "o_orderstatus = 'F'", {"o_totalprice": "o_totalprice + 1"}
+    )                                                       # v3
+    return vt.change_feed(-1).select(
+        "o_orderkey", "o_totalprice", "_change_type", "_commit_version"
+    )
+
+
+_register(
+    "w_versioned_change_feed",
+    _w_versioned_change_feed,
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         split AS (SELECT max(o_orderkey) // 2 AS k FROM t)
+    SELECT o_orderkey, o_totalprice,
+           'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+    FROM t WHERE o_orderkey <= (SELECT k FROM split)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'insert', CAST(1 AS BIGINT)
+    FROM t WHERE o_orderkey > (SELECT k FROM split)
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'delete', CAST(2 AS BIGINT)
+    FROM t WHERE o_orderkey <= (SELECT k FROM split) // 2
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'update_preimage', CAST(3 AS BIGINT)
+    FROM t WHERE o_orderstatus = 'F'
+      AND o_orderkey > (SELECT k FROM split) // 2
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1, 'update_postimage', CAST(3 AS BIGINT)
+    FROM t WHERE o_orderstatus = 'F'
+      AND o_orderkey > (SELECT k FROM split) // 2
+    """,
+)
+
+
 # --------------------------------------- partitioned-layout write query ---
 def _w_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + pruned read-back: the layout tool a 100 TB

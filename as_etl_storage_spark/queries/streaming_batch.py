@@ -1141,6 +1141,109 @@ _register(
 )
 
 
+def _exec_change_feed_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming replication under row-level DML — the CDF loop closed:
+    the upstream table takes appends, a DELETE, an UPDATE and a MERGE;
+    a ``versioned_changes`` stream with ``readChangeFeed=true`` delivers
+    the change rows and ChangeFeedApplyConsumer APPLIES them to a
+    downstream replica (inserts append exactly-once, deletes merge-
+    delete, update postimages upsert), across two drains of one
+    checkpoint. The replica must equal the final upstream snapshot
+    row-for-row WITHOUT ever taking the snapshot-recovery path —
+    asserted in-query: zero snapshots applied, every DML kind applied at
+    least once. The oracle recomputes the same end state in SQL."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    import as_etl_storage_spark.sources.pyds as pyds_mod
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.streaming.micro_batch import (
+        ChangeFeedApplyConsumer,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    pyds_mod.ensure_worker_importable()
+    spark.dataSource.register(VersionedChangesDataSource)
+    work = os.path.join(_scratch_dir(), f"cdfa-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split = hi // 2
+    up_path = os.path.join(work, "up")
+    down_path = os.path.join(work, "down")
+    up = VersionedTable(spark, up_path)
+
+    def drain() -> ChangeFeedApplyConsumer:
+        consumer = ChangeFeedApplyConsumer(
+            down_path,
+            ["o_orderkey"],
+            "cdf-replica",
+            checkpoint=os.path.join(work, "cp"),
+        )
+        stream = (
+            spark.readStream.format("versioned_changes")
+            .option("path", up_path)
+            .option("readChangeFeed", "true")
+            .load()
+        )
+        consumer.run_available_now(stream)
+        return consumer
+
+    up.append(orders.where(F.col("o_orderkey") <= split))          # v0
+    drain()  # replica bootstraps from the insert feed
+    up.append(orders.where(F.col("o_orderkey") > split))           # v1
+    up.delete(f"o_orderkey <= {split // 4}")                       # v2
+    up.update(
+        "o_orderstatus = 'F'", {"o_totalprice": "o_totalprice + 1"}
+    )                                                              # v3
+    # merge source straddles the delete boundary: keys <= split//4 were
+    # deleted (not matched -> CDF inserts), keys in (split//4, split//3]
+    # survive (matched -> CDF update pre/post pairs) — one version whose
+    # change files carry BOTH kinds
+    merge_src = (
+        orders.where(F.col("o_orderkey") <= split // 3)
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+    )
+    up.merge(merge_src, ["o_orderkey"])                            # v4
+    c = drain()
+    if c.applied["snapshot"] != 0:
+        raise AssertionError(
+            "CDF replication must never fall back to snapshot recovery; "
+            f"applied={c.applied}"
+        )
+    if not (
+        c.applied["insert"] >= 2
+        and c.applied["delete"] >= 1
+        and c.applied["update"] >= 2  # the UPDATE and the MERGE upsert
+    ):
+        raise AssertionError(f"feed under-applied: {c.applied}")
+    return VersionedTable(spark, down_path).read()
+
+
+_register(
+    "stream_exec_change_feed_apply",
+    _exec_change_feed_apply,
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+         k AS (SELECT max(o_orderkey) // 2 AS split FROM t)
+    -- keys above the merge source: survive the delete, keep the UPDATE's
+    -- +1 on 'F' rows
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM t WHERE o_orderkey > (SELECT split FROM k) // 3
+    UNION ALL
+    -- merge source keys: matched rows REPLACED by, unmatched rows
+    -- INSERTED as, the source row (negated original price either way)
+    SELECT o_orderkey, o_orderstatus, -o_totalprice
+    FROM t WHERE o_orderkey <= (SELECT split FROM k) // 3
+    """,
+)
+
+
 def _exec_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running totals through Spark 4's transformWithStateInPandas
     (the successor stateful API: typed ValueState handles on the RocksDB

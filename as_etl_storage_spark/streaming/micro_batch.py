@@ -252,6 +252,106 @@ class VersionedMirrorConsumer:
         q.awaitTermination()
 
 
+class ChangeFeedApplyConsumer:
+    """foreachBatch consumer for the CDF stream
+    (``versioned_changes`` with ``readChangeFeed=true``): maintains a
+    downstream REPLICA of a table that undergoes row-level DML by
+    APPLYING the change feed — where VersionedMirrorConsumer can only
+    append inserts and fall back to snapshot recovery, this one applies
+    deletes and updates incrementally, which is the entire point of a
+    change feed at 100 TB (replicate a mutating table without re-reading
+    it).
+
+    A trigger's batch may span several upstream commits; they are
+    applied in COMMIT-VERSION ORDER (a delete at v2 must not land before
+    v1's inserts). Per version: ``insert`` rows append (under
+    ``txn=(app_id, version)``, exactly-once by the table's ledger);
+    ``delete`` rows apply as ``merge(when_matched='delete')``;
+    ``update_postimage`` rows upsert as ``merge(when_matched='update',
+    when_not_matched='insert')``; preimage rows are audit-only and
+    skipped; a ``snapshot`` delivery (upstream overwrite/replace, which
+    records no change files) overwrites. Crash-replay is safe end to
+    end: the append dedupes on the ledger, re-deleting already-deleted
+    keys matches nothing, and re-upserting a postimage writes the same
+    values — every step is idempotent, so a partially-applied batch
+    re-applies cleanly."""
+
+    def __init__(
+        self,
+        table_path: str,
+        keys: list[str],
+        app_id: str,
+        checkpoint: str | None = None,
+    ):
+        self.table_path = table_path
+        self.keys = keys
+        self.app_id = app_id
+        self.checkpoint = checkpoint or f"{table_path}.__checkpoint__"
+        self.applied = {"insert": 0, "delete": 0, "update": 0, "snapshot": 0}
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        vt = VersionedTable(batch_df.sparkSession, self.table_path)
+        versions = sorted(
+            r[0]
+            for r in batch_df.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            grp = batch_df.where(F.col("_commit_version") == v).drop(
+                "_commit_version"
+            )
+            kinds = {
+                r[0]
+                for r in grp.select("_change_type").distinct().collect()
+            }
+
+            def rows(kind: str) -> DataFrame:
+                return grp.where(F.col("_change_type") == kind).drop(
+                    "_change_type"
+                )
+
+            if "snapshot" in kinds:
+                vt.overwrite(rows("snapshot"))
+                self.applied["snapshot"] += 1
+                continue
+            if "insert" in kinds:
+                if vt.append(rows("insert"), txn=(self.app_id, v)) is not None:
+                    self.applied["insert"] += 1
+            if "delete" in kinds:
+                if (
+                    vt.merge(
+                        rows("delete"),
+                        self.keys,
+                        when_matched="delete",
+                        when_not_matched=None,
+                    )
+                    is not None
+                ):
+                    self.applied["delete"] += 1
+            if "update_postimage" in kinds:
+                if (
+                    vt.merge(
+                        rows("update_postimage"),
+                        self.keys,
+                        when_matched="update",
+                        when_not_matched="insert",
+                    )
+                    is not None
+                ):
+                    self.applied["update"] += 1
+
+    def run_available_now(self, stream_df: DataFrame) -> None:
+        """Drain and apply all currently-available upstream commits."""
+        q = (
+            stream_df.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
 def tumbling_counts(
     events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

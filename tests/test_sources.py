@@ -903,3 +903,57 @@ def test_versioned_changes_starting_version_and_timestamp(spark, tmp_path):
         VersionedChangesStreamReader(
             {"path": up, "startingversion": "1", "startingtimestamp": "0"}
         )
+
+
+def test_versioned_changes_read_change_feed(spark, tmp_path):
+    """readChangeFeed=true (Delta CDF streaming): row-level DML versions
+    deliver their recorded change rows — delete / update_preimage /
+    update_postimage / insert — instead of tripping the rewrite path, so
+    a downstream consumer can APPLY deletes and updates incrementally.
+    Without the option the same log still follows onrewrite."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(20))                       # v0
+    vt.delete("id >= 15")                            # v1
+    vt.update("id = 0", {"id": "100"})               # v2
+
+    out = []
+
+    def sink(df, bid):
+        out.append(df.collect())
+
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", up)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in out for r in b]
+    by = {}
+    for r in rows:
+        by.setdefault((r._change_type, r._commit_version), []).append(r.id)
+    assert sorted(by[("insert", 0)]) == list(range(20))
+    assert sorted(by[("delete", 1)]) == [15, 16, 17, 18, 19]
+    assert by[("update_preimage", 2)] == [0]
+    assert by[("update_postimage", 2)] == [100]
+    # default mode (no readChangeFeed): the DML version is a rewrite —
+    # onrewrite=fail raises with the documented message
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises(Exception, match="not an append"):
+        try:
+            _drain_versioned_changes(
+                spark, up, str(tmp_path / "cp2"), on_rewrite="fail"
+            )
+        except PySparkException as e:
+            raise RuntimeError(str(e)) from e

@@ -1161,3 +1161,213 @@ def test_changes_from_timestamp(spark, tmp_path):
         vt.changes(0, from_timestamp=t_mid)
     with pytest.raises(VersionedTableError, match="from_version or"):
         vt.changes()
+
+
+# -- row-level DML (delete/update/merge + change feed) -------------------
+
+
+def _mk(spark, tmp_path, name="dml"):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / name))
+    df = spark.range(100).withColumn(
+        "grp", (F.col("id") % 10).cast("int")
+    ).withColumn("val", F.col("id") * 2)
+    # two key-disjoint appends -> key-disjoint files, so a predicate on
+    # one half must leave the other half's files untouched
+    vt.append(df.where("id < 50").coalesce(1))
+    vt.append(df.where("id >= 50").coalesce(1))
+    return vt
+
+
+def test_delete_rewrites_only_touched_files(spark, tmp_path):
+    """DELETE's two-phase plan: files without matching rows are carried
+    by NAME into the new version (no rewrite, stats reused); only files
+    holding matches are rewritten; the deleted rows land in _cdc."""
+    vt = _mk(spark, tmp_path)
+    before = vt._state(1)
+    low_file = before[0]   # ids 0..49 (append order is preserved)
+    high_file = before[1]  # ids 50..99
+    v = vt.delete("id >= 90")
+    assert v == 2
+    after = vt._state(v)
+    assert low_file in after          # untouched file carried by name
+    assert high_file not in after     # touched file rewritten
+    assert vt.read().count() == 90
+    assert vt.read(version_as_of=1).count() == 100  # snapshot isolation
+    m = vt._manifest(v)
+    assert m["op"] == "delete" and m["cdc"]
+    # stats for the carried file were REUSED, not re-collected
+    assert vt._stats_at(v)[low_file] == vt._stats_at(1)[low_file]
+    # change feed for exactly this version: the 10 deleted rows
+    cf = vt.change_feed(1, v)
+    assert cf.where("_change_type = 'delete'").count() == 10
+    assert sorted(
+        r.id for r in cf.where("_change_type = 'delete'").collect()
+    ) == list(range(90, 100))
+
+
+def test_delete_null_predicate_keeps_rows(spark, tmp_path):
+    """SQL DELETE matches only rows where the predicate is TRUE: a NULL
+    outcome keeps the row (naive `NOT pred` would delete it)."""
+    vt = VersionedTable(spark, str(tmp_path / "nulls"))
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id int, x int"
+    )
+    vt.overwrite(df)
+    vt.delete("x > 10")
+    assert sorted(r.id for r in vt.read().collect()) == [1, 2]  # NULL kept
+
+
+def test_delete_noop_and_delete_all(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    assert vt.delete("id > 1000") is None          # nothing matched
+    assert vt.latest_version() == 1                # and nothing committed
+    vt.delete("id >= 0")
+    assert vt.read().count() == 0                  # schema survives
+    assert vt.read().columns == ["id", "grp", "val"]
+
+
+def test_update_sees_old_row(spark, tmp_path):
+    """All assignments evaluate against the OLD row (standard UPDATE):
+    a two-column swap must actually swap, and the change files must
+    carry the matched pre/postimage pairs."""
+    vt = VersionedTable(spark, str(tmp_path / "swap"))
+    vt.overwrite(spark.createDataFrame([(1, 10, 20), (2, 30, 40)], "id int, a int, b int"))
+    v = vt.update("id = 1", {"a": "b", "b": "a"})
+    row = vt.read().where("id = 1").collect()[0]
+    assert (row.a, row.b) == (20, 10)  # swapped, not chained
+    cf = vt.change_feed(0, v)
+    pre = cf.where("_change_type = 'update_preimage'").collect()
+    post = cf.where("_change_type = 'update_postimage'").collect()
+    assert len(pre) == 1 and (pre[0].a, pre[0].b) == (10, 20)
+    assert len(post) == 1 and (post[0].a, post[0].b) == (20, 10)
+    # unmatched row untouched
+    assert vt.read().where("id = 2").collect()[0].a == 30
+
+
+def test_update_validates_columns(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    with pytest.raises(VersionedTableError, match="not in the table"):
+        vt.update("id = 1", {"nope": "1"})
+    assert vt.update("id > 1000", {"val": "0"}) is None  # no match: no-op
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE update+insert: matched target rows replaced by their source
+    row, unmatched source rows appended, everything else untouched —
+    and the change feed records the full story."""
+    vt = _mk(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(7, 7, -7), (63, 3, -63), (500, 0, -500)],
+        "id long, grp int, val long",
+    )
+    v = vt.merge(src, ["id"])
+    assert vt.read().count() == 101
+    got = {r.id: r.val for r in vt.read().where("id in (7, 63, 500)").collect()}
+    assert got == {7: -7, 63: -63, 500: -500}
+    from pyspark.sql import functions as F
+
+    cf = vt.change_feed(v - 1, v)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in cf.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {
+        "update_preimage": 2, "update_postimage": 2, "insert": 1
+    }
+
+
+def test_merge_clauses_and_errors(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    vt = _mk(spark, tmp_path)
+    # when_matched='delete': matched rows go away, no inserts wanted
+    src = spark.createDataFrame([(7, 0, 0), (8, 0, 0)], "id long, grp int, val long")
+    vt.merge(src, ["id"], when_matched="delete", when_not_matched=None)
+    assert vt.read().where("id in (7, 8)").count() == 0
+    assert vt.read().count() == 98
+    # insert-only merge: no keys match -> pure append of the new rows
+    src2 = spark.createDataFrame([(1000, 0, 0)], "id long, grp int, val long")
+    vt.merge(src2, ["id"], when_matched=None)
+    assert vt.read().where("id = 1000").count() == 1
+    # complete no-op: nothing matched, nothing to insert
+    assert vt.merge(src2.where("id < 0"), ["id"]) is None
+    # cardinality violation: duplicate source keys among MATCHED rows
+    dup = spark.createDataFrame(
+        [(5, 0, -1), (5, 0, -2)], "id long, grp int, val long"
+    )
+    with pytest.raises(VersionedTableError, match="duplicate keys"):
+        vt.merge(dup, ["id"])
+    # duplicate keys that match NOTHING are fine (insert both is Delta's
+    # behavior only when_matched is None disables the check)
+    with pytest.raises(VersionedTableError, match="identical columns"):
+        vt.merge(src2.drop("val"), ["id"])
+    with pytest.raises(VersionedTableError, match="must be"):
+        vt.merge(src2, ["id"], when_matched="upsert")
+
+
+def test_merge_creates_table(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "fresh"))
+    src = spark.range(5)
+    assert vt.merge(src, ["id"]) == 0
+    assert vt.read().count() == 5
+
+
+def test_change_feed_mixed_ops(spark, tmp_path):
+    """One feed across append + delete + compact + update: inserts come
+    from data files, row changes from _cdc files, compact contributes
+    nothing, and _commit_version stamps every row."""
+    vt = _mk(spark, tmp_path)                       # v0, v1: appends
+    vt.delete("grp = 3")                            # v2
+    vt.compact(target_file_bytes=1 << 30)           # v3: layout only
+    vt.update("grp = 4", {"val": "val + 1"})        # v4
+    from pyspark.sql import functions as F
+
+    cf = vt.change_feed(-1)
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["n"]
+        for r in cf.groupBy("_change_type", "_commit_version").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert by[("insert", 0)] == 50 and by[("insert", 1)] == 50
+    assert by[("delete", 2)] == 10
+    assert by[("update_preimage", 4)] == 10
+    assert by[("update_postimage", 4)] == 10
+    assert ("insert", 3) not in by  # compact is invisible
+    # an overwrite records no change files: a range crossing it raises
+    vt.overwrite(spark.range(3).selectExpr("id", "0 grp", "id val"))
+    with pytest.raises(VersionedTableError, match="full re-read"):
+        vt.change_feed(-1)
+    # but a range starting after it is fine again
+    assert vt.change_feed(vt.latest_version()).count() == 0
+
+
+def test_changes_refuses_dml_with_cdf_hint(spark, tmp_path):
+    vt = _mk(spark, tmp_path)
+    vt.delete("grp = 0")
+    with pytest.raises(VersionedTableError, match="change_feed"):
+        vt.changes(0)
+
+
+def test_vacuum_reclaims_change_files(spark, tmp_path):
+    """Change files follow the same retention: versions out of retention
+    lose theirs, retained versions keep theirs readable."""
+    import os
+
+    vt = _mk(spark, tmp_path)
+    vt.delete("grp = 1")          # v2: cdc written
+    vt.update("grp = 2", {"val": "0"})  # v3: cdc written (retained)
+    cdc_dir = os.path.join(vt.path, "_cdc")
+    n_before = len(os.listdir(cdc_dir))
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    kept = set(os.listdir(cdc_dir))
+    assert kept  # v3's change files survive
+    assert len(kept) < n_before  # v2's are gone
+    assert {os.path.basename(f) for f in vt._manifest(3)["cdc"]} <= kept
+    # the retained version's feed still reads
+    assert (
+        vt.change_feed(2, 3).where("_change_type = 'update_preimage'").count()
+        == 10
+    )
