@@ -259,7 +259,14 @@ class VersionedTable:
                     return None
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
-                if op in ("replace", "compact", "delete", "update", "merge"):
+                if op in (
+                    "replace",
+                    "compact",
+                    "delete",
+                    "update",
+                    "merge",
+                    "restore",
+                ):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
                         f"base {base_version}; {op} was computed against a "
@@ -1297,6 +1304,52 @@ class VersionedTable:
         # only the write fan-in narrows
         df = self.read().coalesce(n_target)
         return self._commit(self._write_data_files(df), "compact", base)
+
+    def restore(
+        self, version: int | None = None, timestamp: object = None
+    ) -> int:
+        """RESTORE the table to an earlier snapshot as a NEW version
+        (Delta's RESTORE TO VERSION/TIMESTAMP): commits a full-snapshot
+        manifest re-listing the old version's files — zero data is read
+        or written, the files are still on disk (restore only reaches as
+        far back as vacuum retention, same as Delta), and the restored
+        state's stats come straight from the old manifests. History is
+        preserved: the bad versions stay readable, and a second restore
+        can roll forward again. Data-changing for consumers (the row set
+        really changed), and no change files are recorded — row-level
+        diffs across a restore are unknowable without diffing snapshots,
+        so ``changes()``/``change_feed()`` across it direct the consumer
+        to a re-read, exactly as for overwrite."""
+        if (version is None) == (timestamp is None):
+            raise VersionedTableError(
+                "restore takes exactly one of version or timestamp"
+            )
+        if timestamp is not None:
+            version = self.resolve_timestamp(timestamp)
+        vs = self._versions()
+        if version not in vs:
+            raise VersionedTableError(
+                f"version {version} not found; available "
+                f"{vs[0] if vs else '-'}..{vs[-1] if vs else '-'}"
+            )
+        files = self._state(version)
+        missing = [
+            f
+            for f in files
+            if not os.path.exists(os.path.join(self.path, f))
+        ]
+        if missing:
+            raise VersionedTableError(
+                f"cannot restore to version {version}: {len(missing)} of "
+                f"its files were vacuumed (first: {missing[0]}) — restore "
+                f"only reaches back as far as vacuum retention"
+            )
+        return self._commit(
+            files,
+            "restore",
+            self.latest_version(),
+            known_stats=self._stats_at(version),
+        )
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]

@@ -1371,3 +1371,100 @@ def test_vacuum_reclaims_change_files(spark, tmp_path):
         vt.change_feed(2, 3).where("_change_type = 'update_preimage'").count()
         == 10
     )
+
+
+def test_restore_to_version_and_timestamp(spark, tmp_path):
+    """RESTORE re-lists an old snapshot's files as a NEW version: zero
+    data I/O (the files are reused by name, stats carried from the old
+    manifests), history preserved, roll-forward possible, and vacuumed
+    targets refused actionably."""
+    import time as _time
+
+    vt = _mk(spark, tmp_path)          # v0, v1: 100 rows
+    t_full = _time.time()
+    vt.delete("id >= 50")              # v2: oops
+    assert vt.read().count() == 50
+    before = set(vt._state(1))
+    v = vt.restore(1)
+    assert v == 3
+    assert vt.read().count() == 100
+    assert set(vt._state(v)) == before          # same files BY NAME
+    assert vt._manifest(v)["op"] == "restore"
+    assert vt._stats_at(v) == vt._stats_at(1)   # stats carried, not re-read
+    assert vt.read(version_as_of=2).count() == 50  # history intact
+    # restore by timestamp resolves through the same clock as time travel
+    v2 = vt.restore(timestamp=t_full)
+    assert vt.read().count() == 100 and v2 == 4
+    with pytest.raises(VersionedTableError, match="exactly one"):
+        vt.restore(1, timestamp=t_full)
+    with pytest.raises(VersionedTableError, match="not found"):
+        vt.restore(99)
+    # a restore is data-changing with no change files: incremental
+    # consumers are directed to a re-read
+    with pytest.raises(VersionedTableError, match="full re-read"):
+        vt.changes(2)
+    # vacuum truncates the old manifests: the target version is gone
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    with pytest.raises(VersionedTableError, match="not found"):
+        vt.restore(2)
+    # and a surviving manifest whose FILES are gone (interrupted vacuum)
+    # refuses with the retention hint instead of committing a broken state
+    import os
+
+    vt2 = VersionedTable(spark, str(tmp_path / "gone"))
+    vt2.overwrite(spark.range(5))
+    old = vt2._state(0)
+    vt2.overwrite(spark.range(5, 9))
+    for f in old:
+        os.remove(os.path.join(vt2.path, f))
+    with pytest.raises(VersionedTableError, match="vacuum retention"):
+        vt2.restore(0)
+
+
+def test_dml_aborts_on_concurrent_commit(spark, tmp_path):
+    """delete/update/merge commit with the replace conflict rule: their
+    touched-file split was computed against a snapshot, so a concurrent
+    append advancing the log must abort the DML (retrying blind would
+    resurrect or clobber the concurrent writer's rows)."""
+    from pyspark.sql import functions as F
+
+    vt = _mk(spark, tmp_path)
+    base = vt.latest_version()
+    # the DML writer computes its rewrite against `base`...
+    cond = vt._as_condition("id >= 90")
+    touched, untouched = vt._split_touched(base, cond)
+    scan_t = vt._scan_files(touched)
+    kept = vt._write_data_files(scan_t.where(~cond))
+    cdc = vt._write_cdc_files(
+        scan_t.where(cond).withColumn("_change_type", F.lit("delete"))
+    )
+    # ...a concurrent append lands first...
+    vt.append(spark.range(1000, 1010).selectExpr("id", "0 grp", "id val"))
+    # ...so the stale-based commit must abort, not clobber
+    with pytest.raises(VersionedTableError, match="stale"):
+        vt._commit(untouched + kept, "delete", base, cdc=cdc)
+    assert vt.read().count() == 110  # nothing lost
+
+
+def test_dml_phase1_scan_is_column_pruned(spark, tmp_path):
+    """The touched-file discovery scan must read ONLY the predicate's
+    columns (plus file-path metadata) — at 100 TB the difference between
+    scanning one column and the whole table is the whole game. Asserted
+    on the physical plan's ReadSchema, same style as docs/PLANS.md."""
+    from pyspark.sql import functions as F
+
+    vt = _mk(spark, tmp_path)
+    cond = vt._as_condition("grp = 3")
+    plan_df = (
+        vt._with_file_name(vt._scan_files(vt._state(1)))
+        .where(cond)
+        .select(vt._FILE_NAME)
+        .distinct()
+    )
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "grp" in schema_line, schema_line
+    # the fat columns stay out of the scan
+    assert "val" not in schema_line and "id" not in schema_line, schema_line
