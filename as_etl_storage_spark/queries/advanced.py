@@ -821,6 +821,51 @@ _register(
 )
 
 
+def _w_versioned_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned versioned table (Delta's partition columns): an
+    overwrite with partition_by lays orders out under
+    ``o_orderstatus=<v>/`` directories and injects each file's partition
+    value as a degenerate manifest bound, so ``read(prune=…)`` on the
+    partition column skips every other partition FROM THE MANIFEST
+    (zero footer reads, no file listing) — asserted in-query before
+    returning the pruned read, which must equal the plain SQL filter."""
+    import os
+    import uuid
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wpart-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders, partition_by=["o_orderstatus"])
+    files = vt._state(0)
+    stats = vt._stats_at(0)
+    kept = [
+        f
+        for f in files
+        if vt._file_may_match(stats.get(f, {}), "o_orderstatus", "=", "F")
+    ]
+    if not kept or not all(f.startswith("o_orderstatus=F/") for f in kept):
+        raise AssertionError(
+            f"manifest partition pruning failed: kept {kept[:3]}... of "
+            f"{len(files)} files"
+        )
+    return vt.read(prune=[("o_orderstatus", "=", "F")])
+
+
+_register(
+    "w_versioned_partitioned_prune",
+    _w_versioned_partitioned,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+
+
 def _w_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data feed across mixed commits (Delta CDF): two appends,
     a delete and an update produce a deterministic version history; the

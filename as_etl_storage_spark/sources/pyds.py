@@ -510,16 +510,43 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
                 f"the type map"
             )
         fields.append((n, _CDC_PA_TO_DDL[t]))
+    # hive-partitioned table: the partition columns live in directory
+    # names, not footers — append them, typed from the newest file's
+    # parsed values (int → bigint, float → double, else string, Spark's
+    # own partition-inference order); read() fills them per-partition
+    # from the values the driver parsed out of each manifest name
+    pvals = VersionedTable._partition_values(newest)
+    for col in vt._partition_by_at(latest):
+        if any(n == col for n, _ in fields):
+            continue  # also stored in the file (cdc files do this)
+        v = pvals.get(col)
+        ddl = (
+            "bigint"
+            if isinstance(v, int)
+            else "double" if isinstance(v, float) else "string"
+        )
+        fields.append((col, ddl))
     return fields
 
 
 class _ChangeFiles(InputPartition):
     """One committed data file + its delivery metadata. Executors read
-    the file; the driver only ever walked the manifest log."""
+    the file; the driver only ever walked the manifest log. ``pvals``
+    carries the file's hive partition values (parsed from its manifest
+    name on the DRIVER, typed to the stream schema) so executors can
+    materialize partition columns that are absent from the footer."""
 
-    def __init__(self, path: str, version: int, kind: str, columns: tuple):
+    def __init__(
+        self,
+        path: str,
+        version: int,
+        kind: str,
+        columns: tuple,
+        pvals: dict | None = None,
+    ):
         self.path, self.version, self.kind = path, version, kind
         self.columns = columns
+        self.pvals = pvals or {}
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -580,7 +607,28 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             )
         self.starting_version = int(sv) if sv is not None else None
         self.starting_timestamp = st
-        self._columns = tuple(n for n, _ in _versioned_data_columns(self.path))
+        fields = _versioned_data_columns(self.path)
+        self._columns = tuple(n for n, _ in fields)
+        self._types = dict(fields)
+
+    def _pvals(self, rel_name: str) -> dict:
+        """Partition values for one manifest name, coerced to the stream
+        schema's declared types (a later partition directory might parse
+        as a different python type than the one the schema probe saw)."""
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        out = {}
+        for col, val in VersionedTable._partition_values(rel_name).items():
+            ddl = self._types.get(col, "string")
+            try:
+                out[col] = (
+                    int(val)
+                    if ddl == "bigint"
+                    else float(val) if ddl == "double" else str(val)
+                )
+            except (TypeError, ValueError):
+                out[col] = None  # type clash: deliver NULL, not a crash
+        return out
 
     def _table(self):
         from as_etl_storage_spark.writers.versioned import VersionedTable
@@ -629,7 +677,16 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         appends: list[tuple[int, list[str], str]] = []
         rewrite = None
         for v in range(from_v + 1, to_v + 1):
-            m = vt._manifest(v)
+            try:
+                m = vt._manifest(v)
+            except FileNotFoundError:
+                # vacuum truncated this manifest: the incremental history
+                # is gone (a fresh stream with no startingVersion walks
+                # from -1 and lands here on any vacuumed log). Same
+                # recovery contract as a data-changing rewrite — deliver
+                # the current snapshot (default), fail, or skip.
+                rewrite = (v, "vacuumed")
+                continue
             if _layout_only(m):
                 # compact (data_change: false): same rows, new packing —
                 # the stream continues incrementally straight across an
@@ -658,12 +715,22 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 )
             return [
                 _ChangeFiles(
-                    os.path.join(self.path, f), to_v, "snapshot", self._columns
+                    os.path.join(self.path, f),
+                    to_v,
+                    "snapshot",
+                    self._columns,
+                    self._pvals(f),
                 )
                 for f in vt._state(to_v)
             ]
         return [
-            _ChangeFiles(os.path.join(self.path, f), v, kind, self._columns)
+            _ChangeFiles(
+                os.path.join(self.path, f),
+                v,
+                kind,
+                self._columns,
+                self._pvals(f),
+            )
             for v, files, kind in appends
             for f in files
         ]
@@ -678,6 +745,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         for name in partition.columns:
             if name in t.column_names:
                 arrays.append(t.column(name).combine_chunks())
+            elif partition.pvals.get(name) is not None:
+                # hive partition column: constant per file, parsed from
+                # the manifest name on the driver (int/float/str infer to
+                # int64/float64/string — the schema probe's own mapping)
+                arrays.append(pa.array([partition.pvals[name]] * n))
             else:
                 # additive schema evolution: files committed before the
                 # column existed deliver NULLs, as mergeSchema does

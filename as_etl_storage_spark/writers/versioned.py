@@ -163,6 +163,31 @@ class VersionedTable:
                 base[app] = batch
         return base
 
+    def _partition_by_at(self, version: int) -> list[str]:
+        """Partition columns in effect at ``version`` (Delta's metaData
+        action, carried by full-snapshot manifests and checkpoints):
+        the walk passes through append deltas to the nearest snapshot,
+        which records the layout its writer used."""
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    return list(json.load(fh).get("partition_by", []))
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                return []
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "files" in m:
+                return list(m.get("partition_by", []))
+            v -= 1
+
+    def partition_columns(self) -> list[str]:
+        """The table's current partition columns ([] when unpartitioned)."""
+        latest = self.latest_version()
+        return [] if latest is None else self._partition_by_at(latest)
+
     def _stats_at(self, version: int) -> dict[str, dict]:
         """File → column-bounds map at ``version``: same walk as _state,
         with append layers overlaying the base snapshot. Old-format
@@ -206,6 +231,7 @@ class VersionedTable:
                     "files": state,
                     "stats": {f: s for f, s in stats.items() if f in keep},
                     "txns": self._txns_at(version),
+                    "partition_by": self._partition_by_at(version),
                 },
                 fh,
             )
@@ -222,6 +248,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         cdc: list[str] | None = None,
         known_stats: dict[str, dict] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -306,6 +333,9 @@ class VersionedTable:
                     "base": base_version,
                     "ts": time.time(),
                 }
+                if partition_by:
+                    # Delta's metaData action: the snapshot's layout
+                    manifest["partition_by"] = list(partition_by)
                 if op == "compact":
                     # Delta's OPTIMIZE flag: same rows, new packing —
                     # incremental consumers skip this version wholesale
@@ -348,21 +378,44 @@ class VersionedTable:
         raise VersionedTableError("could not commit after 50 attempts")
 
     # -- data files -----------------------------------------------------
-    def _write_data_files(self, df: DataFrame) -> list[str]:
+    def _write_data_files(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[str]:
+        """Stage the frame's parquet files and move them under the table
+        root, returning their manifest names. With ``partition_by`` the
+        write is hive-layout (``col=value/part-*.parquet``) and the
+        manifest names keep the partition directories — the partition a
+        file belongs to is readable from its NAME, which is what lets
+        _collect_stats turn partition values into prunable bounds
+        without touching a footer."""
         staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(staging)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise VersionedTableError(
+                    f"partition columns {missing} not in frame columns "
+                    f"{df.columns}"
+                )
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
         os.makedirs(self.path, exist_ok=True)
         files = []
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"part-{uuid.uuid4().hex[:12]}.parquet"
-            os.rename(os.path.join(staging, f), os.path.join(self.path, name))
-            files.append(name)
+        for root, _dirs, names in os.walk(staging):
+            rel_dir = os.path.relpath(root, staging)
+            for f in sorted(names):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"part-{uuid.uuid4().hex[:12]}.parquet"
+                rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+                target = os.path.join(self.path, rel)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                os.rename(os.path.join(root, f), target)
+                files.append(rel)
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
-        return files
+        return sorted(files)
 
     def _write_cdc_files(self, df: DataFrame) -> list[str]:
         """Write change rows under ``_cdc/`` and return their manifest
@@ -393,7 +446,15 @@ class VersionedTable:
         that file — absent stats mean "cannot skip", never "no rows".
         Only JSON-faithful primitives are kept (int/float/str/bool):
         timestamps/decimals would round-trip lossily through the manifest
-        and a lossy bound is a wrong bound."""
+        and a lossy bound is a wrong bound.
+
+        A partitioned file's partition values (parsed from its
+        ``col=value`` path segments, typed best-effort like Spark's own
+        partition inference: int, then float, then string) are injected
+        as degenerate ``[v, v]`` bounds — so ``read(prune=…)`` on a
+        partition column skips whole partitions from the manifest alone,
+        which IS partition pruning, through the same code path as stats
+        skipping."""
         import pyarrow.parquet as pq
 
         out: dict[str, dict] = {}
@@ -426,7 +487,38 @@ class VersionedTable:
                         mins[cname] = st.min
                     if cname not in maxs or st.max > maxs[cname]:
                         maxs[cname] = st.max
-            out[name] = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+            bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+            for col, val in self._partition_values(name).items():
+                bounds[col] = [val, val]
+            out[name] = bounds
+        return out
+
+    @staticmethod
+    def _partition_values(name: str) -> dict[str, object]:
+        """``col=value`` pairs parsed from a manifest name's directory
+        segments (hive layout), typed best-effort (int → float → str,
+        Spark's own partition-inference order); ``__HIVE_DEFAULT_
+        PARTITION__`` is the null marker and contributes no bound."""
+        from urllib.parse import unquote
+
+        out: dict[str, object] = {}
+        parts = name.replace(os.sep, "/").split("/")[:-1]
+        for seg in parts:
+            if "=" not in seg:
+                continue
+            col, _, raw = seg.partition("=")
+            raw = unquote(raw)
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                continue  # NULL partition: no usable bound
+            val: object
+            try:
+                val = int(raw)
+            except ValueError:
+                try:
+                    val = float(raw)
+                except ValueError:
+                    val = raw
+            out[col] = val
         return out
 
     # -- write ops ------------------------------------------------------
@@ -439,14 +531,16 @@ class VersionedTable:
         its staged files — which is exactly what a replayed foreachBatch
         micro-batch needs for exactly-once sink semantics. Commit cost
         stays O(new files): the ledger check reads manifests, never
-        data."""
+        data. Appends to a partitioned table write hive layout under the
+        table's declared partition columns automatically."""
         base = self.latest_version()
         if txn is not None and base is not None:
             # cheap pre-check before paying the data write; the
             # authoritative check re-runs inside the commit loop
             if self._txns_at(base).get(txn[0], -1) >= txn[1]:
                 return None
-        new_files = self._write_data_files(df)
+        pb = self._partition_by_at(base) if base is not None else []
+        new_files = self._write_data_files(df, pb)
         v = self._commit(None, "append", base, new_files=new_files, txn=txn)
         if v is None:
             # lost an idempotence race after staging: the files are
@@ -459,9 +553,30 @@ class VersionedTable:
                     pass
         return v
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Replace the table's content as a new version.
+
+        ``partition_by`` declares (or redeclares — an overwrite resets
+        the whole snapshot, so re-laying it out is legal, Delta's
+        ``overwriteSchema`` posture) hive partition columns: data files
+        land under ``col=value/`` directories, every file's partition
+        values become degenerate manifest bounds (partition pruning via
+        ``read(prune=…)`` with zero footer reads), and all later writes
+        — appends, DML rewrites, compaction — preserve the layout.
+        ``None`` keeps the table's current layout; ``[]`` flattens."""
         base = self.latest_version()
-        return self._commit(self._write_data_files(df), "overwrite", base)
+        if partition_by is None:
+            partition_by = (
+                self._partition_by_at(base) if base is not None else []
+            )
+        return self._commit(
+            self._write_data_files(df, partition_by),
+            "overwrite",
+            base,
+            partition_by=partition_by,
+        )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:
         """MERGE-style upsert as a new version: kept-oldies ∪ incoming.
@@ -480,7 +595,13 @@ class VersionedTable:
             incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
         )
         merged = kept.unionByName(incoming)
-        return self._commit(self._write_data_files(merged), "replace", base)
+        pb = self._partition_by_at(base)
+        return self._commit(
+            self._write_data_files(merged, pb),
+            "replace",
+            base,
+            partition_by=pb,
+        )
 
     # -- row-level DML (file-pruned rewrite + change-data files) --------
     @staticmethod
@@ -493,8 +614,15 @@ class VersionedTable:
         return F.coalesce(cond.cast("boolean"), F.lit(False))
 
     def _scan_files(self, names: list[str]) -> DataFrame:
+        # basePath reconstructs partition columns from the hive directory
+        # segments when the table is partitioned (harmless when flat);
+        # mergeSchema keeps additively-evolved snapshots whole
         paths = [os.path.join(self.path, f) for f in names]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*paths)
+        )
 
     _FILE_NAME = "__vt_file"
 
@@ -525,10 +653,12 @@ class VersionedTable:
             .distinct()
             .collect()
         )
+        # the scan reports basenames; manifest names keep partition dirs
+        # — basenames stay unique (uuid-named), so match on them
         touched = {r[self._FILE_NAME] for r in touched_rows}
         return (
-            [f for f in files if f in touched],
-            [f for f in files if f not in touched],
+            [f for f in files if os.path.basename(f) in touched],
+            [f for f in files if os.path.basename(f) not in touched],
         )
 
     def delete(self, predicate) -> int | None:
@@ -556,9 +686,10 @@ class VersionedTable:
         touched, untouched = self._split_touched(base, cond)
         if not touched:
             return None
+        pb = self._partition_by_at(base)
         scan_t = self._scan_files(touched).persist()
         try:
-            kept_files = self._write_data_files(scan_t.where(~cond))
+            kept_files = self._write_data_files(scan_t.where(~cond), pb)
             cdc = self._write_cdc_files(
                 scan_t.where(cond).withColumn("_change_type", F.lit("delete"))
             )
@@ -571,6 +702,7 @@ class VersionedTable:
             base,
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
+            partition_by=pb,
         )
 
     def update(self, predicate, assignments: dict) -> int | None:
@@ -615,9 +747,10 @@ class VersionedTable:
         touched, untouched = self._split_touched(base, cond)
         if not touched:
             return None
+        pb = self._partition_by_at(base)
         scan_t = self._scan_files(touched).persist()
         try:
-            new_files = self._write_data_files(_updated(scan_t, cond))
+            new_files = self._write_data_files(_updated(scan_t, cond), pb)
             matched = scan_t.where(cond)
             cdc = self._write_cdc_files(
                 matched.withColumn(
@@ -637,6 +770,7 @@ class VersionedTable:
             base,
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
+            partition_by=pb,
         )
 
     def merge(
@@ -717,6 +851,7 @@ class VersionedTable:
                     "de-duplicate the source on the merge keys first"
                 )
         files = self._state(base)
+        pb = self._partition_by_at(base)
         touched: list[str] = []
         untouched = files
         if when_matched is not None:
@@ -728,8 +863,10 @@ class VersionedTable:
                 .collect()
             )
             t_set = {r[self._FILE_NAME] for r in t_rows}
-            touched = [f for f in files if f in t_set]
-            untouched = [f for f in files if f not in t_set]
+            touched = [f for f in files if os.path.basename(f) in t_set]
+            untouched = [
+                f for f in files if os.path.basename(f) not in t_set
+            ]
         cdc_frames: list[DataFrame] = []
         new_files: list[str] = []
         matched_src = source.join(target_keys, on=on, how="left_semi")
@@ -743,7 +880,7 @@ class VersionedTable:
                     )
                 else:  # delete
                     rewritten = kept
-                new_files += self._write_data_files(rewritten)
+                new_files += self._write_data_files(rewritten, pb)
                 pre = scan_t.join(src_keys, on=on, how="left_semi")
                 if when_matched == "update":
                     cdc_frames.append(
@@ -761,7 +898,7 @@ class VersionedTable:
                 if when_not_matched == "insert":
                     inserts = source.join(target_keys, on=on, how="left_anti")
                     if not inserts.isEmpty():
-                        new_files += self._write_data_files(inserts)
+                        new_files += self._write_data_files(inserts, pb)
                         cdc_frames.append(
                             inserts.withColumn("_change_type", F.lit("insert"))
                         )
@@ -778,7 +915,7 @@ class VersionedTable:
             inserts = source.join(target_keys, on=on, how="left_anti")
             if inserts.isEmpty():
                 return None  # nothing matched AND nothing new
-            new_files = self._write_data_files(inserts)
+            new_files = self._write_data_files(inserts, pb)
             cdc = self._write_cdc_files(
                 inserts.withColumn("_change_type", F.lit("insert"))
             )
@@ -789,6 +926,7 @@ class VersionedTable:
             base,
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
+            partition_by=pb,
         )
 
     # -- read -----------------------------------------------------------
@@ -958,13 +1096,12 @@ class VersionedTable:
                 f"version {version} references no data files; the schema "
                 f"is unrecoverable from an empty manifest"
             )
-        paths = [os.path.join(self.path, f) for f in files]
         # mergeSchema: a version committed after additive evolution
         # (evolveSchema) references files with both the old and the new
         # column set — without merging, the table schema would be whatever
         # file happens to be listed first and added columns would silently
         # vanish
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = self._scan_files(files)
         if prune:
             from pyspark.sql import functions as F
 
@@ -1073,8 +1210,7 @@ class VersionedTable:
                 )
         if not added:  # from == to: empty frame with the snapshot's schema
             return self.read(version_as_of=to_version).limit(0)
-        paths = [os.path.join(self.path, f) for f in added]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return self._scan_files(added)
 
     def change_feed(
         self,
@@ -1228,6 +1364,7 @@ class VersionedTable:
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
         files = self._state(base)
+        pb = self._partition_by_at(base)
         sizes = []
         for f in files:
             try:
@@ -1291,19 +1428,40 @@ class VersionedTable:
                 # skewed numeric column: equi-populated buckets from ONE
                 # sampled-boundary job across all listed columns
                 keyed = attach_zorder_key_ranked(snap, zorder, "__zkey")
+            # on a partitioned table the range key leads with the
+            # partition columns: same-partition rows land in the same
+            # write tasks, so the hive write fans out to ~n_target files
+            # total (per-partition clustering, Delta's OPTIMIZE ZORDER
+            # scope) instead of n_target × partitions fragments
+            range_cols = [*pb, "__zkey"] if pb else ["__zkey"]
             df = (
-                keyed.repartitionByRange(n_target, "__zkey")
-                .sortWithinPartitions("__zkey")
+                keyed.repartitionByRange(n_target, *range_cols)
+                .sortWithinPartitions(*range_cols)
                 .drop("__zkey")
             )
-            return self._commit(self._write_data_files(df), "compact", base)
+            return self._commit(
+                self._write_data_files(df, pb),
+                "compact",
+                base,
+                partition_by=pb,
+            )
         if len(files) <= n_target:
             return base  # already right-sized; nothing to rewrite
-        # one shuffle-free rewrite: coalesce narrows partitions without an
-        # exchange — at 10^6 inputs the scan parallelism stays wide and
-        # only the write fan-in narrows
-        df = self.read().coalesce(n_target)
-        return self._commit(self._write_data_files(df), "compact", base)
+        if pb:
+            # hive layout: a coalesce would interleave partitions inside
+            # each task and the partitionBy write would re-split them into
+            # ~n_target × partitions fragments — one range exchange on the
+            # partition columns keeps same-partition rows together so the
+            # write lands ~n_target right-sized files
+            df = self.read().repartitionByRange(n_target, *pb)
+        else:
+            # one shuffle-free rewrite: coalesce narrows partitions
+            # without an exchange — at 10^6 inputs the scan parallelism
+            # stays wide and only the write fan-in narrows
+            df = self.read().coalesce(n_target)
+        return self._commit(
+            self._write_data_files(df, pb), "compact", base, partition_by=pb
+        )
 
     def restore(
         self, version: int | None = None, timestamp: object = None
@@ -1349,6 +1507,7 @@ class VersionedTable:
             "restore",
             self.latest_version(),
             known_stats=self._stats_at(version),
+            partition_by=self._partition_by_at(version),
         )
 
     def history(self) -> list[dict]:
@@ -1411,13 +1570,39 @@ class VersionedTable:
         ):
             self._write_checkpoint(oldest_kept)
         removed = 0
-        for f in os.listdir(self.path):
-            if f.endswith(".parquet") and f not in keep_files:
-                full = os.path.join(self.path, f)
+        # recursive: partitioned tables keep data under col=value/ dirs;
+        # staging, log and change dirs are pruned from the walk
+        for root, dirs, names in os.walk(self.path):
+            if root == self.path:
+                dirs[:] = [
+                    d
+                    for d in dirs
+                    if d not in ("_log", "_cdc")
+                    and not d.startswith("__stage__")
+                ]
+            for f in names:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, f), self.path)
+                if rel in keep_files:
+                    continue
+                full = os.path.join(self.path, rel)
                 if not _old_enough(full):
                     continue
                 os.remove(full)
                 removed += 1
+        # sweep partition directories a removal emptied (best-effort;
+        # harmless if a concurrent writer recreates one)
+        for root, dirs, names in os.walk(self.path, topdown=False):
+            if root != self.path and not dirs and not names:
+                rel0 = os.path.relpath(root, self.path).split(os.sep)[0]
+                if rel0 not in ("_log", "_cdc") and not rel0.startswith(
+                    "__stage__"
+                ):
+                    try:
+                        os.rmdir(root)
+                    except OSError:
+                        pass
         # change files are referenced by their commit's manifest, not by
         # any snapshot: keep those of RETAINED versions (their change
         # feed must stay readable), reclaim the rest under the same grace

@@ -957,3 +957,72 @@ def test_versioned_changes_read_change_feed(spark, tmp_path):
             )
         except PySparkException as e:
             raise RuntimeError(str(e)) from e
+
+
+def test_versioned_changes_streams_partitioned_table(spark, tmp_path):
+    """A hive-partitioned table streams whole: partition columns are
+    absent from the footers, so the driver parses each file's partition
+    values out of its manifest name, types them through the schema
+    probe, and executors materialize them as constant Arrow columns."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    df = (
+        spark.range(40)
+        .withColumn("region", (F.col("id") % 4).cast("int"))
+        .withColumn("val", F.col("id") * 2)
+    )
+    vt.overwrite(df.coalesce(1), partition_by=["region"])
+    vt.append(
+        spark.range(40, 50)
+        .withColumn("region", F.lit(7))
+        .withColumn("val", F.col("id"))
+        .coalesce(1)
+    )
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert len(rows) == 50
+    assert {r.region for r in rows} == {0, 1, 2, 3, 7}
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region, []).append(r.id)
+    assert sorted(by_region[7]) == list(range(40, 50))
+    # typed as bigint (int partition values), not string
+    assert all(isinstance(r.region, int) for r in rows)
+
+
+def test_versioned_changes_vacuumed_log_recovery(spark, tmp_path):
+    """A fresh stream (no startingVersion) on a log vacuum has truncated
+    cannot walk the missing manifests: the source takes the documented
+    rewrite-recovery path — full snapshot by default, an actionable
+    error under onrewrite=fail — and tails incrementally afterwards."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.overwrite(spark.range(20))
+    vt.append(spark.range(20, 30))
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+
+    with pytest.raises(PySparkException, match="vacuumed"):
+        _drain_versioned_changes(
+            spark, up, str(tmp_path / "cpf"), on_rewrite="fail"
+        )
+
+    cp = str(tmp_path / "cp")
+    out = _drain_versioned_changes(spark, up, cp)
+    rows = [r for _, b in out for r in b]
+    assert len(rows) == 30
+    assert {r._change_type for r in rows} == {"snapshot"}
+    # the same checkpoint then tails appends incrementally
+    vt.append(spark.range(30, 33))
+    out = _drain_versioned_changes(spark, up, cp)
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == [30, 31, 32]
+    assert {r._change_type for r in rows} == {"insert"}

@@ -1468,3 +1468,148 @@ def test_dml_phase1_scan_is_column_pruned(spark, tmp_path):
     assert "grp" in schema_line, schema_line
     # the fat columns stay out of the scan
     assert "val" not in schema_line and "id" not in schema_line, schema_line
+
+
+# -- hive-partitioned tables --------------------------------------------
+
+
+def _mk_part(spark, tmp_path, name="pt"):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / name))
+    df = (
+        spark.range(100)
+        .withColumn("region", (F.col("id") % 4).cast("int"))
+        .withColumn("val", F.col("id") * 2)
+    )
+    vt.overwrite(df.coalesce(2), partition_by=["region"])
+    return vt
+
+
+def test_partitioned_layout_and_manifest_pruning(spark, tmp_path):
+    """partition_by lays files out hive-style and injects each file's
+    partition values as degenerate manifest bounds — so read(prune=...)
+    on the partition column skips every other partition's files from the
+    MANIFEST, zero footer reads, through the same code path as stats
+    skipping. The partition column itself is reconstructed on read."""
+    vt = _mk_part(spark, tmp_path)
+    files = vt._state(0)
+    assert all(f.split("/")[0].startswith("region=") for f in files)
+    assert vt.partition_columns() == ["region"]
+    stats = vt._stats_at(0)
+    for f in files:
+        region = int(f.split("/")[0].split("=")[1])
+        assert stats[f]["region"] == [region, region]
+    # the pruned file list is exactly the matching partition
+    kept = [
+        f
+        for f in files
+        if vt._file_may_match(stats.get(f, {}), "region", "=", 2)
+    ]
+    assert kept and all(f.startswith("region=2/") for f in kept)
+    # and the pruned read equals the plain filter
+    got = sorted(
+        r.id for r in vt.read(prune=[("region", "=", 2)]).collect()
+    )
+    want = sorted(r.id for r in vt.read().where("region = 2").collect())
+    assert got == want and len(got) == 25
+    assert set(vt.read().columns) == {"id", "region", "val"}
+
+
+def test_partitioned_append_dml_and_feed(spark, tmp_path):
+    """Appends inherit the declared layout; DML rewrites only the hit
+    partitions' files (others carried by name); the change feed
+    reconstructs the partition column via basePath."""
+    from pyspark.sql import functions as F
+
+    vt = _mk_part(spark, tmp_path)
+    vt.append(
+        spark.range(100, 120)
+        .withColumn("region", F.lit(9))
+        .withColumn("val", F.col("id"))
+        .coalesce(1)
+    )
+    assert all(f.startswith("region=9/") for f in vt._manifest(1)["add"])
+    carried = [f for f in vt._state(1) if f.startswith("region=0/")]
+    v = vt.delete("region = 1")
+    assert vt.read().count() == 95
+    after = vt._state(v)
+    assert not [f for f in after if f.startswith("region=1/")]
+    assert [f for f in after if f.startswith("region=0/")] == carried
+    v2 = vt.update("region = 9", {"val": "val + 1"})
+    assert (
+        vt.read().where("region = 9").agg(F.min("val")).collect()[0][0]
+        == 101
+    )
+    src = spark.createDataFrame(
+        [(0, 0, -1), (500, 3, -2)], "id long, region int, val long"
+    )
+    vt.merge(src, ["id"])
+    cf = vt.change_feed(1)
+    assert "region" in cf.columns
+    assert (
+        cf.where("_change_type = 'delete'")
+        .select("region")
+        .distinct()
+        .collect()[0][0]
+        == 1
+    )
+
+
+def test_partitioned_compact_restore_vacuum(spark, tmp_path):
+    """compact preserves the hive layout with ~n_target files (range
+    exchange on the partition columns, not n_target × partitions
+    fragments); restore carries the layout metadata; vacuum walks the
+    partition directories recursively and sweeps the ones it empties."""
+    import os
+
+    vt = _mk_part(spark, tmp_path)
+    before = vt.read().count()
+    n_files = len(vt._state(0))
+    vc = vt.compact()
+    after = vt._state(vc)
+    assert len(after) < n_files
+    assert all(f.split("/")[0].startswith("region=") for f in after)
+    assert vt.read().count() == before
+    assert vt.partition_columns() == ["region"]
+    vt.restore(0)
+    assert vt.partition_columns() == ["region"]
+    removed = vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert removed > 0
+    assert vt.read().count() == before  # current snapshot intact
+
+
+def test_partitioned_overwrite_relayout_and_flatten(spark, tmp_path):
+    """overwrite(partition_by=None) keeps the current layout; an explicit
+    list re-partitions; [] flattens back."""
+    from pyspark.sql import functions as F
+
+    vt = _mk_part(spark, tmp_path)
+    df = (
+        spark.range(50)
+        .withColumn("region", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id"))
+    )
+    vt.overwrite(df)  # None: keep hive layout
+    assert vt.partition_columns() == ["region"]
+    assert all("region=" in f for f in vt._state(vt.latest_version()))
+    vt.overwrite(df, partition_by=[])  # explicit flatten
+    assert vt.partition_columns() == []
+    assert all("/" not in f for f in vt._state(vt.latest_version()))
+    assert vt.read().count() == 50
+
+
+def test_partitioned_null_partition_value(spark, tmp_path):
+    """A NULL partition value lands in __HIVE_DEFAULT_PARTITION__ with no
+    prunable bound: pruning on the partition column must keep the file
+    (absent bounds mean cannot-skip), and reads reconstruct the NULL."""
+    vt = VersionedTable(spark, str(tmp_path / "np"))
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id int, k string"
+    )
+    vt.overwrite(df, partition_by=["k"])
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in vt._state(0))
+    assert vt.read().where("k IS NULL").count() == 1
+    # pruning k='a' keeps the null-partition file listed (no bound) but
+    # the filter still applies: exactly the k='a' row comes back
+    assert vt.read(prune=[("k", "=", "a")]).count() == 1
