@@ -320,12 +320,22 @@ class WriterSpec:
         validate_hook_sql(self.post_sql, "postSQL")
         if not self.connection.table.name:
             raise SpecError("writer.connection.table.name is required")
-        if self.partition_by and self.versioned:
-            raise SpecError("partitionBy is not supported on versioned tables")
+        if self.versioned and self.zorder_by:
+            raise SpecError(
+                "zorderBy is a write-time layout for plain parquet; "
+                "versioned tables re-cluster via compact(zorder=...) "
+                "(OPTIMIZE ZORDER), not per-write"
+            )
         if set(self.partition_by) & set(self.zorder_by):
             raise SpecError("a column cannot be both partitionBy and zorderBy")
         if self.dynamic_partition_overwrite and not self.partition_by:
             raise SpecError("dynamicPartitionOverwrite requires partitionBy")
+        if self.dynamic_partition_overwrite and self.versioned:
+            raise SpecError(
+                "dynamicPartitionOverwrite is not supported on versioned "
+                "tables; use writeMode=replace with mergeKeys, or the "
+                "table API's delete()+append()"
+            )
 
 
 @dataclass(frozen=True)

@@ -613,6 +613,26 @@ class VersionedTable:
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         return F.coalesce(cond.cast("boolean"), F.lit(False))
 
+    def _dml_condition_and_candidates(
+        self, base: int, predicate
+    ) -> tuple["F.Column", list[str]]:
+        """Resolve a DML predicate to (null-safe condition, candidate
+        files for the discovery scan). The ``[(col, op, literal), …]``
+        triple form — the same shape ``read(prune=…)`` takes — gets
+        MANIFEST pruning first: files whose bounds cannot match are
+        candidates for nothing, so the find-touched-files scan opens
+        only the possible files. At 10⁶ files a selective keyed delete
+        then scans a handful of footers instead of one column of every
+        file. Strings/Columns stay fully general and scan the snapshot."""
+        files = self._state(base)
+        if isinstance(predicate, (list, tuple)):
+            triples = [tuple(t) for t in predicate]
+            cond = self._as_condition(self._triples_condition(triples))
+            return cond, self._prune_files(
+                files, self._stats_at(base), triples
+            )
+        return self._as_condition(predicate), files
+
     def _scan_files(self, names: list[str]) -> DataFrame:
         # basePath reconstructs partition columns from the hive directory
         # segments when the table is partitioned (harmless when flat);
@@ -635,7 +655,10 @@ class VersionedTable:
         )
 
     def _split_touched(
-        self, base: int, cond: "F.Column"
+        self,
+        base: int,
+        cond: "F.Column",
+        candidates: list[str] | None = None,
     ) -> tuple[list[str], list[str]]:
         """Phase 1 of every row-level DML (Delta's find-touched-files
         scan): ONE column-pruned pass over the snapshot collects the
@@ -644,10 +667,15 @@ class VersionedTable:
         and the collect is bounded by the file count, never the row
         count. Files with no matching rows are carried into the next
         version untouched: a delete matching 3 of 10^6 files rewrites 3
-        files."""
+        files. ``candidates`` (from manifest pruning) narrows the scan
+        itself — files outside it provably hold no matches and go
+        straight to the untouched side."""
         files = self._state(base)
+        scan_set = files if candidates is None else candidates
+        if not scan_set:
+            return [], files
         touched_rows = (
-            self._with_file_name(self._scan_files(files))
+            self._with_file_name(self._scan_files(scan_set))
             .where(cond)
             .select(self._FILE_NAME)
             .distinct()
@@ -678,12 +706,18 @@ class VersionedTable:
         original files; vacuum reclaims them once out of retention.
         Commits with the replace conflict rule — a concurrent commit
         means the touched split is stale, so the delete aborts rather
-        than resurrecting concurrently-written rows."""
+        than resurrecting concurrently-written rows.
+
+        ``predicate`` is a SQL string, a Column, or the ``[(col, op,
+        literal), …]`` triple list ``read(prune=…)`` takes — the triple
+        form additionally MANIFEST-PRUNES the discovery scan, so a
+        keyed delete on a clustered table opens only the files whose
+        bounds can match instead of one column of every file."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
-        cond = self._as_condition(predicate)
-        touched, untouched = self._split_touched(base, cond)
+        cond, candidates = self._dml_condition_and_candidates(base, predicate)
+        touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
             return None
         pb = self._partition_by_at(base)
@@ -710,14 +744,15 @@ class VersionedTable:
         version. ``assignments`` maps existing column names to SQL
         expression strings (or Columns) evaluated against the OLD row —
         standard UPDATE semantics, so ``{"a": "b", "b": "a"}`` swaps.
-        Same file-pruned two-phase plan as :meth:`delete`; the change
-        files carry both ``update_preimage`` and ``update_postimage``
-        rows (Delta CDF's update pair). Returns the new version, or None
-        when nothing matched."""
+        Same file-pruned two-phase plan as :meth:`delete`, including the
+        manifest-pruned triple predicate form; the change files carry
+        both ``update_preimage`` and ``update_postimage`` rows (Delta
+        CDF's update pair). Returns the new version, or None when
+        nothing matched."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
-        cond = self._as_condition(predicate)
+        cond, candidates = self._dml_condition_and_candidates(base, predicate)
         snap_cols = self.read(version_as_of=base).columns
         bad = set(assignments) - set(snap_cols)
         if bad:
@@ -744,7 +779,7 @@ class VersionedTable:
                 ]
             )
 
-        touched, untouched = self._split_touched(base, cond)
+        touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
             return None
         pb = self._partition_by_at(base)
@@ -832,12 +867,48 @@ class VersionedTable:
             )
         source = source.select(*target.columns)
         src_keys = source.select(*on).distinct()
-        target_keys = target.select(*on).distinct()
+        files = self._state(base)
+        pb = self._partition_by_at(base)
+        # bound every target-side job by the source's key envelope (one
+        # small aggregate over the source, the small side by assumption):
+        # a target file whose bounds fall outside [min, max] on any key
+        # column cannot hold a KEY match, so it is never opened — not by
+        # the discovery scan, not by the cardinality check, not by the
+        # insert anti-join. Delta's merge pushes the same min/max into
+        # its target scan.
+        env = src_keys.agg(
+            *[
+                f
+                for k in on
+                for f in (
+                    F.min(k).alias(f"{k}__lo"),
+                    F.max(k).alias(f"{k}__hi"),
+                )
+            ]
+        ).collect()[0]
+        triples: list[tuple[str, str, object]] = []
+        for k in on:
+            lo, hi = env[f"{k}__lo"], env[f"{k}__hi"]
+            if lo is not None and hi is not None:
+                triples += [(k, ">=", lo), (k, "<=", hi)]
+        candidates = (
+            self._prune_files(files, self._stats_at(base), triples)
+            if triples
+            else files
+        )
+        # keys of the candidate files ARE the matchable target keys: a
+        # key in a pruned file lies outside the envelope on some column
+        # and can equal no source key
+        cand_keys = (
+            self._scan_files(candidates).select(*on).distinct()
+            if candidates
+            else target.limit(0).select(*on)
+        )
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
-        if when_matched is not None:
+        if when_matched is not None and candidates:
             dup = (
-                source.join(target_keys, on=on, how="left_semi")
+                source.join(cand_keys, on=on, how="left_semi")
                 .groupBy(*on)
                 .count()
                 .where(F.col("count") > 1)
@@ -850,13 +921,11 @@ class VersionedTable:
                     "a target row would match multiple source rows; "
                     "de-duplicate the source on the merge keys first"
                 )
-        files = self._state(base)
-        pb = self._partition_by_at(base)
         touched: list[str] = []
         untouched = files
-        if when_matched is not None:
+        if when_matched is not None and candidates:
             t_rows = (
-                self._with_file_name(self._scan_files(files))
+                self._with_file_name(self._scan_files(candidates))
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
                 .distinct()
@@ -869,7 +938,7 @@ class VersionedTable:
             ]
         cdc_frames: list[DataFrame] = []
         new_files: list[str] = []
-        matched_src = source.join(target_keys, on=on, how="left_semi")
+        matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
             scan_t = self._scan_files(touched).persist()
             try:
@@ -896,7 +965,7 @@ class VersionedTable:
                         pre.withColumn("_change_type", F.lit("delete"))
                     )
                 if when_not_matched == "insert":
-                    inserts = source.join(target_keys, on=on, how="left_anti")
+                    inserts = source.join(cand_keys, on=on, how="left_anti")
                     if not inserts.isEmpty():
                         new_files += self._write_data_files(inserts, pb)
                         cdc_frames.append(
@@ -912,7 +981,7 @@ class VersionedTable:
         else:
             if when_not_matched != "insert":
                 return None  # no matches, nothing to insert
-            inserts = source.join(target_keys, on=on, how="left_anti")
+            inserts = source.join(cand_keys, on=on, how="left_anti")
             if inserts.isEmpty():
                 return None  # nothing matched AND nothing new
             new_files = self._write_data_files(inserts, pb)
@@ -1064,20 +1133,7 @@ class VersionedTable:
         files = self._state(version)
         kept = files
         if prune:
-            for _, op, _v in prune:
-                if op not in self._PRUNE_OPS:
-                    raise VersionedTableError(
-                        f"unsupported prune op {op!r}; one of {self._PRUNE_OPS}"
-                    )
-            stats = self._stats_at(version)
-            kept = [
-                f
-                for f in files
-                if all(
-                    self._file_may_match(stats.get(f, {}), c, op, v)
-                    for (c, op, v) in prune
-                )
-            ]
+            kept = self._prune_files(files, self._stats_at(version), prune)
             if not kept:
                 # every file skipped: empty result, table schema intact
                 from pyspark.sql import functions as F
@@ -1103,20 +1159,49 @@ class VersionedTable:
         # vanish
         df = self._scan_files(files)
         if prune:
-            from pyspark.sql import functions as F
-
-            for c, op, v in prune:
-                col = F.col(c)
-                df = df.where(
-                    {
-                        "=": col == F.lit(v),
-                        "<": col < F.lit(v),
-                        "<=": col <= F.lit(v),
-                        ">": col > F.lit(v),
-                        ">=": col >= F.lit(v),
-                    }[op]
-                )
+            df = df.where(self._triples_condition(prune))
         return df
+
+    def _prune_files(
+        self,
+        files: list[str],
+        stats: dict[str, dict],
+        prune: list[tuple[str, str, object]],
+    ) -> list[str]:
+        """Manifest data skipping: the files whose stored bounds COULD
+        satisfy every ``(col, op, literal)`` conjunct. Shared by
+        read(prune=…) and the triple form of delete/update."""
+        for _, op, _v in prune:
+            if op not in self._PRUNE_OPS:
+                raise VersionedTableError(
+                    f"unsupported prune op {op!r}; one of {self._PRUNE_OPS}"
+                )
+        return [
+            f
+            for f in files
+            if all(
+                self._file_may_match(stats.get(f, {}), c, op, v)
+                for (c, op, v) in prune
+            )
+        ]
+
+    @staticmethod
+    def _triples_condition(
+        prune: list[tuple[str, str, object]]
+    ) -> "F.Column":
+        """The ``(col, op, literal)`` conjunction as a real filter — the
+        semantic half of pruning (skipping is only ever an optimization)."""
+        cond = F.lit(True)
+        for c, op, v in prune:
+            col = F.col(c)
+            cond = cond & {
+                "=": col == F.lit(v),
+                "<": col < F.lit(v),
+                "<=": col <= F.lit(v),
+                ">": col > F.lit(v),
+                ">=": col >= F.lit(v),
+            }[op]
+        return cond
 
     def changes(
         self,

@@ -385,13 +385,30 @@ class ParquetWriter:
             self._check_compat_schemas(
                 vt.read().schema, clean.schema, table_dir
             )
+        pb = list(self.spec.partition_by)
+        if exists and pb and mode != "overwrite":
+            # append/replace inherit the table's declared layout; a spec
+            # asking for a DIFFERENT one is a config error, not a silent
+            # re-layout (only overwrite may redeclare, Delta's posture)
+            current = vt.partition_columns()
+            if pb != current:
+                raise WriterError(
+                    f"partitionBy {pb} conflicts with the table's "
+                    f"declared partition columns {current}; only "
+                    f"writeMode=overwrite may re-partition"
+                )
         clean.cache()
         try:
             written = clean.count()
             if mode == "insert":
-                vt.append(clean) if exists else vt.overwrite(clean)
+                if exists:
+                    vt.append(clean)  # layout inherited from the table
+                else:
+                    vt.overwrite(clean, partition_by=pb)
             elif mode == "overwrite":
-                vt.overwrite(clean)
+                # None keeps the current layout when the spec is silent;
+                # an explicit partitionBy redeclares it
+                vt.overwrite(clean, partition_by=pb or None)
             elif mode == "replace":
                 vt.replace(clean, list(self.spec.merge_keys))
             else:

@@ -1613,3 +1613,89 @@ def test_partitioned_null_partition_value(spark, tmp_path):
     # pruning k='a' keeps the null-partition file listed (no bound) but
     # the filter still applies: exactly the k='a' row comes back
     assert vt.read(prune=[("k", "=", "a")]).count() == 1
+
+
+def test_job_spec_partitioned_versioned_writer(spark, tmp_path):
+    """partitionBy + versioned at the job-spec surface: the insert that
+    creates the table declares hive partition columns, later appends
+    inherit them, a conflicting re-declaration errors (only overwrite
+    may re-partition), and the versioned reader returns the partition
+    column reconstructed."""
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.writer import WriterError
+
+    def job(mode, pb):
+        return {
+            "reader": {
+                "connection": {"url": SF, "table": {"name": "orders"}},
+                "column": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+            },
+            "writer": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "po"},
+                },
+                "writeMode": mode,
+                "versioned": True,
+                **({"partitionBy": pb} if pb else {}),
+            },
+        }
+
+    run_job(spark, job("insert", ["o_orderstatus"]))
+    vt = VersionedTable(spark, str(tmp_path / "po"))
+    assert vt.partition_columns() == ["o_orderstatus"]
+    assert all("o_orderstatus=" in f for f in vt._state(0))
+    run_job(spark, job("insert", None))  # append inherits the layout
+    assert all("o_orderstatus=" in f for f in vt._manifest(1)["add"])
+    with pytest.raises(WriterError, match="conflicts"):
+        run_job(spark, job("insert", ["o_orderkey"]))
+    # reading back through the spec surface reconstructs the column
+    read_job = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {"url": str(tmp_path), "table": {"name": "po"}},
+            "column": ["*"],
+        },
+    }
+    df = run_job(spark, read_job)  # no writer: returns the DataFrame
+    assert "o_orderstatus" in df.columns
+    n = load_table(spark, SF, "orders").count()
+    assert df.count() == 2 * n
+
+
+def test_delete_update_triple_predicate_prunes_discovery(spark, tmp_path):
+    """The [(col, op, literal)] predicate form manifest-prunes the
+    DISCOVERY scan: only files whose bounds can match are opened at all,
+    and the result is identical to the string form."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t3"))
+    # three appends with disjoint key ranges -> disjoint file bounds
+    for lo in (0, 100, 200):
+        vt.append(
+            spark.range(lo, lo + 100)
+            .withColumn("val", F.col("id") * 2)
+            .coalesce(1)
+        )
+    base = vt.latest_version()
+    cand = vt._prune_files(
+        vt._state(base), vt._stats_at(base), [("id", "<", 50)]
+    )
+    assert len(cand) == 1  # only the first append's file can match
+    v = vt.delete([("id", "<", 50)])
+    assert vt.read().count() == 250
+    # the other two files were never even candidates
+    assert len(set(vt._state(base)) & set(vt._state(v))) == 2
+    # triple-form update too, and equivalence with the string form
+    vt.update([("id", ">=", 250)], {"val": "0"})
+    assert vt.read().where("val = 0").count() == 50
+    assert (
+        vt.read().where("id >= 250 AND val != 0").count() == 0
+    )
+    # conjunction semantics match the string predicate
+    vt2 = VersionedTable(spark, str(tmp_path / "t4"))
+    vt2.overwrite(spark.range(100).withColumn("val", F.col("id")))
+    vt2.delete([("id", ">=", 10), ("id", "<", 20)])
+    assert sorted(r.id for r in vt2.read().collect()) == (
+        list(range(10)) + list(range(20, 100))
+    )
