@@ -490,6 +490,11 @@ class VersionedTable:
             bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
             for col, val in self._partition_values(name).items():
                 bounds[col] = [val, val]
+            # reserved scalar entries (not column bounds): per-file row
+            # and byte counts — metadata-only COUNT(*) and compaction
+            # planning read these from the log instead of the filesystem
+            bounds["#rows"] = md.num_rows
+            bounds["#bytes"] = os.path.getsize(os.path.join(self.path, name))
             out[name] = bounds
         return out
 
@@ -1022,8 +1027,8 @@ class VersionedTable:
         import math
 
         bounds = fstats.get(col)
-        if not bounds:
-            return True
+        if not bounds or not isinstance(bounds, (list, tuple)):
+            return True  # absent, or a reserved scalar (#rows/#bytes)
         lo, hi = bounds
         if lo is None or hi is None:
             return True
@@ -1450,9 +1455,16 @@ class VersionedTable:
             raise VersionedTableError(f"no committed versions at {self.path}")
         files = self._state(base)
         pb = self._partition_by_at(base)
+        stats = self._stats_at(base)
         sizes = []
         for f in files:
-            try:
+            b = stats.get(f, {}).get("#bytes")
+            if isinstance(b, int):
+                # planned from the log — at 10^6 files this skips 10^6
+                # filesystem stat calls
+                sizes.append(b)
+                continue
+            try:  # pre-#bytes manifest: fall back to the filesystem
                 sizes.append(os.path.getsize(os.path.join(self.path, f)))
             except OSError as e:
                 raise VersionedTableError(
@@ -1547,6 +1559,37 @@ class VersionedTable:
         return self._commit(
             self._write_data_files(df, pb), "compact", base, partition_by=pb
         )
+
+    def count(
+        self,
+        version_as_of: int | None = None,
+        timestamp_as_of: object = None,
+    ) -> int:
+        """COUNT(*) of a snapshot from the LOG alone when possible: every
+        commit since the ``#rows`` stat records each file's row count, so
+        the answer is a sum over the manifest — zero data I/O, zero tasks
+        — exactly how Delta/Iceberg answer metadata-only counts. Falls
+        back to a real count for snapshots containing files committed
+        before the stat existed (absent metadata never means zero)."""
+        if timestamp_as_of is not None and version_as_of is not None:
+            raise VersionedTableError(
+                "pass version_as_of OR timestamp_as_of, not both"
+            )
+        if timestamp_as_of is not None:
+            version_as_of = self.resolve_timestamp(timestamp_as_of)
+        vs = self._versions()
+        if not vs:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        version = vs[-1] if version_as_of is None else version_as_of
+        files = self._state(version)
+        stats = self._stats_at(version)
+        total = 0
+        for f in files:
+            n = stats.get(f, {}).get("#rows")
+            if not isinstance(n, int):
+                return self.read(version_as_of=version).count()
+            total += n
+        return total
 
     def restore(
         self, version: int | None = None, timestamp: object = None

@@ -1699,3 +1699,29 @@ def test_delete_update_triple_predicate_prunes_discovery(spark, tmp_path):
     assert sorted(r.id for r in vt2.read().collect()) == (
         list(range(10)) + list(range(20, 100))
     )
+
+
+def test_metadata_only_count(spark, tmp_path):
+    """count() answers COUNT(*) from the manifest row counts — no data
+    I/O, any version — and falls back to a real count for files
+    committed before the #rows stat existed."""
+    import json
+    import os
+
+    vt = _mk(spark, tmp_path)               # 100 rows over two appends
+    assert vt.count() == 100
+    vt.delete("id >= 90")
+    assert vt.count() == 90
+    assert vt.count(version_as_of=1) == 100  # historical snapshot
+    vt.append(spark.range(1000, 1005).selectExpr("id", "0 grp", "id val"))
+    assert vt.count() == 95
+    with pytest.raises(VersionedTableError, match="not both"):
+        vt.count(version_as_of=1, timestamp_as_of=0)
+    # strip #rows from one manifest (pre-stat log shape): count falls
+    # back to a real scan and still agrees
+    mpath = os.path.join(vt.log_dir, f"{vt.latest_version():08d}.json")
+    m = json.load(open(mpath))
+    for f in m["stats"]:
+        m["stats"][f].pop("#rows", None)
+    json.dump(m, open(mpath, "w"))
+    assert vt.count() == 95
