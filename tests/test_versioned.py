@@ -1725,3 +1725,83 @@ def test_metadata_only_count(spark, tmp_path):
         m["stats"][f].pop("#rows", None)
     json.dump(m, open(mpath, "w"))
     assert vt.count() == 95
+
+
+def test_concurrent_threaded_appends_lose_nothing(spark, tmp_path):
+    """Real thread-level OCC: 4 writers race 5 appends each through the
+    O_EXCL commit protocol. Every append must land (delta manifests
+    compose without rebase), versions must be contiguous, and the final
+    snapshot must hold every writer's rows exactly once."""
+    import threading
+
+    vt = VersionedTable(spark, str(tmp_path / "occ"))
+    vt.overwrite(spark.range(0).selectExpr("id", "id AS w"))
+    errs = []
+
+    def writer(w: int):
+        try:
+            for i in range(5):
+                lo = w * 1000 + i * 100
+                vt.append(
+                    spark.range(lo, lo + 100).selectExpr(
+                        "id", f"CAST({w} AS BIGINT) AS w"
+                    )
+                )
+        except Exception as e:  # noqa: BLE001 - surfaced via errs
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert vt.latest_version() == 20  # v0 + 4x5 appends, contiguous
+    assert vt._versions() == list(range(21))
+    assert vt.read().count() == 4 * 5 * 100
+    assert vt.count() == 2000  # metadata count agrees under racing commits
+    per_writer = {
+        r["w"]: r["n"]
+        for r in vt.read().groupBy("w").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert per_writer == {0: 500, 1: 500, 2: 500, 3: 500}
+
+
+def test_partitioned_zorder_compact(spark, tmp_path):
+    """OPTIMIZE ZORDER on a partitioned table: the range key leads with
+    the partition columns (per-partition clustering), the hive layout
+    survives, and the clustered column's per-file bounds tighten inside
+    each partition."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "pz"))
+    df = (
+        spark.range(4000)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("x", (F.col("id") * 2654435761 % 1000).cast("long"))
+    )
+    # arrival-ordered writes: x spans the whole range in every file
+    vt.overwrite(df.where("id < 1000").coalesce(1), partition_by=["p"])
+    for i in range(1, 4):
+        vt.append(
+            df.where((F.col("id") >= i * 1000) & (F.col("id") < (i + 1) * 1000))
+            .coalesce(1)
+        )
+    vc = vt.compact(target_file_bytes=16 * 1024, zorder=["x"])
+    after = vt._state(vc)
+    assert all(f.split("/")[0].startswith("p=") for f in after)
+    assert vt.read().count() == 4000
+    stats = vt._stats_at(vc)
+    # within each partition the x-bounds of different files should be
+    # near-disjoint (clustered), not all spanning [0, 1000)
+    for part in ("p=0", "p=1"):
+        spans = [
+            stats[f]["x"] for f in after if f.startswith(part) and "x" in stats[f]
+        ]
+        if len(spans) < 2:
+            continue
+        full = max(hi for _, hi in spans) - min(lo for lo, _ in spans)
+        avg = sum(hi - lo for lo, hi in spans) / len(spans)
+        assert avg < 0.7 * full, (part, spans)
