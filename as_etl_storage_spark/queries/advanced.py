@@ -866,6 +866,56 @@ _register(
 )
 
 
+def _w_versioned_dynamic_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition overwrite (Spark's partitionOverwriteMode=
+    dynamic / Delta's partition replaceWhere) on a versioned table: the
+    nightly-restate pattern — one commit replaces exactly the 'O'
+    partition with a transformed recomputation while every other
+    partition's files are carried by name, never listed or rewritten.
+    The result must equal the SQL restatement of the same partition."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wdyn-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders, partition_by=["o_orderstatus"])
+    restated = orders.where("o_orderstatus = 'O'").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    before = {
+        f for f in vt._state(0) if not f.startswith("o_orderstatus=O/")
+    }
+    v = vt.overwrite_partitions(restated)
+    after = set(vt._state(v))
+    if not before <= after:
+        raise AssertionError(
+            "dynamic overwrite must carry untouched partitions by name"
+        )
+    return vt.read()
+
+
+_register(
+    "w_versioned_dynamic_overwrite",
+    _w_versioned_dynamic_overwrite,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data feed across mixed commits (Delta CDF): two appends,
     a delete and an update produce a deterministic version history; the

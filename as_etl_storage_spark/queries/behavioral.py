@@ -752,6 +752,40 @@ ORACLES["q_wau_hll_validated"] = """
 """
 
 
+# ------------------------------------------- validated approx percentile --
+# the quantile analog of the HLL pattern above: percentile_approx is
+# Spark's mergeable quantile sketch (partial-aggregable, combines across
+# partitions without a global sort) — the only way to answer p50/p95
+# over 100 TB without shuffling the full column. accuracy=1000 bounds
+# the RANK error at n/1000; validated in-plan against the exact
+# percentile with a 1% value tolerance, far looser than the rank bound
+# implies on this distribution.
+_PCTL_APPROX_SPARK = """
+    WITH exact AS (
+      SELECT l_returnflag,
+             percentile(l_extendedprice, 0.5)  AS p50,
+             percentile(l_extendedprice, 0.95) AS p95
+      FROM lineitem GROUP BY l_returnflag),
+    approx AS (
+      SELECT l_returnflag,
+             percentile_approx(l_extendedprice, 0.5, 1000)  AS a50,
+             percentile_approx(l_extendedprice, 0.95, 1000) AS a95
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT e.l_returnflag,
+           (abs(a.a50 - e.p50) <= 0.01 * e.p50) AS p50_within_1pct,
+           (abs(a.a95 - e.p95) <= 0.01 * e.p95) AS p95_within_1pct
+    FROM exact e JOIN approx a USING (l_returnflag)
+"""
+QUERIES["q_percentile_approx_validated"] = sql_query(
+    ("lineitem",), _PCTL_APPROX_SPARK
+)
+ORACLES["q_percentile_approx_validated"] = """
+    SELECT DISTINCT l_returnflag, TRUE AS p50_within_1pct,
+           TRUE AS p95_within_1pct
+    FROM lineitem
+"""
+
+
 # ------------------------------------------------- data-quality report ----
 # constraint monitoring in ONE scan: every rule is a conditional count in
 # a single aggregate row, then unpivoted to (rule, n_violations) — the

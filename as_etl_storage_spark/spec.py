@@ -330,11 +330,15 @@ class WriterSpec:
             raise SpecError("a column cannot be both partitionBy and zorderBy")
         if self.dynamic_partition_overwrite and not self.partition_by:
             raise SpecError("dynamicPartitionOverwrite requires partitionBy")
-        if self.dynamic_partition_overwrite and self.versioned:
+        if (
+            self.dynamic_partition_overwrite
+            and self.versioned
+            and self.write_mode != "overwrite"
+        ):
             raise SpecError(
-                "dynamicPartitionOverwrite is not supported on versioned "
-                "tables; use writeMode=replace with mergeKeys, or the "
-                "table API's delete()+append()"
+                "dynamicPartitionOverwrite on a versioned table requires "
+                "writeMode=overwrite (it scopes the overwrite to the "
+                "incoming partitions)"
             )
 
 

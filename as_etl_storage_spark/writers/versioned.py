@@ -293,6 +293,7 @@ class VersionedTable:
                     "update",
                     "merge",
                     "restore",
+                    "overwrite_partitions",
                 ):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
@@ -581,6 +582,55 @@ class VersionedTable:
             "overwrite",
             base,
             partition_by=partition_by,
+        )
+
+    def overwrite_partitions(self, df: DataFrame) -> int:
+        """Dynamic partition overwrite (Spark's ``partitionOverwriteMode=
+        dynamic`` / Delta's partition-scoped ``replaceWhere``), as ONE
+        atomic commit: replaces exactly the partitions PRESENT in the
+        incoming frame and carries every other partition's files by name
+        — the nightly-restate pattern (recompute yesterday's partition,
+        leave years of history untouched) without ever listing or
+        rewriting the untouched 99%. The partition set is one
+        small-distinct collect (bounded by partition count, never rows);
+        untouched files are classified by their manifest names alone.
+        Data-changing with no change files (like overwrite, the replaced
+        rows' identity is not derivable without reading them), so
+        incremental consumers recover via snapshot. Commits with the
+        stale-base conflict rule."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        pb = self._partition_by_at(base)
+        if not pb:
+            raise VersionedTableError(
+                "overwrite_partitions needs a partitioned table; declare "
+                "partition columns with overwrite(df, partition_by=[...])"
+            )
+        missing = [c for c in pb if c not in df.columns]
+        if missing:
+            raise VersionedTableError(
+                f"incoming frame lacks partition columns {missing}"
+            )
+        replaced = {
+            tuple(r[c] for c in pb)
+            for r in df.select(*pb).distinct().collect()
+        }
+        files = self._state(base)
+        untouched = []
+        for f in files:
+            pv = self._partition_values(f)
+            key = tuple(pv.get(c) for c in pb)
+            if key not in replaced:
+                untouched.append(f)
+        new_files = self._write_data_files(df, pb)
+        known = self._stats_at(base)
+        return self._commit(
+            untouched + new_files,
+            "overwrite_partitions",
+            base,
+            known_stats={f: known[f] for f in untouched if f in known},
+            partition_by=pb,
         )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:

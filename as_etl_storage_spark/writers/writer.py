@@ -406,9 +406,27 @@ class ParquetWriter:
                 else:
                     vt.overwrite(clean, partition_by=pb)
             elif mode == "overwrite":
-                # None keeps the current layout when the spec is silent;
-                # an explicit partitionBy redeclares it
-                vt.overwrite(clean, partition_by=pb or None)
+                if self.spec.dynamic_partition_overwrite:
+                    # replace only the partitions present in the batch;
+                    # everything else is carried by name (one commit).
+                    # First write creates the table with the declared
+                    # layout; after that the spec's partitionBy must
+                    # agree with the table's
+                    if not exists:
+                        vt.overwrite(clean, partition_by=pb)
+                    else:
+                        current = vt.partition_columns()
+                        if pb and pb != current:
+                            raise WriterError(
+                                f"partitionBy {pb} conflicts with the "
+                                f"table's declared partition columns "
+                                f"{current}"
+                            )
+                        vt.overwrite_partitions(clean)
+                else:
+                    # None keeps the current layout when the spec is
+                    # silent; an explicit partitionBy redeclares it
+                    vt.overwrite(clean, partition_by=pb or None)
             elif mode == "replace":
                 vt.replace(clean, list(self.spec.merge_keys))
             else:

@@ -1805,3 +1805,72 @@ def test_partitioned_zorder_compact(spark, tmp_path):
         full = max(hi for _, hi in spans) - min(lo for lo, _ in spans)
         avg = sum(hi - lo for lo, hi in spans) / len(spans)
         assert avg < 0.7 * full, (part, spans)
+
+
+def test_overwrite_partitions_dynamic(spark, tmp_path):
+    """Dynamic partition overwrite: one commit replaces exactly the
+    partitions present in the incoming frame — untouched partitions'
+    files carried BY NAME (stats reused), replaced partitions fully
+    restated, null partitions addressable, unpartitioned tables refuse."""
+    from pyspark.sql import functions as F
+
+    vt = _mk_part(spark, tmp_path)  # regions 0..3, 25 rows each
+    carried = [f for f in vt._state(0) if not f.startswith("region=2/")]
+    restate = (
+        spark.range(1000, 1010)
+        .withColumn("region", F.lit(2).cast("int"))
+        .withColumn("val", F.lit(-1).cast("long"))
+    )
+    v = vt.overwrite_partitions(restate)
+    assert vt.read().count() == 75 + 10
+    assert vt.read().where("region = 2").count() == 10
+    assert vt.read().where("region = 0").count() == 25
+    after = vt._state(v)
+    for f in carried:
+        assert f in after  # untouched partitions by name
+    assert vt._manifest(v)["op"] == "overwrite_partitions"
+    # snapshot isolation + changes() recovery contract
+    assert vt.read(version_as_of=0).where("region = 2").count() == 25
+    with pytest.raises(VersionedTableError, match="full re-read"):
+        vt.changes(0)
+    # errors
+    with pytest.raises(VersionedTableError, match="lacks partition"):
+        vt.overwrite_partitions(spark.range(3).selectExpr("id", "id val"))
+    flat = VersionedTable(spark, str(tmp_path / "flat"))
+    flat.overwrite(spark.range(5))
+    with pytest.raises(VersionedTableError, match="partitioned table"):
+        flat.overwrite_partitions(spark.range(5))
+
+
+def test_job_spec_dynamic_partition_overwrite_versioned(spark, tmp_path):
+    """dynamicPartitionOverwrite + versioned at the spec surface: the
+    first job creates the partitioned table, the second restates only
+    the partition its batch carries."""
+    from as_etl_storage_spark.runner import run_job
+
+    def job(where):
+        return {
+            "reader": {
+                "connection": {"url": SF, "table": {"name": "orders"}},
+                "column": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                **({"where": where} if where else {}),
+            },
+            "writer": {
+                "connection": {"url": str(tmp_path), "table": {"name": "d"}},
+                "writeMode": "overwrite",
+                "versioned": True,
+                "partitionBy": ["o_orderstatus"],
+                "dynamicPartitionOverwrite": True,
+            },
+        }
+
+    run_job(spark, job(None))
+    vt = VersionedTable(spark, str(tmp_path / "d"))
+    n_all = vt.count()
+    n_f = vt.read().where("o_orderstatus = 'F'").count()
+    # restate ONLY the F partition with a halved row set
+    run_job(spark, job("o_orderstatus = 'F' AND o_orderkey % 2 = 0"))
+    assert vt.partition_columns() == ["o_orderstatus"]
+    n_f2 = vt.read().where("o_orderstatus = 'F'").count()
+    assert 0 < n_f2 < n_f
+    assert vt.count() == n_all - n_f + n_f2  # other partitions untouched
