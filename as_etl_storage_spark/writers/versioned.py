@@ -188,6 +188,113 @@ class VersionedTable:
         latest = self.latest_version()
         return [] if latest is None else self._partition_by_at(latest)
 
+    def _constraints_at(self, version: int) -> dict[str, str]:
+        """name → CHECK expression in effect at ``version`` (Delta's
+        table constraints). Constraint commits are metadata-only delta
+        manifests carrying the FULL map; snapshots and checkpoints embed
+        the map so it survives overwrite/compact/vacuum."""
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    return dict(json.load(fh).get("constraints", {}))
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                return {}
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "constraints" in m:
+                return dict(m["constraints"])
+            if "files" in m:
+                return {}  # snapshot predating constraint support
+            v -= 1
+
+    def constraints(self) -> dict[str, str]:
+        """The table's current CHECK constraints ({} when none)."""
+        latest = self.latest_version()
+        return {} if latest is None else self._constraints_at(latest)
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
+        constraint: existing data is validated first (one scan; any
+        violating row aborts, as Delta does), then the constraint is
+        committed as a metadata-only version every later write enforces.
+        SQL CHECK semantics: a row violates only when the expression is
+        FALSE — NULL passes."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        cons = self._constraints_at(base)
+        if name in cons:
+            raise VersionedTableError(
+                f"constraint {name!r} already exists: {cons[name]!r}"
+            )
+        bad = (
+            self.read(version_as_of=base)
+            .where(~F.coalesce(F.expr(expr), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise VersionedTableError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"CHECK ({expr})"
+            )
+        cons[name] = expr
+        return self._commit_metadata(base, "add_constraint", cons)
+
+    def drop_constraint(self, name: str) -> int:
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        cons = self._constraints_at(base)
+        if name not in cons:
+            raise VersionedTableError(
+                f"no constraint {name!r}; have {sorted(cons)}"
+            )
+        del cons[name]
+        return self._commit_metadata(base, "drop_constraint", cons)
+
+    def _commit_metadata(
+        self, base: int, op: str, constraints: dict[str, str]
+    ) -> int:
+        """Metadata-only commit: a delta manifest with an empty ``add``
+        (state unchanged, O(1) size) carrying the full constraint map and
+        ``data_change: false`` so incremental consumers skip it."""
+        for _ in range(50):
+            latest = self.latest_version()
+            if latest != base:
+                raise VersionedTableError(
+                    f"concurrent commit advanced the log to {latest} past "
+                    f"base {base}; re-run the {op}"
+                )
+            version = latest + 1
+            manifest = {
+                "version": version,
+                "op": op,
+                "add": [],
+                "stats": {},
+                "constraints": constraints,
+                "data_change": False,
+                "base": base,
+                "ts": time.time(),
+            }
+            target = os.path.join(self.log_dir, f"{version:08d}.json")
+            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue
+            os.unlink(tmp)
+            return version
+        raise VersionedTableError("could not commit after 50 attempts")
+
     def _stats_at(self, version: int) -> dict[str, dict]:
         """File → column-bounds map at ``version``: same walk as _state,
         with append layers overlaying the base snapshot. Old-format
@@ -232,6 +339,7 @@ class VersionedTable:
                     "stats": {f: s for f, s in stats.items() if f in keep},
                     "txns": self._txns_at(version),
                     "partition_by": self._partition_by_at(version),
+                    "constraints": self._constraints_at(version),
                 },
                 fh,
             )
@@ -325,6 +433,11 @@ class VersionedTable:
                 )
                 if txn is not None and txn[1] > txns.get(txn[0], -1):
                     txns[txn[0]] = txn[1]
+                cons = (
+                    self._constraints_at(latest)
+                    if latest is not None
+                    else {}
+                )
                 manifest = {
                     "version": version,
                     "op": op,
@@ -345,6 +458,9 @@ class VersionedTable:
                     # row-level change files (Delta CDF add-cdc-file):
                     # what changed, readable without diffing snapshots
                     manifest["cdc"] = list(cdc)
+                if cons:
+                    # constraints survive snapshot resets (table property)
+                    manifest["constraints"] = cons
             target = os.path.join(self.log_dir, f"{version:08d}.json")
             # the manifest must APPEAR atomically complete: a bare
             # O_EXCL-create-then-write has a crash window where the
@@ -527,6 +643,29 @@ class VersionedTable:
             out[col] = val
         return out
 
+    @staticmethod
+    def _checked(df: DataFrame, cons: dict[str, str]) -> DataFrame:
+        """Constraint enforcement with ZERO extra passes: each CHECK is
+        an assert_true evaluated inside the write's own scan — a
+        violating row fails the write job before anything commits
+        (staged files are unreferenced and vacuum-swept). SQL CHECK
+        semantics: NULL passes; only FALSE violates."""
+        out = df
+        for name, expr in sorted(cons.items()):
+            ok = F.coalesce(F.expr(expr), F.lit(True))
+            out = out.where(
+                F.coalesce(
+                    F.assert_true(
+                        ok,
+                        F.lit(
+                            f"CHECK constraint {name!r} violated: ({expr})"
+                        ),
+                    ),
+                    F.lit(True),
+                )
+            )
+        return out
+
     # -- write ops ------------------------------------------------------
     def append(
         self, df: DataFrame, txn: tuple[str, int] | None = None
@@ -546,7 +685,8 @@ class VersionedTable:
             if self._txns_at(base).get(txn[0], -1) >= txn[1]:
                 return None
         pb = self._partition_by_at(base) if base is not None else []
-        new_files = self._write_data_files(df, pb)
+        cons = self._constraints_at(base) if base is not None else {}
+        new_files = self._write_data_files(self._checked(df, cons), pb)
         v = self._commit(None, "append", base, new_files=new_files, txn=txn)
         if v is None:
             # lost an idempotence race after staging: the files are
@@ -577,8 +717,9 @@ class VersionedTable:
             partition_by = (
                 self._partition_by_at(base) if base is not None else []
             )
+        cons = self._constraints_at(base) if base is not None else {}
         return self._commit(
-            self._write_data_files(df, partition_by),
+            self._write_data_files(self._checked(df, cons), partition_by),
             "overwrite",
             base,
             partition_by=partition_by,
@@ -623,7 +764,9 @@ class VersionedTable:
             key = tuple(pv.get(c) for c in pb)
             if key not in replaced:
                 untouched.append(f)
-        new_files = self._write_data_files(df, pb)
+        new_files = self._write_data_files(
+            self._checked(df, self._constraints_at(base)), pb
+        )
         known = self._stats_at(base)
         return self._commit(
             untouched + new_files,
@@ -649,7 +792,9 @@ class VersionedTable:
         kept = target.join(
             incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
         )
-        merged = kept.unionByName(incoming)
+        merged = kept.unionByName(
+            self._checked(incoming, self._constraints_at(base))
+        )
         pb = self._partition_by_at(base)
         return self._commit(
             self._write_data_files(merged, pb),
@@ -838,9 +983,12 @@ class VersionedTable:
         if not touched:
             return None
         pb = self._partition_by_at(base)
+        cons = self._constraints_at(base)
         scan_t = self._scan_files(touched).persist()
         try:
-            new_files = self._write_data_files(_updated(scan_t, cond), pb)
+            new_files = self._write_data_files(
+                self._checked(_updated(scan_t, cond), cons), pb
+            )
             matched = scan_t.where(cond)
             cdc = self._write_cdc_files(
                 matched.withColumn(
@@ -998,9 +1146,12 @@ class VersionedTable:
             scan_t = self._scan_files(touched).persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
+                cons = self._constraints_at(base)
                 if when_matched == "update":
                     rewritten = kept.unionByName(
-                        matched_src.select(*scan_t.columns)
+                        self._checked(
+                            matched_src.select(*scan_t.columns), cons
+                        )
                     )
                 else:  # delete
                     rewritten = kept
@@ -1022,7 +1173,9 @@ class VersionedTable:
                 if when_not_matched == "insert":
                     inserts = source.join(cand_keys, on=on, how="left_anti")
                     if not inserts.isEmpty():
-                        new_files += self._write_data_files(inserts, pb)
+                        new_files += self._write_data_files(
+                            self._checked(inserts, cons), pb
+                        )
                         cdc_frames.append(
                             inserts.withColumn("_change_type", F.lit("insert"))
                         )
@@ -1039,7 +1192,9 @@ class VersionedTable:
             inserts = source.join(cand_keys, on=on, how="left_anti")
             if inserts.isEmpty():
                 return None  # nothing matched AND nothing new
-            new_files = self._write_data_files(inserts, pb)
+            new_files = self._write_data_files(
+                self._checked(inserts, self._constraints_at(base)), pb
+            )
             cdc = self._write_cdc_files(
                 inserts.withColumn("_change_type", F.lit("insert"))
             )

@@ -1874,3 +1874,49 @@ def test_job_spec_dynamic_partition_overwrite_versioned(spark, tmp_path):
     n_f2 = vt.read().where("o_orderstatus = 'F'").count()
     assert 0 < n_f2 < n_f
     assert vt.count() == n_all - n_f + n_f2  # other partitions untouched
+
+
+def test_check_constraints(spark, tmp_path):
+    """Delta-style CHECK constraints: existing data validated at ADD
+    (one scan), every later data-adding write enforced at ZERO extra
+    passes (assert_true inside the write's own scan — a violation fails
+    the job before any commit), NULL passes (SQL CHECK), the map
+    survives overwrite/compact/checkpoints, and constraint commits are
+    metadata-only versions incremental consumers skip."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "c"))
+    vt.overwrite(spark.range(10).withColumn("v", F.col("id") * 2))
+    vt.add_constraint("v_nonneg", "v >= 0")
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+    with pytest.raises(VersionedTableError, match="already exists"):
+        vt.add_constraint("v_nonneg", "v > 1")
+    with pytest.raises(VersionedTableError, match="violate"):
+        vt.add_constraint("impossible", "v > 1000000000")
+    before = vt.latest_version()
+    with pytest.raises(Exception, match="v_nonneg"):
+        vt.append(spark.range(3).withColumn("v", F.lit(-1)))
+    assert vt.latest_version() == before  # nothing committed
+    with pytest.raises(Exception, match="v_nonneg"):
+        vt.update("id = 0", {"v": "-5"})
+    with pytest.raises(Exception, match="v_nonneg"):
+        vt.merge(
+            spark.createDataFrame([(0, -7)], "id long, v long"), ["id"]
+        )
+    assert vt.latest_version() == before
+    # NULL passes; valid writes pass
+    vt.append(spark.createDataFrame([(99, None)], "id long, v long"))
+    vt.append(spark.range(20, 23).withColumn("v", F.col("id")))
+    # metadata commits are invisible to incremental consumers
+    assert vt.changes(before).count() == 4
+    # the map survives a snapshot reset and a checkpoint
+    vt.overwrite(spark.range(5).withColumn("v", F.col("id")))
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+    for i in range(12):  # cross a checkpoint boundary
+        vt.append(spark.range(i, i + 1).withColumn("v", F.col("id")))
+    assert vt.constraints() == {"v_nonneg": "v >= 0"}
+    vt.drop_constraint("v_nonneg")
+    assert vt.constraints() == {}
+    vt.append(spark.range(2).withColumn("v", F.lit(-1)))  # now legal
+    with pytest.raises(VersionedTableError, match="no constraint"):
+        vt.drop_constraint("v_nonneg")
