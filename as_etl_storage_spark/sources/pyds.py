@@ -682,9 +682,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             except FileNotFoundError:
                 # vacuum truncated this manifest: the incremental history
                 # is gone (a fresh stream with no startingVersion walks
-                # from -1 and lands here on any vacuumed log). Same
-                # recovery contract as a data-changing rewrite — deliver
-                # the current snapshot (default), fail, or skip.
+                # from -1 and lands here on any vacuumed log). Snapshot
+                # recovery (default) or fail apply as for a rewrite —
+                # but onrewrite=skip must NOT swallow it: skip means
+                # "ignore rewrite corrections", not "lose vacuumed
+                # appends silently" (Delta's skipChangeCommits likewise
+                # still errors on truncated history).
+                if self.on_rewrite == "skip":
+                    raise RuntimeError(
+                        f"versioned_changes: version {v} was vacuumed — "
+                        f"the appends in the truncated range are "
+                        f"unrecoverable incrementally, so onrewrite=skip "
+                        f"cannot continue. Restart from a live version "
+                        f"(startingVersion) or use onrewrite=snapshot "
+                        f"for a full-snapshot recovery"
+                    ) from None
                 rewrite = (v, "vacuumed")
                 continue
             if _layout_only(m):

@@ -75,6 +75,13 @@ class VersionedTable:
         self.spark = spark
         self.path = path
         self.log_dir = os.path.join(path, "_log")
+        # commit-timestamp memo for resolve_timestamp: manifests are
+        # immutable once written, so a (version -> ts) entry never goes
+        # stale; repeated timestamp reads/stream starts stop re-parsing
+        # the whole log (the walk itself is cheap — ~tens of ms per
+        # 1,000 manifests, see SCALE.md log_1k_versions — this bounds
+        # the REPEATED cost)
+        self._ts_memo: dict[int, float] = {}
 
     # -- log ------------------------------------------------------------
     def _versions(self) -> list[int]:
@@ -99,6 +106,29 @@ class VersionedTable:
 
     def _checkpoint_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
+    def _publish_manifest(self, version: int, manifest: dict) -> bool:
+        """Atomically publish ``manifest`` as ``version``; False when the
+        version was claimed concurrently (the optimistic-concurrency
+        race). The manifest must APPEAR atomically complete: a bare
+        O_EXCL-create-then-write has a crash window where the version
+        exists as an empty/torn file and every later _manifest() fails —
+        the table is bricked. So the full bytes go to a temp name
+        (fsync'd) and os.link exposes them under the version name: link
+        fails like O_EXCL when the version exists."""
+        target = os.path.join(self.log_dir, f"{version:08d}.json")
+        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.unlink(tmp)
+            return False
+        os.unlink(tmp)
+        return True
 
     def _state(self, version: int) -> list[str]:
         """Full data-file list at ``version``: walk back to the nearest
@@ -262,15 +292,11 @@ class VersionedTable:
         """Metadata-only commit: a delta manifest with an empty ``add``
         (state unchanged, O(1) size) carrying the full constraint map and
         ``data_change: false`` so incremental consumers skip it."""
-        for _ in range(50):
-            latest = self.latest_version()
-            if latest != base:
-                raise VersionedTableError(
-                    f"concurrent commit advanced the log to {latest} past "
-                    f"base {base}; re-run the {op}"
-                )
-            version = latest + 1
-            manifest = {
+        latest = self.latest_version()
+        version = base + 1
+        if latest != base or not self._publish_manifest(
+            version,
+            {
                 "version": version,
                 "op": op,
                 "add": [],
@@ -279,21 +305,15 @@ class VersionedTable:
                 "data_change": False,
                 "base": base,
                 "ts": time.time(),
-            }
-            target = os.path.join(self.log_dir, f"{version:08d}.json")
-            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                os.unlink(tmp)
-                continue
-            os.unlink(tmp)
-            return version
-        raise VersionedTableError("could not commit after 50 attempts")
+            },
+        ):
+            # any concurrent commit makes the ADD-time validation (and a
+            # drop's not-found check) stale — no silent retry
+            raise VersionedTableError(
+                f"concurrent commit advanced the log past base {base}; "
+                f"re-run the {op}"
+            )
+        return version
 
     def _stats_at(self, version: int) -> dict[str, dict]:
         """File → column-bounds map at ``version``: same walk as _state,
@@ -357,6 +377,7 @@ class VersionedTable:
         cdc: list[str] | None = None,
         known_stats: dict[str, dict] | None = None,
         partition_by: list[str] | None = None,
+        enforced_constraints: dict[str, str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -394,6 +415,20 @@ class VersionedTable:
                     return None
             if latest != base_version:
                 # someone committed after this writer snapshotted its base
+                if (
+                    enforced_constraints is not None
+                    and self._constraints_at(latest) != enforced_constraints
+                ):
+                    # the data was validated against the BASE's CHECK
+                    # constraints; rebasing past a concurrent
+                    # add/drop_constraint would commit rows no one
+                    # validated against the new map (Delta fails the
+                    # racing txn on any metadata change, same rule)
+                    raise VersionedTableError(
+                        f"concurrent commit changed the table constraints "
+                        f"past base {base_version}; re-run the {op} so its "
+                        f"rows are validated against the current map"
+                    )
                 if op in (
                     "replace",
                     "compact",
@@ -461,26 +496,8 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
-            target = os.path.join(self.log_dir, f"{version:08d}.json")
-            # the manifest must APPEAR atomically complete: a bare
-            # O_EXCL-create-then-write has a crash window where the
-            # version exists as an empty/torn file, and every later
-            # _manifest() then fails — the table is bricked. Write the
-            # full manifest to a temp name (fsync'd), then os.link it to
-            # the version name: link both fails like O_EXCL when the
-            # version exists (the optimistic-concurrency race is
-            # unchanged) and exposes only the complete bytes.
-            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            try:
-                os.link(tmp, target)
-            except FileExistsError:
-                os.unlink(tmp)
+            if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
-            os.unlink(tmp)
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
                 # bound future readers' delta replay. Best-effort AFTER
                 # the commit point: the append IS committed, so a failure
@@ -687,7 +704,14 @@ class VersionedTable:
         pb = self._partition_by_at(base) if base is not None else []
         cons = self._constraints_at(base) if base is not None else {}
         new_files = self._write_data_files(self._checked(df, cons), pb)
-        v = self._commit(None, "append", base, new_files=new_files, txn=txn)
+        v = self._commit(
+            None,
+            "append",
+            base,
+            new_files=new_files,
+            txn=txn,
+            enforced_constraints=cons,
+        )
         if v is None:
             # lost an idempotence race after staging: the files are
             # unreferenced by construction — remove them now instead of
@@ -723,6 +747,7 @@ class VersionedTable:
             "overwrite",
             base,
             partition_by=partition_by,
+            enforced_constraints=cons,
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:
@@ -753,20 +778,23 @@ class VersionedTable:
             raise VersionedTableError(
                 f"incoming frame lacks partition columns {missing}"
             )
-        replaced = {
-            tuple(r[c] for c in pb)
-            for r in df.select(*pb).distinct().collect()
-        }
-        files = self._state(base)
-        untouched = []
-        for f in files:
-            pv = self._partition_values(f)
-            key = tuple(pv.get(c) for c in pb)
-            if key not in replaced:
-                untouched.append(f)
+        # write FIRST, then classify by the new files' own partition
+        # directories: both old and new names were rendered by the same
+        # hive encoder, so the replaced-partition match is exact by
+        # construction — comparing parsed python values against
+        # DataFrame values would silently mismatch on any type whose
+        # value doesn't round-trip through the directory-name parse
+        # (digit-only strings, dates, decimals) and DUPLICATE rows
+        # instead of replacing them. Staged files are invisible until
+        # the commit below, so writing first is safe.
         new_files = self._write_data_files(
             self._checked(df, self._constraints_at(base)), pb
         )
+        replaced_dirs = {os.path.dirname(f) for f in new_files}
+        files = self._state(base)
+        untouched = [
+            f for f in files if os.path.dirname(f) not in replaced_dirs
+        ]
         known = self._stats_at(base)
         return self._commit(
             untouched + new_files,
@@ -1069,7 +1097,10 @@ class VersionedTable:
                 f"merge keys {sorted(missing)} not in columns {target.columns}"
             )
         source = source.select(*target.columns)
-        src_keys = source.select(*on).distinct()
+        # both key frames are reused across several jobs (envelope agg,
+        # cardinality check, discovery, rewrite, CDC, insert anti-join)
+        # — persist so each costs one scan, not five
+        src_keys = source.select(*on).distinct().persist()
         files = self._state(base)
         pb = self._partition_by_at(base)
         # bound every target-side job by the source's key envelope (one
@@ -1103,10 +1134,40 @@ class VersionedTable:
         # key in a pruned file lies outside the envelope on some column
         # and can equal no source key
         cand_keys = (
-            self._scan_files(candidates).select(*on).distinct()
+            self._scan_files(candidates).select(*on).distinct().persist()
             if candidates
             else target.limit(0).select(*on)
         )
+        try:
+            return self._merge_with_keys(
+                source,
+                on,
+                when_matched,
+                when_not_matched,
+                base,
+                files,
+                pb,
+                src_keys,
+                cand_keys,
+                candidates,
+            )
+        finally:
+            src_keys.unpersist()
+            cand_keys.unpersist()
+
+    def _merge_with_keys(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | None,
+        when_not_matched: str | None,
+        base: int,
+        files: list[str],
+        pb: list[str],
+        src_keys: DataFrame,
+        cand_keys: DataFrame,
+        candidates: list[str],
+    ) -> int | None:
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
         if when_matched is not None and candidates:
@@ -1265,12 +1326,16 @@ class VersionedTable:
         manifest's ``ts`` field, falling back to the manifest FILE's
         mtime for logs written before the field existed (the same source
         Delta uses for its pre-InCommitTimestamp tables)."""
+        memo = self._ts_memo.get(version)
+        if memo is not None:
+            return memo
         ts = self._manifest(version).get("ts")
-        if ts is not None:
-            return float(ts)
-        return os.path.getmtime(
-            os.path.join(self.log_dir, f"{version:08d}.json")
-        )
+        if ts is None:
+            ts = os.path.getmtime(
+                os.path.join(self.log_dir, f"{version:08d}.json")
+            )
+        self._ts_memo[version] = float(ts)
+        return self._ts_memo[version]
 
     def resolve_timestamp(self, timestamp: object) -> int:
         """Version whose snapshot was current at ``timestamp`` — the

@@ -1026,3 +1026,25 @@ def test_versioned_changes_vacuumed_log_recovery(spark, tmp_path):
     rows = [r for _, b in out for r in b]
     assert sorted(r.id for r in rows) == [30, 31, 32]
     assert {r._change_type for r in rows} == {"insert"}
+
+
+def test_versioned_changes_skip_errors_on_vacuumed_history(spark, tmp_path):
+    """onrewrite=skip means "ignore rewrite corrections" — it must NOT
+    swallow vacuum-truncated history, where the skipped appends' rows
+    are unrecoverable rather than merely restated (Delta's
+    skipChangeCommits likewise still errors on truncated logs)."""
+    import pytest
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 10))
+    vt.append(spark.range(10, 30))
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+
+    with pytest.raises(PySparkException, match="vacuumed"):
+        _drain_versioned_changes(
+            spark, up, str(tmp_path / "cp"), on_rewrite="skip"
+        )

@@ -1920,3 +1920,57 @@ def test_check_constraints(spark, tmp_path):
     vt.append(spark.range(2).withColumn("v", F.lit(-1)))  # now legal
     with pytest.raises(VersionedTableError, match="no constraint"):
         vt.drop_constraint("v_nonneg")
+
+
+def test_overwrite_partitions_string_values_round_trip(spark, tmp_path):
+    """Partition values whose directory names don't round-trip through a
+    python parse (digit-only strings here: dir store_id=123 parses back
+    as int 123 != '123') must still be REPLACED, not duplicated — the
+    untouched-file classification matches by the new files' own hive
+    directory names, never by parsed values."""
+    vt = VersionedTable(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [("123", 1), ("123", 2), ("456", 3)], "store_id string, v int"
+    )
+    vt.overwrite(df, partition_by=["store_id"])
+    restate = spark.createDataFrame([("123", 99)], "store_id string, v int")
+    vt.overwrite_partitions(restate)
+    rows = vt.read().where("store_id = '123'").collect()
+    assert [r.v for r in rows] == [99]  # replaced, not appended-beside
+    assert vt.read().count() == 2  # '456' untouched
+
+
+def test_append_rebase_detects_concurrent_constraint_change(spark, tmp_path):
+    """Delta's metadata-conflict rule: an append whose rows were
+    validated against the BASE's CHECK-constraint map must fail —
+    not silently rebase — when a concurrent add_constraint committed
+    first, otherwise unvalidated rows land under the new map."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cc"))
+    vt.overwrite(spark.range(5).withColumn("v", F.col("id")))
+    base = vt.latest_version()
+    cons = vt._constraints_at(base)  # {} — nothing enforced yet
+    staged = vt._write_data_files(
+        vt._checked(spark.range(5, 8).withColumn("v", F.lit(-1)), cons)
+    )
+    vt.add_constraint("v_nonneg", "v >= 0")  # concurrent metadata commit
+    with pytest.raises(VersionedTableError, match="constraint"):
+        vt._commit(
+            None, "append", base, new_files=staged,
+            enforced_constraints=cons,
+        )
+    assert vt.read().where("v < 0").count() == 0  # nothing leaked in
+    # an unchanged map still rebases: a plain concurrent append is fine
+    base2 = vt.latest_version()
+    cons2 = vt._constraints_at(base2)
+    staged2 = vt._write_data_files(
+        vt._checked(spark.range(8, 10).withColumn("v", F.col("id")), cons2)
+    )
+    vt.append(spark.range(10, 12).withColumn("v", F.col("id")))
+    v = vt._commit(
+        None, "append", base2, new_files=staged2,
+        enforced_constraints=cons2,
+    )
+    assert v == vt.latest_version()
+    assert vt.read().count() == 5 + 2 + 2
