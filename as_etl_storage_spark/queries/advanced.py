@@ -714,6 +714,64 @@ _register(
 )
 
 
+def _w_versioned_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema enforcement + additive evolution (Delta's mergeSchema over
+    a log-recorded schema): the first half of orders lands with two
+    columns; appending the second half WITH an extra column is an error
+    until merge_schema=True, which evolves the schema — pre-evolution
+    rows read the new column as NULL, a time-travel read of the
+    pre-evolution version still shows the two-column schema (asserted
+    in-query), and every scan runs under the schema DECLARED in the log
+    (no parquet footer merging — at 10^6 files that's the difference
+    between a metadata read and a driver-side merge of every footer)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    root = os.path.join(_scratch_dir(), f"wvse-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    first = orders.where(F.col("o_orderkey") <= hi // 2)
+    second = orders.where(F.col("o_orderkey") > hi // 2)
+
+    vt = VersionedTable(spark, root)
+    vt.overwrite(first.select("o_orderkey", "o_totalprice"))
+    v_old = vt.latest_version()
+    evolved = second.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    try:  # enforcement: unknown columns are an error without the flag
+        vt.append(evolved)
+        raise AssertionError("schema drift must not append silently")
+    except VersionedTableError:
+        pass
+    vt.append(evolved, merge_schema=True)
+    assert vt.read(version_as_of=v_old).columns == [
+        "o_orderkey",
+        "o_totalprice",
+    ], "time travel must show the pre-evolution schema"
+    return vt.read()
+
+
+_register(
+    "w_versioned_schema_evolution",
+    _w_versioned_schema_evolution,
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 2
+                THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE (writers/versioned.py:delete): remove the 'F'
     orders from a versioned copy and read the result — the snapshot must

@@ -480,10 +480,30 @@ _CDC_PA_TO_DDL = dict(
 )
 
 
+#: DDL → arrow target types for the CDC stream's executor-side casts;
+#: also the allowlist for log-recorded schemas
+_CDC_DDL_TO_PA = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "timestamp": "timestamp[us]",
+    "timestamp_ntz": "timestamp[us]",
+    "date": "date32[day]",
+}
+
+
 def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
-    """(name, DDL type) pairs for the CURRENT snapshot's schema, from one
-    data-file footer of the latest committed version — metadata only, no
-    session and no data I/O."""
+    """(name, DDL type) pairs for the CURRENT snapshot's schema. The
+    LOG-RECORDED schema is authoritative when present (exact per-table
+    types, survives a restore to a pre-evolution snapshot whose newest
+    file lacks evolved columns); legacy logs fall back to probing one
+    data-file footer of the latest version — metadata only either way,
+    no session and no data I/O."""
     import os
 
     import pyarrow.parquet as pq
@@ -494,6 +514,21 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
     latest = vt.latest_version()
     if latest is None:
         raise ValueError(f"versioned_changes: no committed versions at {path}")
+    stored = vt._schema_at(latest)
+    if stored is not None:
+        from pyspark.sql import types as T
+
+        fields = []
+        for f in T.StructType.fromJson(stored).fields:
+            ddl = f.dataType.simpleString()
+            if ddl not in _CDC_DDL_TO_PA:
+                raise ValueError(
+                    f"versioned_changes: unsupported column type {ddl!r} "
+                    f"for {f.name!r}; evolve the table without that column "
+                    f"or extend the type map"
+                )
+            fields.append((f.name, ddl))
+        return fields
     # NEWEST file of the snapshot: under additive schema evolution the
     # most recent append's files carry the superset schema (the first
     # file may predate an added column, which would silently drop it
@@ -543,10 +578,16 @@ class _ChangeFiles(InputPartition):
         kind: str,
         columns: tuple,
         pvals: dict | None = None,
+        ddl: tuple = (),
     ):
         self.path, self.version, self.kind = path, version, kind
         self.columns = columns
         self.pvals = pvals or {}
+        # per-column DDL aligned with ``columns``: executors cast every
+        # delivered array to the DECLARED stream type, so a log-recorded
+        # int32 partition column or a pre-widening legacy file can't
+        # hand Spark a mismatched arrow type
+        self.ddl = ddl
 
 
 class VersionedChangesStreamReader(DataSourceStreamReader):
@@ -610,6 +651,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         fields = _versioned_data_columns(self.path)
         self._columns = tuple(n for n, _ in fields)
         self._types = dict(fields)
+        self._ddl = tuple(t for _, t in fields)
 
     def _pvals(self, rel_name: str) -> dict:
         """Partition values for one manifest name, coerced to the stream
@@ -618,13 +660,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
         out = {}
+        int_ddls = ("bigint", "int", "smallint", "tinyint")
         for col, val in VersionedTable._partition_values(rel_name).items():
             ddl = self._types.get(col, "string")
             try:
                 out[col] = (
                     int(val)
-                    if ddl == "bigint"
-                    else float(val) if ddl == "double" else str(val)
+                    if ddl in int_ddls
+                    else (
+                        float(val)
+                        if ddl in ("double", "float")
+                        else str(val)
+                    )
                 )
             except (TypeError, ValueError):
                 out[col] = None  # type clash: deliver NULL, not a crash
@@ -732,6 +779,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     "snapshot",
                     self._columns,
                     self._pvals(f),
+                    self._ddl,
                 )
                 for f in vt._state(to_v)
             ]
@@ -742,6 +790,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 kind,
                 self._columns,
                 self._pvals(f),
+                self._ddl,
             )
             for v, files, kind in appends
             for f in files
@@ -753,19 +802,34 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         t = pq.read_table(partition.path)
         n = t.num_rows
+        # every array is cast to the DECLARED stream type (cast is a
+        # no-op when they already match): a log-recorded int32 partition
+        # column must not arrive as python-inferred int64, and a legacy
+        # file narrower than the declared type must widen, not crash
+        targets = [
+            pa.type_for_alias(_CDC_DDL_TO_PA[d]) if d in _CDC_DDL_TO_PA else None
+            for d in (partition.ddl or ("",) * len(partition.columns))
+        ]
         arrays = []
-        for name in partition.columns:
+        for name, target in zip(partition.columns, targets):
             if name in t.column_names:
-                arrays.append(t.column(name).combine_chunks())
+                arr = t.column(name).combine_chunks()
+                if target is not None and arr.type != target:
+                    arr = arr.cast(target)
+                arrays.append(arr)
             elif partition.pvals.get(name) is not None:
                 # hive partition column: constant per file, parsed from
-                # the manifest name on the driver (int/float/str infer to
-                # int64/float64/string — the schema probe's own mapping)
-                arrays.append(pa.array([partition.pvals[name]] * n))
+                # the manifest name on the driver, typed to the stream
+                # schema
+                arrays.append(
+                    pa.array([partition.pvals[name]] * n, type=target)
+                )
             else:
                 # additive schema evolution: files committed before the
                 # column existed deliver NULLs, as mergeSchema does
-                arrays.append(pa.nulls(n))
+                arrays.append(
+                    pa.nulls(n, type=target) if target is not None else pa.nulls(n)
+                )
         arrays.append(pa.array([partition.version] * n, type=pa.int64()))
         if partition.kind == "cdf":
             # change files carry their own row-level _change_type

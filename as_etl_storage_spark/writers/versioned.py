@@ -46,6 +46,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 class VersionedTableError(RuntimeError):
@@ -245,6 +246,139 @@ class VersionedTable:
         latest = self.latest_version()
         return {} if latest is None else self._constraints_at(latest)
 
+    # -- table schema (Delta's metaData.schemaString analog) -------------
+    def _schema_at(self, version: int) -> dict | None:
+        """The recorded table schema (StructType jsonValue) in effect at
+        ``version``, via the same walk as _constraints_at; None for logs
+        written before schema recording (legacy — readers fall back to
+        parquet footer merging). Recording the schema in the LOG is what
+        Delta does (metaData.schemaString), and it matters at scale: a
+        reader with a declared schema never merges 10^6 file footers on
+        the driver, and a write with an incompatible type is rejected at
+        the write — not discovered as CANNOT_MERGE_SCHEMAS by the next
+        unlucky reader."""
+        v = version
+        while True:
+            cp = self._checkpoint_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    return json.load(fh).get("schema")
+            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
+            if not os.path.exists(mpath):
+                return None
+            with open(mpath) as fh:
+                m = json.load(fh)
+            if "schema" in m:
+                return m["schema"]
+            if "files" in m:
+                return None  # snapshot predating schema recording
+            v -= 1
+
+    def table_schema(self, version: int | None = None) -> "T.StructType":
+        """The table's schema at ``version`` (latest when None). Served
+        from the log when recorded; legacy logs derive it once from a
+        merged-footer scan of the version's files."""
+        latest = self.latest_version()
+        if latest is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        v = latest if version is None else version
+        stored = self._schema_at(v)
+        if stored is not None:
+            return T.StructType.fromJson(stored)
+        return self._scan_files(self._state(v)).schema
+
+    @staticmethod
+    def _canon_schema(schema) -> tuple:
+        """Order-sensitive (lower-name, type) signature for schema
+        equality: nullability and name case are presentation, not
+        structure (Spark resolves columns case-insensitively and parquet
+        columns are always nullable on read)."""
+        if isinstance(schema, dict):
+            schema = T.StructType.fromJson(schema)
+        return tuple(
+            (f.name.lower(), f.dataType.simpleString()) for f in schema.fields
+        )
+
+    _INT_RANK = {"tinyint": 1, "smallint": 2, "int": 3, "bigint": 4}
+    _FLOAT_RANK = {"float": 1, "double": 2}
+
+    @classmethod
+    def _can_upcast(cls, src: "T.DataType", dst: "T.DataType") -> bool:
+        """Lossless implicit widenings a write may apply silently —
+        integral → wider integral, float → double, and untyped NULL to
+        anything (Delta's canUpCast posture). Everything else must be an
+        explicit table rewrite."""
+        s, d = src.simpleString(), dst.simpleString()
+        if s == "void":
+            return True
+        if s in cls._INT_RANK and d in cls._INT_RANK:
+            return cls._INT_RANK[s] <= cls._INT_RANK[d]
+        if s in cls._FLOAT_RANK and d in cls._FLOAT_RANK:
+            return cls._FLOAT_RANK[s] <= cls._FLOAT_RANK[d]
+        return False
+
+    def _align(
+        self,
+        df: DataFrame,
+        stored: dict | None,
+        merge_schema: bool,
+        op: str,
+    ) -> tuple[DataFrame, dict]:
+        """Schema enforcement at the write (Delta's rule): the incoming
+        frame is resolved against the table schema — missing columns
+        null-filled, safe widenings cast, column order normalized — and
+        anything else is an error at the WRITE, never a poisoned table.
+        ``merge_schema`` (Delta's mergeSchema) opts into additive
+        evolution: unknown columns append to the schema; old files read
+        them as NULL. Returns (aligned frame, resulting schema json)."""
+        if stored is None:
+            # first write / legacy log: the frame defines the schema
+            return df, self._nullable_json(df.schema)
+        tgt = T.StructType.fromJson(stored)
+        by_lower = {f.name.lower(): f for f in df.schema.fields}
+        tgt_lower = {f.name.lower() for f in tgt.fields}
+        extras = [
+            f for f in df.schema.fields if f.name.lower() not in tgt_lower
+        ]
+        if extras and not merge_schema:
+            raise VersionedTableError(
+                f"{op}: columns {[f.name for f in extras]} are not in the "
+                f"table schema {[f.name for f in tgt.fields]}; pass "
+                f"merge_schema=True to evolve the schema additively"
+            )
+        cols = []
+        for f in tgt.fields:
+            src = by_lower.get(f.name.lower())
+            if src is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif src.dataType == f.dataType:
+                cols.append(F.col(src.name).alias(f.name))
+            elif self._can_upcast(src.dataType, f.dataType):
+                cols.append(F.col(src.name).cast(f.dataType).alias(f.name))
+            else:
+                raise VersionedTableError(
+                    f"{op}: column {f.name!r} arrives as "
+                    f"{src.dataType.simpleString()} but the table schema "
+                    f"says {f.dataType.simpleString()}; only lossless "
+                    f"widenings are cast implicitly — changing a column "
+                    f"type needs a full rewrite "
+                    f"(overwrite(..., overwrite_schema=True))"
+                )
+        new_fields = list(tgt.fields)
+        for f in extras:
+            cols.append(F.col(f.name))
+            new_fields.append(T.StructField(f.name, f.dataType, True))
+        return df.select(*cols), self._nullable_json(T.StructType(new_fields))
+
+    @staticmethod
+    def _nullable_json(schema: "T.StructType") -> dict:
+        """Schema as jsonValue with every top-level field nullable — what
+        the files actually guarantee on read (parquet row groups may
+        omit any column after evolution)."""
+        return T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+        ).jsonValue()
+
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
         constraint: existing data is validated first (one scan; any
@@ -350,19 +484,20 @@ class VersionedTable:
         state = self._state(version)
         stats = self._stats_at(version)
         keep = set(state)
+        payload = {
+            "version": version,
+            "files": state,
+            "stats": {f: s for f, s in stats.items() if f in keep},
+            "txns": self._txns_at(version),
+            "partition_by": self._partition_by_at(version),
+            "constraints": self._constraints_at(version),
+        }
+        sch = self._schema_at(version)
+        if sch is not None:
+            payload["schema"] = sch
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "version": version,
-                    "files": state,
-                    "stats": {f: s for f, s in stats.items() if f in keep},
-                    "txns": self._txns_at(version),
-                    "partition_by": self._partition_by_at(version),
-                    "constraints": self._constraints_at(version),
-                },
-                fh,
-            )
+            json.dump(payload, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._checkpoint_path(version))
@@ -378,6 +513,8 @@ class VersionedTable:
         known_stats: dict[str, dict] | None = None,
         partition_by: list[str] | None = None,
         enforced_constraints: dict[str, str] | None = None,
+        schema: dict | None = None,
+        enforced_schema: dict | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -429,6 +566,20 @@ class VersionedTable:
                         f"past base {base_version}; re-run the {op} so its "
                         f"rows are validated against the current map"
                     )
+                if enforced_schema is not None:
+                    cur_schema = self._schema_at(latest)
+                    if cur_schema is not None and self._canon_schema(
+                        cur_schema
+                    ) != self._canon_schema(enforced_schema):
+                        # same rule as constraints: the rows were aligned
+                        # against the BASE's schema; a concurrent schema
+                        # change makes that alignment stale
+                        raise VersionedTableError(
+                            f"concurrent commit changed the table schema "
+                            f"past base {base_version}; re-run the {op} so "
+                            f"its rows are aligned against the current "
+                            f"schema"
+                        )
                 if op in (
                     "replace",
                     "compact",
@@ -458,6 +609,11 @@ class VersionedTable:
                 }
                 if txn is not None:
                     manifest["txn"] = [txn[0], txn[1]]
+                if schema is not None:
+                    # recorded only when the append EVOLVED the schema
+                    # (or first-recorded it on a legacy log) — delta
+                    # manifests stay O(new files) otherwise
+                    manifest["schema"] = schema
             else:
                 # overwrite/replace reset the state — full snapshot; an
                 # append creating the table (version 0) is one too
@@ -496,6 +652,15 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
+                sch = schema
+                if sch is None and latest is not None:
+                    # carry the recorded schema across snapshot resets
+                    # whose frame was scanned FROM the table (compact,
+                    # delete/update/merge rewrites, replace) — restore
+                    # passes its source version's schema explicitly
+                    sch = self._schema_at(latest)
+                if sch is not None:
+                    manifest["schema"] = sch
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
@@ -685,7 +850,10 @@ class VersionedTable:
 
     # -- write ops ------------------------------------------------------
     def append(
-        self, df: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> int | None:
         """Append as a new version. ``txn=(app_id, batch_id)`` makes the
         append IDEMPOTENT (Delta's txnAppId/txnVersion): a batch id the
@@ -694,7 +862,12 @@ class VersionedTable:
         micro-batch needs for exactly-once sink semantics. Commit cost
         stays O(new files): the ledger check reads manifests, never
         data. Appends to a partitioned table write hive layout under the
-        table's declared partition columns automatically."""
+        table's declared partition columns automatically.
+
+        Schema enforcement (Delta's rule): the frame is aligned to the
+        table schema — missing columns null-filled, lossless widenings
+        cast, unknown columns an ERROR unless ``merge_schema=True``
+        (Delta's mergeSchema), which evolves the schema additively."""
         base = self.latest_version()
         if txn is not None and base is not None:
             # cheap pre-check before paying the data write; the
@@ -703,6 +876,11 @@ class VersionedTable:
                 return None
         pb = self._partition_by_at(base) if base is not None else []
         cons = self._constraints_at(base) if base is not None else {}
+        stored = self._schema_at(base) if base is not None else None
+        df, new_schema = self._align(df, stored, merge_schema, "append")
+        evolved = stored is None or self._canon_schema(
+            stored
+        ) != self._canon_schema(new_schema)
         new_files = self._write_data_files(self._checked(df, cons), pb)
         v = self._commit(
             None,
@@ -711,6 +889,10 @@ class VersionedTable:
             new_files=new_files,
             txn=txn,
             enforced_constraints=cons,
+            # record the schema when this append changed it (or first
+            # recorded it on a legacy log); plain appends stay O(files)
+            schema=new_schema if evolved else None,
+            enforced_schema=stored,
         )
         if v is None:
             # lost an idempotence race after staging: the files are
@@ -724,7 +906,10 @@ class VersionedTable:
         return v
 
     def overwrite(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        overwrite_schema: bool = False,
     ) -> int:
         """Replace the table's content as a new version.
 
@@ -735,19 +920,32 @@ class VersionedTable:
         values become degenerate manifest bounds (partition pruning via
         ``read(prune=…)`` with zero footer reads), and all later writes
         — appends, DML rewrites, compaction — preserve the layout.
-        ``None`` keeps the table's current layout; ``[]`` flattens."""
+        ``None`` keeps the table's current layout; ``[]`` flattens.
+
+        Replacing the ROWS does not replace the SCHEMA: the frame is
+        aligned to the table schema exactly as append is (Delta enforces
+        schema on overwrite too). ``overwrite_schema=True`` (Delta's
+        overwriteSchema) redefines the schema to the frame's own."""
         base = self.latest_version()
         if partition_by is None:
             partition_by = (
                 self._partition_by_at(base) if base is not None else []
             )
         cons = self._constraints_at(base) if base is not None else {}
+        stored = (
+            self._schema_at(base)
+            if base is not None and not overwrite_schema
+            else None
+        )
+        df, new_schema = self._align(df, stored, False, "overwrite")
         return self._commit(
             self._write_data_files(self._checked(df, cons), partition_by),
             "overwrite",
             base,
             partition_by=partition_by,
             enforced_constraints=cons,
+            schema=new_schema,
+            enforced_schema=stored,
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:
@@ -778,6 +976,9 @@ class VersionedTable:
             raise VersionedTableError(
                 f"incoming frame lacks partition columns {missing}"
             )
+        df, _ = self._align(
+            df, self._schema_at(base), False, "overwrite_partitions"
+        )
         # write FIRST, then classify by the new files' own partition
         # directories: both old and new names were rendered by the same
         # hive encoder, so the replaced-partition match is exact by
@@ -816,7 +1017,7 @@ class VersionedTable:
                 f"replace requires identical columns; target {target.columns} "
                 f"vs incoming {df.columns}"
             )
-        incoming = df.select(*target.columns)
+        incoming, _ = self._align(df, self._schema_at(base), False, "replace")
         kept = target.join(
             incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
         )
@@ -861,16 +1062,33 @@ class VersionedTable:
             )
         return self._as_condition(predicate), files
 
-    def _scan_files(self, names: list[str]) -> DataFrame:
+    def _scan_files(
+        self, names: list[str], schema: "T.StructType | None" = None
+    ) -> DataFrame:
         # basePath reconstructs partition columns from the hive directory
-        # segments when the table is partitioned (harmless when flat);
-        # mergeSchema keeps additively-evolved snapshots whole
+        # segments when the table is partitioned (harmless when flat).
+        # With the log-recorded ``schema`` the scan declares it — no
+        # footer is opened for schema at ALL (files missing an evolved
+        # column read it as NULL, partition columns take their declared
+        # types). Legacy logs without a recorded schema fall back to
+        # mergeSchema, which keeps additively-evolved snapshots whole at
+        # the cost of a driver-side merge over every footer.
         paths = [os.path.join(self.path, f) for f in names]
-        return (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.path)
-            .parquet(*paths)
-        )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("mergeSchema", "true")
+        return reader.option("basePath", self.path).parquet(*paths)
+
+    def _scan_schema(self, version: int | None) -> "T.StructType | None":
+        """The declared scan schema for files of ``version`` — the
+        log-recorded table schema when present, else None (legacy
+        mergeSchema fallback)."""
+        if version is None:
+            return None
+        stored = self._schema_at(version)
+        return None if stored is None else T.StructType.fromJson(stored)
 
     _FILE_NAME = "__vt_file"
 
@@ -903,7 +1121,9 @@ class VersionedTable:
         if not scan_set:
             return [], files
         touched_rows = (
-            self._with_file_name(self._scan_files(scan_set))
+            self._with_file_name(
+                self._scan_files(scan_set, self._scan_schema(base))
+            )
             .where(cond)
             .select(self._FILE_NAME)
             .distinct()
@@ -949,7 +1169,7 @@ class VersionedTable:
         if not touched:
             return None
         pb = self._partition_by_at(base)
-        scan_t = self._scan_files(touched).persist()
+        scan_t = self._scan_files(touched, self._scan_schema(base)).persist()
         try:
             kept_files = self._write_data_files(scan_t.where(~cond), pb)
             cdc = self._write_cdc_files(
@@ -1012,10 +1232,17 @@ class VersionedTable:
             return None
         pb = self._partition_by_at(base)
         cons = self._constraints_at(base)
-        scan_t = self._scan_files(touched).persist()
+        scan_t = self._scan_files(touched, self._scan_schema(base)).persist()
         try:
+            # re-align the rewritten rows: an assignment whose expression
+            # drifts a column's type (v = 'oops') must fail HERE, not
+            # poison later declared-schema scans of the rewritten files
+            rewritten, _ = self._align(
+                _updated(scan_t, cond), self._schema_at(base), False,
+                "update",
+            )
             new_files = self._write_data_files(
-                self._checked(_updated(scan_t, cond), cons), pb
+                self._checked(rewritten, cons), pb
             )
             matched = scan_t.where(cond)
             cdc = self._write_cdc_files(
@@ -1096,7 +1323,13 @@ class VersionedTable:
             raise VersionedTableError(
                 f"merge keys {sorted(missing)} not in columns {target.columns}"
             )
-        source = source.select(*target.columns)
+        # column order AND types normalized to the table schema: an
+        # inserted source row with a drifted type would otherwise land in
+        # fresh files that poison every later declared-schema scan
+        source, _ = self._align(
+            source.select(*target.columns), self._schema_at(base), False,
+            "merge",
+        )
         # both key frames are reused across several jobs (envelope agg,
         # cardinality check, discovery, rewrite, CDC, insert anti-join)
         # — persist so each costs one scan, not five
@@ -1134,7 +1367,10 @@ class VersionedTable:
         # key in a pruned file lies outside the envelope on some column
         # and can equal no source key
         cand_keys = (
-            self._scan_files(candidates).select(*on).distinct().persist()
+            self._scan_files(candidates, self._scan_schema(base))
+            .select(*on)
+            .distinct()
+            .persist()
             if candidates
             else target.limit(0).select(*on)
         )
@@ -1189,7 +1425,9 @@ class VersionedTable:
         untouched = files
         if when_matched is not None and candidates:
             t_rows = (
-                self._with_file_name(self._scan_files(candidates))
+                self._with_file_name(
+                    self._scan_files(candidates, self._scan_schema(base))
+                )
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
                 .distinct()
@@ -1204,7 +1442,9 @@ class VersionedTable:
         new_files: list[str] = []
         matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
-            scan_t = self._scan_files(touched).persist()
+            scan_t = self._scan_files(
+                touched, self._scan_schema(base)
+            ).persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
                 cons = self._constraints_at(base)
@@ -1427,12 +1667,11 @@ class VersionedTable:
                 f"version {version} references no data files; the schema "
                 f"is unrecoverable from an empty manifest"
             )
-        # mergeSchema: a version committed after additive evolution
-        # (evolveSchema) references files with both the old and the new
-        # column set — without merging, the table schema would be whatever
-        # file happens to be listed first and added columns would silently
-        # vanish
-        df = self._scan_files(files)
+        # scan under the schema RECORDED AT that version: files written
+        # before an additive evolution read the added columns as NULL,
+        # and a time-travel read of a pre-evolution version shows the
+        # schema the table had THEN — with zero footer merging either way
+        df = self._scan_files(files, self._scan_schema(version))
         if prune:
             df = df.where(self._triples_condition(prune))
         return df
@@ -1570,7 +1809,10 @@ class VersionedTable:
                 )
         if not added:  # from == to: empty frame with the snapshot's schema
             return self.read(version_as_of=to_version).limit(0)
-        return self._scan_files(added)
+        # deliver under the schema at to_version (Delta's CDF posture:
+        # the consumer sees the CURRENT schema; pre-evolution add files
+        # read evolved columns as NULL)
+        return self._scan_files(added, self._scan_schema(to_version))
 
     def change_feed(
         self,
@@ -1648,6 +1890,7 @@ class VersionedTable:
                 )
         cols = self.read(version_as_of=to_version).columns
         out_cols = [*cols, "_change_type", "_commit_version"]
+        sch = self._scan_schema(to_version)
         frames: list[DataFrame] = []
         for pairs, is_cdc in ((insert_files, False), (cdc_files, True)):
             if not pairs:
@@ -1656,8 +1899,15 @@ class VersionedTable:
                 [(os.path.basename(f), v) for f, v in pairs],
                 schema=f"{self._FILE_NAME} string, _commit_version bigint",
             )
+            scan_schema = sch
+            if sch is not None and is_cdc:
+                # change files store their row-level _change_type IN the
+                # file — the declared scan schema must carry it
+                scan_schema = T.StructType(
+                    [*sch.fields, T.StructField("_change_type", T.StringType())]
+                )
             scan = self._with_file_name(
-                self._scan_files([f for f, _ in pairs])
+                self._scan_files([f for f, _ in pairs], scan_schema)
             ).join(F.broadcast(vmap), on=self._FILE_NAME, how="inner")
             if not is_cdc:
                 scan = scan.withColumn("_change_type", F.lit("insert"))
@@ -1900,12 +2150,21 @@ class VersionedTable:
                 f"its files were vacuumed (first: {missing[0]}) — restore "
                 f"only reaches back as far as vacuum retention"
             )
+        restored_schema = self._schema_at(version)
+        if restored_schema is None:
+            # legacy source version (schema never recorded): derive it
+            # from the restored files once so the carry-forward can't
+            # stamp a LATER schema onto pre-evolution files
+            restored_schema = self._nullable_json(
+                self._scan_files(files).schema
+            )
         return self._commit(
             files,
             "restore",
             self.latest_version(),
             known_stats=self._stats_at(version),
             partition_by=self._partition_by_at(version),
+            schema=restored_schema,
         )
 
     def history(self) -> list[dict]:

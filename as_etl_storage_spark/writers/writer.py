@@ -402,7 +402,9 @@ class ParquetWriter:
             written = clean.count()
             if mode == "insert":
                 if exists:
-                    vt.append(clean)  # layout inherited from the table
+                    # layout inherited from the table; evolveSchema maps
+                    # to the log's additive evolution (mergeSchema)
+                    vt.append(clean, merge_schema=self.spec.evolve_schema)
                 else:
                     vt.overwrite(clean, partition_by=pb)
             elif mode == "overwrite":
@@ -425,8 +427,14 @@ class ParquetWriter:
                         vt.overwrite_partitions(clean)
                 else:
                     # None keeps the current layout when the spec is
-                    # silent; an explicit partitionBy redeclares it
-                    vt.overwrite(clean, partition_by=pb or None)
+                    # silent; an explicit partitionBy redeclares it.
+                    # The spec surface keeps the documented posture that
+                    # overwrite legitimately redefines the schema (the
+                    # W11 gate deliberately skips overwrite)
+                    vt.overwrite(
+                        clean, partition_by=pb or None,
+                        overwrite_schema=True,
+                    )
             elif mode == "replace":
                 vt.replace(clean, list(self.spec.merge_keys))
             else:

@@ -816,7 +816,10 @@ def test_versioned_changes_additive_schema_evolution(spark, tmp_path):
     up = str(tmp_path / "up")
     vt = VersionedTable(spark, up)
     vt.append(spark.range(0, 5))                                   # v0: id
-    vt.append(spark.range(5, 10).withColumn("extra", F.col("id") * 10))
+    vt.append(
+        spark.range(5, 10).withColumn("extra", F.col("id") * 10),
+        merge_schema=True,  # additive evolution is explicit (Delta rule)
+    )
 
     out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
     rows = [r for _, b in out for r in b]
@@ -1048,3 +1051,30 @@ def test_versioned_changes_skip_errors_on_vacuumed_history(spark, tmp_path):
         _drain_versioned_changes(
             spark, up, str(tmp_path / "cp"), on_rewrite="skip"
         )
+
+
+def test_versioned_changes_schema_from_log(spark, tmp_path):
+    """The CDC stream's declared schema comes from the LOG-recorded table
+    schema when present (not a data-file footer probe): an int32 hive
+    partition column streams as int with exact values — the legacy probe
+    could only infer bigint from the parsed directory name."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    df = (
+        spark.range(8)
+        .withColumn("region", (F.col("id") % 2).cast("int"))
+        .withColumn("val", F.col("id") * 3)
+    )
+    vt.overwrite(df, partition_by=["region"])
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(8))
+    assert {r.id: r.region for r in rows} == {i: i % 2 for i in range(8)}
+    # the stream type is the TABLE type, straight from the log
+    sch = {f.name: f.dataType.simpleString() for f in vt.table_schema().fields}
+    assert sch["region"] == "int"

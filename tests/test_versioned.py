@@ -1974,3 +1974,165 @@ def test_append_rebase_detects_concurrent_constraint_change(spark, tmp_path):
     )
     assert v == vt.latest_version()
     assert vt.read().count() == 5 + 2 + 2
+
+
+# ---------------------------------------------------------------- schema ---
+def test_schema_enforcement_rejects_type_poisoning(spark, tmp_path):
+    """The bug this layer exists to prevent: before schema recording, an
+    append with a retyped column COMMITTED and every later read died
+    with CANNOT_MERGE_SCHEMAS — the table was poisoned. Now the write
+    itself is rejected, nothing commits, and the table stays readable."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "p"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id") * 2))
+    before = vt.latest_version()
+    with pytest.raises(VersionedTableError, match="arrives as string"):
+        vt.append(spark.range(3, 5).withColumn("v", F.lit("oops")))
+    assert vt.latest_version() == before
+    assert vt.read().count() == 3  # still readable
+    # update assignments can't drift a type: when()'s ANSI coercion
+    # unifies the assignment to the column's type, so a non-castable
+    # value fails the write JOB (before any commit) — and _align is the
+    # backstop if coercion ever produced a drifted frame
+    with pytest.raises(Exception, match="CAST_INVALID_INPUT|arrives as"):
+        vt.update("id = 0", {"v": "'oops'"})
+    assert vt.latest_version() == before
+    # merge sources too (inserted rows land in fresh files)
+    with pytest.raises(VersionedTableError, match="arrives as"):
+        vt.merge(
+            spark.createDataFrame([(9, "x")], "id long, v string"), ["id"]
+        )
+    assert vt.read().count() == 3
+
+
+def test_schema_alignment_on_append(spark, tmp_path):
+    """Delta's write-side schema resolution: missing columns null-fill,
+    lossless widenings (int→bigint) cast silently, names resolve
+    case-insensitively, column order normalizes to the table's."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "a"))
+    vt.overwrite(spark.range(2).withColumn("v", F.col("id") * 2))
+    # extra column is an error without merge_schema
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        vt.append(spark.range(2, 3).withColumn("v", F.lit(1)).withColumn("w", F.lit("x")))
+    # missing column null-fills
+    vt.append(spark.range(2, 4))
+    # upcast int -> bigint, reordered + case-drifted names align
+    vt.append(
+        spark.createDataFrame([(5, 9)], "V int, ID int").select("V", "ID")
+    )
+    rows = {r.id: r.v for r in vt.read().collect()}
+    assert rows == {0: 0, 1: 2, 2: None, 3: None, 9: 5}
+    sch = {f.name: f.dataType.simpleString() for f in vt.table_schema().fields}
+    assert sch == {"id": "bigint", "v": "bigint"}
+    # downcast direction refuses: table bigint never narrows to int
+    flipped = VersionedTable(spark, str(tmp_path / "n"))
+    flipped.overwrite(spark.createDataFrame([(1,)], "x int"))
+    with pytest.raises(VersionedTableError, match="arrives as bigint"):
+        flipped.append(spark.createDataFrame([(2,)], "x bigint"))
+
+
+def test_schema_evolution_and_time_travel(spark, tmp_path):
+    """merge_schema=True evolves additively: new column appended to the
+    schema, pre-evolution files read it as NULL, and a time-travel read
+    of a pre-evolution version shows the schema the table had THEN. The
+    evolved schema survives compaction, checkpoints, and restore."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "e"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    v_old = vt.append(spark.range(3, 5).withColumn("v", F.col("id")))
+    vt.append(
+        spark.range(5, 7).withColumn("v", F.col("id")).withColumn(
+            "tag", F.lit("new")
+        ),
+        merge_schema=True,
+    )
+    assert vt.read().columns == ["id", "v", "tag"]
+    got = {r.id: r.tag for r in vt.read().collect()}
+    assert all(got[i] is None for i in range(5))
+    assert got[5] == got[6] == "new"
+    # time travel: the pre-evolution snapshot has the OLD schema
+    assert vt.read(version_as_of=v_old).columns == ["id", "v"]
+    # evolution survives a compact (carry-forward) and a restore back
+    vt.compact()
+    assert vt.read().columns == ["id", "v", "tag"]
+    vt.restore(version=v_old)
+    assert vt.read().columns == ["id", "v"]  # restored schema, not current
+    # changes() across the restore directs to re-read; fresh read works
+    assert vt.read().count() == 5
+
+
+def test_overwrite_schema_enforced_and_redefinable(spark, tmp_path):
+    """Overwrite replaces ROWS, not the schema (Delta enforces schema on
+    overwrite too); overwrite_schema=True is the explicit redefine."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "o"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        vt.overwrite(spark.range(2).withColumn("other", F.lit("x")))
+    vt.overwrite(
+        spark.range(2).withColumn("other", F.lit("x")),
+        overwrite_schema=True,
+    )
+    assert vt.read().columns == ["id", "other"]
+    assert [f.dataType.simpleString() for f in vt.table_schema().fields] == [
+        "bigint", "string",
+    ]
+
+
+def test_concurrent_schema_change_conflicts(spark, tmp_path):
+    """Delta's metadata-conflict rule, schema edition: an append aligned
+    against the BASE schema must fail — not silently rebase — when a
+    concurrent commit evolved the schema first."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "k"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    base = vt.latest_version()
+    stored = vt._schema_at(base)
+    staged = vt._write_data_files(
+        spark.range(3, 5).withColumn("v", F.col("id"))
+    )
+    vt.append(  # concurrent EVOLVING append commits first
+        spark.range(9, 10).withColumn("v", F.col("id")).withColumn(
+            "w", F.lit(1)
+        ),
+        merge_schema=True,
+    )
+    with pytest.raises(VersionedTableError, match="schema"):
+        vt._commit(
+            None, "append", base, new_files=staged, enforced_schema=stored
+        )
+
+
+def test_legacy_log_without_schema_still_reads(spark, tmp_path):
+    """Logs written before schema recording have no ``schema`` key: reads
+    fall back to mergeSchema footer merging, table_schema() derives from
+    the files, and the next append migrates the log by recording it."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "l"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    vt.append(spark.range(3, 5).withColumn("v", F.col("id")))
+    # strip the schema keys to simulate a legacy log
+    for name in _os.listdir(vt.log_dir):
+        p = _os.path.join(vt.log_dir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("schema", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    assert vt._schema_at(vt.latest_version()) is None
+    assert vt.read().count() == 5  # mergeSchema fallback
+    sch = {f.name for f in vt.table_schema().fields}
+    assert sch == {"id", "v"}
+    v = vt.append(spark.range(5, 6).withColumn("v", F.col("id")))
+    assert vt._schema_at(v) is not None  # migrated: recorded from here on
+    assert vt.read().count() == 6
