@@ -772,6 +772,56 @@ _register(
 )
 
 
+def _w_versioned_column_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD/DROP COLUMN as metadata-only commits over the
+    log-recorded schema: ADD evolves the schema in an O(1) manifest
+    (existing files read the column as NULL), DROP narrows it without
+    rewriting a byte — the declared-schema scan never selects the
+    dropped bytes, the column-mapping-free form (asserted in-query: the
+    data-file set is IDENTICAL across both DDL commits). The dropped
+    name is tombstoned against resurrection from pre-drop files."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wvcd-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    first = orders.where(F.col("o_orderkey") <= hi // 2)
+    second = orders.where(F.col("o_orderkey") > hi // 2)
+
+    vt = VersionedTable(spark, root)
+    vt.overwrite(first.select("o_orderkey", "o_totalprice"))
+    files_before = set(vt._state(vt.latest_version()))
+    vt.add_column("o_orderstatus", "string")
+    assert set(vt._state(vt.latest_version())) == files_before, (
+        "ADD COLUMN must not touch data files"
+    )
+    vt.append(second.select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    before_drop = set(vt._state(vt.latest_version()))
+    vt.drop_column("o_totalprice")
+    assert set(vt._state(vt.latest_version())) == before_drop, (
+        "DROP COLUMN must not rewrite data files"
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_column_ddl",
+    _w_versioned_column_ddl,
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 2
+                THEN o_orderstatus END AS o_orderstatus
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE (writers/versioned.py:delete): remove the 'F'
     orders from a versioned copy and read the result — the snapshot must

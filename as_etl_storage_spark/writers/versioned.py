@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -247,32 +248,42 @@ class VersionedTable:
         return {} if latest is None else self._constraints_at(latest)
 
     # -- table schema (Delta's metaData.schemaString analog) -------------
-    def _schema_at(self, version: int) -> dict | None:
-        """The recorded table schema (StructType jsonValue) in effect at
-        ``version``, via the same walk as _constraints_at; None for logs
-        written before schema recording (legacy — readers fall back to
-        parquet footer merging). Recording the schema in the LOG is what
-        Delta does (metaData.schemaString), and it matters at scale: a
-        reader with a declared schema never merges 10^6 file footers on
-        the driver, and a write with an incompatible type is rejected at
-        the write — not discovered as CANNOT_MERGE_SCHEMAS by the next
-        unlucky reader."""
+    def _schema_record_at(
+        self, version: int
+    ) -> tuple[dict | None, list[str]]:
+        """(schema jsonValue, dropped-column tombstones) in effect at
+        ``version``, via the same walk as _constraints_at; (None, []) for
+        logs written before schema recording (legacy — readers fall back
+        to parquet footer merging). Recording the schema in the LOG is
+        what Delta does (metaData.schemaString), and it matters at
+        scale: a reader with a declared schema never merges 10^6 file
+        footers on the driver, and a write with an incompatible type is
+        rejected at the write — not discovered as CANNOT_MERGE_SCHEMAS
+        by the next unlucky reader. The tombstones guard DROP COLUMN's
+        one hazard (see drop_column)."""
         v = version
         while True:
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
                 with open(cp) as fh:
-                    return json.load(fh).get("schema")
+                    m = json.load(fh)
+                return m.get("schema"), list(m.get("dropped_columns", []))
             mpath = os.path.join(self.log_dir, f"{v:08d}.json")
             if not os.path.exists(mpath):
-                return None
+                return None, []
             with open(mpath) as fh:
                 m = json.load(fh)
             if "schema" in m:
-                return m["schema"]
+                return m["schema"], list(m.get("dropped_columns", []))
             if "files" in m:
-                return None  # snapshot predating schema recording
+                return None, []  # snapshot predating schema recording
             v -= 1
+
+    def _schema_at(self, version: int) -> dict | None:
+        return self._schema_record_at(version)[0]
+
+    def _dropped_at(self, version: int) -> list[str]:
+        return self._schema_record_at(version)[1]
 
     def table_schema(self, version: int | None = None) -> "T.StructType":
         """The table's schema at ``version`` (latest when None). Served
@@ -323,6 +334,7 @@ class VersionedTable:
         stored: dict | None,
         merge_schema: bool,
         op: str,
+        dropped: list[str] | None = None,
     ) -> tuple[DataFrame, dict]:
         """Schema enforcement at the write (Delta's rule): the incoming
         frame is resolved against the table schema — missing columns
@@ -346,6 +358,19 @@ class VersionedTable:
                 f"table schema {[f.name for f in tgt.fields]}; pass "
                 f"merge_schema=True to evolve the schema additively"
             )
+        if extras and dropped:
+            lower_dropped = {d.lower() for d in dropped}
+            resurrect = [
+                f.name for f in extras if f.name.lower() in lower_dropped
+            ]
+            if resurrect:
+                raise VersionedTableError(
+                    f"{op}: columns {resurrect} were DROPPED and files "
+                    f"written before the drop still hold their old bytes "
+                    f"— re-adding the name would resurrect stale values. "
+                    f"Rewrite the table first "
+                    f"(overwrite(..., overwrite_schema=True))"
+                )
         cols = []
         for f in tgt.fields:
             src = by_lower.get(f.name.lower())
@@ -420,27 +445,133 @@ class VersionedTable:
         del cons[name]
         return self._commit_metadata(base, "drop_constraint", cons)
 
+    # -- column DDL (metadata-only, enabled by the log-recorded schema) --
+    def _recorded_schema_for_ddl(self, base: int, op: str) -> "T.StructType":
+        """The table schema as a StructType for an ALTER: log-recorded
+        when present, else derived from the files once (the ALTER commit
+        then records it — legacy logs self-migrate through DDL too)."""
+        stored = self._schema_at(base)
+        if stored is not None:
+            return T.StructType.fromJson(stored)
+        return T.StructType(
+            [
+                T.StructField(f.name, f.dataType, True)
+                for f in self._scan_files(self._state(base)).schema.fields
+            ]
+        )
+
+    def add_column(self, name: str, ddl_type: str) -> int:
+        """ALTER TABLE ADD COLUMN — metadata-only (Delta's): the evolved
+        schema is committed as an O(1) manifest, ZERO data files are
+        touched, and every existing file reads the new column as NULL
+        under the declared-schema scan. ``ddl_type`` is a Spark DDL type
+        string (``"bigint"``, ``"array<double>"``, ...)."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        try:
+            dt = T.DataType.fromDDL(ddl_type)
+        except Exception as exc:
+            raise VersionedTableError(
+                f"add_column: unparseable DDL type {ddl_type!r}: {exc}"
+            ) from None
+        sch = self._recorded_schema_for_ddl(base, "add_column")
+        if any(f.name.lower() == name.lower() for f in sch.fields):
+            raise VersionedTableError(
+                f"column {name!r} already exists in {[f.name for f in sch.fields]}"
+            )
+        tombstones = self._dropped_at(base)
+        if name.lower() in (d.lower() for d in tombstones):
+            raise VersionedTableError(
+                f"add_column: {name!r} was DROPPED and files written "
+                f"before the drop still hold its old bytes — re-adding "
+                f"the name would resurrect stale values. Rewrite the "
+                f"table first (overwrite(..., overwrite_schema=True))"
+            )
+        evolved = T.StructType([*sch.fields, T.StructField(name, dt, True)])
+        return self._commit_metadata(
+            base, "add_column", schema=evolved.jsonValue(),
+            dropped=tombstones,
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the narrowed schema
+        is committed, no data file is rewritten, and the declared-schema
+        scan simply never selects the dropped column's bytes (the
+        column-mapping-free form Delta needs columnMapping for; possible
+        here because scans take the schema from the LOG, not the
+        footers). Time travel before the drop still sees the column.
+        Partition columns and columns referenced by a CHECK constraint
+        refuse — they'd leave the table inconsistent."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        sch = self._recorded_schema_for_ddl(base, "drop_column")
+        keep = [f for f in sch.fields if f.name.lower() != name.lower()]
+        if len(keep) == len(sch.fields):
+            raise VersionedTableError(
+                f"no column {name!r}; have {[f.name for f in sch.fields]}"
+            )
+        if not keep:
+            raise VersionedTableError("cannot drop the table's only column")
+        if name.lower() in (c.lower() for c in self._partition_by_at(base)):
+            raise VersionedTableError(
+                f"cannot drop partition column {name!r}; re-layout with "
+                f"overwrite(..., partition_by=[...]) first"
+            )
+        referencing = {
+            cname: expr
+            for cname, expr in self._constraints_at(base).items()
+            if re.search(rf"\b{re.escape(name)}\b", expr, re.IGNORECASE)
+        }
+        if referencing:
+            raise VersionedTableError(
+                f"cannot drop {name!r}: CHECK constraints reference it: "
+                f"{referencing}; drop them first"
+            )
+        # tombstone the name: old files still hold its bytes, so re-adding
+        # it (add_column or merge_schema evolution) is refused until a
+        # schema-redefining overwrite rewrites every file
+        return self._commit_metadata(
+            base,
+            "drop_column",
+            schema=T.StructType(keep).jsonValue(),
+            dropped=[*self._dropped_at(base), name],
+        )
+
     def _commit_metadata(
-        self, base: int, op: str, constraints: dict[str, str]
+        self,
+        base: int,
+        op: str,
+        constraints: dict[str, str] | None = None,
+        schema: dict | None = None,
+        dropped: list[str] | None = None,
     ) -> int:
         """Metadata-only commit: a delta manifest with an empty ``add``
-        (state unchanged, O(1) size) carrying the full constraint map and
-        ``data_change: false`` so incremental consumers skip it."""
+        (state unchanged, O(1) size) carrying the full constraint map
+        and/or the full schema (+ tombstones), plus ``data_change:
+        false`` so incremental consumers skip it. A key that is absent
+        simply doesn't interrupt that property's log walk — the previous
+        value stays in effect."""
         latest = self.latest_version()
         version = base + 1
-        if latest != base or not self._publish_manifest(
-            version,
-            {
-                "version": version,
-                "op": op,
-                "add": [],
-                "stats": {},
-                "constraints": constraints,
-                "data_change": False,
-                "base": base,
-                "ts": time.time(),
-            },
-        ):
+        manifest = {
+            "version": version,
+            "op": op,
+            "add": [],
+            "stats": {},
+            "data_change": False,
+            "base": base,
+            "ts": time.time(),
+        }
+        if constraints is not None:
+            manifest["constraints"] = constraints
+        if schema is not None:
+            manifest["schema"] = schema
+            manifest["dropped_columns"] = (
+                dropped if dropped is not None else self._dropped_at(base)
+            )
+        if latest != base or not self._publish_manifest(version, manifest):
             # any concurrent commit makes the ADD-time validation (and a
             # drop's not-found check) stale — no silent retry
             raise VersionedTableError(
@@ -492,9 +623,10 @@ class VersionedTable:
             "partition_by": self._partition_by_at(version),
             "constraints": self._constraints_at(version),
         }
-        sch = self._schema_at(version)
+        sch, drp = self._schema_record_at(version)
         if sch is not None:
             payload["schema"] = sch
+            payload["dropped_columns"] = drp
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -515,6 +647,7 @@ class VersionedTable:
         enforced_constraints: dict[str, str] | None = None,
         schema: dict | None = None,
         enforced_schema: dict | None = None,
+        dropped: list[str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -612,8 +745,19 @@ class VersionedTable:
                 if schema is not None:
                     # recorded only when the append EVOLVED the schema
                     # (or first-recorded it on a legacy log) — delta
-                    # manifests stay O(new files) otherwise
+                    # manifests stay O(new files) otherwise. A manifest
+                    # carrying "schema" always carries the tombstones
+                    # alongside (they terminate the same walk)
                     manifest["schema"] = schema
+                    manifest["dropped_columns"] = (
+                        dropped
+                        if dropped is not None
+                        else (
+                            self._dropped_at(base_version)
+                            if base_version is not None
+                            else []
+                        )
+                    )
             else:
                 # overwrite/replace reset the state — full snapshot; an
                 # append creating the table (version 0) is one too
@@ -652,15 +796,26 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
-                sch = schema
+                sch, drp = schema, dropped
                 if sch is None and latest is not None:
                     # carry the recorded schema across snapshot resets
                     # whose frame was scanned FROM the table (compact,
                     # delete/update/merge rewrites, replace) — restore
                     # passes its source version's schema explicitly
-                    sch = self._schema_at(latest)
+                    sch, carried = self._schema_record_at(latest)
+                    if drp is None:
+                        drp = carried
                 if sch is not None:
                     manifest["schema"] = sch
+                    manifest["dropped_columns"] = (
+                        drp
+                        if drp is not None
+                        else (
+                            self._dropped_at(latest)
+                            if latest is not None
+                            else []
+                        )
+                    )
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
@@ -876,8 +1031,12 @@ class VersionedTable:
                 return None
         pb = self._partition_by_at(base) if base is not None else []
         cons = self._constraints_at(base) if base is not None else {}
-        stored = self._schema_at(base) if base is not None else None
-        df, new_schema = self._align(df, stored, merge_schema, "append")
+        stored, tombstones = (
+            self._schema_record_at(base) if base is not None else (None, [])
+        )
+        df, new_schema = self._align(
+            df, stored, merge_schema, "append", tombstones
+        )
         evolved = stored is None or self._canon_schema(
             stored
         ) != self._canon_schema(new_schema)
@@ -946,6 +1105,10 @@ class VersionedTable:
             enforced_constraints=cons,
             schema=new_schema,
             enforced_schema=stored,
+            # a schema-redefining overwrite rewrites every file under the
+            # new schema — dropped-column tombstones are cleared (this is
+            # the documented way to free a dropped name for reuse)
+            dropped=[] if overwrite_schema else None,
         )
 
     def overwrite_partitions(self, df: DataFrame) -> int:
@@ -2150,7 +2313,7 @@ class VersionedTable:
                 f"its files were vacuumed (first: {missing[0]}) — restore "
                 f"only reaches back as far as vacuum retention"
             )
-        restored_schema = self._schema_at(version)
+        restored_schema, restored_dropped = self._schema_record_at(version)
         if restored_schema is None:
             # legacy source version (schema never recorded): derive it
             # from the restored files once so the carry-forward can't
@@ -2165,6 +2328,7 @@ class VersionedTable:
             known_stats=self._stats_at(version),
             partition_by=self._partition_by_at(version),
             schema=restored_schema,
+            dropped=restored_dropped,
         )
 
     def history(self) -> list[dict]:
