@@ -2334,9 +2334,24 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
-    def vacuum(self, retain_last: int = 1, grace_seconds: float = 600.0) -> int:
-        """Delete data files unreferenced by the last ``retain_last``
-        versions (and their manifests). Returns files removed.
+    def vacuum(
+        self,
+        retain_last: int = 1,
+        grace_seconds: float = 600.0,
+        retain_hours: float | None = None,
+    ) -> int:
+        """Delete data files unreferenced by the retained versions (and
+        their manifests). Returns files removed.
+
+        Retention is version-count (``retain_last``, the sandbox-scaled
+        default) or time-based (``retain_hours``, Delta's
+        retentionHours): with ``retain_hours`` every version whose
+        commit timestamp is within the window stays time-travelable —
+        the cut resolves through the SAME commit-timestamp source as
+        ``timestamp_as_of``, so "I can still read what I could still
+        resolve" holds by construction. The two compose as a union
+        (whatever either rule retains is kept); pass ``retain_last=1``
+        with ``retain_hours`` for pure time-based retention.
 
         ``grace_seconds`` (Delta's retention-window idea, scaled to this
         sandbox): files younger than the grace are kept even when
@@ -2373,9 +2388,18 @@ class VersionedTable:
                             pass  # concurrent vacuum won the race
 
         vs = self._versions()
-        if len(vs) <= retain_last:
+        n_keep = max(1, retain_last)
+        if retain_hours is not None:
+            cutoff = now - retain_hours * 3600.0
+            # first version still inside the window; every later one is
+            # newer (commit ts is effectively monotone — resolve through
+            # the same source as timestamp_as_of)
+            in_window = [v for v in vs if self._commit_ts(v) >= cutoff]
+            if in_window:
+                n_keep = max(n_keep, len(vs) - vs.index(in_window[0]))
+        if len(vs) <= n_keep:
             return 0
-        keep_versions = vs[-retain_last:]
+        keep_versions = vs[-n_keep:]
         keep_files = set()
         for v in keep_versions:
             keep_files.update(self._state(v))
@@ -2442,7 +2466,7 @@ class VersionedTable:
                         continue
                     os.remove(full)
                     removed += 1
-        for v in vs[:-retain_last]:
+        for v in vs[:-n_keep]:
             # the same grace applies to manifests: deleting a young
             # version's manifest while its files are grace-protected
             # would orphan the files AND lose the version early

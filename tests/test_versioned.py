@@ -2291,3 +2291,40 @@ def test_concurrent_ddl_vs_append_threads(spark, tmp_path):
     # every committed version still reads
     for v in vt._versions():
         assert vt.read(version_as_of=v).columns
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """vacuum(retain_hours=…), Delta's retentionHours: every version
+    whose commit timestamp is inside the window stays time-travelable
+    (resolved through the same source timestamp_as_of uses); versions
+    older than the window are reclaimed. Composes with retain_last as a
+    union."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "tv"))
+    for i in range(4):
+        vt.overwrite(spark.range(0, (i + 1) * 5))  # each resets the state
+    # age the first two commits by rewriting their manifest ts
+    old = _time.time() - 48 * 3600
+    for v in (0, 1):
+        p = _os.path.join(vt.log_dir, f"{v:08d}.json")
+        with open(p) as fh:
+            m = _json.load(fh)
+        m["ts"] = old + v
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    vt._ts_memo.clear()  # manifests were hand-edited
+    removed = vt.vacuum(retain_last=1, grace_seconds=0.0, retain_hours=24.0)
+    assert removed > 0
+    # versions 2 and 3 are inside the 24h window: still readable
+    assert vt.read(version_as_of=2).count() == 15
+    assert vt.read(version_as_of=3).count() == 20
+    # version 1 is outside: its manifest is gone
+    with pytest.raises(VersionedTableError):
+        vt.read(version_as_of=1)
+    # a wide-open window reclaims nothing further
+    assert vt.vacuum(retain_last=1, grace_seconds=0.0, retain_hours=1e6) == 0
