@@ -497,6 +497,22 @@ _CDC_DDL_TO_PA = {
 }
 
 
+def _cdc_arrow_type(ddl: str):
+    """Arrow type for a Spark DDL string the CDC stream can deliver:
+    the primitive map plus arbitrarily nested ``array<...>`` (embedding
+    columns — an add_column("emb", "array<double>") must not brick the
+    stream). Returns None for types the executor read path cannot map
+    (struct/map/decimal/binary)."""
+    import pyarrow as pa
+
+    ddl = ddl.strip()
+    if ddl.startswith("array<") and ddl.endswith(">"):
+        inner = _cdc_arrow_type(ddl[6:-1])
+        return None if inner is None else pa.list_(inner)
+    alias = _CDC_DDL_TO_PA.get(ddl)
+    return None if alias is None else pa.type_for_alias(alias)
+
+
 def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
     """(name, DDL type) pairs for the CURRENT snapshot's schema. The
     LOG-RECORDED schema is authoritative when present (exact per-table
@@ -521,7 +537,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
         fields = []
         for f in T.StructType.fromJson(stored).fields:
             ddl = f.dataType.simpleString()
-            if ddl not in _CDC_DDL_TO_PA:
+            if _cdc_arrow_type(ddl) is None:
                 raise ValueError(
                     f"versioned_changes: unsupported column type {ddl!r} "
                     f"for {f.name!r}; evolve the table without that column "
@@ -807,7 +823,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # column must not arrive as python-inferred int64, and a legacy
         # file narrower than the declared type must widen, not crash
         targets = [
-            pa.type_for_alias(_CDC_DDL_TO_PA[d]) if d in _CDC_DDL_TO_PA else None
+            _cdc_arrow_type(d)
             for d in (partition.ddl or ("",) * len(partition.columns))
         ]
         arrays = []
@@ -819,11 +835,14 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 arrays.append(arr)
             elif partition.pvals.get(name) is not None:
                 # hive partition column: constant per file, parsed from
-                # the manifest name on the driver, typed to the stream
-                # schema
-                arrays.append(
-                    pa.array([partition.pvals[name]] * n, type=target)
-                )
+                # the manifest name on the driver. Build untyped, then
+                # CAST: the parsed value is a python int/float/str, and
+                # arrow's str→date32/timestamp/bool casts cover the
+                # partition types a typed pa.array() would refuse
+                arr = pa.array([partition.pvals[name]] * n)
+                if target is not None and arr.type != target:
+                    arr = arr.cast(target)
+                arrays.append(arr)
             else:
                 # additive schema evolution: files committed before the
                 # column existed deliver NULLs, as mergeSchema does

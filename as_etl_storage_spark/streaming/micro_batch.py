@@ -231,11 +231,15 @@ class VersionedMirrorConsumer:
         head = batch_df.select("_change_type").head(1)
         if not head:
             return
+        # a MIRROR follows upstream by contract, schema included: an
+        # upstream additive evolution must not wedge the stream on the
+        # downstream's enforcement, and a snapshot recovery restates the
+        # upstream state exactly (schema and all)
         if head[0][0] == "snapshot":
-            vt.overwrite(data)
+            vt.overwrite(data, overwrite_schema=True)
             self.snapshots_applied += 1
         else:
-            v = vt.append(data, txn=(self.app_id, batch_id))
+            v = vt.append(data, txn=(self.app_id, batch_id), merge_schema=True)
             if v is None:
                 self.batches_skipped += 1
             else:
@@ -312,11 +316,19 @@ class ChangeFeedApplyConsumer:
                 )
 
             if "snapshot" in kinds:
-                vt.overwrite(rows("snapshot"))
+                # recovery restates upstream exactly, schema included
+                vt.overwrite(rows("snapshot"), overwrite_schema=True)
                 self.applied["snapshot"] += 1
                 continue
             if "insert" in kinds:
-                if vt.append(rows("insert"), txn=(self.app_id, v)) is not None:
+                # follow upstream additive evolution (mirror contract)
+                if (
+                    vt.append(
+                        rows("insert"), txn=(self.app_id, v),
+                        merge_schema=True,
+                    )
+                    is not None
+                ):
                     self.applied["insert"] += 1
             if "delete" in kinds:
                 if (

@@ -195,25 +195,36 @@ class VersionedTable:
                 base[app] = batch
         return base
 
-    def _partition_by_at(self, version: int) -> list[str]:
-        """Partition columns in effect at ``version`` (Delta's metaData
-        action, carried by full-snapshot manifests and checkpoints):
-        the walk passes through append deltas to the nearest snapshot,
-        which records the layout its writer used."""
+    def _walk_to(self, version: int, key: str) -> tuple[object, dict]:
+        """THE table-property walk (one implementation for partition
+        layout, constraints, and schema): back from ``version`` to the
+        nearest record of ``key`` — a checkpoint always terminates, any
+        manifest carrying the key terminates, and a full snapshot
+        without it means the property predates recording. Returns
+        (value-or-None, terminating manifest-or-{})."""
         v = version
         while True:
             cp = self._checkpoint_path(v)
             if os.path.exists(cp):
                 with open(cp) as fh:
-                    return list(json.load(fh).get("partition_by", []))
+                    m = json.load(fh)
+                return m.get(key), m
             mpath = os.path.join(self.log_dir, f"{v:08d}.json")
             if not os.path.exists(mpath):
-                return []
+                return None, {}
             with open(mpath) as fh:
                 m = json.load(fh)
+            if key in m:
+                return m[key], m
             if "files" in m:
-                return list(m.get("partition_by", []))
+                return None, m
             v -= 1
+
+    def _partition_by_at(self, version: int) -> list[str]:
+        """Partition columns in effect at ``version`` (Delta's metaData
+        action, carried by full-snapshot manifests and checkpoints)."""
+        val, _ = self._walk_to(version, "partition_by")
+        return list(val or [])
 
     def partition_columns(self) -> list[str]:
         """The table's current partition columns ([] when unpartitioned)."""
@@ -225,22 +236,8 @@ class VersionedTable:
         table constraints). Constraint commits are metadata-only delta
         manifests carrying the FULL map; snapshots and checkpoints embed
         the map so it survives overwrite/compact/vacuum."""
-        v = version
-        while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    return dict(json.load(fh).get("constraints", {}))
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
-                return {}
-            with open(mpath) as fh:
-                m = json.load(fh)
-            if "constraints" in m:
-                return dict(m["constraints"])
-            if "files" in m:
-                return {}  # snapshot predating constraint support
-            v -= 1
+        val, _ = self._walk_to(version, "constraints")
+        return dict(val or {})
 
     def constraints(self) -> dict[str, str]:
         """The table's current CHECK constraints ({} when none)."""
@@ -260,24 +257,12 @@ class VersionedTable:
         footers on the driver, and a write with an incompatible type is
         rejected at the write — not discovered as CANNOT_MERGE_SCHEMAS
         by the next unlucky reader. The tombstones guard DROP COLUMN's
-        one hazard (see drop_column)."""
-        v = version
-        while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    m = json.load(fh)
-                return m.get("schema"), list(m.get("dropped_columns", []))
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
-                return None, []
-            with open(mpath) as fh:
-                m = json.load(fh)
-            if "schema" in m:
-                return m["schema"], list(m.get("dropped_columns", []))
-            if "files" in m:
-                return None, []  # snapshot predating schema recording
-            v -= 1
+        one hazard (see drop_column); they ride the SAME terminating
+        manifest as the schema."""
+        val, manifest = self._walk_to(version, "schema")
+        if val is None:
+            return None, []  # log predates schema recording
+        return val, list(manifest.get("dropped_columns", []))
 
     def _schema_at(self, version: int) -> dict | None:
         return self._schema_record_at(version)[0]
@@ -404,6 +389,33 @@ class VersionedTable:
             [T.StructField(f.name, f.dataType, True) for f in schema.fields]
         ).jsonValue()
 
+    def _derived_schema_json(self, version: int) -> dict | None:
+        """Legacy-log table schema derived from the files (one
+        mergeSchema walk), normalized for RECORDING: every field
+        nullable, and hive partition columns widened to their
+        inference-stable types (int family → bigint, float → double).
+        Partition values live in directory NAMES, so the scan's
+        partition inference can flip a bigint table column to int —
+        recording that narrow type would refuse every later append as a
+        forbidden downcast. None when the version references no files
+        (a hand-edited empty snapshot): nothing to derive from."""
+        files = self._state(version)
+        if not files:
+            return None
+        sch = self._scan_files(files).schema
+        pb = {c.lower() for c in self._partition_by_at(version)}
+        fields = []
+        for f in sch.fields:
+            dt = f.dataType
+            if f.name.lower() in pb:
+                s = dt.simpleString()
+                if s in ("tinyint", "smallint", "int"):
+                    dt = T.LongType()
+                elif s == "float":
+                    dt = T.DoubleType()
+            fields.append(T.StructField(f.name, dt, True))
+        return T.StructType(fields).jsonValue()
+
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
         constraint: existing data is validated first (one scan; any
@@ -451,14 +463,14 @@ class VersionedTable:
         when present, else derived from the files once (the ALTER commit
         then records it — legacy logs self-migrate through DDL too)."""
         stored = self._schema_at(base)
-        if stored is not None:
-            return T.StructType.fromJson(stored)
-        return T.StructType(
-            [
-                T.StructField(f.name, f.dataType, True)
-                for f in self._scan_files(self._state(base)).schema.fields
-            ]
-        )
+        if stored is None:
+            stored = self._derived_schema_json(base)
+        if stored is None:
+            raise VersionedTableError(
+                f"{op}: the table schema is unrecoverable — no recorded "
+                f"schema and version {base} references no data files"
+            )
+        return T.StructType.fromJson(stored)
 
     def add_column(self, name: str, ddl_type: str) -> int:
         """ALTER TABLE ADD COLUMN — metadata-only (Delta's): the evolved
@@ -1030,16 +1042,36 @@ class VersionedTable:
             if self._txns_at(base).get(txn[0], -1) >= txn[1]:
                 return None
         pb = self._partition_by_at(base) if base is not None else []
+        missing_pb = [
+            c for c in pb if c.lower() not in (x.lower() for x in df.columns)
+        ]
+        if missing_pb:
+            # a forgotten partition column is a caller bug: null-filling
+            # it would silently land the rows in
+            # __HIVE_DEFAULT_PARTITION__ with no prunable bounds
+            raise VersionedTableError(
+                f"append lacks partition columns {missing_pb}; the table "
+                f"is partitioned by {pb}"
+            )
         cons = self._constraints_at(base) if base is not None else {}
         stored, tombstones = (
             self._schema_record_at(base) if base is not None else (None, [])
         )
+        legacy = base is not None and stored is None
+        if legacy:
+            # pre-recording log: the TABLE schema is the files' merged
+            # schema, not this frame's — aligning against the frame
+            # would record a subset and silently drop legacy-evolved
+            # columns from every later declared-schema read
+            stored = self._derived_schema_json(base)
         df, new_schema = self._align(
             df, stored, merge_schema, "append", tombstones
         )
-        evolved = stored is None or self._canon_schema(
-            stored
-        ) != self._canon_schema(new_schema)
+        evolved = (
+            legacy
+            or stored is None
+            or self._canon_schema(stored) != self._canon_schema(new_schema)
+        )
         new_files = self._write_data_files(self._checked(df, cons), pb)
         v = self._commit(
             None,
@@ -1111,7 +1143,9 @@ class VersionedTable:
             dropped=[] if overwrite_schema else None,
         )
 
-    def overwrite_partitions(self, df: DataFrame) -> int:
+    def overwrite_partitions(
+        self, df: DataFrame, merge_schema: bool = False
+    ) -> int:
         """Dynamic partition overwrite (Spark's ``partitionOverwriteMode=
         dynamic`` / Delta's partition-scoped ``replaceWhere``), as ONE
         atomic commit: replaces exactly the partitions PRESENT in the
@@ -1139,9 +1173,16 @@ class VersionedTable:
             raise VersionedTableError(
                 f"incoming frame lacks partition columns {missing}"
             )
-        df, _ = self._align(
-            df, self._schema_at(base), False, "overwrite_partitions"
+        stored, tombstones = self._schema_record_at(base)
+        # merge_schema lets a partition restate carry an added column
+        # (nightly-restate pipelines evolve too); untouched partitions'
+        # files read it as NULL — same additive rule as append
+        df, new_schema = self._align(
+            df, stored, merge_schema, "overwrite_partitions", tombstones
         )
+        schema_evolved = stored is not None and self._canon_schema(
+            stored
+        ) != self._canon_schema(new_schema)
         # write FIRST, then classify by the new files' own partition
         # directories: both old and new names were rendered by the same
         # hive encoder, so the replaced-partition match is exact by
@@ -1166,6 +1207,8 @@ class VersionedTable:
             base,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+            schema=new_schema if schema_evolved else None,
+            enforced_schema=stored,
         )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:
@@ -1242,7 +1285,13 @@ class VersionedTable:
             reader = reader.schema(schema)
         else:
             reader = reader.option("mergeSchema", "true")
-        return reader.option("basePath", self.path).parquet(*paths)
+        df = reader.option("basePath", self.path).parquet(*paths)
+        if schema is not None and df.columns != [f.name for f in schema.fields]:
+            # Spark appends hive partition columns AFTER the data columns
+            # regardless of their position in the declared schema — put
+            # them back (zero-cost projection, pruned away by Catalyst)
+            df = df.select(*[f.name for f in schema.fields])
+        return df
 
     def _scan_schema(self, version: int | None) -> "T.StructType | None":
         """The declared scan schema for files of ``version`` — the
@@ -2318,9 +2367,7 @@ class VersionedTable:
             # legacy source version (schema never recorded): derive it
             # from the restored files once so the carry-forward can't
             # stamp a LATER schema onto pre-evolution files
-            restored_schema = self._nullable_json(
-                self._scan_files(files).schema
-            )
+            restored_schema = self._derived_schema_json(version)
         return self._commit(
             files,
             "restore",

@@ -424,7 +424,9 @@ class ParquetWriter:
                                 f"table's declared partition columns "
                                 f"{current}"
                             )
-                        vt.overwrite_partitions(clean)
+                        vt.overwrite_partitions(
+                            clean, merge_schema=self.spec.evolve_schema
+                        )
                 else:
                     # None keeps the current layout when the spec is
                     # silent; an explicit partitionBy redeclares it.

@@ -1078,3 +1078,88 @@ def test_versioned_changes_schema_from_log(spark, tmp_path):
     # the stream type is the TABLE type, straight from the log
     sch = {f.name: f.dataType.simpleString() for f in vt.table_schema().fields}
     assert sch["region"] == "int"
+
+
+def test_versioned_changes_date_partition_and_array_column(spark, tmp_path):
+    """Two log-schema stream fixes pinned: a DATE hive partition column
+    streams with exact values (the parsed directory string is CAST on
+    the executor, not fed to a typed pa.array that would refuse str),
+    and a metadata-only add_column('emb', 'array<double>') must not
+    brick the stream — array<primitive> maps to an arrow list type."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    df = (
+        spark.range(6)
+        .withColumn(
+            "day",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("id").cast("int") % 2),
+        )
+        .withColumn("emb", F.array(F.col("id").cast("double")))
+    )
+    vt.overwrite(df, partition_by=["day"])
+    vt.add_column("emb2", "array<double>")  # metadata-only, post-snapshot
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(6))
+    for r in rows:
+        assert r.day == datetime.date(2024, 1, 1 + r.id % 2)
+        assert r.emb == [float(r.id)]
+        assert r.emb2 is None  # added after the files were written
+
+
+def test_versioned_mirror_follows_upstream_evolution(spark, tmp_path):
+    """The mirror contract includes SCHEMA: an upstream additive
+    evolution must not wedge the downstream on its own enforcement —
+    the mirror's appends opt into merge_schema and its snapshot
+    recovery restates the upstream schema exactly."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedMirrorConsumer,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    up_path, down_path = str(tmp_path / "up"), str(tmp_path / "down")
+    up = VersionedTable(spark, up_path)
+
+    def drain():
+        m = VersionedMirrorConsumer(down_path, "mirror")
+        m.run_available_now(
+            spark.readStream.format("versioned_changes")
+            .option("path", up_path)
+            .load()
+        )
+        return m
+
+    up.append(spark.range(0, 5))
+    drain()
+    # upstream evolves additively; the mirror stream restarts with the
+    # evolved declared schema and must keep appending
+    up.append(
+        spark.range(5, 10).withColumn("tag", F.lit("new")),
+        merge_schema=True,
+    )
+    m = drain()
+    assert m.batches_appended >= 1
+    down = VersionedTable(spark, down_path)
+    assert down.read().columns == ["id", "tag"]
+    got = {r.id: r.tag for r in down.read().collect()}
+    assert all(got[i] is None for i in range(5))
+    assert all(got[i] == "new" for i in range(5, 10))
+    # upstream drops the column and overwrites: snapshot recovery
+    # restates the narrowed schema downstream too
+    up.drop_column("tag")
+    up.overwrite(spark.range(0, 7))
+    m = drain()
+    assert m.snapshots_applied == 1
+    assert down.read().columns == ["id"]
+    assert down.read().count() == 7

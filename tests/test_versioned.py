@@ -2328,3 +2328,99 @@ def test_vacuum_time_based_retention(spark, tmp_path):
         vt.read(version_as_of=1)
     # a wide-open window reclaims nothing further
     assert vt.vacuum(retain_last=1, grace_seconds=0.0, retain_hours=1e6) == 0
+
+
+def test_legacy_append_preserves_merged_schema(spark, tmp_path):
+    """First append to a pre-recording log must record the TABLE schema
+    (the files' merged columns), not the frame's subset — otherwise a
+    legacy-evolved column silently vanishes from declared-schema reads."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "lm"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    vt.append(
+        spark.range(3, 5).withColumn("v", F.col("id")).withColumn(
+            "extra", F.lit("old-evolved")
+        ),
+        merge_schema=True,
+    )
+    # strip schema keys: this log now looks like the old mergeSchema era
+    for name in _os.listdir(vt.log_dir):
+        p = _os.path.join(vt.log_dir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("schema", None)
+        m.pop("dropped_columns", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    assert vt._schema_at(vt.latest_version()) is None
+    # migration append carries only a SUBSET of the table's columns
+    vt.append(spark.range(5, 6).withColumn("v", F.col("id")))
+    cols = {f.name for f in vt.table_schema().fields}
+    assert cols == {"id", "v", "extra"}  # nothing vanished
+    got = {r.id: r.extra for r in vt.read().collect()}
+    assert got[3] == got[4] == "old-evolved"
+    assert got[5] is None
+
+
+def test_legacy_partitioned_ddl_widens_partition_ints(spark, tmp_path):
+    """Deriving a legacy table's schema must widen hive partition ints:
+    partition values live in directory names, so the derive scan infers
+    int32 even when the table column was bigint — recording the narrow
+    type would refuse every later append as a downcast."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "lw"))
+    df = spark.range(20).withColumn("region", F.col("id") % 3)  # bigint
+    vt.overwrite(df, partition_by=["region"])
+    for name in _os.listdir(vt.log_dir):
+        p = _os.path.join(vt.log_dir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("schema", None)
+        m.pop("dropped_columns", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    vt.add_column("tag", "string")  # derives + records the legacy schema
+    sch = {f.name: f.dataType.simpleString() for f in vt.table_schema().fields}
+    assert sch["region"] == "bigint"  # widened, not the inferred int
+    # the routine bigint append keeps working
+    vt.append(spark.range(20, 25).withColumn("region", F.col("id") % 3))
+    assert vt.read().count() == 25
+
+
+def test_append_missing_partition_column_raises(spark, tmp_path):
+    """A frame that forgot the partition column is a caller bug: it must
+    fail loudly, not land null-filled rows in __HIVE_DEFAULT_PARTITION__."""
+    vt = _mk_part(spark, tmp_path, "mp")
+    with pytest.raises(VersionedTableError, match="lacks partition"):
+        vt.append(spark.range(5).selectExpr("id", "id * 2 AS val"))
+
+
+def test_overwrite_partitions_merge_schema_evolution(spark, tmp_path):
+    """A partition restate can carry an added column with
+    merge_schema=True (nightly pipelines evolve too): the schema evolves
+    additively, untouched partitions read the column as NULL; without
+    the flag it still refuses."""
+    from pyspark.sql import functions as F
+
+    vt = _mk_part(spark, tmp_path, "oe")  # regions 0..3
+    restate = (
+        spark.range(1000, 1005)
+        .withColumn("region", F.lit(2).cast("int"))
+        .withColumn("val", F.lit(-1).cast("long"))
+        .withColumn("source", F.lit("restated"))
+    )
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        vt.overwrite_partitions(restate)
+    vt.overwrite_partitions(restate, merge_schema=True)
+    assert vt.read().columns == ["id", "region", "val", "source"]
+    got = vt.read().where("region = 2").collect()
+    assert all(r.source == "restated" for r in got)
+    assert vt.read().where("region = 0 AND source IS NULL").count() == 25
