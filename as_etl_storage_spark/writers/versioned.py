@@ -2381,6 +2381,70 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
+    def describe_history(self) -> list[dict]:
+        """DESCRIBE HISTORY (Delta parity): one row per retained version
+        with operation metrics, computed in ONE forward pass over the
+        log — the state set is accumulated incrementally, never
+        reconstructed per version (O(total log size), not O(n²) walks).
+        The first retained row seeds from the checkpoint-backed state so
+        a vacuum-truncated log still reports absolute file counts."""
+        out: list[dict] = []
+        prev: set[str] = set()
+        for i, v in enumerate(self._versions()):
+            m = self._manifest(v)
+            if i == 0:
+                cur = set(self._state(v))
+                added, removed = len(cur), 0
+            elif "files" in m:
+                cur = set(m["files"])
+                added = len(cur - prev)
+                removed = len(prev - cur)
+            else:
+                new = set(m.get("add", []))
+                cur = prev | new
+                added, removed = len(new), 0
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op"),
+                    "timestamp": self._commit_ts(v),
+                    "data_change": bool(m.get("data_change", True)),
+                    "num_added_files": added,
+                    "num_removed_files": removed,
+                    "num_files": len(cur),
+                }
+            )
+            prev = cur
+        return out
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL (Delta parity): one row about the CURRENT
+        snapshot. ``size_bytes`` stats every live file — a maintenance
+        call, priced like VACUUM's sweep, not a planning-path call."""
+        latest = self.latest_version()
+        if latest is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        files = self._state(latest)
+        size = 0
+        for f in files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, f))
+            except OSError:
+                pass  # racing vacuum/rewrite: best-effort
+        vs = self._versions()
+        return {
+            "location": self.path,
+            "version": latest,
+            "num_files": len(files),
+            "size_bytes": size,
+            "partition_columns": self._partition_by_at(latest),
+            "constraints": self._constraints_at(latest),
+            "schema": self.table_schema(latest).simpleString(),
+            "dropped_columns": self._dropped_at(latest),
+            "created_ts": self._commit_ts(vs[0]),
+            "last_modified_ts": self._commit_ts(latest),
+        }
+
     def vacuum(
         self,
         retain_last: int = 1,

@@ -2424,3 +2424,47 @@ def test_overwrite_partitions_merge_schema_evolution(spark, tmp_path):
     got = vt.read().where("region = 2").collect()
     assert all(r.source == "restated" for r in got)
     assert vt.read().where("region = 0 AND source IS NULL").count() == 25
+
+
+def test_describe_history_and_detail(spark, tmp_path):
+    """DESCRIBE HISTORY/DETAIL parity: per-version operation metrics
+    from ONE forward pass (correct across appends, rewrites, DDL, and a
+    vacuum-truncated log head), and a current-snapshot summary row."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "dh"))
+    vt.overwrite(spark.range(10).withColumn("v", F.col("id")))   # v0
+    vt.append(spark.range(10, 15).withColumn("v", F.col("id")))  # v1
+    vt.add_column("tag", "string")                               # v2 DDL
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))    # v3
+    h = vt.describe_history()
+    assert [r["version"] for r in h] == [0, 1, 2, 3]
+    assert [r["op"] for r in h] == [
+        "overwrite", "append", "add_column", "overwrite",
+    ]
+    assert h[0]["num_added_files"] == h[0]["num_files"] > 0
+    assert h[1]["num_added_files"] > 0 and h[1]["num_removed_files"] == 0
+    assert h[1]["num_files"] == h[0]["num_files"] + h[1]["num_added_files"]
+    assert h[2]["num_added_files"] == h[2]["num_removed_files"] == 0
+    assert h[2]["data_change"] is False
+    assert h[3]["num_removed_files"] == h[1]["num_files"]  # full reset
+    assert all(
+        h[i]["timestamp"] <= h[i + 1]["timestamp"] for i in range(len(h) - 1)
+    )
+
+    d = vt.detail()
+    assert d["version"] == 3
+    assert d["num_files"] == h[3]["num_files"]
+    assert d["size_bytes"] > 0
+    assert d["schema"].startswith("struct<id:bigint,v:bigint")
+    assert d["partition_columns"] == [] and d["constraints"] == {}
+    assert d["created_ts"] <= d["last_modified_ts"]
+
+    # vacuum truncates the head: the first retained row seeds from the
+    # checkpoint-backed state, absolute counts intact
+    vt.append(spark.range(3, 5).withColumn("v", F.col("id")))   # v4
+    vt.vacuum(retain_last=2, grace_seconds=0.0)
+    h2 = vt.describe_history()
+    assert [r["version"] for r in h2] == [3, 4]
+    assert h2[0]["num_files"] == h[3]["num_files"]
+    assert h2[1]["num_files"] == h2[0]["num_files"] + h2[1]["num_added_files"]
