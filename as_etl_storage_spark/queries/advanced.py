@@ -526,6 +526,52 @@ _register(
 )
 
 
+def _w_versioned_in_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list manifest pruning: an IN is a disjunction of equalities
+    against the per-file bounds, so a keyed multi-row lookup lists only
+    the files whose bounds cover SOME listed key (asserted in-query) —
+    at 10^6 files a 3-key point lookup opens 2 footers, not a column of
+    every file. Skipping stays an optimization: the same IN predicate
+    is applied as a real filter, and the result must equal the oracle's
+    plain WHERE ... IN."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    out = os.path.join(_scratch_dir(), f"winp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    third = hi // 3
+    vt = VersionedTable(spark, out)
+    vt.overwrite(orders.where(F.col("o_orderkey") <= third).coalesce(1))
+    vt.append(
+        orders.where(
+            (F.col("o_orderkey") > third) & (F.col("o_orderkey") <= 2 * third)
+        ).coalesce(1)
+    )
+    vt.append(orders.where(F.col("o_orderkey") > 2 * third).coalesce(1))
+    # keys from the first and last thirds only: the middle file skips
+    keys = [1, hi]
+    pruned = vt.read(prune=[("o_orderkey", "in", keys)])
+    if len(pruned.inputFiles()) != 2:
+        raise AssertionError("expected the middle-range file to be skipped")
+    return pruned.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_register(
+    "w_versioned_in_prune",
+    _w_versioned_in_prune,
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (1, (SELECT max(o_orderkey) FROM orders))
+    """,
+)
+
+
 def _w_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER BY through the transaction log: orderkey-ordered
     ingest leaves every file spanning the whole custkey space (manifest

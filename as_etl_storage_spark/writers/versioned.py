@@ -1722,7 +1722,7 @@ class VersionedTable:
         )
 
     # -- read -----------------------------------------------------------
-    _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
     @staticmethod
     def _file_may_match(
@@ -1744,6 +1744,14 @@ class VersionedTable:
         below one). A NaN *literal* disables skipping outright."""
         import math
 
+        if op == "in":
+            # an IN-list is a disjunction of equalities: the file may
+            # match iff ANY listed value falls inside its bounds (an
+            # empty list matches nothing — every file skips)
+            return any(
+                VersionedTable._file_may_match(fstats, col, "=", v)
+                for v in val
+            )
         bounds = fstats.get(col)
         if not bounds or not isinstance(bounds, (list, tuple)):
             return True  # absent, or a reserved scalar (#rows/#bytes)
@@ -1902,6 +1910,10 @@ class VersionedTable:
                 raise VersionedTableError(
                     f"unsupported prune op {op!r}; one of {self._PRUNE_OPS}"
                 )
+            if op == "in" and not isinstance(_v, (list, tuple)):
+                raise VersionedTableError(
+                    f"prune op 'in' takes a list of literals, got {_v!r}"
+                )
         return [
             f
             for f in files
@@ -1920,13 +1932,17 @@ class VersionedTable:
         cond = F.lit(True)
         for c, op, v in prune:
             col = F.col(c)
-            cond = cond & {
-                "=": col == F.lit(v),
-                "<": col < F.lit(v),
-                "<=": col <= F.lit(v),
-                ">": col > F.lit(v),
-                ">=": col >= F.lit(v),
-            }[op]
+            if op == "in":
+                term = col.isin(list(v)) if len(v) else F.lit(False)
+            else:
+                term = {
+                    "=": col == F.lit(v),
+                    "<": col < F.lit(v),
+                    "<=": col <= F.lit(v),
+                    ">": col > F.lit(v),
+                    ">=": col >= F.lit(v),
+                }[op]
+            cond = cond & term
         return cond
 
     def changes(

@@ -2468,3 +2468,57 @@ def test_describe_history_and_detail(spark, tmp_path):
     assert [r["version"] for r in h2] == [3, 4]
     assert h2[0]["num_files"] == h[3]["num_files"]
     assert h2[1]["num_files"] == h2[0]["num_files"] + h2[1]["num_added_files"]
+
+
+def test_in_list_pruning_read_and_dml(spark, tmp_path):
+    """IN-list manifest pruning (a disjunction of equalities against the
+    per-file bounds): read(prune=[(col,'in',[...])]) lists only the
+    files whose bounds cover SOME listed value, a keyed multi-row delete
+    through the triple form scans only those files, and an empty list
+    matches nothing without scanning anything."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "il"))
+    # 4 appends with disjoint id ranges -> disjoint per-file bounds
+    for i in range(4):
+        vt.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+    # values from ranges 0 and 2 only
+    picked = vt.read(prune=[("id", "in", [5, 250, 7])])
+    assert sorted(r.id for r in picked.collect()) == [5, 7, 250]
+    listed = picked.inputFiles()
+    assert len(listed) == 2, f"expected 2 files scanned, got {len(listed)}"
+    # empty list: zero rows, schema intact
+    empty = vt.read(prune=[("id", "in", [])])
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    # DML: delete by key list rewrites only the touched files
+    before = set(vt._state(vt.latest_version()))
+    v = vt.delete([("id", "in", [5, 250])])
+    after = set(vt._state(v))
+    assert len(before - after) == 2  # only the two covering files rewritten
+    assert vt.read().count() == 398
+    # malformed value shape is an error
+    with pytest.raises(VersionedTableError, match="list of literals"):
+        vt.read(prune=[("id", "in", 5)])
+
+
+def test_not_null_via_check_constraint(spark, tmp_path):
+    """NOT NULL is expressible as a CHECK here: ``col IS NOT NULL``
+    evaluates FALSE (never NULL) for a null row, so the null-passes
+    CHECK rule doesn't exempt it — Delta needs a separate schema
+    property for this; the constraint map covers it directly."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "nn"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    vt.add_constraint("v_not_null", "v IS NOT NULL")
+    with pytest.raises(Exception, match="v_not_null"):
+        vt.append(spark.createDataFrame([(9, None)], "id long, v long"))
+    vt.append(spark.range(3, 5).withColumn("v", F.col("id")))  # non-null ok
+    assert vt.read().where("v IS NULL").count() == 0
+    # the guard composes with column DDL: the constrained column can't drop
+    with pytest.raises(VersionedTableError, match="reference it"):
+        vt.drop_column("v")
