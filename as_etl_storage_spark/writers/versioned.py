@@ -639,6 +639,9 @@ class VersionedTable:
         if sch is not None:
             payload["schema"] = sch
             payload["dropped_columns"] = drp
+        # creation time must survive log truncation (vacuum writes this
+        # checkpoint right before deleting the head manifests)
+        payload["created_ts"] = self._created_ts(version)
         tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -1905,15 +1908,7 @@ class VersionedTable:
         """Manifest data skipping: the files whose stored bounds COULD
         satisfy every ``(col, op, literal)`` conjunct. Shared by
         read(prune=…) and the triple form of delete/update."""
-        for _, op, _v in prune:
-            if op not in self._PRUNE_OPS:
-                raise VersionedTableError(
-                    f"unsupported prune op {op!r}; one of {self._PRUNE_OPS}"
-                )
-            if op == "in" and not isinstance(_v, (list, tuple)):
-                raise VersionedTableError(
-                    f"prune op 'in' takes a list of literals, got {_v!r}"
-                )
+        self._check_triples(prune)
         return [
             f
             for f in files
@@ -1923,12 +1918,28 @@ class VersionedTable:
             )
         ]
 
-    @staticmethod
+    @classmethod
+    def _check_triples(cls, prune: list[tuple[str, str, object]]) -> None:
+        """Shape validation shared by BOTH halves of the triple form
+        (manifest skip and semantic filter), so read(prune=...) and the
+        DML paths raise the same actionable error for the same input."""
+        for _, op, _v in prune:
+            if op not in cls._PRUNE_OPS:
+                raise VersionedTableError(
+                    f"unsupported prune op {op!r}; one of {cls._PRUNE_OPS}"
+                )
+            if op == "in" and not isinstance(_v, (list, tuple)):
+                raise VersionedTableError(
+                    f"prune op 'in' takes a list of literals, got {_v!r}"
+                )
+
+    @classmethod
     def _triples_condition(
-        prune: list[tuple[str, str, object]]
+        cls, prune: list[tuple[str, str, object]]
     ) -> "F.Column":
         """The ``(col, op, literal)`` conjunction as a real filter — the
         semantic half of pruning (skipping is only ever an optimization)."""
+        cls._check_triples(prune)
         cond = F.lit(True)
         for c, op, v in prune:
             col = F.col(c)
@@ -2403,14 +2414,27 @@ class VersionedTable:
         log — the state set is accumulated incrementally, never
         reconstructed per version (O(total log size), not O(n²) walks).
         The first retained row seeds from the checkpoint-backed state so
-        a vacuum-truncated log still reports absolute file counts."""
+        a vacuum-truncated log still reports absolute file counts (its
+        OWN add count stays exact for an append head). Timestamps are
+        monotonized with the same running-max rule resolve_timestamp
+        applies, so history order and timestamp order always agree even
+        under committer clock skew."""
         out: list[dict] = []
         prev: set[str] = set()
+        running_ts = float("-inf")
         for i, v in enumerate(self._versions()):
             m = self._manifest(v)
+            ts_raw = m.get("ts")
+            if ts_raw is not None:
+                # one read per manifest: _commit_ts would re-open the
+                # file this loop just parsed
+                self._ts_memo.setdefault(v, float(ts_raw))
             if i == 0:
                 cur = set(self._state(v))
-                added, removed = len(cur), 0
+                # an append head (vacuum checkpoints it) still knows its
+                # OWN delta; snapshots added everything they list
+                added = len(m["add"]) if "add" in m else len(cur)
+                removed = 0
             elif "files" in m:
                 cur = set(m["files"])
                 added = len(cur - prev)
@@ -2419,11 +2443,12 @@ class VersionedTable:
                 new = set(m.get("add", []))
                 cur = prev | new
                 added, removed = len(new), 0
+            running_ts = max(running_ts, self._commit_ts(v))
             out.append(
                 {
                     "version": v,
                     "op": m.get("op"),
-                    "timestamp": self._commit_ts(v),
+                    "timestamp": running_ts,
                     "data_change": bool(m.get("data_change", True)),
                     "num_added_files": added,
                     "num_removed_files": removed,
@@ -2432,6 +2457,18 @@ class VersionedTable:
             )
             prev = cur
         return out
+
+    def _created_ts(self, version: int) -> float:
+        """The table's creation wall-clock, surviving vacuum: version 0's
+        commit ts while its manifest lives; once vacuum truncates the
+        head, the checkpoint it writes carries ``created_ts`` forward
+        (Delta persists createdTime in metadata for the same reason — an
+        oldest-RETAINED timestamp would silently drift forward on every
+        vacuum)."""
+        val, _ = self._walk_to(version, "created_ts")
+        if val is not None:
+            return float(val)
+        return self._commit_ts(self._versions()[0])
 
     def detail(self) -> dict:
         """DESCRIBE DETAIL (Delta parity): one row about the CURRENT
@@ -2457,8 +2494,8 @@ class VersionedTable:
             "constraints": self._constraints_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
-            "created_ts": self._commit_ts(vs[0]),
-            "last_modified_ts": self._commit_ts(latest),
+            "created_ts": self._created_ts(latest),
+            "last_modified_ts": self._commit_ts(vs[-1]),
         }
 
     def vacuum(

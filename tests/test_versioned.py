@@ -2522,3 +2522,34 @@ def test_not_null_via_check_constraint(spark, tmp_path):
     # the guard composes with column DDL: the constrained column can't drop
     with pytest.raises(VersionedTableError, match="reference it"):
         vt.drop_column("v")
+
+
+def test_describe_history_vacuumed_append_head_and_created_ts(spark, tmp_path):
+    """Review-fix pins: (a) the oldest retained row of describe_history
+    reports an append head's OWN add count, not the whole state; (b) the
+    DML triple form raises the same actionable error as read(prune=...)
+    for a malformed 'in' value; (c) created_ts survives vacuum via the
+    checkpoint instead of drifting to the oldest retained commit."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "dv"))
+    vt.overwrite(
+        spark.range(10).withColumn("v", F.col("id")).repartition(2)
+    )  # v0: 2 files
+    t_created = vt._commit_ts(0)
+    _time.sleep(0.02)
+    vt.append(
+        spark.range(10, 12).withColumn("v", F.col("id")).coalesce(1)
+    )  # v1: 1 file
+    vt.vacuum(retain_last=1, grace_seconds=0.0)  # drops v0, checkpoints v1
+    h = vt.describe_history()
+    assert [r["version"] for r in h] == [1]
+    assert h[0]["num_added_files"] == 1  # its OWN delta, not the state (3)
+    assert h[0]["num_files"] == 3
+    d = vt.detail()
+    assert abs(d["created_ts"] - t_created) < 1e-6  # survived the vacuum
+    assert d["last_modified_ts"] >= d["created_ts"]
+    with pytest.raises(VersionedTableError, match="list of literals"):
+        vt.delete([("id", "in", 5)])
