@@ -572,6 +572,50 @@ _register(
 )
 
 
+def _w_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DELETE (Delta's merge-on-read): the delete
+    records (file, row position) sidecars and re-lists the SAME data
+    files — asserted in-query: the file set is IDENTICAL across the
+    delete, so a selective delete on a 100 TB table rewrites zero data
+    bytes. Readers subtract the positions with a broadcast anti-join;
+    COUNT(*) stays metadata-only via the per-file deleted-row counts
+    (also asserted); time travel before the delete still sees the rows.
+    The result must equal the oracle's plain WHERE NOT — merge-on-read
+    is an optimization, never a semantic."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wdvd-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    vt.overwrite(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    before = vt._state(vt.latest_version())
+    v = vt.delete([("o_orderkey", "<=", hi // 4)], mode="dv")
+    assert vt._state(v) == before, "DV delete must rewrite zero data files"
+    assert vt.count() == vt.read().count(), (
+        "metadata-only COUNT must subtract the dv rows"
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_dv_delete",
+    _w_versioned_dv_delete,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) FROM orders) // 4
+    """,
+)
+
+
 def _w_versioned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ZORDER BY through the transaction log: orderkey-ordered
     ingest leaves every file spanning the whole custkey space (manifest

@@ -595,10 +595,15 @@ class _ChangeFiles(InputPartition):
         columns: tuple,
         pvals: dict | None = None,
         ddl: tuple = (),
+        dv_paths: tuple = (),
     ):
         self.path, self.version, self.kind = path, version, kind
         self.columns = columns
         self.pvals = pvals or {}
+        # deletion-vector sidecars naming THIS file's deleted row
+        # positions (snapshot recovery of a table with merge-on-read
+        # deletes must not resurrect the deleted rows)
+        self.dv_paths = dv_paths
         # per-column DDL aligned with ``columns``: executors cast every
         # delivered array to the DECLARED stream type, so a log-recorded
         # int32 partition column or a pre-widening legacy file can't
@@ -788,6 +793,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     f"with _change_type='snapshot' instead, or "
                     f"onrewrite=skip to keep tailing appends only"
                 )
+            dv_map = vt._dv_at(to_v)
             return [
                 _ChangeFiles(
                     os.path.join(self.path, f),
@@ -796,6 +802,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     self._columns,
                     self._pvals(f),
                     self._ddl,
+                    tuple(
+                        os.path.join(self.path, p)
+                        for p in dv_map.get(f, {}).get("files", [])
+                    ),
                 )
                 for f in vt._state(to_v)
             ]
@@ -813,10 +823,31 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _ChangeFiles):
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         t = pq.read_table(partition.path)
+        if partition.dv_paths:
+            import pyarrow.compute as pc
+
+            base = os.path.basename(partition.path)
+            dv = pq.read_table(list(partition.dv_paths))
+            deleted = set(
+                dv.filter(pc.equal(dv.column("__vt_file"), base))
+                .column("__vt_pos")
+                .to_pylist()
+            )
+            if deleted:
+                t = t.take(
+                    pa.array(
+                        [i for i in range(t.num_rows) if i not in deleted],
+                        type=pa.int64(),  # an EMPTY keep-list must not
+                        # infer a null-typed index array (all-rows-deleted
+                        # file): take() has no kernel for null indices
+                    )
+                )
         n = t.num_rows
         # every array is cast to the DECLARED stream type (cast is a
         # no-op when they already match): a log-recorded int32 partition

@@ -270,6 +270,39 @@ class VersionedTable:
     def _dropped_at(self, version: int) -> list[str]:
         return self._schema_record_at(version)[1]
 
+    # -- deletion vectors (Delta's merge-on-read DELETE) ------------------
+    def _dv_at(self, version: int) -> dict:
+        """file → {"files": [dv parquet names], "rows": n} of deletion
+        vectors in force at ``version`` (Delta's deletionVector actions):
+        positions of DELETED rows recorded in sidecar files so a
+        selective delete rewrites ZERO data files — readers subtract the
+        positions (merge-on-read). Rides snapshot manifests + checkpoints
+        via the same walk as the schema; a rewrite that replaces a file
+        drops its entry (the new file has no deleted positions)."""
+        val, _ = self._walk_to(version, "dv")
+        return dict(val or {})
+
+    def _write_dv_files(self, df: DataFrame) -> list[str]:
+        """Write (file basename, row position) pairs under ``_dv/`` and
+        return their manifest names. DV files are NOT part of any
+        snapshot — they are referenced only by manifests' ``dv`` maps and
+        subtracted at scan time."""
+        dv_dir = os.path.join(self.path, "_dv")
+        staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(dv_dir, exist_ok=True)
+        names = []
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(dv_dir, name))
+            names.append(f"_dv/{name}")
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return names
+
     def table_schema(self, version: int | None = None) -> "T.StructType":
         """The table's schema at ``version`` (latest when None). Served
         from the log when recorded; legacy logs derive it once from a
@@ -639,6 +672,9 @@ class VersionedTable:
         if sch is not None:
             payload["schema"] = sch
             payload["dropped_columns"] = drp
+        dv = self._dv_at(version)
+        if dv:
+            payload["dv"] = dv
         # creation time must survive log truncation (vacuum writes this
         # checkpoint right before deleting the head manifests)
         payload["created_ts"] = self._created_ts(version)
@@ -663,6 +699,7 @@ class VersionedTable:
         schema: dict | None = None,
         enforced_schema: dict | None = None,
         dropped: list[str] | None = None,
+        dv: dict | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -831,6 +868,20 @@ class VersionedTable:
                             else []
                         )
                     )
+                live_dv = dv
+                if live_dv is None and latest is not None:
+                    # carry deletion vectors forward, restricted to files
+                    # still in THIS snapshot: an entry for a rewritten or
+                    # dropped file dies with the file (universally
+                    # correct — overwrite/compact reset to {}, partial
+                    # rewrites keep exactly the untouched files' entries)
+                    live_dv = {
+                        f: e
+                        for f, e in self._dv_at(latest).items()
+                        if f in set(files)
+                    }
+                if live_dv:
+                    manifest["dv"] = live_dv
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
@@ -1271,8 +1322,14 @@ class VersionedTable:
             )
         return self._as_condition(predicate), files
 
+    _DV_POS = "__vt_pos"
+
     def _scan_files(
-        self, names: list[str], schema: "T.StructType | None" = None
+        self,
+        names: list[str],
+        schema: "T.StructType | None" = None,
+        dv: dict | None = None,
+        keep_identity: bool = False,
     ) -> DataFrame:
         # basePath reconstructs partition columns from the hive directory
         # segments when the table is partitioned (harmless when flat).
@@ -1294,6 +1351,41 @@ class VersionedTable:
             # regardless of their position in the declared schema — put
             # them back (zero-cost projection, pruned away by Catalyst)
             df = df.select(*[f.name for f in schema.fields])
+        live_dv = {
+            f: e for f, e in (dv or {}).items() if f in set(names)
+        }
+        if live_dv or keep_identity:
+            # the _metadata pseudo-column resolves only on the scan
+            # relation itself, so the (file, position) identity must be
+            # materialized HERE — both for the DV anti-join and for
+            # callers (find-touched-files, DV deletes) that need it
+            # downstream of this projection
+            cols = df.columns
+            df = self._with_file_name(df).withColumn(
+                self._DV_POS, F.col("_metadata.row_index")
+            )
+            if live_dv:
+                # merge-on-read: subtract the deleted (file, position)
+                # pairs with a broadcast anti-join — DVs are small by
+                # design (an accumulation big enough to matter is what
+                # compact() purges)
+                dv_paths = sorted(
+                    {
+                        os.path.join(self.path, p)
+                        for e in live_dv.values()
+                        for p in e["files"]
+                    }
+                )
+                dv_df = self.spark.read.parquet(*dv_paths).select(
+                    self._FILE_NAME, self._DV_POS
+                )
+                df = df.join(
+                    F.broadcast(dv_df),
+                    on=[self._FILE_NAME, self._DV_POS],
+                    how="left_anti",
+                )
+            if not keep_identity:
+                df = df.select(*cols)
         return df
 
     def _scan_schema(self, version: int | None) -> "T.StructType | None":
@@ -1336,8 +1428,11 @@ class VersionedTable:
         if not scan_set:
             return [], files
         touched_rows = (
-            self._with_file_name(
-                self._scan_files(scan_set, self._scan_schema(base))
+            self._scan_files(
+                scan_set,
+                self._scan_schema(base),
+                self._dv_at(base),
+                keep_identity=True,
             )
             .where(cond)
             .select(self._FILE_NAME)
@@ -1352,7 +1447,7 @@ class VersionedTable:
             [f for f in files if os.path.basename(f) not in touched],
         )
 
-    def delete(self, predicate) -> int | None:
+    def delete(self, predicate, mode: str = "rewrite") -> int | None:
         """DELETE WHERE ``predicate`` as a new version (Delta's row-level
         delete). Two phases: find touched files (one column-pruned scan),
         then rewrite ONLY those files without their matching rows —
@@ -1375,16 +1470,33 @@ class VersionedTable:
         literal), …]`` triple list ``read(prune=…)`` takes — the triple
         form additionally MANIFEST-PRUNES the discovery scan, so a
         keyed delete on a clustered table opens only the files whose
-        bounds can match instead of one column of every file."""
+        bounds can match instead of one column of every file.
+
+        ``mode='dv'`` (Delta's deletion vectors, merge-on-read): instead
+        of rewriting the touched files, the matched rows' (file,
+        position) pairs are written to a ``_dv/`` sidecar and the commit
+        re-lists the SAME data files — a selective delete on a 100 TB
+        table rewrites zero data bytes; readers subtract the positions
+        with a broadcast anti-join. CDF delete rows are recorded either
+        way. ``compact()`` (or any rewrite touching the file) purges the
+        vector by materializing the subtraction."""
+        if mode not in ("rewrite", "dv"):
+            raise VersionedTableError(
+                f"delete mode must be 'rewrite' or 'dv', got {mode!r}"
+            )
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
         cond, candidates = self._dml_condition_and_candidates(base, predicate)
+        if mode == "dv":
+            return self._delete_dv(base, cond, candidates)
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
             return None
         pb = self._partition_by_at(base)
-        scan_t = self._scan_files(touched, self._scan_schema(base)).persist()
+        scan_t = self._scan_files(
+            touched, self._scan_schema(base), self._dv_at(base)
+        ).persist()
         try:
             kept_files = self._write_data_files(scan_t.where(~cond), pb)
             cdc = self._write_cdc_files(
@@ -1400,6 +1512,61 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+        )
+
+    def _delete_dv(self, base: int, cond, candidates) -> int | None:
+        """Deletion-vector DELETE: record the matched rows' (file
+        basename, row position) pairs and commit the unchanged file
+        list. One pruned scan finds the matches; nothing is rewritten."""
+        files = self._state(base)
+        scan_set = files if candidates is None else candidates
+        if not scan_set:
+            return None
+        dv_cur = self._dv_at(base)
+        matched = (
+            self._scan_files(
+                scan_set,
+                self._scan_schema(base),
+                dv_cur,
+                keep_identity=True,
+            )
+            .where(cond)
+            .persist()
+        )
+        try:
+            per_file = {
+                r[0]: r[1]
+                for r in matched.groupBy(self._FILE_NAME).count().collect()
+            }
+            if not per_file:
+                return None
+            dv_files = self._write_dv_files(
+                matched.select(self._FILE_NAME, self._DV_POS)
+            )
+            cdc = self._write_cdc_files(
+                matched.drop(self._FILE_NAME, self._DV_POS).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        finally:
+            matched.unpersist()
+        by_basename = {os.path.basename(f): f for f in files}
+        new_dv = dict(dv_cur)
+        for bn, n in per_file.items():
+            rel = by_basename[bn]
+            e = dict(new_dv.get(rel, {"files": [], "rows": 0}))
+            e["files"] = list(e["files"]) + dv_files
+            e["rows"] = int(e["rows"]) + int(n)
+            new_dv[rel] = e
+        known = self._stats_at(base)
+        return self._commit(
+            files,  # unchanged — that's the whole point
+            "delete",
+            base,
+            cdc=cdc,
+            known_stats={f: known[f] for f in files if f in known},
+            partition_by=self._partition_by_at(base),
+            dv=new_dv,
         )
 
     def update(self, predicate, assignments: dict) -> int | None:
@@ -1447,7 +1614,9 @@ class VersionedTable:
             return None
         pb = self._partition_by_at(base)
         cons = self._constraints_at(base)
-        scan_t = self._scan_files(touched, self._scan_schema(base)).persist()
+        scan_t = self._scan_files(
+            touched, self._scan_schema(base), self._dv_at(base)
+        ).persist()
         try:
             # re-align the rewritten rows: an assignment whose expression
             # drifts a column's type (v = 'oops') must fail HERE, not
@@ -1582,7 +1751,9 @@ class VersionedTable:
         # key in a pruned file lies outside the envelope on some column
         # and can equal no source key
         cand_keys = (
-            self._scan_files(candidates, self._scan_schema(base))
+            self._scan_files(
+                candidates, self._scan_schema(base), self._dv_at(base)
+            )
             .select(*on)
             .distinct()
             .persist()
@@ -1640,8 +1811,11 @@ class VersionedTable:
         untouched = files
         if when_matched is not None and candidates:
             t_rows = (
-                self._with_file_name(
-                    self._scan_files(candidates, self._scan_schema(base))
+                self._scan_files(
+                    candidates,
+                    self._scan_schema(base),
+                    self._dv_at(base),
+                    keep_identity=True,
                 )
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
@@ -1658,7 +1832,7 @@ class VersionedTable:
         matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
             scan_t = self._scan_files(
-                touched, self._scan_schema(base)
+                touched, self._scan_schema(base), self._dv_at(base)
             ).persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
@@ -1894,7 +2068,9 @@ class VersionedTable:
         # before an additive evolution read the added columns as NULL,
         # and a time-travel read of a pre-evolution version shows the
         # schema the table had THEN — with zero footer merging either way
-        df = self._scan_files(files, self._scan_schema(version))
+        df = self._scan_files(
+            files, self._scan_schema(version), self._dv_at(version)
+        )
         if prune:
             df = df.where(self._triples_condition(prune))
         return df
@@ -2342,12 +2518,15 @@ class VersionedTable:
         version = vs[-1] if version_as_of is None else version_as_of
         files = self._state(version)
         stats = self._stats_at(version)
+        dv = self._dv_at(version)
         total = 0
         for f in files:
             n = stats.get(f, {}).get("#rows")
             if not isinstance(n, int):
                 return self.read(version_as_of=version).count()
-            total += n
+            # deletion vectors: the manifest records each file's deleted
+            # row count, so merge-on-read stays metadata-only here too
+            total += n - int(dv.get(f, {}).get("rows", 0))
         return total
 
     def restore(
@@ -2378,9 +2557,11 @@ class VersionedTable:
                 f"{vs[0] if vs else '-'}..{vs[-1] if vs else '-'}"
             )
         files = self._state(version)
+        restored_dv = self._dv_at(version)
+        dv_needed = [p for e in restored_dv.values() for p in e["files"]]
         missing = [
             f
-            for f in files
+            for f in [*files, *dv_needed]
             if not os.path.exists(os.path.join(self.path, f))
         ]
         if missing:
@@ -2403,6 +2584,10 @@ class VersionedTable:
             partition_by=self._partition_by_at(version),
             schema=restored_schema,
             dropped=restored_dropped,
+            # the restored snapshot's OWN vectors — restoring to before a
+            # dv-delete undoes the delete (carrying the current map would
+            # keep rows deleted that the restored version still had)
+            dv=restored_dv,
         )
 
     def history(self) -> list[dict]:
@@ -2494,6 +2679,9 @@ class VersionedTable:
             "constraints": self._constraints_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
+            "dv_rows": sum(
+                int(e.get("rows", 0)) for e in self._dv_at(latest).values()
+            ),
             "created_ts": self._created_ts(latest),
             "last_modified_ts": self._commit_ts(vs[-1]),
         }
@@ -2586,7 +2774,7 @@ class VersionedTable:
                 dirs[:] = [
                     d
                     for d in dirs
-                    if d not in ("_log", "_cdc")
+                    if d not in ("_log", "_cdc", "_dv")
                     and not d.startswith("__stage__")
                 ]
             for f in names:
@@ -2605,13 +2793,28 @@ class VersionedTable:
         for root, dirs, names in os.walk(self.path, topdown=False):
             if root != self.path and not dirs and not names:
                 rel0 = os.path.relpath(root, self.path).split(os.sep)[0]
-                if rel0 not in ("_log", "_cdc") and not rel0.startswith(
+                if rel0 not in ("_log", "_cdc", "_dv") and not rel0.startswith(
                     "__stage__"
                 ):
                     try:
                         os.rmdir(root)
                     except OSError:
                         pass
+        # deletion vectors are referenced by the retained versions' dv
+        # maps: keep those, reclaim the rest under the same grace
+        dv_dir = os.path.join(self.path, "_dv")
+        if os.path.isdir(dv_dir):
+            keep_dv = set()
+            for v in keep_versions:
+                for e in self._dv_at(v).values():
+                    keep_dv.update(os.path.basename(p) for p in e["files"])
+            for f in os.listdir(dv_dir):
+                if f.endswith(".parquet") and f not in keep_dv:
+                    full = os.path.join(dv_dir, f)
+                    if not _old_enough(full):
+                        continue
+                    os.remove(full)
+                    removed += 1
         # change files are referenced by their commit's manifest, not by
         # any snapshot: keep those of RETAINED versions (their change
         # feed must stay readable), reclaim the rest under the same grace

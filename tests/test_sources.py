@@ -1163,3 +1163,20 @@ def test_versioned_mirror_follows_upstream_evolution(spark, tmp_path):
     assert m.snapshots_applied == 1
     assert down.read().columns == ["id"]
     assert down.read().count() == 7
+
+
+def test_versioned_changes_snapshot_recovery_applies_dv(spark, tmp_path):
+    """Snapshot recovery of a table with deletion vectors must not
+    resurrect the deleted rows: each snapshot partition carries its
+    file's DV sidecars and the executor subtracts the positions."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.overwrite(spark.range(20))
+    vt.delete([("id", "<", 5)], mode="dv")  # data-changing, no rewrite
+
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert {r._change_type for r in rows} == {"snapshot"}
+    assert sorted(r.id for r in rows) == list(range(5, 20))

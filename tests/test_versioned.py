@@ -2553,3 +2553,109 @@ def test_describe_history_vacuumed_append_head_and_created_ts(spark, tmp_path):
     assert d["last_modified_ts"] >= d["created_ts"]
     with pytest.raises(VersionedTableError, match="list of literals"):
         vt.delete([("id", "in", 5)])
+
+
+# ------------------------------------------------------- deletion vectors ---
+def test_deletion_vector_delete_core(spark, tmp_path):
+    """Merge-on-read DELETE (Delta's deletion vectors): the commit
+    re-lists the SAME data files — zero rewrite — and readers subtract
+    the recorded (file, position) pairs. COUNT(*) stays metadata-only
+    via the per-file deleted-row counts; time travel before the delete
+    still sees the rows; a second DV delete accumulates."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "dv"))
+    for i in range(4):
+        vt.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+        )
+    v_before = vt.latest_version()
+    files_before = vt._state(v_before)
+    v1 = vt.delete([("id", "<", 50)], mode="dv")
+    assert vt._state(v1) == files_before  # zero data files rewritten
+    assert vt.read().count() == 350
+    assert sorted(r.id for r in vt.read().where("id < 60").collect()) == list(
+        range(50, 60)
+    )
+    assert vt.count() == 350  # metadata-only path subtracts dv rows
+    assert vt.read(version_as_of=v_before).count() == 400  # time travel
+    # second DV delete on the same and another file accumulates
+    v2 = vt.delete("id >= 380 OR id = 55", mode="dv")
+    assert vt._state(v2) == files_before
+    assert vt.read().count() == 350 - 21
+    assert vt.count() == 329
+    assert vt.detail()["dv_rows"] == 71
+    # no-match dv delete: no commit
+    assert vt.delete([("id", "=", -1)], mode="dv") is None
+    # the change feed recorded the deletes
+    feed = vt.change_feed(v_before, v2)
+    assert feed.where("_change_type = 'delete'").count() == 71
+
+
+def test_deletion_vector_interplay_dml_compact_restore_vacuum(
+    spark, tmp_path
+):
+    """DV interplay: a rewrite touching a DV'd file materializes the
+    subtraction (no resurrection) and drops the entry; compact purges
+    all vectors; restore to before the DV delete undoes it; vacuum
+    keeps referenced sidecars and reclaims them once unreferenced."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "di"))
+    for i in range(2):
+        vt.append(
+            spark.range(i * 100, (i + 1) * 100)
+            .withColumn("v", F.col("id"))
+            .coalesce(1)
+        )
+    v0 = vt.latest_version()
+    vt.delete([("id", "<", 10)], mode="dv")
+    v_dv = vt.latest_version()
+    # UPDATE rewrites file 1 (ids 0..99): deleted rows must NOT resurrect
+    vt.update([("id", "<", 20)], {"v": "v + 1000"})
+    assert vt.read().where("id < 10").count() == 0
+    assert vt.read().where("id = 15").collect()[0].v == 1015
+    assert vt.detail()["dv_rows"] == 0  # the touched file's entry died
+    # fresh DV delete, then compact purges it by materializing
+    vt.delete("id >= 190", mode="dv")
+    assert vt.detail()["dv_rows"] == 10
+    vt.compact()
+    assert vt.detail()["dv_rows"] == 0
+    assert vt.read().count() == 180
+    # restore to the DV-delete version re-applies its vectors...
+    vt.restore(version=v_dv)
+    assert vt.read().count() == 190
+    assert vt.read().where("id < 10").count() == 0
+    # ...and restore to BEFORE the delete undoes it entirely
+    vt.restore(version=v0)
+    assert vt.read().count() == 200
+    # vacuum with everything retained keeps the referenced sidecars;
+    # shrinking retention past the dv versions reclaims them
+    dv_dir = _os.path.join(str(tmp_path / "di"), "_dv")
+    assert len(_os.listdir(dv_dir)) > 0
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert vt.read().count() == 200  # current snapshot intact
+    assert [
+        f for f in _os.listdir(dv_dir) if f.endswith(".parquet")
+    ] == []  # no retained version references a vector anymore
+
+
+def test_deletion_vector_merge_and_split_scan_exclude(spark, tmp_path):
+    """Every DML discovery scan subtracts DVs: a merge keyed on a
+    DV-deleted row treats it as NOT MATCHED (inserts fresh), never as an
+    update of a deleted row."""
+    vt = VersionedTable(spark, str(tmp_path / "dm"))
+    vt.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+    ))
+    vt.delete([("id", "=", 2)], mode="dv")
+    vt.merge(
+        spark.createDataFrame([(2, "B2")], "id long, s string"), ["id"]
+    )
+    rows = {r.id: r.s for r in vt.read().collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    assert vt.read().count() == 3
