@@ -282,26 +282,36 @@ class VersionedTable:
         val, _ = self._walk_to(version, "dv")
         return dict(val or {})
 
-    def _write_dv_files(self, df: DataFrame) -> list[str]:
-        """Write (file basename, row position) pairs under ``_dv/`` and
-        return their manifest names. DV files are NOT part of any
-        snapshot — they are referenced only by manifests' ``dv`` maps and
-        subtracted at scan time."""
-        dv_dir = os.path.join(self.path, "_dv")
+    def _write_sidecar_files(
+        self, df: DataFrame, subdir: str, prefix: str
+    ) -> list[str]:
+        """Stage-write ``df`` and move its parts under ``<subdir>/`` with
+        ``<prefix>-*.parquet`` names, returning manifest names. Shared by
+        the CDF (``_cdc``) and deletion-vector (``_dv``) sidecars — both
+        are per-commit payload outside every snapshot."""
+        out_dir = os.path.join(self.path, subdir)
         staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
         df.write.mode("overwrite").parquet(staging)
-        os.makedirs(dv_dir, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
         names = []
         for f in sorted(os.listdir(staging)):
             if not f.endswith(".parquet"):
                 continue
-            name = f"dv-{uuid.uuid4().hex[:12]}.parquet"
-            os.rename(os.path.join(staging, f), os.path.join(dv_dir, name))
-            names.append(f"_dv/{name}")
+            name = f"{prefix}-{uuid.uuid4().hex[:12]}.parquet"
+            os.rename(os.path.join(staging, f), os.path.join(out_dir, name))
+            names.append(f"{subdir}/{name}")
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
         return names
+
+    def _write_dv_files(self, df: DataFrame) -> list[str]:
+        """Write (file basename, row position) pairs under ``_dv/``.
+        Coalesced to ONE part: vectors are small by design, and a
+        per-scan-partition fan-out would stamp hundreds of sidecar names
+        onto every touched file's entry — every later reader then opens
+        them all."""
+        return self._write_sidecar_files(df.coalesce(1), "_dv", "dv")
 
     def table_schema(self, version: int | None = None) -> "T.StructType":
         """The table's schema at ``version`` (latest when None). Served
@@ -361,6 +371,16 @@ class VersionedTable:
         ``merge_schema`` (Delta's mergeSchema) opts into additive
         evolution: unknown columns append to the schema; old files read
         them as NULL. Returns (aligned frame, resulting schema json)."""
+        reserved = {self._FILE_NAME, self._DV_POS}
+        clash = [f.name for f in df.schema.fields if f.name in reserved]
+        if clash:
+            # these names carry the scan-side (file, position) identity:
+            # a user column by the same name would be silently clobbered
+            # inside every DV-filtered rewrite
+            raise VersionedTableError(
+                f"{op}: column names {clash} are reserved for internal "
+                f"row identity; rename them"
+            )
         if stored is None:
             # first write / legacy log: the frame defines the schema
             return df, self._nullable_json(df.schema)
@@ -943,21 +963,7 @@ class VersionedTable:
         snapshot — _state never lists them — they are per-version CDF
         payload, referenced only by their commit's ``cdc`` field and read
         only by change_feed()/the CDF stream."""
-        cdc_dir = os.path.join(self.path, "_cdc")
-        staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(staging)
-        os.makedirs(cdc_dir, exist_ok=True)
-        names = []
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"cdc-{uuid.uuid4().hex[:12]}.parquet"
-            os.rename(os.path.join(staging, f), os.path.join(cdc_dir, name))
-            names.append(f"_cdc/{name}")
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
-        return names
+        return self._write_sidecar_files(df, "_cdc", "cdc")
 
     def _collect_stats(self, files: list[str]) -> dict[str, dict]:
         """Per-file [min, max] for top-level primitive columns, read from
@@ -1351,9 +1357,8 @@ class VersionedTable:
             # regardless of their position in the declared schema — put
             # them back (zero-cost projection, pruned away by Catalyst)
             df = df.select(*[f.name for f in schema.fields])
-        live_dv = {
-            f: e for f, e in (dv or {}).items() if f in set(names)
-        }
+        names_set = set(names)
+        live_dv = {f: e for f, e in (dv or {}).items() if f in names_set}
         if live_dv or keep_identity:
             # the _metadata pseudo-column resolves only on the scan
             # relation itself, so the (file, position) identity must be
@@ -2477,8 +2482,11 @@ class VersionedTable:
                 base,
                 partition_by=pb,
             )
-        if len(files) <= n_target:
-            return base  # already right-sized; nothing to rewrite
+        if len(files) <= n_target and not self._dv_at(base):
+            # already right-sized AND no live deletion vectors — with
+            # vectors the rewrite is still due: OPTIMIZE is the advertised
+            # purge (materialize the subtraction, free the sidecars)
+            return base
         if pb:
             # hive layout: a coalesce would interleave partitions inside
             # each task and the partitionBy write would re-split them into

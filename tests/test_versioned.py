@@ -2659,3 +2659,64 @@ def test_deletion_vector_merge_and_split_scan_exclude(spark, tmp_path):
     rows = {r.id: r.s for r in vt.read().collect()}
     assert rows == {1: "a", 2: "B2", 3: "c"}
     assert vt.read().count() == 3
+
+
+def test_compact_purges_dv_even_when_right_sized(spark, tmp_path):
+    """OPTIMIZE is the advertised vector purge: compact() must rewrite
+    (and clear the vectors) even when the file count already meets the
+    target — otherwise a right-sized table's vectors are immortal and
+    vacuum can never reclaim the sidecars."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cp"))
+    vt.overwrite(spark.range(100).withColumn("v", F.col("id")).coalesce(1))
+    vt.delete([("id", "<", 10)], mode="dv")
+    assert vt.detail()["dv_rows"] == 10
+    vt.compact()  # one file, already "right-sized" — must still purge
+    assert vt.detail()["dv_rows"] == 0
+    assert vt.read().count() == 90
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    dv_dir = _os.path.join(str(tmp_path / "cp"), "_dv")
+    assert [
+        f for f in _os.listdir(dv_dir) if f.endswith(".parquet")
+    ] == []
+    # and with no vectors, a right-sized compact stays a no-op
+    v = vt.latest_version()
+    assert vt.compact() == v
+
+
+def test_reserved_identity_column_names_rejected(spark, tmp_path):
+    """__vt_file / __vt_pos carry the scan-side row identity: a user
+    column by those names would be clobbered inside DV-filtered
+    rewrites, so every write path rejects them up front."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rs"))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.overwrite(spark.range(3).withColumn("__vt_pos", F.col("id")))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.append(
+            spark.range(3, 5)
+            .withColumn("v", F.col("id"))
+            .withColumn("__vt_file", F.lit("x")),
+            merge_schema=True,
+        )
+
+
+def test_dv_delete_writes_one_sidecar(spark, tmp_path):
+    """A DV delete touching many scan partitions still writes ONE
+    sidecar file — a per-partition fan-out would stamp every part name
+    onto every touched file's entry."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "os"))
+    vt.overwrite(
+        spark.range(1000).withColumn("v", F.col("id")).repartition(8)
+    )
+    vt.delete("id % 7 = 0", mode="dv")
+    dv = vt._dv_at(vt.latest_version())
+    sidecars = {p for e in dv.values() for p in e["files"]}
+    assert len(sidecars) == 1
