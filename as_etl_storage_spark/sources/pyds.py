@@ -742,6 +742,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         from as_etl_storage_spark.writers.versioned import _layout_only
 
         vt = self._table()
+        # fail fast on mid-stream schema evolution: the stream schema is
+        # frozen at reader construction, so a table evolved past it would
+        # have read() silently project evolved columns away (dropping
+        # their data from the downstream mirror). Delta's stream errors
+        # on schema change and asks for a restart — same posture here.
+        stored = vt._schema_at(to_v)
+        if stored is not None:
+            current = {f["name"] for f in stored["fields"]}
+            if current != set(self._columns):
+                raise RuntimeError(
+                    f"versioned_changes: the table schema changed "
+                    f"mid-stream (stream started with {list(self._columns)}, "
+                    f"version {to_v} records {list(current)}); restart the "
+                    f"stream to pick up the new schema"
+                )
         appends: list[tuple[int, list[str], str]] = []
         rewrite = None
         for v in range(from_v + 1, to_v + 1):
@@ -830,24 +845,24 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
 
         t = pq.read_table(partition.path)
         if partition.dv_paths:
+            import numpy as np
             import pyarrow.compute as pc
 
             base = os.path.basename(partition.path)
             dv = pq.read_table(list(partition.dv_paths))
-            deleted = set(
-                dv.filter(pc.equal(dv.column("__vt_file"), base))
-                .column("__vt_pos")
-                .to_pylist()
-            )
-            if deleted:
-                t = t.take(
-                    pa.array(
-                        [i for i in range(t.num_rows) if i not in deleted],
-                        type=pa.int64(),  # an EMPTY keep-list must not
-                        # infer a null-typed index array (all-rows-deleted
-                        # file): take() has no kernel for null indices
-                    )
+            deleted = dv.filter(
+                pc.equal(dv.column("__vt_file"), base)
+            ).column("__vt_pos")
+            if len(deleted):
+                # vectorized position subtraction: row index ∉ deleted —
+                # pc.is_in over an arange instead of a per-row python
+                # keep-list (the loop was O(rows) interpreter time per
+                # file; this is two kernel calls)
+                idx = pa.array(np.arange(t.num_rows), type=pa.int64())
+                keep = pc.invert(
+                    pc.is_in(idx, value_set=pc.cast(deleted, pa.int64()))
                 )
+                t = t.filter(keep)
         n = t.num_rows
         # every array is cast to the DECLARED stream type (cast is a
         # no-op when they already match): a log-recorded int32 partition

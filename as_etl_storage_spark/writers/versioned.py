@@ -371,15 +371,18 @@ class VersionedTable:
         ``merge_schema`` (Delta's mergeSchema) opts into additive
         evolution: unknown columns append to the schema; old files read
         them as NULL. Returns (aligned frame, resulting schema json)."""
-        reserved = {self._FILE_NAME, self._DV_POS}
+        # __vt_file/__vt_pos carry the scan-side (file, position) identity
+        # — a user column by the same name would be silently clobbered
+        # inside every DV-filtered rewrite; #rows/#bytes are the manifest's
+        # reserved per-file scalar slots — a column bound stored under
+        # them would be clobbered by the scalars, silently disabling
+        # manifest pruning on that column
+        reserved = {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}
         clash = [f.name for f in df.schema.fields if f.name in reserved]
         if clash:
-            # these names carry the scan-side (file, position) identity:
-            # a user column by the same name would be silently clobbered
-            # inside every DV-filtered rewrite
             raise VersionedTableError(
                 f"{op}: column names {clash} are reserved for internal "
-                f"row identity; rename them"
+                f"row identity / manifest bookkeeping; rename them"
             )
         if stored is None:
             # first write / legacy log: the frame defines the schema
@@ -416,6 +419,20 @@ class VersionedTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             elif src.dataType == f.dataType:
                 cols.append(F.col(src.name).alias(f.name))
+            elif src.dataType.simpleString() == f.dataType.simpleString():
+                # structurally identical modulo NESTED nullability
+                # (ArrayType.containsNull, struct-field nullable) —
+                # nullability is presentation here, same posture as
+                # _canon_schema: cast to the NULLABLE-normalized stored
+                # form (never into a non-null slot, which Spark refuses
+                # even for identical structure) rather than refusing a
+                # semantically identical frame. Legacy logs may have
+                # recorded containsNull=False before normalization.
+                cols.append(
+                    F.col(src.name)
+                    .cast(self._deep_nullable(f.dataType))
+                    .alias(f.name)
+                )
             elif self._can_upcast(src.dataType, f.dataType):
                 cols.append(F.col(src.name).cast(f.dataType).alias(f.name))
             else:
@@ -433,13 +450,42 @@ class VersionedTable:
             new_fields.append(T.StructField(f.name, f.dataType, True))
         return df.select(*cols), self._nullable_json(T.StructType(new_fields))
 
-    @staticmethod
-    def _nullable_json(schema: "T.StructType") -> dict:
-        """Schema as jsonValue with every top-level field nullable — what
-        the files actually guarantee on read (parquet row groups may
-        omit any column after evolution)."""
+    @classmethod
+    def _deep_nullable(cls, dt: "T.DataType") -> "T.DataType":
+        """``dt`` with nullability normalized to True at EVERY level
+        (array containsNull, map valueContainsNull, struct fields).
+        Nested nullability is presentation, not structure — recording a
+        frame's incidental containsNull=False would refuse every later
+        semantically-identical append whose elements happen to be
+        nullable (the cast nullable→non-null is illegal in Spark)."""
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(cls._deep_nullable(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                cls._deep_nullable(dt.keyType),
+                cls._deep_nullable(dt.valueType),
+                True,
+            )
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, cls._deep_nullable(f.dataType), True)
+                    for f in dt.fields
+                ]
+            )
+        return dt
+
+    @classmethod
+    def _nullable_json(cls, schema: "T.StructType") -> dict:
+        """Schema as jsonValue with every field nullable at every level —
+        what the files actually guarantee on read (parquet row groups may
+        omit any column after evolution, and nested nullability is
+        presentation; see _deep_nullable)."""
         return T.StructType(
-            [T.StructField(f.name, f.dataType, True) for f in schema.fields]
+            [
+                T.StructField(f.name, cls._deep_nullable(f.dataType), True)
+                for f in schema.fields
+            ]
         ).jsonValue()
 
     def _derived_schema_json(self, version: int) -> dict | None:
@@ -1681,10 +1727,12 @@ class VersionedTable:
 
         A source with duplicate keys among the matched rows raises —
         "which source row wins?" is ambiguous (Delta's multiple-source-
-        rows-matched error). ``source`` is evaluated several times
-        (match split, rewrite, inserts); pass a cached or deterministic
-        frame. Returns the new version, or None when the merge is a
-        complete no-op (no matches and nothing to insert)."""
+        rows-matched error). The aligned source is persisted internally
+        for the duration of the merge, so a NON-DETERMINISTIC source
+        (rand-filtered, freshly sampled) still splits consistently
+        across the discovery / rewrite / insert jobs. Returns the new
+        version, or None when the merge is a complete no-op (no matches
+        and nothing to insert)."""
         if when_matched not in ("update", "delete", None):
             raise VersionedTableError(
                 f"when_matched must be 'update', 'delete' or None, "
@@ -1719,9 +1767,16 @@ class VersionedTable:
             source.select(*target.columns), self._schema_at(base), False,
             "merge",
         )
-        # both key frames are reused across several jobs (envelope agg,
-        # cardinality check, discovery, rewrite, CDC, insert anti-join)
-        # — persist so each costs one scan, not five
+        # MATERIALIZE the aligned source: merge evaluates it across
+        # several jobs (envelope agg, discovery, rewrite, CDC, insert
+        # anti-join) — a non-deterministic source (rand-filtered, fresh
+        # sample, re-read from a mutating location) re-evaluated per job
+        # could classify a key "matched" in discovery and "not matched"
+        # in the insert anti-join, silently losing or duplicating rows.
+        # persist() pins one evaluation for every downstream job.
+        source = source.persist()
+        # both key frames are reused across several jobs — persist so
+        # each costs one scan, not five
         src_keys = source.select(*on).distinct().persist()
         files = self._state(base)
         pb = self._partition_by_at(base)
@@ -1779,6 +1834,7 @@ class VersionedTable:
                 candidates,
             )
         finally:
+            source.unpersist()
             src_keys.unpersist()
             cand_keys.unpersist()
 

@@ -1180,3 +1180,36 @@ def test_versioned_changes_snapshot_recovery_applies_dv(spark, tmp_path):
     rows = [r for _, b in out for r in b]
     assert {r._change_type for r in rows} == {"snapshot"}
     assert sorted(r.id for r in rows) == list(range(5, 20))
+
+
+def test_versioned_changes_fails_fast_on_mid_stream_evolution(spark, tmp_path):
+    """The stream schema is frozen at READER construction; a table
+    evolved while the reader lives must FAIL the next micro-batch plan
+    (directing a restart) instead of silently projecting the new column
+    away — Delta's schema-change posture. A restarted stream (fresh
+    reader) sees the evolved schema and delivers the column."""
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 5))
+    # a live reader, constructed before the evolution
+    reader = VersionedChangesStreamReader({"path": up})
+    assert reader.partitions({"version": -1}, {"version": 0})
+
+    from pyspark.sql import functions as F
+
+    vt.add_column("tag", "string")
+    v = vt.append(spark.range(5, 8).withColumn("tag", F.lit("new")))
+    # the frozen column list lacks 'tag': planning the next batch fails
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"version": 0}, {"version": v})
+
+    # a RESTARTED stream (fresh reader + fresh checkpoint) delivers the
+    # evolved schema end to end, pre-evolution files null-filling it
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp2"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(8))
+    assert {r.tag for r in rows if r.id >= 5} == {"new"}
+    assert {r.tag for r in rows if r.id < 5} == {None}

@@ -2720,3 +2720,92 @@ def test_dv_delete_writes_one_sidecar(spark, tmp_path):
     dv = vt._dv_at(vt.latest_version())
     sidecars = {p for e in dv.values() for p in e["files"]}
     assert len(sidecars) == 1
+
+
+def test_reserved_stat_names_rejected(spark, tmp_path):
+    """'#rows'/'#bytes' are the manifest's per-file scalar slots: a user
+    column by those names would have its bounds clobbered by the
+    scalars, silently disabling manifest pruning on it — rejected at the
+    write like the identity names."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rsn"))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.overwrite(spark.range(3).withColumn("#rows", F.col("id")))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.append(
+            spark.range(3, 5)
+            .withColumn("v", F.col("id"))
+            .withColumn("#bytes", F.lit(1)),
+            merge_schema=True,
+        )
+
+
+def test_append_nested_nullability_is_presentation(spark, tmp_path):
+    """A frame whose array column arrives with containsNull=False must
+    append to a table whose stored type says containsNull=True (and
+    vice versa): nested nullability is presentation, not structure —
+    refusing it would demand a full rewrite for a semantically
+    identical frame."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "nn"))
+    # split(...) yields array<string> with containsNull=True
+    vt.overwrite(
+        spark.range(3).select(
+            "id", F.split(F.lit("a,b"), ",").alias("arr")
+        )
+    )
+    # F.array(lit, lit) yields containsNull=False — same simpleString
+    v = vt.append(
+        spark.range(3, 5).select(
+            "id", F.array(F.lit("x"), F.lit("y")).alias("arr")
+        )
+    )
+    assert v == 1
+    assert vt.read().count() == 5
+    # and the reverse direction on a containsNull=False-first table
+    vt2 = VersionedTable(spark, str(tmp_path / "nn2"))
+    vt2.overwrite(
+        spark.range(2).select(
+            "id", F.array(F.lit(1.0)).alias("a")
+        )
+    )
+    assert vt2.append(
+        spark.range(2, 4).select(
+            "id", F.split(F.lit("1.5"), ",").cast("array<double>").alias("a")
+        )
+    ) == 1
+    assert vt2.read().count() == 4
+
+
+def test_merge_nondeterministic_source_is_consistent(spark, tmp_path):
+    """merge() persists its aligned source: a NON-DETERMINISTIC source
+    (rand-filtered) must still split consistently across the discovery /
+    rewrite / insert jobs — every key appears exactly once afterwards
+    and every source row landed exactly once (no loss, no duplication)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "nd"))
+    vt.overwrite(
+        spark.range(200).select("id", F.lit("old").alias("v"))
+    )
+    # ~half the keys 100..299, re-sampled on EVERY evaluation
+    src = (
+        spark.range(100, 300)
+        .where(F.rand(seed=None) < 0.5)
+        .select("id", F.lit("new").alias("v"))
+    )
+    vt.merge(src, ["id"])
+    out = vt.read()
+    n = out.count()
+    assert out.select("id").distinct().count() == n, (
+        "inconsistent source split duplicated a key"
+    )
+    # every id < 100 untouched; every id >= 200 present iff inserted once
+    assert out.where("id < 100 and v <> 'old'").count() == 0
+    new_keys = out.where("v = 'new'")
+    # matched updates (100..199) plus inserts (200..299) — each new-key
+    # id must be unique and inside the source domain
+    assert new_keys.where("id < 100 or id >= 300").count() == 0
