@@ -751,6 +751,63 @@ class VersionedTable:
             os.fsync(fh.fileno())
         os.replace(tmp, self._checkpoint_path(version))
 
+    def _compose_concurrent_appends(
+        self,
+        base: int | None,
+        latest: int,
+        op: str,
+        triples: list[tuple[str, str, object]] | None,
+    ) -> tuple[list[str], dict[str, dict]]:
+        """The concurrent commits ``base+1..latest`` as composable append
+        deltas: their added files + stats, for a maintenance/DML rebase.
+        Raises (→ the op aborts, the original conflict rule) when any
+        concurrent commit is NOT a pure append — a rewrite/DML/metadata
+        change invalidates the op's snapshot — or, with ``triples``, when
+        any added file's stats MAY satisfy the predicate conjunction the
+        op was computed against (a row the op's scan never saw could
+        match: Delta's ConcurrentAppendException). Missing stats are a
+        conservative conflict: "cannot prove disjoint" must never become
+        "assume disjoint"."""
+        added: list[str] = []
+        stats: dict[str, dict] = {}
+        for v in range((base if base is not None else -1) + 1, latest + 1):
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                raise VersionedTableError(
+                    f"concurrent commit {v} has no readable manifest "
+                    f"(vacuumed?); re-run the {op}"
+                ) from None
+            # pure append DELTA only: a schema-evolving append changes
+            # metadata the op's rows were validated against (Delta fails
+            # the racing txn on any metadata change); metadata-only
+            # commits, DML, rewrites and other maintenance all conflict
+            if m.get("op") != "append" or "add" not in m or "schema" in m:
+                raise VersionedTableError(
+                    f"concurrent commit {v} is {m.get('op')!r}, not a pure "
+                    f"append; {op} was computed against a stale snapshot — "
+                    f"re-run the {op}"
+                )
+            mstats = m.get("stats", {})
+            for f in m["add"]:
+                st = mstats.get(f)
+                if triples is not None and (
+                    st is None
+                    or all(
+                        self._file_may_match(st, c, o, val)
+                        for (c, o, val) in triples
+                    )
+                ):
+                    raise VersionedTableError(
+                        f"concurrent append {v} added files that may "
+                        f"match the {op} predicate — its row set is "
+                        f"stale; re-run the {op}"
+                    )
+                added.append(f)
+                if st is not None:
+                    stats[f] = st
+        return added, stats
+
     def _commit(
         self,
         files: list[str] | None,
@@ -766,6 +823,8 @@ class VersionedTable:
         enforced_schema: dict | None = None,
         dropped: list[str] | None = None,
         dv: dict | None = None,
+        enforced_partition_by: list[str] | None = None,
+        rebase_on_appends: object = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -783,7 +842,28 @@ class VersionedTable:
         add-cdc-file actions. ``known_stats``: bounds already in the log
         for files this commit KEEPS (the untouched side of a file-pruned
         DML rewrite) — footers are re-read only for files not covered, so
-        a delete touching 3 of 10^6 files collects 3 footers, not 10^6."""
+        a delete touching 3 of 10^6 files collects 3 footers, not 10^6.
+
+        ``enforced_partition_by``: the hive layout the commit's files
+        were STAGED under (appends pass it) — a rebase past a concurrent
+        overwrite that re-declared the layout must fail, or the commit
+        would mix flat files into a now-partitioned table (Delta fails
+        the racing txn on any metadata change).
+
+        ``rebase_on_appends`` (Delta's file-level OCC for maintenance /
+        predicate-bounded ops): instead of aborting on ANY concurrent
+        commit, a full-snapshot op may REBASE over concurrent PURE
+        APPENDS by re-listing the winners' added files into its own
+        snapshot. ``True`` = compose unconditionally (compact: a layout
+        rewrite removes only the files it read, so a concurrent append
+        composes by construction — without this, always-on streaming
+        ingest starves OPTIMIZE forever). A ``[(col, op, literal), …]``
+        triple list = compose ONLY when no added file's stats can match
+        the predicate the op was computed against (Delta's
+        ConcurrentAppendException check for DELETE/UPDATE/MERGE); any
+        possibly-matching file, missing stats, or non-append concurrent
+        commit aborts as before. ``None`` = the original
+        abort-on-anything rule."""
         os.makedirs(self.log_dir, exist_ok=True)
         # per-file min/max from the footers just written (Delta's add-file
         # stats) — computed once; a commit-race retry reuses them
@@ -831,6 +911,43 @@ class VersionedTable:
                             f"its rows are aligned against the current "
                             f"schema"
                         )
+                if enforced_partition_by is not None and self._partition_by_at(
+                    latest
+                ) != list(enforced_partition_by):
+                    # the files were STAGED under the base's layout; a
+                    # concurrent overwrite(partition_by=[...]) re-declared
+                    # it — committing would mix flat files into a
+                    # partitioned table (or stale hive dirs into a new
+                    # layout), breaking basePath scans / partition values
+                    raise VersionedTableError(
+                        f"concurrent commit re-declared the partition "
+                        f"layout past base {base_version} (staged under "
+                        f"{list(enforced_partition_by)}, table now "
+                        f"{self._partition_by_at(latest)}); re-run the "
+                        f"{op} against the new layout"
+                    )
+                if (
+                    rebase_on_appends is not None
+                    and op in ("compact", "delete", "update", "merge")
+                ):
+                    # file-level conflict resolution: compose with
+                    # concurrent pure appends (raises on anything else,
+                    # or on an append that may match the read predicate)
+                    add_files, add_stats = self._compose_concurrent_appends(
+                        base_version,
+                        latest,
+                        op,
+                        None
+                        if rebase_on_appends is True
+                        else rebase_on_appends,
+                    )
+                    have = set(files or [])
+                    files = list(files or []) + [
+                        f for f in add_files if f not in have
+                    ]
+                    stats.update(add_stats)
+                    base_version = latest
+                    continue  # re-enter with the rebased state
                 if op in (
                     "replace",
                     "compact",
@@ -1190,6 +1307,9 @@ class VersionedTable:
             # recorded it on a legacy log); plain appends stay O(files)
             schema=new_schema if evolved else None,
             enforced_schema=stored,
+            # files were staged under THIS layout: a rebase past a
+            # concurrent re-layout overwrite must fail, not mix layouts
+            enforced_partition_by=pb,
         )
         if v is None:
             # lost an idempotence race after staging: the files are
@@ -1513,9 +1633,14 @@ class VersionedTable:
 
         Snapshot isolation holds: prior versions still reference the
         original files; vacuum reclaims them once out of retention.
-        Commits with the replace conflict rule — a concurrent commit
-        means the touched split is stale, so the delete aborts rather
-        than resurrecting concurrently-written rows.
+        Conflict rule (Delta's file-level OCC): with the triple
+        predicate form, a concurrent PURE APPEND whose files provably
+        cannot match the predicate REBASES in — the delete re-lists the
+        appended files and commits; an append that may hold a matching
+        row, or any non-append concurrent commit, aborts the delete
+        (its touched split is stale). Generic string/Column predicates
+        keep the abort-on-anything rule — disjointness is unprovable
+        from stats.
 
         ``predicate`` is a SQL string, a Column, or the ``[(col, op,
         literal), …]`` triple list ``read(prune=…)`` takes — the triple
@@ -1539,8 +1664,17 @@ class VersionedTable:
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
         cond, candidates = self._dml_condition_and_candidates(base, predicate)
+        # triple-form predicates also enable file-level OCC: a concurrent
+        # append whose files provably cannot match rebases in instead of
+        # aborting the delete (generic predicates keep the abort rule —
+        # disjointness is unprovable from stats)
+        triples = (
+            [tuple(t) for t in predicate]
+            if isinstance(predicate, (list, tuple))
+            else None
+        )
         if mode == "dv":
-            return self._delete_dv(base, cond, candidates)
+            return self._delete_dv(base, cond, candidates, triples)
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
             return None
@@ -1563,9 +1697,12 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+            rebase_on_appends=triples or None,
         )
 
-    def _delete_dv(self, base: int, cond, candidates) -> int | None:
+    def _delete_dv(
+        self, base: int, cond, candidates, triples=None
+    ) -> int | None:
         """Deletion-vector DELETE: record the matched rows' (file
         basename, row position) pairs and commit the unchanged file
         list. One pruned scan finds the matches; nothing is rewritten."""
@@ -1618,6 +1755,7 @@ class VersionedTable:
             known_stats={f: known[f] for f in files if f in known},
             partition_by=self._partition_by_at(base),
             dv=new_dv,
+            rebase_on_appends=triples or None,
         )
 
     def update(self, predicate, assignments: dict) -> int | None:
@@ -1634,6 +1772,11 @@ class VersionedTable:
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
         cond, candidates = self._dml_condition_and_candidates(base, predicate)
+        triples = (
+            [tuple(t) for t in predicate]
+            if isinstance(predicate, (list, tuple))
+            else None
+        )
         snap_cols = self.read(version_as_of=base).columns
         bad = set(assignments) - set(snap_cols)
         if bad:
@@ -1699,6 +1842,7 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+            rebase_on_appends=triples or None,
         )
 
     def merge(
@@ -1832,6 +1976,7 @@ class VersionedTable:
                 src_keys,
                 cand_keys,
                 candidates,
+                triples,
             )
         finally:
             source.unpersist()
@@ -1850,6 +1995,7 @@ class VersionedTable:
         src_keys: DataFrame,
         cand_keys: DataFrame,
         candidates: list[str],
+        envelope: list[tuple[str, str, object]] | None = None,
     ) -> int | None:
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
@@ -1957,6 +2103,11 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+            # a concurrent append whose files cannot intersect the source
+            # key envelope cannot hold a matchable key: the matched/insert
+            # split is unaffected, so the merge rebases over it (Delta's
+            # ConcurrentAppendException scope for MERGE)
+            rebase_on_appends=envelope or None,
         )
 
     # -- read -----------------------------------------------------------
@@ -2436,9 +2587,12 @@ class VersionedTable:
         a handful of buckets), ``'auto'`` (default) = width when every
         z-order column is numeric, ranked otherwise.
 
-        Commits with the replace conflict rule: a concurrent writer
-        advancing the log aborts the compaction (its rewrite no longer
-        reflects the latest state) rather than clobbering. The manifest
+        Conflict rule (Delta's OPTIMIZE OCC): a concurrent PURE APPEND
+        composes — the compaction removes only the files it read, so it
+        REBASES by re-listing the appended files into its snapshot and
+        commits; under always-on streaming ingest OPTIMIZE therefore
+        never starves. Any other concurrent commit (DML, rewrite,
+        metadata) still aborts the compaction. The manifest
         carries ``data_change: false`` (Delta's OPTIMIZE flag):
         incremental consumers — ``changes()`` and the
         ``versioned_changes`` stream source — skip the version
@@ -2537,6 +2691,7 @@ class VersionedTable:
                 "compact",
                 base,
                 partition_by=pb,
+                rebase_on_appends=True,
             )
         if len(files) <= n_target and not self._dv_at(base):
             # already right-sized AND no live deletion vectors — with
@@ -2548,15 +2703,28 @@ class VersionedTable:
             # each task and the partitionBy write would re-split them into
             # ~n_target × partitions fragments — one range exchange on the
             # partition columns keeps same-partition rows together so the
-            # write lands ~n_target right-sized files
-            df = self.read().repartitionByRange(n_target, *pb)
+            # write lands ~n_target right-sized files.
+            # read PINNED AT BASE: the rebase below re-lists concurrent
+            # appends by name — reading latest here would double-count
+            # any append landing between the base snapshot and this scan
+            df = self.read(version_as_of=base).repartitionByRange(
+                n_target, *pb
+            )
         else:
             # one shuffle-free rewrite: coalesce narrows partitions
             # without an exchange — at 10^6 inputs the scan parallelism
             # stays wide and only the write fan-in narrows
-            df = self.read().coalesce(n_target)
+            df = self.read(version_as_of=base).coalesce(n_target)
         return self._commit(
-            self._write_data_files(df, pb), "compact", base, partition_by=pb
+            self._write_data_files(df, pb),
+            "compact",
+            base,
+            partition_by=pb,
+            # OPTIMIZE composes with concurrent ingest (Delta's file-level
+            # OCC): it removes only the files it read, so a concurrent
+            # append rebases in by name — always-on streaming ingest must
+            # not starve compaction
+            rebase_on_appends=True,
         )
 
     def count(

@@ -2809,3 +2809,221 @@ def test_merge_nondeterministic_source_is_consistent(spark, tmp_path):
     # matched updates (100..199) plus inserts (200..299) — each new-key
     # id must be unique and inside the source domain
     assert new_keys.where("id < 100 or id >= 300").count() == 0
+
+
+def _hook_once(vt, method, action):
+    """Instance-level hook: run ``action()`` once, right after the first
+    call to ``vt.<method>`` — simulates a concurrent commit landing in
+    the window between an op's scan/stage phase and its commit."""
+    orig = getattr(vt, method)
+    done = {}
+
+    def hooked(*a, **kw):
+        out = orig(*a, **kw)
+        if not done:
+            done["x"] = True
+            action()
+        return out
+
+    setattr(vt, method, hooked)
+
+
+def test_compact_rebases_over_concurrent_append(spark, tmp_path):
+    """OPTIMIZE must compose with always-on ingest (Delta's file-level
+    OCC): an append landing between compact's scan and its commit
+    REBASES in — both commits survive, no row lost, no row duplicated,
+    and the compact manifest still carries data_change: false."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "ccr")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    for i in range(4):  # small-file table worth packing
+        vt.append(spark.range(i * 25, (i + 1) * 25).repartition(2))
+    _hook_once(
+        vt, "_write_data_files",
+        lambda: other.append(spark.range(100, 130)),
+    )
+    v = vt.compact()
+    # 4 appends (v0..v3) + concurrent append (v4) + rebased compact (v5)
+    assert v == 5
+    st = vt._state(v)
+    appended = set(vt._manifest(v - 1)["add"])
+    assert appended <= set(st), "rebase must re-list the winner's files"
+    assert vt._manifest(v)["data_change"] is False
+    assert sorted(
+        r.id for r in vt.read().collect()
+    ) == list(range(130)), "no row lost or duplicated across the rebase"
+
+
+def test_compact_still_aborts_on_concurrent_dml(spark, tmp_path):
+    """The rebase is append-only: a concurrent DML (whose rewrite
+    overlaps compact's read set) still aborts the compaction."""
+    root = str(tmp_path / "cca")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    for i in range(3):
+        vt.append(spark.range(i * 20, (i + 1) * 20).repartition(2))
+    _hook_once(
+        vt, "_write_data_files",
+        lambda: other.delete([("id", "<", 5)]),
+    )
+    with pytest.raises(VersionedTableError, match="not a pure append"):
+        vt.compact()
+    # nothing half-committed: the delete's snapshot is intact
+    assert sorted(r.id for r in vt.read().collect()) == list(range(5, 60))
+
+
+def test_dv_delete_rebases_over_disjoint_append(spark, tmp_path):
+    """A DV delete whose triple predicate provably cannot match a
+    concurrent append's files rebases over it: the vectors commit, the
+    appended rows survive, zero base files rewritten."""
+    root = str(tmp_path / "dvr")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).coalesce(1))
+    before = set(vt._state(vt.latest_version()))
+    _hook_once(
+        vt, "_write_dv_files",
+        lambda: other.append(spark.range(1000, 1050).coalesce(1)),
+    )
+    v = vt.delete([("id", "<", 10)], mode="dv")
+    st = set(vt._state(v))
+    assert before <= st, "DV delete must rewrite zero data files"
+    assert sorted(r.id for r in vt.read().collect()) == (
+        list(range(10, 100)) + list(range(1000, 1050))
+    )
+    assert vt.count() == 140  # metadata-only count across the rebase
+
+
+def test_dv_delete_aborts_on_overlapping_append(spark, tmp_path):
+    """An append whose file bounds MAY match the delete predicate must
+    abort it (Delta's ConcurrentAppendException): a matching row the
+    discovery scan never saw would otherwise silently survive."""
+    root = str(tmp_path / "dva")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).coalesce(1))
+    _hook_once(
+        vt, "_write_dv_files",
+        lambda: other.append(spark.range(5, 8).coalesce(1)),
+    )
+    with pytest.raises(VersionedTableError, match="may[ ]+match|may\nmatch|may match"):
+        vt.delete([("id", "<", 10)], mode="dv")
+    # the winner's rows are all intact
+    assert vt.read().count() == 103
+
+
+def test_delete_rewrite_rebases_over_disjoint_append(spark, tmp_path):
+    """Rewrite-mode triple DELETE gets the same file-level OCC."""
+    root = str(tmp_path / "dlr")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).coalesce(1))
+    _hook_once(
+        vt, "_write_data_files",
+        lambda: other.append(spark.range(500, 520).coalesce(1)),
+    )
+    vt.delete([("id", ">=", 90), ("id", "<", 100)])
+    assert sorted(r.id for r in vt.read().collect()) == (
+        list(range(90)) + list(range(500, 520))
+    )
+
+
+def test_generic_predicate_delete_still_aborts(spark, tmp_path):
+    """String/Column predicates carry no provable bounds: a concurrent
+    append aborts the delete as before."""
+    root = str(tmp_path / "dga")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).coalesce(1))
+    _hook_once(
+        vt, "_write_data_files",
+        lambda: other.append(spark.range(500, 520).coalesce(1)),
+    )
+    with pytest.raises(VersionedTableError, match="stale snapshot"):
+        vt.delete("id >= 90")
+
+
+def test_merge_rebases_over_disjoint_append(spark, tmp_path):
+    """MERGE's source-key envelope bounds its read set: a concurrent
+    append outside the envelope rebases in; inside, it aborts."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "mgr")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).select("id", F.lit("old").alias("v")))
+    src = spark.range(50, 150).select("id", F.lit("new").alias("v"))
+    _hook_once(
+        vt, "_write_cdc_files",
+        lambda: other.append(
+            spark.range(1000, 1010)
+            .select("id", F.lit("concurrent").alias("v"))
+            .coalesce(1)
+        ),
+    )
+    vt.merge(src, ["id"])
+    out = {r.id: r.v for r in vt.read().collect()}
+    assert len(out) == 160
+    assert all(out[i] == "old" for i in range(50))
+    assert all(out[i] == "new" for i in range(50, 150))
+    assert all(out[i] == "concurrent" for i in range(1000, 1010))
+
+
+def test_merge_aborts_on_envelope_overlap(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "mga")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).select("id", F.lit("old").alias("v")))
+    src = spark.range(50, 150).select("id", F.lit("new").alias("v"))
+    _hook_once(
+        vt, "_write_cdc_files",
+        lambda: other.append(
+            spark.range(60, 70)
+            .select("id", F.lit("concurrent").alias("v"))
+            .coalesce(1)
+        ),
+    )
+    with pytest.raises(VersionedTableError, match="may match|stale"):
+        vt.merge(src, ["id"])
+
+
+def test_append_aborts_on_concurrent_relayout(spark, tmp_path):
+    """An append staged under the base's partition layout must NOT
+    rebase past a concurrent overwrite(partition_by=[...]) that
+    re-declared it — committing flat files into a now-partitioned table
+    would break basePath scans / partition values."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "rly")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    df = spark.range(20).select("id", (F.col("id") % 2).alias("k"))
+    vt.overwrite(df)  # flat layout
+    base = vt.latest_version()
+    staged = vt._write_data_files(
+        spark.range(20, 30).select("id", (F.col("id") % 2).alias("k"))
+    )  # staged FLAT, like append would under the base layout
+    other.overwrite(df, partition_by=["k"])  # concurrent re-layout
+    with pytest.raises(VersionedTableError, match="partition layout"):
+        vt._commit(
+            None, "append", base, new_files=staged,
+            enforced_partition_by=[],
+        )
+    # same-layout concurrency still composes (the normal append rebase)
+    base2 = vt.latest_version()
+    other.append(df.limit(0))  # a concurrent same-layout commit
+    staged2 = vt._write_data_files(
+        spark.range(30, 35).select(
+            "id", (F.col("id") % 2).alias("k")
+        ),
+        ["k"],
+    )
+    v = vt._commit(
+        None, "append", base2, new_files=staged2,
+        enforced_partition_by=["k"],
+    )
+    assert v == vt.latest_version()
