@@ -270,6 +270,20 @@ class VersionedTable:
     def _dropped_at(self, version: int) -> list[str]:
         return self._schema_record_at(version)[1]
 
+    def _mapping_at(self, version: int) -> dict[str, str]:
+        """logical → PHYSICAL column names in effect at ``version``
+        (Delta's columnMapping.mode=name, restated over the log):
+        data/CDC files always store PHYSICAL names — stable for the
+        file's lifetime — and RENAME COLUMN only rewrites the mapping,
+        never a data byte. Sparse: only renamed columns have entries.
+        Rides every manifest that carries ``schema`` (same walk
+        termination), so snapshot resets and checkpoints carry it."""
+        val, _ = self._walk_to(version, "column_mapping")
+        return dict(val or {})
+
+    def _physical(self, mapping: dict[str, str], name: str) -> str:
+        return mapping.get(name, name) if mapping else name
+
     # -- deletion vectors (Delta's merge-on-read DELETE) ------------------
     def _dv_at(self, version: int) -> dict:
         """file → {"files": [dv parquet names], "rows": n} of deletion
@@ -310,7 +324,12 @@ class VersionedTable:
         Coalesced to ONE part: vectors are small by design, and a
         per-scan-partition fan-out would stamp hundreds of sidecar names
         onto every touched file's entry — every later reader then opens
-        them all."""
+        them all. The single-task funnel is safe because the
+        ``dv_rewrite_fraction`` threshold bounds what reaches this path:
+        a delete matching ≥ that fraction of any file REWRITES the file
+        instead, so the vector payload is capped at fraction × touched
+        bytes — "dv-delete half the table" never funnels half the table
+        through one task."""
         return self._write_sidecar_files(df.coalesce(1), "_dv", "dv")
 
     def table_schema(self, version: int | None = None) -> "T.StructType":
@@ -657,6 +676,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         schema: dict | None = None,
         dropped: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only commit: a delta manifest with an empty ``add``
         (state unchanged, O(1) size) carrying the full constraint map
@@ -681,6 +701,9 @@ class VersionedTable:
             manifest["schema"] = schema
             manifest["dropped_columns"] = (
                 dropped if dropped is not None else self._dropped_at(base)
+            )
+            manifest["column_mapping"] = (
+                mapping if mapping is not None else self._mapping_at(base)
             )
         if latest != base or not self._publish_manifest(version, manifest):
             # any concurrent commit makes the ADD-time validation (and a
@@ -738,6 +761,7 @@ class VersionedTable:
         if sch is not None:
             payload["schema"] = sch
             payload["dropped_columns"] = drp
+            payload["column_mapping"] = self._mapping_at(version)
         dv = self._dv_at(version)
         if dv:
             payload["dv"] = dv
@@ -825,6 +849,7 @@ class VersionedTable:
         dv: dict | None = None,
         enforced_partition_by: list[str] | None = None,
         rebase_on_appends: object = None,
+        mapping: dict[str, str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -982,7 +1007,8 @@ class VersionedTable:
                     # (or first-recorded it on a legacy log) — delta
                     # manifests stay O(new files) otherwise. A manifest
                     # carrying "schema" always carries the tombstones
-                    # alongside (they terminate the same walk)
+                    # AND the column mapping alongside (all three
+                    # terminate the same walk)
                     manifest["schema"] = schema
                     manifest["dropped_columns"] = (
                         dropped
@@ -991,6 +1017,15 @@ class VersionedTable:
                             self._dropped_at(base_version)
                             if base_version is not None
                             else []
+                        )
+                    )
+                    manifest["column_mapping"] = (
+                        mapping
+                        if mapping is not None
+                        else (
+                            self._mapping_at(base_version)
+                            if base_version is not None
+                            else {}
                         )
                     )
             else:
@@ -1031,7 +1066,7 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
-                sch, drp = schema, dropped
+                sch, drp, mp = schema, dropped, mapping
                 if sch is None and latest is not None:
                     # carry the recorded schema across snapshot resets
                     # whose frame was scanned FROM the table (compact,
@@ -1049,6 +1084,19 @@ class VersionedTable:
                             self._dropped_at(latest)
                             if latest is not None
                             else []
+                        )
+                    )
+                    # the mapping MUST ride every schema-carrying
+                    # manifest (even empty): a snapshot reset that
+                    # dropped it would terminate the mapping walk early
+                    # and resurrect a stale (or lose a live) mapping
+                    manifest["column_mapping"] = (
+                        mp
+                        if mp is not None
+                        else (
+                            self._mapping_at(latest)
+                            if latest is not None
+                            else {}
                         )
                     )
                 live_dv = dv
@@ -1618,7 +1666,12 @@ class VersionedTable:
             [f for f in files if os.path.basename(f) not in touched],
         )
 
-    def delete(self, predicate, mode: str = "rewrite") -> int | None:
+    def delete(
+        self,
+        predicate,
+        mode: str = "rewrite",
+        dv_rewrite_fraction: float = 0.5,
+    ) -> int | None:
         """DELETE WHERE ``predicate`` as a new version (Delta's row-level
         delete). Two phases: find touched files (one column-pruned scan),
         then rewrite ONLY those files without their matching rows —
@@ -1655,7 +1708,18 @@ class VersionedTable:
         table rewrites zero data bytes; readers subtract the positions
         with a broadcast anti-join. CDF delete rows are recorded either
         way. ``compact()`` (or any rewrite touching the file) purges the
-        vector by materializing the subtraction."""
+        vector by materializing the subtraction.
+
+        ``dv_rewrite_fraction`` (Delta's own tuning): a file whose
+        CUMULATIVE deleted fraction — existing vector rows plus this
+        delete's matches, over the file's row count — reaches the
+        threshold is REWRITTEN instead of vectored (and its vectors
+        purged), while lightly-hit files still take vectors. This is the
+        churn guard: without it, repeated dv deletes accumulate vector
+        rows and sidecar files without bound, growing every reader's
+        broadcast anti-join until it breaks. Pass a value > 1 to force
+        pure-vector behavior; files whose manifests predate the
+        ``#rows`` stat always take vectors (no denominator)."""
         if mode not in ("rewrite", "dv"):
             raise VersionedTableError(
                 f"delete mode must be 'rewrite' or 'dv', got {mode!r}"
@@ -1674,7 +1738,9 @@ class VersionedTable:
             else None
         )
         if mode == "dv":
-            return self._delete_dv(base, cond, candidates, triples)
+            return self._delete_dv(
+                base, cond, candidates, triples, dv_rewrite_fraction
+            )
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
             return None
@@ -1701,16 +1767,27 @@ class VersionedTable:
         )
 
     def _delete_dv(
-        self, base: int, cond, candidates, triples=None
+        self,
+        base: int,
+        cond,
+        candidates,
+        triples=None,
+        rewrite_fraction: float = 0.5,
     ) -> int | None:
         """Deletion-vector DELETE: record the matched rows' (file
-        basename, row position) pairs and commit the unchanged file
-        list. One pruned scan finds the matches; nothing is rewritten."""
+        basename, row position) pairs and commit the (mostly) unchanged
+        file list. One pruned scan finds the matches. Files whose
+        cumulative deleted fraction reaches ``rewrite_fraction`` fall
+        back to a rewrite — the churn guard against unbounded vector
+        accumulation (see :meth:`delete`)."""
         files = self._state(base)
         scan_set = files if candidates is None else candidates
         if not scan_set:
             return None
         dv_cur = self._dv_at(base)
+        stats = self._stats_at(base)
+        by_basename = {os.path.basename(f): f for f in files}
+        pb = self._partition_by_at(base)
         matched = (
             self._scan_files(
                 scan_set,
@@ -1728,9 +1805,41 @@ class VersionedTable:
             }
             if not per_file:
                 return None
-            dv_files = self._write_dv_files(
-                matched.select(self._FILE_NAME, self._DV_POS)
-            )
+            # churn policy: a file whose CUMULATIVE deleted fraction
+            # (existing vector rows + this delete's matches, over its
+            # #rows stat) reaches the threshold is rewritten now — its
+            # vectors purge with it. Files without a #rows stat (legacy
+            # manifests) have no denominator and stay vectored.
+            rewrite_rel: set[str] = set()
+            for bn, n in per_file.items():
+                rel = by_basename[bn]
+                total = stats.get(rel, {}).get("#rows")
+                if not isinstance(total, int) or total <= 0:
+                    continue
+                cum = int(n) + int(dv_cur.get(rel, {}).get("rows", 0))
+                if cum / total >= rewrite_fraction:
+                    rewrite_rel.add(rel)
+            vector_bn = [
+                bn for bn in per_file if by_basename[bn] not in rewrite_rel
+            ]
+            dv_files: list[str] = []
+            if vector_bn:
+                dv_files = self._write_dv_files(
+                    matched.where(
+                        F.col(self._FILE_NAME).isin(vector_bn)
+                    ).select(self._FILE_NAME, self._DV_POS)
+                )
+            new_files: list[str] = []
+            if rewrite_rel:
+                # rewrite the heavily-deleted files without their matched
+                # rows; the scan applies their EXISTING vectors too, so
+                # the rewrite materializes the whole subtraction at once
+                new_files = self._write_data_files(
+                    self._scan_files(
+                        sorted(rewrite_rel), self._scan_schema(base), dv_cur
+                    ).where(~cond),
+                    pb,
+                )
             cdc = self._write_cdc_files(
                 matched.drop(self._FILE_NAME, self._DV_POS).withColumn(
                     "_change_type", F.lit("delete")
@@ -1738,22 +1847,22 @@ class VersionedTable:
             )
         finally:
             matched.unpersist()
-        by_basename = {os.path.basename(f): f for f in files}
-        new_dv = dict(dv_cur)
-        for bn, n in per_file.items():
+        # vector entries: merged for surviving files, dead for rewritten
+        new_dv = {f: e for f, e in dv_cur.items() if f not in rewrite_rel}
+        for bn in vector_bn:
             rel = by_basename[bn]
             e = dict(new_dv.get(rel, {"files": [], "rows": 0}))
             e["files"] = list(e["files"]) + dv_files
-            e["rows"] = int(e["rows"]) + int(n)
+            e["rows"] = int(e["rows"]) + int(per_file[bn])
             new_dv[rel] = e
-        known = self._stats_at(base)
+        kept = [f for f in files if f not in rewrite_rel]
         return self._commit(
-            files,  # unchanged — that's the whole point
+            kept + new_files,
             "delete",
             base,
             cdc=cdc,
-            known_stats={f: known[f] for f in files if f in known},
-            partition_by=self._partition_by_at(base),
+            known_stats={f: stats[f] for f in kept if f in stats},
+            partition_by=pb,
             dv=new_dv,
             rebase_on_appends=triples or None,
         )
@@ -2911,8 +3020,19 @@ class VersionedTable:
             "constraints": self._constraints_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
+            # dv churn observability: cumulative vector rows and DISTINCT
+            # sidecar files across the snapshot — the two quantities the
+            # dv_rewrite_fraction threshold bounds (monitor these before
+            # relaxing it)
             "dv_rows": sum(
                 int(e.get("rows", 0)) for e in self._dv_at(latest).values()
+            ),
+            "dv_sidecar_files": len(
+                {
+                    p
+                    for e in self._dv_at(latest).values()
+                    for p in e.get("files", [])
+                }
             ),
             "created_ts": self._created_ts(latest),
             "last_modified_ts": self._commit_ts(vs[-1]),

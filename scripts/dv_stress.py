@@ -107,9 +107,56 @@ def main() -> None:
                 }
             )
         )
+        churn(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.stop()
+
+
+CHURN_ROWS = 200_000
+CHURN_FILES = 100
+CHURN_ROUNDS = 10
+
+
+def churn(spark, root: str) -> None:
+    """Repeated-delete accumulation (SCALE.md 'dv_churn'): 10 successive
+    ~6% dv deletes. With the dv_rewrite_fraction threshold OFF the
+    vectors and sidecars grow without bound and every reader's
+    anti-join pays for all of them; with the DEFAULT 0.5 threshold the
+    cumulative fraction trips a rewrite and the vector payload stays
+    bounded."""
+
+    def build_small(path):
+        vt = VersionedTable(spark, path)
+        vt.overwrite(
+            spark.range(CHURN_ROWS)
+            .withColumn("v", F.col("id") * 2)
+            .repartition(CHURN_FILES)
+        )
+        return vt
+
+    out = {"case": "dv_churn", "rounds": CHURN_ROUNDS,
+           "pct_per_round": round(100 / 17, 1)}
+    for label, frac in (("unbounded", 2.0), ("threshold_0.5", 0.5)):
+        vt = build_small(os.path.join(root, f"churn_{label}"))
+        vt.read().count()  # warm
+        t0 = time.perf_counter()
+        for r in range(CHURN_ROUNDS):
+            # each round hits a DISTINCT ~5.9% slice of every file
+            vt.delete(
+                f"id % 17 = {r}", mode="dv", dv_rewrite_fraction=frac
+            )
+        t_deletes = time.perf_counter() - t0
+        d = vt.detail()
+        t_agg, _ = timed(lambda: vt.read().agg(F.sum("v")).collect()[0][0])
+        out[label] = {
+            "deletes_sec": round(t_deletes, 2),
+            "dv_rows_after": d["dv_rows"],
+            "dv_sidecar_files_after": d["dv_sidecar_files"],
+            "data_files_after": d["num_files"],
+            "agg_read_sec": round(t_agg, 2),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

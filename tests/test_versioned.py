@@ -2573,25 +2573,27 @@ def test_deletion_vector_delete_core(spark, tmp_path):
         )
     v_before = vt.latest_version()
     files_before = vt._state(v_before)
-    v1 = vt.delete([("id", "<", 50)], mode="dv")
+    # 40% of the first file: selective — stays under the default
+    # dv_rewrite_fraction churn threshold (the threshold has its own test)
+    v1 = vt.delete([("id", "<", 40)], mode="dv")
     assert vt._state(v1) == files_before  # zero data files rewritten
-    assert vt.read().count() == 350
+    assert vt.read().count() == 360
     assert sorted(r.id for r in vt.read().where("id < 60").collect()) == list(
-        range(50, 60)
+        range(40, 60)
     )
-    assert vt.count() == 350  # metadata-only path subtracts dv rows
+    assert vt.count() == 360  # metadata-only path subtracts dv rows
     assert vt.read(version_as_of=v_before).count() == 400  # time travel
     # second DV delete on the same and another file accumulates
     v2 = vt.delete("id >= 380 OR id = 55", mode="dv")
     assert vt._state(v2) == files_before
-    assert vt.read().count() == 350 - 21
-    assert vt.count() == 329
-    assert vt.detail()["dv_rows"] == 71
+    assert vt.read().count() == 360 - 21
+    assert vt.count() == 339
+    assert vt.detail()["dv_rows"] == 61
     # no-match dv delete: no commit
     assert vt.delete([("id", "=", -1)], mode="dv") is None
     # the change feed recorded the deletes
     feed = vt.change_feed(v_before, v2)
-    assert feed.where("_change_type = 'delete'").count() == 71
+    assert feed.where("_change_type = 'delete'").count() == 61
 
 
 def test_deletion_vector_interplay_dml_compact_restore_vacuum(
@@ -3027,3 +3029,55 @@ def test_append_aborts_on_concurrent_relayout(spark, tmp_path):
         enforced_partition_by=["k"],
     )
     assert v == vt.latest_version()
+
+
+def test_dv_rewrite_threshold_heavy_file_rewritten(spark, tmp_path):
+    """The DV churn guard: a file whose deleted fraction reaches
+    dv_rewrite_fraction is REWRITTEN (vectors purged), lightly-hit
+    files still take vectors — one delete, two treatments."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "thr"))
+    # two files: A = 0..99, B = 100..199
+    vt.overwrite(spark.range(100).coalesce(1))
+    vt.append(spark.range(100, 200).coalesce(1))
+    before = vt._state(vt.latest_version())
+    file_a, file_b = before[0], before[1]
+    # deletes 80% of A, 10% of B
+    v = vt.delete([("id", "<", 80)], mode="dv")
+    # B untouched by the threshold: delete hits 0% of B... hit A only
+    st = vt._state(v)
+    assert file_a not in st, "80%-deleted file must be rewritten"
+    assert file_b in st
+    assert not vt._dv_at(v), "rewritten file's vectors must purge"
+    assert sorted(r.id for r in vt.read().collect()) == list(range(80, 200))
+    # now vector B lightly, then accumulate past the threshold
+    v2 = vt.delete([("id", ">=", 100), ("id", "<", 130)], mode="dv")
+    assert file_b in vt._state(v2), "30% delete stays merge-on-read"
+    dv = vt._dv_at(v2)
+    assert dv[file_b]["rows"] == 30
+    d = vt.detail()
+    assert d["dv_rows"] == 30 and d["dv_sidecar_files"] == 1
+    # cumulative 30% + 25% = 55% >= 50%: the file trips the threshold
+    v3 = vt.delete([("id", ">=", 130), ("id", "<", 155)], mode="dv")
+    assert file_b not in vt._state(v3), (
+        "cumulative deleted fraction must trip the rewrite"
+    )
+    assert not vt._dv_at(v3)
+    assert vt.count() == 65  # 20 survivors of A + 45 of B
+    assert sorted(r.id for r in vt.read().collect()) == (
+        list(range(80, 100)) + list(range(155, 200))
+    )
+
+
+def test_dv_rewrite_fraction_gt_one_forces_pure_vector(spark, tmp_path):
+    """dv_rewrite_fraction > 1 disables the fallback: even a delete of
+    every row in a file stays merge-on-read."""
+    vt = VersionedTable(spark, str(tmp_path / "pv"))
+    vt.overwrite(spark.range(50).coalesce(1))
+    before = vt._state(vt.latest_version())
+    v = vt.delete([("id", "<", 50)], mode="dv", dv_rewrite_fraction=2.0)
+    assert vt._state(v) == before
+    assert vt._dv_at(v)[before[0]]["rows"] == 50
+    assert vt.read().count() == 0
+    assert vt.count() == 0
