@@ -912,6 +912,61 @@ _register(
 )
 
 
+def _w_versioned_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN via column mapping (Delta's
+    columnMapping.mode=name restated over the log,
+    writers/versioned.py:rename_column): data files keep their stable
+    PHYSICAL column names; the rename is an O(1) metadata commit
+    (asserted in-query: the data-file set is IDENTICAL across it), scans
+    resolve logical→physical with one alias projection, appends after
+    the rename land under the same physical name, and time travel
+    before the rename still shows the old name (asserted). Reference
+    scope: the reference has no DDL surface; this is Delta-parity
+    extension API."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wvrn-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    first = orders.where(F.col("o_orderkey") <= hi // 2)
+    second = orders.where(F.col("o_orderkey") > hi // 2)
+
+    vt = VersionedTable(spark, root)
+    vt.overwrite(first.select("o_orderkey", "o_totalprice"))
+    v_pre = vt.latest_version()
+    files_before = set(vt._state(v_pre))
+    vt.rename_column("o_totalprice", "price")
+    assert set(vt._state(vt.latest_version())) == files_before, (
+        "RENAME COLUMN must not touch data files"
+    )
+    assert vt.read(version_as_of=v_pre).columns == [
+        "o_orderkey", "o_totalprice",
+    ], "time travel before the rename must show the old name"
+    # appends after the rename use the new logical name; their bytes
+    # land under the ORIGINAL physical name so all files stay uniform
+    vt.append(
+        second.select(
+            "o_orderkey", F.col("o_totalprice").alias("price")
+        )
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_rename_column",
+    _w_versioned_rename_column,
+    """
+    SELECT o_orderkey, o_totalprice AS price FROM orders
+    """,
+)
+
+
 def _w_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level DELETE (writers/versioned.py:delete): remove the 'F'
     orders from a versioned copy and read the result — the snapshot must

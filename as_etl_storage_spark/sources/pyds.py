@@ -513,13 +513,16 @@ def _cdc_arrow_type(ddl: str):
     return None if alias is None else pa.type_for_alias(alias)
 
 
-def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
-    """(name, DDL type) pairs for the CURRENT snapshot's schema. The
-    LOG-RECORDED schema is authoritative when present (exact per-table
-    types, survives a restore to a pre-evolution snapshot whose newest
-    file lacks evolved columns); legacy logs fall back to probing one
-    data-file footer of the latest version — metadata only either way,
-    no session and no data I/O."""
+def _versioned_data_columns(path: str) -> list[tuple[str, str, str]]:
+    """(logical name, DDL type, PHYSICAL name) triples for the CURRENT
+    snapshot's schema. The LOG-RECORDED schema is authoritative when
+    present (exact per-table types, survives a restore to a
+    pre-evolution snapshot whose newest file lacks evolved columns);
+    legacy logs fall back to probing one data-file footer of the latest
+    version — metadata only either way, no session and no data I/O.
+    Physical names come from the log's column mapping (RENAME COLUMN):
+    files always store physical names, so executors read by physical
+    and the stream delivers logical."""
     import os
 
     import pyarrow.parquet as pq
@@ -534,6 +537,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
     if stored is not None:
         from pyspark.sql import types as T
 
+        mapping = vt._mapping_at(latest)
         fields = []
         for f in T.StructType.fromJson(stored).fields:
             ddl = f.dataType.simpleString()
@@ -543,7 +547,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
                     f"for {f.name!r}; evolve the table without that column "
                     f"or extend the type map"
                 )
-            fields.append((f.name, ddl))
+            fields.append((f.name, ddl, mapping.get(f.name, f.name)))
         return fields
     # NEWEST file of the snapshot: under additive schema evolution the
     # most recent append's files carry the superset schema (the first
@@ -560,7 +564,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
                 f"{n!r}; evolve the table without that column or extend "
                 f"the type map"
             )
-        fields.append((n, _CDC_PA_TO_DDL[t]))
+        fields.append((n, _CDC_PA_TO_DDL[t], n))
     # hive-partitioned table: the partition columns live in directory
     # names, not footers — append them, typed from the newest file's
     # parsed values (int → bigint, float → double, else string, Spark's
@@ -568,7 +572,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
     # from the values the driver parsed out of each manifest name
     pvals = VersionedTable._partition_values(newest)
     for col in vt._partition_by_at(latest):
-        if any(n == col for n, _ in fields):
+        if any(n == col for n, _, _ in fields):
             continue  # also stored in the file (cdc files do this)
         v = pvals.get(col)
         ddl = (
@@ -576,7 +580,7 @@ def _versioned_data_columns(path: str) -> list[tuple[str, str]]:
             if isinstance(v, int)
             else "double" if isinstance(v, float) else "string"
         )
-        fields.append((col, ddl))
+        fields.append((col, ddl, col))
     return fields
 
 
@@ -596,9 +600,13 @@ class _ChangeFiles(InputPartition):
         pvals: dict | None = None,
         ddl: tuple = (),
         dv_paths: tuple = (),
+        phys: tuple = (),
     ):
         self.path, self.version, self.kind = path, version, kind
         self.columns = columns
+        # physical (in-file) name per column — differs from ``columns``
+        # only for renamed columns (column mapping)
+        self.phys = phys or columns
         self.pvals = pvals or {}
         # deletion-vector sidecars naming THIS file's deleted row
         # positions (snapshot recovery of a table with merge-on-read
@@ -670,9 +678,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self.starting_version = int(sv) if sv is not None else None
         self.starting_timestamp = st
         fields = _versioned_data_columns(self.path)
-        self._columns = tuple(n for n, _ in fields)
-        self._types = dict(fields)
-        self._ddl = tuple(t for _, t in fields)
+        self._columns = tuple(n for n, _, _ in fields)
+        self._types = {n: t for n, t, _ in fields}
+        self._ddl = tuple(t for _, t, _ in fields)
+        self._phys = tuple(p for _, _, p in fields)
 
     def _pvals(self, rel_name: str) -> dict:
         """Partition values for one manifest name, coerced to the stream
@@ -821,6 +830,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                         os.path.join(self.path, p)
                         for p in dv_map.get(f, {}).get("files", [])
                     ),
+                    self._phys,
                 )
                 for f in vt._state(to_v)
             ]
@@ -832,6 +842,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 self._columns,
                 self._pvals(f),
                 self._ddl,
+                phys=self._phys,
             )
             for v, files, kind in appends
             for f in files
@@ -873,9 +884,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
             for d in (partition.ddl or ("",) * len(partition.columns))
         ]
         arrays = []
-        for name, target in zip(partition.columns, targets):
-            if name in t.column_names:
-                arr = t.column(name).combine_chunks()
+        for name, phys, target in zip(
+            partition.columns, partition.phys, targets
+        ):
+            if phys in t.column_names:
+                # files store PHYSICAL names (column mapping): read by
+                # physical, deliver under the logical stream column
+                arr = t.column(phys).combine_chunks()
                 if target is not None and arr.type != target:
                     arr = arr.cast(target)
                 arrays.append(arr)
@@ -922,7 +937,8 @@ class VersionedChangesDataSource(DataSource):
 
     def schema(self) -> str:
         fields = [
-            f"{n} {t}" for n, t in _versioned_data_columns(self.options["path"])
+            f"{n} {t}"
+            for n, t, _ in _versioned_data_columns(self.options["path"])
         ]
         fields += ["_commit_version bigint", "_change_type string"]
         return ", ".join(fields)

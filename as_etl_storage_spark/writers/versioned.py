@@ -284,6 +284,20 @@ class VersionedTable:
     def _physical(self, mapping: dict[str, str], name: str) -> str:
         return mapping.get(name, name) if mapping else name
 
+    @staticmethod
+    def _phys_triples(
+        triples: list | None, mapping: dict[str, str] | None
+    ) -> list | None:
+        """Triple predicates translated to PHYSICAL column names — the
+        form the rebase guard needs, since concurrent appends' manifest
+        stats are keyed physically. None when there are no triples (a
+        generic predicate keeps the abort-on-anything rule)."""
+        if not triples:
+            return None
+        return [
+            ((mapping or {}).get(c, c), o, v) for (c, o, v) in triples
+        ]
+
     # -- deletion vectors (Delta's merge-on-read DELETE) ------------------
     def _dv_at(self, version: int) -> dict:
         """file → {"files": [dv parquet names], "rows": n} of deletion
@@ -382,6 +396,7 @@ class VersionedTable:
         merge_schema: bool,
         op: str,
         dropped: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> tuple[DataFrame, dict]:
         """Schema enforcement at the write (Delta's rule): the incoming
         frame is resolved against the table schema — missing columns
@@ -430,6 +445,25 @@ class VersionedTable:
                     f"— re-adding the name would resurrect stale values. "
                     f"Rewrite the table first "
                     f"(overwrite(..., overwrite_schema=True))"
+                )
+        if extras and mapping:
+            # a new column's default physical name IS its logical name;
+            # if that collides with the PHYSICAL name serving a renamed
+            # column, new files' bytes would be read as the OTHER
+            # column's data — use add_column, which assigns a fresh
+            # physical name on collision
+            live_phys = {
+                mapping.get(f.name, f.name).lower() for f in tgt.fields
+            }
+            collide = [
+                f.name for f in extras if f.name.lower() in live_phys
+            ]
+            if collide:
+                raise VersionedTableError(
+                    f"{op}: columns {collide} collide with the PHYSICAL "
+                    f"name of a renamed column — evolving them here would "
+                    f"cross-wire the stored bytes. Add them with "
+                    f"add_column(), which assigns a distinct physical name"
                 )
         cols = []
         for f in tgt.fields:
@@ -618,10 +652,21 @@ class VersionedTable:
                 f"the name would resurrect stale values. Rewrite the "
                 f"table first (overwrite(..., overwrite_schema=True))"
             )
+        mapping = self._mapping_at(base)
+        live_phys = {
+            self._physical(mapping, f.name).lower() for f in sch.fields
+        }
+        if name.lower() in live_phys:
+            # the logical name is free, but its default physical name is
+            # SERVING a renamed column's bytes — assign a fresh physical
+            # (Delta's columnMapping does this with UUID field ids), so
+            # old files' bytes under that name stay wired to the renamed
+            # column and the new column reads NULL from them
+            mapping = {**mapping, name: f"col-{uuid.uuid4().hex[:12]}"}
         evolved = T.StructType([*sch.fields, T.StructField(name, dt, True)])
         return self._commit_metadata(
             base, "add_column", schema=evolved.jsonValue(),
-            dropped=tombstones,
+            dropped=tombstones, mapping=mapping,
         )
 
     def drop_column(self, name: str) -> int:
@@ -659,14 +704,103 @@ class VersionedTable:
                 f"cannot drop {name!r}: CHECK constraints reference it: "
                 f"{referencing}; drop them first"
             )
-        # tombstone the name: old files still hold its bytes, so re-adding
-        # it (add_column or merge_schema evolution) is refused until a
-        # schema-redefining overwrite rewrites every file
+        # tombstone the PHYSICAL name: that's what old files still hold
+        # bytes under — re-adding it (add_column or merge_schema
+        # evolution) is refused until a schema-redefining overwrite
+        # rewrites every file. Dropping a RENAMED column tombstones its
+        # physical, so the original logical name (whose bytes those are)
+        # stays blocked while genuinely fresh names stay free.
+        mapping = self._mapping_at(base)
+        actual = next(
+            f.name for f in sch.fields if f.name.lower() == name.lower()
+        )
+        phys = self._physical(mapping, actual)
+        mapping = {k: v for k, v in mapping.items() if k != actual}
         return self._commit_metadata(
             base,
             "drop_column",
             schema=T.StructType(keep).jsonValue(),
-            dropped=[*self._dropped_at(base), name],
+            dropped=[*self._dropped_at(base), phys],
+            mapping=mapping,
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only via column mapping
+        (Delta's columnMapping.mode=name, restated over the log): data
+        files keep their PHYSICAL column names forever; the rename
+        commits a schema with the new LOGICAL name plus a logical →
+        physical mapping entry, and every scan resolves through the
+        mapping with one zero-cost alias projection. ZERO data files are
+        touched (asserted by the contract query); time travel before the
+        rename still shows the old name; manifest pruning keeps working
+        because stats are keyed physically.
+
+        Refused for: partition columns (hive directory names ARE the
+        physical layout), columns referenced by CHECK constraints (the
+        stored expression would dangle), reserved names, names already
+        present, and tombstoned names (conservative — consistent with
+        add_column)."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        sch = self._recorded_schema_for_ddl(base, "rename_column")
+        fields = list(sch.fields)
+        idx = [
+            i for i, f in enumerate(fields) if f.name.lower() == old.lower()
+        ]
+        if not idx:
+            raise VersionedTableError(
+                f"no column {old!r}; have {[f.name for f in fields]}"
+            )
+        i = idx[0]
+        if new.lower() != old.lower() and any(
+            f.name.lower() == new.lower() for f in fields
+        ):
+            raise VersionedTableError(
+                f"column {new!r} already exists in "
+                f"{[f.name for f in fields]}"
+            )
+        if new in {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}:
+            raise VersionedTableError(
+                f"rename_column: {new!r} is reserved for internal row "
+                f"identity / manifest bookkeeping"
+            )
+        if old.lower() in (c.lower() for c in self._partition_by_at(base)):
+            raise VersionedTableError(
+                f"cannot rename partition column {old!r}: hive directory "
+                f"names are the physical layout; re-layout with "
+                f"overwrite(..., partition_by=[...]) first"
+            )
+        referencing = {
+            cname: expr
+            for cname, expr in self._constraints_at(base).items()
+            if re.search(rf"\b{re.escape(old)}\b", expr, re.IGNORECASE)
+        }
+        if referencing:
+            raise VersionedTableError(
+                f"cannot rename {old!r}: CHECK constraints reference it: "
+                f"{referencing}; drop them first"
+            )
+        tombstones = self._dropped_at(base)
+        if new.lower() in (d.lower() for d in tombstones):
+            raise VersionedTableError(
+                f"rename_column: {new!r} was DROPPED and files written "
+                f"before the drop still hold bytes under it — renaming "
+                f"onto the name invites misreads. Rewrite the table "
+                f"first (overwrite(..., overwrite_schema=True))"
+            )
+        mapping = self._mapping_at(base)
+        actual = fields[i].name
+        phys = mapping.pop(actual, actual)
+        if new != phys:
+            mapping[new] = phys
+        fields[i] = T.StructField(new, fields[i].dataType, True)
+        return self._commit_metadata(
+            base,
+            "rename_column",
+            schema=T.StructType(fields).jsonValue(),
+            dropped=tombstones,
+            mapping=mapping,
         )
 
     def _commit_metadata(
@@ -1130,7 +1264,10 @@ class VersionedTable:
 
     # -- data files -----------------------------------------------------
     def _write_data_files(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> list[str]:
         """Stage the frame's parquet files and move them under the table
         root, returning their manifest names. With ``partition_by`` the
@@ -1138,7 +1275,16 @@ class VersionedTable:
         manifest names keep the partition directories — the partition a
         file belongs to is readable from its NAME, which is what lets
         _collect_stats turn partition values into prunable bounds
-        without touching a footer."""
+        without touching a footer.
+
+        ``mapping``: logical → physical column names; data files ALWAYS
+        store physical names, so every file across the table's history
+        agrees regardless of renames (partition columns are never
+        renameable, so ``partition_by`` needs no translation)."""
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         staging = os.path.join(self.path, f"__stage__{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if partition_by:
@@ -1168,12 +1314,21 @@ class VersionedTable:
         shutil.rmtree(staging, ignore_errors=True)
         return sorted(files)
 
-    def _write_cdc_files(self, df: DataFrame) -> list[str]:
+    def _write_cdc_files(
+        self, df: DataFrame, mapping: dict[str, str] | None = None
+    ) -> list[str]:
         """Write change rows under ``_cdc/`` and return their manifest
         names (``_cdc/cdc-*.parquet``). Change files are NOT part of any
         snapshot — _state never lists them — they are per-version CDF
         payload, referenced only by their commit's ``cdc`` field and read
-        only by change_feed()/the CDF stream."""
+        only by change_feed()/the CDF stream. Like data files they store
+        PHYSICAL column names (``mapping``), so a change feed spanning a
+        rename reads every change file uniformly; ``_change_type`` is
+        metadata and never mapped."""
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         return self._write_sidecar_files(df, "_cdc", "cdc")
 
     def _collect_stats(self, files: list[str]) -> dict[str, dict]:
@@ -1328,6 +1483,7 @@ class VersionedTable:
         stored, tombstones = (
             self._schema_record_at(base) if base is not None else (None, [])
         )
+        mapping = self._mapping_at(base) if base is not None else {}
         legacy = base is not None and stored is None
         if legacy:
             # pre-recording log: the TABLE schema is the files' merged
@@ -1336,14 +1492,16 @@ class VersionedTable:
             # columns from every later declared-schema read
             stored = self._derived_schema_json(base)
         df, new_schema = self._align(
-            df, stored, merge_schema, "append", tombstones
+            df, stored, merge_schema, "append", tombstones, mapping
         )
         evolved = (
             legacy
             or stored is None
             or self._canon_schema(stored) != self._canon_schema(new_schema)
         )
-        new_files = self._write_data_files(self._checked(df, cons), pb)
+        new_files = self._write_data_files(
+            self._checked(df, cons), pb, mapping
+        )
         v = self._commit(
             None,
             "append",
@@ -1355,6 +1513,7 @@ class VersionedTable:
             # recorded it on a legacy log); plain appends stay O(files)
             schema=new_schema if evolved else None,
             enforced_schema=stored,
+            mapping=mapping if evolved else None,
             # files were staged under THIS layout: a rebase past a
             # concurrent re-layout overwrite must fail, not mix layouts
             enforced_partition_by=pb,
@@ -1402,9 +1561,19 @@ class VersionedTable:
             if base is not None and not overwrite_schema
             else None
         )
+        # a schema-redefining overwrite rewrites every file under the
+        # frame's own (logical) names — the mapping resets with the
+        # tombstones; otherwise files keep physical names
+        mapping = (
+            self._mapping_at(base)
+            if base is not None and not overwrite_schema
+            else {}
+        )
         df, new_schema = self._align(df, stored, False, "overwrite")
         return self._commit(
-            self._write_data_files(self._checked(df, cons), partition_by),
+            self._write_data_files(
+                self._checked(df, cons), partition_by, mapping
+            ),
             "overwrite",
             base,
             partition_by=partition_by,
@@ -1415,6 +1584,7 @@ class VersionedTable:
             # new schema — dropped-column tombstones are cleared (this is
             # the documented way to free a dropped name for reuse)
             dropped=[] if overwrite_schema else None,
+            mapping=mapping,
         )
 
     def overwrite_partitions(
@@ -1448,11 +1618,13 @@ class VersionedTable:
                 f"incoming frame lacks partition columns {missing}"
             )
         stored, tombstones = self._schema_record_at(base)
+        mapping = self._mapping_at(base)
         # merge_schema lets a partition restate carry an added column
         # (nightly-restate pipelines evolve too); untouched partitions'
         # files read it as NULL — same additive rule as append
         df, new_schema = self._align(
-            df, stored, merge_schema, "overwrite_partitions", tombstones
+            df, stored, merge_schema, "overwrite_partitions", tombstones,
+            mapping,
         )
         schema_evolved = stored is not None and self._canon_schema(
             stored
@@ -1467,7 +1639,7 @@ class VersionedTable:
         # instead of replacing them. Staged files are invisible until
         # the commit below, so writing first is safe.
         new_files = self._write_data_files(
-            self._checked(df, self._constraints_at(base)), pb
+            self._checked(df, self._constraints_at(base)), pb, mapping
         )
         replaced_dirs = {os.path.dirname(f) for f in new_files}
         files = self._state(base)
@@ -1506,7 +1678,7 @@ class VersionedTable:
         )
         pb = self._partition_by_at(base)
         return self._commit(
-            self._write_data_files(merged, pb),
+            self._write_data_files(merged, pb, self._mapping_at(base)),
             "replace",
             base,
             partition_by=pb,
@@ -1538,7 +1710,8 @@ class VersionedTable:
             triples = [tuple(t) for t in predicate]
             cond = self._as_condition(self._triples_condition(triples))
             return cond, self._prune_files(
-                files, self._stats_at(base), triples
+                files, self._stats_at(base), triples,
+                self._mapping_at(base),
             )
         return self._as_condition(predicate), files
 
@@ -1550,6 +1723,7 @@ class VersionedTable:
         schema: "T.StructType | None" = None,
         dv: dict | None = None,
         keep_identity: bool = False,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         # basePath reconstructs partition columns from the hive directory
         # segments when the table is partitioned (harmless when flat).
@@ -1559,18 +1733,43 @@ class VersionedTable:
         # types). Legacy logs without a recorded schema fall back to
         # mergeSchema, which keeps additively-evolved snapshots whole at
         # the cost of a driver-side merge over every footer.
+        # ``mapping`` (logical → physical): files store PHYSICAL names,
+        # so the scan declares the physical schema and renames back to
+        # the logical names in one projection — RENAME COLUMN costs a
+        # zero-cost alias here, never a file rewrite.
         paths = [os.path.join(self.path, f) for f in names]
         reader = self.spark.read
         if schema is not None:
-            reader = reader.schema(schema)
+            phys_schema = schema
+            if mapping:
+                phys_schema = T.StructType(
+                    [
+                        T.StructField(
+                            mapping.get(f.name, f.name),
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in schema.fields
+                    ]
+                )
+            reader = reader.schema(phys_schema)
         else:
             reader = reader.option("mergeSchema", "true")
         df = reader.option("basePath", self.path).parquet(*paths)
-        if schema is not None and df.columns != [f.name for f in schema.fields]:
-            # Spark appends hive partition columns AFTER the data columns
-            # regardless of their position in the declared schema — put
-            # them back (zero-cost projection, pruned away by Catalyst)
-            df = df.select(*[f.name for f in schema.fields])
+        if schema is not None and (
+            mapping or df.columns != [f.name for f in schema.fields]
+        ):
+            # one projection restores logical names AND declared order
+            # (Spark appends hive partition columns AFTER the data
+            # columns regardless of their declared position) — zero-cost,
+            # pruned away by Catalyst
+            df = df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name) if mapping else f.name)
+                    .alias(f.name)
+                    for f in schema.fields
+                ]
+            )
         names_set = set(names)
         live_dv = {f: e for f, e in (dv or {}).items() if f in names_set}
         if live_dv or keep_identity:
@@ -1652,6 +1851,7 @@ class VersionedTable:
                 self._scan_schema(base),
                 self._dv_at(base),
                 keep_identity=True,
+                mapping=self._mapping_at(base),
             )
             .where(cond)
             .select(self._FILE_NAME)
@@ -1745,13 +1945,20 @@ class VersionedTable:
         if not touched:
             return None
         pb = self._partition_by_at(base)
+        mapping = self._mapping_at(base)
         scan_t = self._scan_files(
-            touched, self._scan_schema(base), self._dv_at(base)
+            touched, self._scan_schema(base), self._dv_at(base),
+            mapping=mapping,
         ).persist()
         try:
-            kept_files = self._write_data_files(scan_t.where(~cond), pb)
+            kept_files = self._write_data_files(
+                scan_t.where(~cond), pb, mapping
+            )
             cdc = self._write_cdc_files(
-                scan_t.where(cond).withColumn("_change_type", F.lit("delete"))
+                scan_t.where(cond).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                mapping,
             )
         finally:
             scan_t.unpersist()
@@ -1763,7 +1970,7 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
-            rebase_on_appends=triples or None,
+            rebase_on_appends=self._phys_triples(triples, mapping),
         )
 
     def _delete_dv(
@@ -1788,12 +1995,14 @@ class VersionedTable:
         stats = self._stats_at(base)
         by_basename = {os.path.basename(f): f for f in files}
         pb = self._partition_by_at(base)
+        mapping = self._mapping_at(base)
         matched = (
             self._scan_files(
                 scan_set,
                 self._scan_schema(base),
                 dv_cur,
                 keep_identity=True,
+                mapping=mapping,
             )
             .where(cond)
             .persist()
@@ -1836,14 +2045,17 @@ class VersionedTable:
                 # the rewrite materializes the whole subtraction at once
                 new_files = self._write_data_files(
                     self._scan_files(
-                        sorted(rewrite_rel), self._scan_schema(base), dv_cur
+                        sorted(rewrite_rel), self._scan_schema(base), dv_cur,
+                        mapping=mapping,
                     ).where(~cond),
                     pb,
+                    mapping,
                 )
             cdc = self._write_cdc_files(
                 matched.drop(self._FILE_NAME, self._DV_POS).withColumn(
                     "_change_type", F.lit("delete")
-                )
+                ),
+                mapping,
             )
         finally:
             matched.unpersist()
@@ -1864,7 +2076,7 @@ class VersionedTable:
             known_stats={f: stats[f] for f in kept if f in stats},
             partition_by=pb,
             dv=new_dv,
-            rebase_on_appends=triples or None,
+            rebase_on_appends=self._phys_triples(triples, mapping),
         )
 
     def update(self, predicate, assignments: dict) -> int | None:
@@ -1917,8 +2129,10 @@ class VersionedTable:
             return None
         pb = self._partition_by_at(base)
         cons = self._constraints_at(base)
+        mapping = self._mapping_at(base)
         scan_t = self._scan_files(
-            touched, self._scan_schema(base), self._dv_at(base)
+            touched, self._scan_schema(base), self._dv_at(base),
+            mapping=mapping,
         ).persist()
         try:
             # re-align the rewritten rows: an assignment whose expression
@@ -1929,7 +2143,7 @@ class VersionedTable:
                 "update",
             )
             new_files = self._write_data_files(
-                self._checked(rewritten, cons), pb
+                self._checked(rewritten, cons), pb, mapping
             )
             matched = scan_t.where(cond)
             cdc = self._write_cdc_files(
@@ -1939,7 +2153,8 @@ class VersionedTable:
                     _updated(matched, F.lit(True)).withColumn(
                         "_change_type", F.lit("update_postimage")
                     )
-                )
+                ),
+                mapping,
             )
         finally:
             scan_t.unpersist()
@@ -1951,7 +2166,7 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
-            rebase_on_appends=triples or None,
+            rebase_on_appends=self._phys_triples(triples, mapping),
         )
 
     def merge(
@@ -2020,6 +2235,7 @@ class VersionedTable:
             source.select(*target.columns), self._schema_at(base), False,
             "merge",
         )
+        mapping = self._mapping_at(base)
         # MATERIALIZE the aligned source: merge evaluates it across
         # several jobs (envelope agg, discovery, rewrite, CDC, insert
         # anti-join) — a non-deterministic source (rand-filtered, fresh
@@ -2056,7 +2272,9 @@ class VersionedTable:
             if lo is not None and hi is not None:
                 triples += [(k, ">=", lo), (k, "<=", hi)]
         candidates = (
-            self._prune_files(files, self._stats_at(base), triples)
+            self._prune_files(
+                files, self._stats_at(base), triples, mapping
+            )
             if triples
             else files
         )
@@ -2065,7 +2283,8 @@ class VersionedTable:
         # and can equal no source key
         cand_keys = (
             self._scan_files(
-                candidates, self._scan_schema(base), self._dv_at(base)
+                candidates, self._scan_schema(base), self._dv_at(base),
+                mapping=mapping,
             )
             .select(*on)
             .distinct()
@@ -2106,6 +2325,7 @@ class VersionedTable:
         candidates: list[str],
         envelope: list[tuple[str, str, object]] | None = None,
     ) -> int | None:
+        mapping = self._mapping_at(base)
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
         if when_matched is not None and candidates:
@@ -2132,6 +2352,7 @@ class VersionedTable:
                     self._scan_schema(base),
                     self._dv_at(base),
                     keep_identity=True,
+                    mapping=mapping,
                 )
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
@@ -2148,7 +2369,8 @@ class VersionedTable:
         matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
             scan_t = self._scan_files(
-                touched, self._scan_schema(base), self._dv_at(base)
+                touched, self._scan_schema(base), self._dv_at(base),
+                mapping=mapping,
             ).persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
@@ -2161,7 +2383,7 @@ class VersionedTable:
                     )
                 else:  # delete
                     rewritten = kept
-                new_files += self._write_data_files(rewritten, pb)
+                new_files += self._write_data_files(rewritten, pb, mapping)
                 pre = scan_t.join(src_keys, on=on, how="left_semi")
                 if when_matched == "update":
                     cdc_frames.append(
@@ -2180,7 +2402,7 @@ class VersionedTable:
                     inserts = source.join(cand_keys, on=on, how="left_anti")
                     if not inserts.isEmpty():
                         new_files += self._write_data_files(
-                            self._checked(inserts, cons), pb
+                            self._checked(inserts, cons), pb, mapping
                         )
                         cdc_frames.append(
                             inserts.withColumn("_change_type", F.lit("insert"))
@@ -2188,7 +2410,8 @@ class VersionedTable:
                 from functools import reduce
 
                 cdc = self._write_cdc_files(
-                    reduce(lambda a, b: a.unionByName(b), cdc_frames)
+                    reduce(lambda a, b: a.unionByName(b), cdc_frames),
+                    mapping,
                 )
             finally:
                 scan_t.unpersist()
@@ -2199,10 +2422,12 @@ class VersionedTable:
             if inserts.isEmpty():
                 return None  # nothing matched AND nothing new
             new_files = self._write_data_files(
-                self._checked(inserts, self._constraints_at(base)), pb
+                self._checked(inserts, self._constraints_at(base)), pb,
+                mapping,
             )
             cdc = self._write_cdc_files(
-                inserts.withColumn("_change_type", F.lit("insert"))
+                inserts.withColumn("_change_type", F.lit("insert")),
+                mapping,
             )
         known = self._stats_at(base)
         return self._commit(
@@ -2216,7 +2441,7 @@ class VersionedTable:
             # key envelope cannot hold a matchable key: the matched/insert
             # split is unaffected, so the merge rebases over it (Delta's
             # ConcurrentAppendException scope for MERGE)
-            rebase_on_appends=envelope or None,
+            rebase_on_appends=self._phys_triples(envelope, mapping),
         )
 
     # -- read -----------------------------------------------------------
@@ -2366,7 +2591,10 @@ class VersionedTable:
         files = self._state(version)
         kept = files
         if prune:
-            kept = self._prune_files(files, self._stats_at(version), prune)
+            kept = self._prune_files(
+                files, self._stats_at(version), prune,
+                self._mapping_at(version),
+            )
             if not kept:
                 # every file skipped: empty result, table schema intact
                 from pyspark.sql import functions as F
@@ -2390,7 +2618,8 @@ class VersionedTable:
         # and a time-travel read of a pre-evolution version shows the
         # schema the table had THEN — with zero footer merging either way
         df = self._scan_files(
-            files, self._scan_schema(version), self._dv_at(version)
+            files, self._scan_schema(version), self._dv_at(version),
+            mapping=self._mapping_at(version),
         )
         if prune:
             df = df.where(self._triples_condition(prune))
@@ -2401,11 +2630,18 @@ class VersionedTable:
         files: list[str],
         stats: dict[str, dict],
         prune: list[tuple[str, str, object]],
+        mapping: dict[str, str] | None = None,
     ) -> list[str]:
         """Manifest data skipping: the files whose stored bounds COULD
         satisfy every ``(col, op, literal)`` conjunct. Shared by
-        read(prune=…) and the triple form of delete/update."""
+        read(prune=…) and the triple form of delete/update. Stats are
+        keyed by PHYSICAL column names (footers of physically-named
+        files), so ``mapping`` translates the caller's logical columns
+        before the bounds lookup — pruning keeps working across
+        renames."""
         self._check_triples(prune)
+        if mapping:
+            prune = [(mapping.get(c, c), op, v) for (c, op, v) in prune]
         return [
             f
             for f in files
@@ -2548,7 +2784,11 @@ class VersionedTable:
         # deliver under the schema at to_version (Delta's CDF posture:
         # the consumer sees the CURRENT schema; pre-evolution add files
         # read evolved columns as NULL)
-        return self._scan_files(added, self._scan_schema(to_version))
+        return self._scan_files(
+            added,
+            self._scan_schema(to_version),
+            mapping=self._mapping_at(to_version),
+        )
 
     def change_feed(
         self,
@@ -2643,7 +2883,11 @@ class VersionedTable:
                     [*sch.fields, T.StructField("_change_type", T.StringType())]
                 )
             scan = self._with_file_name(
-                self._scan_files([f for f, _ in pairs], scan_schema)
+                self._scan_files(
+                    [f for f, _ in pairs],
+                    scan_schema,
+                    mapping=self._mapping_at(to_version),
+                )
             ).join(F.broadcast(vmap), on=self._FILE_NAME, how="inner")
             if not is_cdc:
                 scan = scan.withColumn("_change_type", F.lit("insert"))
@@ -2796,7 +3040,7 @@ class VersionedTable:
                 .drop("__zkey")
             )
             return self._commit(
-                self._write_data_files(df, pb),
+                self._write_data_files(df, pb, self._mapping_at(base)),
                 "compact",
                 base,
                 partition_by=pb,
@@ -2825,7 +3069,7 @@ class VersionedTable:
             # stays wide and only the write fan-in narrows
             df = self.read(version_as_of=base).coalesce(n_target)
         return self._commit(
-            self._write_data_files(df, pb),
+            self._write_data_files(df, pb, self._mapping_at(base)),
             "compact",
             base,
             partition_by=pb,
@@ -2925,6 +3169,9 @@ class VersionedTable:
             partition_by=self._partition_by_at(version),
             schema=restored_schema,
             dropped=restored_dropped,
+            # the restored version's OWN mapping (renames roll back with
+            # the schema they rode in on)
+            mapping=self._mapping_at(version),
             # the restored snapshot's OWN vectors — restoring to before a
             # dv-delete undoes the delete (carrying the current map would
             # keep rows deleted that the restored version still had)
@@ -3020,6 +3267,7 @@ class VersionedTable:
             "constraints": self._constraints_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
+            "column_mapping": self._mapping_at(latest),
             # dv churn observability: cumulative vector rows and DISTINCT
             # sidecar files across the snapshot — the two quantities the
             # dv_rewrite_fraction threshold bounds (monitor these before

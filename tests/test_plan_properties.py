@@ -245,3 +245,26 @@ def test_vectorized_ann_guard_costs_no_extra_job(spark):
         f"expected the bounded query collect to be the ONLY job during "
         f"frame construction, saw {len(jobs)}"
     )
+
+
+def test_renamed_column_read_pushes_filters_to_scan(spark, tmp_path):
+    """Column mapping must stay plan-invisible: the scan declares the
+    PHYSICAL schema, the logical names come back via one alias
+    projection, and a filter on the LOGICAL name still reaches the
+    parquet scan as a pushed filter on the PHYSICAL column — renames
+    cost zero at read time."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "rnplan"))
+    vt.overwrite(spark.range(1000).select("id", (F.col("id") * 2).alias("v")))
+    vt.rename_column("v", "value")
+    df = vt.read().where(F.col("value") > 100).select("id", "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # pushed on the PHYSICAL name at the scan
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan, plan
+    # read schema pruned to the two physical columns
+    assert "ReadSchema: struct<id:bigint,v:bigint>" in plan, plan
+    # no exchange introduced by the mapping projection
+    assert "Exchange" not in plan

@@ -1213,3 +1213,32 @@ def test_versioned_changes_fails_fast_on_mid_stream_evolution(spark, tmp_path):
     assert sorted(r.id for r in rows) == list(range(8))
     assert {r.tag for r in rows if r.id >= 5} == {"new"}
     assert {r.tag for r in rows if r.id < 5} == {None}
+
+
+def test_versioned_changes_stream_after_rename(spark, tmp_path):
+    """A restarted stream on a renamed table delivers the NEW logical
+    column name while reading pre-rename files by their stable PHYSICAL
+    name — no nulls, no miswiring; and a rename mid-stream trips the
+    schema fail-fast."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 5).select("id", (F.col("id") * 2).alias("v")))
+    reader = VersionedChangesStreamReader({"path": up})
+    assert reader.partitions({"version": -1}, {"version": 0})
+
+    v = vt.rename_column("v", "value")
+    # mid-stream rename = schema change: fail fast
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"version": 0}, {"version": v})
+
+    vt.append(spark.range(5, 8).select("id", (F.col("id") * 2).alias("value")))
+    out = _drain_versioned_changes(spark, up, str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(8))
+    # pre-rename files deliver their bytes under the NEW logical name
+    assert {r.value for r in rows} == {i * 2 for i in range(8)}

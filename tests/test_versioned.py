@@ -3081,3 +3081,205 @@ def test_dv_rewrite_fraction_gt_one_forces_pure_vector(spark, tmp_path):
     assert vt._dv_at(v)[before[0]]["rows"] == 50
     assert vt.read().count() == 0
     assert vt.count() == 0
+
+
+# ---------------------------------------------- RENAME COLUMN (mapping) ---
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN via column mapping: zero data files touched, reads
+    resolve through the mapping, appends land under the stable PHYSICAL
+    name, time travel before the rename shows the old name."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rn"))
+    vt.overwrite(spark.range(10).select("id", (F.col("id") * 2).alias("v")))
+    files_before = set(vt._state(vt.latest_version()))
+    v_pre = vt.latest_version()
+    v_r = vt.rename_column("v", "value")
+    assert set(vt._state(v_r)) == files_before, "rename must touch no file"
+    assert vt.read().columns == ["id", "value"]
+    assert sorted(r.value for r in vt.read().collect()) == [
+        i * 2 for i in range(10)
+    ]
+    # time travel: the old snapshot still shows the old name
+    assert vt.read(version_as_of=v_pre).columns == ["id", "v"]
+    # appends use the new logical name; bytes land under physical "v"
+    vt.append(spark.range(10, 15).select("id", (F.col("id") * 2).alias("value")))
+    assert vt.read().count() == 15
+    assert sorted(r.value for r in vt.read().collect()) == [
+        i * 2 for i in range(15)
+    ]
+    # the mapping is visible and the schema logical
+    d = vt.detail()
+    assert d["column_mapping"] == {"value": "v"}
+    assert "value" in d["schema"] and " v:" not in d["schema"]
+    # an append under the OLD name is now an unknown column
+    with pytest.raises(VersionedTableError, match="not in the\n?.*schema|not in the table schema"):
+        vt.append(spark.range(15, 16).select("id", (F.col("id") * 2).alias("v")))
+
+
+def test_rename_column_pruning_and_dml(spark, tmp_path):
+    """Manifest pruning and triple-predicate DML keep working across a
+    rename: stats are keyed by the stable physical name and lookups
+    translate through the mapping."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rp"))
+    vt.overwrite(spark.range(100).withColumn("v", F.col("id")).coalesce(1))
+    vt.append(
+        spark.range(100, 200).withColumn("v", F.col("id")).coalesce(1)
+    )
+    vt.rename_column("id", "key")
+    # pruning on the NEW name skips the out-of-range file
+    pruned = vt.read(prune=[("key", "<", 50)])
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 50
+    # triple DELETE on the new name: discovery pruned, rows removed
+    vt.delete([("key", ">=", 150)])
+    assert sorted(r.key for r in vt.read().collect()) == list(range(150))
+    # UPDATE through the new name, assignments against logical columns
+    vt.update([("key", "<", 2)], {"v": "v + 1000"})
+    out = {r.key: r.v for r in vt.read().collect()}
+    assert out[0] == 1000 and out[1] == 1001 and out[2] == 2
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rr"))
+    vt.overwrite(
+        spark.range(10).select(
+            "id", (F.col("id") % 2).alias("k"), F.lit(1.0).alias("x")
+        ),
+        partition_by=["k"],
+    )
+    with pytest.raises(VersionedTableError, match="partition"):
+        vt.rename_column("k", "kk")
+    vt.add_constraint("x_pos", "x > 0")
+    with pytest.raises(VersionedTableError, match="CHECK"):
+        vt.rename_column("x", "y")
+    vt.drop_constraint("x_pos")
+    with pytest.raises(VersionedTableError, match="already exists"):
+        vt.rename_column("x", "id")
+    with pytest.raises(VersionedTableError, match="no column"):
+        vt.rename_column("nope", "y")
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.rename_column("x", "__vt_file")
+    vt.drop_column("x")
+    with pytest.raises(VersionedTableError, match="DROPPED"):
+        vt.rename_column("id", "x")
+
+
+def test_rename_then_drop_then_readd(spark, tmp_path):
+    """Drop after rename tombstones the PHYSICAL name: re-adding the
+    original logical name (whose bytes those are) is refused, while the
+    renamed-away logical name is free and gets a FRESH physical so old
+    bytes never leak into it."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rd"))
+    vt.overwrite(spark.range(5).select("id", (F.col("id") * 3).alias("v")))
+    vt.rename_column("v", "w")
+    vt.drop_column("w")  # tombstones physical "v"
+    assert vt._dropped_at(vt.latest_version()) == ["v"]
+    with pytest.raises(VersionedTableError, match="DROPPED"):
+        vt.add_column("v", "bigint")  # old files hold bytes under "v"
+    # "w" is free: its physical was "v", now tombstoned, so the re-add
+    # must NOT collide — fresh logical name, default physical "w"
+    vt.add_column("w", "string")
+    assert {r.w for r in vt.read().collect()} == {None}
+
+
+def test_add_column_collision_with_live_physical(spark, tmp_path):
+    """add_column of a name that IS a renamed column's physical gets a
+    fresh physical name: old files' bytes under that name keep serving
+    the renamed column, and the new column reads NULL from them."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cp"))
+    vt.overwrite(spark.range(5).select("id", (F.col("id") * 7).alias("a")))
+    vt.rename_column("a", "b")  # physical "a" now serves logical b
+    vt.add_column("a", "bigint")  # logical a is free, physical must not be "a"
+    mapping = vt._mapping_at(vt.latest_version())
+    assert mapping["b"] == "a"
+    assert mapping["a"].startswith("col-")
+    rows = {r.id: (r.b, r.a) for r in vt.read().collect()}
+    assert rows[2] == (14, None), "old bytes must serve b, never a"
+    # new writes land under the fresh physical and read back correctly
+    vt.append(
+        spark.range(5, 7).select(
+            "id", (F.col("id") * 7).alias("b"), F.lit(99).alias("a")
+        )
+    )
+    rows = {r.id: (r.b, r.a) for r in vt.read().collect()}
+    assert rows[6] == (42, 99)
+    # merge_schema evolution is refused for the colliding name (it would
+    # cross-wire physical bytes); add_column is the directed path
+    vt2 = VersionedTable(spark, str(tmp_path / "cp2"))
+    vt2.overwrite(spark.range(3).select("id", F.lit(1).alias("a")))
+    vt2.rename_column("a", "b")
+    with pytest.raises(VersionedTableError, match="PHYSICAL|physical"):
+        vt2.append(
+            spark.range(3, 4).select(
+                "id", F.lit(2).alias("b"), F.lit(3).alias("a")
+            ),
+            merge_schema=True,
+        )
+
+
+def test_rename_across_compact_restore_checkpoint(spark, tmp_path):
+    """The mapping rides snapshot resets and checkpoints: compact keeps
+    it, restore rolls it back with the schema, and a checkpointed log
+    (>CHECKPOINT_EVERY commits) still resolves it."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rc"))
+    vt.overwrite(spark.range(10).select("id", (F.col("id") * 2).alias("v")))
+    v_pre = vt.latest_version()
+    vt.rename_column("v", "value")
+    vt.compact()
+    assert vt.read().columns == ["id", "value"]
+    assert sorted(r.value for r in vt.read().collect()) == [
+        i * 2 for i in range(10)
+    ]
+    # compact REWROTE the files under the CURRENT mapping's physical name
+    # ("v"), so the mapping still applies uniformly
+    assert vt._mapping_at(vt.latest_version()) == {"value": "v"}
+    # restore to before the rename: old logical name comes back
+    vt.restore(v_pre)
+    assert vt.read().columns == ["id", "v"]
+    assert vt._mapping_at(vt.latest_version()) == {}
+    # roll forward again and bury the rename under a checkpoint
+    vt.rename_column("v", "value2")
+    for i in range(12):
+        vt.append(
+            spark.range(10 + i, 11 + i).select(
+                "id", (F.col("id") * 2).alias("value2")
+            )
+        )
+    assert vt.read().columns == ["id", "value2"]
+    assert vt.read().count() == 22
+    assert sorted(r.value2 for r in vt.read().collect()) == [
+        i * 2 for i in range(22)
+    ]
+
+
+def test_rename_change_feed_and_merge(spark, tmp_path):
+    """CDC across a rename: change files written BEFORE the rename store
+    physical names, so a feed spanning it delivers uniformly under the
+    CURRENT logical names; merge works on renamed key/value columns."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rf"))
+    vt.overwrite(spark.range(10).select("id", F.lit("x").alias("v")))
+    vt.delete([("id", ">=", 8)])  # v1: cdc files under physical names
+    v_rename = vt.rename_column("v", "tag")
+    vt.append(spark.range(20, 22).select("id", F.lit("y").alias("tag")))
+    feed = vt.change_feed(0)
+    assert set(feed.columns) == {"id", "tag", "_change_type", "_commit_version"}
+    assert feed.where("_change_type = 'delete'").count() == 2
+    assert {r.tag for r in feed.where("_change_type = 'delete'").collect()} == {"x"}
+    # merge on the renamed table
+    src = spark.range(5, 7).select("id", F.lit("m").alias("tag"))
+    vt.merge(src, ["id"])
+    out = {r.id: r.tag for r in vt.read().collect()}
+    assert out[5] == out[6] == "m" and out[0] == "x" and out[20] == "y"
