@@ -1074,6 +1074,125 @@ _register(
 )
 
 
+def _w_versioned_merge_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with when_not_matched_by_source='delete' (Delta's third
+    MERGE clause, writers/versioned.py:_merge_by_source_delete): target
+    rows matching no source key are removed, so update+insert+by-source-
+    delete makes the table an EXACT MIRROR of the source — the
+    CDC-sync/retention primitive. Scale shape asserted in-query: target
+    files holding no key match are dropped from the snapshot WHOLESALE
+    (by name, zero rewrite). The oracle is simply the source expression
+    itself — mirror semantics leave nothing else."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmbs-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    # three arrival-ordered files; the low one holds no source key
+    vt.overwrite(orders.where(F.col("o_orderkey") <= hi // 3).coalesce(1))
+    vt.append(
+        orders.where(
+            (F.col("o_orderkey") > hi // 3)
+            & (F.col("o_orderkey") <= 2 * hi // 3)
+        ).coalesce(1)
+    )
+    vt.append(orders.where(F.col("o_orderkey") > 2 * hi // 3).coalesce(1))
+    files_before = vt._state(vt.latest_version())
+    low_file = files_before[0]
+    # source: middle third updated (negated price) + keys past hi inserted
+    source = (
+        orders.where(
+            (F.col("o_orderkey") > hi // 3)
+            & (F.col("o_orderkey") <= 2 * hi // 3)
+        ).withColumn("o_totalprice", -F.col("o_totalprice"))
+    ).unionByName(
+        orders.where(F.col("o_orderkey") > 2 * hi // 3).select(
+            (F.col("o_orderkey") + hi).alias("o_orderkey"), "o_totalprice"
+        )
+    )
+    v = vt.merge(source, ["o_orderkey"], when_not_matched_by_source="delete")
+    assert low_file not in vt._state(v), (
+        "a file with no key match must be dropped wholesale, not rewritten"
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge_by_source",
+    _w_versioned_merge_by_source,
+    """
+    WITH hi AS (SELECT max(o_orderkey) AS h FROM orders)
+    SELECT o_orderkey, -o_totalprice AS o_totalprice
+    FROM orders, hi WHERE o_orderkey > h // 3 AND o_orderkey <= 2 * h // 3
+    UNION ALL
+    SELECT o_orderkey + h AS o_orderkey, o_totalprice
+    FROM orders, hi WHERE o_orderkey > 2 * h // 3
+    """,
+)
+
+
+def _w_versioned_dv_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV churn guard (writers/versioned.py:_delete_dv, Delta's own
+    tuning): one dv-mode delete, two treatments — a file whose deleted
+    fraction reaches dv_rewrite_fraction is REWRITTEN (its vectors
+    purge), lightly-hit files still take vectors (file carried by name —
+    both asserted in-query). The result must equal the plain SQL
+    anti-filter either way: the threshold is a layout policy, never a
+    semantic."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wdvt-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    # two files: low half, high half
+    vt.overwrite(orders.where(F.col("o_orderkey") <= hi // 2).coalesce(1))
+    vt.append(orders.where(F.col("o_orderkey") > hi // 2).coalesce(1))
+    f_low, f_high = vt._state(vt.latest_version())
+    # deletes ~80% of the LOW file (trips the 0.5 threshold → rewrite)
+    # and ~20% of the HIGH file (stays merge-on-read)
+    v = vt.delete(
+        [("o_orderkey", ">", hi // 10), ("o_orderkey", "<=", 6 * hi // 10)],
+        mode="dv",
+    )
+    st = set(vt._state(v))
+    assert f_low not in st, "heavily-deleted file must be rewritten"
+    assert f_high in st, "lightly-deleted file must stay merge-on-read"
+    assert vt._dv_at(v).keys() == {f_high}, "rewritten file's vectors purge"
+    assert vt.count() == vt.read().count()
+    return vt.read()
+
+
+_register(
+    "w_versioned_dv_threshold",
+    _w_versioned_dv_threshold,
+    """
+    WITH hi AS (SELECT max(o_orderkey) AS h FROM orders)
+    SELECT o_orderkey, o_totalprice FROM orders, hi
+    WHERE NOT (o_orderkey > h // 10 AND o_orderkey <= 6 * h // 10)
+    """,
+)
+
+
 def _w_versioned_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned versioned table (Delta's partition columns): an
     overwrite with partition_by lays orders out under

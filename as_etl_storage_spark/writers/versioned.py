@@ -2176,15 +2176,29 @@ class VersionedTable:
         *,
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
+        when_not_matched_by_source: str | None = None,
     ) -> int | None:
         """MERGE ``source`` into the table on equi-keys ``on`` (Delta's
         MERGE INTO, the upsert/CDC-apply primitive). ``when_matched``:
         ``'update'`` replaces each matched target row with its source row,
         ``'delete'`` removes it, None leaves it. ``when_not_matched``:
         ``'insert'`` appends source rows matching no target row, None
-        drops them. ``replace()`` is exactly
+        drops them. ``when_not_matched_by_source`` (Delta's third MERGE
+        clause): ``'delete'`` removes target rows whose key matches NO
+        source row — with update+insert this makes MERGE a full mirror
+        of the source (the CDC-sync / retention primitive); None (the
+        default) leaves them. ``replace()`` is exactly
         ``merge(df, keys)`` minus the change feed — kept for the narrow
         writer surface.
+
+        The by-source clause changes the cost shape: every target file
+        may hold unmatched rows, so nothing can be carried by name —
+        but files wholly OUTSIDE the source key envelope (or holding no
+        key match) are dropped WHOLESALE, read once only to record
+        their CDF delete rows, never rewritten; only key-matched files
+        are rewritten. It also disables the append-rebase OCC path: a
+        concurrent append's rows would need by-source deletion the
+        merge never saw, so any concurrent commit aborts it.
 
         File-pruned like delete/update: touched files are those holding a
         KEY-matched target row (found with one semi-join scan); only they
@@ -2210,6 +2224,11 @@ class VersionedTable:
             raise VersionedTableError(
                 f"when_not_matched must be 'insert' or None, "
                 f"got {when_not_matched!r}"
+            )
+        if when_not_matched_by_source not in ("delete", None):
+            raise VersionedTableError(
+                f"when_not_matched_by_source must be 'delete' or None, "
+                f"got {when_not_matched_by_source!r}"
             )
         base = self.latest_version()
         if base is None:
@@ -2305,6 +2324,7 @@ class VersionedTable:
                 cand_keys,
                 candidates,
                 triples,
+                when_not_matched_by_source,
             )
         finally:
             source.unpersist()
@@ -2324,6 +2344,7 @@ class VersionedTable:
         cand_keys: DataFrame,
         candidates: list[str],
         envelope: list[tuple[str, str, object]] | None = None,
+        when_not_matched_by_source: str | None = None,
     ) -> int | None:
         mapping = self._mapping_at(base)
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
@@ -2343,6 +2364,20 @@ class VersionedTable:
                     "a target row would match multiple source rows; "
                     "de-duplicate the source on the merge keys first"
                 )
+        if when_not_matched_by_source == "delete":
+            return self._merge_by_source_delete(
+                source,
+                on,
+                when_matched,
+                when_not_matched,
+                base,
+                files,
+                pb,
+                src_keys,
+                cand_keys,
+                candidates,
+                mapping,
+            )
         touched: list[str] = []
         untouched = files
         if when_matched is not None and candidates:
@@ -2446,6 +2481,156 @@ class VersionedTable:
 
     # -- read -----------------------------------------------------------
     _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+    def _merge_by_source_delete(
+        self,
+        source: DataFrame,
+        on: list[str],
+        when_matched: str | None,
+        when_not_matched: str | None,
+        base: int,
+        files: list[str],
+        pb: list[str],
+        src_keys: DataFrame,
+        cand_keys: DataFrame,
+        candidates: list[str],
+        mapping: dict[str, str],
+    ) -> int | None:
+        """MERGE with ``when_not_matched_by_source='delete'``: target
+        rows matching no source key are removed. Scale shape: files
+        outside the candidate set, or holding no key match, contain ONLY
+        doomed rows — they are dropped from the snapshot WHOLESALE
+        (scanned once for their CDF delete rows, never rewritten); only
+        key-matched files rewrite. Commits with the abort-on-anything
+        conflict rule: the read set is the whole table."""
+        sch = self._scan_schema(base)
+        dv = self._dv_at(base)
+        cons = self._constraints_at(base)
+        # key-matched files among the candidates (the only rewrites)
+        t_set: set[str] = set()
+        if candidates:
+            t_rows = (
+                self._scan_files(
+                    candidates, sch, dv, keep_identity=True, mapping=mapping
+                )
+                .join(src_keys, on=on, how="left_semi")
+                .select(self._FILE_NAME)
+                .distinct()
+                .collect()
+            )
+            t_set = {r[self._FILE_NAME] for r in t_rows}
+        touched = [f for f in files if os.path.basename(f) in t_set]
+        dropped_whole = [
+            f for f in files if os.path.basename(f) not in t_set
+        ]
+        new_files: list[str] = []
+        cdc_frames: list[DataFrame] = []
+        matched_src = source.join(cand_keys, on=on, how="left_semi")
+        if touched:
+            scan_t = self._scan_files(
+                touched, sch, dv, mapping=mapping
+            ).persist()
+            try:
+                matched_t = scan_t.join(src_keys, on=on, how="left_semi")
+                # by-source delete: unmatched rows in touched files go
+                unmatched_t = scan_t.join(src_keys, on=on, how="left_anti")
+                cdc_frames.append(
+                    unmatched_t.withColumn("_change_type", F.lit("delete"))
+                )
+                if when_matched == "update":
+                    new_files += self._write_data_files(
+                        self._checked(
+                            matched_src.select(*scan_t.columns), cons
+                        ),
+                        pb,
+                        mapping,
+                    )
+                    cdc_frames.append(
+                        matched_t.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
+                    )
+                    cdc_frames.append(
+                        matched_src.select(*scan_t.columns).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                elif when_matched == "delete":
+                    cdc_frames.append(
+                        matched_t.withColumn(
+                            "_change_type", F.lit("delete")
+                        )
+                    )
+                else:  # None: matched rows carried as-is (but rewritten —
+                    # their files lose the unmatched rows)
+                    new_files += self._write_data_files(
+                        matched_t, pb, mapping
+                    )
+                if when_not_matched == "insert":
+                    inserts = source.join(cand_keys, on=on, how="left_anti")
+                    if not inserts.isEmpty():
+                        new_files += self._write_data_files(
+                            self._checked(inserts, cons), pb, mapping
+                        )
+                        cdc_frames.append(
+                            inserts.withColumn(
+                                "_change_type", F.lit("insert")
+                            )
+                        )
+                if dropped_whole:
+                    # read once for the change feed only — these files
+                    # are dropped from the snapshot by NAME, zero rewrite
+                    cdc_frames.append(
+                        self._scan_files(
+                            dropped_whole, sch, dv, mapping=mapping
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+                from functools import reduce
+
+                cdc = self._write_cdc_files(
+                    reduce(lambda a, b: a.unionByName(b), cdc_frames),
+                    mapping,
+                )
+            finally:
+                scan_t.unpersist()
+        else:
+            # no key-matched file: the whole table is doomed rows
+            if when_not_matched == "insert":
+                inserts = source.join(cand_keys, on=on, how="left_anti")
+                if not inserts.isEmpty():
+                    new_files += self._write_data_files(
+                        self._checked(inserts, cons), pb, mapping
+                    )
+                    cdc_frames.append(
+                        inserts.withColumn("_change_type", F.lit("insert"))
+                    )
+            if dropped_whole:
+                cdc_frames.append(
+                    self._scan_files(
+                        dropped_whole, sch, dv, mapping=mapping
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            if not cdc_frames:
+                return None  # empty table, nothing to insert
+            from functools import reduce
+
+            cdc = self._write_cdc_files(
+                reduce(lambda a, b: a.unionByName(b), cdc_frames), mapping
+            )
+        if not new_files:
+            # everything deleted and nothing inserted: materialize one
+            # empty part file so the snapshot stays readable (same shape
+            # a delete-all rewrite leaves)
+            new_files = self._write_data_files(
+                self.read(version_as_of=base).limit(0), pb, mapping
+            )
+        return self._commit(
+            new_files,
+            "merge",
+            base,
+            cdc=cdc,
+            partition_by=pb,
+        )
 
     @staticmethod
     def _file_may_match(

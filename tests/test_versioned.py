@@ -3283,3 +3283,112 @@ def test_rename_change_feed_and_merge(spark, tmp_path):
     vt.merge(src, ["id"])
     out = {r.id: r.tag for r in vt.read().collect()}
     assert out[5] == out[6] == "m" and out[0] == "x" and out[20] == "y"
+
+
+# ------------------------------------- MERGE when_not_matched_by_source ---
+def test_merge_by_source_delete_mirror(spark, tmp_path):
+    """The third MERGE clause (Delta's whenNotMatchedBySourceDelete):
+    update+insert+by-source-delete makes the table an exact mirror of
+    the source, files holding no key match are dropped WHOLESALE (zero
+    rewrite — asserted), and the change feed records every delete /
+    update / insert."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "mbs"))
+    # three files: 0..49, 50..99, 100..149
+    vt.overwrite(spark.range(50).select("id", F.lit("old").alias("v")))
+    vt.append(spark.range(50, 100).select("id", F.lit("old").alias("v")))
+    vt.append(spark.range(100, 150).select("id", F.lit("old").alias("v")))
+    files_before = vt._state(vt.latest_version())
+    v_pre = vt.latest_version()
+    # source: updates 50..99, inserts 200..219; 0..49 and 100..149 die
+    src = (
+        spark.range(50, 100)
+        .unionByName(spark.range(200, 220))
+        .select("id", F.lit("new").alias("v"))
+    )
+    v = vt.merge(src, ["id"], when_not_matched_by_source="delete")
+    out = {r.id: r.v for r in vt.read().collect()}
+    assert set(out) == set(range(50, 100)) | set(range(200, 220))
+    assert set(out.values()) == {"new"}, "exact mirror of the source"
+    # the two unmatched files were dropped by NAME, never rewritten:
+    # no surviving file is one of the originals
+    assert not set(vt._state(v)) & set(files_before)
+    # CDF: 100 deletes (both unmatched files), 50 update pairs, 20 inserts
+    feed = vt.change_feed(v_pre, v)
+    by_type = {
+        r._change_type: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert by_type == {
+        "delete": 100,
+        "update_preimage": 50,
+        "update_postimage": 50,
+        "insert": 20,
+    }
+    # time travel: the pre-merge snapshot is intact
+    assert vt.read(version_as_of=v_pre).count() == 150
+
+
+def test_merge_by_source_delete_variants(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # when_matched=None keeps matched rows as-is, unmatched still die
+    vt = VersionedTable(spark, str(tmp_path / "mbv"))
+    vt.overwrite(spark.range(20).select("id", F.lit("t").alias("v")))
+    src = spark.range(5, 10).select("id", F.lit("s").alias("v"))
+    vt.merge(
+        src, ["id"], when_matched=None, when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    out = {r.id: r.v for r in vt.read().collect()}
+    assert out == {i: "t" for i in range(5, 10)}
+
+    # when_matched='delete' + by-source delete + inserts = inserts only
+    vt2 = VersionedTable(spark, str(tmp_path / "mbv2"))
+    vt2.overwrite(spark.range(10).select("id", F.lit("t").alias("v")))
+    src2 = spark.range(5, 12).select("id", F.lit("s").alias("v"))
+    vt2.merge(
+        src2, ["id"], when_matched="delete",
+        when_not_matched_by_source="delete",
+    )
+    out2 = {r.id: r.v for r in vt2.read().collect()}
+    assert out2 == {i: "s" for i in range(10, 12)}
+
+    # everything deleted, nothing inserted: empty but readable snapshot
+    vt3 = VersionedTable(spark, str(tmp_path / "mbv3"))
+    vt3.overwrite(spark.range(5).select("id", F.lit("t").alias("v")))
+    vt3.merge(
+        spark.range(0).select("id", F.lit("s").alias("v")),
+        ["id"],
+        when_matched="delete",
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    assert vt3.read().count() == 0
+    assert vt3.read().columns == ["id", "v"]
+
+    # validation
+    with pytest.raises(VersionedTableError, match="by_source"):
+        vt3.merge(src2, ["id"], when_not_matched_by_source="drop")
+
+
+def test_merge_by_source_aborts_on_any_concurrent_commit(spark, tmp_path):
+    """The by-source clause reads the WHOLE table: even a disjoint
+    concurrent append must abort it (its rows would need by-source
+    deletion the merge never saw)."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "mba")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(20).select("id", F.lit("t").alias("v")))
+    src = spark.range(5, 10).select("id", F.lit("s").alias("v"))
+    _hook_once(
+        vt, "_write_cdc_files",
+        lambda: other.append(
+            spark.range(1000, 1005).select("id", F.lit("c").alias("v"))
+        ),
+    )
+    with pytest.raises(VersionedTableError, match="stale snapshot"):
+        vt.merge(src, ["id"], when_not_matched_by_source="delete")
