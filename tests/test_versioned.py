@@ -3392,3 +3392,53 @@ def test_merge_by_source_aborts_on_any_concurrent_commit(spark, tmp_path):
     )
     with pytest.raises(VersionedTableError, match="stale snapshot"):
         vt.merge(src, ["id"], when_not_matched_by_source="delete")
+
+
+def test_compact_liveness_under_continuous_ingest(spark, tmp_path):
+    """The OPTIMIZE-starvation scenario the file-level OCC exists for:
+    an appender thread commits continuously while compact runs — the
+    compaction must still land (rebasing over the concurrent appends)
+    and every appended row must survive it."""
+    import threading
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "live")
+    vt = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).repartition(8))  # small files to pack
+
+    appender = VersionedTable(spark, root)
+    stop = threading.Event()
+    appended: list[int] = []
+    errors: list[Exception] = []
+
+    def ingest():
+        lo = 1000
+        while not stop.is_set() and len(appended) < 8:
+            try:
+                appender.append(spark.range(lo, lo + 10).coalesce(1))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+            appended.append(lo)
+            lo += 10
+
+    t = threading.Thread(target=ingest)
+    t.start()
+    try:
+        _t.sleep(0.3)  # let ingest get going
+        v = vt.compact()  # must not starve
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    assert vt._manifest(v)["data_change"] is False
+    # every row committed BEFORE the compaction survives it, and rows
+    # appended after compose as usual
+    expected = set(range(100)) | {
+        x for lo in appended for x in range(lo, lo + 10)
+    }
+    got = {r.id for r in vt.read().collect()}
+    assert got == expected
+    assert len(got) == 100 + 10 * len(appended)
