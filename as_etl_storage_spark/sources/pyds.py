@@ -756,15 +756,27 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # have read() silently project evolved columns away (dropping
         # their data from the downstream mirror). Delta's stream errors
         # on schema change and asks for a restart — same posture here.
+        # The comparison is the FULL (logical name, type, physical name)
+        # triple: a rename, a type redefinition, or a mapping reset
+        # (overwrite_schema) that happens to preserve the logical name
+        # set would otherwise slip through and deliver nulls or crash
+        # executors mid-cast instead of raising the actionable message.
         stored = vt._schema_at(to_v)
         if stored is not None:
-            current = {f["name"] for f in stored["fields"]}
-            if current != set(self._columns):
+            from pyspark.sql import types as T
+
+            mapping = vt._mapping_at(to_v)
+            current = {
+                (f.name, f.dataType.simpleString(), mapping.get(f.name, f.name))
+                for f in T.StructType.fromJson(stored).fields
+            }
+            frozen = set(zip(self._columns, self._ddl, self._phys))
+            if current != frozen:
                 raise RuntimeError(
                     f"versioned_changes: the table schema changed "
-                    f"mid-stream (stream started with {list(self._columns)}, "
-                    f"version {to_v} records {list(current)}); restart the "
-                    f"stream to pick up the new schema"
+                    f"mid-stream (stream started with {sorted(frozen)}, "
+                    f"version {to_v} records {sorted(current)}); restart "
+                    f"the stream to pick up the new schema"
                 )
         appends: list[tuple[int, list[str], str]] = []
         rewrite = None

@@ -639,6 +639,11 @@ class VersionedTable:
             raise VersionedTableError(
                 f"add_column: unparseable DDL type {ddl_type!r}: {exc}"
             ) from None
+        if name in {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}:
+            raise VersionedTableError(
+                f"add_column: {name!r} is reserved for internal row "
+                f"identity / manifest bookkeeping"
+            )
         sch = self._recorded_schema_for_ddl(base, "add_column")
         if any(f.name.lower() == name.lower() for f in sch.fields):
             raise VersionedTableError(
@@ -1555,6 +1560,22 @@ class VersionedTable:
             partition_by = (
                 self._partition_by_at(base) if base is not None else []
             )
+        if base is not None and not overwrite_schema and partition_by:
+            renamed = [
+                c for c in partition_by if c in self._mapping_at(base)
+            ]
+            if renamed:
+                # hive directory names ARE the physical layout; a
+                # partition column must have physical == logical.
+                # (Without this check the physical rename inside
+                # _write_data_files would make the partitionBy lookup
+                # fail with a misleading "not in frame columns" error.)
+                raise VersionedTableError(
+                    f"cannot partition by renamed columns {renamed}: hive "
+                    f"directory names are physical. Re-layout with "
+                    f"overwrite(..., overwrite_schema=True), which resets "
+                    f"the column mapping by rewriting every file"
+                )
         cons = self._constraints_at(base) if base is not None else {}
         stored = (
             self._schema_at(base)
@@ -1696,7 +1717,7 @@ class VersionedTable:
 
     def _dml_condition_and_candidates(
         self, base: int, predicate
-    ) -> tuple["F.Column", list[str]]:
+    ) -> tuple["F.Column", list[str], list | None]:
         """Resolve a DML predicate to (null-safe condition, candidate
         files for the discovery scan). The ``[(col, op, literal), …]``
         triple form — the same shape ``read(prune=…)`` takes — gets
@@ -1709,11 +1730,15 @@ class VersionedTable:
         if isinstance(predicate, (list, tuple)):
             triples = [tuple(t) for t in predicate]
             cond = self._as_condition(self._triples_condition(triples))
-            return cond, self._prune_files(
-                files, self._stats_at(base), triples,
-                self._mapping_at(base),
+            return (
+                cond,
+                self._prune_files(
+                    files, self._stats_at(base), triples,
+                    self._mapping_at(base),
+                ),
+                triples,
             )
-        return self._as_condition(predicate), files
+        return self._as_condition(predicate), files, None
 
     _DV_POS = "__vt_pos"
 
@@ -1927,15 +1952,12 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
-        cond, candidates = self._dml_condition_and_candidates(base, predicate)
         # triple-form predicates also enable file-level OCC: a concurrent
         # append whose files provably cannot match rebases in instead of
         # aborting the delete (generic predicates keep the abort rule —
         # disjointness is unprovable from stats)
-        triples = (
-            [tuple(t) for t in predicate]
-            if isinstance(predicate, (list, tuple))
-            else None
+        cond, candidates, triples = self._dml_condition_and_candidates(
+            base, predicate
         )
         if mode == "dv":
             return self._delete_dv(
@@ -2092,11 +2114,8 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
-        cond, candidates = self._dml_condition_and_candidates(base, predicate)
-        triples = (
-            [tuple(t) for t in predicate]
-            if isinstance(predicate, (list, tuple))
-            else None
+        cond, candidates, triples = self._dml_condition_and_candidates(
+            base, predicate
         )
         snap_cols = self.read(version_as_of=base).columns
         bad = set(assignments) - set(snap_cols)
@@ -2325,6 +2344,7 @@ class VersionedTable:
                 candidates,
                 triples,
                 when_not_matched_by_source,
+                mapping,
             )
         finally:
             source.unpersist()
@@ -2345,8 +2365,10 @@ class VersionedTable:
         candidates: list[str],
         envelope: list[tuple[str, str, object]] | None = None,
         when_not_matched_by_source: str | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> int | None:
-        mapping = self._mapping_at(base)
+        if mapping is None:
+            mapping = self._mapping_at(base)
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
         if when_matched is not None and candidates:
@@ -2617,13 +2639,9 @@ class VersionedTable:
             cdc = self._write_cdc_files(
                 reduce(lambda a, b: a.unionByName(b), cdc_frames), mapping
             )
-        if not new_files:
-            # everything deleted and nothing inserted: materialize one
-            # empty part file so the snapshot stays readable (same shape
-            # a delete-all rewrite leaves)
-            new_files = self._write_data_files(
-                self.read(version_as_of=base).limit(0), pb, mapping
-            )
+        # new_files may legitimately be EMPTY (everything deleted,
+        # nothing inserted): the snapshot commits as files: [] and
+        # read() serves it from the log-recorded schema
         return self._commit(
             new_files,
             "merge",
@@ -2791,9 +2809,15 @@ class VersionedTable:
                 )
         files = kept
         if not files:
-            # unreachable through the write API (Spark emits at least one
-            # part file even for an empty frame); a hand-edited manifest
-            # gets an error, not a fabricated one-column schema
+            # a legitimately EMPTY snapshot: partitionBy writes of an
+            # empty frame emit zero part files, so "delete everything"
+            # through a mirror merge or an all-rows DV-threshold rewrite
+            # can commit files: []. With a log-recorded schema the empty
+            # frame is fully typed; only a schema-less legacy manifest is
+            # unrecoverable.
+            sch = self._scan_schema(version)
+            if sch is not None:
+                return self.spark.createDataFrame([], sch)
             raise VersionedTableError(
                 f"version {version} references no data files; the schema "
                 f"is unrecoverable from an empty manifest"

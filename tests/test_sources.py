@@ -1242,3 +1242,30 @@ def test_versioned_changes_stream_after_rename(spark, tmp_path):
     assert sorted(r.id for r in rows) == list(range(8))
     # pre-rename files deliver their bytes under the NEW logical name
     assert {r.value for r in rows} == {i * 2 for i in range(8)}
+
+
+def test_versioned_changes_fails_fast_on_mapping_reset(spark, tmp_path):
+    """A schema change that PRESERVES the logical name set — an
+    overwrite_schema rewrite that resets a rename's mapping — must still
+    trip the mid-stream fail-fast: the frozen reader would otherwise
+    look up the old physical name in new files and deliver nulls."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 5).select("id", (F.col("id") * 2).alias("v")))
+    vt.rename_column("v", "value")  # physical stays "v"
+    reader = VersionedChangesStreamReader({"path": up})
+    assert reader.partitions({"version": -1}, {"version": 1})
+
+    # same logical columns [id, value], but the mapping resets: new
+    # files store the NAME "value"
+    v = vt.overwrite(
+        spark.range(5, 9).select("id", (F.col("id") * 2).alias("value")),
+        overwrite_schema=True,
+    )
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"version": 1}, {"version": v})

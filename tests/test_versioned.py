@@ -3442,3 +3442,66 @@ def test_compact_liveness_under_continuous_ingest(spark, tmp_path):
     got = {r.id for r in vt.read().collect()}
     assert got == expected
     assert len(got) == 100 + 10 * len(appended)
+
+
+def test_empty_snapshot_readable_partitioned(spark, tmp_path):
+    """Delete-everything on a PARTITIONED table (partitionBy of an empty
+    frame emits zero part files) must still leave a readable, fully
+    typed snapshot — both through a mirror merge and through a
+    dv-threshold all-rows rewrite."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "emp"))
+    vt.overwrite(
+        spark.range(20).select("id", (F.col("id") % 2).alias("k")),
+        partition_by=["k"],
+    )
+    vt.merge(
+        spark.range(0).select("id", (F.col("id") % 2).alias("k")),
+        ["id"],
+        when_matched="delete",
+        when_not_matched=None,
+        when_not_matched_by_source="delete",
+    )
+    assert vt.read().count() == 0
+    assert vt.read().columns == ["id", "k"]
+    assert vt.count() == 0
+    # still writable afterwards: appends restart the table
+    vt.append(spark.range(5).select("id", (F.col("id") % 2).alias("k")))
+    assert vt.read().count() == 5
+
+    vt2 = VersionedTable(spark, str(tmp_path / "emp2"))
+    vt2.overwrite(
+        spark.range(10).select("id", (F.col("id") % 2).alias("k")),
+        partition_by=["k"],
+    )
+    vt2.delete([("id", ">=", 0)], mode="dv")  # 100% — threshold rewrite
+    assert vt2.read().count() == 0
+    assert vt2.read().columns == ["id", "k"]
+    assert vt2.count() == 0
+
+
+def test_add_column_reserved_names_refused(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "arn"))
+    vt.overwrite(spark.range(3))
+    for bad in ("__vt_pos", "__vt_file", "#rows", "#bytes"):
+        with pytest.raises(VersionedTableError, match="reserved"):
+            vt.add_column(bad, "bigint")
+
+
+def test_overwrite_refuses_partition_by_renamed_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "opr"))
+    df = spark.range(10).select("id", (F.col("id") % 2).alias("k"))
+    vt.overwrite(df)
+    vt.rename_column("k", "bucket")
+    df2 = spark.range(10).select("id", (F.col("id") % 2).alias("bucket"))
+    with pytest.raises(VersionedTableError, match="renamed columns"):
+        vt.overwrite(df2, partition_by=["bucket"])
+    # the documented escape hatch: a schema-redefining overwrite resets
+    # the mapping by rewriting every file, then the layout is legal
+    vt.overwrite(df2, partition_by=["bucket"], overwrite_schema=True)
+    assert vt.partition_columns() == ["bucket"]
+    assert vt._mapping_at(vt.latest_version()) == {}
+    assert vt.read(prune=[("bucket", "=", 1)]).count() == 5
