@@ -1074,6 +1074,57 @@ _register(
 )
 
 
+def _w_versioned_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER COLUMN TYPE widening (Delta 3.2's type widening,
+    writers/versioned.py:widen_column): the schema records the wider
+    type in an O(1) metadata commit — ZERO files rewritten (asserted
+    in-query) — and Spark 4's parquet reader widens the old narrow
+    files at scan time under the declared schema. Appends at either
+    width align afterwards. Reference scope: none (no DDL surface);
+    Delta-parity extension."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wvwc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    first = orders.where(F.col("o_orderkey") <= hi // 2)
+    second = orders.where(F.col("o_orderkey") > hi // 2)
+    vt = VersionedTable(spark, root)
+    # first half stored NARROW (sf<=0.1 keys fit int)
+    vt.overwrite(
+        first.select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    files_before = set(vt._state(vt.latest_version()))
+    vt.widen_column("o_orderkey", "bigint")
+    assert set(vt._state(vt.latest_version())) == files_before, (
+        "type widening must not touch data files"
+    )
+    # second half appended at the WIDE type
+    vt.append(second.select("o_orderkey", "o_totalprice"))
+    out = vt.read()
+    assert out.schema["o_orderkey"].dataType.simpleString() == "bigint"
+    return out
+
+
+_register(
+    "w_versioned_widen_column",
+    _w_versioned_widen_column,
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_merge_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

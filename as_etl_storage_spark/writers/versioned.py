@@ -729,6 +729,57 @@ class VersionedTable:
             mapping=mapping,
         )
 
+    def widen_column(self, name: str, ddl_type: str) -> int:
+        """ALTER TABLE ALTER COLUMN TYPE — metadata-only type WIDENING
+        (Delta 3.2's type widening): the schema records the wider type
+        in an O(1) manifest, ZERO data files are touched, and existing
+        files keep their narrow physical type — Spark 4's parquet reader
+        widens at scan time under the declared schema (int family
+        upward, float → double; the same lossless set _can_upcast allows
+        for writes, so the read and write posture agree). Narrowing or
+        cross-family changes are refused — they need a full rewrite
+        (overwrite(..., overwrite_schema=True))."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        try:
+            dt = T.DataType.fromDDL(ddl_type)
+        except Exception as exc:
+            raise VersionedTableError(
+                f"widen_column: unparseable DDL type {ddl_type!r}: {exc}"
+            ) from None
+        sch = self._recorded_schema_for_ddl(base, "widen_column")
+        fields = list(sch.fields)
+        idx = [
+            i for i, f in enumerate(fields) if f.name.lower() == name.lower()
+        ]
+        if not idx:
+            raise VersionedTableError(
+                f"no column {name!r}; have {[f.name for f in fields]}"
+            )
+        i = idx[0]
+        cur = fields[i].dataType
+        if cur == dt or cur.simpleString() == dt.simpleString():
+            raise VersionedTableError(
+                f"widen_column: {name!r} already has type "
+                f"{cur.simpleString()}"
+            )
+        if not self._can_upcast(cur, dt) or cur.simpleString() == "void":
+            raise VersionedTableError(
+                f"widen_column: {cur.simpleString()} → {dt.simpleString()} "
+                f"is not a lossless widening; changing a column type "
+                f"otherwise needs a full rewrite "
+                f"(overwrite(..., overwrite_schema=True))"
+            )
+        fields[i] = T.StructField(fields[i].name, dt, True)
+        return self._commit_metadata(
+            base,
+            "widen_column",
+            schema=T.StructType(fields).jsonValue(),
+            dropped=self._dropped_at(base),
+            mapping=self._mapping_at(base),
+        )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only via column mapping
         (Delta's columnMapping.mode=name, restated over the log): data

@@ -3505,3 +3505,83 @@ def test_overwrite_refuses_partition_by_renamed_column(spark, tmp_path):
     assert vt.partition_columns() == ["bucket"]
     assert vt._mapping_at(vt.latest_version()) == {}
     assert vt.read(prune=[("bucket", "=", 1)]).count() == 5
+
+
+def test_widen_column_metadata_only(spark, tmp_path):
+    """ALTER COLUMN TYPE widening (Delta 3.2): O(1) metadata commit,
+    zero files rewritten, old narrow files widened at scan time by the
+    declared schema; later appends of either width align; time travel
+    shows the narrow type; pruning keeps working on mixed-width files."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "wc"))
+    vt.overwrite(
+        spark.range(100).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ).coalesce(1)
+    )
+    files_before = set(vt._state(vt.latest_version()))
+    v_pre = vt.latest_version()
+    vt.widen_column("k", "bigint")
+    vt.widen_column("x", "double")
+    assert set(vt._state(vt.latest_version())) == files_before
+    sch = {f.name: f.dataType.simpleString() for f in vt.read().schema.fields}
+    assert sch == {"k": "bigint", "x": "double"}
+    assert vt.read().where("k = 7").count() == 1
+    # time travel before the widen shows the narrow types
+    old = {
+        f.name: f.dataType.simpleString()
+        for f in vt.read(version_as_of=v_pre).schema.fields
+    }
+    assert old == {"k": "int", "x": "float"}
+    # appends at the WIDE type and at the old NARROW type both align
+    vt.append(
+        spark.range(100, 110).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("x")
+        ).coalesce(1)
+    )
+    vt.append(
+        spark.range(110, 120).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+        ).coalesce(1)
+    )
+    assert vt.read().count() == 120
+    assert vt.read().agg(F.sum("k")).collect()[0][0] == sum(range(120))
+    # manifest pruning across mixed-width files
+    pruned = vt.read(prune=[("k", ">=", 100)])
+    assert len(pruned.inputFiles()) == 2
+    assert pruned.count() == 20
+    # refusals: narrowing, cross-family, unknown, same
+    with pytest.raises(VersionedTableError, match="not a lossless"):
+        vt.widen_column("k", "int")
+    with pytest.raises(VersionedTableError, match="not a lossless"):
+        vt.widen_column("x", "string")
+    with pytest.raises(VersionedTableError, match="already has type"):
+        vt.widen_column("k", "bigint")
+    with pytest.raises(VersionedTableError, match="no column"):
+        vt.widen_column("zz", "bigint")
+
+
+def test_widen_column_with_rename_and_stream(spark, tmp_path):
+    """Widening composes with the mapping (the widened logical name may
+    be renamed) and trips the CDC stream's mid-stream fail-fast."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+
+    up = str(tmp_path / "wcs")
+    vt = VersionedTable(spark, up)
+    vt.append(
+        spark.range(5).select(F.col("id").cast("int").alias("v")).coalesce(1)
+    )
+    vt.rename_column("v", "value")
+    reader = VersionedChangesStreamReader({"path": up})
+    assert reader.partitions({"version": -1}, {"version": 1})
+    v = vt.widen_column("value", "bigint")
+    with pytest.raises(RuntimeError, match="schema changed"):
+        reader.partitions({"version": 1}, {"version": v})
+    # restarted stream delivers the widened type under the logical name
+    assert vt.read().schema["value"].dataType.simpleString() == "bigint"
+    assert {r.value for r in vt.read().collect()} == set(range(5))
