@@ -1074,6 +1074,53 @@ _register(
 )
 
 
+def _w_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (Delta parity, writers/versioned.py:clone): the
+    clone's version 0 references the source's data files by absolute
+    path — asserted in-query: zero parquet exists under the clone's
+    root. The logs are independent afterwards: a DELETE on the clone
+    (rewriting only the files it touches, the untouched source files
+    still carried by absolute reference) must leave the source intact
+    (asserted) while the clone equals the oracle's filtered view — the
+    zero-copy experiment-on-100TB primitive."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    base_dir = os.path.join(_scratch_dir(), f"wcl-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = VersionedTable(spark, os.path.join(base_dir, "src"))
+    src.overwrite(orders)
+    n_src = src.count()
+    cl = src.clone(os.path.join(base_dir, "cl"))
+    local = [
+        f
+        for r, _, ns in os.walk(os.path.join(base_dir, "cl"))
+        for f in ns
+        if f.endswith(".parquet") and os.path.basename(r) != "_log"
+    ]
+    assert local == [], "shallow clone must copy zero data files"
+    cl.delete("o_orderstatus = 'F'")
+    assert src.count() == n_src, "DML on the clone must not touch the source"
+    return cl.read()
+
+
+_register(
+    "w_versioned_clone",
+    _w_versioned_clone,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE NOT (o_orderstatus = 'F')
+    """,
+)
+
+
 def _w_versioned_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER COLUMN TYPE widening (Delta 3.2's type widening,
     writers/versioned.py:widen_column): the schema records the wider

@@ -1040,6 +1040,7 @@ class VersionedTable:
         enforced_partition_by: list[str] | None = None,
         rebase_on_appends: object = None,
         mapping: dict[str, str] | None = None,
+        constraints: dict[str, str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -1228,11 +1229,13 @@ class VersionedTable:
                 )
                 if txn is not None and txn[1] > txns.get(txn[0], -1):
                     txns[txn[0]] = txn[1]
-                cons = (
-                    self._constraints_at(latest)
-                    if latest is not None
-                    else {}
-                )
+                cons = constraints
+                if cons is None:
+                    cons = (
+                        self._constraints_at(latest)
+                        if latest is not None
+                        else {}
+                    )
                 manifest = {
                     "version": version,
                     "op": op,
@@ -1455,6 +1458,11 @@ class VersionedTable:
         from urllib.parse import unquote
 
         out: dict[str, object] = {}
+        if os.path.isabs(name):
+            # a SHALLOW CLONE's external reference: the absolute path's
+            # directories are the SOURCE's layout (clone refuses
+            # partitioned sources) — parsing them would fabricate bounds
+            return out
         parts = name.replace(os.sep, "/").split("/")[:-1]
         for seg in parts:
             if "=" not in seg:
@@ -1831,7 +1839,13 @@ class VersionedTable:
             reader = reader.schema(phys_schema)
         else:
             reader = reader.option("mergeSchema", "true")
-        df = reader.option("basePath", self.path).parquet(*paths)
+        if all(p.startswith(self.path + os.sep) for p in paths):
+            reader = reader.option("basePath", self.path)
+        # else: externally-referenced files (a SHALLOW CLONE's absolute
+        # names) — Spark refuses a non-ancestor basePath, and clones of
+        # partitioned tables are refused at clone(), so no hive
+        # reconstruction is ever needed for external files
+        df = reader.parquet(*paths)
         if schema is not None and (
             mapping or df.columns != [f.name for f in schema.fields]
         ):
@@ -3437,6 +3451,97 @@ class VersionedTable:
             # keep rows deleted that the restored version still had)
             dv=restored_dv,
         )
+
+    def clone(
+        self,
+        target_path: str,
+        version: int | None = None,
+        timestamp: object = None,
+    ) -> "VersionedTable":
+        """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
+        table at ``target_path`` whose version 0 references THIS table's
+        data files by absolute path — zero data copied, O(metadata)
+        cost, stats/schema/mapping/constraints/deletion vectors all
+        carried — the zero-copy dev/test snapshot primitive (clone a
+        100 TB table in milliseconds, experiment destructively, throw it
+        away). The clone's log is independent from version 0 on: writes,
+        DML, DDL, compaction and vacuum on the clone never touch the
+        source (its vacuum compares RELATIVE names, so external
+        references are invisible to it), and vice versa — with Delta's
+        own documented caveat that VACUUMING THE SOURCE can reclaim
+        files the clone still references; compact() the clone to
+        materialize it fully local and cut the dependency.
+
+        ``version``/``timestamp`` clone a historical snapshot (time
+        travel + clone in one step). Partitioned sources are refused:
+        external absolute references cannot participate in hive
+        partition reconstruction (Spark's basePath must be an ancestor)
+        — re-layout or compact a flat clone instead."""
+        if version is not None and timestamp is not None:
+            raise VersionedTableError(
+                "pass version OR timestamp, not both"
+            )
+        if timestamp is not None:
+            version = self.resolve_timestamp(timestamp)
+        vs = self._versions()
+        if not vs:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        version = vs[-1] if version is None else version
+        if version not in vs:
+            raise VersionedTableError(
+                f"version {version} not found; available {vs[0]}..{vs[-1]}"
+            )
+        if self._partition_by_at(version):
+            raise VersionedTableError(
+                "clone of a hive-partitioned table is not supported: "
+                "external absolute file references cannot reconstruct "
+                "partition columns (basePath must be an ancestor). "
+                "compact() or re-layout the source flat first"
+            )
+        tgt = VersionedTable(self.spark, target_path)
+        if tgt.latest_version() is not None:
+            raise VersionedTableError(
+                f"clone target {target_path} already has a log"
+            )
+
+        def _abs(f: str) -> str:
+            return (
+                f
+                if os.path.isabs(f)
+                else os.path.abspath(os.path.join(self.path, f))
+            )
+
+        files = [_abs(f) for f in self._state(version)]
+        stats = {
+            _abs(f): st
+            for f, st in self._stats_at(version).items()
+        }
+        dv = {
+            _abs(f): {
+                "files": [_abs(p) for p in e["files"]],
+                "rows": e["rows"],
+            }
+            for f, e in self._dv_at(version).items()
+        }
+        sch, drp = self._schema_record_at(version)
+        if sch is None:
+            # legacy source: record the derived schema so the clone is
+            # born with a declared-schema log
+            sch = self._derived_schema_json(version)
+        v = tgt._commit(
+            files,
+            "clone",
+            None,
+            known_stats={f: stats[f] for f in files if f in stats},
+            partition_by=[],
+            schema=sch,
+            dropped=drp,
+            mapping=self._mapping_at(version),
+            dv=dv or None,
+            constraints=self._constraints_at(version),
+        )
+        assert v == 0
+        return tgt
 
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]

@@ -3585,3 +3585,90 @@ def test_widen_column_with_rename_and_stream(spark, tmp_path):
     # restarted stream delivers the widened type under the logical name
     assert vt.read().schema["value"].dataType.simpleString() == "bigint"
     assert {r.value for r in vt.read().collect()} == set(range(5))
+
+
+# --------------------------------------------------------- SHALLOW CLONE ---
+def test_shallow_clone_zero_copy(spark, tmp_path):
+    """SHALLOW CLONE: the clone's v0 references the source's files by
+    absolute path — zero parquet copied — carrying schema, mapping,
+    constraints, stats and deletion vectors; afterwards the two logs
+    are fully independent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    )
+    src.rename_column("v", "value")
+    src.add_constraint("v_even", "value % 2 = 0")
+    src.delete([("id", "<", 10)], mode="dv")  # live vectors carried
+    src_files = set(src._state(src.latest_version()))
+
+    cl = src.clone(str(tmp_path / "cl"))
+    # zero data copied: no parquet under the clone's root
+    local = [
+        f
+        for r, _, ns in os.walk(str(tmp_path / "cl"))
+        for f in ns
+        if f.endswith(".parquet") and "_log" not in r
+    ]
+    assert local == []
+    # content identical, dv applied, mapping live, count metadata-only
+    assert sorted(r.id for r in cl.read().collect()) == list(range(10, 100))
+    assert cl.read().columns == ["id", "value"]
+    assert cl.count() == 90
+    assert cl.detail()["column_mapping"] == {"value": "v"}
+    # constraints carried: a violating append refuses on the CLONE
+    with pytest.raises(Exception, match="v_even"):
+        cl.append(
+            spark.range(200, 201).select("id", F.lit(3).alias("value"))
+        )
+    # independent logs: append to clone, delete on clone — source intact
+    cl.append(
+        spark.range(200, 205).select("id", (F.col("id") * 2).alias("value"))
+    )
+    cl.delete([("id", ">=", 50), ("id", "<", 100)])
+    assert sorted(r.id for r in cl.read().collect()) == (
+        list(range(10, 50)) + list(range(200, 205))
+    )
+    assert sorted(r.id for r in src.read().collect()) == list(range(10, 100))
+    # clone's vacuum never touches the source's files
+    cl.vacuum(retain_last=1, grace_seconds=0)
+    assert all(
+        os.path.exists(os.path.join(str(tmp_path / "src"), f))
+        for f in src_files
+    )
+    assert src.read().count() == 90
+    # compact() materializes the clone fully local (cuts the dependency)
+    cl.compact()
+    assert all(
+        not os.path.isabs(f) for f in cl._state(cl.latest_version())
+    )
+    assert sorted(r.id for r in cl.read().collect()) == (
+        list(range(10, 50)) + list(range(200, 205))
+    )
+
+
+def test_shallow_clone_historical_and_refusals(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    src = VersionedTable(spark, str(tmp_path / "s2"))
+    src.overwrite(spark.range(10).select("id"))
+    v0 = src.latest_version()
+    src.append(spark.range(10, 20).select("id"))
+    # clone a historical snapshot
+    cl = src.clone(str(tmp_path / "c2"), version=v0)
+    assert cl.read().count() == 10
+    # target exists
+    with pytest.raises(VersionedTableError, match="already has a log"):
+        src.clone(str(tmp_path / "c2"))
+    # partitioned source refused
+    part = VersionedTable(spark, str(tmp_path / "p2"))
+    part.overwrite(
+        spark.range(10).select("id", (F.col("id") % 2).alias("k")),
+        partition_by=["k"],
+    )
+    with pytest.raises(VersionedTableError, match="partitioned"):
+        part.clone(str(tmp_path / "c3"))
