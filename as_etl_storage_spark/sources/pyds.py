@@ -809,9 +809,11 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 # OPTIMIZE, Delta's own behavior; only data-changing
                 # rewrites trigger the snapshot/fail path below
                 continue
-            if m["op"] == "append":
+            if m["op"] in ("append", "clone"):
                 # version 0 records its files under "files" (it IS the
-                # full snapshot); later appends are "add" deltas
+                # full snapshot); later appends are "add" deltas. A
+                # clone's v0 is its exact initial content — Delta
+                # streams a cloned table from the initial snapshot too
                 appends.append((v, m.get("add") or m.get("files") or [], "insert"))
             elif self.read_change_feed and "cdc" in m:
                 # row-level DML with change files: deliver the recorded

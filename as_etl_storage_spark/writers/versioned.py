@@ -3034,12 +3034,14 @@ class VersionedTable:
                 continue  # compact: same rows, new packing — no change
             if "add" in m:
                 added.extend(m["add"])
-            elif m["op"] == "append":
+            elif m["op"] in ("append", "clone"):
                 # an append that CREATED the table (version 0) commits a
                 # full-snapshot manifest, but its "files" are exactly the
                 # appended files — so it IS incremental. Without this, a
                 # stream-created table (VersionedStreamWriter batch 0) has
-                # no changes() range covering its first batch.
+                # no changes() range covering its first batch. A CLONE's
+                # v0 is likewise its exact initial content (Delta streams
+                # a cloned table from its initial snapshot).
                 added.extend(m["files"])
             else:
                 hint = (
@@ -3130,7 +3132,7 @@ class VersionedTable:
                 cdc_files.extend((f, v) for f in m["cdc"])
             elif "add" in m:
                 insert_files.extend((f, v) for f in m["add"])
-            elif m["op"] == "append":
+            elif m["op"] in ("append", "clone"):
                 insert_files.extend((f, v) for f in m["files"])
             else:
                 raise VersionedTableError(

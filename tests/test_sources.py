@@ -1269,3 +1269,20 @@ def test_versioned_changes_fails_fast_on_mapping_reset(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="schema changed"):
         reader.partitions({"version": 1}, {"version": v})
+
+
+def test_versioned_changes_stream_tails_a_clone(spark, tmp_path):
+    """The CDC stream on a SHALLOW CLONE delivers the clone's initial
+    snapshot (v0, read through the absolute source references) plus its
+    own later appends."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "s"))
+    src.overwrite(spark.range(0, 8))
+    cl = src.clone(str(tmp_path / "c"))
+    cl.append(spark.range(8, 12))
+    out = _drain_versioned_changes(spark, str(tmp_path / "c"), str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(12))
+    assert {r._commit_version for r in rows} == {0, 1}
+    assert {r._change_type for r in rows} == {"insert"}

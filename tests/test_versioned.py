@@ -3672,3 +3672,22 @@ def test_shallow_clone_historical_and_refusals(spark, tmp_path):
     )
     with pytest.raises(VersionedTableError, match="partitioned"):
         part.clone(str(tmp_path / "c3"))
+
+
+def test_clone_initial_content_is_incremental(spark, tmp_path):
+    """A clone's v0 is its exact initial content: changes()/change_feed
+    deliver it incrementally (like a version-0 append), and the CDC
+    stream tails a cloned table from its initial snapshot."""
+    from pyspark.sql import functions as F
+
+    src = VersionedTable(spark, str(tmp_path / "cis"))
+    src.overwrite(spark.range(10).select("id"))
+    cl = src.clone(str(tmp_path / "cic"))
+    cl.append(spark.range(10, 15).select("id"))
+    got = cl.changes(-1)
+    assert sorted(r.id for r in got.collect()) == list(range(15))
+    feed = cl.change_feed(-1)
+    assert feed.where("_change_type = 'insert'").count() == 15
+    assert {
+        r._commit_version for r in feed.select("_commit_version").collect()
+    } == {0, 1}
