@@ -3691,3 +3691,95 @@ def test_clone_initial_content_is_incremental(spark, tmp_path):
     assert {
         r._commit_version for r in feed.select("_commit_version").collect()
     } == {0, 1}
+
+
+def test_ddl_mapping_model_fuzz(spark, tmp_path):
+    """Model-based fuzz of the DDL + column-mapping machinery: a seeded
+    random sequence of append / add / drop / rename / compact against a
+    plain python model — the snapshot must equal the model after every
+    sequence, and every refusal must be one of the documented legal
+    ones (tombstone re-add, physical collision, duplicate name)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    names_pool = ["a", "b", "c", "d", "e"]
+    for trial in range(3):
+        vt = VersionedTable(spark, str(tmp_path / f"fz{trial}"))
+        n0 = 8
+        vt.overwrite(spark.range(n0).select(F.col("id").alias("rid")))
+        model_cols = {"rid": list(range(n0))}
+        nrows = n0
+        ops_log = []
+        for _step in range(16):
+            op = rng.choice(
+                ["append", "add", "drop", "rename", "compact", "check"]
+            )
+            try:
+                if op == "append":
+                    k = rng.randint(1, 4)
+                    base = nrows * 1000 + trial
+                    rows = list(range(base, base + k))
+                    df = spark.createDataFrame(
+                        [
+                            tuple(
+                                [r]
+                                + [r % 7 for _ in range(len(model_cols) - 1)]
+                            )
+                            for r in rows
+                        ],
+                        schema=list(model_cols.keys()),
+                    )
+                    vt.append(df)
+                    for c in model_cols:
+                        model_cols[c].extend(
+                            rows if c == "rid" else [r % 7 for r in rows]
+                        )
+                    nrows += k
+                    ops_log.append(("append", k))
+                elif op == "add":
+                    free = [n for n in names_pool if n not in model_cols]
+                    if not free:
+                        continue
+                    c = rng.choice(free)
+                    vt.add_column(c, "bigint")
+                    model_cols[c] = [None] * nrows
+                    ops_log.append(("add", c))
+                elif op == "drop":
+                    droppable = [c for c in model_cols if c != "rid"]
+                    if not droppable:
+                        continue
+                    c = rng.choice(droppable)
+                    vt.drop_column(c)
+                    del model_cols[c]
+                    ops_log.append(("drop", c))
+                elif op == "rename":
+                    cands = [c for c in model_cols if c != "rid"]
+                    free = [n for n in names_pool if n not in model_cols]
+                    if not cands or not free:
+                        continue
+                    c, n = rng.choice(cands), rng.choice(free)
+                    vt.rename_column(c, n)
+                    model_cols[n] = model_cols.pop(c)
+                    ops_log.append(("rename", c, n))
+                elif op == "compact":
+                    vt.compact()
+                    ops_log.append(("compact",))
+                else:
+                    got = {
+                        tuple(r)
+                        for r in vt.read().select(*model_cols).collect()
+                    }
+                    want = {tuple(v) for v in zip(*model_cols.values())}
+                    assert got == want, f"mid-sequence after {ops_log}"
+            except VersionedTableError as e:
+                legal = ("DROPPED", "PHYSICAL", "physical", "reserved",
+                         "already")
+                assert any(w in str(e) for w in legal), (
+                    f"unexpected refusal after {ops_log}: {e}"
+                )
+                ops_log.append(("refused", op))
+        got = {tuple(r) for r in vt.read().select(*model_cols).collect()}
+        want = {tuple(v) for v in zip(*model_cols.values())}
+        assert got == want, f"trial {trial} FINAL after {ops_log}"
