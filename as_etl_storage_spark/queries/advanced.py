@@ -1074,6 +1074,60 @@ _register(
 )
 
 
+def _w_versioned_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE (Delta's partition-scoped compaction,
+    writers/versioned.py:compact(where=...)): only files whose manifest
+    bounds may match the predicate are re-packed; out-of-scope files
+    are carried BY NAME with their stats reused (asserted in-query). At
+    100 TB nightly maintenance compacts yesterday's partition, never
+    the world. Layout-only either way: the result must equal the plain
+    table and the manifest carries data_change: false."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wcw-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    frag = orders.where(F.col("o_orderkey") <= hi // 20)
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders, partition_by=["o_orderstatus"])
+    # fragment every partition with two deterministic key slices
+    for _ in range(2):
+        vt.append(frag)
+    before = vt._state(vt.latest_version())
+    out_scope = [f for f in before if not f.startswith("o_orderstatus=F")]
+    v = vt.compact(where=[("o_orderstatus", "=", "F")])
+    st = vt._state(v)
+    assert [f for f in st if not f.startswith("o_orderstatus=F")] == (
+        out_scope
+    ), "out-of-scope partitions must be carried by name"
+    assert vt._manifest(v)["data_change"] is False
+    return vt.read()
+
+
+_register(
+    "w_versioned_compact_where",
+    _w_versioned_compact_where,
+    """
+    WITH hi AS (SELECT max(o_orderkey) AS h FROM orders),
+    frag AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders, hi WHERE o_orderkey <= h // 20
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    UNION ALL SELECT * FROM frag
+    UNION ALL SELECT * FROM frag
+    """,
+)
+
+
 def _w_versioned_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHALLOW CLONE (Delta parity, writers/versioned.py:clone): the
     clone's version 0 references the source's data files by absolute

@@ -3184,6 +3184,7 @@ class VersionedTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder: list[str] | None = None,
         zorder_cells: str = "auto",
+        where: list[tuple[str, str, object]] | None = None,
     ) -> int:
         """Bin-pack small data files into ~``target_file_bytes`` files as
         a new version (Delta's OPTIMIZE). The append-heavy path that the
@@ -3228,11 +3229,32 @@ class VersionedTable:
         wholesale, so layout maintenance never costs consumers a
         re-read. Returns the new version. No-op (returns the current
         version) when the table already has nothing to pack (plain mode
-        only)."""
+        only).
+
+        ``where`` (Delta's OPTIMIZE ... WHERE, the partition-scoped
+        form): a ``[(col, op, literal), …]`` conjunction selecting WHICH
+        files to re-pack — files whose manifest bounds cannot match are
+        carried by name, untouched. At 100 TB "OPTIMIZE the whole
+        table" is not a nightly operation; "OPTIMIZE yesterday's
+        partition" is. Any stats-pruned subset is semantically safe to
+        compact (rows never change), so the predicate may use any
+        column with manifest bounds, not only partition columns;
+        vectors are purged only for the files actually rewritten."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
-        files = self._state(base)
+        all_files = self._state(base)
+        mapping = self._mapping_at(base)
+        untouched: list[str] = []
+        files = all_files
+        if where:
+            files = self._prune_files(
+                all_files, self._stats_at(base), where, mapping
+            )
+            in_scope = set(files)
+            untouched = [f for f in all_files if f not in in_scope]
+            if not files:
+                return base  # predicate selects nothing: no-op
         pb = self._partition_by_at(base)
         stats = self._stats_at(base)
         sizes = []
@@ -3251,6 +3273,21 @@ class VersionedTable:
                 ) from e
         total = sum(sizes)
         n_target = max(1, -(-total // target_file_bytes))  # ceil
+        scoped_dv = {
+            f: e for f, e in self._dv_at(base).items() if f in set(files)
+        }
+        known = self._stats_at(base)
+        carry_stats = {f: known[f] for f in untouched if f in known}
+
+        def _scoped_scan():
+            # the files being re-packed, with THEIR vectors subtracted
+            # (the rewrite is the purge) — untouched files keep theirs
+            if not files:
+                return self.read(version_as_of=base).limit(0)
+            return self._scan_files(
+                files, self._scan_schema(base), scoped_dv, mapping=mapping
+            )
+
         if zorder:
             from pyspark.sql.types import NumericType
 
@@ -3264,7 +3301,7 @@ class VersionedTable:
                     f"zorder_cells must be auto|width|ranked, got "
                     f"{zorder_cells!r}"
                 )
-            snap = self.read(version_as_of=base)
+            snap = _scoped_scan()
             numeric = {
                 f.name
                 for f in snap.schema.fields
@@ -3316,13 +3353,14 @@ class VersionedTable:
                 .drop("__zkey")
             )
             return self._commit(
-                self._write_data_files(df, pb, self._mapping_at(base)),
+                untouched + self._write_data_files(df, pb, mapping),
                 "compact",
                 base,
                 partition_by=pb,
+                known_stats=carry_stats,
                 rebase_on_appends=True,
             )
-        if len(files) <= n_target and not self._dv_at(base):
+        if len(files) <= n_target and not scoped_dv:
             # already right-sized AND no live deletion vectors — with
             # vectors the rewrite is still due: OPTIMIZE is the advertised
             # purge (materialize the subtraction, free the sidecars)
@@ -3336,19 +3374,18 @@ class VersionedTable:
             # read PINNED AT BASE: the rebase below re-lists concurrent
             # appends by name — reading latest here would double-count
             # any append landing between the base snapshot and this scan
-            df = self.read(version_as_of=base).repartitionByRange(
-                n_target, *pb
-            )
+            df = _scoped_scan().repartitionByRange(n_target, *pb)
         else:
             # one shuffle-free rewrite: coalesce narrows partitions
             # without an exchange — at 10^6 inputs the scan parallelism
             # stays wide and only the write fan-in narrows
-            df = self.read(version_as_of=base).coalesce(n_target)
+            df = _scoped_scan().coalesce(n_target)
         return self._commit(
-            self._write_data_files(df, pb, self._mapping_at(base)),
+            untouched + self._write_data_files(df, pb, mapping),
             "compact",
             base,
             partition_by=pb,
+            known_stats=carry_stats,
             # OPTIMIZE composes with concurrent ingest (Delta's file-level
             # OCC): it removes only the files it read, so a concurrent
             # append rebases in by name — always-on streaming ingest must

@@ -3783,3 +3783,53 @@ def test_ddl_mapping_model_fuzz(spark, tmp_path):
         got = {tuple(r) for r in vt.read().select(*model_cols).collect()}
         want = {tuple(v) for v in zip(*model_cols.values())}
         assert got == want, f"trial {trial} FINAL after {ops_log}"
+
+
+def test_compact_where_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE (partition-scoped compaction): only the files
+    whose manifest bounds may match the predicate are re-packed; every
+    other file is carried by name, its stats reused and its vectors
+    kept. At 100 TB 'OPTIMIZE yesterday's partition' replaces 'OPTIMIZE
+    the world'."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cw"))
+    vt.overwrite(
+        spark.range(40).select("id", (F.col("id") % 2).alias("k")),
+        partition_by=["k"],
+    )
+    # fragment both partitions with appends
+    for i in range(3):
+        vt.append(
+            spark.range(40 + i * 10, 50 + i * 10).select(
+                "id", (F.col("id") % 2).alias("k")
+            )
+        )
+    before = vt._state(vt.latest_version())
+    k0_before = [f for f in before if f.startswith("k=0")]
+    k1_before = [f for f in before if f.startswith("k=1")]
+    assert len(k1_before) > 1
+    # vector a row in EACH partition: only k=1's vector may purge
+    vt.delete([("id", "=", 0)], mode="dv")   # k=0
+    vt.delete([("id", "=", 1)], mode="dv")   # k=1
+    v = vt.compact(where=[("k", "=", 1)])
+    st = vt._state(v)
+    assert [f for f in st if f.startswith("k=0")] == k0_before, (
+        "out-of-scope partition must be carried by name"
+    )
+    new_k1 = [f for f in st if f.startswith("k=1")]
+    assert not set(new_k1) & set(k1_before), "in-scope files re-packed"
+    assert len(new_k1) < len(k1_before)
+    dv = vt._dv_at(v)
+    assert any(f.startswith("k=0") for f in dv), "k=0 vector kept"
+    assert not any(f.startswith("k=1") for f in dv), "k=1 vector purged"
+    assert vt._manifest(v)["data_change"] is False
+    # rows identical to the plain filter semantics
+    assert sorted(r.id for r in vt.read().collect()) == [
+        i for i in range(70) if i not in (0, 1)
+    ]
+    assert vt.count() == 68
+    # a predicate selecting nothing is a no-op
+    assert vt.compact(where=[("k", "=", 99)]) == v
+    # changes() skips the scoped compact like any OPTIMIZE
+    assert vt.changes(v - 1, v).count() == 0
