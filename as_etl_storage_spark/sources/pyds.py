@@ -778,7 +778,7 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                     f"version {to_v} records {sorted(current)}); restart "
                     f"the stream to pick up the new schema"
                 )
-        appends: list[tuple[int, list[str], str]] = []
+        appends: list[tuple[int, list[str], str, dict]] = []
         rewrite = None
         for v in range(from_v + 1, to_v + 1):
             try:
@@ -813,12 +813,21 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 # version 0 records its files under "files" (it IS the
                 # full snapshot); later appends are "add" deltas. A
                 # clone's v0 is its exact initial content — Delta
-                # streams a cloned table from the initial snapshot too
-                appends.append((v, m.get("add") or m.get("files") or [], "insert"))
+                # streams a cloned table from the initial snapshot too —
+                # INCLUDING its deletion vectors: rows deleted before
+                # the clone must not resurface in the stream
+                appends.append(
+                    (
+                        v,
+                        m.get("add") or m.get("files") or [],
+                        "insert",
+                        m.get("dv") or {} if m["op"] == "clone" else {},
+                    )
+                )
             elif self.read_change_feed and "cdc" in m:
                 # row-level DML with change files: deliver the recorded
                 # change rows (their _change_type travels IN the files)
-                appends.append((v, m["cdc"], "cdf"))
+                appends.append((v, m["cdc"], "cdf", {}))
             else:
                 rewrite = (v, m["op"])
         if rewrite is not None and self.on_rewrite != "skip":
@@ -856,9 +865,13 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
                 self._columns,
                 self._pvals(f),
                 self._ddl,
+                tuple(
+                    os.path.join(self.path, p)
+                    for p in dvmap.get(f, {}).get("files", [])
+                ),
                 phys=self._phys,
             )
-            for v, files, kind in appends
+            for v, files, kind, dvmap in appends
             for f in files
         ]
 

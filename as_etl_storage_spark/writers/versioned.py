@@ -75,8 +75,12 @@ def _layout_only(manifest: dict) -> bool:
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
-        self.log_dir = os.path.join(path, "_log")
+        # normalized: a trailing separator would break every
+        # prefix/startswith comparison against self.path (notably the
+        # basePath ancestor guard in _scan_files — failing it silently
+        # reads hive partition columns as NULL)
+        self.path = os.path.normpath(path)
+        self.log_dir = os.path.join(self.path, "_log")
         # commit-timestamp memo for resolve_timestamp: manifests are
         # immutable once written, so a (version -> ts) entry never goes
         # stale; repeated timestamp reads/stream starts stop re-parsing
@@ -411,8 +415,9 @@ class VersionedTable:
         # reserved per-file scalar slots — a column bound stored under
         # them would be clobbered by the scalars, silently disabling
         # manifest pruning on that column
-        reserved = {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}
-        clash = [f.name for f in df.schema.fields if f.name in reserved]
+        clash = [
+            f.name for f in df.schema.fields if f.name in self._RESERVED_NAMES
+        ]
         if clash:
             raise VersionedTableError(
                 f"{op}: column names {clash} are reserved for internal "
@@ -639,7 +644,7 @@ class VersionedTable:
             raise VersionedTableError(
                 f"add_column: unparseable DDL type {ddl_type!r}: {exc}"
             ) from None
-        if name in {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}:
+        if name in self._RESERVED_NAMES:
             raise VersionedTableError(
                 f"add_column: {name!r} is reserved for internal row "
                 f"identity / manifest bookkeeping"
@@ -816,7 +821,7 @@ class VersionedTable:
                 f"column {new!r} already exists in "
                 f"{[f.name for f in fields]}"
             )
-        if new in {self._FILE_NAME, self._DV_POS, "#rows", "#bytes"}:
+        if new in self._RESERVED_NAMES:
             raise VersionedTableError(
                 f"rename_column: {new!r} is reserved for internal row "
                 f"identity / manifest bookkeeping"
@@ -1172,6 +1177,11 @@ class VersionedTable:
                     "merge",
                     "restore",
                     "overwrite_partitions",
+                    # clone: the target-must-be-empty pre-check is
+                    # TOCTOU; a collision here means another writer beat
+                    # us to the fresh log — publishing on top would
+                    # silently replace their content
+                    "clone",
                 ):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
@@ -1800,6 +1810,11 @@ class VersionedTable:
         return self._as_condition(predicate), files, None
 
     _DV_POS = "__vt_pos"
+
+    # names reserved for internal row identity (__vt_*) and the
+    # manifest's per-file scalar slots (#rows/#bytes) — ONE definition,
+    # enforced by _align (writes), add_column and rename_column
+    _RESERVED_NAMES = frozenset({"__vt_file", "__vt_pos", "#rows", "#bytes"})
 
     def _scan_files(
         self,
@@ -3023,6 +3038,12 @@ class VersionedTable:
                 f"to {to_version}"
             )
         added: list[str] = []
+        # a CLONE's v0 may carry live deletion vectors (cloned from the
+        # source): its files must be delivered WITH the subtraction or
+        # rows deleted before the clone resurrect in every consumer.
+        # Only v0 can be a clone, so the dv map cannot collide with any
+        # later append's files (and DML versions are refused below).
+        dv_for_scan: dict = {}
         for v in range(from_version + 1, to_version + 1):
             if v not in vs:
                 raise VersionedTableError(
@@ -3032,6 +3053,8 @@ class VersionedTable:
             m = self._manifest(v)
             if _layout_only(m):
                 continue  # compact: same rows, new packing — no change
+            if m.get("op") == "clone":
+                dv_for_scan.update(m.get("dv") or {})
             if "add" in m:
                 added.extend(m["add"])
             elif m["op"] in ("append", "clone"):
@@ -3063,6 +3086,7 @@ class VersionedTable:
         return self._scan_files(
             added,
             self._scan_schema(to_version),
+            dv_for_scan or None,
             mapping=self._mapping_at(to_version),
         )
 
@@ -3119,6 +3143,9 @@ class VersionedTable:
             )
         insert_files: list[tuple[str, int]] = []
         cdc_files: list[tuple[str, int]] = []
+        # clone-v0 deletion vectors: see changes() — rows deleted before
+        # the clone must not resurface as 'insert' in the feed
+        clone_dv: dict = {}
         for v in range(from_version + 1, to_version + 1):
             if v not in vs:
                 raise VersionedTableError(
@@ -3128,6 +3155,8 @@ class VersionedTable:
             m = self._manifest(v)
             if _layout_only(m):
                 continue
+            if m.get("op") == "clone":
+                clone_dv.update(m.get("dv") or {})
             if "cdc" in m:
                 cdc_files.extend((f, v) for f in m["cdc"])
             elif "add" in m:
@@ -3158,13 +3187,29 @@ class VersionedTable:
                 scan_schema = T.StructType(
                     [*sch.fields, T.StructField("_change_type", T.StringType())]
                 )
-            scan = self._with_file_name(
-                self._scan_files(
+            if not is_cdc and clone_dv:
+                # dv subtraction happens via an anti-join, after which
+                # the _metadata column no longer resolves — take the
+                # (file, position) identity the dv scan already
+                # materializes instead of re-deriving the file name
+                scan0 = self._scan_files(
                     [f for f, _ in pairs],
                     scan_schema,
+                    clone_dv,
+                    keep_identity=True,
                     mapping=self._mapping_at(to_version),
+                ).drop(self._DV_POS)
+            else:
+                scan0 = self._with_file_name(
+                    self._scan_files(
+                        [f for f, _ in pairs],
+                        scan_schema,
+                        mapping=self._mapping_at(to_version),
+                    )
                 )
-            ).join(F.broadcast(vmap), on=self._FILE_NAME, how="inner")
+            scan = scan0.join(
+                F.broadcast(vmap), on=self._FILE_NAME, how="inner"
+            )
             if not is_cdc:
                 scan = scan.withColumn("_change_type", F.lit("insert"))
             frames.append(scan.select(*out_cols))
@@ -3245,18 +3290,16 @@ class VersionedTable:
             raise VersionedTableError(f"no committed versions at {self.path}")
         all_files = self._state(base)
         mapping = self._mapping_at(base)
+        stats = self._stats_at(base)  # one log walk: prune + sizes + carry
         untouched: list[str] = []
         files = all_files
         if where:
-            files = self._prune_files(
-                all_files, self._stats_at(base), where, mapping
-            )
+            files = self._prune_files(all_files, stats, where, mapping)
             in_scope = set(files)
             untouched = [f for f in all_files if f not in in_scope]
             if not files:
                 return base  # predicate selects nothing: no-op
         pb = self._partition_by_at(base)
-        stats = self._stats_at(base)
         sizes = []
         for f in files:
             b = stats.get(f, {}).get("#bytes")
@@ -3276,8 +3319,7 @@ class VersionedTable:
         scoped_dv = {
             f: e for f, e in self._dv_at(base).items() if f in set(files)
         }
-        known = self._stats_at(base)
-        carry_stats = {f: known[f] for f in untouched if f in known}
+        carry_stats = {f: stats[f] for f in untouched if f in stats}
 
         def _scoped_scan():
             # the files being re-packed, with THEIR vectors subtracted

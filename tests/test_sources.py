@@ -1286,3 +1286,18 @@ def test_versioned_changes_stream_tails_a_clone(spark, tmp_path):
     assert sorted(r.id for r in rows) == list(range(12))
     assert {r._commit_version for r in rows} == {0, 1}
     assert {r._change_type for r in rows} == {"insert"}
+
+
+def test_versioned_changes_stream_clone_applies_dv(spark, tmp_path):
+    """The CDC stream on a clone subtracts the clone's carried deletion
+    vectors — rows deleted before the clone never reach a downstream
+    mirror."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "s"))
+    src.overwrite(spark.range(10).coalesce(1))
+    src.delete([("id", "<", 4)], mode="dv", dv_rewrite_fraction=2.0)
+    src.clone(str(tmp_path / "c"))
+    out = _drain_versioned_changes(spark, str(tmp_path / "c"), str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == list(range(4, 10))

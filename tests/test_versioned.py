@@ -3833,3 +3833,52 @@ def test_compact_where_scoped(spark, tmp_path):
     assert vt.compact(where=[("k", "=", 99)]) == v
     # changes() skips the scoped compact like any OPTIMIZE
     assert vt.changes(v - 1, v).count() == 0
+
+
+def test_clone_incremental_applies_carried_dv(spark, tmp_path):
+    """Rows dv-deleted BEFORE the clone must not resurface through any
+    incremental consumer of the clone: changes(), change_feed() — and
+    an interior clone commit can only be v0, so the dv map can never
+    collide with later appends' files."""
+    src = VersionedTable(spark, str(tmp_path / "sdv"))
+    src.overwrite(spark.range(10).coalesce(1))
+    src.delete([("id", "<", 3)], mode="dv", dv_rewrite_fraction=2.0)
+    cl = src.clone(str(tmp_path / "cdv"))
+    cl.append(spark.range(10, 13).coalesce(1))
+    assert sorted(r.id for r in cl.changes(-1).collect()) == list(range(3, 13))
+    feed = cl.change_feed(-1)
+    assert sorted(r.id for r in feed.collect()) == list(range(3, 13))
+    assert {r._change_type for r in feed.collect()} == {"insert"}
+
+
+def test_table_path_with_trailing_separator(spark, tmp_path):
+    """A trailing path separator must not break the basePath ancestor
+    guard: partition columns would silently read as NULL otherwise."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "ts") + os.sep)
+    vt.overwrite(
+        spark.range(10).select("id", (F.col("id") % 2).alias("k")),
+        partition_by=["k"],
+    )
+    assert {r.k for r in vt.read().collect()} == {0, 1}
+    assert vt.read(prune=[("k", "=", 1)]).count() == 5
+
+
+def test_concurrent_clone_collision_aborts(spark, tmp_path):
+    """Two clones racing to the same fresh target: the loser must ABORT
+    (VersionedTableError) without publishing on top of the winner."""
+    src = VersionedTable(spark, str(tmp_path / "s"))
+    src.overwrite(spark.range(5))
+    tgt = str(tmp_path / "t")
+    winner = src.clone(tgt)
+    # simulate the loser's half: it passed the empty pre-check (TOCTOU)
+    # and now commits its snapshot against base None
+    loser = VersionedTable(spark, tgt)
+    with pytest.raises(VersionedTableError, match="stale snapshot"):
+        loser._commit(
+            [f for f in winner._state(0)], "clone", None, partition_by=[]
+        )
+    assert loser._versions() == [0], "loser must not publish v1"
