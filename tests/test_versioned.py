@@ -3882,3 +3882,52 @@ def test_concurrent_clone_collision_aborts(spark, tmp_path):
             [f for f in winner._state(0)], "clone", None, partition_by=[]
         )
     assert loser._versions() == [0], "loser must not publish v1"
+
+
+def test_rename_interplay_partitions_dv_restore_widen(spark, tmp_path):
+    """Cross-feature interplay of the r11 DDL surface: a renamed data
+    column on a PARTITIONED table flows through dynamic partition
+    overwrite, dv-mode DML on the new name, RESTORE across the rename,
+    and widen-after-rename."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "ipl"))
+    vt.overwrite(
+        spark.range(40).select(
+            "id",
+            (F.col("id") % 2).alias("k"),
+            F.col("id").cast("int").alias("v"),
+        ),
+        partition_by=["k"],
+    )
+    v_pre = vt.latest_version()
+    vt.rename_column("v", "val")
+    # dynamic partition overwrite restates k=1 under the new name
+    vt.overwrite_partitions(
+        spark.range(100, 110).select(
+            "id", F.lit(1).alias("k"), F.col("id").cast("int").alias("val")
+        )
+    )
+    out = {r.id for r in vt.read().collect()}
+    assert out == {i for i in range(40) if i % 2 == 0} | set(range(100, 110))
+    # dv-mode delete with a triple on the RENAMED column
+    vt.delete([("val", ">=", 100), ("val", "<", 103)], mode="dv")
+    assert sorted(r.id for r in vt.read().where("k = 1").collect()) == list(
+        range(103, 110)
+    )
+    assert vt.count() == 20 + 7
+    # widen the renamed column: metadata-only, mapping intact
+    files = set(vt._state(vt.latest_version()))
+    vt.widen_column("val", "bigint")
+    assert set(vt._state(vt.latest_version())) == files
+    assert vt._mapping_at(vt.latest_version()) == {"val": "v"}
+    assert vt.read().schema["val"].dataType.simpleString() == "bigint"
+    assert vt.read().agg(F.sum("val")).collect()[0][0] == (
+        sum(i for i in range(40) if i % 2 == 0) + sum(range(103, 110))
+    )
+    # restore to before the rename: narrow type AND old name come back
+    vt.restore(v_pre)
+    assert vt.read().columns == ["id", "k", "v"]
+    assert vt.read().schema["v"].dataType.simpleString() == "int"
+    assert vt.read().count() == 40
+    assert vt._mapping_at(vt.latest_version()) == {}
