@@ -973,7 +973,7 @@ def _w_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the plain SQL anti-filter, and the two-phase file-pruned plan
     (find touched files, rewrite only those) is a layout detail the
     result must not betray. Reference scope: the reference has no
-    row-level store (internal/writer/writer.go writes whole result
+    row-level store (database/table.go:198-214 writes whole result
     sets); this is Delta-style DML surface on the Spark side."""
     import os
     import uuid

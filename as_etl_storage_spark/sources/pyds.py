@@ -682,6 +682,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         self._types = {n: t for n, t, _ in fields}
         self._ddl = tuple(t for _, t, _ in fields)
         self._phys = tuple(p for _, _, p in fields)
+        # the version the stream schema was frozen AT: batches ending
+        # at/before it (checkpoint replays after a restart) are served
+        # under the frozen schema instead of re-checked — see partitions()
+        self._frozen_version = self._table().latest_version()
 
     def _pvals(self, rel_name: str) -> dict:
         """Partition values for one manifest name, coerced to the stream
@@ -761,8 +765,18 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # (overwrite_schema) that happens to preserve the logical name
         # set would otherwise slip through and deliver nulls or crash
         # executors mid-cast instead of raising the actionable message.
+        # Enforced ONLY for batches ending PAST the version the schema
+        # was frozen at: on checkpoint restart Spark replays the last
+        # planned batch with its recorded end offset, and the restarted
+        # reader freezes the CURRENT (possibly newer) schema — checking
+        # the replayed range against it would raise on every restart and
+        # wedge the checkpoint ("restart the stream" could never
+        # succeed). A replayed range is served under the frozen schema
+        # instead, which is exactly what a fresh start would deliver:
+        # old files' missing physical columns null-fill in read(), and
+        # physical names are rename-stable.
         stored = vt._schema_at(to_v)
-        if stored is not None:
+        if stored is not None and to_v > (self._frozen_version or -1):
             from pyspark.sql import types as T
 
             mapping = vt._mapping_at(to_v)

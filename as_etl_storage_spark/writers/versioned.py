@@ -415,8 +415,13 @@ class VersionedTable:
         # reserved per-file scalar slots — a column bound stored under
         # them would be clobbered by the scalars, silently disabling
         # manifest pruning on that column
+        # casefolded: Spark resolution is case-insensitive by default, so
+        # a column named __VT_FILE would collide with the identity column
+        # at scan time exactly as the lowercase form does
         clash = [
-            f.name for f in df.schema.fields if f.name in self._RESERVED_NAMES
+            f.name
+            for f in df.schema.fields
+            if f.name.lower() in self._RESERVED_NAMES
         ]
         if clash:
             raise VersionedTableError(
@@ -644,7 +649,8 @@ class VersionedTable:
             raise VersionedTableError(
                 f"add_column: unparseable DDL type {ddl_type!r}: {exc}"
             ) from None
-        if name in self._RESERVED_NAMES:
+        if name.lower() in self._RESERVED_NAMES:
+            # casefolded: Spark resolves names case-insensitively
             raise VersionedTableError(
                 f"add_column: {name!r} is reserved for internal row "
                 f"identity / manifest bookkeeping"
@@ -821,7 +827,8 @@ class VersionedTable:
                 f"column {new!r} already exists in "
                 f"{[f.name for f in fields]}"
             )
-        if new in self._RESERVED_NAMES:
+        if new.lower() in self._RESERVED_NAMES:
+            # casefolded: Spark resolves names case-insensitively
             raise VersionedTableError(
                 f"rename_column: {new!r} is reserved for internal row "
                 f"identity / manifest bookkeeping"

@@ -1271,6 +1271,43 @@ def test_versioned_changes_fails_fast_on_mapping_reset(spark, tmp_path):
         reader.partitions({"version": 1}, {"version": v})
 
 
+def test_versioned_changes_restart_replays_pre_evolution_batch(
+    spark, tmp_path
+):
+    """Checkpoint-restart recovery across a schema change: Spark replays
+    the last PLANNED batch with its recorded end offset, and the
+    restarted reader freezes the CURRENT (evolved) schema. The replayed
+    range ends at/before the frozen version, so it must be SERVED under
+    the frozen schema (pre-evolution files null-fill the new column) —
+    not re-checked against the old range's recorded schema, which would
+    raise on every restart and wedge the checkpoint permanently (the
+    advised 'restart the stream' could never succeed)."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesStreamReader
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(0, 5))  # v0: planned as batch (-1, 0]
+    vt.add_column("tag", "string")  # v1
+    v = vt.append(spark.range(5, 8).withColumn("tag", F.lit("new")))  # v2
+
+    # the restarted reader (fresh construction AFTER the evolution)
+    # replays the pre-evolution batch: it must plan, not raise
+    reader = VersionedChangesStreamReader({"path": up})
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert parts
+    rows = [
+        r for p in parts for b in reader.read(p) for r in b.to_pylist()
+    ]
+    assert sorted(r["id"] for r in rows) == list(range(5))
+    # pre-evolution files deliver the evolved column as NULL
+    assert {r["tag"] for r in rows} == {None}
+    # the NEXT batch (past the frozen version) still plans normally
+    assert reader.partitions({"version": 0}, {"version": v})
+
+
 def test_versioned_changes_stream_tails_a_clone(spark, tmp_path):
     """The CDC stream on a SHALLOW CLONE delivers the clone's initial
     snapshot (v0, read through the absolute source references) plus its

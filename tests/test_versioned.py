@@ -2708,6 +2708,23 @@ def test_reserved_identity_column_names_rejected(spark, tmp_path):
         )
 
 
+def test_reserved_names_rejected_case_insensitively(spark, tmp_path):
+    """Spark resolution is case-insensitive by default: a user column
+    named __VT_FILE collides with the identity column at scan time
+    exactly as the lowercase form does, so the reserved-name checks
+    compare casefolded — in _align, add_column AND rename_column."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rci"))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.overwrite(spark.range(3).withColumn("__VT_FILE", F.lit("x")))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.add_column("__VT_POS", "bigint")
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.rename_column("v", "#Rows")
+
+
 def test_dv_delete_writes_one_sidecar(spark, tmp_path):
     """A DV delete touching many scan partitions still writes ONE
     sidecar file — a per-partition fan-out would stamp every part name
