@@ -1502,6 +1502,130 @@ _register(
 )
 
 
+def _w_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-predicate scoped overwrite (Delta's replaceWhere;
+    writers/versioned.py:replace_where): restate the low-key half of the
+    orders table in ONE atomic commit — delete every row matching the
+    predicate, insert the recomputed slice, enforce that every written
+    row satisfies the predicate. Structural assertions in-query: files
+    the predicate provably cannot match are carried BY NAME (the
+    out-of-scope file set is identical across the commit), and a
+    violating write raises without committing. Reference scope: the
+    reference's write modes are whole-table (database/db.go:380-396);
+    the predicate-scoped form is Delta surface on the Spark side."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    root = os.path.join(_scratch_dir(), f"wrpw-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split = hi // 2
+    vt = VersionedTable(spark, root)
+    # several files so the carry-by-name split is real
+    vt.append(orders.where(F.col("o_orderkey") <= split).repartition(4))
+    vt.append(orders.where(F.col("o_orderkey") > split).repartition(4))
+    base = vt.latest_version()
+    out_of_scope = {
+        f
+        for f in vt._state(base)
+        if not vt._file_may_match(
+            vt._stats_at(base).get(f, {}), "o_orderkey", "<=", split
+        )
+    }
+    v = vt.replace_where(
+        orders.where(F.col("o_orderkey") <= split).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        [("o_orderkey", "<=", split)],
+    )
+    after = set(vt._state(v))
+    assert out_of_scope <= after, (
+        "replace_where rewrote files the predicate cannot match — the "
+        "out-of-scope side must be carried by name"
+    )
+    # enforcement: a written row outside the predicate fails, no commit
+    try:
+        vt.replace_where(
+            orders.limit(50), [("o_orderkey", "<=", 0)]
+        )
+        raise AssertionError("replace_where accepted out-of-scope rows")
+    except VersionedTableError:
+        raise  # a commit-layer error would be a different bug
+    except Exception:
+        pass  # the write job failed on the assert_true — nothing committed
+    assert vt.latest_version() == v
+    return vt.read()
+
+
+_register(
+    "w_versioned_replace_where",
+    _w_versioned_replace_where,
+    """
+    WITH split AS (SELECT max(o_orderkey) // 2 AS k FROM orders)
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey <= (SELECT k FROM split)
+                THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+
+
+def _w_versioned_replace_where_cdf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """replaceWhere's change feed: the replaced rows emit ``delete``
+    changes and the incoming rows ``insert`` changes, so incremental
+    consumers apply the restatement without a snapshot diff — which a
+    plain overwrite (no change files) can never offer. The oracle
+    reconstructs the feed as literal-tagged unions."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wrwc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders)  # v0
+    v = vt.replace_where(
+        orders.where("o_orderstatus = 'F'").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1
+        ),
+        "o_orderstatus = 'F'",
+    )  # v1
+    return vt.change_feed(from_version=v - 1, to_version=v).select(
+        "o_orderkey", "o_totalprice", "_change_type"
+    )
+
+
+_register(
+    "w_versioned_replace_where_cdf",
+    _w_versioned_replace_where_cdf,
+    """
+    SELECT o_orderkey, o_totalprice, 'delete' AS _change_type
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1, 'insert'
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+
+
 # --------------------------------------- partitioned-layout write query ---
 def _w_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-partitioned write + pruned read-back: the layout tool a 100 TB

@@ -276,6 +276,11 @@ class WriterSpec:
     #: (Spark dynamic partition overwrite) instead of truncating the table —
     #: the at-scale update path for date/source-partitioned tables
     dynamic_partition_overwrite: bool = False
+    #: overwrite replaces ONLY the rows matching this SQL predicate
+    #: (Delta's replaceWhere): atomic delete-matching + insert-batch, with
+    #: every written row required to satisfy the predicate. Versioned
+    #: tables only; finer-grained than dynamicPartitionOverwrite
+    replace_where: str = ""
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -302,6 +307,7 @@ class WriterSpec:
             dynamic_partition_overwrite=bool(
                 obj.get("dynamicPartitionOverwrite", False)
             ),
+            replace_where=str(obj.get("replaceWhere", "") or ""),
         )
         spec.validate()
         return spec
@@ -340,6 +346,23 @@ class WriterSpec:
                 "writeMode=overwrite (it scopes the overwrite to the "
                 "incoming partitions)"
             )
+        if self.replace_where:
+            if not self.versioned:
+                raise SpecError(
+                    "replaceWhere requires versioned=true (the atomic "
+                    "delete-matching + insert-batch commit needs the "
+                    "transaction log)"
+                )
+            if self.write_mode != "overwrite":
+                raise SpecError(
+                    "replaceWhere requires writeMode=overwrite (it scopes "
+                    "the overwrite to the predicate)"
+                )
+            if self.dynamic_partition_overwrite:
+                raise SpecError(
+                    "replaceWhere and dynamicPartitionOverwrite are "
+                    "mutually exclusive overwrite scopes"
+                )
 
 
 @dataclass(frozen=True)

@@ -1156,7 +1156,8 @@ class VersionedTable:
                     )
                 if (
                     rebase_on_appends is not None
-                    and op in ("compact", "delete", "update", "merge")
+                    and op
+                    in ("compact", "delete", "update", "merge", "replace_where")
                 ):
                     # file-level conflict resolution: compose with
                     # concurrent pure appends (raises on anything else,
@@ -1184,6 +1185,7 @@ class VersionedTable:
                     "merge",
                     "restore",
                     "overwrite_partitions",
+                    "replace_where",
                     # clone: the target-must-be-empty pre-check is
                     # TOCTOU; a collision here means another writer beat
                     # us to the fresh log — publishing on top would
@@ -1752,6 +1754,143 @@ class VersionedTable:
             partition_by=pb,
             schema=new_schema if schema_evolved else None,
             enforced_schema=stored,
+        )
+
+    def replace_where(
+        self, df: DataFrame, predicate, merge_schema: bool = False
+    ) -> int:
+        """Arbitrary-predicate scoped overwrite (Delta's ``replaceWhere``
+        write option): atomically DELETE every row matching ``predicate``
+        and INSERT ``df``, as ONE commit — the idiomatic "recompute one
+        date range" operation for predicates finer than a partition
+        (``overwrite_partitions`` covers the partition-scoped form).
+
+        Delta's enforcement rule holds: every WRITTEN row must satisfy
+        the predicate — a violating row fails the write job before
+        anything commits (staged files are unreferenced and
+        vacuum-swept), because silently writing out-of-scope rows would
+        turn "replace this slice" into "replace this slice and corrupt
+        another". CHECK constraints are enforced on the incoming rows in
+        the same pass.
+
+        Cost shape is the row-level DML shape, never the overwrite
+        shape: files the predicate provably cannot match are carried BY
+        NAME with their manifest stats reused (with the ``[(col, op,
+        literal), …]`` triple form the discovery scan itself is
+        manifest-pruned); files wholly inside the predicate are dropped;
+        only BOUNDARY files — holding both matching and non-matching
+        rows — are rewritten, keeping their non-matching rows. Replacing
+        one day in a year of history rewrites at most the files
+        straddling the day's edges.
+
+        CDF: the replaced rows are recorded as ``delete`` change rows
+        and the incoming rows as ``insert`` — incremental consumers
+        (``change_feed()``, the CDC stream with ``readChangeFeed``)
+        apply the restatement without a snapshot diff, which a plain
+        overwrite can never offer.
+
+        ``predicate`` is a SQL string, a Column, or the triple list.
+        ``merge_schema`` opts into additive evolution for the incoming
+        frame, as append does. Concurrency: with the triple form, a
+        concurrent PURE APPEND whose files provably cannot match the
+        predicate REBASES in (its rows are out of scope, Delta's
+        ConcurrentAppendException check); anything else aborts.
+
+        Reference scope: the reference's write modes are whole-table
+        (database/db.go:380-396 dispatches insert/overwrite/replace);
+        a predicate-scoped overwrite is Delta surface on the Spark
+        side."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(
+                f"no committed versions at {self.path}; replace_where "
+                f"needs an existing table (create with overwrite)"
+            )
+        cond, candidates, triples = self._dml_condition_and_candidates(
+            base, predicate
+        )
+        stored, tombstones = self._schema_record_at(base)
+        mapping = self._mapping_at(base)
+        pb = self._partition_by_at(base)
+        cons = self._constraints_at(base)
+        df, new_schema = self._align(
+            df, stored, merge_schema, "replace_where", tombstones, mapping
+        )
+        schema_evolved = stored is not None and self._canon_schema(
+            stored
+        ) != self._canon_schema(new_schema)
+        # written-rows-must-match enforcement, fused into the write's own
+        # scan exactly as CHECK constraints are (zero extra passes)
+        enforced = df.where(
+            F.coalesce(
+                F.assert_true(
+                    cond,
+                    F.lit(
+                        "replaceWhere: a written row does not satisfy "
+                        "the predicate — replace_where only accepts rows "
+                        "inside the slice it replaces"
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+        # phase 1 (the DML shape): ONE column-pruned scan finds the files
+        # holding at least one matching row; everything else is carried
+        touched, untouched = self._split_touched(base, cond, candidates)
+        new_files: list[str] = []
+        cdc: list[str] = []
+        if touched:
+            scan_t = self._scan_files(
+                touched, self._scan_schema(base), self._dv_at(base),
+                mapping=mapping,
+            ).persist()
+            try:
+                # boundary rows survive; files wholly inside the
+                # predicate contribute nothing and are dropped with no
+                # rewrite beyond this one fused pass
+                new_files += self._write_data_files(
+                    scan_t.where(~cond), pb, mapping
+                )
+                cdc += self._write_cdc_files(
+                    scan_t.where(cond).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    mapping,
+                )
+                ins = self._write_data_files(
+                    self._checked(enforced, cons), pb, mapping
+                )
+            finally:
+                scan_t.unpersist()
+        else:
+            ins = self._write_data_files(
+                self._checked(enforced, cons), pb, mapping
+            )
+        new_files += ins
+        if ins:
+            # insert change rows come from the COMMITTED files, not a
+            # re-evaluation of the incoming plan (a non-deterministic
+            # source must record exactly what it wrote)
+            cdc += self._write_cdc_files(
+                self._scan_files(
+                    ins,
+                    T.StructType.fromJson(new_schema),
+                    mapping=mapping,
+                ).withColumn("_change_type", F.lit("insert")),
+                mapping,
+            )
+        known = self._stats_at(base)
+        return self._commit(
+            untouched + new_files,
+            "replace_where",
+            base,
+            cdc=cdc,
+            known_stats={f: known[f] for f in untouched if f in known},
+            partition_by=pb,
+            schema=new_schema if schema_evolved else None,
+            enforced_schema=stored,
+            enforced_constraints=cons,
+            rebase_on_appends=self._phys_triples(triples, mapping),
         )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:

@@ -408,7 +408,24 @@ class ParquetWriter:
                 else:
                     vt.overwrite(clean, partition_by=pb)
             elif mode == "overwrite":
-                if self.spec.dynamic_partition_overwrite:
+                if self.spec.replace_where:
+                    # predicate-scoped overwrite (Delta's replaceWhere):
+                    # atomic delete-matching + insert-batch; every written
+                    # row must satisfy the predicate (enforced in the
+                    # write job). Needs an existing table — the predicate
+                    # scopes rows that must already be committed
+                    if not exists:
+                        raise WriterError(
+                            f"replaceWhere on {table_dir} needs an "
+                            f"existing versioned table (first write "
+                            f"should be a plain overwrite)"
+                        )
+                    vt.replace_where(
+                        clean,
+                        self.spec.replace_where,
+                        merge_schema=self.spec.evolve_schema,
+                    )
+                elif self.spec.dynamic_partition_overwrite:
                     # replace only the partitions present in the batch;
                     # everything else is carried by name (one commit).
                     # First write creates the table with the declared

@@ -3948,3 +3948,230 @@ def test_rename_interplay_partitions_dv_restore_widen(spark, tmp_path):
     assert vt.read().schema["v"].dataType.simpleString() == "int"
     assert vt.read().count() == 40
     assert vt._mapping_at(vt.latest_version()) == {}
+
+
+# ---------------------------------------------------------- replaceWhere ---
+def test_replace_where_basic_file_pruned(spark, tmp_path):
+    """replace_where (Delta's replaceWhere): atomic delete-matching +
+    insert-batch in ONE commit, with the row-level DML cost shape —
+    files the predicate cannot match are carried BY NAME (never
+    rewritten), files wholly inside it are dropped, boundary files are
+    rewritten keeping their non-matching rows."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rw"))
+    # three one-file slices: [0,10) / [10,20) / [20,30)
+    vt.overwrite(spark.range(0, 10).withColumn("v", F.lit("a")).coalesce(1))
+    vt.append(spark.range(10, 20).withColumn("v", F.lit("a")).coalesce(1))
+    vt.append(spark.range(20, 30).withColumn("v", F.lit("a")).coalesce(1))
+    before = set(vt._state(vt.latest_version()))
+    assert len(before) == 3
+    # replace [5,20): upper half of file 1 (boundary) + all of file 2
+    v = vt.replace_where(
+        spark.range(5, 20).withColumn("v", F.lit("b")),
+        [("id", ">=", 5), ("id", "<", 20)],
+    )
+    out = {r.id: r.v for r in vt.read().collect()}
+    assert len(out) == 30
+    assert all(out[i] == "a" for i in [*range(5), *range(20, 30)])
+    assert all(out[i] == "b" for i in range(5, 20))
+    after = set(vt._state(v))
+    # exactly the untouched file [20,30) is carried by name; the
+    # boundary file is rewritten and the wholly-inside file is dropped
+    assert len(before & after) == 1
+    # snapshot isolation: the pre-replace version still reads old rows
+    assert vt.read(version_as_of=v - 1).where("v = 'b'").count() == 0
+
+
+def test_replace_where_change_feed(spark, tmp_path):
+    """Replaced rows emit CDF delete changes and the new rows insert
+    changes — incremental consumers apply the restatement without a
+    snapshot diff (what a plain overwrite can never offer)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rwc"))
+    vt.overwrite(spark.range(0, 20).withColumn("v", F.lit("a")))
+    v = vt.replace_where(
+        spark.range(10, 15).withColumn("v", F.lit("b")), "id >= 10"
+    )
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    rows = feed.collect()
+    dels = sorted(r.id for r in rows if r._change_type == "delete")
+    ins = sorted(r.id for r in rows if r._change_type == "insert")
+    assert dels == list(range(10, 20))
+    assert ins == list(range(10, 15))
+    assert {r._change_type for r in rows} == {"delete", "insert"}
+
+
+def test_replace_where_enforces_written_rows(spark, tmp_path):
+    """Delta's rule: every WRITTEN row must satisfy the predicate — a
+    violating row fails the write job and NOTHING commits (silently
+    writing out-of-scope rows would corrupt data outside the slice)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rwe"))
+    vt.overwrite(spark.range(0, 10).withColumn("v", F.lit("a")))
+    with pytest.raises(Exception, match="replaceWhere"):
+        # rows 10..19 violate id < 10
+        vt.replace_where(
+            spark.range(0, 20).withColumn("v", F.lit("b")), "id < 10"
+        )
+    assert vt.latest_version() == 0
+    assert vt.read().where("v = 'b'").count() == 0
+
+
+def test_replace_where_partitioned_with_constraints(spark, tmp_path):
+    """replace_where preserves the hive layout and runs the incoming
+    rows through the table's CHECK constraints in the same fused pass."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "rwp"))
+    vt.overwrite(
+        spark.range(0, 40).select(
+            "id", (F.col("id") % 4).alias("k"), F.lit(1).alias("val")
+        ),
+        partition_by=["k"],
+    )
+    vt.add_constraint("val_pos", "val > 0")
+    # restate partition k=1 via predicate (not overwrite_partitions)
+    v = vt.replace_where(
+        spark.range(100, 105).select(
+            "id", F.lit(1).alias("k"), F.lit(2).alias("val")
+        ),
+        [("k", "=", 1)],
+    )
+    assert vt.partition_columns() == ["k"]
+    out = sorted(r.id for r in vt.read(prune=[("k", "=", 1)]).collect())
+    assert out == list(range(100, 105))
+    assert vt.read().count() == 30 + 5
+    # constraint still enforced inside replace_where's write
+    with pytest.raises(Exception, match="val_pos"):
+        vt.replace_where(
+            spark.range(200, 201).select(
+                "id", F.lit(1).alias("k"), F.lit(-5).alias("val")
+            ),
+            [("k", "=", 1)],
+        )
+    assert vt.latest_version() == v
+
+
+def test_replace_where_rebases_over_disjoint_append(spark, tmp_path):
+    """Triple-form replace_where gets the same file-level OCC as
+    delete: a concurrent PURE APPEND whose files provably cannot match
+    the predicate composes in; one that may match aborts."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "rwo")
+    vt = VersionedTable(spark, root)
+    other = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).withColumn("v", F.lit("a")).coalesce(1))
+    _hook_once(
+        vt, "_write_cdc_files",
+        lambda: other.append(
+            spark.range(500, 520).withColumn("v", F.lit("c")).coalesce(1)
+        ),
+    )
+    vt.replace_where(
+        spark.range(90, 100).withColumn("v", F.lit("b")),
+        [("id", ">=", 90), ("id", "<", 100)],
+    )
+    out = {r.id: r.v for r in vt.read().collect()}
+    assert len(out) == 120
+    assert all(out[i] == "b" for i in range(90, 100))
+    assert all(out[i] == "c" for i in range(500, 520))
+
+    # an overlapping concurrent append aborts (its rows are in scope)
+    vt2 = VersionedTable(spark, root)
+    other2 = VersionedTable(spark, root)
+    _hook_once(
+        vt2, "_write_cdc_files",
+        lambda: other2.append(
+            spark.range(95, 97).withColumn("v", F.lit("x")).coalesce(1)
+        ),
+    )
+    with pytest.raises(VersionedTableError, match="may match|stale"):
+        vt2.replace_where(
+            spark.range(90, 100).withColumn("v", F.lit("d")),
+            [("id", ">=", 90), ("id", "<", 100)],
+        )
+
+
+def test_replace_where_through_job_spec(spark, tmp_path):
+    """replaceWhere at the job-spec surface (W4 write-mode dispatch):
+    writeMode=overwrite + replaceWhere scopes the overwrite to the
+    predicate — one atomic commit, untouched rows intact — and the spec
+    validator rejects the incoherent combinations."""
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.spec import SpecError, WriterSpec
+
+    base_job = {
+        "reader": {
+            "connection": {"url": SF, "table": {"name": "orders"}},
+            "column": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "vt"}},
+            "writeMode": "insert",
+            "versioned": True,
+        },
+    }
+    run_job(spark, base_job)
+    restate_job = {
+        "reader": {
+            "connection": {"url": SF, "table": {"name": "orders"}},
+            "column": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+            "querySql": [
+                "SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS "
+                "o_totalprice FROM orders WHERE o_orderstatus = 'F'"
+            ],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "vt"}},
+            "writeMode": "overwrite",
+            "versioned": True,
+            "replaceWhere": "o_orderstatus = 'F'",
+        },
+    }
+    run_job(spark, restate_job)
+    vt = VersionedTable(spark, str(tmp_path / "vt"))
+    orders = load_table(spark, SF, "orders")
+    got = vt.read()
+    assert got.count() == orders.count()
+    doubled = got.where("o_orderstatus = 'F'").agg(
+        {"o_totalprice": "sum"}
+    ).collect()[0][0]
+    want = orders.where("o_orderstatus = 'F'").agg(
+        {"o_totalprice": "sum"}
+    ).collect()[0][0] * 2
+    assert abs(doubled - want) < 1e-6
+    # untouched rows byte-identical
+    assert (
+        got.where("o_orderstatus <> 'F'").exceptAll(
+            orders.select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            ).where("o_orderstatus <> 'F'")
+        ).count()
+        == 0
+    )
+
+    # spec validation: the incoherent combinations are config errors
+    base = {
+        "connection": {"url": str(tmp_path), "table": {"name": "vt"}},
+        "writeMode": "overwrite",
+        "replaceWhere": "x = 1",
+    }
+    with pytest.raises(SpecError, match="versioned"):
+        WriterSpec.from_json(dict(base))
+    with pytest.raises(SpecError, match="overwrite"):
+        WriterSpec.from_json(
+            dict(base, versioned=True, writeMode="insert")
+        )
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        WriterSpec.from_json(
+            dict(
+                base,
+                versioned=True,
+                partitionBy=["o_orderstatus"],
+                dynamicPartitionOverwrite=True,
+            )
+        )
