@@ -1502,6 +1502,62 @@ _register(
 )
 
 
+def _w_versioned_merge_dup_target(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE onto a duplicate-key TARGET (Delta's whenMatchedUpdateAll
+    semantics, writers/versioned.py:merge): each matched target row is
+    updated individually — a target holding two rows with the same key
+    keeps two (updated) rows, never one. The target here duplicates
+    every 'F' order; the source restates all F/O keys with bumped
+    prices; the oracle applies the same CASE over the duplicated
+    union, so any collapse (or fan-out) hash-mismatches."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmdt-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.unionByName(orders.where("o_orderstatus = 'F'"))
+    source = orders.where("o_orderstatus IN ('F', 'O')").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(target)
+    v = vt.merge(source, ["o_orderkey"])
+    # CDF pairs per TARGET row: every duplicated F key contributes TWO
+    # preimages and TWO postimages
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    pre = feed.where("_change_type = 'update_preimage'").count()
+    post = feed.where("_change_type = 'update_postimage'").count()
+    assert pre == post, "pre/postimage counts must pair per target row"
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge_dup_target",
+    _w_versioned_merge_dup_target,
+    """
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus IN ('F', 'O')
+                THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+    FROM t
+    """,
+)
+
+
 def _w_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate scoped overwrite (Delta's replaceWhere;
     writers/versioned.py:replace_where): restate the low-key half of the

@@ -2454,7 +2454,11 @@ class VersionedTable:
 
         A source with duplicate keys among the matched rows raises —
         "which source row wins?" is ambiguous (Delta's multiple-source-
-        rows-matched error). The aligned source is persisted internally
+        rows-matched error). A TARGET with duplicate keys is legal and
+        keeps its multiplicity: each matched target row is updated (or
+        deleted) individually, Delta's whenMatchedUpdateAll semantics —
+        two target rows with the same key become two updated rows, never
+        one. The aligned source is persisted internally
         for the duration of the merge, so a NON-DETERMINISTIC source
         (rand-filtered, freshly sampled) still splits consistently
         across the discovery / rewrite / insert jobs. Returns the new
@@ -2649,7 +2653,6 @@ class VersionedTable:
             ]
         cdc_frames: list[DataFrame] = []
         new_files: list[str] = []
-        matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
             scan_t = self._scan_files(
                 touched, self._scan_schema(base), self._dv_at(base),
@@ -2658,22 +2661,35 @@ class VersionedTable:
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
                 cons = self._constraints_at(base)
+                pre = scan_t.join(src_keys, on=on, how="left_semi")
                 if when_matched == "update":
+                    # update EACH matched target row (Delta's
+                    # whenMatchedUpdateAll): a target holding two rows
+                    # with the same key keeps two updated rows — the
+                    # per-target-row multiplicity survives through the
+                    # keys-only projection (no distinct) into the inner
+                    # join; source keys are unique among matched rows
+                    # (cardinality check above), so each target row
+                    # meets exactly one source row
+                    updated = (
+                        pre.select(*on)
+                        .join(source, on=on, how="inner")
+                        .select(*scan_t.columns)
+                    )
                     rewritten = kept.unionByName(
-                        self._checked(
-                            matched_src.select(*scan_t.columns), cons
-                        )
+                        self._checked(updated, cons)
                     )
                 else:  # delete
                     rewritten = kept
                 new_files += self._write_data_files(rewritten, pb, mapping)
-                pre = scan_t.join(src_keys, on=on, how="left_semi")
                 if when_matched == "update":
                     cdc_frames.append(
                         pre.withColumn("_change_type", F.lit("update_preimage"))
                     )
+                    # one postimage PER updated target row, pairing the
+                    # preimages (not one per source key)
                     cdc_frames.append(
-                        matched_src.select(*scan_t.columns).withColumn(
+                        updated.withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
                     )
@@ -2773,7 +2789,6 @@ class VersionedTable:
         ]
         new_files: list[str] = []
         cdc_frames: list[DataFrame] = []
-        matched_src = source.join(cand_keys, on=on, how="left_semi")
         if touched:
             scan_t = self._scan_files(
                 touched, sch, dv, mapping=mapping
@@ -2786,12 +2801,16 @@ class VersionedTable:
                     unmatched_t.withColumn("_change_type", F.lit("delete"))
                 )
                 if when_matched == "update":
+                    # update EACH matched target row (duplicate-key
+                    # targets keep their multiplicity) — same rule as
+                    # the plain-merge path
+                    updated = (
+                        matched_t.select(*on)
+                        .join(source, on=on, how="inner")
+                        .select(*scan_t.columns)
+                    )
                     new_files += self._write_data_files(
-                        self._checked(
-                            matched_src.select(*scan_t.columns), cons
-                        ),
-                        pb,
-                        mapping,
+                        self._checked(updated, cons), pb, mapping
                     )
                     cdc_frames.append(
                         matched_t.withColumn(
@@ -2799,7 +2818,7 @@ class VersionedTable:
                         )
                     )
                     cdc_frames.append(
-                        matched_src.select(*scan_t.columns).withColumn(
+                        updated.withColumn(
                             "_change_type", F.lit("update_postimage")
                         )
                     )

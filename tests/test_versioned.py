@@ -4175,3 +4175,38 @@ def test_replace_where_through_job_spec(spark, tmp_path):
                 dynamicPartitionOverwrite=True,
             )
         )
+
+
+def test_merge_updates_each_duplicate_target_row(spark, tmp_path):
+    """Delta's whenMatchedUpdateAll: a target holding TWO rows with the
+    same key keeps two (updated) rows after MERGE — the matched side
+    must not collapse to one row per key. CDF pairs per target row."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "mdt"))
+    # key 1 appears twice in the target with different payloads
+    target = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k: long, v: string"
+    )
+    vt.overwrite(target)
+    v = vt.merge(
+        spark.createDataFrame([(1, "X"), (9, "Y")], "k: long, v: string"),
+        ["k"],
+    )
+    rows = sorted((r.k, r.v) for r in vt.read().collect())
+    # both key-1 rows updated to the source row; key 9 inserted
+    assert rows == [(1, "X"), (1, "X"), (2, "c"), (3, "d"), (9, "Y")]
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    pre = feed.where("_change_type = 'update_preimage'").count()
+    post = feed.where("_change_type = 'update_postimage'").count()
+    assert (pre, post) == (2, 2)
+    # by-source-delete path: same update-each rule, unmatched keys go
+    vt2 = VersionedTable(spark, str(tmp_path / "mdt2"))
+    vt2.overwrite(target)
+    vt2.merge(
+        spark.createDataFrame([(1, "Z")], "k: long, v: string"),
+        ["k"],
+        when_not_matched_by_source="delete",
+    )
+    rows2 = sorted((r.k, r.v) for r in vt2.read().collect())
+    assert rows2 == [(1, "Z"), (1, "Z")]
