@@ -1175,6 +1175,80 @@ _register(
 )
 
 
+def _w_versioned_clone_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SHALLOW CLONE of a hive-partitioned source (writers/versioned.py:
+    clone + _scan_files's in-plan partition-value parse): basePath
+    reconstruction cannot run on external absolute references, so the
+    clone's scans parse ``col=value`` from the source's path segments in
+    codegen. Asserted in-query: zero data files copied, partition
+    PRUNING on the clone skips files from the carried manifest bounds
+    alone, and a predicate-scoped delete on the clone leaves the source
+    intact. Result: the clone after deleting one partition, prices
+    summed per remaining partition — any partition-value miswiring
+    changes every group."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    base_dir = os.path.join(_scratch_dir(), f"wclp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = VersionedTable(spark, os.path.join(base_dir, "src"))
+    src.overwrite(orders, partition_by=["o_orderstatus"])
+    n_src = src.count()
+    cl = src.clone(os.path.join(base_dir, "cl"))
+    local = [
+        f
+        for r, _, ns in os.walk(os.path.join(base_dir, "cl"))
+        for f in ns
+        if f.endswith(".parquet") and os.path.basename(r) != "_log"
+    ]
+    assert local == [], "shallow clone must copy zero data files"
+    # partition pruning works on the clone from carried bounds alone
+    v0 = cl.latest_version()
+    kept = cl._prune_files(
+        cl._state(v0), cl._stats_at(v0), [("o_orderstatus", "=", "O")]
+    )
+    assert 0 < len(kept) < len(cl._state(v0)), (
+        "partition pruning must skip files on the clone"
+    )
+    cl.delete([("o_orderstatus", "=", "P")])
+    assert src.count() == n_src, "DML on the clone must not touch the source"
+    return (
+        cl.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_register(
+    "w_versioned_clone_partitioned",
+    _w_versioned_clone_partitioned,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS total
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+
+
 def _w_versioned_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER COLUMN TYPE widening (Delta 3.2's type widening,
     writers/versioned.py:widen_column): the schema records the wider

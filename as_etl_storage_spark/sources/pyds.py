@@ -686,16 +686,37 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # at/before it (checkpoint replays after a restart) are served
         # under the frozen schema instead of re-checked — see partitions()
         self._frozen_version = self._table().latest_version()
+        # declared partition columns: a partitioned CLONE's v0 references
+        # absolute external files whose partition values live in the
+        # SOURCE's hive path segments — _pvals parses them for exactly
+        # these columns (log-walk only, no session)
+        self._pb = tuple(self._table().partition_columns())
 
     def _pvals(self, rel_name: str) -> dict:
         """Partition values for one manifest name, coerced to the stream
         schema's declared types (a later partition directory might parse
         as a different python type than the one the schema probe saw)."""
+        import os
+
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
+        parsed = VersionedTable._partition_values(rel_name)
+        if not parsed and os.path.isabs(rel_name) and self._pb:
+            # absolute external reference (partitioned SHALLOW CLONE):
+            # the source's hive segments carry the values — parse the
+            # path as relative and keep only the DECLARED partition
+            # columns, so unrelated enclosing directories that happen to
+            # contain '=' can never fabricate a column
+            parsed = {
+                c: v
+                for c, v in VersionedTable._partition_values(
+                    rel_name.lstrip(os.sep)
+                ).items()
+                if c in self._pb
+            }
         out = {}
         int_ddls = ("bigint", "int", "smallint", "tinyint")
-        for col, val in VersionedTable._partition_values(rel_name).items():
+        for col, val in parsed.items():
             ddl = self._types.get(col, "string")
             try:
                 out[col] = (
@@ -755,6 +776,10 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         from as_etl_storage_spark.writers.versioned import _layout_only
 
         vt = self._table()
+        # protocol fence (same rule as batch _state): a table using a
+        # feature this reader does not understand must fail the batch
+        # plan with the feature named, not deliver misread bytes
+        vt._check_features(to_v)
         # fail fast on mid-stream schema evolution: the stream schema is
         # frozen at reader construction, so a table evolved past it would
         # have read() silently project evolved columns away (dropping

@@ -136,13 +136,59 @@ class VersionedTable:
         os.unlink(tmp)
         return True
 
+    #: table features this implementation can read AND write correctly.
+    #: Delta's minReaderVersion/minWriterVersion protocol action,
+    #: restated as named feature flags (Delta 3.x table features): a
+    #: manifest records the feature set in force the first time each is
+    #: committed, and every snapshot access compares it against this set
+    #: — a reader predating deletion vectors would otherwise resurrect
+    #: deleted rows; one predating column mapping would read physical
+    #: junk names; one predating external references would miss a
+    #: clone's data entirely. Failing fast NAMING the feature turns
+    #: silent wrong rows into an actionable upgrade error.
+    SUPPORTED_FEATURES = frozenset(
+        {
+            "deletion-vectors",
+            "column-mapping",
+            "type-widening",
+            "external-files",
+        }
+    )
+
+    def _features_at(self, version: int) -> frozenset:
+        """Feature flags in force at ``version`` (same walk as the other
+        table properties; snapshots/checkpoints embed the set so it
+        survives rewrites and vacuum). Monotone: features are never
+        removed — Delta's protocol never downgrades."""
+        val, _ = self._walk_to(version, "features")
+        return frozenset(val or ())
+
+    def _check_features(self, version: int) -> None:
+        """Fail fast when the log uses a feature this implementation
+        does not understand — BEFORE any bytes are read or written
+        (misreading them is the failure mode this fence prevents)."""
+        unknown = self._features_at(version) - self.SUPPORTED_FEATURES
+        if unknown:
+            raise VersionedTableError(
+                f"table at {self.path} uses feature(s) "
+                f"{sorted(unknown)} that this reader/writer does not "
+                f"support (supported: {sorted(self.SUPPORTED_FEATURES)}); "
+                f"upgrade the library before touching this table — "
+                f"proceeding would misread its bytes"
+            )
+
     def _state(self, version: int) -> list[str]:
         """Full data-file list at ``version``: walk back to the nearest
         full snapshot (checkpoint, or an overwrite/replace manifest
         carrying ``files``), then replay the append ``add`` deltas
         forward. Replay depth is bounded by CHECKPOINT_EVERY on a healthy
         log; a vacuumed log always retains a snapshot at its oldest
-        version (see vacuum), so the walk cannot run off the front."""
+        version (see vacuum), so the walk cannot run off the front.
+
+        Every snapshot access funnels through here, so this is also the
+        protocol fence: an unsupported-feature table fails fast with the
+        feature named (see _check_features)."""
+        self._check_features(version)
         adds: list[list[str]] = []
         v = version
         while True:
@@ -907,6 +953,17 @@ class VersionedTable:
             manifest["column_mapping"] = (
                 mapping if mapping is not None else self._mapping_at(base)
             )
+        # feature flags introduced by DDL: a rename turns on column
+        # mapping, a widen turns on type widening — recorded the first
+        # time each is committed, so a pre-feature reader fails fast
+        # instead of misreading physical names / narrow files
+        feats = set(self._features_at(base))
+        if manifest.get("column_mapping"):
+            feats.add("column-mapping")
+        if op == "widen_column":
+            feats.add("type-widening")
+        if feats:
+            manifest["features"] = sorted(feats)
         if latest != base or not self._publish_manifest(version, manifest):
             # any concurrent commit makes the ADD-time validation (and a
             # drop's not-found check) stale — no silent retry
@@ -967,6 +1024,11 @@ class VersionedTable:
         dv = self._dv_at(version)
         if dv:
             payload["dv"] = dv
+        feats = self._features_at(version)
+        if feats:
+            # the walk terminates at checkpoints: the protocol fence
+            # must survive log truncation like every other property
+            payload["features"] = sorted(feats)
         # creation time must survive log truncation (vacuum writes this
         # checkpoint right before deleting the head manifests)
         payload["created_ts"] = self._created_ts(version)
@@ -1101,6 +1163,12 @@ class VersionedTable:
         stats.update({f: known[f] for f in stat_files if f in known})
         for _ in range(50):
             latest = self.latest_version()
+            if latest is not None:
+                # protocol fence on the WRITE side too: an append never
+                # reconstructs the snapshot (_state), so it must check
+                # here — committing on top of an ununderstood feature
+                # could violate invariants that feature maintains
+                self._check_features(latest)
             if txn is not None and latest is not None:
                 # idempotence check INSIDE the retry loop: a concurrent
                 # same-app writer may have landed this batch between
@@ -1311,6 +1379,18 @@ class VersionedTable:
                             else {}
                         )
                     )
+                # feature flags: carry the base's set (monotone) and add
+                # what THIS commit introduces — deletion vectors, column
+                # mapping, external absolute references (clone). Embedded
+                # in every full-snapshot manifest so the walk never loses
+                # them across a rewrite (same rule as constraints).
+                feats = set(
+                    self._features_at(latest) if latest is not None else ()
+                )
+                if manifest.get("column_mapping"):
+                    feats.add("column-mapping")
+                if any(os.path.isabs(f) for f in files):
+                    feats.add("external-files")
                 live_dv = dv
                 if live_dv is None and latest is not None:
                     # carry deletion vectors forward, restricted to files
@@ -1325,6 +1405,9 @@ class VersionedTable:
                     }
                 if live_dv:
                     manifest["dv"] = live_dv
+                    feats.add("deletion-vectors")
+                if feats:
+                    manifest["features"] = sorted(feats)
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
@@ -1842,7 +1925,7 @@ class VersionedTable:
         if touched:
             scan_t = self._scan_files(
                 touched, self._scan_schema(base), self._dv_at(base),
-                mapping=mapping,
+                mapping=mapping, partition_by=pb,
             ).persist()
             try:
                 # boundary rows survive; files wholly inside the
@@ -1969,6 +2052,7 @@ class VersionedTable:
         dv: dict | None = None,
         keep_identity: bool = False,
         mapping: dict[str, str] | None = None,
+        partition_by: list[str] | None = None,
     ) -> DataFrame:
         # basePath reconstructs partition columns from the hive directory
         # segments when the table is partitioned (harmless when flat).
@@ -2000,13 +2084,42 @@ class VersionedTable:
             reader = reader.schema(phys_schema)
         else:
             reader = reader.option("mergeSchema", "true")
-        if all(p.startswith(self.path + os.sep) for p in paths):
+        internal = all(p.startswith(self.path + os.sep) for p in paths)
+        if internal:
             reader = reader.option("basePath", self.path)
-        # else: externally-referenced files (a SHALLOW CLONE's absolute
-        # names) — Spark refuses a non-ancestor basePath, and clones of
-        # partitioned tables are refused at clone(), so no hive
-        # reconstruction is ever needed for external files
         df = reader.parquet(*paths)
+        if partition_by and schema is not None and not internal:
+            # externally-referenced files (a SHALLOW CLONE of a
+            # partitioned source, possibly mixed with the clone's own
+            # later hive-laid appends): Spark refuses a non-ancestor
+            # basePath, so hive reconstruction cannot run — instead the
+            # partition values are parsed IN-PLAN from each file's path
+            # segments (``col=value``, hive-encoded), the same values the
+            # source's writer rendered. Declared-schema reads null-fill
+            # the missing physical columns first, then this projection
+            # replaces them; partition columns are never renameable, so
+            # no mapping translation applies. Pure codegen (regexp +
+            # url_decode + cast), no join, no driver work.
+            import re as _re
+
+            for f in schema.fields:
+                if f.name not in partition_by:
+                    continue
+                raw = F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    "/" + _re.escape(f.name) + "=([^/]*)/",
+                    1,
+                )
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        (raw == "")
+                        | (raw == "__HIVE_DEFAULT_PARTITION__"),
+                        F.lit(None),
+                    )
+                    .otherwise(F.url_decode(raw))
+                    .cast(f.dataType),
+                )
         if schema is not None and (
             mapping or df.columns != [f.name for f in schema.fields]
         ):
@@ -2103,6 +2216,7 @@ class VersionedTable:
                 self._dv_at(base),
                 keep_identity=True,
                 mapping=self._mapping_at(base),
+                partition_by=self._partition_by_at(base),
             )
             .where(cond)
             .select(self._FILE_NAME)
@@ -2196,7 +2310,7 @@ class VersionedTable:
         mapping = self._mapping_at(base)
         scan_t = self._scan_files(
             touched, self._scan_schema(base), self._dv_at(base),
-            mapping=mapping,
+            mapping=mapping, partition_by=pb,
         ).persist()
         try:
             kept_files = self._write_data_files(
@@ -2251,6 +2365,7 @@ class VersionedTable:
                 dv_cur,
                 keep_identity=True,
                 mapping=mapping,
+                partition_by=pb,
             )
             .where(cond)
             .persist()
@@ -2294,7 +2409,7 @@ class VersionedTable:
                 new_files = self._write_data_files(
                     self._scan_files(
                         sorted(rewrite_rel), self._scan_schema(base), dv_cur,
-                        mapping=mapping,
+                        mapping=mapping, partition_by=pb,
                     ).where(~cond),
                     pb,
                     mapping,
@@ -2377,7 +2492,7 @@ class VersionedTable:
         mapping = self._mapping_at(base)
         scan_t = self._scan_files(
             touched, self._scan_schema(base), self._dv_at(base),
-            mapping=mapping,
+            mapping=mapping, partition_by=pb,
         ).persist()
         try:
             # re-align the rewritten rows: an assignment whose expression
@@ -2552,7 +2667,7 @@ class VersionedTable:
         cand_keys = (
             self._scan_files(
                 candidates, self._scan_schema(base), self._dv_at(base),
-                mapping=mapping,
+                mapping=mapping, partition_by=pb,
             )
             .select(*on)
             .distinct()
@@ -2640,6 +2755,7 @@ class VersionedTable:
                     self._dv_at(base),
                     keep_identity=True,
                     mapping=mapping,
+                    partition_by=pb,
                 )
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
@@ -2656,7 +2772,7 @@ class VersionedTable:
         if touched:
             scan_t = self._scan_files(
                 touched, self._scan_schema(base), self._dv_at(base),
-                mapping=mapping,
+                mapping=mapping, partition_by=pb,
             ).persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
@@ -2775,7 +2891,8 @@ class VersionedTable:
         if candidates:
             t_rows = (
                 self._scan_files(
-                    candidates, sch, dv, keep_identity=True, mapping=mapping
+                    candidates, sch, dv, keep_identity=True,
+                    mapping=mapping, partition_by=pb,
                 )
                 .join(src_keys, on=on, how="left_semi")
                 .select(self._FILE_NAME)
@@ -2791,7 +2908,7 @@ class VersionedTable:
         cdc_frames: list[DataFrame] = []
         if touched:
             scan_t = self._scan_files(
-                touched, sch, dv, mapping=mapping
+                touched, sch, dv, mapping=mapping, partition_by=pb,
             ).persist()
             try:
                 matched_t = scan_t.join(src_keys, on=on, how="left_semi")
@@ -2849,7 +2966,8 @@ class VersionedTable:
                     # are dropped from the snapshot by NAME, zero rewrite
                     cdc_frames.append(
                         self._scan_files(
-                            dropped_whole, sch, dv, mapping=mapping
+                            dropped_whole, sch, dv, mapping=mapping,
+                            partition_by=pb,
                         ).withColumn("_change_type", F.lit("delete"))
                     )
                 from functools import reduce
@@ -2874,7 +2992,8 @@ class VersionedTable:
             if dropped_whole:
                 cdc_frames.append(
                     self._scan_files(
-                        dropped_whole, sch, dv, mapping=mapping
+                        dropped_whole, sch, dv, mapping=mapping,
+                        partition_by=pb,
                     ).withColumn("_change_type", F.lit("delete"))
                 )
             if not cdc_frames:
@@ -3074,6 +3193,7 @@ class VersionedTable:
         df = self._scan_files(
             files, self._scan_schema(version), self._dv_at(version),
             mapping=self._mapping_at(version),
+            partition_by=self._partition_by_at(version),
         )
         if prune:
             df = df.where(self._triples_condition(prune))
@@ -3253,6 +3373,7 @@ class VersionedTable:
             self._scan_schema(to_version),
             dv_for_scan or None,
             mapping=self._mapping_at(to_version),
+            partition_by=self._partition_by_at(to_version),
         )
 
     def change_feed(
@@ -3363,6 +3484,7 @@ class VersionedTable:
                     clone_dv,
                     keep_identity=True,
                     mapping=self._mapping_at(to_version),
+                    partition_by=self._partition_by_at(to_version),
                 ).drop(self._DV_POS)
             else:
                 scan0 = self._with_file_name(
@@ -3370,6 +3492,7 @@ class VersionedTable:
                         [f for f, _ in pairs],
                         scan_schema,
                         mapping=self._mapping_at(to_version),
+                        partition_by=self._partition_by_at(to_version),
                     )
                 )
             scan = scan0.join(
@@ -3492,7 +3615,8 @@ class VersionedTable:
             if not files:
                 return self.read(version_as_of=base).limit(0)
             return self._scan_files(
-                files, self._scan_schema(base), scoped_dv, mapping=mapping
+                files, self._scan_schema(base), scoped_dv, mapping=mapping,
+                partition_by=pb,
             )
 
         if zorder:
@@ -3719,10 +3843,13 @@ class VersionedTable:
         materialize it fully local and cut the dependency.
 
         ``version``/``timestamp`` clone a historical snapshot (time
-        travel + clone in one step). Partitioned sources are refused:
-        external absolute references cannot participate in hive
-        partition reconstruction (Spark's basePath must be an ancestor)
-        — re-layout or compact a flat clone instead."""
+        travel + clone in one step). Partitioned sources clone too: the
+        external references cannot use Spark's basePath reconstruction
+        (it must be an ancestor), so the clone's scans parse partition
+        values in-plan from the files' hive path segments — the same
+        values the source's writer rendered — and partition PRUNING
+        still works from the carried stats' degenerate bounds without
+        opening a file."""
         if version is not None and timestamp is not None:
             raise VersionedTableError(
                 "pass version OR timestamp, not both"
@@ -3736,13 +3863,6 @@ class VersionedTable:
         if version not in vs:
             raise VersionedTableError(
                 f"version {version} not found; available {vs[0]}..{vs[-1]}"
-            )
-        if self._partition_by_at(version):
-            raise VersionedTableError(
-                "clone of a hive-partitioned table is not supported: "
-                "external absolute file references cannot reconstruct "
-                "partition columns (basePath must be an ancestor). "
-                "compact() or re-layout the source flat first"
             )
         tgt = VersionedTable(self.spark, target_path)
         if tgt.latest_version() is not None:
@@ -3779,7 +3899,12 @@ class VersionedTable:
             "clone",
             None,
             known_stats={f: stats[f] for f in files if f in stats},
-            partition_by=[],
+            # a partitioned source's layout carries: the clone's scans
+            # parse partition values in-plan from the external paths'
+            # hive segments (see _scan_files), its stats carry the
+            # degenerate partition bounds (pruning works), and its own
+            # later writes stay hive-laid under the clone root
+            partition_by=self._partition_by_at(version),
             schema=sch,
             dropped=drp,
             mapping=self._mapping_at(version),
@@ -3854,20 +3979,53 @@ class VersionedTable:
             return float(val)
         return self._commit_ts(self._versions()[0])
 
-    def detail(self) -> dict:
+    def detail(self, distributed: bool = False) -> dict:
         """DESCRIBE DETAIL (Delta parity): one row about the CURRENT
         snapshot. ``size_bytes`` stats every live file — a maintenance
-        call, priced like VACUUM's sweep, not a planning-path call."""
+        call, priced like VACUUM's sweep, not a planning-path call.
+
+        ``distributed=True`` runs the per-file stat as a Spark job
+        (parallelize file names → per-partition stat → sum) instead of a
+        driver loop — the object-store shape, where a sequential
+        million-HEAD loop on the driver is the bottleneck the measured
+        ~4 µs/file local figure understates. Requires executors to see
+        the table's filesystem (true for any shared FS / object store;
+        trivially true on local mode)."""
         latest = self.latest_version()
         if latest is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
         files = self._state(latest)
-        size = 0
-        for f in files:
-            try:
-                size += os.path.getsize(os.path.join(self.path, f))
-            except OSError:
-                pass  # racing vacuum/rewrite: best-effort
+        if distributed and files:
+            base_path = self.path
+
+            def _sizes(paths):
+                import os as _os
+
+                total = 0
+                for rel in paths:
+                    try:
+                        total += _os.path.getsize(
+                            _os.path.join(base_path, rel)
+                        )
+                    except OSError:
+                        pass  # racing vacuum/rewrite: best-effort
+                yield total
+
+            sc = self.spark.sparkContext
+            size = sum(
+                sc.parallelize(
+                    files, max(1, min(64, len(files) // 1000 + 1))
+                )
+                .mapPartitions(_sizes)
+                .collect()
+            )
+        else:
+            size = 0
+            for f in files:
+                try:
+                    size += os.path.getsize(os.path.join(self.path, f))
+                except OSError:
+                    pass  # racing vacuum/rewrite: best-effort
         vs = self._versions()
         return {
             "location": self.path,
@@ -3902,6 +4060,7 @@ class VersionedTable:
         retain_last: int = 1,
         grace_seconds: float = 600.0,
         retain_hours: float | None = None,
+        distributed: bool = False,
     ) -> int:
         """Delete data files unreferenced by the retained versions (and
         their manifests). Returns files removed.
@@ -3923,7 +4082,18 @@ class VersionedTable:
         in-flight writer's fresh files are always momentarily
         unreferenced; vacuuming them would let its commit succeed while
         pointing at deleted files. Pass 0 only when no concurrent writer
-        can exist."""
+        can exist.
+
+        ``distributed=True`` runs the data-file sweep — the LIST, the
+        stat, the unreferenced test and the DELETE — as one Spark job:
+        top-level subtrees fan out to executors, the keep set travels as
+        a broadcast, and each partition walks/stats/removes its subtree
+        (Delta's own vacuum is a Spark job for exactly this reason: on
+        an object store the sequential driver walk IS the cost). The
+        decision logic is identical to the driver path; root-level
+        files, sidecar dirs (_dv/_cdc) and manifests stay driver-side
+        (bounded by version count, not file count). Requires executors
+        to see the table's filesystem."""
         import time as _time
 
         now = _time.time()
@@ -3978,27 +4148,86 @@ class VersionedTable:
         ):
             self._write_checkpoint(oldest_kept)
         removed = 0
-        # recursive: partitioned tables keep data under col=value/ dirs;
-        # staging, log and change dirs are pruned from the walk
-        for root, dirs, names in os.walk(self.path):
-            if root == self.path:
-                dirs[:] = [
-                    d
-                    for d in dirs
-                    if d not in ("_log", "_cdc", "_dv")
-                    and not d.startswith("__stage__")
-                ]
-            for f in names:
-                if not f.endswith(".parquet"):
+        if distributed:
+            # fan the subtree sweeps out to executors; the driver keeps
+            # only the root's direct files (no subtree) and the decision
+            # inputs (keep set + grace) travel once as a broadcast
+            sub_dirs = [
+                os.path.join(self.path, d)
+                for d in os.listdir(self.path)
+                if os.path.isdir(os.path.join(self.path, d))
+                and d not in ("_log", "_cdc", "_dv")
+                and not d.startswith("__stage__")
+            ]
+            if sub_dirs:
+                base_path = self.path
+                sc = self.spark.sparkContext
+                bc_keep = sc.broadcast(keep_files)
+                grace, cut_now = grace_seconds, now
+
+                def _sweep(dirs_iter):
+                    import os as _os
+
+                    n = 0
+                    for d in dirs_iter:
+                        for root, _dirs, names in _os.walk(d):
+                            for f in names:
+                                if not f.endswith(".parquet"):
+                                    continue
+                                p = _os.path.join(root, f)
+                                rel = _os.path.relpath(p, base_path)
+                                if rel in bc_keep.value:
+                                    continue
+                                try:
+                                    if (
+                                        cut_now - _os.path.getmtime(p)
+                                        < grace
+                                    ):
+                                        continue
+                                    _os.remove(p)
+                                    n += 1
+                                except OSError:
+                                    pass  # concurrent vacuum won the race
+                    yield n
+
+                removed += sum(
+                    sc.parallelize(sub_dirs, max(1, len(sub_dirs)))
+                    .mapPartitions(_sweep)
+                    .collect()
+                )
+            # root-level files: bounded, driver-side
+            for f in os.listdir(self.path):
+                if not f.endswith(".parquet") or f in keep_files:
                     continue
-                rel = os.path.relpath(os.path.join(root, f), self.path)
-                if rel in keep_files:
-                    continue
-                full = os.path.join(self.path, rel)
-                if not _old_enough(full):
-                    continue
-                os.remove(full)
-                removed += 1
+                full = os.path.join(self.path, f)
+                if os.path.isfile(full) and _old_enough(full):
+                    try:
+                        os.remove(full)
+                        removed += 1
+                    except OSError:
+                        pass
+        else:
+            # recursive: partitioned tables keep data under col=value/
+            # dirs; staging, log and change dirs are pruned from the walk
+            for root, dirs, names in os.walk(self.path):
+                if root == self.path:
+                    dirs[:] = [
+                        d
+                        for d in dirs
+                        if d not in ("_log", "_cdc", "_dv")
+                        and not d.startswith("__stage__")
+                    ]
+                for f in names:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    if rel in keep_files:
+                        continue
+                    full = os.path.join(self.path, rel)
+                    if not _old_enough(full):
+                        continue
+                    os.remove(full)
+                    removed += 1
         # sweep partition directories a removal emptied (best-effort;
         # harmless if a concurrent writer recreates one)
         for root, dirs, names in os.walk(self.path, topdown=False):

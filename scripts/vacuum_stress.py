@@ -69,5 +69,46 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def main_distributed() -> None:
+    """End-to-end vacuum through BOTH sweep paths on a real versioned
+    table with synthetic orphans (the sweep never reads data bytes, so
+    empty orphan files measure the real list/stat/delete cost). On a
+    local FS the driver loop is expected to WIN — the distributed path's
+    value is the object store, where each stat/delete is a network RTT
+    and the fan-out is the point; this measures the local-mode overhead
+    so the trade is documented, not guessed."""
+    from as_etl_storage_spark.session import get_spark
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark = get_spark("vacuum-stress")
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    out = {"case": "vacuum_distributed", "orphans": n}
+    for mode, distributed in (("driver", False), ("spark_job", True)):
+        root = tempfile.mkdtemp(prefix="vac_dist_")
+        try:
+            vt = VersionedTable(spark, root)
+            vt.overwrite(spark.range(100).coalesce(2))  # v0
+            vt.overwrite(spark.range(100, 200).coalesce(2))  # v1
+            build(root, n)  # orphans under k=*/ dirs
+            t0 = time.perf_counter()
+            removed = vt.vacuum(
+                retain_last=1, grace_seconds=0.0, distributed=distributed
+            )
+            dt = time.perf_counter() - t0
+            assert removed >= n, (mode, removed)
+            assert vt.read().count() == 100
+            out[mode] = {
+                "sweep_sec": round(dt, 3),
+                "usec_per_file": round(dt / removed * 1e6, 1),
+                "removed": removed,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "distributed":
+        main_distributed()
+    else:
+        main()

@@ -1338,3 +1338,32 @@ def test_versioned_changes_stream_clone_applies_dv(spark, tmp_path):
     out = _drain_versioned_changes(spark, str(tmp_path / "c"), str(tmp_path / "cp"))
     rows = [r for _, b in out for r in b]
     assert sorted(r.id for r in rows) == list(range(4, 10))
+
+
+def test_versioned_changes_stream_tails_a_partitioned_clone(
+    spark, tmp_path
+):
+    """The CDC stream on a partitioned SHALLOW CLONE parses partition
+    values from the external absolute references' hive segments — the
+    clone's v0 delivers correct partition-column values, and its own
+    later hive-laid appends keep working."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "s"))
+    src.overwrite(
+        spark.range(0, 12).select("id", (F.col("id") % 3).alias("k")),
+        partition_by=["k"],
+    )
+    cl = src.clone(str(tmp_path / "c"))
+    cl.append(
+        spark.range(100, 103).select("id", (F.col("id") % 3).alias("k"))
+    )
+    out = _drain_versioned_changes(spark, str(tmp_path / "c"), str(tmp_path / "cp"))
+    rows = [r for _, b in out for r in b]
+    assert sorted(r.id for r in rows) == [*range(12), 100, 101, 102]
+    assert {(r.id, r.k) for r in rows} == {
+        (i, i % 3) for i in [*range(12), 100, 101, 102]
+    }
+    assert {r._commit_version for r in rows} == {0, 1}

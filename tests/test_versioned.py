@@ -3681,14 +3681,6 @@ def test_shallow_clone_historical_and_refusals(spark, tmp_path):
     # target exists
     with pytest.raises(VersionedTableError, match="already has a log"):
         src.clone(str(tmp_path / "c2"))
-    # partitioned source refused
-    part = VersionedTable(spark, str(tmp_path / "p2"))
-    part.overwrite(
-        spark.range(10).select("id", (F.col("id") % 2).alias("k")),
-        partition_by=["k"],
-    )
-    with pytest.raises(VersionedTableError, match="partitioned"):
-        part.clone(str(tmp_path / "c3"))
 
 
 def test_clone_initial_content_is_incremental(spark, tmp_path):
@@ -4210,3 +4202,246 @@ def test_merge_updates_each_duplicate_target_row(spark, tmp_path):
     )
     rows2 = sorted((r.k, r.v) for r in vt2.read().collect())
     assert rows2 == [(1, "Z"), (1, "Z")]
+
+
+def test_clone_partitioned_table(spark, tmp_path):
+    """SHALLOW CLONE of a hive-partitioned source: the external absolute
+    references cannot use basePath reconstruction, so the clone's scans
+    parse partition values IN-PLAN from the files' hive path segments —
+    values, pruning (via the carried degenerate bounds), DML, layout-
+    preserving appends and a materializing compact must all behave
+    exactly as on the source."""
+    from pyspark.sql import functions as F
+
+    src = VersionedTable(spark, str(tmp_path / "ps"))
+    src.overwrite(
+        spark.range(40).select(
+            "id",
+            (F.col("id") % 4).alias("k"),
+            (F.col("id") * 2).alias("v"),
+        ),
+        partition_by=["k"],
+    )
+    src.add_constraint("v_even", "v % 2 = 0")
+    cl = src.clone(str(tmp_path / "pc"))
+    assert cl.partition_columns() == ["k"]
+    # values correct, including the partition column parsed from the
+    # source's path segments
+    got = {(r.id, r.k, r.v) for r in cl.read().collect()}
+    assert got == {(i, i % 4, i * 2) for i in range(40)}
+    # partition pruning on the clone works from the carried stats:
+    # the manifest skip drops the other partitions before Spark lists
+    base = cl.latest_version()
+    kept = cl._prune_files(
+        cl._state(base), cl._stats_at(base), [("k", "=", 1)]
+    )
+    assert 0 < len(kept) < len(cl._state(base))
+    assert sorted(r.id for r in cl.read(prune=[("k", "=", 1)]).collect()) == [
+        i for i in range(40) if i % 4 == 1
+    ]
+    # DML on the clone (file-pruned delete over external references)
+    cl.delete([("k", "=", 2)])
+    assert sorted(r.id for r in cl.read().collect()) == [
+        i for i in range(40) if i % 4 != 2
+    ]
+    # layout-preserving append: new internal hive files mix with the
+    # external references in one snapshot
+    cl.append(
+        spark.range(100, 104).select(
+            "id", (F.col("id") % 4).alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    assert cl.read().count() == 30 + 4
+    assert sorted(
+        r.id for r in cl.read().where("k = 0").collect()
+    ) == [i for i in range(40) if i % 4 == 0] + [100]
+    # constraint carried: odd v refused on the clone
+    with pytest.raises(Exception, match="v_even"):
+        cl.append(
+            spark.range(200, 201).select(
+                "id", (F.col("id") % 4).alias("k"), F.lit(3).alias("v")
+            )
+        )
+    # source untouched throughout
+    assert src.read().count() == 40
+    # compact materializes the clone fully local; values identical
+    before = {(r.id, r.k, r.v) for r in cl.read().collect()}
+    cl.compact()
+    assert all(
+        not f.startswith("/") or f.startswith(str(tmp_path / "pc"))
+        for f in cl._state(cl.latest_version())
+    )
+    assert {(r.id, r.k, r.v) for r in cl.read().collect()} == before
+
+
+def test_clone_partitioned_historical_with_dv(spark, tmp_path):
+    """Partitioned clone of a historical version carries that version's
+    deletion vectors; the clone's snapshot subtracts them through the
+    external references, and time-travel on the SOURCE is unaffected."""
+    from pyspark.sql import functions as F
+
+    src = VersionedTable(spark, str(tmp_path / "hs"))
+    src.overwrite(
+        spark.range(30).select("id", (F.col("id") % 3).alias("k")),
+        partition_by=["k"],
+    )
+    src.delete([("id", "<", 6)], mode="dv")  # v1: vectors only
+    v1 = src.latest_version()
+    src.append(
+        spark.range(100, 105).select("id", (F.col("id") % 3).alias("k"))
+    )  # v2
+    cl = src.clone(str(tmp_path / "hc"), version=v1)
+    assert sorted(r.id for r in cl.read().collect()) == list(range(6, 30))
+    # partition values survive the dv anti-join path too
+    assert sorted(r.id for r in cl.read().where("k = 0").collect()) == [
+        i for i in range(6, 30) if i % 3 == 0
+    ]
+
+
+# ------------------------------------------------- protocol feature gate ---
+def test_unknown_feature_fails_fast_named(spark, tmp_path):
+    """Protocol gating (Delta's minReader/minWriter restated as feature
+    flags): a manifest recording a feature this implementation does not
+    know must fail EVERY snapshot access with the feature NAMED — reads,
+    writes, DML, clone — never misread bytes."""
+    import json
+    import os
+
+    vt = VersionedTable(spark, str(tmp_path / "fg"))
+    vt.overwrite(spark.range(5))
+    # a future writer committed a metadata manifest declaring a feature
+    # from beyond this implementation
+    m = {
+        "version": 1,
+        "op": "enable_frobnication",
+        "add": [],
+        "stats": {},
+        "data_change": False,
+        "base": 0,
+        "features": ["row-frobnication-v2"],
+    }
+    with open(os.path.join(vt.log_dir, "00000001.json"), "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(VersionedTableError, match="row-frobnication-v2"):
+        vt.read()
+    with pytest.raises(VersionedTableError, match="row-frobnication-v2"):
+        vt.append(spark.range(5, 8))
+    with pytest.raises(VersionedTableError, match="row-frobnication-v2"):
+        vt.delete("id = 0")
+    # time travel to BEFORE the feature was enabled still works: v0's
+    # walk never sees the flag (Delta reads old snapshots under the
+    # protocol in force then)
+    assert vt.read(version_as_of=0).count() == 5
+
+
+def test_features_recorded_and_survive_rewrites_and_vacuum(spark, tmp_path):
+    """Each feature is recorded the first time it is committed, carries
+    monotonically across snapshot rewrites, and survives checkpoint-
+    backed log truncation (vacuum) — the fence must not silently drop
+    off the log."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "fr"))
+    vt.overwrite(
+        spark.range(100)
+        .withColumn("v", F.col("id").cast("int"))
+        .repartition(4)
+    )
+    assert vt._features_at(vt.latest_version()) == frozenset()
+    vt.delete("id < 5", mode="dv", dv_rewrite_fraction=2.0)
+    assert "deletion-vectors" in vt._features_at(vt.latest_version())
+    vt.rename_column("v", "val")
+    assert {"deletion-vectors", "column-mapping"} <= vt._features_at(
+        vt.latest_version()
+    )
+    vt.widen_column("val", "bigint")
+    assert "type-widening" in vt._features_at(vt.latest_version())
+    # a full rewrite (compact purges the vectors) keeps the flags:
+    # the protocol never downgrades
+    vt.compact()
+    feats = vt._features_at(vt.latest_version())
+    assert {"deletion-vectors", "column-mapping", "type-widening"} <= feats
+    # vacuum truncates the head; the checkpoint carries the set
+    import time as _t
+
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert {"deletion-vectors", "column-mapping", "type-widening"} <= (
+        vt._features_at(vt.latest_version())
+    )
+    assert vt.read().count() == 95
+
+
+def test_clone_records_external_files_feature(spark, tmp_path):
+    """A SHALLOW CLONE's v0 references absolute external paths — a
+    reader that resolved every name relative to the table root would
+    miss the data entirely, so the clone records 'external-files'; a
+    fully-local compact keeps the flag (monotone, same as Delta)."""
+    src = VersionedTable(spark, str(tmp_path / "s"))
+    src.overwrite(spark.range(10))
+    cl = src.clone(str(tmp_path / "c"))
+    assert "external-files" in cl._features_at(cl.latest_version())
+    assert src._features_at(src.latest_version()) == frozenset()
+
+
+def test_distributed_vacuum_and_detail_match_driver_path(spark, tmp_path):
+    """vacuum(distributed=True)/detail(distributed=True) run the
+    list/stat/delete sweep as a Spark job (the object-store shape);
+    decision logic is identical to the driver path — same files
+    reclaimed, same snapshot surviving, same byte totals — exercised on
+    a hive-partitioned table with deletion vectors so sidecar handling
+    and partition-dir sweeps are covered too."""
+    from pyspark.sql import functions as F
+
+    def build(root):
+        vt = VersionedTable(spark, root)
+        vt.overwrite(
+            spark.range(60).select("id", (F.col("id") % 3).alias("k")),
+            partition_by=["k"],
+        )
+        vt.delete([("id", "<", 10)])            # rewrite: old files orphan
+        vt.delete("id >= 50", mode="dv",
+                  dv_rewrite_fraction=2.0)      # vectors
+        vt.overwrite(
+            spark.range(100, 140).select(
+                "id", (F.col("id") % 3).alias("k")
+            ),
+            partition_by=["k"],
+        )
+        return vt
+
+    import os
+
+    root = str(tmp_path / "b")
+    b = build(root)
+    assert b.detail(distributed=True)["size_bytes"] == b.detail()[
+        "size_bytes"
+    ]
+
+    def on_disk():
+        return {
+            os.path.relpath(os.path.join(r, f), root)
+            for r, _, ns in os.walk(root)
+            for f in ns
+            if f.endswith(".parquet")
+            and "_log" not in r
+            and "_cdc" not in r
+            and "_dv" not in r
+        }
+
+    # the doomed set the sweep must reclaim: data files of vacuumed
+    # versions not referenced by the retained snapshot
+    keep = set(b._state(b.latest_version()))
+    doomed = on_disk() - keep
+    assert doomed, "scenario must produce unreferenced files"
+    removed = b.vacuum(
+        retain_last=1, grace_seconds=0.0, distributed=True
+    )
+    # every doomed data file reclaimed (dv/cdc sidecars add to the
+    # count; the data-file portion is exact)
+    assert removed >= len(doomed)
+    assert on_disk() == keep
+    # the table reads green through the distributed-swept state
+    assert sorted(r.id for r in b.read().collect()) == list(
+        range(100, 140)
+    )
+    assert b.count() == 40
