@@ -1632,6 +1632,70 @@ _register(
 )
 
 
+def _w_versioned_merge_conditional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional MERGE clauses (Delta's whenMatchedUpdate(condition),
+    whenNotMatchedInsert(condition); writers/versioned.py:merge): the
+    matched clause is guarded by the classic CDC rule ``source.
+    o_totalprice > target.o_totalprice`` — stale source rows (here the
+    'O'/'P' restatements, priced LOWER) leave their target rows
+    untouched while fresh ones ('F', priced higher) update; the insert
+    clause is guarded by a positivity check that drops half the new
+    keys. Every guard is oracle-reconstructed as a CASE/WHERE."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mk = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders)
+    restate = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "F", F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice") - 1),
+    )
+    fresh = orders.select(
+        (F.col("o_orderkey") + mk + 1).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(50.0))
+        .otherwise(F.lit(-50.0))
+        .alias("o_totalprice"),
+    )
+    vt.merge(
+        restate.unionByName(fresh),
+        ["o_orderkey"],
+        when_matched_condition="source.o_totalprice > target.o_totalprice",
+        when_not_matched_condition="o_totalprice > 0",
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge_conditional",
+    _w_versioned_merge_conditional,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+           'N' AS o_orderstatus, 50.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+
+
 def _w_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate scoped overwrite (Delta's replaceWhere;
     writers/versioned.py:replace_where): restate the low-key half of the

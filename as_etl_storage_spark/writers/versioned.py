@@ -2529,6 +2529,71 @@ class VersionedTable:
             rebase_on_appends=self._phys_triples(triples, mapping),
         )
 
+    def _matched_pairs(
+        self, matched_t: DataFrame, source: DataFrame, on: list[str]
+    ) -> tuple[DataFrame, list[str]]:
+        """Each matched target row paired with its (unique, cardinality-
+        checked) source row, carrying ``target``/``source`` STRUCT
+        columns so clause conditions can reference both sides by name —
+        ``source.ts > target.ts`` — exactly Delta's merge aliases,
+        restated as struct field access so the whole condition stays in
+        codegen. The flat columns remain the TARGET side (bare names in
+        a condition mean the target row). Returns (pair frame, the data
+        column list)."""
+        cols = matched_t.columns
+        if "source" in cols or "target" in cols:
+            raise VersionedTableError(
+                "conditional merge reserves 'source'/'target' as struct "
+                "aliases for clause conditions; rename those columns "
+                "or use an unconditional clause"
+            )
+        tgt = matched_t.withColumn(
+            "target", F.struct(*[F.col(c) for c in cols])
+        )
+        src = source.select(
+            *on,
+            F.struct(*[F.col(c) for c in source.columns]).alias("source"),
+        )
+        return tgt.join(src, on=on, how="inner"), cols
+
+    def _matched_split(
+        self,
+        matched_t: DataFrame,
+        source: DataFrame,
+        on: list[str],
+        condition,
+    ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+        """Split the matched target rows by a clause condition:
+        (apply_pre, updated, carry) — the rows the clause applies to
+        (target side, the CDF preimages), their source-valued
+        replacements (one per target row), and the condition-FALSE rows
+        carried unchanged (None when the clause is unconditional: every
+        matched row applies). A NULL condition outcome means "clause
+        does not apply" (SQL: only TRUE matches), so those rows carry.
+
+        The unconditional path never builds the struct aliases (so the
+        'source'/'target' name reservation only applies when a condition
+        actually needs them): per-target-row multiplicity survives the
+        keys-only projection into the inner join either way — source
+        keys are unique among matched rows (cardinality-checked), so
+        each target row meets exactly one source row."""
+        cols = matched_t.columns
+        if condition is None:
+            updated = (
+                matched_t.select(*on)
+                .join(source, on=on, how="inner")
+                .select(*cols)
+            )
+            return matched_t, updated, None
+        pair, cols = self._matched_pairs(matched_t, source, on)
+        updated_cols = [F.col(f"source.{c}").alias(c) for c in cols]
+        cond = self._as_condition(condition)
+        return (
+            pair.where(cond).select(*cols),
+            pair.where(cond).select(*updated_cols),
+            pair.where(~cond).select(*cols),
+        )
+
     def merge(
         self,
         source: DataFrame,
@@ -2537,6 +2602,9 @@ class VersionedTable:
         when_matched: str | None = "update",
         when_not_matched: str | None = "insert",
         when_not_matched_by_source: str | None = None,
+        when_matched_condition=None,
+        when_not_matched_condition=None,
+        when_not_matched_by_source_condition=None,
     ) -> int | None:
         """MERGE ``source`` into the table on equi-keys ``on`` (Delta's
         MERGE INTO, the upsert/CDC-apply primitive). ``when_matched``:
@@ -2578,7 +2646,24 @@ class VersionedTable:
         (rand-filtered, freshly sampled) still splits consistently
         across the discovery / rewrite / insert jobs. Returns the new
         version, or None when the merge is a complete no-op (no matches
-        and nothing to insert)."""
+        and nothing to insert).
+
+        Clause CONDITIONS (Delta's ``whenMatchedUpdate(condition=...)``
+        family): each ``*_condition`` is a SQL string or Column
+        narrowing its clause — a row the condition does not match (FALSE
+        or NULL) is left untouched instead. ``when_matched_condition``
+        sees BOTH rows through ``source.<col>`` / ``target.<col>``
+        struct aliases (bare names mean the target side) — the classic
+        CDC guard ``source.ts > target.ts`` works verbatim;
+        ``when_not_matched_condition`` sees the source row (bare names);
+        ``when_not_matched_by_source_condition`` sees the target row
+        (bare names). A matched condition also narrows the TOUCHED-FILE
+        discovery: a file whose key matches are all condition-false is
+        carried by name, never rewritten. A by-source condition disables
+        the wholesale-drop optimization (an unmatched row now survives
+        unless the condition says otherwise, so every file must be
+        read), but files outside the candidate set still rewrite rather
+        than re-derive matches."""
         if when_matched not in ("update", "delete", None):
             raise VersionedTableError(
                 f"when_matched must be 'update', 'delete' or None, "
@@ -2594,6 +2679,24 @@ class VersionedTable:
                 f"when_not_matched_by_source must be 'delete' or None, "
                 f"got {when_not_matched_by_source!r}"
             )
+        for cname, cval, clause in (
+            ("when_matched_condition", when_matched_condition, when_matched),
+            (
+                "when_not_matched_condition",
+                when_not_matched_condition,
+                when_not_matched,
+            ),
+            (
+                "when_not_matched_by_source_condition",
+                when_not_matched_by_source_condition,
+                when_not_matched_by_source,
+            ),
+        ):
+            if cval is not None and clause is None:
+                raise VersionedTableError(
+                    f"{cname} given but its clause is None — a condition "
+                    f"narrows a clause, it cannot replace one"
+                )
         base = self.latest_version()
         if base is None:
             if when_not_matched == "insert":
@@ -2690,6 +2793,9 @@ class VersionedTable:
                 triples,
                 when_not_matched_by_source,
                 mapping,
+                when_matched_condition,
+                when_not_matched_condition,
+                when_not_matched_by_source_condition,
             )
         finally:
             source.unpersist()
@@ -2711,6 +2817,9 @@ class VersionedTable:
         envelope: list[tuple[str, str, object]] | None = None,
         when_not_matched_by_source: str | None = None,
         mapping: dict[str, str] | None = None,
+        when_matched_condition=None,
+        when_not_matched_condition=None,
+        when_not_matched_by_source_condition=None,
     ) -> int | None:
         if mapping is None:
             mapping = self._mapping_at(base)
@@ -2744,24 +2853,45 @@ class VersionedTable:
                 cand_keys,
                 candidates,
                 mapping,
+                when_matched_condition,
+                when_not_matched_condition,
+                when_not_matched_by_source_condition,
             )
+
+        def _inserts():
+            ins = source.join(cand_keys, on=on, how="left_anti")
+            if when_not_matched_condition is not None:
+                # narrows the insert clause: source rows failing it are
+                # dropped, not inserted (bare names = source columns)
+                ins = ins.where(
+                    self._as_condition(when_not_matched_condition)
+                )
+            return ins
+
         touched: list[str] = []
         untouched = files
         if when_matched is not None and candidates:
-            t_rows = (
-                self._scan_files(
-                    candidates,
-                    self._scan_schema(base),
-                    self._dv_at(base),
-                    keep_identity=True,
-                    mapping=mapping,
-                    partition_by=pb,
-                )
-                .join(src_keys, on=on, how="left_semi")
-                .select(self._FILE_NAME)
-                .distinct()
-                .collect()
+            disc = self._scan_files(
+                candidates,
+                self._scan_schema(base),
+                self._dv_at(base),
+                keep_identity=True,
+                mapping=mapping,
+                partition_by=pb,
             )
+            if when_matched_condition is not None:
+                # condition-narrowed discovery: a file whose key matches
+                # are all condition-false holds nothing the clause
+                # applies to — carried by name, never rewritten (Delta
+                # evaluates the full match condition in its touched-file
+                # scan for the same reason)
+                pair_c, _ = self._matched_pairs(disc, source, on)
+                disc = pair_c.where(
+                    self._as_condition(when_matched_condition)
+                )
+            else:
+                disc = disc.join(src_keys, on=on, how="left_semi")
+            t_rows = disc.select(self._FILE_NAME).distinct().collect()
             t_set = {r[self._FILE_NAME] for r in t_rows}
             touched = [f for f in files if os.path.basename(f) in t_set]
             untouched = [
@@ -2777,30 +2907,28 @@ class VersionedTable:
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
                 cons = self._constraints_at(base)
-                pre = scan_t.join(src_keys, on=on, how="left_semi")
+                matched_t = scan_t.join(src_keys, on=on, how="left_semi")
+                # split the matched rows by the clause condition: the
+                # clause applies to apply_pre (each target row — Delta's
+                # whenMatchedUpdateAll multiplicity: duplicate-key
+                # targets keep theirs), condition-false rows carry
+                apply_pre, updated, carry = self._matched_split(
+                    matched_t, source, on, when_matched_condition
+                )
                 if when_matched == "update":
-                    # update EACH matched target row (Delta's
-                    # whenMatchedUpdateAll): a target holding two rows
-                    # with the same key keeps two updated rows — the
-                    # per-target-row multiplicity survives through the
-                    # keys-only projection (no distinct) into the inner
-                    # join; source keys are unique among matched rows
-                    # (cardinality check above), so each target row
-                    # meets exactly one source row
-                    updated = (
-                        pre.select(*on)
-                        .join(source, on=on, how="inner")
-                        .select(*scan_t.columns)
-                    )
                     rewritten = kept.unionByName(
                         self._checked(updated, cons)
                     )
                 else:  # delete
                     rewritten = kept
+                if carry is not None:
+                    rewritten = rewritten.unionByName(carry)
                 new_files += self._write_data_files(rewritten, pb, mapping)
                 if when_matched == "update":
                     cdc_frames.append(
-                        pre.withColumn("_change_type", F.lit("update_preimage"))
+                        apply_pre.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        )
                     )
                     # one postimage PER updated target row, pairing the
                     # preimages (not one per source key)
@@ -2811,10 +2939,10 @@ class VersionedTable:
                     )
                 else:
                     cdc_frames.append(
-                        pre.withColumn("_change_type", F.lit("delete"))
+                        apply_pre.withColumn("_change_type", F.lit("delete"))
                     )
                 if when_not_matched == "insert":
-                    inserts = source.join(cand_keys, on=on, how="left_anti")
+                    inserts = _inserts()
                     if not inserts.isEmpty():
                         new_files += self._write_data_files(
                             self._checked(inserts, cons), pb, mapping
@@ -2833,7 +2961,7 @@ class VersionedTable:
         else:
             if when_not_matched != "insert":
                 return None  # no matches, nothing to insert
-            inserts = source.join(cand_keys, on=on, how="left_anti")
+            inserts = _inserts()
             if inserts.isEmpty():
                 return None  # nothing matched AND nothing new
             new_files = self._write_data_files(
@@ -2875,18 +3003,31 @@ class VersionedTable:
         cand_keys: DataFrame,
         candidates: list[str],
         mapping: dict[str, str],
+        when_matched_condition=None,
+        when_not_matched_condition=None,
+        when_not_matched_by_source_condition=None,
     ) -> int | None:
         """MERGE with ``when_not_matched_by_source='delete'``: target
         rows matching no source key are removed. Scale shape: files
         outside the candidate set, or holding no key match, contain ONLY
         doomed rows — they are dropped from the snapshot WHOLESALE
         (scanned once for their CDF delete rows, never rewritten); only
-        key-matched files rewrite. Commits with the abort-on-anything
-        conflict rule: the read set is the whole table."""
+        key-matched files rewrite. A by-source CONDITION disables the
+        wholesale drop (an unmatched row now survives unless the
+        condition says otherwise, so every file is read and rewritten
+        keeping its condition-false rows). Commits with the
+        abort-on-anything conflict rule: the read set is the whole
+        table."""
         sch = self._scan_schema(base)
         dv = self._dv_at(base)
         cons = self._constraints_at(base)
-        # key-matched files among the candidates (the only rewrites)
+        bcond = (
+            self._as_condition(when_not_matched_by_source_condition)
+            if when_not_matched_by_source_condition is not None
+            else None
+        )
+        # key-matched files among the candidates (the only rewrites when
+        # the by-source clause is unconditional)
         t_set: set[str] = set()
         if candidates:
             t_rows = (
@@ -2900,10 +3041,26 @@ class VersionedTable:
                 .collect()
             )
             t_set = {r[self._FILE_NAME] for r in t_rows}
-        touched = [f for f in files if os.path.basename(f) in t_set]
-        dropped_whole = [
-            f for f in files if os.path.basename(f) not in t_set
-        ]
+        if bcond is not None:
+            # conditional by-source delete: no file holds ONLY doomed
+            # rows a priori — every file rewrites, keeping unmatched
+            # rows the condition spares
+            touched = list(files)
+            dropped_whole: list[str] = []
+        else:
+            touched = [f for f in files if os.path.basename(f) in t_set]
+            dropped_whole = [
+                f for f in files if os.path.basename(f) not in t_set
+            ]
+
+        def _inserts():
+            ins = source.join(cand_keys, on=on, how="left_anti")
+            if when_not_matched_condition is not None:
+                ins = ins.where(
+                    self._as_condition(when_not_matched_condition)
+                )
+            return ins
+
         new_files: list[str] = []
         cdc_frames: list[DataFrame] = []
         if touched:
@@ -2912,25 +3069,32 @@ class VersionedTable:
             ).persist()
             try:
                 matched_t = scan_t.join(src_keys, on=on, how="left_semi")
-                # by-source delete: unmatched rows in touched files go
+                # by-source delete: unmatched rows in touched files go —
+                # unless a by-source condition spares them
                 unmatched_t = scan_t.join(src_keys, on=on, how="left_anti")
+                if bcond is not None:
+                    doomed_u = unmatched_t.where(bcond)
+                    carried_u = unmatched_t.where(~bcond)
+                else:
+                    doomed_u, carried_u = unmatched_t, None
                 cdc_frames.append(
-                    unmatched_t.withColumn("_change_type", F.lit("delete"))
+                    doomed_u.withColumn("_change_type", F.lit("delete"))
                 )
+                rewritten_frames: list[DataFrame] = []
+                if carried_u is not None:
+                    rewritten_frames.append(carried_u)
+                # split matched rows by the matched-clause condition:
+                # condition-false rows carry (each target row, dup-key
+                # multiplicity preserved — same rule as the plain path)
+                apply_pre, updated, carry_m = self._matched_split(
+                    matched_t, source, on, when_matched_condition
+                )
+                if carry_m is not None:
+                    rewritten_frames.append(carry_m)
                 if when_matched == "update":
-                    # update EACH matched target row (duplicate-key
-                    # targets keep their multiplicity) — same rule as
-                    # the plain-merge path
-                    updated = (
-                        matched_t.select(*on)
-                        .join(source, on=on, how="inner")
-                        .select(*scan_t.columns)
-                    )
-                    new_files += self._write_data_files(
-                        self._checked(updated, cons), pb, mapping
-                    )
+                    rewritten_frames.append(self._checked(updated, cons))
                     cdc_frames.append(
-                        matched_t.withColumn(
+                        apply_pre.withColumn(
                             "_change_type", F.lit("update_preimage")
                         )
                     )
@@ -2941,17 +3105,25 @@ class VersionedTable:
                     )
                 elif when_matched == "delete":
                     cdc_frames.append(
-                        matched_t.withColumn(
+                        apply_pre.withColumn(
                             "_change_type", F.lit("delete")
                         )
                     )
                 else:  # None: matched rows carried as-is (but rewritten —
-                    # their files lose the unmatched rows)
+                    # their files lose the doomed unmatched rows)
+                    rewritten_frames.append(matched_t)
+                if rewritten_frames:
+                    from functools import reduce as _reduce
+
                     new_files += self._write_data_files(
-                        matched_t, pb, mapping
+                        _reduce(
+                            lambda a, b: a.unionByName(b), rewritten_frames
+                        ),
+                        pb,
+                        mapping,
                     )
                 if when_not_matched == "insert":
-                    inserts = source.join(cand_keys, on=on, how="left_anti")
+                    inserts = _inserts()
                     if not inserts.isEmpty():
                         new_files += self._write_data_files(
                             self._checked(inserts, cons), pb, mapping
@@ -2981,7 +3153,7 @@ class VersionedTable:
         else:
             # no key-matched file: the whole table is doomed rows
             if when_not_matched == "insert":
-                inserts = source.join(cand_keys, on=on, how="left_anti")
+                inserts = _inserts()
                 if not inserts.isEmpty():
                     new_files += self._write_data_files(
                         self._checked(inserts, cons), pb, mapping

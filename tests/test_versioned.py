@@ -4445,3 +4445,138 @@ def test_distributed_vacuum_and_detail_match_driver_path(spark, tmp_path):
         range(100, 140)
     )
     assert b.count() == 40
+
+
+# ------------------------------------------------ conditional MERGE ---
+def test_merge_matched_condition_cdc_guard(spark, tmp_path):
+    """whenMatchedUpdate(condition=...): the classic CDC guard
+    'source.ts > target.ts' — stale source rows leave their target rows
+    untouched; fresh ones update. Condition-narrowed discovery: a file
+    whose key matches are all condition-false is carried BY NAME."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cm"))
+    # two one-file slices: ids 0-4 (ts=10), ids 5-9 (ts=10)
+    vt.overwrite(
+        spark.range(0, 5)
+        .select("id", F.lit(10).alias("ts"), F.lit("old").alias("v"))
+        .coalesce(1)
+    )
+    vt.append(
+        spark.range(5, 10)
+        .select("id", F.lit(10).alias("ts"), F.lit("old").alias("v"))
+        .coalesce(1)
+    )
+    before = set(vt._state(vt.latest_version()))
+    # source: fresh rows for 0-4 (ts=20), STALE rows for 5-9 (ts=5)
+    src = spark.range(0, 10).select(
+        "id",
+        F.when(F.col("id") < 5, 20).otherwise(5).alias("ts"),
+        F.lit("new").alias("v"),
+    )
+    v = vt.merge(
+        src, ["id"], when_matched_condition="source.ts > target.ts"
+    )
+    out = {r.id: (r.ts, r.v) for r in vt.read().collect()}
+    assert all(out[i] == (20, "new") for i in range(5))
+    assert all(out[i] == (10, "old") for i in range(5, 10))
+    # the all-stale file was never rewritten: carried by name
+    after = set(vt._state(v))
+    assert len(before & after) == 1
+    # CDF pairs only for the rows the clause applied to
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    assert feed.where("_change_type = 'update_preimage'").count() == 5
+    assert feed.where("_change_type = 'update_postimage'").count() == 5
+
+
+def test_merge_not_matched_condition_filters_inserts(spark, tmp_path):
+    """whenNotMatchedInsert(condition=...): source rows matching no
+    target key insert ONLY when the condition passes (bare names =
+    source columns)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "ci"))
+    vt.overwrite(spark.range(0, 5).withColumn("v", F.lit(1)))
+    src = spark.range(0, 12).withColumn("v", F.lit(2))
+    vt.merge(
+        src, ["id"],
+        when_matched=None,
+        when_not_matched_condition="id % 2 = 0",
+    )
+    got = sorted(r.id for r in vt.read().collect())
+    assert got == [0, 1, 2, 3, 4, 6, 8, 10]
+
+
+def test_merge_delete_with_condition(spark, tmp_path):
+    """whenMatchedDelete(condition=...): only condition-true matched
+    rows die; the rest are carried through the rewrite unchanged."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cd"))
+    vt.overwrite(
+        spark.range(0, 10).select("id", (F.col("id") % 2).alias("flag"))
+    )
+    src = spark.range(0, 10).select("id", F.lit(0).alias("flag"))
+    v = vt.merge(
+        src, ["id"],
+        when_matched="delete",
+        when_not_matched=None,
+        when_matched_condition="target.flag = 1",
+    )
+    assert sorted(r.id for r in vt.read().collect()) == [
+        i for i in range(10) if i % 2 == 0
+    ]
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    assert feed.where("_change_type = 'delete'").count() == 5
+
+
+def test_merge_by_source_condition_spares_rows(spark, tmp_path):
+    """when_not_matched_by_source='delete' with a condition (Delta's
+    conditional third clause): unmatched target rows die ONLY when the
+    condition passes — the retention-window mirror ('delete rows absent
+    from the source AND older than X')."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cb"))
+    vt.overwrite(
+        spark.range(0, 10).select("id", (F.col("id") * 10).alias("age"))
+    )
+    # source holds only ids 0-2; unmatched 3-9 die only when age > 60
+    src = spark.range(0, 3).select("id", (F.col("id") * 10).alias("age"))
+    v = vt.merge(
+        src, ["id"],
+        when_not_matched_by_source="delete",
+        when_not_matched_by_source_condition="age > 60",
+    )
+    assert sorted(r.id for r in vt.read().collect()) == [0, 1, 2, 3, 4, 5, 6]
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    assert sorted(
+        r.id for r in feed.where("_change_type = 'delete'").collect()
+    ) == [7, 8, 9]
+
+
+def test_merge_condition_validation(spark, tmp_path):
+    """A condition without its clause is a config error, and the
+    struct aliases are reserved only when a condition needs them."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "cv"))
+    vt.overwrite(spark.range(3).withColumn("v", F.lit(1)))
+    with pytest.raises(VersionedTableError, match="cannot replace"):
+        vt.merge(
+            spark.range(3).withColumn("v", F.lit(2)), ["id"],
+            when_matched=None, when_matched_condition="v = 1",
+        )
+    # a column literally named 'source' is fine for unconditional merge
+    vt2 = VersionedTable(spark, str(tmp_path / "cv2"))
+    vt2.overwrite(spark.range(3).withColumn("source", F.lit("a")))
+    vt2.merge(
+        spark.range(3).withColumn("source", F.lit("b")), ["id"]
+    )
+    assert {r.source for r in vt2.read().collect()} == {"b"}
+    # ...but refused when a condition needs the struct aliases
+    with pytest.raises(VersionedTableError, match="reserves"):
+        vt2.merge(
+            spark.range(3).withColumn("source", F.lit("c")), ["id"],
+            when_matched_condition="target.id >= 0",
+        )
