@@ -1696,6 +1696,55 @@ _register(
 )
 
 
+def _w_versioned_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level MERGE SET (Delta's whenMatchedUpdate(set={...}),
+    writers/versioned.py:merge): matched rows ACCUMULATE
+    ``target.o_totalprice + source.o_totalprice`` while every other
+    column keeps the target's value — the partial-update form. The
+    source holds only the 'F' rows, so the oracle is a CASE doubling
+    exactly those prices; a whole-row replace (UpdateAll) would also
+    pass here, so the query additionally sets a sentinel status in the
+    source that must NOT surface (kept columns keep target values)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmset-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders)
+    src = orders.where("o_orderstatus = 'F'").withColumn(
+        "o_orderstatus", F.lit("SENTINEL")
+    )
+    vt.merge(
+        src,
+        ["o_orderkey"],
+        when_matched_set={
+            "o_totalprice": "target.o_totalprice + source.o_totalprice"
+        },
+        when_not_matched=None,
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge_set",
+    _w_versioned_merge_set,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-predicate scoped overwrite (Delta's replaceWhere;
     writers/versioned.py:replace_where): restate the low-key half of the

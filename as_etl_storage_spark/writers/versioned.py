@@ -2562,6 +2562,7 @@ class VersionedTable:
         source: DataFrame,
         on: list[str],
         condition,
+        update_set: dict[str, str] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """Split the matched target rows by a clause condition:
         (apply_pre, updated, carry) — the rows the clause applies to
@@ -2571,14 +2572,21 @@ class VersionedTable:
         matched row applies). A NULL condition outcome means "clause
         does not apply" (SQL: only TRUE matches), so those rows carry.
 
-        The unconditional path never builds the struct aliases (so the
-        'source'/'target' name reservation only applies when a condition
-        actually needs them): per-target-row multiplicity survives the
-        keys-only projection into the inner join either way — source
-        keys are unique among matched rows (cardinality-checked), so
-        each target row meets exactly one source row."""
+        ``update_set`` (Delta's column-level ``whenMatchedUpdate(set=
+        {...})``): col → SQL expression over the ``source.``/``target.``
+        aliases (bare names = target side); SET columns take the
+        expression's value, every other column KEEPS the target's —
+        whole-row replacement (UpdateAll) when None.
+
+        The plain unconditional path never builds the struct aliases
+        (so the 'source'/'target' name reservation only applies when a
+        condition or SET map actually needs them): per-target-row
+        multiplicity survives the keys-only projection into the inner
+        join either way — source keys are unique among matched rows
+        (cardinality-checked), so each target row meets exactly one
+        source row."""
         cols = matched_t.columns
-        if condition is None:
+        if condition is None and update_set is None:
             updated = (
                 matched_t.select(*on)
                 .join(source, on=on, how="inner")
@@ -2586,7 +2594,21 @@ class VersionedTable:
             )
             return matched_t, updated, None
         pair, cols = self._matched_pairs(matched_t, source, on)
-        updated_cols = [F.col(f"source.{c}").alias(c) for c in cols]
+        if update_set is None:
+            updated_cols = [F.col(f"source.{c}").alias(c) for c in cols]
+        else:
+            updated_cols = [
+                F.expr(update_set[c]).alias(c)
+                if c in update_set
+                else F.col(f"target.{c}").alias(c)
+                for c in cols
+            ]
+        if condition is None:
+            return (
+                matched_t,
+                pair.select(*updated_cols),
+                None,
+            )
         cond = self._as_condition(condition)
         return (
             pair.where(cond).select(*cols),
@@ -2605,6 +2627,7 @@ class VersionedTable:
         when_matched_condition=None,
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
+        when_matched_set: dict[str, str] | None = None,
     ) -> int | None:
         """MERGE ``source`` into the table on equi-keys ``on`` (Delta's
         MERGE INTO, the upsert/CDC-apply primitive). ``when_matched``:
@@ -2663,7 +2686,16 @@ class VersionedTable:
         the wholesale-drop optimization (an unmatched row now survives
         unless the condition says otherwise, so every file must be
         read), but files outside the candidate set still rewrite rather
-        than re-derive matches."""
+        than re-derive matches.
+
+        ``when_matched_set`` (Delta's column-level ``whenMatchedUpdate(
+        set={...})``): col → SQL expression over the same ``source.``/
+        ``target.`` aliases; SET columns take the expression, all other
+        columns KEEP the target row's value — the partial-update form
+        (``{"cnt": "target.cnt + source.cnt"}`` accumulates instead of
+        replacing). None (the default) is UpdateAll. Merge keys cannot
+        be SET (a key rewrite would silently reclassify the row against
+        this merge's own matched/insert split)."""
         if when_matched not in ("update", "delete", None):
             raise VersionedTableError(
                 f"when_matched must be 'update', 'delete' or None, "
@@ -2697,6 +2729,18 @@ class VersionedTable:
                     f"{cname} given but its clause is None — a condition "
                     f"narrows a clause, it cannot replace one"
                 )
+        if when_matched_set is not None:
+            if when_matched != "update":
+                raise VersionedTableError(
+                    "when_matched_set requires when_matched='update'"
+                )
+            keyed = [c for c in when_matched_set if c in on]
+            if keyed:
+                raise VersionedTableError(
+                    f"when_matched_set cannot SET merge keys {keyed}: a "
+                    f"key rewrite would reclassify the row against this "
+                    f"merge's own matched/insert split"
+                )
         base = self.latest_version()
         if base is None:
             if when_not_matched == "insert":
@@ -2714,6 +2758,13 @@ class VersionedTable:
             raise VersionedTableError(
                 f"merge keys {sorted(missing)} not in columns {target.columns}"
             )
+        if when_matched_set is not None:
+            unknown = sorted(set(when_matched_set) - set(target.columns))
+            if unknown:
+                raise VersionedTableError(
+                    f"when_matched_set names unknown columns {unknown}; "
+                    f"table columns are {target.columns}"
+                )
         # column order AND types normalized to the table schema: an
         # inserted source row with a drifted type would otherwise land in
         # fresh files that poison every later declared-schema scan
@@ -2796,6 +2847,7 @@ class VersionedTable:
                 when_matched_condition,
                 when_not_matched_condition,
                 when_not_matched_by_source_condition,
+                when_matched_set,
             )
         finally:
             source.unpersist()
@@ -2820,6 +2872,7 @@ class VersionedTable:
         when_matched_condition=None,
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
+        when_matched_set: dict[str, str] | None = None,
     ) -> int | None:
         if mapping is None:
             mapping = self._mapping_at(base)
@@ -2856,6 +2909,7 @@ class VersionedTable:
                 when_matched_condition,
                 when_not_matched_condition,
                 when_not_matched_by_source_condition,
+                when_matched_set,
             )
 
         def _inserts():
@@ -2913,9 +2967,18 @@ class VersionedTable:
                 # whenMatchedUpdateAll multiplicity: duplicate-key
                 # targets keep theirs), condition-false rows carry
                 apply_pre, updated, carry = self._matched_split(
-                    matched_t, source, on, when_matched_condition
+                    matched_t, source, on, when_matched_condition,
+                    when_matched_set,
                 )
                 if when_matched == "update":
+                    if when_matched_set is not None:
+                        # SET expressions can drift a column's type —
+                        # re-align so the rewritten files can't poison
+                        # later declared-schema scans (same rule as
+                        # update()'s assignments)
+                        updated, _ = self._align(
+                            updated, self._schema_at(base), False, "merge"
+                        )
                     rewritten = kept.unionByName(
                         self._checked(updated, cons)
                     )
@@ -3006,6 +3069,7 @@ class VersionedTable:
         when_matched_condition=None,
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
+        when_matched_set: dict[str, str] | None = None,
     ) -> int | None:
         """MERGE with ``when_not_matched_by_source='delete'``: target
         rows matching no source key are removed. Scale shape: files
@@ -3087,11 +3151,16 @@ class VersionedTable:
                 # condition-false rows carry (each target row, dup-key
                 # multiplicity preserved — same rule as the plain path)
                 apply_pre, updated, carry_m = self._matched_split(
-                    matched_t, source, on, when_matched_condition
+                    matched_t, source, on, when_matched_condition,
+                    when_matched_set,
                 )
                 if carry_m is not None:
                     rewritten_frames.append(carry_m)
                 if when_matched == "update":
+                    if when_matched_set is not None:
+                        updated, _ = self._align(
+                            updated, self._schema_at(base), False, "merge"
+                        )
                     rewritten_frames.append(self._checked(updated, cons))
                     cdc_frames.append(
                         apply_pre.withColumn(

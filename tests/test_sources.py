@@ -1367,3 +1367,42 @@ def test_versioned_changes_stream_tails_a_partitioned_clone(
         (i, i % 3) for i in [*range(12), 100, 101, 102]
     }
     assert {r._commit_version for r in rows} == {0, 1}
+
+
+def test_versioned_changes_feed_across_replace_where(spark, tmp_path):
+    """A replace_where commit records CDF delete+insert change files, so
+    the readChangeFeed stream applies the restatement incrementally —
+    exactly what a plain overwrite (no change files) can never offer."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.sources.pyds import VersionedChangesDataSource
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    spark.dataSource.register(VersionedChangesDataSource)
+    up = str(tmp_path / "up")
+    vt = VersionedTable(spark, up)
+    vt.append(spark.range(10).withColumn("v", F.lit("a")))       # v0
+    vt.replace_where(
+        spark.range(5, 8).withColumn("v", F.lit("b")), "id >= 5"
+    )                                                             # v1
+
+    out = []
+
+    q = (
+        spark.readStream.format("versioned_changes")
+        .option("path", up)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(lambda df, bid: out.append(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in out for r in b]
+    by = {}
+    for r in rows:
+        by.setdefault((r._change_type, r._commit_version), []).append(r.id)
+    assert sorted(by[("insert", 0)]) == list(range(10))
+    assert sorted(by[("delete", 1)]) == [5, 6, 7, 8, 9]
+    assert sorted(by[("insert", 1)]) == [5, 6, 7]

@@ -4580,3 +4580,50 @@ def test_merge_condition_validation(spark, tmp_path):
             spark.range(3).withColumn("source", F.lit("c")), ["id"],
             when_matched_condition="target.id >= 0",
         )
+
+
+def test_merge_column_level_set(spark, tmp_path):
+    """whenMatchedUpdate(set={...}): SET columns take the expression
+    (over source./target. aliases), every other column KEEPS the target
+    value — the accumulate-instead-of-replace form."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "ms"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+            "k: long, cnt: long, tag: string",
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, 5, "X"), (2, 7, "Y"), (9, 1, "Z")],
+        "k: long, cnt: long, tag: string",
+    )
+    vt.merge(
+        src, ["k"],
+        when_matched_set={"cnt": "target.cnt + source.cnt"},
+    )
+    rows = {r.k: (r.cnt, r.tag) for r in vt.read().collect()}
+    # cnt accumulated, tag KEPT (not replaced by source); key 9 inserted
+    assert rows == {
+        1: (15, "a"), 2: (27, "b"), 3: (30, "c"), 9: (1, "Z")
+    }
+    # composed with a condition: only accumulate when source.cnt > 5
+    vt.merge(
+        src, ["k"],
+        when_matched_set={"cnt": "target.cnt + source.cnt"},
+        when_matched_condition="source.cnt > 5",
+        when_not_matched=None,
+    )
+    rows2 = {r.k: r.cnt for r in vt.read().collect()}
+    assert rows2 == {1: 15, 2: 34, 3: 30, 9: 1}
+    # validation: SET on a merge key / unknown column / delete clause
+    with pytest.raises(VersionedTableError, match="merge keys"):
+        vt.merge(src, ["k"], when_matched_set={"k": "source.k + 1"})
+    with pytest.raises(VersionedTableError, match="unknown columns"):
+        vt.merge(src, ["k"], when_matched_set={"nope": "1"})
+    with pytest.raises(VersionedTableError, match="requires"):
+        vt.merge(
+            src, ["k"], when_matched="delete",
+            when_matched_set={"cnt": "1"},
+        )
