@@ -4036,6 +4036,17 @@ def test_replace_where_partitioned_with_constraints(spark, tmp_path):
     out = sorted(r.id for r in vt.read(prune=[("k", "=", 1)]).collect())
     assert out == list(range(100, 105))
     assert vt.read().count() == 30 + 5
+    # CDF through the hive layout: the insert change rows are read back
+    # from the just-written partitioned files (declared schema +
+    # basePath reconstruction), the deletes from the replaced slice
+    feed = vt.change_feed(from_version=v - 1, to_version=v)
+    assert sorted(
+        r.id for r in feed.where("_change_type = 'insert'").collect()
+    ) == list(range(100, 105))
+    assert feed.where(
+        "_change_type = 'delete' AND k <> 1"
+    ).count() == 0
+    assert feed.where("_change_type = 'delete'").count() == 10
     # constraint still enforced inside replace_where's write
     with pytest.raises(Exception, match="val_pos"):
         vt.replace_where(
