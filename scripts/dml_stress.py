@@ -152,5 +152,99 @@ def main() -> None:
     spark.stop()
 
 
+def main_r12() -> None:
+    """replace_where + conditional merge at the same 1,000-file shape
+    (SCALE.md r12 rows): the predicate-scoped overwrite must cost
+    O(touched files) like the DML it is built on, and a matched
+    condition must narrow MERGE's touched-file discovery so all-stale
+    files are carried by name."""
+    spark = get_spark("dml-stress-r12")
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".scratch",
+        "dml_stress_r12",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    vt = build(spark, os.path.join(scratch, "rw"))
+    base = vt.latest_version()
+    n_files = len(vt._state(base))
+    # restate one file's key range [0, 800): triple form manifest-prunes
+    # discovery; out-of-scope files carried by name
+    new = (
+        spark.range(0, 800)
+        .withColumn("k", F.col("id"))
+        .withColumn("payload", F.lit("restated"))
+    )
+    t_rw, v = timed(
+        lambda: vt.replace_where(new, [("k", "<", 800)])
+    )
+    carried = len(set(vt._state(base)) & set(vt._state(v)))
+    assert vt.read().where("payload = 'restated'").count() == 800
+    assert vt.read().count() == ROWS
+
+    # naive equivalent: full-table overwrite of filter ∪ new
+    vt2 = build(spark, os.path.join(scratch, "rw_naive"))
+    new2 = (
+        spark.range(0, 800)
+        .withColumn("k", F.col("id"))
+        .withColumn("payload", F.lit("restated"))
+    )
+    t_naive, _ = timed(
+        lambda: vt2.overwrite(
+            vt2.read().where(~F.expr("k < 800")).unionByName(new2)
+        )
+    )
+    assert vt2.read().count() == ROWS
+
+    # conditional merge discovery: source hits 5 scattered key ranges
+    # but the matched condition is FALSE for every pair — zero files
+    # may be rewritten (all carried by name)
+    base3 = vt.latest_version()
+    stale = (
+        spark.range(5)
+        .select((F.col("id") * 200_000 + 100).alias("k"))
+        .withColumn("id", F.col("k"))
+        .withColumn("payload", F.lit("stale"))
+        .select("id", "k", "payload")
+    )
+    t_stale, v_stale = timed(
+        lambda: vt.merge(
+            stale, ["k"],
+            when_matched_condition="source.payload < target.payload",
+            when_not_matched=None,
+        )
+    )
+    rewritten_stale = (
+        0
+        if v_stale is None
+        else len(vt._state(base3)) - len(
+            set(vt._state(base3)) & set(vt._state(v_stale))
+        )
+    )
+    assert vt.read().where("payload = 'stale'").count() == 0
+
+    print(
+        json.dumps(
+            {
+                "case": "dml_1k_files_r12",
+                "files": n_files,
+                "sec_replace_where_triple": round(t_rw, 2),
+                "files_carried_by_name": carried,
+                "files_touched": n_files - carried,
+                "sec_naive_full_overwrite": round(t_naive, 2),
+                "sec_merge_all_stale_condition": round(t_stale, 2),
+                "files_rewritten_all_stale": rewritten_stale,
+            }
+        ),
+        flush=True,
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "r12":
+        main_r12()
+    else:
+        main()
