@@ -268,3 +268,61 @@ def test_renamed_column_read_pushes_filters_to_scan(spark, tmp_path):
     assert "ReadSchema: struct<id:bigint,v:bigint>" in plan, plan
     # no exchange introduced by the mapping projection
     assert "Exchange" not in plan
+
+
+def test_conditional_merge_discovery_prunes_through_structs(spark, tmp_path):
+    """The source./target. struct aliases a merge condition uses must
+    stay plan-invisible: Catalyst's extract-value simplification turns
+    GetStructField(target, c) back into the flat column, so the
+    discovery scan's ReadSchema carries ONLY the condition's columns +
+    the keys — never every column of every candidate file."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "cmplan"))
+    vt.overwrite(
+        spark.range(1000).select(
+            "id",
+            F.col("id").alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+            F.lit("x").alias("unused1"),
+            F.lit(1.5).alias("unused2"),
+        )
+    )
+    base = vt.latest_version()
+    disc = vt._scan_files(
+        vt._state(base),
+        vt._scan_schema(base),
+        vt._dv_at(base),
+        keep_identity=True,
+        mapping={},
+        partition_by=[],
+    )
+    data_cols = [
+        c for c in disc.columns if c not in ("__vt_file", "__vt_pos")
+    ]
+    source = spark.range(5).select(
+        F.col("id"),
+        F.col("id").alias("k"),
+        F.lit("z").alias("payload"),
+        F.lit("y").alias("unused1"),
+        F.lit(2.5).alias("unused2"),
+    ).select(*data_cols)
+    pair, _ = vt._matched_pairs(disc, source, ["k"])
+    cond = vt._as_condition("source.payload < target.payload")
+    plan = (
+        pair.where(cond)
+        .select("__vt_file")
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"ReadSchema: (struct<[^\n]*?>)", plan)
+    assert m, plan
+    schema = m.group(1)
+    assert "payload" in schema and "k" in schema, schema
+    assert "unused1" not in schema and "unused2" not in schema, schema
