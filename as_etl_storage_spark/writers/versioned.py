@@ -4302,9 +4302,15 @@ class VersionedTable:
         grace_seconds: float = 600.0,
         retain_hours: float | None = None,
         distributed: bool = False,
-    ) -> int:
+        dry_run: bool = False,
+    ) -> int | list[str]:
         """Delete data files unreferenced by the retained versions (and
-        their manifests). Returns files removed.
+        their manifests). Returns files removed — or, with
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``), the sorted
+        table-relative paths of the data/sidecar files that WOULD be
+        removed under the same retention + grace rules, deleting
+        nothing and writing nothing (no checkpoint, no manifest
+        cleanup) — the audit step before an irreversible sweep.
 
         Retention is version-count (``retain_last``, the sandbox-scaled
         default) or time-based (``retain_hours``, Delta's
@@ -4351,7 +4357,7 @@ class VersionedTable:
         # deletes it. Swept before the retain_last early-return so even a
         # single-version table gets cleaned; the grace window protects an
         # in-flight committer's temp the same way it protects its files.
-        if os.path.isdir(self.log_dir):
+        if os.path.isdir(self.log_dir) and not dry_run:
             for f in os.listdir(self.log_dir):
                 if f.startswith(".tmp-"):
                     full = os.path.join(self.log_dir, f)
@@ -4372,11 +4378,54 @@ class VersionedTable:
             if in_window:
                 n_keep = max(n_keep, len(vs) - vs.index(in_window[0]))
         if len(vs) <= n_keep:
-            return 0
+            return [] if dry_run else 0
         keep_versions = vs[-n_keep:]
         keep_files = set()
         for v in keep_versions:
             keep_files.update(self._state(v))
+        if dry_run:
+            # list, never touch: the same walk + grace + keep-set rules
+            # as the real sweep, data files and both sidecar kinds
+            doomed: list[str] = []
+            for root, dirs, names in os.walk(self.path):
+                if root == self.path:
+                    dirs[:] = [
+                        d
+                        for d in dirs
+                        if d not in ("_log", "_cdc", "_dv")
+                        and not d.startswith("__stage__")
+                    ]
+                for f in names:
+                    if not f.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(root, f), self.path)
+                    if rel in keep_files:
+                        continue
+                    if _old_enough(os.path.join(self.path, rel)):
+                        doomed.append(rel)
+            keep_dv = {
+                os.path.basename(p)
+                for v in keep_versions
+                for e in self._dv_at(v).values()
+                for p in e["files"]
+            }
+            keep_cdc = {
+                os.path.basename(f)
+                for v in keep_versions
+                for f in self._manifest(v).get("cdc", [])
+            }
+            for sub, keep in (("_dv", keep_dv), ("_cdc", keep_cdc)):
+                d = os.path.join(self.path, sub)
+                if not os.path.isdir(d):
+                    continue
+                for f in os.listdir(d):
+                    if (
+                        f.endswith(".parquet")
+                        and f not in keep
+                        and _old_enough(os.path.join(d, f))
+                    ):
+                        doomed.append(os.path.join(sub, f))
+            return sorted(doomed)
         # Delta's log-cleanup rule: never truncate past the last full
         # snapshot. The oldest RETAINED version must stay reconstructible
         # once the manifests below it are gone — if it is an append delta

@@ -4804,3 +4804,41 @@ def test_merge_fuzz_against_python_model(spark, tmp_path):
             # res is None on a legal complete no-op — also covered: the
             # snapshot equality above already proves nothing changed
             del res
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN (Delta parity): returns exactly the files the real
+    sweep would reclaim — data files and dv/cdc sidecars — under the
+    same retention + grace rules, while deleting NOTHING and writing
+    NOTHING (no checkpoint, no manifest cleanup)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "dr")
+    vt = VersionedTable(spark, root)
+    vt.overwrite(spark.range(100).withColumn("v", F.col("id")))
+    vt.delete("id < 10", mode="dv", dv_rewrite_fraction=2.0)  # dv sidecar
+    vt.delete("id >= 90")               # rewrite + cdc sidecar
+    vt.overwrite(spark.range(200, 220).withColumn("v", F.col("id")))
+
+    def on_disk():
+        return {
+            os.path.relpath(os.path.join(r, f), root)
+            for r, _, ns in os.walk(root)
+            for f in ns
+        }
+
+    before = on_disk()
+    listed = vt.vacuum(retain_last=1, grace_seconds=0.0, dry_run=True)
+    assert on_disk() == before, "dry run must not touch the filesystem"
+    assert listed and all(isinstance(f, str) for f in listed)
+    # grace still applies in dry-run: with a huge grace nothing lists
+    assert vt.vacuum(retain_last=1, grace_seconds=1e9, dry_run=True) == []
+    # retention-covered table lists nothing
+    assert vt.vacuum(retain_last=99, dry_run=True) == []
+    # the real sweep reclaims exactly the dry-run list
+    removed = vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert removed == len(listed)
+    assert on_disk() & set(listed) == set()
+    assert vt.read().count() == 20
