@@ -1115,6 +1115,7 @@ class VersionedTable:
         rebase_on_appends: object = None,
         mapping: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
+        params: dict | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -1280,6 +1281,9 @@ class VersionedTable:
                 }
                 if txn is not None:
                     manifest["txn"] = [txn[0], txn[1]]
+                if params:
+                    # Delta's operationParameters (audit trail)
+                    manifest["params"] = params
                 if schema is not None:
                     # recorded only when the append EVOLVED the schema
                     # (or first-recorded it on a legacy log) — delta
@@ -1343,6 +1347,9 @@ class VersionedTable:
                     # row-level change files (Delta CDF add-cdc-file):
                     # what changed, readable without diffing snapshots
                     manifest["cdc"] = list(cdc)
+                if params:
+                    # Delta's operationParameters (audit trail)
+                    manifest["params"] = params
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
@@ -1974,6 +1981,7 @@ class VersionedTable:
             enforced_schema=stored,
             enforced_constraints=cons,
             rebase_on_appends=self._phys_triples(triples, mapping),
+            params={"predicate": self._param_repr(predicate)},
         )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:
@@ -2004,6 +2012,24 @@ class VersionedTable:
         )
 
     # -- row-level DML (file-pruned rewrite + change-data files) --------
+    @staticmethod
+    def _param_repr(value) -> object:
+        """JSON-safe rendering of an op parameter for the manifest's
+        ``params`` record (Delta's operationParameters): primitives and
+        containers pass through recursively; Columns and anything else
+        render via str(). Best-effort observability — never load-bearing
+        for correctness."""
+        if value is None or isinstance(value, (str, int, float, bool)):
+            return value
+        if isinstance(value, (list, tuple)):
+            return [VersionedTable._param_repr(v) for v in value]
+        if isinstance(value, dict):
+            return {
+                str(k): VersionedTable._param_repr(v)
+                for k, v in value.items()
+            }
+        return str(value)
+
     @staticmethod
     def _as_condition(predicate) -> "F.Column":
         """Predicate (SQL string or Column) as a null-safe match
@@ -2301,7 +2327,8 @@ class VersionedTable:
         )
         if mode == "dv":
             return self._delete_dv(
-                base, cond, candidates, triples, dv_rewrite_fraction
+                base, cond, candidates, triples, dv_rewrite_fraction,
+                predicate_repr=self._param_repr(predicate),
             )
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
@@ -2333,6 +2360,10 @@ class VersionedTable:
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
             rebase_on_appends=self._phys_triples(triples, mapping),
+            params={
+                "mode": "rewrite",
+                "predicate": self._param_repr(predicate),
+            },
         )
 
     def _delete_dv(
@@ -2342,6 +2373,7 @@ class VersionedTable:
         candidates,
         triples=None,
         rewrite_fraction: float = 0.5,
+        predicate_repr: object = None,
     ) -> int | None:
         """Deletion-vector DELETE: record the matched rows' (file
         basename, row position) pairs and commit the (mostly) unchanged
@@ -2440,6 +2472,7 @@ class VersionedTable:
             partition_by=pb,
             dv=new_dv,
             rebase_on_appends=self._phys_triples(triples, mapping),
+            params={"mode": "dv", "predicate": predicate_repr},
         )
 
     def update(self, predicate, assignments: dict) -> int | None:
@@ -2527,6 +2560,10 @@ class VersionedTable:
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
             rebase_on_appends=self._phys_triples(triples, mapping),
+            params={
+                "predicate": self._param_repr(predicate),
+                "assignments": self._param_repr(assignments),
+            },
         )
 
     def _matched_pairs(
@@ -3048,6 +3085,18 @@ class VersionedTable:
             # split is unaffected, so the merge rebases over it (Delta's
             # ConcurrentAppendException scope for MERGE)
             rebase_on_appends=self._phys_triples(envelope, mapping),
+            params={
+                "on": list(on),
+                "when_matched": when_matched,
+                "when_not_matched": when_not_matched,
+                "when_matched_condition": self._param_repr(
+                    when_matched_condition
+                ),
+                "when_not_matched_condition": self._param_repr(
+                    when_not_matched_condition
+                ),
+                "when_matched_set": self._param_repr(when_matched_set),
+            },
         )
 
     # -- read -----------------------------------------------------------
@@ -3253,6 +3302,22 @@ class VersionedTable:
             base,
             cdc=cdc,
             partition_by=pb,
+            params={
+                "on": list(on),
+                "when_matched": when_matched,
+                "when_not_matched": when_not_matched,
+                "when_not_matched_by_source": "delete",
+                "when_matched_condition": self._param_repr(
+                    when_matched_condition
+                ),
+                "when_not_matched_condition": self._param_repr(
+                    when_not_matched_condition
+                ),
+                "when_not_matched_by_source_condition": self._param_repr(
+                    when_not_matched_by_source_condition
+                ),
+                "when_matched_set": self._param_repr(when_matched_set),
+            },
         )
 
     @staticmethod
@@ -3963,6 +4028,11 @@ class VersionedTable:
             # append rebases in by name — always-on streaming ingest must
             # not starve compaction
             rebase_on_appends=True,
+            params={
+                "target_file_bytes": target_file_bytes,
+                "zorder": self._param_repr(zorder),
+                "where": self._param_repr(where),
+            },
         )
 
     def count(
@@ -4061,6 +4131,7 @@ class VersionedTable:
             # dv-delete undoes the delete (carrying the current map would
             # keep rows deleted that the restored version still had)
             dv=restored_dv,
+            params={"restored_version": version},
         )
 
     def clone(
@@ -4198,6 +4269,12 @@ class VersionedTable:
                 {
                     "version": v,
                     "op": m.get("op"),
+                    # Delta's operationParameters: what the commit was
+                    # ASKED to do (predicate, merge clauses, compact
+                    # scope), recorded by the op itself — the audit
+                    # trail that answers "which delete removed these
+                    # rows" without replaying anything
+                    "params": dict(m.get("params", {})),
                     "timestamp": running_ts,
                     "data_change": bool(m.get("data_change", True)),
                     "num_added_files": added,

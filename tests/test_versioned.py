@@ -4842,3 +4842,36 @@ def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path):
     assert removed == len(listed)
     assert on_disk() & set(listed) == set()
     assert vt.read().count() == 20
+
+
+def test_describe_history_records_operation_parameters(spark, tmp_path):
+    """Delta's operationParameters: DML/maintenance commits record what
+    they were ASKED to do (predicate, merge clauses, compact scope,
+    restore target) in the manifest, surfaced per-row by
+    describe_history — the audit trail that answers 'which delete
+    removed these rows' without replaying anything."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "opp"))
+    vt.overwrite(spark.range(100).withColumn("v", F.col("id")))    # v0
+    vt.delete([("id", "<", 10)])                                   # v1
+    vt.delete("id >= 95", mode="dv", dv_rewrite_fraction=2.0)      # v2
+    vt.update("id = 50", {"v": "v + 1"})                           # v3
+    vt.merge(
+        spark.range(40, 60).withColumn("v", F.lit(1000)),
+        ["id"],
+        when_matched_condition="source.v > target.v",
+    )                                                              # v4
+    vt.compact(target_file_bytes=1 << 20)                          # v5
+    vt.restore(version=3)                                          # v6
+    rows = {r["version"]: r["params"] for r in vt.describe_history()}
+    assert rows[0] == {}
+    assert rows[1]["mode"] == "rewrite"
+    assert rows[1]["predicate"] == [["id", "<", 10]]
+    assert rows[2]["mode"] == "dv"
+    assert rows[2]["predicate"] == "id >= 95"
+    assert rows[3]["assignments"] == {"v": "v + 1"}
+    assert rows[4]["on"] == ["id"]
+    assert rows[4]["when_matched_condition"] == "source.v > target.v"
+    assert rows[5]["target_file_bytes"] == 1 << 20
+    assert rows[6]["restored_version"] == 3
