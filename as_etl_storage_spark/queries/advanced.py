@@ -1696,6 +1696,75 @@ _register(
 )
 
 
+def _w_versioned_generated_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generated columns (Delta parity, writers/versioned.py:
+    add_generated_column): declared on the empty table, the derived
+    ``order_year`` is COMPUTED inside every write (the incoming frame
+    never carries it) and doubles as the hive partition column — the
+    canonical derived-date layout. Asserted in-query: pruning on the
+    generated column skips files from the manifest alone, and a write
+    supplying a WRONG value fails without committing. The oracle
+    recomputes the same derivation with plain SQL."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wgen-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders.limit(0))
+    vt.add_generated_column("order_year", "int", "year(o_orderdate)")
+    vt.overwrite(orders, partition_by=["order_year"])
+    base = vt.latest_version()
+    kept = vt._prune_files(
+        vt._state(base), vt._stats_at(base), [("order_year", "=", 1995)]
+    )
+    assert 0 < len(kept) < len(vt._state(base)), (
+        "pruning on the generated partition column must skip files"
+    )
+    try:
+        vt.append(
+            orders.limit(3).withColumn("order_year", F.lit(1800))
+        )
+        raise AssertionError("a wrong generated value must fail the write")
+    except Exception as exc:  # the fused assert_true fails the job
+        assert "generated" in str(exc)
+    assert vt.latest_version() == base
+    return (
+        vt.read()
+        .groupBy("order_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_register(
+    "w_versioned_generated_column",
+    _w_versioned_generated_column,
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, count(*) AS n,
+           round(sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE, 2) AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+
+
 def _w_versioned_merge_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-level MERGE SET (Delta's whenMatchedUpdate(set={...}),
     writers/versioned.py:merge): matched rows ACCUMULATE

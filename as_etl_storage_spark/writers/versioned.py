@@ -294,6 +294,19 @@ class VersionedTable:
         latest = self.latest_version()
         return {} if latest is None else self._constraints_at(latest)
 
+    def _generated_at(self, version: int) -> dict[str, str]:
+        """column → generation expression in effect at ``version``
+        (Delta's generated columns): same walk as constraints; snapshot
+        manifests and checkpoints embed the map so it survives
+        overwrite/compact/vacuum."""
+        val, _ = self._walk_to(version, "generated")
+        return dict(val or {})
+
+    def generated_columns(self) -> dict[str, str]:
+        """The table's current generated-column map ({} when none)."""
+        latest = self.latest_version()
+        return {} if latest is None else self._generated_at(latest)
+
     # -- table schema (Delta's metaData.schemaString analog) -------------
     def _schema_record_at(
         self, version: int
@@ -447,6 +460,7 @@ class VersionedTable:
         op: str,
         dropped: list[str] | None = None,
         mapping: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> tuple[DataFrame, dict]:
         """Schema enforcement at the write (Delta's rule): the incoming
         frame is resolved against the table schema — missing columns
@@ -454,7 +468,32 @@ class VersionedTable:
         anything else is an error at the WRITE, never a poisoned table.
         ``merge_schema`` (Delta's mergeSchema) opts into additive
         evolution: unknown columns append to the schema; old files read
-        them as NULL. Returns (aligned frame, resulting schema json)."""
+        them as NULL. Returns (aligned frame, resulting schema json).
+
+        ``generated`` (Delta's generated columns): a column the frame
+        LACKS is computed from its expression inside the write plan; a
+        column the frame SUPPLIES is validated against it (null-safe
+        equality fused as assert_true — a mismatching row fails the
+        write job before anything commits, same mechanics as CHECK
+        constraints)."""
+        if generated:
+            have = {c.lower() for c in df.columns}
+            for gname, gexpr in sorted(generated.items()):
+                if gname.lower() not in have:
+                    df = df.withColumn(gname, F.expr(gexpr))
+                else:
+                    df = df.where(
+                        F.coalesce(
+                            F.assert_true(
+                                F.col(gname).eqNullSafe(F.expr(gexpr)),
+                                F.lit(
+                                    f"generated column {gname!r} "
+                                    f"violated: value != ({gexpr})"
+                                ),
+                            ),
+                            F.lit(True),
+                        )
+                    )
         # __vt_file/__vt_pos carry the scan-side (file, position) identity
         # — a user column by the same name would be silently clobbered
         # inside every DV-filtered rewrite; #rows/#bytes are the manifest's
@@ -731,6 +770,91 @@ class VersionedTable:
             dropped=tombstones, mapping=mapping,
         )
 
+    def add_generated_column(
+        self, name: str, ddl_type: str, expr: str
+    ) -> int:
+        """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS (Delta's
+        generated columns): ``name`` is computed as ``expr`` over the
+        row's other columns at every write — a frame lacking the column
+        gets it computed; a frame supplying it is VALIDATED (null-safe
+        equality, a mismatch fails the write job before anything
+        commits). The canonical use is the derived partition key —
+        ``add_generated_column("d", "date", "CAST(ts AS DATE)")`` then
+        ``partition_by=["d"]`` — where enforcement is what keeps
+        partition pruning TRUSTWORTHY (a mis-derived d would silently
+        misplace rows).
+
+        Only allowed while the table holds NO data files (Delta declares
+        generated columns at table creation for the same reason): files
+        written before the declaration would read the column as NULL,
+        silently violating the invariant the column exists to provide.
+        Create the table empty (``overwrite`` of a zero-row frame),
+        declare, then write."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        # EMPTY means zero ROWS (an empty overwrite still writes a
+        # 0-row part file): resolved from the manifest #rows stats,
+        # falling back to a limit(1) probe for pre-stat legacy files
+        stats = self._stats_at(base)
+        rows = 0
+        for f in self._state(base):
+            r = stats.get(f, {}).get("#rows")
+            if isinstance(r, int):
+                rows += r
+            else:
+                rows = -1
+                break
+        if rows == -1:
+            rows = self.read(version_as_of=base).limit(1).count()
+        if rows:
+            raise VersionedTableError(
+                "add_generated_column requires an EMPTY table: rows "
+                "written before the declaration would read the column "
+                "as NULL, violating the invariant it declares. Declare "
+                "generated columns at creation (overwrite an empty "
+                "frame first), or rewrite the table"
+            )
+        try:
+            dt = T.DataType.fromDDL(ddl_type)
+        except Exception as exc:
+            raise VersionedTableError(
+                f"add_generated_column: unparseable DDL type "
+                f"{ddl_type!r}: {exc}"
+            ) from None
+        if name.lower() in self._RESERVED_NAMES:
+            raise VersionedTableError(
+                f"add_generated_column: {name!r} is reserved for "
+                f"internal row identity / manifest bookkeeping"
+            )
+        sch = self._recorded_schema_for_ddl(base, "add_generated_column")
+        if any(f.name.lower() == name.lower() for f in sch.fields):
+            raise VersionedTableError(
+                f"column {name!r} already exists in "
+                f"{[f.name for f in sch.fields]}"
+            )
+        # the expression must analyze against the CURRENT schema — a
+        # typo'd reference fails HERE with Spark's own resolution error,
+        # not at the first write
+        try:
+            self.spark.createDataFrame([], sch).select(
+                F.expr(expr).cast(dt).alias(name)
+            ).schema
+        except Exception as exc:
+            raise VersionedTableError(
+                f"add_generated_column: expression {expr!r} does not "
+                f"analyze against {[f.name for f in sch.fields]}: {exc}"
+            ) from None
+        evolved = T.StructType([*sch.fields, T.StructField(name, dt, True)])
+        return self._commit_metadata(
+            base,
+            "add_generated_column",
+            schema=evolved.jsonValue(),
+            dropped=self._dropped_at(base),
+            mapping=self._mapping_at(base),
+            generated={**self._generated_at(base), name: expr},
+        )
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only: the narrowed schema
         is committed, no data file is rewritten, and the declared-schema
@@ -766,6 +890,22 @@ class VersionedTable:
                 f"cannot drop {name!r}: CHECK constraints reference it: "
                 f"{referencing}; drop them first"
             )
+        gen = self._generated_at(base)
+        gen_refs = {
+            gname: gexpr
+            for gname, gexpr in gen.items()
+            if gname.lower() != name.lower()
+            and re.search(rf"\b{re.escape(name)}\b", gexpr, re.IGNORECASE)
+        }
+        if gen_refs:
+            raise VersionedTableError(
+                f"cannot drop {name!r}: generated columns are computed "
+                f"from it: {gen_refs}"
+            )
+        # dropping a generated column drops its invariant with it
+        gen = {
+            g: e for g, e in gen.items() if g.lower() != name.lower()
+        }
         # tombstone the PHYSICAL name: that's what old files still hold
         # bytes under — re-adding it (add_column or merge_schema
         # evolution) is refused until a schema-redefining overwrite
@@ -784,6 +924,7 @@ class VersionedTable:
             schema=T.StructType(keep).jsonValue(),
             dropped=[*self._dropped_at(base), phys],
             mapping=mapping,
+            generated=gen,
         )
 
     def widen_column(self, name: str, ddl_type: str) -> int:
@@ -895,6 +1036,21 @@ class VersionedTable:
                 f"cannot rename {old!r}: CHECK constraints reference it: "
                 f"{referencing}; drop them first"
             )
+        gen = self._generated_at(base)
+        gen_hit = {
+            gname: gexpr
+            for gname, gexpr in gen.items()
+            if gname.lower() == old.lower()
+            or re.search(rf"\b{re.escape(old)}\b", gexpr, re.IGNORECASE)
+        }
+        if gen_hit:
+            # the expression is stored as TEXT over logical names — a
+            # rename of the column or of anything it references would
+            # silently break the invariant at the next write
+            raise VersionedTableError(
+                f"cannot rename {old!r}: generated columns define or "
+                f"reference it: {gen_hit}; drop them first"
+            )
         tombstones = self._dropped_at(base)
         if new.lower() in (d.lower() for d in tombstones):
             raise VersionedTableError(
@@ -925,6 +1081,7 @@ class VersionedTable:
         schema: dict | None = None,
         dropped: list[str] | None = None,
         mapping: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only commit: a delta manifest with an empty ``add``
         (state unchanged, O(1) size) carrying the full constraint map
@@ -945,6 +1102,8 @@ class VersionedTable:
         }
         if constraints is not None:
             manifest["constraints"] = constraints
+        if generated is not None:
+            manifest["generated"] = generated
         if schema is not None:
             manifest["schema"] = schema
             manifest["dropped_columns"] = (
@@ -1016,6 +1175,9 @@ class VersionedTable:
             "partition_by": self._partition_by_at(version),
             "constraints": self._constraints_at(version),
         }
+        gen = self._generated_at(version)
+        if gen:
+            payload["generated"] = gen
         sch, drp = self._schema_record_at(version)
         if sch is not None:
             payload["schema"] = sch
@@ -1116,6 +1278,7 @@ class VersionedTable:
         mapping: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
         params: dict | None = None,
+        generated: dict[str, str] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -1353,6 +1516,18 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
+                gen = generated
+                if gen is None:
+                    # generated-column map survives snapshot resets the
+                    # same way (overwrite_schema passes {} to reset it
+                    # with the schema it described)
+                    gen = (
+                        self._generated_at(latest)
+                        if latest is not None
+                        else {}
+                    )
+                if gen:
+                    manifest["generated"] = gen
                 sch, drp, mp = schema, dropped, mapping
                 if sch is None and latest is not None:
                     # carry the recorded schema across snapshot resets
@@ -1665,7 +1840,8 @@ class VersionedTable:
             # columns from every later declared-schema read
             stored = self._derived_schema_json(base)
         df, new_schema = self._align(
-            df, stored, merge_schema, "append", tombstones, mapping
+            df, stored, merge_schema, "append", tombstones, mapping,
+            generated=self._generated_at(base) if base is not None else {},
         )
         evolved = (
             legacy
@@ -1758,7 +1934,14 @@ class VersionedTable:
             if base is not None and not overwrite_schema
             else {}
         )
-        df, new_schema = self._align(df, stored, False, "overwrite")
+        gen = (
+            self._generated_at(base)
+            if base is not None and not overwrite_schema
+            else {}
+        )
+        df, new_schema = self._align(
+            df, stored, False, "overwrite", generated=gen
+        )
         return self._commit(
             self._write_data_files(
                 self._checked(df, cons), partition_by, mapping
@@ -1771,9 +1954,12 @@ class VersionedTable:
             enforced_schema=stored,
             # a schema-redefining overwrite rewrites every file under the
             # new schema — dropped-column tombstones are cleared (this is
-            # the documented way to free a dropped name for reuse)
+            # the documented way to free a dropped name for reuse), and
+            # the generated-column map resets with the schema it
+            # described
             dropped=[] if overwrite_schema else None,
             mapping=mapping,
+            generated={} if overwrite_schema else None,
         )
 
     def overwrite_partitions(
@@ -1813,7 +1999,7 @@ class VersionedTable:
         # files read it as NULL — same additive rule as append
         df, new_schema = self._align(
             df, stored, merge_schema, "overwrite_partitions", tombstones,
-            mapping,
+            mapping, generated=self._generated_at(base),
         )
         schema_evolved = stored is not None and self._canon_schema(
             stored
@@ -1904,7 +2090,8 @@ class VersionedTable:
         pb = self._partition_by_at(base)
         cons = self._constraints_at(base)
         df, new_schema = self._align(
-            df, stored, merge_schema, "replace_where", tombstones, mapping
+            df, stored, merge_schema, "replace_where", tombstones, mapping,
+            generated=self._generated_at(base),
         )
         schema_evolved = stored is not None and self._canon_schema(
             stored
@@ -1996,7 +2183,10 @@ class VersionedTable:
                 f"replace requires identical columns; target {target.columns} "
                 f"vs incoming {df.columns}"
             )
-        incoming, _ = self._align(df, self._schema_at(base), False, "replace")
+        incoming, _ = self._align(
+            df, self._schema_at(base), False, "replace",
+            generated=self._generated_at(base),
+        )
         kept = target.join(
             incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
         )
@@ -2498,6 +2688,16 @@ class VersionedTable:
                 f"UPDATE assigns to columns not in the table: {sorted(bad)}; "
                 f"columns are {snap_cols}"
             )
+        gen = self._generated_at(base)
+        gen_assigned = sorted(
+            c for c in assignments if c.lower() in {g.lower() for g in gen}
+        )
+        if gen_assigned:
+            raise VersionedTableError(
+                f"UPDATE cannot assign generated columns {gen_assigned}: "
+                f"their values are defined by their expressions "
+                f"({ {g: gen[g] for g in gen} })"
+            )
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
@@ -2506,7 +2706,7 @@ class VersionedTable:
         def _updated(df: DataFrame, when) -> DataFrame:
             # all assignments see the OLD row: select() evaluates every
             # expression against the input frame, never sequentially
-            return df.select(
+            out = df.select(
                 *[
                     (
                         F.when(when, exprs[c]).otherwise(F.col(c)).alias(c)
@@ -2516,6 +2716,17 @@ class VersionedTable:
                     for c in df.columns
                 ]
             )
+            # generated columns RECOMPUTE from the post-assignment row
+            # (Delta's rule): updating ts must move the generated
+            # CAST(ts AS DATE) with it — assignments to generated
+            # columns themselves are refused above, so recomputing after
+            # the assignments is well-defined
+            for gname, gexpr in sorted(gen.items()):
+                out = out.withColumn(
+                    gname,
+                    F.when(when, F.expr(gexpr)).otherwise(F.col(gname)),
+                )
+            return out
 
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
@@ -2802,12 +3013,24 @@ class VersionedTable:
                     f"when_matched_set names unknown columns {unknown}; "
                     f"table columns are {target.columns}"
                 )
+            gen = self._generated_at(base)
+            gen_set = sorted(
+                c
+                for c in when_matched_set
+                if c.lower() in {g.lower() for g in gen}
+            )
+            if gen_set:
+                raise VersionedTableError(
+                    f"when_matched_set cannot SET generated columns "
+                    f"{gen_set}: their values are defined by their "
+                    f"expressions"
+                )
         # column order AND types normalized to the table schema: an
         # inserted source row with a drifted type would otherwise land in
         # fresh files that poison every later declared-schema scan
         source, _ = self._align(
             source.select(*target.columns), self._schema_at(base), False,
-            "merge",
+            "merge", generated=self._generated_at(base),
         )
         mapping = self._mapping_at(base)
         # MATERIALIZE the aligned source: merge evaluates it across
@@ -4132,6 +4355,9 @@ class VersionedTable:
             # keep rows deleted that the restored version still had)
             dv=restored_dv,
             params={"restored_version": version},
+            # the restored version's OWN generated map (invariants roll
+            # back with the schema they describe)
+            generated=self._generated_at(version),
         )
 
     def clone(
@@ -4222,6 +4448,7 @@ class VersionedTable:
             mapping=self._mapping_at(version),
             dv=dv or None,
             constraints=self._constraints_at(version),
+            generated=self._generated_at(version),
         )
         assert v == 0
         return tgt
@@ -4352,6 +4579,7 @@ class VersionedTable:
             "size_bytes": size,
             "partition_columns": self._partition_by_at(latest),
             "constraints": self._constraints_at(latest),
+            "generated_columns": self._generated_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
             "column_mapping": self._mapping_at(latest),

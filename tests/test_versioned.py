@@ -4875,3 +4875,107 @@ def test_describe_history_records_operation_parameters(spark, tmp_path):
     assert rows[4]["when_matched_condition"] == "source.v > target.v"
     assert rows[5]["target_file_bytes"] == 1 << 20
     assert rows[6]["restored_version"] == 3
+
+
+# --------------------------------------------------- generated columns ---
+def test_generated_column_computed_validated_partitioned(spark, tmp_path):
+    """Generated columns (Delta parity): declared on an empty table,
+    COMPUTED when the incoming frame lacks the column, VALIDATED
+    (null-safe equality, write fails) when it supplies a wrong value —
+    and usable as a hive partition column, the canonical derived-date
+    layout whose pruning the enforcement keeps trustworthy."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "gc"))
+    empty = spark.createDataFrame(
+        [], "id: long, ts: timestamp"
+    )
+    vt.overwrite(empty)
+    vt.add_generated_column("d", "date", "CAST(ts AS DATE)")
+    assert vt.generated_columns() == {"d": "CAST(ts AS DATE)"}
+    rows = spark.sql(
+        "SELECT id, timestamp'2024-03-01 10:00:00' + make_interval(0,0,0,CAST(id AS INT)) AS ts "
+        "FROM range(6)"
+    )
+    # frame LACKS d: computed in the write plan; layout declared on it
+    vt.overwrite(rows, partition_by=["d"])
+    got = {(r.id, str(r.d)) for r in vt.read().collect()}
+    assert got == {(i, f"2024-03-0{i + 1}") for i in range(6)}
+    assert vt.partition_columns() == ["d"]
+    # pruning on the generated partition column skips files
+    base = vt.latest_version()
+    kept = vt._prune_files(
+        vt._state(base), vt._stats_at(base), [("d", "=", "2024-03-02")]
+    )
+    assert 0 < len(kept) < len(vt._state(base))
+    # frame SUPPLIES a WRONG d: the write fails, nothing commits
+    with pytest.raises(Exception, match="generated column"):
+        vt.append(
+            rows.withColumn("d", F.lit("1999-01-01").cast("date")).where(
+                "id = 0"
+            )
+        )
+    assert vt.latest_version() == base
+    # frame supplies the CORRECT d: validated and accepted
+    vt.append(
+        spark.sql(
+            "SELECT 100 AS id, timestamp'2024-04-05 00:30:00' AS ts, "
+            "date'2024-04-05' AS d"
+        )
+    )
+    assert vt.read().count() == 7
+
+
+def test_generated_column_ddl_and_dml_interactions(spark, tmp_path):
+    """The invariant survives the surface: declared only on EMPTY
+    tables; UPDATE refuses assigning it but RECOMPUTES it when a
+    dependency changes; merge SET refuses it; rename/drop of the
+    defining or referenced column refuse; restore rolls the map back;
+    describe-detail surfaces it."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "gd"))
+    vt.overwrite(spark.range(5).withColumn("v", F.col("id")))
+    # non-empty table: declaration refused
+    with pytest.raises(VersionedTableError, match="EMPTY"):
+        vt.add_generated_column("twice", "bigint", "v * 2")
+    vt2 = VersionedTable(spark, str(tmp_path / "gd2"))
+    vt2.overwrite(spark.createDataFrame([], "id: long, v: long"))
+    vt2.add_generated_column("twice", "bigint", "v * 2")
+    v_decl = vt2.latest_version()
+    vt2.append(spark.range(5).withColumn("v", F.col("id")))
+    assert {(r.id, r.twice) for r in vt2.read().collect()} == {
+        (i, 2 * i) for i in range(5)
+    }
+    assert vt2.detail()["generated_columns"] == {"twice": "v * 2"}
+    # UPDATE: assigning the generated column refused; updating its
+    # dependency RECOMPUTES it (Delta's rule)
+    with pytest.raises(VersionedTableError, match="generated"):
+        vt2.update("id = 0", {"twice": "999"})
+    vt2.update("id = 0", {"v": "v + 10"})
+    assert {(r.v, r.twice) for r in vt2.read().where("id = 0").collect()} == {
+        (10, 20)
+    }
+    # merge SET refused; whole-row merge validates the source's value
+    with pytest.raises(VersionedTableError, match="generated"):
+        vt2.merge(
+            vt2.read(), ["id"], when_matched_set={"twice": "1"}
+        )
+    with pytest.raises(Exception, match="generated column"):
+        vt2.merge(
+            spark.range(1).select(
+                "id", F.lit(50).alias("v"), F.lit(7).alias("twice")
+            ),
+            ["id"],
+        )
+    # DDL guards
+    with pytest.raises(VersionedTableError, match="generated"):
+        vt2.rename_column("v", "w")
+    with pytest.raises(VersionedTableError, match="generated"):
+        vt2.drop_column("v")
+    # dropping the generated column itself drops the invariant
+    vt2.drop_column("twice")
+    assert vt2.generated_columns() == {}
+    # restore to the declaration rolls the map back with the schema
+    vt2.restore(version=v_decl)
+    assert vt2.generated_columns() == {"twice": "v * 2"}
