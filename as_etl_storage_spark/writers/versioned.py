@@ -2811,6 +2811,7 @@ class VersionedTable:
         on: list[str],
         condition,
         update_set: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """Split the matched target rows by a clause condition:
         (apply_pre, updated, carry) — the rows the clause applies to
@@ -2834,6 +2835,21 @@ class VersionedTable:
         (cardinality-checked), so each target row meets exactly one
         source row."""
         cols = matched_t.columns
+
+        def _regen(df: DataFrame) -> DataFrame:
+            # column-level SET can change a generated column's
+            # DEPENDENCY while keeping the target's stale generated
+            # value — recompute from the post-SET row (Delta recomputes
+            # generated columns in merge updates; assignments to them
+            # are refused upstream, so this is well-defined). Whole-row
+            # updates take the SOURCE's values, already validated at
+            # align.
+            if update_set is None or not generated:
+                return df
+            for gname, gexpr in sorted(generated.items()):
+                df = df.withColumn(gname, F.expr(gexpr))
+            return df
+
         if condition is None and update_set is None:
             updated = (
                 matched_t.select(*on)
@@ -2854,13 +2870,13 @@ class VersionedTable:
         if condition is None:
             return (
                 matched_t,
-                pair.select(*updated_cols),
+                _regen(pair.select(*updated_cols)),
                 None,
             )
         cond = self._as_condition(condition)
         return (
             pair.where(cond).select(*cols),
-            pair.where(cond).select(*updated_cols),
+            _regen(pair.where(cond).select(*updated_cols)),
             pair.where(~cond).select(*cols),
         )
 
@@ -3228,7 +3244,7 @@ class VersionedTable:
                 # targets keep theirs), condition-false rows carry
                 apply_pre, updated, carry = self._matched_split(
                     matched_t, source, on, when_matched_condition,
-                    when_matched_set,
+                    when_matched_set, self._generated_at(base),
                 )
                 if when_matched == "update":
                     if when_matched_set is not None:
@@ -3424,7 +3440,7 @@ class VersionedTable:
                 # multiplicity preserved — same rule as the plain path)
                 apply_pre, updated, carry_m = self._matched_split(
                     matched_t, source, on, when_matched_condition,
-                    when_matched_set,
+                    when_matched_set, self._generated_at(base),
                 )
                 if carry_m is not None:
                     rewritten_frames.append(carry_m)

@@ -4979,3 +4979,27 @@ def test_generated_column_ddl_and_dml_interactions(spark, tmp_path):
     # restore to the declaration rolls the map back with the schema
     vt2.restore(version=v_decl)
     assert vt2.generated_columns() == {"twice": "v * 2"}
+
+
+def test_merge_set_recomputes_generated_dependency(spark, tmp_path):
+    """merge when_matched_set that changes a generated column's
+    DEPENDENCY must recompute the generated value from the post-SET row
+    (Delta recomputes generated columns in merge updates) — keeping the
+    target's stale value would silently break the invariant."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "gms"))
+    vt.overwrite(spark.createDataFrame([], "id: long, v: long"))
+    vt.add_generated_column("twice", "bigint", "v * 2")
+    vt.append(spark.range(4).withColumn("v", F.col("id")))
+    vt.merge(
+        spark.range(2).select(
+            "id", (F.col("id") + 100).alias("v"),
+            ((F.col("id") + 100) * 2).alias("twice"),
+        ),
+        ["id"],
+        when_matched_set={"v": "source.v"},
+        when_not_matched=None,
+    )
+    got = {(r.id, r.v, r.twice) for r in vt.read().collect()}
+    assert got == {(0, 100, 200), (1, 101, 202), (2, 2, 4), (3, 3, 6)}
