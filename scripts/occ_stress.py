@@ -96,5 +96,73 @@ def main() -> None:
         spark.stop()
 
 
+def main_replace_where() -> None:
+    """r12: replace_where's triple-form OCC under continuous DISJOINT
+    ingest — the restate-one-slice op must compose with appends whose
+    stats provably cannot match its predicate (never abort, never lose
+    a concurrent row, never resurrect a replaced one), the same
+    liveness guarantee compact earned in r11."""
+    spark = get_spark("occ-stress-rw")
+    base = tempfile.mkdtemp(prefix="occ_rw_")
+    try:
+        from pyspark.sql import functions as F
+
+        vt = VersionedTable(spark, os.path.join(base, "t"))
+        vt.overwrite(
+            spark.range(ROWS)
+            .withColumn("v", F.lit("old"))
+            .repartition(FILES)
+        )
+        appender = VersionedTable(spark, os.path.join(base, "t"))
+        stop = threading.Event()
+        landed = []
+
+        def ingest():
+            lo = 10_000_000  # provably outside the replaced slice
+            while not stop.is_set():
+                appender.append(
+                    spark.range(lo, lo + 1000)
+                    .withColumn("v", F.lit("ingest"))
+                    .coalesce(1)
+                )
+                landed.append(lo)
+                lo += 1000
+
+        th = threading.Thread(target=ingest)
+        th.start()
+        time.sleep(0.5)
+        new = (
+            spark.range(0, 5000)
+            .withColumn("v", F.lit("restated"))
+        )
+        t0 = time.perf_counter()
+        vt.replace_where(new, [("id", "<", 5000)])
+        t_rw = time.perf_counter() - t0
+        stop.set()
+        th.join()
+        n = vt.read().count()
+        assert n == ROWS + 1000 * len(landed), (n, len(landed))
+        assert vt.read().where("v = 'restated'").count() == 5000
+        assert vt.read().where("v = 'ingest'").count() == 1000 * len(landed)
+        print(
+            json.dumps(
+                {
+                    "case": "occ_replace_where_under_ingest",
+                    "files": FILES,
+                    "rows": ROWS,
+                    "replace_where_under_ingest_sec": round(t_rw, 2),
+                    "concurrent_appends_total": len(landed),
+                    "rows_exact": True,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "replace_where":
+        main_replace_where()
+    else:
+        main()
