@@ -152,6 +152,7 @@ class VersionedTable:
             "column-mapping",
             "type-widening",
             "external-files",
+            "generated-columns",
         }
     )
 
@@ -1121,6 +1122,11 @@ class VersionedTable:
             feats.add("column-mapping")
         if op == "widen_column":
             feats.add("type-widening")
+        if manifest.get("generated"):
+            # a pre-feature writer would append without computing or
+            # validating the generated columns — silently breaking the
+            # invariant; the flag makes it fail fast instead
+            feats.add("generated-columns")
         if feats:
             manifest["features"] = sorted(feats)
         if latest != base or not self._publish_manifest(version, manifest):
@@ -1571,6 +1577,11 @@ class VersionedTable:
                 )
                 if manifest.get("column_mapping"):
                     feats.add("column-mapping")
+                if manifest.get("generated"):
+                    # a pre-feature writer would append without computing
+                    # or validating the generated columns — silently
+                    # breaking the invariant; the flag fails it fast
+                    feats.add("generated-columns")
                 if any(os.path.isabs(f) for f in files):
                     feats.add("external-files")
                 live_dv = dv

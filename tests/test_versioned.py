@@ -5003,3 +5003,19 @@ def test_merge_set_recomputes_generated_dependency(spark, tmp_path):
     )
     got = {(r.id, r.v, r.twice) for r in vt.read().collect()}
     assert got == {(0, 100, 200), (1, 101, 202), (2, 2, 4), (3, 3, 6)}
+
+
+def test_generated_columns_are_feature_gated(spark, tmp_path):
+    """Generated columns carry a protocol feature flag: a pre-feature
+    writer appending without computing/validating them would silently
+    break the invariant — the flag makes it fail fast by name instead."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "gf"))
+    vt.overwrite(spark.createDataFrame([], "id: long, v: long"))
+    vt.add_generated_column("twice", "bigint", "v * 2")
+    assert "generated-columns" in vt._features_at(vt.latest_version())
+    vt.append(spark.range(3).withColumn("v", F.col("id")))
+    # the flag rides snapshot rewrites (monotone)
+    vt.compact()
+    assert "generated-columns" in vt._features_at(vt.latest_version())
