@@ -5019,3 +5019,60 @@ def test_generated_columns_are_feature_gated(spark, tmp_path):
     # the flag rides snapshot rewrites (monotone)
     vt.compact()
     assert "generated-columns" in vt._features_at(vt.latest_version())
+
+
+def test_replace_where_fuzz_against_python_model(spark, tmp_path):
+    """Model-based fuzz of replace_where: seeded random tables, random
+    triple-form slices and random replacement frames (always inside the
+    slice) — after every commit the snapshot must equal
+    rows(NOT predicate) ∪ replacement, and the CDF delete set must be
+    exactly rows(predicate)."""
+    import random
+
+    rng = random.Random(13)
+    for trial in range(3):
+        vt = VersionedTable(spark, str(tmp_path / f"rwf{trial}"))
+        model = [
+            (k, rng.randint(0, 99))
+            for k in rng.sample(range(0, 200), rng.randint(8, 24))
+        ]
+        vt.overwrite(
+            spark.createDataFrame(model, "k: long, v: long").repartition(3)
+        )
+        for _step in range(3):
+            lo = rng.randint(0, 150)
+            hi = lo + rng.randint(5, 60)
+            n_new = rng.randint(0, 8)
+            new = [
+                (rng.randint(lo, hi - 1), rng.randint(1000, 1999))
+                for _ in range(n_new)
+            ]
+            pred = [("k", ">=", lo), ("k", "<", hi)]
+            deleted = [(k, v) for (k, v) in model if lo <= k < hi]
+            kept = [(k, v) for (k, v) in model if not (lo <= k < hi)]
+            v = vt.replace_where(
+                spark.createDataFrame(
+                    new, "k: long, v: long"
+                )
+                if new
+                else spark.createDataFrame([], "k: long, v: long"),
+                pred,
+            )
+            want = sorted(kept + new)
+            got = sorted((r.k, r.v) for r in vt.read().collect())
+            assert got == want, (
+                f"trial {trial} step {_step} slice [{lo},{hi}) "
+                f"new={new}\n got {got}\nwant {want}"
+            )
+            feed = vt.change_feed(from_version=v - 1, to_version=v)
+            dels = sorted(
+                (r.k, r.v)
+                for r in feed.where("_change_type = 'delete'").collect()
+            )
+            ins = sorted(
+                (r.k, r.v)
+                for r in feed.where("_change_type = 'insert'").collect()
+            )
+            assert dels == sorted(deleted), (trial, _step, dels, deleted)
+            assert ins == sorted(new), (trial, _step, ins, new)
+            model = want
