@@ -5076,3 +5076,47 @@ def test_replace_where_fuzz_against_python_model(spark, tmp_path):
             assert dels == sorted(deleted), (trial, _step, dels, deleted)
             assert ins == sorted(new), (trial, _step, ins, new)
             model = want
+
+
+def test_generated_column_through_stream_sink_and_clone(spark, tmp_path):
+    """The generated-column invariant holds across the composition
+    surfaces: the exactly-once stream sink's batches (which never carry
+    the column) get it computed per append; a SHALLOW CLONE carries the
+    map and the feature flag, computes on its own appends, and refuses
+    a violating write."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedStreamWriter,
+    )
+
+    src = tmp_path / "src"
+    spark.range(0, 50).coalesce(1).write.parquet(str(src))
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.overwrite(spark.createDataFrame([], "id: long, bucket: long"))
+    vt.add_generated_column("bucket2", "bigint", "pmod(id, 7)")
+    # the stream carries only id: the plain column (bucket) null-fills
+    # while the generated one (bucket2) must COMPUTE — the two missing-
+    # column behaviors side by side
+    w = VersionedStreamWriter(table, "ingest", checkpoint=str(tmp_path / "cp"))
+    stream = spark.readStream.schema("id long").parquet(str(src))
+    w.run_available_now(stream)
+    got = {(r.id, r.bucket, r.bucket2) for r in vt.read().collect()}
+    assert got == {(i, None, i % 7) for i in range(50)}
+    # clone: map + flag carried; computes on its own appends
+    cl = vt.clone(str(tmp_path / "cl"))
+    assert cl.generated_columns() == {"bucket2": "pmod(id, 7)"}
+    assert "generated-columns" in cl._features_at(cl.latest_version())
+    cl.append(
+        spark.createDataFrame([(100, 1)], "id: long, bucket: long")
+    )
+    assert {(r.id, r.bucket2) for r in cl.read().where("id = 100").collect()} == {
+        (100, 100 % 7)
+    }
+    with pytest.raises(Exception, match="generated column"):
+        cl.append(
+            spark.createDataFrame(
+                [(200, 1, 999)], "id: long, bucket: long, bucket2: long"
+            )
+        )
