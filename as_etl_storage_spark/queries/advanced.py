@@ -1074,6 +1074,78 @@ _register(
 )
 
 
+def _w_versioned_merge_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema evolution (Delta's autoMerge for MERGE,
+    writers/versioned.py:merge(merge_schema=True)): the source carries a
+    column the target lacks (``price_band``) — the CDC-feed-added-a-
+    column case. The merge evolves the schema additively: updated and
+    inserted rows take the source's value, pre-evolution rows read NULL.
+    Asserted in-query: the same merge WITHOUT the flag raises naming
+    ``merge_schema`` and commits nothing, and the CDF for the evolving
+    version carries the new column (postimages/inserts valued,
+    preimages null-filled)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    root = os.path.join(_scratch_dir(), f"wmev-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    v0 = vt.overwrite(orders.where(F.col("o_orderkey") <= hi // 2))
+    source = (
+        orders.where(F.col("o_orderkey") > hi // 4)
+        .withColumn(
+            "price_band",
+            F.when(F.col("o_totalprice") > 150000, "hi").otherwise("lo"),
+        )
+        .withColumn("o_totalprice", -F.col("o_totalprice"))
+    )
+    # without the flag: an error naming the fix, nothing committed
+    try:
+        vt.merge(source, ["o_orderkey"])
+        raise AssertionError("extra-column merge must error without the flag")
+    except VersionedTableError as e:
+        assert "merge_schema" in str(e), e
+    assert vt.latest_version() == v0
+    v = vt.merge(source, ["o_orderkey"], merge_schema=True)
+    # the CDF records the evolving version under the evolved schema
+    cf = vt.change_feed(v - 1, v)
+    assert "price_band" in cf.columns
+    assert cf.where(
+        "_change_type = 'update_preimage' AND price_band IS NOT NULL"
+    ).limit(1).count() == 0
+    assert cf.where(
+        "_change_type = 'insert' AND price_band IS NULL"
+    ).limit(1).count() == 0
+    return vt.read()
+
+
+_register(
+    "w_versioned_merge_evolve",
+    _w_versioned_merge_evolve,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 4
+                THEN -o_totalprice ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 4
+                THEN (CASE WHEN o_totalprice > 150000
+                           THEN 'hi' ELSE 'lo' END)
+                ELSE NULL END AS price_band
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ... WHERE (Delta's partition-scoped compaction,
     writers/versioned.py:compact(where=...)): only files whose manifest

@@ -801,7 +801,9 @@ class VersionedChangesStreamReader(DataSourceStreamReader):
         # old files' missing physical columns null-fill in read(), and
         # physical names are rename-stable.
         stored = vt._schema_at(to_v)
-        if stored is not None and to_v > (self._frozen_version or -1):
+        # explicit None check: a frozen version of 0 is falsy but real
+        frozen_v = -1 if self._frozen_version is None else self._frozen_version
+        if stored is not None and to_v > frozen_v:
             from pyspark.sql import types as T
 
             mapping = vt._mapping_at(to_v)

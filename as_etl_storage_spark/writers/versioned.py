@@ -1755,8 +1755,12 @@ class VersionedTable:
         out: dict[str, object] = {}
         if os.path.isabs(name):
             # a SHALLOW CLONE's external reference: the absolute path's
-            # directories are the SOURCE's layout (clone refuses
-            # partitioned sources) — parsing them would fabricate bounds
+            # directories are the SOURCE's layout, where arbitrary
+            # enclosing directories may LOOK like hive segments — blind
+            # parsing would fabricate bounds. Partitioned clones parse
+            # external hive segments in-plan instead (_scan_files),
+            # filtered to the table's DECLARED partition columns and
+            # anchored to the innermost occurrence.
             return out
         parts = name.replace(os.sep, "/").split("/")[:-1]
         for seg in parts:
@@ -2270,7 +2274,9 @@ class VersionedTable:
     # names reserved for internal row identity (__vt_*) and the
     # manifest's per-file scalar slots (#rows/#bytes) — ONE definition,
     # enforced by _align (writes), add_column and rename_column
-    _RESERVED_NAMES = frozenset({"__vt_file", "__vt_pos", "#rows", "#bytes"})
+    _RESERVED_NAMES = frozenset(
+        {"__vt_file", "__vt_pos", "__vt_upd", "#rows", "#bytes"}
+    )
 
     def _scan_files(
         self,
@@ -2332,9 +2338,14 @@ class VersionedTable:
             for f in schema.fields:
                 if f.name not in partition_by:
                     continue
+                # greedy ".*/" prefix anchors to the LAST (innermost)
+                # hive segment: a source whose ROOT happens to sit under
+                # a directory named like a partition column (e.g.
+                # .../order_year=archive/tbl/order_year=1995/f.parquet)
+                # must not parse the enclosing directory's value
                 raw = F.regexp_extract(
                     F.col("_metadata.file_path"),
-                    "/" + _re.escape(f.name) + "=([^/]*)/",
+                    ".*/" + _re.escape(f.name) + "=([^/]*)/",
                     1,
                 )
                 df = df.withColumn(
@@ -2716,7 +2727,13 @@ class VersionedTable:
 
         def _updated(df: DataFrame, when) -> DataFrame:
             # all assignments see the OLD row: select() evaluates every
-            # expression against the input frame, never sequentially
+            # expression against the input frame, never sequentially.
+            # The match outcome is materialized HERE, against the OLD
+            # row, as a temp boolean — the generated-column recompute
+            # below must not re-resolve the predicate against the
+            # post-assignment frame (update("v = 1", {"v": "v + 10"})
+            # would see the new v and skip the recompute)
+            hit = "__vt_upd"
             out = df.select(
                 *[
                     (
@@ -2725,7 +2742,8 @@ class VersionedTable:
                         else F.col(c)
                     )
                     for c in df.columns
-                ]
+                ],
+                when.cast("boolean").alias(hit),
             )
             # generated columns RECOMPUTE from the post-assignment row
             # (Delta's rule): updating ts must move the generated
@@ -2735,9 +2753,11 @@ class VersionedTable:
             for gname, gexpr in sorted(gen.items()):
                 out = out.withColumn(
                     gname,
-                    F.when(when, F.expr(gexpr)).otherwise(F.col(gname)),
+                    F.when(F.col(hit), F.expr(gexpr)).otherwise(
+                        F.col(gname)
+                    ),
                 )
-            return out
+            return out.drop(hit)
 
         touched, untouched = self._split_touched(base, cond, candidates)
         if not touched:
@@ -2903,6 +2923,7 @@ class VersionedTable:
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
         when_matched_set: dict[str, str] | None = None,
+        merge_schema: bool = False,
     ) -> int | None:
         """MERGE ``source`` into the table on equi-keys ``on`` (Delta's
         MERGE INTO, the upsert/CDC-apply primitive). ``when_matched``:
@@ -2970,7 +2991,18 @@ class VersionedTable:
         (``{"cnt": "target.cnt + source.cnt"}`` accumulates instead of
         replacing). None (the default) is UpdateAll. Merge keys cannot
         be SET (a key rewrite would silently reclassify the row against
-        this merge's own matched/insert split)."""
+        this merge's own matched/insert split).
+
+        ``merge_schema`` (Delta's ``spark.databricks.delta.schema.
+        autoMerge`` for MERGE): source-side columns not in the table
+        evolve the schema additively — exactly ``append``'s
+        ``merge_schema`` — so a CDC feed that adds a column mid-stream
+        keeps applying. Inserted rows carry the new column; updated rows
+        take the source's value (or NULL under a ``when_matched_set``
+        that does not SET it); untouched rows read as NULL, like any
+        additive evolution. The CDF rows are recorded under the evolved
+        schema (preimages/deletes null-fill). Without the flag an extra
+        source column is an error, never silent truncation."""
         if when_matched not in ("update", "delete", None):
             raise VersionedTableError(
                 f"when_matched must be 'update', 'delete' or None, "
@@ -3023,22 +3055,32 @@ class VersionedTable:
                 return self.overwrite(source)
             raise VersionedTableError(f"no committed versions at {self.path}")
         target = self.read(version_as_of=base)
-        if set(target.columns) != set(source.columns):
+        tgt_lower = {c.lower() for c in target.columns}
+        extras = [c for c in source.columns if c.lower() not in tgt_lower]
+        lacking = tgt_lower - {c.lower() for c in source.columns}
+        if lacking or (extras and not merge_schema):
             raise VersionedTableError(
                 f"merge requires identical columns; target {target.columns} "
                 f"vs source {source.columns}"
+                + (
+                    "; pass merge_schema=True to evolve the schema "
+                    "additively with the source's extra columns"
+                    if extras and not lacking
+                    else ""
+                )
             )
         missing = set(on) - set(target.columns)
         if missing:
             raise VersionedTableError(
                 f"merge keys {sorted(missing)} not in columns {target.columns}"
             )
+        merged_cols = list(target.columns) + extras
         if when_matched_set is not None:
-            unknown = sorted(set(when_matched_set) - set(target.columns))
+            unknown = sorted(set(when_matched_set) - set(merged_cols))
             if unknown:
                 raise VersionedTableError(
                     f"when_matched_set names unknown columns {unknown}; "
-                    f"table columns are {target.columns}"
+                    f"table columns are {merged_cols}"
                 )
             gen = self._generated_at(base)
             gen_set = sorted(
@@ -3054,10 +3096,27 @@ class VersionedTable:
                 )
         # column order AND types normalized to the table schema: an
         # inserted source row with a drifted type would otherwise land in
-        # fresh files that poison every later declared-schema scan
-        source, _ = self._align(
-            source.select(*target.columns), self._schema_at(base), False,
-            "merge", generated=self._generated_at(base),
+        # fresh files that poison every later declared-schema scan. With
+        # merge_schema the source's extra columns ride through _align's
+        # additive-evolution path (same as append's) and the resulting
+        # schema json is committed with the merge.
+        stored_schema, tombstones = self._schema_record_at(base)
+        source, new_schema = self._align(
+            source.select(*merged_cols),
+            stored_schema,
+            merge_schema,
+            "merge",
+            tombstones,
+            self._mapping_at(base),
+            generated=self._generated_at(base),
+        )
+        evolved_schema = (
+            new_schema
+            if stored_schema is not None
+            and extras
+            and self._canon_schema(stored_schema)
+            != self._canon_schema(new_schema)
+            else None
         )
         mapping = self._mapping_at(base)
         # MATERIALIZE the aligned source: merge evaluates it across
@@ -3135,6 +3194,7 @@ class VersionedTable:
                 when_not_matched_condition,
                 when_not_matched_by_source_condition,
                 when_matched_set,
+                evolved_schema,
             )
         finally:
             source.unpersist()
@@ -3160,9 +3220,20 @@ class VersionedTable:
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
         when_matched_set: dict[str, str] | None = None,
+        evolved_schema: dict | None = None,
     ) -> int | None:
         if mapping is None:
             mapping = self._mapping_at(base)
+        # the schema the REWRITE side must land under: when the merge
+        # evolves the schema (merge_schema + source extras), touched
+        # files are rewritten with the new column null-filled for kept
+        # rows, so the whole downstream composition (unions, CDF) runs
+        # on one schema
+        eff_schema = (
+            evolved_schema
+            if evolved_schema is not None
+            else self._schema_at(base)
+        )
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
         if when_matched is not None and candidates:
@@ -3197,6 +3268,7 @@ class VersionedTable:
                 when_not_matched_condition,
                 when_not_matched_by_source_condition,
                 when_matched_set,
+                evolved_schema,
             )
 
         def _inserts():
@@ -3244,7 +3316,14 @@ class VersionedTable:
             scan_t = self._scan_files(
                 touched, self._scan_schema(base), self._dv_at(base),
                 mapping=mapping, partition_by=pb,
-            ).persist()
+            )
+            if evolved_schema is not None:
+                # rewritten rows land under the EVOLVED schema: kept
+                # rows null-fill the new columns (one zero-cost select)
+                scan_t, _ = self._align(
+                    scan_t, evolved_schema, False, "merge"
+                )
+            scan_t = scan_t.persist()
             try:
                 kept = scan_t.join(src_keys, on=on, how="left_anti")
                 cons = self._constraints_at(base)
@@ -3264,7 +3343,7 @@ class VersionedTable:
                         # later declared-schema scans (same rule as
                         # update()'s assignments)
                         updated, _ = self._align(
-                            updated, self._schema_at(base), False, "merge"
+                            updated, eff_schema, False, "merge"
                         )
                     rewritten = kept.unionByName(
                         self._checked(updated, cons)
@@ -3330,6 +3409,16 @@ class VersionedTable:
             cdc=cdc,
             known_stats={f: known[f] for f in untouched if f in known},
             partition_by=pb,
+            # an EVOLVING merge records the new schema; its rows were
+            # aligned against the base's, so a concurrent schema change
+            # must abort it (enforced_schema), never be stomped
+            schema=evolved_schema,
+            enforced_schema=(
+                self._schema_at(base)
+                if evolved_schema is not None
+                else None
+            ),
+            mapping=mapping if evolved_schema is not None else None,
             # a concurrent append whose files cannot intersect the source
             # key envelope cannot hold a matchable key: the matched/insert
             # split is unaffected, so the merge rebases over it (Delta's
@@ -3369,6 +3458,7 @@ class VersionedTable:
         when_not_matched_condition=None,
         when_not_matched_by_source_condition=None,
         when_matched_set: dict[str, str] | None = None,
+        evolved_schema: dict | None = None,
     ) -> int | None:
         """MERGE with ``when_not_matched_by_source='delete'``: target
         rows matching no source key are removed. Scale shape: files
@@ -3384,6 +3474,20 @@ class VersionedTable:
         sch = self._scan_schema(base)
         dv = self._dv_at(base)
         cons = self._constraints_at(base)
+        eff_schema = (
+            evolved_schema
+            if evolved_schema is not None
+            else self._schema_at(base)
+        )
+
+        def _to_eff(df: DataFrame) -> DataFrame:
+            # evolving merge: every target-side frame (rewrites AND the
+            # wholesale-drop CDF scans) null-fills the new columns so
+            # the downstream unions compose under one schema
+            if evolved_schema is None:
+                return df
+            return self._align(df, evolved_schema, False, "merge")[0]
+
         bcond = (
             self._as_condition(when_not_matched_by_source_condition)
             if when_not_matched_by_source_condition is not None
@@ -3427,8 +3531,10 @@ class VersionedTable:
         new_files: list[str] = []
         cdc_frames: list[DataFrame] = []
         if touched:
-            scan_t = self._scan_files(
-                touched, sch, dv, mapping=mapping, partition_by=pb,
+            scan_t = _to_eff(
+                self._scan_files(
+                    touched, sch, dv, mapping=mapping, partition_by=pb,
+                )
             ).persist()
             try:
                 matched_t = scan_t.join(src_keys, on=on, how="left_semi")
@@ -3458,7 +3564,7 @@ class VersionedTable:
                 if when_matched == "update":
                     if when_matched_set is not None:
                         updated, _ = self._align(
-                            updated, self._schema_at(base), False, "merge"
+                            updated, eff_schema, False, "merge"
                         )
                     rewritten_frames.append(self._checked(updated, cons))
                     cdc_frames.append(
@@ -3505,9 +3611,11 @@ class VersionedTable:
                     # read once for the change feed only — these files
                     # are dropped from the snapshot by NAME, zero rewrite
                     cdc_frames.append(
-                        self._scan_files(
-                            dropped_whole, sch, dv, mapping=mapping,
-                            partition_by=pb,
+                        _to_eff(
+                            self._scan_files(
+                                dropped_whole, sch, dv, mapping=mapping,
+                                partition_by=pb,
+                            )
                         ).withColumn("_change_type", F.lit("delete"))
                     )
                 from functools import reduce
@@ -3531,9 +3639,11 @@ class VersionedTable:
                     )
             if dropped_whole:
                 cdc_frames.append(
-                    self._scan_files(
-                        dropped_whole, sch, dv, mapping=mapping,
-                        partition_by=pb,
+                    _to_eff(
+                        self._scan_files(
+                            dropped_whole, sch, dv, mapping=mapping,
+                            partition_by=pb,
+                        )
                     ).withColumn("_change_type", F.lit("delete"))
                 )
             if not cdc_frames:
@@ -3552,6 +3662,13 @@ class VersionedTable:
             base,
             cdc=cdc,
             partition_by=pb,
+            schema=evolved_schema,
+            enforced_schema=(
+                self._schema_at(base)
+                if evolved_schema is not None
+                else None
+            ),
+            mapping=mapping if evolved_schema is not None else None,
             params={
                 "on": list(on),
                 "when_matched": when_matched,

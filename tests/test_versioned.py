@@ -1314,6 +1314,101 @@ def test_merge_creates_table(spark, tmp_path):
     assert vt.read().count() == 5
 
 
+def test_merge_schema_evolution(spark, tmp_path):
+    """merge(merge_schema=True) with a source carrying an added column
+    evolves the schema additively (Delta's autoMerge for MERGE):
+    inserted rows carry the new column, updated rows take the source's
+    value, untouched rows read NULL; the CDF records the evolved
+    schema; a second extra-column merge WITHOUT the flag still errors;
+    and a concurrent schema change aborts the evolving merge."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "me"))
+    vt.overwrite(
+        spark.createDataFrame(
+            [(0, 0), (1, 10), (2, 20)], "id long, val long"
+        )
+    )
+    src = spark.createDataFrame(
+        [(1, -10, "a"), (9, -90, "b")], "id long, val long, tag string"
+    )
+    # without the flag: error naming the fix, nothing committed
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        vt.merge(src, ["id"])
+    assert vt.latest_version() == 0
+    v = vt.merge(src, ["id"], merge_schema=True)
+    assert vt.read().columns == ["id", "val", "tag"]
+    got = {(r.id, r.val, r.tag) for r in vt.read().collect()}
+    assert got == {
+        (0, 0, None),  # untouched: null-fills
+        (1, -10, "a"),  # updated: takes the source's new column
+        (2, 20, None),  # untouched (key-matched file peer)
+        (9, -90, "b"),  # inserted
+    }
+    # CDF rows carry the evolved schema (preimage null-fills)
+    cf = vt.change_feed(v - 1, v)
+    assert "tag" in cf.columns
+    by = {
+        (r["_change_type"], r.id): r.tag for r in cf.collect()
+    }
+    assert by[("update_preimage", 1)] is None
+    assert by[("update_postimage", 1)] == "a"
+    assert by[("insert", 9)] == "b"
+    # time travel: pre-evolution snapshot keeps the old schema
+    assert vt.read(version_as_of=0).columns == ["id", "val"]
+    # a MISSING source column is still an error even with the flag
+    with pytest.raises(VersionedTableError, match="identical columns"):
+        vt.merge(
+            spark.createDataFrame([(1, "x")], "id long, tag string"),
+            ["id"],
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_evolution_set_and_by_source(spark, tmp_path):
+    """Evolution composes with the other merge machinery: a
+    when_matched_set may SET the NEW column from the source, and the
+    by-source mirror form evolves too (wholesale-dropped rows' CDF
+    delete records null-fill the new column)."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "mes"))
+    vt.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, cnt long")
+    )
+    vt.merge(
+        spark.createDataFrame(
+            [(1, 5, "x")], "id long, cnt long, note string"
+        ),
+        ["id"],
+        when_matched_set={
+            "cnt": "target.cnt + source.cnt",
+            "note": "source.note",
+        },
+        merge_schema=True,
+    )
+    got = {(r.id, r.cnt, r.note) for r in vt.read().collect()}
+    assert got == {(1, 15, "x"), (2, 20, None)}
+    # by-source mirror with evolution: target becomes the source
+    vt2 = VersionedTable(spark, str(tmp_path / "mbs"))
+    vt2.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, cnt long")
+    )
+    v = vt2.merge(
+        spark.createDataFrame(
+            [(1, 11, "k"), (3, 30, "n")], "id long, cnt long, note string"
+        ),
+        ["id"],
+        when_not_matched_by_source="delete",
+        merge_schema=True,
+    )
+    got = {(r.id, r.cnt, r.note) for r in vt2.read().collect()}
+    assert got == {(1, 11, "k"), (3, 30, "n")}
+    cf = vt2.change_feed(v - 1, v)
+    dels = {r.id: r.note for r in cf.where("_change_type = 'delete'").collect()}
+    assert dels == {2: None}
+
+
 def test_change_feed_mixed_ops(spark, tmp_path):
     """One feed across append + delete + compact + update: inserts come
     from data files, row changes from _cdc files, compact contributes
@@ -5003,6 +5098,52 @@ def test_merge_set_recomputes_generated_dependency(spark, tmp_path):
     )
     got = {(r.id, r.v, r.twice) for r in vt.read().collect()}
     assert got == {(0, 100, 200), (1, 101, 202), (2, 2, 4), (3, 3, 6)}
+
+
+def test_update_generated_recompute_self_referencing_predicate(
+    spark, tmp_path
+):
+    """UPDATE whose predicate references the ASSIGNED column: the
+    generated-column recompute must key off the OLD row's match outcome,
+    not re-resolve the predicate against the post-assignment frame —
+    update("v = 1", {"v": "v + 10"}) with generated twice = v*2 moved v
+    to 11, so the recompute's `v = 1` test went false on the new value
+    and twice kept its stale 2; and the CDF postimage (built with a
+    literal-true match) recorded 22, silently diverging from the table."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "gsp"))
+    vt.overwrite(spark.createDataFrame([], "id: long, v: long"))
+    vt.add_generated_column("twice", "bigint", "v * 2")
+    vt.append(
+        spark.createDataFrame([(1, 1), (2, 5)], "id: long, v: long")
+    )
+    ver = vt.update("v = 1", {"v": "v + 10"})
+    got = {(r.id, r.v, r.twice) for r in vt.read().collect()}
+    assert got == {(1, 11, 22), (2, 5, 10)}
+    # table and change feed agree on the postimage
+    post = vt.change_feed(ver - 1, ver).where(
+        "_change_type = 'update_postimage'"
+    ).collect()
+    assert [(r.id, r.v, r.twice) for r in post] == [(1, 11, 22)]
+
+
+def test_clone_partitioned_source_under_partitionlike_dir(spark, tmp_path):
+    """The in-plan hive parse over a clone's external references anchors
+    to the INNERMOST `col=value` segment: a source whose own root sits
+    under a directory named like the partition column (.../k=archive/
+    tbl/k=1/f.parquet) must parse k=1, not the enclosing k=archive."""
+    from pyspark.sql import functions as F
+
+    root = tmp_path / "k=archive" / "tbl"
+    src = VersionedTable(spark, str(root))
+    src.overwrite(
+        spark.range(12).select("id", (F.col("id") % 3).alias("k")),
+        partition_by=["k"],
+    )
+    cl = src.clone(str(tmp_path / "clpd"))
+    got = {(r.id, r.k) for r in cl.read().collect()}
+    assert got == {(i, i % 3) for i in range(12)}
 
 
 def test_generated_columns_are_feature_gated(spark, tmp_path):
