@@ -1146,6 +1146,147 @@ _register(
 )
 
 
+def _w_versioned_dml_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned layer's HEADLINE bench row (r13): one composite
+    lifecycle — overwrite → append → row-level DELETE → MERGE
+    (update+insert) → snapshot read — so a perf regression anywhere in
+    the commit/discovery/rewrite machinery (the subsystem rounds 8–13
+    built) shows up in the round-over-round bench trend instead of
+    being invisible. Oracle: the whole lifecycle reduces to one CASE +
+    anti-filter over orders."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wdmlc-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders.where(F.col("o_orderkey") <= hi // 2))
+    vt.append(
+        orders.where(
+            (F.col("o_orderkey") > hi // 2)
+            & (F.col("o_orderkey") <= 3 * hi // 4)
+        )
+    )
+    # spread delete: hits most files (the rewrite path, not the prune)
+    vt.delete("o_orderkey % 10 = 3")
+    # merge re-covers (hi/4, hi]: updates survivors, re-inserts the
+    # deleted keys in range, inserts the top quarter — all negated
+    vt.merge(
+        orders.where(F.col("o_orderkey") > hi // 4).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+        ["o_orderkey"],
+    )
+    return vt.read()
+
+
+_register(
+    "w_versioned_dml_composite",
+    _w_versioned_dml_composite,
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey > (SELECT max(o_orderkey) FROM orders) // 4
+                THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+    FROM orders
+    WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 4
+               AND o_orderkey % 10 = 3)
+    """,
+)
+
+
+def _w_versioned_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS IDENTITY (writers/versioned.py:
+    add_identity_column): the table allocates a monotonic,
+    collision-free, gap-tolerant bigint key at every insert-like write —
+    high-water mark in the log, per-row assignment in-plan via the
+    prefix-sum shape (one partition-id exchange + a ≤P-row offsets
+    broadcast; never a driver loop). Built: declare on empty, append the
+    low half of orders (ids 1..n1, contiguous), then MERGE the upper
+    three quarters — updated rows KEEP their ids (asserted in-query),
+    inserted rows allocate n1+1..n1+n2. The oracle checks the
+    deterministic shape: every row has a distinct id, min 1, max = row
+    count (per-row id assignment is partition-order-dependent by design,
+    so the contract is the value set, not the row mapping)."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    root = os.path.join(_scratch_dir(), f"wid-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    vt = VersionedTable(spark, root)
+    vt.overwrite(orders.limit(0))
+    vt.add_identity_column("rid")
+    vt.append(orders.where(F.col("o_orderkey") <= hi // 2))
+    n1 = vt.identity_columns()["rid"]["high"]
+    # a frame supplying the column is refused (GENERATED ALWAYS)
+    try:
+        vt.append(
+            orders.where(F.col("o_orderkey") > hi).withColumn(
+                "rid", F.lit(0)
+            )
+        )
+        raise AssertionError("supplying an identity column must error")
+    except VersionedTableError as e:
+        assert "GENERATED ALWAYS" in str(e), e
+    vt.merge(
+        orders.where(F.col("o_orderkey") > hi // 4).withColumn(
+            "o_totalprice", -F.col("o_totalprice")
+        ),
+        ["o_orderkey"],
+    )
+    snap = vt.read()
+    # updated rows kept ids from the first allocation (<= n1); inserted
+    # rows allocated above it — fused as one in-plan assertion
+    assert (
+        snap.where(
+            (
+                (F.col("o_orderkey") <= hi // 2) & (F.col("rid") > n1)
+            )
+            | ((F.col("o_orderkey") > hi // 2) & (F.col("rid") <= n1))
+        )
+        .limit(1)
+        .count()
+        == 0
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("rid").alias("n_ids"),
+        F.min("rid").alias("min_id"),
+        F.max("rid").alias("max_id"),
+    )
+
+
+_register(
+    "w_versioned_identity",
+    _w_versioned_identity,
+    """
+    SELECT count(*) AS n_rows,
+           count(*) AS n_ids,
+           1 AS min_id,
+           count(*) AS max_id
+    FROM orders
+    """,
+)
+
+
 def _w_versioned_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE ... WHERE (Delta's partition-scoped compaction,
     writers/versioned.py:compact(where=...)): only files whose manifest

@@ -11,15 +11,21 @@ data files that make up that version.
                                       "files": [...]}    full snapshot
       _log/00000001.json             {"version": 1, "op": "append",
                                       "add": [...]}      delta
-      _log/00000010.checkpoint.json  {"files": [...]}    full snapshot
+      _log/00000010.checkpoint.parquet  full snapshot: one row per live
+                                     data file (path + JSON stats + dv
+                                     cells), O(1) metadata in the footer
+                                     (legacy *.checkpoint.json still read)
       part-....parquet               data files (immutable once committed)
 
 Commit protocol: write data files first (invisible until referenced), then
-create the next manifest with O_EXCL — the filesystem's atomic create is
-the commit point, and a concurrent committer loses the race and retries on
-a fresh version number (optimistic concurrency, like Delta). Readers list
-the log once and pin a version => consistent snapshots for free; old
-versions stay readable until vacuumed.
+publish the next manifest with the log store's ``put_if_absent`` — the
+store's atomic-exclusive create is the commit point, and a concurrent
+committer loses the race and retries on a fresh version number
+(optimistic concurrency, like Delta). The store is injectable (Delta's
+LogStore abstraction, see logstore.py): POSIX ``os.link`` semantics by
+default, conditional put for S3-class object stores with no atomic
+rename. Readers list the log once and pin a version => consistent
+snapshots for free; old versions stay readable until vacuumed.
 
 Log scale (the part that must survive a 100 TB table with ~10^6 data
 files and an unbounded commit history): an *append* manifest records only
@@ -28,8 +34,8 @@ table size, and two concurrent appends can never lose each other's files
 because neither rewrites the full list. Overwrite/replace are full
 snapshots by nature (``files``) — they reset the state. A reader
 reconstructs version v by walking back from v to the nearest full
-snapshot — a ``*.checkpoint.json`` (written best-effort every
-CHECKPOINT_EVERY appends, exactly Delta's parquet checkpoint idea) or a
+snapshot — a ``*.checkpoint.parquet`` (written best-effort every
+CHECKPOINT_EVERY appends, exactly Delta's parquet checkpoint) or a
 full manifest — then replaying the ``add`` deltas forward; replay depth
 is bounded by CHECKPOINT_EVERY. vacuum writes a checkpoint at the oldest
 retained version before truncating older manifests, so retained delta
@@ -73,7 +79,9 @@ def _layout_only(manifest: dict) -> bool:
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, log_store=None):
+        from as_etl_storage_spark.writers.logstore import PosixLogStore
+
         self.spark = spark
         # normalized: a trailing separator would break every
         # prefix/startswith comparison against self.path (notably the
@@ -81,6 +89,13 @@ class VersionedTable:
         # reads hive partition columns as NULL)
         self.path = os.path.normpath(path)
         self.log_dir = os.path.join(self.path, "_log")
+        # the LOG's storage primitive (Delta's LogStore): every
+        # manifest/checkpoint byte goes through it, so commit atomicity
+        # is a property of the injected store, not of this class —
+        # POSIX os.link semantics by default; an object store brings
+        # its conditional put. Data files are out of scope (Spark
+        # writes them; a commit only makes them visible by reference).
+        self._store = log_store if log_store is not None else PosixLogStore()
         # commit-timestamp memo for resolve_timestamp: manifests are
         # immutable once written, so a (version -> ts) entry never goes
         # stale; repeated timestamp reads/stream starts stop re-parsing
@@ -91,10 +106,8 @@ class VersionedTable:
 
     # -- log ------------------------------------------------------------
     def _versions(self) -> list[int]:
-        if not os.path.isdir(self.log_dir):
-            return []
         out = []
-        for f in os.listdir(self.log_dir):
+        for f in self._store.list_names(self.log_dir):
             if f.endswith(".json"):
                 try:
                     out.append(int(f[: -len(".json")]))
@@ -106,35 +119,103 @@ class VersionedTable:
         vs = self._versions()
         return vs[-1] if vs else None
 
+    def _load_json(self, path: str) -> dict | None:
+        """The manifest at ``path`` through the log store, or None when
+        it does not exist (walks use absence as 'keep walking' /
+        'truncated')."""
+        if not self._store.exists(path):
+            return None
+        return json.loads(self._store.read_bytes(path))
+
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.log_dir, f"{version:08d}.json")) as fh:
-            return json.load(fh)
+        return json.loads(
+            self._store.read_bytes(
+                os.path.join(self.log_dir, f"{version:08d}.json")
+            )
+        )
 
     def _checkpoint_path(self, version: int) -> str:
+        """LEGACY single-JSON checkpoint path (still read; never written
+        by this version — see _write_checkpoint)."""
         return os.path.join(self.log_dir, f"{version:08d}.checkpoint.json")
+
+    def _checkpoint_pq_path(self, version: int) -> str:
+        """Parquet checkpoint path (Delta's own checkpoint format
+        choice): one row per live data file, table metadata in the
+        footer — columnar, splittable, ``spark.read``-able."""
+        return os.path.join(self.log_dir, f"{version:08d}.checkpoint.parquet")
+
+    def _find_checkpoint(self, version: int) -> str | None:
+        """Path of the checkpoint at ``version`` in either format
+        (parquet preferred), or None when the version has no
+        checkpoint."""
+        pq_path = self._checkpoint_pq_path(version)
+        if self._store.exists(pq_path):
+            return pq_path
+        js = self._checkpoint_path(version)
+        return js if self._store.exists(js) else None
+
+    #: footer key holding the checkpoint's O(1) table metadata
+    _CP_META_KEY = b"vt.meta"
+
+    def _read_checkpoint(self, path: str, part: str) -> dict:
+        """One PART of a checkpoint, reading only the bytes that part
+        needs — the reason the format is parquet: at 10^6 add-entries a
+        schema/constraints/txns lookup is a FOOTER read (O(1)), a
+        snapshot reconstruction reads the ``path`` column only, and
+        stats/dv reads skip each other's columns. ``part``:
+
+        - ``'meta'`` — every O(1) key (version, txns, partition_by,
+          constraints, schema, dropped_columns, column_mapping,
+          features, created_ts, generated) from the footer;
+        - ``'files'`` — ``{'files': [...]}`` from the path column;
+        - ``'stats'`` — ``{'stats': {file: bounds}}``;
+        - ``'dv'`` — ``{'dv': {file: entry}}``.
+
+        A legacy JSON checkpoint returns its whole payload regardless
+        (it is one blob; there is nothing to skip)."""
+        if path.endswith(".json"):
+            return json.loads(self._store.read_bytes(path))
+        import pyarrow.parquet as pq
+
+        if part == "meta":
+            kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
+            return json.loads(kv[self._CP_META_KEY])
+        cols = {
+            "files": ["path"],
+            "stats": ["path", "stats"],
+            "dv": ["path", "dv"],
+        }[part]
+        tbl = pq.read_table(self._store.open_arrow(path), columns=cols)
+        paths = tbl.column("path").to_pylist()
+        if part == "files":
+            return {"files": paths}
+        key = cols[1]
+        out = {
+            p: json.loads(raw)
+            for p, raw in zip(paths, tbl.column(key).to_pylist())
+            if raw is not None
+        }
+        if part == "dv":
+            # entries whose file had no row (defensive; see writer)
+            kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
+            meta = json.loads(kv[self._CP_META_KEY])
+            out.update(meta.get("dv_extra", {}))
+        return {key: out}
 
     def _publish_manifest(self, version: int, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as ``version``; False when the
         version was claimed concurrently (the optimistic-concurrency
-        race). The manifest must APPEAR atomically complete: a bare
-        O_EXCL-create-then-write has a crash window where the version
-        exists as an empty/torn file and every later _manifest() fails —
-        the table is bricked. So the full bytes go to a temp name
-        (fsync'd) and os.link exposes them under the version name: link
-        fails like O_EXCL when the version exists."""
+        race). The manifest must APPEAR atomically complete — a torn or
+        empty version file bricks every later _manifest() — and the
+        create must be exclusive. Both are the log store's
+        ``put_if_absent`` contract (Delta's LogStore): POSIX implements
+        it with fsync'd-temp + os.link, an object store with
+        conditional put; this class only needs the contract."""
         target = os.path.join(self.log_dir, f"{version:08d}.json")
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        try:
-            os.link(tmp, target)
-        except FileExistsError:
-            os.unlink(tmp)
-            return False
-        os.unlink(tmp)
-        return True
+        return self._store.put_if_absent(
+            target, json.dumps(manifest).encode()
+        )
 
     #: table features this implementation can read AND write correctly.
     #: Delta's minReaderVersion/minWriterVersion protocol action,
@@ -153,6 +234,7 @@ class VersionedTable:
             "type-widening",
             "external-files",
             "generated-columns",
+            "identity-columns",
         }
     )
 
@@ -193,20 +275,19 @@ class VersionedTable:
         adds: list[list[str]] = []
         v = version
         while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    base = json.load(fh)["files"]
+            cp = self._find_checkpoint(v)
+            if cp is not None:
+                base = self._read_checkpoint(cp, "files")["files"]
                 break
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None:
                 raise VersionedTableError(
                     f"cannot reconstruct version {version}: manifest {v} is "
                     f"missing and no checkpoint covers it — the log was "
                     f"truncated past the last full snapshot"
                 )
-            with open(mpath) as fh:
-                m = json.load(fh)
             if "files" in m:  # full snapshot (overwrite/replace, or v0)
                 base = m["files"]
                 break
@@ -225,16 +306,17 @@ class VersionedTable:
         layers: list[list] = []
         v = version
         while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    base = dict(json.load(fh).get("txns", {}))
+            cp = self._find_checkpoint(v)
+            if cp is not None:
+                base = dict(
+                    self._read_checkpoint(cp, "meta").get("txns", {})
+                )
                 break
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None:
                 return {}
-            with open(mpath) as fh:
-                m = json.load(fh)
             if "files" in m:
                 base = dict(m.get("txns", {}))
                 break
@@ -255,16 +337,20 @@ class VersionedTable:
         (value-or-None, terminating manifest-or-{})."""
         v = version
         while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    m = json.load(fh)
+            cp = self._find_checkpoint(v)
+            if cp is not None:
+                # dv is the one per-FILE property served by this walk:
+                # a parquet checkpoint keeps it in the rows, everything
+                # else is an O(1) footer read
+                m = self._read_checkpoint(
+                    cp, "dv" if key == "dv" else "meta"
+                )
                 return m.get(key), m
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None:
                 return None, {}
-            with open(mpath) as fh:
-                m = json.load(fh)
             if key in m:
                 return m[key], m
             if "files" in m:
@@ -307,6 +393,22 @@ class VersionedTable:
         """The table's current generated-column map ({} when none)."""
         latest = self.latest_version()
         return {} if latest is None else self._generated_at(latest)
+
+    def _identity_at(self, version: int) -> dict[str, dict]:
+        """column → {"start", "step", "high"} identity specs in effect
+        at ``version`` (Delta's GENERATED ALWAYS AS IDENTITY): ``high``
+        is the last allocated value (None before the first allocation)
+        — THE high-water mark, persisted in the log so allocation
+        survives restarts, snapshot resets, checkpoints and vacuum.
+        Same walk as constraints; allocating appends carry the full
+        updated map so the walk terminates at them."""
+        val, _ = self._walk_to(version, "identity")
+        return dict(val or {})
+
+    def identity_columns(self) -> dict[str, dict]:
+        """The table's current identity-column specs ({} when none)."""
+        latest = self.latest_version()
+        return {} if latest is None else self._identity_at(latest)
 
     # -- table schema (Delta's metaData.schemaString analog) -------------
     def _schema_record_at(
@@ -856,6 +958,152 @@ class VersionedTable:
             generated={**self._generated_at(base), name: expr},
         )
 
+    def add_identity_column(
+        self, name: str, start: int = 1, step: int = 1
+    ) -> int:
+        """ALTER TABLE ADD COLUMN ... GENERATED ALWAYS AS IDENTITY
+        (Delta's identity columns): ``name`` (bigint) is ALLOCATED by
+        the table at every insert-like write — monotonic in commit
+        order, collision-free, gap-TOLERANT (a lost commit race or an
+        over-reserved range leaves gaps, exactly Delta's contract;
+        identity is a key, not a row number). Frames must NOT supply
+        the column (ALWAYS, not BY DEFAULT); UPDATE cannot assign it;
+        merge sources omit it (updated rows keep the target's value,
+        inserted rows allocate).
+
+        The high-water mark lives in the LOG (``identity`` key, same
+        walk as constraints) and advances with each allocating commit;
+        per-row assignment happens IN-PLAN via the prefix-sum shape
+        (one partition-id exchange plus a ≤P-row offsets broadcast —
+        operators/rank.py's kernel cost), never through the driver.
+        Declared on EMPTY tables only, like generated columns. Not
+        supported with replace_where/overwrite_partitions (restates
+        would re-allocate restated rows' identities); use merge."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        if not isinstance(start, int) or not isinstance(step, int) or step == 0:
+            raise VersionedTableError(
+                f"identity start/step must be integers with step != 0; "
+                f"got start={start!r} step={step!r}"
+            )
+        stats = self._stats_at(base)
+        rows = 0
+        for f in self._state(base):
+            r = stats.get(f, {}).get("#rows")
+            if isinstance(r, int):
+                rows += r
+            else:
+                rows = -1
+                break
+        if rows == -1:
+            rows = self.read(version_as_of=base).limit(1).count()
+        if rows:
+            raise VersionedTableError(
+                "add_identity_column requires an EMPTY table: rows "
+                "written before the declaration would read the column "
+                "as NULL — no retroactive allocation. Declare identity "
+                "columns at creation (overwrite an empty frame first)"
+            )
+        if name.lower() in self._RESERVED_NAMES:
+            raise VersionedTableError(
+                f"add_identity_column: {name!r} is reserved for "
+                f"internal row identity / manifest bookkeeping"
+            )
+        sch = self._recorded_schema_for_ddl(base, "add_identity_column")
+        if any(f.name.lower() == name.lower() for f in sch.fields):
+            raise VersionedTableError(
+                f"column {name!r} already exists in "
+                f"{[f.name for f in sch.fields]}"
+            )
+        if name.lower() in {g.lower() for g in self._generated_at(base)}:
+            raise VersionedTableError(
+                f"{name!r} is already a generated column"
+            )
+        evolved = T.StructType(
+            [*sch.fields, T.StructField(name, T.LongType(), True)]
+        )
+        return self._commit_metadata(
+            base,
+            "add_identity_column",
+            schema=evolved.jsonValue(),
+            dropped=self._dropped_at(base),
+            mapping=self._mapping_at(base),
+            identity={
+                **self._identity_at(base),
+                name: {"start": start, "step": step, "high": None},
+            },
+        )
+
+    def _identity_supplied(
+        self, df: DataFrame, idmap: dict, op: str
+    ) -> None:
+        """GENERATED ALWAYS: a frame supplying an identity column is an
+        error at the write — the table allocates, callers never do."""
+        supplied = sorted(
+            c
+            for c in df.columns
+            if c.lower() in {k.lower() for k in idmap}
+        )
+        if supplied:
+            raise VersionedTableError(
+                f"{op}: columns {supplied} are GENERATED ALWAYS AS "
+                f"IDENTITY — the table allocates their values; remove "
+                f"them from the frame"
+            )
+
+    def _with_identity_allocation(
+        self, df: DataFrame, idmap: dict
+    ) -> DataFrame:
+        """Allocate identity values for every row of ``df`` IN-PLAN:
+        ``prev_high + step * k`` with k = 1..n over an arbitrary but
+        collision-free global order. Cost shape (the rank kernel's,
+        operators/rank.py): the corpus moves through ONE exchange (the
+        partition-id window feeding row_number); per-partition counts
+        come from a separate ≤P-row aggregate lineage whose cumulative
+        offsets broadcast-join back — per-row assignment never touches
+        the driver. Callers persist ``df`` first so the two lineages
+        see identical partitions."""
+        from pyspark.sql import Window
+
+        from as_etl_storage_spark.operators.parallelism import (
+            constant_partition_key,
+        )
+
+        pid, loc, off, cnt = (
+            "__vt_id_pid",
+            "__vt_id_loc",
+            "__vt_id_off",
+            "__vt_id_cnt",
+        )
+        base = df.withColumn(pid, F.spark_partition_id())
+        w_local = Window.partitionBy(pid).orderBy(
+            F.monotonically_increasing_id()
+        )
+        ann = base.withColumn(loc, F.row_number().over(w_local))
+        stats = base.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
+        w_off = (
+            Window.partitionBy(constant_partition_key(F.col(pid)))
+            .orderBy(pid)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = stats.withColumn(
+            off,
+            F.coalesce(F.sum(cnt).over(w_off), F.lit(0)).cast("long"),
+        ).select(pid, off)
+        out = ann.join(F.broadcast(offs), pid)
+        k = (F.col(off) + F.col(loc)).cast("long")
+        for c, sp in sorted(idmap.items()):
+            prev = (
+                sp["high"]
+                if sp.get("high") is not None
+                else sp["start"] - sp["step"]
+            )
+            out = out.withColumn(
+                c, (F.lit(prev) + F.lit(sp["step"]) * k).cast("long")
+            )
+        return out.drop(pid, loc, off)
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN — metadata-only: the narrowed schema
         is committed, no data file is rewritten, and the declared-schema
@@ -907,6 +1155,12 @@ class VersionedTable:
         gen = {
             g: e for g, e in gen.items() if g.lower() != name.lower()
         }
+        # dropping an identity column drops its spec (the watermark dies
+        # with the declaration; a re-add starts a fresh sequence)
+        idm = self._identity_at(base)
+        idm_new = {
+            c: sp for c, sp in idm.items() if c.lower() != name.lower()
+        }
         # tombstone the PHYSICAL name: that's what old files still hold
         # bytes under — re-adding it (add_column or merge_schema
         # evolution) is refused until a schema-redefining overwrite
@@ -926,6 +1180,7 @@ class VersionedTable:
             dropped=[*self._dropped_at(base), phys],
             mapping=mapping,
             generated=gen,
+            identity=idm_new if idm_new != idm else None,
         )
 
     def widen_column(self, name: str, ddl_type: str) -> int:
@@ -1052,6 +1307,16 @@ class VersionedTable:
                 f"cannot rename {old!r}: generated columns define or "
                 f"reference it: {gen_hit}; drop them first"
             )
+        idm = self._identity_at(base)
+        if old.lower() in {c.lower() for c in idm}:
+            # the spec map is keyed by logical name; conservative, like
+            # the generated-column rule (a keyed rewrite is possible but
+            # identity columns are keys — renaming keys mid-life invites
+            # more trouble than it solves)
+            raise VersionedTableError(
+                f"cannot rename identity column {old!r}; drop it first "
+                f"(the sequence restarts on re-add)"
+            )
         tombstones = self._dropped_at(base)
         if new.lower() in (d.lower() for d in tombstones):
             raise VersionedTableError(
@@ -1083,6 +1348,7 @@ class VersionedTable:
         dropped: list[str] | None = None,
         mapping: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
     ) -> int:
         """Metadata-only commit: a delta manifest with an empty ``add``
         (state unchanged, O(1) size) carrying the full constraint map
@@ -1105,6 +1371,8 @@ class VersionedTable:
             manifest["constraints"] = constraints
         if generated is not None:
             manifest["generated"] = generated
+        if identity is not None:
+            manifest["identity"] = identity
         if schema is not None:
             manifest["schema"] = schema
             manifest["dropped_columns"] = (
@@ -1127,6 +1395,10 @@ class VersionedTable:
             # validating the generated columns — silently breaking the
             # invariant; the flag makes it fail fast instead
             feats.add("generated-columns")
+        if manifest.get("identity"):
+            # a pre-feature writer appending without allocating (or
+            # advancing the watermark) would write NULL ids / collide
+            feats.add("identity-columns")
         if feats:
             manifest["features"] = sorted(feats)
         if latest != base or not self._publish_manifest(version, manifest):
@@ -1146,16 +1418,15 @@ class VersionedTable:
         layers: list[dict] = []
         v = version
         while True:
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp):
-                with open(cp) as fh:
-                    base = json.load(fh).get("stats", {})
+            cp = self._find_checkpoint(v)
+            if cp is not None:
+                base = self._read_checkpoint(cp, "stats").get("stats", {})
                 break
-            mpath = os.path.join(self.log_dir, f"{v:08d}.json")
-            if not os.path.exists(mpath):
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None:
                 return {}  # truncated below a snapshot: no skipping
-            with open(mpath) as fh:
-                m = json.load(fh)
             if "files" in m:
                 base = m.get("stats", {})
                 break
@@ -1169,43 +1440,86 @@ class VersionedTable:
         """Best-effort full-snapshot checkpoint AFTER manifest ``version``
         is committed. Crash-safe by construction: readers that don't find
         it replay deltas instead; temp+rename keeps a torn write from ever
-        appearing under the checkpoint name."""
+        appearing under the checkpoint name.
+
+        PARQUET format (Delta's own checkpoint format choice): one row
+        per live data file — ``path`` plus JSON-encoded ``stats`` and
+        ``dv`` cells — with every O(1) table property (schema, txns,
+        constraints, features, …) in the footer metadata. Why it matters
+        at 10^6 add-entries: the old single-JSON blob was O(files) to
+        parse for ANY lookup; the parquet form serves property walks
+        from the footer alone, snapshot reconstruction from the ``path``
+        column alone, and is splittable/``spark.read``-able if a reader
+        ever wants to distribute it (see _read_checkpoint)."""
         state = self._state(version)
         stats = self._stats_at(version)
         keep = set(state)
-        payload = {
+        stats = {f: s for f, s in stats.items() if f in keep}
+        dv = self._dv_at(version)
+        meta: dict = {
             "version": version,
-            "files": state,
-            "stats": {f: s for f, s in stats.items() if f in keep},
             "txns": self._txns_at(version),
             "partition_by": self._partition_by_at(version),
             "constraints": self._constraints_at(version),
         }
         gen = self._generated_at(version)
         if gen:
-            payload["generated"] = gen
+            meta["generated"] = gen
+        idm = self._identity_at(version)
+        if idm:
+            meta["identity"] = idm
         sch, drp = self._schema_record_at(version)
         if sch is not None:
-            payload["schema"] = sch
-            payload["dropped_columns"] = drp
-            payload["column_mapping"] = self._mapping_at(version)
-        dv = self._dv_at(version)
-        if dv:
-            payload["dv"] = dv
+            meta["schema"] = sch
+            meta["dropped_columns"] = drp
+            meta["column_mapping"] = self._mapping_at(version)
         feats = self._features_at(version)
         if feats:
             # the walk terminates at checkpoints: the protocol fence
             # must survive log truncation like every other property
-            payload["features"] = sorted(feats)
+            meta["features"] = sorted(feats)
         # creation time must survive log truncation (vacuum writes this
         # checkpoint right before deleting the head manifests)
-        payload["created_ts"] = self._created_ts(version)
-        tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._checkpoint_path(version))
+        meta["created_ts"] = self._created_ts(version)
+        # a dv entry keyed off-snapshot has no row to ride (cannot
+        # happen by construction — dv entries die with their file — but
+        # losing one would resurrect deleted rows, so belt-and-braces)
+        dv_extra = {f: e for f, e in dv.items() if f not in keep}
+        if dv_extra:
+            meta["dv_extra"] = dv_extra
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "path": pa.array(state, pa.string()),
+                "stats": pa.array(
+                    [
+                        json.dumps(stats[f]) if f in stats else None
+                        for f in state
+                    ],
+                    pa.string(),
+                ),
+                "dv": pa.array(
+                    [
+                        json.dumps(dv[f]) if f in dv else None
+                        for f in state
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        table = table.replace_schema_metadata(
+            {self._CP_META_KEY: json.dumps(meta).encode()}
+        )
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink)
+        # checkpoints are derived data — identical content from any
+        # writer of this version — so the store's overwrite put is safe
+        self._store.put(
+            self._checkpoint_pq_path(version),
+            sink.getvalue().to_pybytes(),
+        )
 
     def _compose_concurrent_appends(
         self,
@@ -1285,6 +1599,10 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         params: dict | None = None,
         generated: dict[str, str] | None = None,
+        identity: dict[str, dict] | None = None,
+        identity_allocated: bool = False,
+        identity_stat_files: list[str] | None = None,
+        enforced_identity: dict[str, dict] | None = None,
     ) -> int | None:
         """Atomic commit via O_EXCL manifest create with Delta-style
         conflict resolution on version collision. An *append* manifest is
@@ -1331,6 +1649,30 @@ class VersionedTable:
         known = known_stats or {}
         stats = self._collect_stats([f for f in stat_files if f not in known])
         stats.update({f: known[f] for f in stat_files if f in known})
+        if identity_allocated and identity:
+            # advance the high-water mark from the footer #rows ALREADY
+            # collected — no extra job, no driver-side row counting.
+            # Over-advancing is fine (rows the allocation never touched
+            # — a merge's rewrites — only widen a gap; identity is
+            # gap-tolerant by contract); under-advancing never happens
+            # because the allocation covered at most these rows.
+            n = sum(
+                int(stats[f]["#rows"])
+                for f in (identity_stat_files or stat_files)
+                if f in stats
+            )
+            identity = {
+                c: {
+                    **sp,
+                    "high": (
+                        sp["high"]
+                        if sp.get("high") is not None
+                        else sp["start"] - sp["step"]
+                    )
+                    + sp["step"] * n,
+                }
+                for c, sp in identity.items()
+            }
         for _ in range(50):
             latest = self.latest_version()
             if latest is not None:
@@ -1377,6 +1719,21 @@ class VersionedTable:
                             f"its rows are aligned against the current "
                             f"schema"
                         )
+                if (
+                    enforced_identity is not None
+                    and self._identity_at(latest) != enforced_identity
+                ):
+                    # the allocation read the BASE's high-water mark; a
+                    # concurrent allocating commit moved it — composing
+                    # would hand out the same ids twice. Abort; the
+                    # re-run allocates from the new mark (Delta treats
+                    # identity watermark moves as txn conflicts too).
+                    raise VersionedTableError(
+                        f"concurrent commit advanced an identity "
+                        f"high-water mark past base {base_version}; "
+                        f"re-run the {op} so its ids allocate from the "
+                        f"current mark"
+                    )
                 if enforced_partition_by is not None and self._partition_by_at(
                     latest
                 ) != list(enforced_partition_by):
@@ -1450,6 +1807,12 @@ class VersionedTable:
                 }
                 if txn is not None:
                     manifest["txn"] = [txn[0], txn[1]]
+                if identity is not None:
+                    # an allocating append records the FULL updated spec
+                    # map — the identity walk terminates here, so the
+                    # advanced high-water mark is what the next
+                    # allocation reads
+                    manifest["identity"] = identity
                 if params:
                     # Delta's operationParameters (audit trail)
                     manifest["params"] = params
@@ -1534,6 +1897,19 @@ class VersionedTable:
                     )
                 if gen:
                     manifest["generated"] = gen
+                idm = identity
+                if idm is None:
+                    # identity specs + high-water mark survive snapshot
+                    # resets; a restore keeps the LATEST mark (rolling
+                    # the mark back could re-allocate ids still live in
+                    # retained history)
+                    idm = (
+                        self._identity_at(latest)
+                        if latest is not None
+                        else {}
+                    )
+                if idm:
+                    manifest["identity"] = idm
                 sch, drp, mp = schema, dropped, mapping
                 if sch is None and latest is not None:
                     # carry the recorded schema across snapshot resets
@@ -1582,6 +1958,10 @@ class VersionedTable:
                     # or validating the generated columns — silently
                     # breaking the invariant; the flag fails it fast
                     feats.add("generated-columns")
+                if manifest.get("identity"):
+                    # same fail-fast rule: a pre-feature writer would
+                    # neither allocate nor advance the watermark
+                    feats.add("identity-columns")
                 if any(os.path.isabs(f) for f in files):
                     feats.add("external-files")
                 live_dv = dv
@@ -1854,6 +2234,9 @@ class VersionedTable:
             # would record a subset and silently drop legacy-evolved
             # columns from every later declared-schema read
             stored = self._derived_schema_json(base)
+        idmap = self._identity_at(base) if base is not None else {}
+        if idmap:
+            self._identity_supplied(df, idmap, "append")
         df, new_schema = self._align(
             df, stored, merge_schema, "append", tombstones, mapping,
             generated=self._generated_at(base) if base is not None else {},
@@ -1863,9 +2246,21 @@ class VersionedTable:
             or stored is None
             or self._canon_schema(stored) != self._canon_schema(new_schema)
         )
-        new_files = self._write_data_files(
-            self._checked(df, cons), pb, mapping
-        )
+        pinned = None
+        if idmap:
+            # allocate AFTER alignment (which null-filled the identity
+            # slots); the INPUT is persisted so the allocation's two
+            # lineages (row numbering + per-partition counts) see one
+            # evaluation of a possibly-non-deterministic frame
+            pinned = df.persist()
+            df = self._with_identity_allocation(pinned, idmap)
+        try:
+            new_files = self._write_data_files(
+                self._checked(df, cons), pb, mapping
+            )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         v = self._commit(
             None,
             "append",
@@ -1881,6 +2276,9 @@ class VersionedTable:
             # files were staged under THIS layout: a rebase past a
             # concurrent re-layout overwrite must fail, not mix layouts
             enforced_partition_by=pb,
+            identity=idmap or None,
+            identity_allocated=bool(idmap),
+            enforced_identity=idmap or None,
         )
         if v is None:
             # lost an idempotence race after staging: the files are
@@ -1954,13 +2352,32 @@ class VersionedTable:
             if base is not None and not overwrite_schema
             else {}
         )
+        idmap = (
+            self._identity_at(base)
+            if base is not None and not overwrite_schema
+            else {}
+        )
+        if idmap:
+            self._identity_supplied(df, idmap, "overwrite")
         df, new_schema = self._align(
             df, stored, False, "overwrite", generated=gen
         )
-        return self._commit(
-            self._write_data_files(
+        pinned = None
+        if idmap:
+            # new rows allocate from the CURRENT mark — the mark never
+            # rolls back with the rows (replaced rows' ids must not be
+            # reissued while retained history still references them)
+            pinned = df.persist()
+            df = self._with_identity_allocation(pinned, idmap)
+        try:
+            new_files = self._write_data_files(
                 self._checked(df, cons), partition_by, mapping
-            ),
+            )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+        return self._commit(
+            new_files,
             "overwrite",
             base,
             partition_by=partition_by,
@@ -1975,6 +2392,9 @@ class VersionedTable:
             dropped=[] if overwrite_schema else None,
             mapping=mapping,
             generated={} if overwrite_schema else None,
+            identity=({} if overwrite_schema else (idmap or None)),
+            identity_allocated=bool(idmap),
+            enforced_identity=idmap or None,
         )
 
     def overwrite_partitions(
@@ -2006,6 +2426,13 @@ class VersionedTable:
         if missing:
             raise VersionedTableError(
                 f"incoming frame lacks partition columns {missing}"
+            )
+        if self._identity_at(base):
+            raise VersionedTableError(
+                "overwrite_partitions is not supported on tables with "
+                "identity columns: a partition restate would re-allocate "
+                "the restated rows' identities. Use merge (updates keep "
+                "the target's ids; inserts allocate)"
             )
         stored, tombstones = self._schema_record_at(base)
         mapping = self._mapping_at(base)
@@ -2096,6 +2523,13 @@ class VersionedTable:
             raise VersionedTableError(
                 f"no committed versions at {self.path}; replace_where "
                 f"needs an existing table (create with overwrite)"
+            )
+        if self._identity_at(base):
+            raise VersionedTableError(
+                "replace_where is not supported on tables with identity "
+                "columns: a slice restate would re-allocate the restated "
+                "rows' identities. Use merge (updates keep the target's "
+                "ids; inserts allocate)"
             )
         cond, candidates, triples = self._dml_condition_and_candidates(
             base, predicate
@@ -2720,6 +3154,16 @@ class VersionedTable:
                 f"their values are defined by their expressions "
                 f"({ {g: gen[g] for g in gen} })"
             )
+        idmap = self._identity_at(base)
+        id_assigned = sorted(
+            c for c in assignments if c.lower() in {i.lower() for i in idmap}
+        )
+        if id_assigned:
+            raise VersionedTableError(
+                f"UPDATE cannot assign identity columns {id_assigned}: "
+                f"the table allocates their values (GENERATED ALWAYS AS "
+                f"IDENTITY)"
+            )
         exprs = {
             c: (F.expr(e) if isinstance(e, str) else e)
             for c, e in assignments.items()
@@ -2843,6 +3287,7 @@ class VersionedTable:
         condition,
         update_set: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        identity_cols: list[str] | None = None,
     ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
         """Split the matched target rows by a clause condition:
         (apply_pre, updated, carry) — the rows the clause applies to
@@ -2881,7 +3326,8 @@ class VersionedTable:
                 df = df.withColumn(gname, F.expr(gexpr))
             return df
 
-        if condition is None and update_set is None:
+        id_lower = {c.lower() for c in (identity_cols or ())}
+        if condition is None and update_set is None and not id_lower:
             updated = (
                 matched_t.select(*on)
                 .join(source, on=on, how="inner")
@@ -2890,7 +3336,15 @@ class VersionedTable:
             return matched_t, updated, None
         pair, cols = self._matched_pairs(matched_t, source, on)
         if update_set is None:
-            updated_cols = [F.col(f"source.{c}").alias(c) for c in cols]
+            # whole-row update takes the SOURCE's values — except
+            # identity columns, whose allocated value lives on the
+            # TARGET row (the source carries NULL slots by contract)
+            updated_cols = [
+                F.col(
+                    f"target.{c}" if c.lower() in id_lower else f"source.{c}"
+                ).alias(c)
+                for c in cols
+            ]
         else:
             updated_cols = [
                 F.expr(update_set[c]).alias(c)
@@ -3055,9 +3509,24 @@ class VersionedTable:
                 return self.overwrite(source)
             raise VersionedTableError(f"no committed versions at {self.path}")
         target = self.read(version_as_of=base)
+        idmap = self._identity_at(base)
+        id_lower = {c.lower() for c in idmap}
+        if idmap:
+            # GENERATED ALWAYS AS IDENTITY: the source OMITS identity
+            # columns — inserted rows allocate, updated rows keep the
+            # target's value
+            self._identity_supplied(source, idmap, "merge")
+            bad_keys = sorted(k for k in on if k.lower() in id_lower)
+            if bad_keys:
+                raise VersionedTableError(
+                    f"merge cannot key on identity columns {bad_keys}: "
+                    f"the source cannot carry them (GENERATED ALWAYS)"
+                )
         tgt_lower = {c.lower() for c in target.columns}
         extras = [c for c in source.columns if c.lower() not in tgt_lower]
-        lacking = tgt_lower - {c.lower() for c in source.columns}
+        lacking = (
+            tgt_lower - {c.lower() for c in source.columns} - id_lower
+        )
         if lacking or (extras and not merge_schema):
             raise VersionedTableError(
                 f"merge requires identical columns; target {target.columns} "
@@ -3094,6 +3563,14 @@ class VersionedTable:
                     f"{gen_set}: their values are defined by their "
                     f"expressions"
                 )
+            id_set = sorted(
+                c for c in when_matched_set if c.lower() in id_lower
+            )
+            if id_set:
+                raise VersionedTableError(
+                    f"when_matched_set cannot SET identity columns "
+                    f"{id_set}: the table allocates their values"
+                )
         # column order AND types normalized to the table schema: an
         # inserted source row with a drifted type would otherwise land in
         # fresh files that poison every later declared-schema scan. With
@@ -3101,8 +3578,14 @@ class VersionedTable:
         # additive-evolution path (same as append's) and the resulting
         # schema json is committed with the merge.
         stored_schema, tombstones = self._schema_record_at(base)
+        # identity columns are absent from the source by contract; the
+        # alignment null-fills their slots (inserts then ALLOCATE over
+        # them, updates take the target's value)
+        src_have = {c.lower() for c in source.columns}
         source, new_schema = self._align(
-            source.select(*merged_cols),
+            source.select(
+                *[c for c in merged_cols if c.lower() in src_have]
+            ),
             stored_schema,
             merge_schema,
             "merge",
@@ -3234,6 +3717,7 @@ class VersionedTable:
             if evolved_schema is not None
             else self._schema_at(base)
         )
+        idmap = self._identity_at(base)
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
         # key means one target row has two candidate replacements
         if when_matched is not None and candidates:
@@ -3280,6 +3764,18 @@ class VersionedTable:
                     self._as_condition(when_not_matched_condition)
                 )
             return ins
+
+        ins_pinned: list[DataFrame] = []
+
+        def _allocated(ins: DataFrame) -> DataFrame:
+            # identity: inserted rows allocate from the current mark,
+            # in-plan (see _with_identity_allocation); pinned so the
+            # allocation's two lineages agree, unpinned after commit
+            if not idmap:
+                return ins
+            p = ins.persist()
+            ins_pinned.append(p)
+            return self._with_identity_allocation(p, idmap)
 
         touched: list[str] = []
         untouched = files
@@ -3335,6 +3831,7 @@ class VersionedTable:
                 apply_pre, updated, carry = self._matched_split(
                     matched_t, source, on, when_matched_condition,
                     when_matched_set, self._generated_at(base),
+                    sorted(idmap),
                 )
                 if when_matched == "update":
                     if when_matched_set is not None:
@@ -3371,8 +3868,9 @@ class VersionedTable:
                         apply_pre.withColumn("_change_type", F.lit("delete"))
                     )
                 if when_not_matched == "insert":
-                    inserts = _inserts()
-                    if not inserts.isEmpty():
+                    raw_ins = _inserts()
+                    if not raw_ins.isEmpty():
+                        inserts = _allocated(raw_ins)
                         new_files += self._write_data_files(
                             self._checked(inserts, cons), pb, mapping
                         )
@@ -3387,20 +3885,27 @@ class VersionedTable:
                 )
             finally:
                 scan_t.unpersist()
+                for p in ins_pinned:
+                    p.unpersist()
         else:
             if when_not_matched != "insert":
                 return None  # no matches, nothing to insert
-            inserts = _inserts()
-            if inserts.isEmpty():
+            raw_ins = _inserts()
+            if raw_ins.isEmpty():
                 return None  # nothing matched AND nothing new
-            new_files = self._write_data_files(
-                self._checked(inserts, self._constraints_at(base)), pb,
-                mapping,
-            )
-            cdc = self._write_cdc_files(
-                inserts.withColumn("_change_type", F.lit("insert")),
-                mapping,
-            )
+            try:
+                inserts = _allocated(raw_ins)
+                new_files = self._write_data_files(
+                    self._checked(inserts, self._constraints_at(base)), pb,
+                    mapping,
+                )
+                cdc = self._write_cdc_files(
+                    inserts.withColumn("_change_type", F.lit("insert")),
+                    mapping,
+                )
+            finally:
+                for p in ins_pinned:
+                    p.unpersist()
         known = self._stats_at(base)
         return self._commit(
             untouched + new_files,
@@ -3419,6 +3924,13 @@ class VersionedTable:
                 else None
             ),
             mapping=mapping if evolved_schema is not None else None,
+            # identity: an inserting merge advances the watermark from
+            # its own new files' row counts (over-advance = gap, safe)
+            # and aborts if a concurrent commit moved the mark
+            identity=(idmap or None) if ins_pinned else None,
+            identity_allocated=bool(ins_pinned),
+            identity_stat_files=new_files if ins_pinned else None,
+            enforced_identity=(idmap or None) if ins_pinned else None,
             # a concurrent append whose files cannot intersect the source
             # key envelope cannot hold a matchable key: the matched/insert
             # split is unaffected, so the merge rebases over it (Delta's
@@ -3528,6 +4040,18 @@ class VersionedTable:
                 )
             return ins
 
+        idmap = self._identity_at(base)
+        ins_pinned: list[DataFrame] = []
+
+        def _allocated(ins: DataFrame) -> DataFrame:
+            # identity inserts allocate in-plan from the current mark
+            # (same contract as the plain merge path)
+            if not idmap:
+                return ins
+            p = ins.persist()
+            ins_pinned.append(p)
+            return self._with_identity_allocation(p, idmap)
+
         new_files: list[str] = []
         cdc_frames: list[DataFrame] = []
         if touched:
@@ -3558,6 +4082,7 @@ class VersionedTable:
                 apply_pre, updated, carry_m = self._matched_split(
                     matched_t, source, on, when_matched_condition,
                     when_matched_set, self._generated_at(base),
+                    sorted(idmap),
                 )
                 if carry_m is not None:
                     rewritten_frames.append(carry_m)
@@ -3597,8 +4122,9 @@ class VersionedTable:
                         mapping,
                     )
                 if when_not_matched == "insert":
-                    inserts = _inserts()
-                    if not inserts.isEmpty():
+                    raw_ins = _inserts()
+                    if not raw_ins.isEmpty():
+                        inserts = _allocated(raw_ins)
                         new_files += self._write_data_files(
                             self._checked(inserts, cons), pb, mapping
                         )
@@ -3629,8 +4155,9 @@ class VersionedTable:
         else:
             # no key-matched file: the whole table is doomed rows
             if when_not_matched == "insert":
-                inserts = _inserts()
-                if not inserts.isEmpty():
+                raw_ins = _inserts()
+                if not raw_ins.isEmpty():
+                    inserts = _allocated(raw_ins)
                     new_files += self._write_data_files(
                         self._checked(inserts, cons), pb, mapping
                     )
@@ -3653,6 +4180,8 @@ class VersionedTable:
             cdc = self._write_cdc_files(
                 reduce(lambda a, b: a.unionByName(b), cdc_frames), mapping
             )
+        for p in ins_pinned:
+            p.unpersist()  # every write/CDF action is materialized
         # new_files may legitimately be EMPTY (everything deleted,
         # nothing inserted): the snapshot commits as files: [] and
         # read() serves it from the log-recorded schema
@@ -3669,6 +4198,10 @@ class VersionedTable:
                 else None
             ),
             mapping=mapping if evolved_schema is not None else None,
+            identity=(idmap or None) if ins_pinned else None,
+            identity_allocated=bool(ins_pinned),
+            identity_stat_files=new_files if ins_pinned else None,
+            enforced_identity=(idmap or None) if ins_pinned else None,
             params={
                 "on": list(on),
                 "when_matched": when_matched,
@@ -3754,7 +4287,7 @@ class VersionedTable:
             return memo
         ts = self._manifest(version).get("ts")
         if ts is None:
-            ts = os.path.getmtime(
+            ts = self._store.mtime(
                 os.path.join(self.log_dir, f"{version:08d}.json")
             )
         self._ts_memo[version] = float(ts)
@@ -4546,7 +5079,8 @@ class VersionedTable:
             raise VersionedTableError(
                 f"version {version} not found; available {vs[0]}..{vs[-1]}"
             )
-        tgt = VersionedTable(self.spark, target_path)
+        # the clone's log lives on the same storage: share the store
+        tgt = VersionedTable(self.spark, target_path, log_store=self._store)
         if tgt.latest_version() is not None:
             raise VersionedTableError(
                 f"clone target {target_path} already has a log"
@@ -4593,6 +5127,10 @@ class VersionedTable:
             dv=dv or None,
             constraints=self._constraints_at(version),
             generated=self._generated_at(version),
+            # the identity spec + watermark carry: the clone keeps
+            # allocating above the source's mark (ids stay unique
+            # within the clone; the two tables diverge from here)
+            identity=self._identity_at(version) or None,
         )
         assert v == 0
         return tgt
@@ -4724,6 +5262,7 @@ class VersionedTable:
             "partition_columns": self._partition_by_at(latest),
             "constraints": self._constraints_at(latest),
             "generated_columns": self._generated_at(latest),
+            "identity_columns": self._identity_at(latest),
             "schema": self.table_schema(latest).simpleString(),
             "dropped_columns": self._dropped_at(latest),
             "column_mapping": self._mapping_at(latest),
@@ -4806,15 +5345,8 @@ class VersionedTable:
         # deletes it. Swept before the retain_last early-return so even a
         # single-version table gets cleaned; the grace window protects an
         # in-flight committer's temp the same way it protects its files.
-        if os.path.isdir(self.log_dir) and not dry_run:
-            for f in os.listdir(self.log_dir):
-                if f.startswith(".tmp-"):
-                    full = os.path.join(self.log_dir, f)
-                    if _old_enough(full):
-                        try:
-                            os.remove(full)
-                        except OSError:
-                            pass  # concurrent vacuum won the race
+        if not dry_run:
+            self._store.sweep_temps(self.log_dir, _old_enough)
 
         vs = self._versions()
         n_keep = max(1, retain_last)
@@ -4882,7 +5414,7 @@ class VersionedTable:
         # above; _write_checkpoint re-derives it from the intact log).
         oldest_kept = keep_versions[0]
         if (
-            not os.path.exists(self._checkpoint_path(oldest_kept))
+            self._find_checkpoint(oldest_kept) is None
             and "files" not in self._manifest(oldest_kept)
         ):
             self._write_checkpoint(oldest_kept)
@@ -5012,15 +5544,22 @@ class VersionedTable:
                         continue
                     os.remove(full)
                     removed += 1
+        def _old_enough_log(p: str) -> bool:
+            try:
+                return now - self._store.mtime(p) >= grace_seconds
+            except OSError:
+                return False  # already gone (concurrent vacuum)
+
         for v in vs[:-n_keep]:
             # the same grace applies to manifests: deleting a young
             # version's manifest while its files are grace-protected
             # would orphan the files AND lose the version early
             mf = os.path.join(self.log_dir, f"{v:08d}.json")
-            if _old_enough(mf):
-                os.remove(mf)
+            if _old_enough_log(mf):
+                self._store.delete(mf)
             # a vacuumed version's checkpoint goes with its manifest
-            cp = self._checkpoint_path(v)
-            if os.path.exists(cp) and _old_enough(cp):
-                os.remove(cp)
+            # (either format)
+            for cp in (self._checkpoint_path(v), self._checkpoint_pq_path(v)):
+                if self._store.exists(cp) and _old_enough_log(cp):
+                    self._store.delete(cp)
         return removed

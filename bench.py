@@ -46,7 +46,16 @@ HEADLINE = [
     "q_cap_per_source",
     "dedup_edit_distance",
     "ml_kmeans_validated",
+    # r13: the versioned-table DML lifecycle (overwrite → append →
+    # delete → merge → read) — the transaction-log subsystem finally has
+    # a headline row, so commit/discovery/rewrite regressions show in
+    # the trend. The pre-r13 25-query total ships alongside as
+    # extra.legacy25_sec for round-over-round comparability.
+    "w_versioned_dml_composite",
 ]
+
+#: the pre-r13 headline set: totals comparable with BENCH_r01..r12
+LEGACY_25 = HEADLINE[:-1]
 
 
 #: round-5 additions, timed as an EXTENSION section (extra.extended_sec):
@@ -155,6 +164,9 @@ def main() -> None:
     total_median = round(
         sum(statistics.median(r) for r in runs.values()), 4
     )
+    legacy25 = round(
+        sum(t for n, t in timings.items() if n in set(LEGACY_25)), 4
+    )
 
     # ETL-copy throughput: full lineitem parquet read -> parquet write,
     # the reference's own workload shape (parallel table copy). Rows/s
@@ -229,6 +241,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "extra": {
+                    # pre-r13 25-query total: compare THIS against
+                    # BENCH_r01..r12 values; "value" additionally
+                    # includes w_versioned_dml_composite since r13
+                    "legacy25_sec": legacy25,
                     "etl_copy_rows": n_rows,
                     "etl_copy_sec": round(copy_s, 4),
                     "etl_copy_rows_per_sec": int(n_rows / copy_s),

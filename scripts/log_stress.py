@@ -109,7 +109,95 @@ def main() -> None:
         ),
         flush=True,
     )
+    checkpoint_stress(spark, scratch)
     spark.stop()
+
+
+def checkpoint_stress(spark, scratch: str) -> None:
+    """Checkpoint costs at FILE-COUNT scale (SCALE.md
+    'checkpoint_100k_files'): a snapshot of 100,000 add-entries — the
+    ~100 TB table shape at ~1 GB/file — written and read back in the
+    parquet checkpoint format vs the legacy single-JSON blob.
+
+    What the parquet format buys (and this measures): a property lookup
+    (constraints/schema/txns walk) is a FOOTER read, independent of the
+    file count; state reconstruction reads the ``path`` column only;
+    stats reads skip the dv column and vice versa. The JSON blob pays a
+    full O(files) parse for every one of those. The synthetic state
+    commits through the real protocol with pre-known stats (the LOG is
+    under test; no data bytes are written)."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    n_files = 100_000
+    path = os.path.join(scratch, "cp")
+    vt = VersionedTable(spark, path)
+    names = [f"part-{i:06d}.parquet" for i in range(n_files)]
+    stats = {
+        n: {"id": [i * 100, (i + 1) * 100 - 1], "#rows": 100, "#bytes": 4096}
+        for i, n in enumerate(names)
+    }
+    os.makedirs(path, exist_ok=True)
+    vt._commit(names, "overwrite", None, known_stats=stats)
+    v = vt.latest_version()
+
+    # COLD write: every property walk terminates at (and re-parses) the
+    # synthetic 100k-entry overwrite manifest — the worst case
+    t_write, _ = timed(lambda: vt._write_checkpoint(v))
+    cp = vt._find_checkpoint(v)
+    pq_bytes = os.path.getsize(cp)
+    t_state, files = timed(lambda: vt._read_checkpoint(cp, "files"))
+    assert len(files["files"]) == n_files
+    t_meta, _ = timed(lambda: vt._read_checkpoint(cp, "meta"))
+    t_stats, st = timed(lambda: vt._read_checkpoint(cp, "stats"))
+    assert len(st["stats"]) == n_files
+
+    # STEADY-STATE write (the real cadence: checkpoint every
+    # CHECKPOINT_EVERY appends): the walks terminate at the PREVIOUS
+    # parquet checkpoint — footer metadata O(1), columnar state/stats
+    for i in range(3):
+        name = f"part-extra-{i}.parquet"
+        vt._commit(
+            None,
+            "append",
+            vt.latest_version(),
+            new_files=[name],
+            known_stats={name: {"#rows": 1, "#bytes": 64}},
+        )
+    v2 = vt.latest_version()
+    t_write_steady, _ = timed(lambda: vt._write_checkpoint(v2))
+
+    # legacy single-JSON blob: same content, one parse for ANY lookup
+    payload = dict(vt._read_checkpoint(cp, "meta"))
+    payload["files"] = files["files"]
+    payload["stats"] = st["stats"]
+    legacy = vt._checkpoint_path(v)
+    t_json_write, _ = timed(
+        lambda: json.dump(payload, open(legacy, "w"))
+    )
+    json_bytes = os.path.getsize(legacy)
+    t_json_state, lf = timed(lambda: vt._read_checkpoint(legacy, "files"))
+    assert len(lf["files"]) == n_files
+    t_json_meta, _ = timed(lambda: vt._read_checkpoint(legacy, "meta"))
+
+    print(
+        json.dumps(
+            {
+                "case": "checkpoint_100k_files",
+                "files": n_files,
+                "sec_parquet_write_cold": round(t_write, 4),
+                "sec_parquet_write_steady": round(t_write_steady, 4),
+                "sec_parquet_state_load": round(t_state, 4),
+                "sec_parquet_meta_lookup": round(t_meta, 4),
+                "sec_parquet_stats_load": round(t_stats, 4),
+                "parquet_bytes": pq_bytes,
+                "sec_json_write": round(t_json_write, 4),
+                "sec_json_state_load": round(t_json_state, 4),
+                "sec_json_meta_lookup": round(t_json_meta, 4),
+                "json_bytes": json_bytes,
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -410,7 +410,7 @@ def test_checkpoint_bounds_replay_and_survives_vacuum(spark, tmp_path):
     vt.overwrite(one)  # v0: full snapshot
     for _ in range(CHECKPOINT_EVERY + 2):
         vt.append(one)  # v1..v12: deltas
-    assert os.path.exists(vt._checkpoint_path(CHECKPOINT_EVERY))
+    assert vt._find_checkpoint(CHECKPOINT_EVERY) is not None
     # time travel across the delta chain, pre- and post-checkpoint
     assert vt.read(version_as_of=3).count() == 4
     assert vt.read(version_as_of=CHECKPOINT_EVERY + 1).count() == 12
@@ -420,12 +420,241 @@ def test_checkpoint_bounds_replay_and_survives_vacuum(spark, tmp_path):
     # v10 checkpoint are removed, yet both kept versions still read
     latest = vt.latest_version()
     vt.vacuum(retain_last=2, grace_seconds=0.0)
-    assert os.path.exists(vt._checkpoint_path(latest - 1))
-    assert not os.path.exists(vt._checkpoint_path(CHECKPOINT_EVERY))
+    assert vt._find_checkpoint(latest - 1) is not None
+    assert vt._find_checkpoint(CHECKPOINT_EVERY) is None
     assert vt.read(version_as_of=latest - 1).count() == CHECKPOINT_EVERY + 2
     assert vt.read().count() == CHECKPOINT_EVERY + 3
     with pytest.raises(VersionedTableError):
         vt.read(version_as_of=3)  # vacuumed away
+
+
+def test_checkpoint_parquet_format_and_legacy_json(spark, tmp_path):
+    """Checkpoints are PARQUET (Delta's format): one row per live data
+    file (path + JSON stats/dv cells), O(1) metadata in the footer,
+    spark.read-able — the single-JSON-blob O(files) snapshot-load
+    bottleneck is gone. A legacy *.checkpoint.json (converted from the
+    same content) must keep serving every walk identically."""
+    import json as _json
+    import os
+
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "cpq"))
+    vt.overwrite(spark.range(100).coalesce(1))
+    vt.add_constraint("id_nonneg", "id >= 0")
+    vt.delete("id = 5", mode="dv")  # deletion vector rides the log
+    one = spark.createDataFrame([(1000,)], "id long").coalesce(1)
+    while vt.latest_version() % CHECKPOINT_EVERY != 0 or vt._find_checkpoint(
+        vt.latest_version()
+    ) is None:
+        vt.append(one)
+    cpv = vt.latest_version()
+    cp = vt._find_checkpoint(cpv)
+    assert cp.endswith(".checkpoint.parquet")
+    # spark.read-able, one row per live file, dv/stats cells populated
+    df = spark.read.parquet(cp)
+    assert set(df.columns) == {"path", "stats", "dv"}
+    assert df.count() == len(vt._state(cpv))
+    assert df.where("dv IS NOT NULL").count() == 1  # the dv'd file
+    assert df.where("stats IS NULL").count() == 0
+    # vacuum the pre-checkpoint log away: every walk now terminates at
+    # the checkpoint — content, constraints, schema, dv all intact
+    n_keep = vt.latest_version() - cpv + 1
+    vt.vacuum(retain_last=n_keep, grace_seconds=0.0)
+    fresh = VersionedTable(spark, str(tmp_path / "cpq"))
+    assert fresh.read(version_as_of=cpv).count() == 99 + (
+        len(fresh._state(cpv)) - 1
+    )
+    assert fresh.read().where("id = 5").count() == 0  # dv still applied
+    assert fresh.constraints() == {"id_nonneg": "id >= 0"}
+    assert [f.name for f in fresh.table_schema().fields] == ["id"]
+    # legacy fallback: the SAME content as a single-JSON checkpoint
+    cp = fresh._find_checkpoint(cpv)
+    payload = dict(fresh._read_checkpoint(cp, "meta"))
+    payload["files"] = fresh._read_checkpoint(cp, "files")["files"]
+    payload["stats"] = fresh._read_checkpoint(cp, "stats")["stats"]
+    dv = fresh._read_checkpoint(cp, "dv")["dv"]
+    if dv:
+        payload["dv"] = dv
+    with open(fresh._checkpoint_path(cpv), "w") as fh:
+        _json.dump(payload, fh)
+    os.remove(fresh._checkpoint_pq_path(cpv))
+    legacy = VersionedTable(spark, str(tmp_path / "cpq"))
+    assert legacy._find_checkpoint(cpv).endswith(".checkpoint.json")
+    assert legacy.read().where("id = 5").count() == 0
+    assert legacy.read(version_as_of=cpv).count() == fresh.read(
+        version_as_of=cpv
+    ).count()
+    assert legacy.constraints() == {"id_nonneg": "id >= 0"}
+
+
+class _MemoryLogStore:
+    """Conditional-put object store WITHOUT atomic rename (S3-class
+    semantics): objects live in a dict, put_if_absent is
+    check-then-write under one lock — exactly the primitive Delta's S3
+    LogStore supplies. Data files stay on the real filesystem (Spark
+    writes them); only the LOG rides this store."""
+
+    def __init__(self):
+        import threading
+        import time as _time
+
+        self._objs: dict[str, tuple[bytes, float]] = {}
+        self._lock = threading.Lock()
+        self._time = _time
+
+    def list_names(self, directory):
+        import os
+
+        d = directory.rstrip(os.sep) + os.sep
+        return [p[len(d):] for p in self._objs if p.startswith(d)]
+
+    def exists(self, path):
+        return path in self._objs
+
+    def read_bytes(self, path):
+        return self._objs[path][0]
+
+    def put_if_absent(self, path, data):
+        with self._lock:
+            if path in self._objs:
+                return False
+            self._objs[path] = (data, self._time.time())
+            return True
+
+    def put(self, path, data):
+        with self._lock:
+            self._objs[path] = (data, self._time.time())
+
+    def delete(self, path):
+        with self._lock:
+            self._objs.pop(path, None)
+
+    def mtime(self, path):
+        if path not in self._objs:
+            raise OSError(f"no such object: {path}")
+        return self._objs[path][1]
+
+    def open_arrow(self, path):
+        import pyarrow as pa
+
+        return pa.BufferReader(self.read_bytes(path))
+
+    def sweep_temps(self, directory, old_enough):
+        pass  # puts are buffered; there are no temporaries
+
+
+def test_logstore_conditional_put_full_surface(spark, tmp_path):
+    """The versioned layer's storage dependency is ONLY the LogStore
+    contract: on a store with no atomic rename (conditional put under a
+    lock, S3-class), the full surface works — overwrite, appends across
+    a checkpoint boundary, dv delete, merge, time travel, constraints,
+    vacuum — and a second handle sharing the store sees it all."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+    )
+
+    store = _MemoryLogStore()
+    path = str(tmp_path / "mem")
+    vt = VersionedTable(spark, path, log_store=store)
+    vt.overwrite(spark.range(100).withColumn("v", F.col("id")).coalesce(1))
+    vt.add_constraint("v_ok", "v >= 0")
+    vt.delete("id = 7", mode="dv")
+    one = spark.createDataFrame([(1000, 1000)], "id long, v long").coalesce(1)
+    for _ in range(CHECKPOINT_EVERY + 1):
+        vt.append(one)
+    # the checkpoint landed on the mock store, not the filesystem
+    cpvs = [
+        v
+        for v in vt._versions()
+        if store.exists(vt._checkpoint_pq_path(v))
+    ]
+    assert cpvs, "no parquet checkpoint on the mock store"
+    import os
+
+    assert not os.path.isdir(os.path.join(path, "_log")) or not any(
+        f.endswith(".json") for f in os.listdir(os.path.join(path, "_log"))
+    ), "log bytes leaked to the filesystem"
+    vt.merge(
+        spark.createDataFrame([(3, 303), (2000, 909)], "id long, v long"),
+        ["id"],
+        when_matched_set={"v": "source.v"},
+    )
+    with pytest.raises(Exception, match="v_ok"):
+        vt.append(spark.createDataFrame([(5000, -1)], "id long, v long"))
+    # fresh handle on the same store sees everything
+    fresh = VersionedTable(spark, path, log_store=store)
+    got = {r.id: r.v for r in fresh.read().collect()}
+    assert 7 not in got  # dv still applied
+    assert got[3] == 303 and got[2000] == 909
+    assert fresh.read(version_as_of=0).count() == 100
+    n_before = fresh.read().count()
+    fresh.vacuum(retain_last=2, grace_seconds=0.0)
+    assert fresh.read().count() == n_before
+
+
+def test_logstore_concurrent_commits_one_winner(spark, tmp_path):
+    """OCC through the conditional-put store: racing committers to the
+    SAME version get exactly one winner (put_if_absent), and the commit
+    retry loop lands every loser on a fresh version with no manifest
+    lost, torn, or duplicated — Delta's S3 commit story, proven without
+    os.link anywhere."""
+    import json as _json
+    import threading
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    store = _MemoryLogStore()
+    path = str(tmp_path / "race")
+    vt = VersionedTable(spark, path, log_store=store)
+
+    # raw primitive: N threads race ONE version name; exactly one wins
+    target = f"{path}/_log/{0:08d}.json"
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def try_claim(i):
+        barrier.wait()
+        if store.put_if_absent(target, _json.dumps({"w": i}).encode()):
+            wins.append(i)
+
+    ts = [threading.Thread(target=try_claim, args=(i,)) for i in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len(wins) == 1
+    store.delete(target)
+
+    # full protocol: 8 threads × 5 commits through _commit's retry loop
+    os_stats = {"#rows": 1, "#bytes": 64}
+    errs = []
+
+    def committer(t):
+        try:
+            for i in range(5):
+                name = f"part-{t}-{i}.parquet"
+                vt._commit(
+                    None,
+                    "append",
+                    vt.latest_version(),
+                    new_files=[name],
+                    known_stats={name: dict(os_stats)},
+                )
+        except Exception as e:  # pragma: no cover - surfaced by assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=committer, args=(t,)) for t in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert vt.latest_version() == 39  # 40 commits, no version skipped
+    state = vt._state(39)
+    assert len(state) == 40 and len(set(state)) == 40  # nothing lost
 
 
 def test_append_commit_is_delta_sized(spark, tmp_path):
@@ -5160,6 +5389,138 @@ def test_generated_columns_are_feature_gated(spark, tmp_path):
     # the flag rides snapshot rewrites (monotone)
     vt.compact()
     assert "generated-columns" in vt._features_at(vt.latest_version())
+
+
+def test_identity_column_allocation(spark, tmp_path):
+    """GENERATED ALWAYS AS IDENTITY: declared on an empty table, the
+    table ALLOCATES the column at every insert-like write — monotonic in
+    commit order, collision-free, gap-tolerant — with the high-water
+    mark in the log. Frames cannot supply it; UPDATE cannot assign it."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idc"))
+    vt.overwrite(spark.createDataFrame([], "k: long, v: long"))
+    vt.add_identity_column("rid", start=10, step=2)
+    assert vt.identity_columns() == {
+        "rid": {"start": 10, "step": 2, "high": None}
+    }
+    assert "identity-columns" in vt._features_at(vt.latest_version())
+    # a frame supplying the column is refused (ALWAYS, not BY DEFAULT)
+    with pytest.raises(VersionedTableError, match="GENERATED ALWAYS"):
+        vt.append(
+            spark.createDataFrame([(1, 1, 99)], "k: long, v: long, rid: long")
+        )
+    # allocation: multi-partition append, values = start + step*k
+    vt.append(
+        spark.range(5).repartition(3).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    rids1 = sorted(r.rid for r in vt.read().collect())
+    assert rids1 == [10, 12, 14, 16, 18]
+    assert vt.identity_columns()["rid"]["high"] == 18
+    # second append continues above the mark, no collisions
+    vt.append(
+        spark.range(100, 103).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")
+        )
+    )
+    rids2 = sorted(r.rid for r in vt.read().collect())
+    assert rids2 == [10, 12, 14, 16, 18, 20, 22, 24]
+    # UPDATE cannot assign it; updating other columns keeps it
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt.update("k = 0", {"rid": "999"})
+    vt.update("k = 0", {"v": "v + 1"})
+    assert sorted(r.rid for r in vt.read().collect()) == rids2
+    # restate surfaces are refused (they would re-allocate)
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt.replace_where(
+            spark.createDataFrame([(0, 5)], "k: long, v: long"), "k = 0"
+        )
+    # overwrite re-allocates the NEW rows but the mark never rolls back
+    vt.overwrite(spark.createDataFrame([(1, 1), (2, 2)], "k: long, v: long"))
+    rids3 = sorted(r.rid for r in vt.read().collect())
+    assert all(r > 24 for r in rids3) and len(set(rids3)) == 2
+    # dropping the column drops the spec; re-add restarts the sequence
+    vt.drop_column("rid")
+    assert vt.identity_columns() == {}
+
+
+def test_identity_column_merge(spark, tmp_path):
+    """Identity + MERGE: the source OMITS the identity column — updated
+    rows keep the target's allocated value, inserted rows allocate above
+    the mark; keying on the identity column and SETting it are refused;
+    the CDF's insert rows carry the allocated ids."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idm"))
+    vt.overwrite(spark.createDataFrame([], "k: long, v: long"))
+    vt.add_identity_column("rid")
+    vt.append(spark.createDataFrame([(1, 10), (2, 20)], "k: long, v: long"))
+    before = {r.k: r.rid for r in vt.read().collect()}
+    assert sorted(before.values()) == [1, 2]
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt.merge(
+            spark.createDataFrame([(1, 5)], "k: long, v: long"),
+            ["rid"],
+        )
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt.merge(
+            spark.createDataFrame([(1, 5)], "k: long, v: long"),
+            ["k"],
+            when_matched_set={"rid": "1"},
+        )
+    v = vt.merge(
+        spark.createDataFrame([(1, -10), (9, -90)], "k: long, v: long"),
+        ["k"],
+    )
+    got = {r.k: (r.v, r.rid) for r in vt.read().collect()}
+    assert got[1] == (-10, before[1])  # update kept the target's id
+    assert got[2] == (20, before[2])  # untouched
+    assert got[9][0] == -90 and got[9][1] > max(before.values())  # allocated
+    assert len({rv[1] for rv in got.values()}) == 3  # all distinct
+    cf = vt.change_feed(v - 1, v)
+    ins = cf.where("_change_type = 'insert'").collect()
+    assert [r.rid for r in ins] == [got[9][1]]
+    # watermark advanced past the allocation
+    assert vt.identity_columns()["rid"]["high"] >= got[9][1]
+    # merge with column-level SET keeps the id too
+    vt.merge(
+        spark.createDataFrame([(2, 100)], "k: long, v: long"),
+        ["k"],
+        when_matched_set={"v": "target.v + source.v"},
+    )
+    got2 = {r.k: (r.v, r.rid) for r in vt.read().collect()}
+    assert got2[2] == (120, before[2])
+
+
+def test_identity_column_declaration_rules(spark, tmp_path):
+    """Declaration guards: empty-table only, integer start/step with
+    step != 0, no clash with existing/generated columns; rename refuses;
+    clone carries the spec and keeps allocating above the mark."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idr"))
+    vt.overwrite(spark.range(3).withColumn("v", F.col("id")))
+    with pytest.raises(VersionedTableError, match="EMPTY"):
+        vt.add_identity_column("rid")
+    vt2 = VersionedTable(spark, str(tmp_path / "idr2"))
+    vt2.overwrite(spark.createDataFrame([], "id: long, v: long"))
+    with pytest.raises(VersionedTableError, match="step"):
+        vt2.add_identity_column("rid", step=0)
+    with pytest.raises(VersionedTableError, match="already exists"):
+        vt2.add_identity_column("v")
+    vt2.add_identity_column("rid", start=100, step=-5)  # descending works
+    vt2.append(spark.range(3).withColumn("v", F.col("id")))
+    assert sorted(r.rid for r in vt2.read().collect()) == [90, 95, 100]
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt2.rename_column("rid", "rid2")
+    cl = vt2.clone(str(tmp_path / "idr_cl"))
+    assert cl.identity_columns() == vt2.identity_columns()
+    cl.append(spark.range(10, 12).withColumn("v", F.col("id")))
+    rids = sorted(r.rid for r in cl.read().collect())
+    assert len(set(rids)) == 5  # no collision with the carried rows
+    assert min(rids) == 100 - 5 * 4  # continued below (step -5)
 
 
 def test_replace_where_fuzz_against_python_model(spark, tmp_path):
