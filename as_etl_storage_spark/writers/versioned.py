@@ -5035,6 +5035,20 @@ class VersionedTable:
             # the restored version's OWN generated map (invariants roll
             # back with the schema they describe)
             generated=self._generated_at(version),
+            # identity SPECS roll back with the schema (a spec for a
+            # column the restored schema lacks would desync every later
+            # write), but each surviving column keeps the LATEST
+            # high-water mark — rolling the mark back could re-allocate
+            # ids still live in retained history
+            identity={
+                c: {
+                    **sp,
+                    "high": self._identity_at(self.latest_version())
+                    .get(c, sp)
+                    .get("high", sp.get("high")),
+                }
+                for c, sp in self._identity_at(version).items()
+            },
         )
 
     def clone(

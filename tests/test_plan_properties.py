@@ -326,3 +326,66 @@ def test_conditional_merge_discovery_prunes_through_structs(spark, tmp_path):
     schema = m.group(1)
     assert "payload" in schema and "k" in schema, schema
     assert "unused1" not in schema and "unused2" not in schema, schema
+
+
+def test_identity_allocation_in_plan(spark, tmp_path):
+    # the identity allocator's cost shape: the corpus moves through ONE
+    # hash exchange (the partition-id window), never a SinglePartition
+    # collapse; the per-partition offsets come back as a BROADCAST join
+    # over the <=P-row stats lineage — per-row assignment never touches
+    # the driver
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "idp"))
+    df = spark.range(1000).repartition(7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+        F.lit(None).cast("long").alias("rid"),
+    )
+    out = vt._with_identity_allocation(
+        df, {"rid": {"start": 1, "step": 1, "high": None}}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+    assert "CartesianProduct" not in plan
+    # exactly one corpus-bearing exchange: the pid window's
+    assert plan.count("Exchange hashpartitioning(__vt_id_pid") >= 1
+    # and the values are what the contract says
+    got = sorted(r.rid for r in out.collect())
+    assert got == list(range(1, 1001))
+
+
+def test_merge_evolution_keeps_file_pruned_discovery(spark, tmp_path):
+    # merge_schema must not change merge's cost shape: the touched-file
+    # discovery stays key-pruned (left_semi against the source keys),
+    # and untouched files are still carried by name — an evolving merge
+    # that silently rewrote the whole table would be a 100TB regression
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "mep"))
+    # many files, keys clustered per file => manifest pruning can skip
+    for lo in range(0, 100, 10):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ).coalesce(1)
+        if lo == 0:
+            vt.overwrite(df)
+        else:
+            vt.append(df)
+    before = set(vt._state(vt.latest_version()))
+    assert len(before) == 10
+    vt.merge(
+        spark.createDataFrame([(5, -5, "x")], "k long, v long, tag string"),
+        ["k"],
+        merge_schema=True,
+    )
+    after = set(vt._state(vt.latest_version()))
+    carried = before & after
+    # exactly one file held key 5: the other nine carried BY NAME
+    assert len(carried) == 9
+    got = {r.k: (r.v, r.tag) for r in vt.read().where("k in (5, 50)").collect()}
+    assert got[5] == (-5, "x") and got[50] == (50, None)

@@ -976,6 +976,44 @@ def test_versioned_stream_sink_exactly_once(spark, tmp_path):
     assert vt.latest_version() == v_after  # no new versions either
 
 
+def test_versioned_stream_sink_allocates_identity_exactly_once(
+    spark, tmp_path
+):
+    """Streaming sink × identity columns: every ingested row gets a
+    distinct allocated id, and a full checkpoint-loss replay allocates
+    NOTHING (the txn ledger skips the batch before the watermark moves)
+    — the failure mode this pins is double-allocation on replay."""
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedStreamWriter,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    spark.range(0, 50).coalesce(1).write.parquet(str(src))
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.overwrite(spark.createDataFrame([], "id: long"))
+    vt.add_identity_column("rid")
+
+    def drain(checkpoint: str) -> VersionedStreamWriter:
+        w = VersionedStreamWriter(table, "ingest", checkpoint=checkpoint)
+        stream = spark.readStream.schema("id long").parquet(str(src))
+        w.run_available_now(stream)
+        return w
+
+    drain(str(tmp_path / "cp1"))
+    rids = sorted(r.rid for r in vt.read().collect())
+    assert rids == list(range(1, 51))
+    high = vt.identity_columns()["rid"]["high"]
+    assert high == 50
+    # fresh checkpoint: every batch replays; ledger skips BEFORE the
+    # watermark moves — same rows, same ids, same mark
+    w2 = drain(str(tmp_path / "cp2"))
+    assert w2.batches_seen == 0 and w2.batches_skipped >= 1
+    assert sorted(r.rid for r in vt.read().collect()) == rids
+    assert vt.identity_columns()["rid"]["high"] == high
+
+
 def test_changes_from_minus_one_covers_append_created_table(spark, tmp_path):
     """A table CREATED by append (e.g. VersionedStreamWriter batch 0)
     commits version 0 as a full-snapshot manifest — but those files are
@@ -5492,6 +5530,37 @@ def test_identity_column_merge(spark, tmp_path):
     )
     got2 = {r.k: (r.v, r.rid) for r in vt.read().collect()}
     assert got2[2] == (120, before[2])
+
+
+def test_identity_restore_semantics(spark, tmp_path):
+    """RESTORE × identity: specs roll back WITH the schema (restoring
+    to before the declaration leaves no orphan spec), but a surviving
+    column keeps the LATEST high-water mark — post-restore appends must
+    not re-allocate ids still live in retained history."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idrs"))
+    v_pre = vt.overwrite(spark.createDataFrame([], "k: long"))
+    vt.add_identity_column("rid")
+    vt.append(spark.range(3).select(F.col("id").alias("k")))
+    v_alloc = vt.latest_version()
+    high = vt.identity_columns()["rid"]["high"]
+    assert high == 3
+    # restore to before the declaration: spec gone, schema without rid
+    vt.restore(version=v_pre)
+    assert vt.identity_columns() == {}
+    assert [f.name for f in vt.table_schema().fields] == ["k"]
+    # roll forward again: spec back, mark NOT rolled back
+    vt.restore(version=v_alloc)
+    assert vt.identity_columns()["rid"]["high"] == high
+    vt.append(spark.range(10, 12).select(F.col("id").alias("k")))
+    rids = sorted(r.rid for r in vt.read().collect())
+    assert rids == [1, 2, 3, 4, 5]  # continued, no id reuse
+    # restore to a mid-history allocation keeps the NEWEST mark
+    vt.restore(version=v_alloc)
+    assert vt.identity_columns()["rid"]["high"] == 5
+    vt.append(spark.range(20, 21).select(F.col("id").alias("k")))
+    assert sorted(r.rid for r in vt.read().collect()) == [1, 2, 3, 6]
 
 
 def test_identity_column_declaration_rules(spark, tmp_path):
