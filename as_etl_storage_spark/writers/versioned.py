@@ -948,6 +948,20 @@ class VersionedTable:
                 f"add_generated_column: expression {expr!r} does not "
                 f"analyze against {[f.name for f in sch.fields]}: {exc}"
             ) from None
+        id_refs = sorted(
+            c
+            for c in self._identity_at(base)
+            if re.search(rf"\b{re.escape(c)}\b", expr, re.IGNORECASE)
+        )
+        if id_refs:
+            # identity values are ALLOCATED after alignment computes
+            # generated columns — an expression over them would be
+            # computed from the pre-allocation NULL slot, silently
+            raise VersionedTableError(
+                f"add_generated_column: expression {expr!r} references "
+                f"identity columns {id_refs}; generated columns cannot "
+                f"derive from allocated values"
+            )
         evolved = T.StructType([*sch.fields, T.StructField(name, dt, True)])
         return self._commit_metadata(
             base,

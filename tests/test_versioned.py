@@ -5457,9 +5457,10 @@ def test_identity_column_allocation(spark, tmp_path):
     rids1 = sorted(r.rid for r in vt.read().collect())
     assert rids1 == [10, 12, 14, 16, 18]
     assert vt.identity_columns()["rid"]["high"] == 18
-    # second append continues above the mark, no collisions
+    # second append continues above the mark, no collisions — hostile
+    # partitioning (3 rows spread over 64 mostly-EMPTY partitions)
     vt.append(
-        spark.range(100, 103).select(
+        spark.range(100, 103).repartition(64).select(
             F.col("id").alias("k"), F.lit(0).alias("v")
         )
     )
@@ -5532,6 +5533,49 @@ def test_identity_column_merge(spark, tmp_path):
     assert got2[2] == (120, before[2])
 
 
+def test_identity_concurrent_allocation_never_collides(spark, tmp_path):
+    """Racing allocating appends: the enforced-identity OCC check makes
+    a writer whose base watermark moved ABORT (named error) instead of
+    composing duplicate ids; app-level retry then lands every append
+    with globally distinct ids — gaps allowed, collisions never."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idcc"))
+    vt.overwrite(spark.createDataFrame([], "k: long"))
+    vt.add_identity_column("rid")
+    errs: list[Exception] = []
+    n_threads, n_appends = 4, 3
+
+    def writer(t):
+        mine = VersionedTable(spark, str(tmp_path / "idcc"))
+        for i in range(n_appends):
+            df = spark.createDataFrame(
+                [(t * 100 + i,)], "k: long"
+            ).coalesce(1)
+            for _ in range(30):  # app-level retry on the OCC abort
+                try:
+                    mine.append(df)
+                    break
+                except VersionedTableError as e:
+                    if "identity" not in str(e):
+                        errs.append(e)
+                        return
+            else:
+                errs.append(RuntimeError("retries exhausted"))
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs, errs
+    rows = vt.read().collect()
+    assert len(rows) == n_threads * n_appends
+    rids = [r.rid for r in rows]
+    assert len(set(rids)) == len(rids)  # collision-free
+    assert vt.identity_columns()["rid"]["high"] >= max(rids)
+
+
 def test_identity_restore_semantics(spark, tmp_path):
     """RESTORE × identity: specs roll back WITH the schema (restoring
     to before the declaration leaves no orphan spec), but a surviving
@@ -5580,6 +5624,10 @@ def test_identity_column_declaration_rules(spark, tmp_path):
     with pytest.raises(VersionedTableError, match="already exists"):
         vt2.add_identity_column("v")
     vt2.add_identity_column("rid", start=100, step=-5)  # descending works
+    # a generated column cannot derive from an allocated value (the
+    # expression would compute over the pre-allocation NULL slot)
+    with pytest.raises(VersionedTableError, match="identity"):
+        vt2.add_generated_column("g", "bigint", "rid * 2")
     vt2.append(spark.range(3).withColumn("v", F.col("id")))
     assert sorted(r.rid for r in vt2.read().collect()) == [90, 95, 100]
     with pytest.raises(VersionedTableError, match="identity"):
