@@ -1146,6 +1146,55 @@ _register(
 )
 
 
+def _w_versioned_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IS NULL / IS NOT NULL manifest skipping via per-column null
+    counts (Delta's nullCount stat; writers/versioned.py:_collect_stats
+    + _file_may_match): orders lands in two files — one whose
+    ``clerk_note`` is entirely NULL, one with zero NULLs — and the
+    ``isnull`` read must open ONLY the all-null file (asserted via
+    inputFiles), the ``notnull`` read only the other. At 100 TB "find
+    the rows still missing enrichment" is an IS NULL scan; without the
+    null count it reads the whole table to find the gap."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wnp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, root)
+    vt.overwrite(  # the not-yet-enriched slice: clerk_note all NULL
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .withColumn("clerk_note", F.lit(None).cast("string"))
+        .coalesce(1)
+    )
+    vt.append(  # the enriched slice: zero NULLs
+        orders.where(F.col("o_orderkey") % 7 != 0)
+        .withColumn("clerk_note", F.concat(F.lit("ok:"), "o_orderstatus"))
+        .coalesce(1)
+    )
+    gaps = vt.read(prune=[("clerk_note", "isnull", None)])
+    assert len(gaps.inputFiles()) == 1, "zero-null file must skip"
+    done = vt.read(prune=[("clerk_note", "notnull", None)])
+    assert len(done.inputFiles()) == 1, "all-null file must skip"
+    return gaps.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_register(
+    "w_versioned_null_prune",
+    _w_versioned_null_prune,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+
+
 def _w_versioned_dml_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned layer's HEADLINE bench row (r13): one composite
     lifecycle — overwrite → append → row-level DELETE → MERGE

@@ -2103,15 +2103,34 @@ class VersionedTable:
             md = f.metadata
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            nulls: dict[str, int] = {}
             dropped: set[str] = set()
+            null_dropped: set[str] = set()
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 for ci in range(row_group.num_columns):
                     col = row_group.column(ci)
                     cname = col.path_in_schema
-                    if "." in cname or cname in dropped:
+                    if "." in cname:
                         continue  # nested leaf — no top-level bound
                     st = col.statistics
+                    # per-column NULL counts (Delta's nullCount stat):
+                    # what IS NULL / IS NOT NULL pruning reads. Tracked
+                    # independently of min/max — an all-NULL column has
+                    # no bounds but a perfectly good null count
+                    if (
+                        st is None
+                        or st.null_count is None
+                        or cname in null_dropped
+                    ):
+                        null_dropped.add(cname)
+                        nulls.pop(cname, None)
+                    else:
+                        nulls[cname] = nulls.get(cname, 0) + int(
+                            st.null_count
+                        )
+                    if cname in dropped:
+                        continue
                     ok_types = (int, float, str, bool)
                     if (
                         st is None
@@ -2130,11 +2149,21 @@ class VersionedTable:
             bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
             for col, val in self._partition_values(name).items():
                 bounds[col] = [val, val]
+                nulls[col] = 0  # a col=value hive segment holds no NULL
+            if "__HIVE_DEFAULT_PARTITION__" in name:
+                from urllib.parse import unquote
+
+                for seg in name.replace(os.sep, "/").split("/")[:-1]:
+                    c, _, raw = seg.partition("=")
+                    if c and unquote(raw) == "__HIVE_DEFAULT_PARTITION__":
+                        nulls[c] = md.num_rows  # the NULL partition
             # reserved scalar entries (not column bounds): per-file row
             # and byte counts — metadata-only COUNT(*) and compaction
             # planning read these from the log instead of the filesystem
             bounds["#rows"] = md.num_rows
             bounds["#bytes"] = os.path.getsize(os.path.join(self.path, name))
+            if nulls:
+                bounds["#nulls"] = nulls
             out[name] = bounds
         return out
 
@@ -2723,7 +2752,7 @@ class VersionedTable:
     # manifest's per-file scalar slots (#rows/#bytes) — ONE definition,
     # enforced by _align (writes), add_column and rename_column
     _RESERVED_NAMES = frozenset(
-        {"__vt_file", "__vt_pos", "__vt_upd", "#rows", "#bytes"}
+        {"__vt_file", "__vt_pos", "__vt_upd", "#rows", "#bytes", "#nulls"}
     )
 
     def _scan_files(
@@ -3965,7 +3994,7 @@ class VersionedTable:
         )
 
     # -- read -----------------------------------------------------------
-    _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
+    _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in", "isnull", "notnull")
 
     def _merge_by_source_delete(
         self,
@@ -4262,6 +4291,17 @@ class VersionedTable:
                 VersionedTable._file_may_match(fstats, col, "=", v)
                 for v in val
             )
+        if op in ("isnull", "notnull"):
+            # Delta's nullCount stat: a file with zero NULLs in the
+            # column cannot satisfy IS NULL; one that is all-NULL
+            # cannot satisfy IS NOT NULL. Unknown count → cannot skip.
+            n = fstats.get("#nulls", {}).get(col)
+            rows = fstats.get("#rows")
+            if not isinstance(n, int):
+                return True
+            if op == "isnull":
+                return n > 0
+            return not (isinstance(rows, int) and n >= rows)
         bounds = fstats.get(col)
         if not bounds or not isinstance(bounds, (list, tuple)):
             return True  # absent, or a reserved scalar (#rows/#bytes)
@@ -4459,6 +4499,11 @@ class VersionedTable:
                 raise VersionedTableError(
                     f"prune op 'in' takes a list of literals, got {_v!r}"
                 )
+            if op in ("isnull", "notnull") and _v is not None:
+                raise VersionedTableError(
+                    f"prune op {op!r} takes no literal (pass None), "
+                    f"got {_v!r}"
+                )
 
     @classmethod
     def _triples_condition(
@@ -4472,6 +4517,10 @@ class VersionedTable:
             col = F.col(c)
             if op == "in":
                 term = col.isin(list(v)) if len(v) else F.lit(False)
+            elif op == "isnull":
+                term = col.isNull()
+            elif op == "notnull":
+                term = col.isNotNull()
             else:
                 term = {
                     "=": col == F.lit(v),

@@ -861,6 +861,80 @@ def test_stats_survive_checkpoint_and_vacuum(spark, tmp_path):
     assert pruned.count() == 10
 
 
+def test_null_count_pruning(spark, tmp_path):
+    """IS NULL / IS NOT NULL manifest skipping via per-column null
+    counts (Delta's nullCount stat): a zero-null file skips for
+    ``isnull``, an all-null file skips for ``notnull``, mixed files scan
+    either way, unknown counts (legacy manifests) disable skipping but
+    never correctness — and the hive NULL partition contributes exact
+    counts from its directory name alone."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "np"))
+    vt.overwrite(  # file A: no nulls
+        spark.range(10).select("id", F.lit("x").alias("v")).coalesce(1)
+    )
+    vt.append(  # file B: all null
+        spark.range(10, 15)
+        .select("id", F.lit(None).cast("string").alias("v"))
+        .coalesce(1)
+    )
+    vt.append(  # file C: mixed
+        spark.range(15, 25)
+        .select(
+            "id",
+            F.when(F.col("id") % 2 == 0, "y").alias("v"),
+        )
+        .coalesce(1)
+    )
+    nul = vt.read(prune=[("v", "isnull", None)])
+    assert len(nul.inputFiles()) == 2  # file A skipped
+    assert sorted(r.id for r in nul.collect()) == [
+        *range(10, 15),
+        *[i for i in range(15, 25) if i % 2],
+    ]
+    nn = vt.read(prune=[("v", "notnull", None)])
+    assert len(nn.inputFiles()) == 2  # file B skipped
+    assert nn.count() == 10 + 5
+    with pytest.raises(VersionedTableError, match="takes no literal"):
+        vt.read(prune=[("v", "isnull", 1)])
+    # legacy manifests without the stat: every file scans, rows correct
+    base = vt.latest_version()
+    for v in vt._versions():
+        mp = os.path.join(vt.log_dir, f"{v:08d}.json")
+        m = _json.loads(open(mp, "rb").read())
+        for st in m.get("stats", {}).values():
+            st.pop("#nulls", None)
+        with open(mp, "w") as fh:
+            _json.dump(m, fh)
+    legacy = VersionedTable(spark, str(tmp_path / "np"))
+    lg = legacy.read(prune=[("v", "isnull", None)])
+    assert len(lg.inputFiles()) == 3  # cannot skip
+    assert lg.count() == nul.count()  # still correct
+    # hive NULL partition: counts derived from the directory name
+    pt = VersionedTable(spark, str(tmp_path / "nph"))
+    pt.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "b")], "id long, k string"
+        ),
+        partition_by=["k"],
+    )
+    pn = pt.read(prune=[("k", "isnull", None)])
+    assert len(pn.inputFiles()) == 1  # only __HIVE_DEFAULT_PARTITION__
+    assert [r.id for r in pn.collect()] == [2]
+    pnn = pt.read(prune=[("k", "notnull", None)])
+    assert len(pnn.inputFiles()) == 2
+    assert sorted(r.id for r in pnn.collect()) == [1, 3]
+
+
 def test_stats_pruning_nan_semantics(spark, tmp_path):
     """Spark writes max=NaN for a float file holding any NaN, and Spark
     SQL orders NaN greatest (NaN > x is TRUE). Pruning must keep such
@@ -5739,3 +5813,76 @@ def test_generated_column_through_stream_sink_and_clone(spark, tmp_path):
                 [(200, 1, 999)], "id: long, bucket: long, bucket2: long"
             )
         )
+
+
+def test_prune_matches_filter_fuzz(spark, tmp_path):
+    """Model fuzz for manifest skipping: over a table whose files mix
+    clean / all-NULL / NaN-bearing / constant columns, EVERY random
+    triple conjunction must return exactly the rows the plain filter
+    returns — skipping is an optimization, never a semantics change.
+    One table, many predicates (hypothesis drives only the triples, so
+    the loop stays tight)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "pf"))
+    rows = [
+        # (id, num double, s string) per file: hostile stat shapes
+        [(0, 1.0, "a"), (1, 2.0, "b")],                    # clean
+        [(2, None, None), (3, None, None)],                # all-NULL
+        [(4, float("nan"), "c"), (5, 7.0, None)],          # NaN + mixed
+        [(6, -3.5, "a"), (7, -3.5, "a")],                  # constant
+    ]
+    vt.overwrite(
+        spark.createDataFrame(rows[0], "id long, num double, s string")
+        .coalesce(1)
+    )
+    for chunk in rows[1:]:
+        vt.append(
+            spark.createDataFrame(chunk, "id long, num double, s string")
+            .coalesce(1)
+        )
+    full = vt.read()
+
+    lit_num = st.sampled_from([-3.5, 0.0, 1.0, 2.0, 7.0, float("nan")])
+    lit_s = st.sampled_from(["a", "b", "c", "z"])
+    cmp_ops = st.sampled_from(["=", "<", "<=", ">", ">="])
+    triple = st.one_of(
+        st.tuples(st.just("num"), cmp_ops, lit_num),
+        st.tuples(st.just("s"), cmp_ops, lit_s),
+        st.tuples(
+            st.sampled_from(["num", "s"]),
+            st.sampled_from(["isnull", "notnull"]),
+            st.none(),
+        ),
+        st.tuples(
+            st.just("num"),
+            st.just("in"),
+            st.lists(lit_num, max_size=3).map(list),
+        ),
+    )
+
+    @given(st.lists(triple, min_size=1, max_size=3))
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def check(triples):
+        got = sorted(
+            r.id for r in vt.read(prune=triples).collect()
+        )
+        want = sorted(
+            r.id
+            for r in full.where(vt._triples_condition(triples)).collect()
+        )
+        assert got == want, (triples, got, want)
+
+    check()
