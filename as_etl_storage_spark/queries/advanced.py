@@ -1146,6 +1146,65 @@ _register(
 )
 
 
+def _w_versioned_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO VERSIONED (Delta's CONVERT TO DELTA;
+    writers/versioned.py:convert): a plain hive-partitioned parquet
+    directory — written by an ordinary Spark job, no log — is adopted
+    IN PLACE as version 0 (zero bytes rewritten, asserted by file
+    listing), with footer stats and the merged schema recorded; the
+    table is immediately fully functional (a row-level DELETE runs on
+    it here). The migration story: a pipeline's existing lake gains
+    transactions/time-travel/DML with one metadata commit."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wcv-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # a FOREIGN plain-parquet directory: ordinary partitioned Spark write
+    orders.write.partitionBy("o_orderstatus").parquet(root)
+    def _listing():
+        return sorted(
+            (r, os.path.getsize(os.path.join(r, f)))
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    listing_before = _listing()
+    vt = VersionedTable.convert(
+        spark, root, partition_by=["o_orderstatus"]
+    )
+    assert vt.latest_version() == 0
+    # zero-copy: the same files byte-for-byte in the same directories
+    # (basename de-collision renames, never rewrites — Spark's
+    # dynamic-partition write reuses task filenames across dirs)
+    assert _listing() == listing_before
+    # immediately functional: partition pruning from footer/name stats
+    # and row-level DML through the normal protocol
+    assert 0 < len(
+        vt.read(prune=[("o_orderstatus", "=", "F")]).inputFiles()
+    ) < len(vt.read().inputFiles())
+    vt.delete("o_orderkey % 10 = 3")
+    return vt.read()
+
+
+_register(
+    "w_versioned_convert",
+    _w_versioned_convert,
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+
+
 def _w_versioned_null_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL / IS NOT NULL manifest skipping via per-column null
     counts (Delta's nullCount stat; writers/versioned.py:_collect_stats

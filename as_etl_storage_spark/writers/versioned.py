@@ -104,6 +104,126 @@ class VersionedTable:
         # the REPEATED cost)
         self._ts_memo: dict[int, float] = {}
 
+    @classmethod
+    def convert(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+        log_store=None,
+    ) -> "VersionedTable":
+        """CONVERT an existing plain-parquet directory into a versioned
+        table IN PLACE (Delta's ``CONVERT TO DELTA``): commits a v0
+        full-snapshot manifest referencing the directory's files where
+        they lie — zero bytes rewritten — with per-file stats read from
+        their footers and the merged schema recorded in the log. The
+        migration primitive: a pipeline already writing plain parquet
+        adopts transactions, time travel, DML and OCC with one metadata
+        commit; every later write goes through the normal protocol.
+
+        Hive-partitioned layouts convert too, but the partition columns
+        must be DECLARED (``partition_by=[...]``, Delta's own rule for
+        CONVERT on partitioned tables) and must match the directory
+        segments — inferring them silently would bake a wrong layout
+        into the log. Duplicate file BASENAMES across partition
+        directories are refused (file identity inside DML/DV scans is
+        basename-keyed; Spark's own writers never produce them).
+
+        Scale note: the one-time footer-stat collection is O(files) on
+        the driver (~the cost one snapshot's planning pays); at 10^6
+        files run it next to the data. Everything after v0 is the
+        normal O(new-files) protocol."""
+        vt = cls(spark, path, log_store=log_store)
+        if vt.latest_version() is not None:
+            raise VersionedTableError(
+                f"{path} already has a transaction log; convert targets "
+                f"plain parquet directories only"
+            )
+        files: list[str] = []
+        for root, dirs, names in os.walk(vt.path):
+            dirs[:] = [
+                d
+                for d in dirs
+                if d not in ("_log", "_cdc", "_dv")
+                and not d.startswith("__stage__")
+                and not d.startswith(".")
+            ]
+            for f in names:
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    files.append(
+                        os.path.relpath(os.path.join(root, f), vt.path)
+                    )
+        if not files:
+            raise VersionedTableError(
+                f"no parquet files under {path}; nothing to convert"
+            )
+        files.sort()
+        # file identity inside DML/DV scans is basename-keyed (internal
+        # writes mint unique names); Spark's dynamic-partition writes
+        # legitimately reuse one task's filename across partition dirs,
+        # so convert de-collides by renaming the 2nd+ occurrence IN
+        # PLACE (same directory, fresh unique name) — convert takes
+        # ownership of the directory, exactly Delta's CONVERT posture
+        seen: set[str] = set()
+        for i, f in enumerate(files):
+            bn = os.path.basename(f)
+            if bn in seen:
+                fresh = f"part-{uuid.uuid4().hex[:12]}.parquet"
+                rel = os.path.join(os.path.dirname(f), fresh)
+                os.rename(
+                    os.path.join(vt.path, f), os.path.join(vt.path, rel)
+                )
+                files[i] = rel
+                bn = fresh
+            seen.add(bn)
+        # declared vs actual hive layout: every file must carry exactly
+        # the declared segments (order-insensitively present)
+        pb = list(partition_by or [])
+        want = {c.lower() for c in pb}
+        for f in files:
+            got = {c.lower() for c in cls._hive_segment_cols(f)}
+            if got != want:
+                raise VersionedTableError(
+                    f"convert: file {f!r} carries partition segments "
+                    f"{sorted(got)} but partition_by={pb}; every file "
+                    f"must match the declared layout exactly (Delta's "
+                    f"CONVERT rule for partitioned tables)"
+                )
+        reader = spark.read.option("mergeSchema", "true")
+        if pb:
+            reader = reader.option("basePath", vt.path)
+        schema = reader.parquet(
+            *(os.path.join(vt.path, f) for f in files)
+        ).schema
+        clash = [
+            f.name
+            for f in schema.fields
+            if f.name.lower() in cls._RESERVED_NAMES
+        ]
+        if clash:
+            raise VersionedTableError(
+                f"convert: column names {clash} are reserved for "
+                f"internal row identity / manifest bookkeeping"
+            )
+        v = vt._commit(
+            files,
+            "convert",
+            None,
+            partition_by=pb,
+            schema=cls._nullable_json(schema),
+            params={"n_files": len(files)},
+        )
+        assert v == 0
+        return vt
+
+    @staticmethod
+    def _hive_segment_cols(name: str) -> set[str]:
+        return {
+            seg.partition("=")[0]
+            for seg in name.replace(os.sep, "/").split("/")[:-1]
+            if "=" in seg
+        }
+
     # -- log ------------------------------------------------------------
     def _versions(self) -> list[int]:
         out = []
@@ -1795,11 +1915,12 @@ class VersionedTable:
                     "restore",
                     "overwrite_partitions",
                     "replace_where",
-                    # clone: the target-must-be-empty pre-check is
-                    # TOCTOU; a collision here means another writer beat
-                    # us to the fresh log — publishing on top would
+                    # clone/convert: the target-must-be-empty pre-check
+                    # is TOCTOU; a collision here means another writer
+                    # beat us to the fresh log — publishing on top would
                     # silently replace their content
                     "clone",
+                    "convert",
                 ):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "

@@ -5886,3 +5886,76 @@ def test_prune_matches_filter_fuzz(spark, tmp_path):
         assert got == want, (triples, got, want)
 
     check()
+
+
+def test_convert_to_versioned(spark, tmp_path):
+    """CONVERT TO VERSIONED (Delta's CONVERT TO DELTA): a plain parquet
+    directory becomes a v0 full-snapshot manifest referencing its files
+    in place — zero bytes rewritten — with footer stats and the merged
+    schema in the log; every later write is the normal protocol.
+    Partitioned layouts need the declared partition_by and get
+    de-collided basenames; a directory with a log refuses."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    # flat layout
+    flat = str(tmp_path / "flat")
+    spark.range(100).withColumn("v", F.col("id") * 2).repartition(
+        4
+    ).write.parquet(flat)
+    before = sorted(
+        f for f in os.listdir(flat) if f.endswith(".parquet")
+    )
+    vt = VersionedTable.convert(spark, flat)
+    assert vt.latest_version() == 0
+    assert vt.read().count() == 100
+    assert [f.name for f in vt.table_schema().fields] == ["id", "v"]
+    # in place: same files, none rewritten
+    assert sorted(
+        f for f in os.listdir(flat) if f.endswith(".parquet")
+    ) == before
+    # footer stats collected: pruning works immediately
+    assert len(vt.read(prune=[("id", "<", 0)]).inputFiles()) == 0
+    # fully functional table from here
+    vt.append(spark.range(100, 110).withColumn("v", F.col("id") * 2))
+    vt.delete("id = 5")
+    assert vt.read().count() == 109
+    assert vt.read(version_as_of=0).count() == 100  # time travel to v0
+    assert vt.describe_history()[0]["op"] == "convert"
+    # double convert refused
+    with pytest.raises(VersionedTableError, match="already has"):
+        VersionedTable.convert(spark, flat)
+
+    # partitioned layout: declaration required and validated; Spark's
+    # reused-basename dynamic-partition files de-collide in place
+    part = str(tmp_path / "part")
+    spark.range(40).select(
+        "id", (F.col("id") % 4).alias("k")
+    ).coalesce(1).write.partitionBy("k").parquet(part)
+    with pytest.raises(VersionedTableError, match="partition"):
+        VersionedTable.convert(spark, part)
+    pvt = VersionedTable.convert(spark, part, partition_by=["k"])
+    got = {(r.id, r.k) for r in pvt.read().collect()}
+    assert got == {(i, i % 4) for i in range(40)}
+    # partition pruning from the converted manifest alone
+    pruned = pvt.read(prune=[("k", "=", 1)])
+    assert 0 < len(pruned.inputFiles()) < len(pvt.read().inputFiles())
+    assert sorted(r.id for r in pruned.collect()) == [
+        i for i in range(40) if i % 4 == 1
+    ]
+    # no duplicate basenames survived the conversion
+    names = [os.path.basename(f) for f in pvt._state(0)]
+    assert len(set(names)) == len(names)
+    # layout mismatch refused
+    with pytest.raises(VersionedTableError, match="layout"):
+        VersionedTable.convert(
+            spark, str(tmp_path / "flat2"), partition_by=["k"]
+        ) if spark.range(1).coalesce(1).write.parquet(
+            str(tmp_path / "flat2")
+        ) is None else None
