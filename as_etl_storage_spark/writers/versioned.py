@@ -111,6 +111,7 @@ class VersionedTable:
         path: str,
         partition_by: list[str] | None = None,
         log_store=None,
+        distributed: bool = False,
     ) -> "VersionedTable":
         """CONVERT an existing plain-parquet directory into a versioned
         table IN PLACE (Delta's ``CONVERT TO DELTA``): commits a v0
@@ -129,10 +130,13 @@ class VersionedTable:
         directories are refused (file identity inside DML/DV scans is
         basename-keyed; Spark's own writers never produce them).
 
-        Scale note: the one-time footer-stat collection is O(files) on
-        the driver (~the cost one snapshot's planning pays); at 10^6
-        files run it next to the data. Everything after v0 is the
-        normal O(new-files) protocol."""
+        ``distributed=True`` fans the one-time footer-stat collection
+        out as a Spark job (per-partition pyarrow footer reads, the
+        distributed-vacuum shape) instead of a driver loop — the object
+        store / 10^6-file path, where a serial million-footer driver
+        loop is the bottleneck. Requires executors to see the table's
+        filesystem (trivially true locally). Everything after v0 is the
+        normal O(new-files) protocol either way."""
         vt = cls(spark, path, log_store=log_store)
         if vt.latest_version() is not None:
             raise VersionedTableError(
@@ -205,13 +209,25 @@ class VersionedTable:
                 f"convert: column names {clash} are reserved for "
                 f"internal row identity / manifest bookkeeping"
             )
+        known = None
+        if distributed and files:
+            root = vt.path
+            sc = spark.sparkContext
+            known = dict(
+                sc.parallelize(
+                    files, max(1, min(64, len(files) // 1000 + 1))
+                )
+                .map(lambda n: (n, VersionedTable._file_stats(root, n)))
+                .collect()
+            )
         v = vt._commit(
             files,
             "convert",
             None,
+            known_stats=known,
             partition_by=pb,
             schema=cls._nullable_json(schema),
-            params={"n_files": len(files)},
+            params={"n_files": len(files), "distributed": distributed},
         )
         assert v == 0
         return vt
@@ -2216,77 +2232,80 @@ class VersionedTable:
         partition column skips whole partitions from the manifest alone,
         which IS partition pruning, through the same code path as stats
         skipping."""
+        return {n: self._file_stats(self.path, n) for n in files}
+
+    @staticmethod
+    def _file_stats(root: str, name: str) -> dict:
+        """One file's footer stats (the per-file body of
+        :meth:`_collect_stats`) — a staticmethod over (root, name) so
+        distributed collectors (``convert(distributed=True)``) can run
+        it on executors against a shared filesystem / object store."""
         import pyarrow.parquet as pq
 
-        out: dict[str, dict] = {}
-        for name in files:
-            f = pq.ParquetFile(os.path.join(self.path, name))
-            md = f.metadata
-            mins: dict[str, object] = {}
-            maxs: dict[str, object] = {}
-            nulls: dict[str, int] = {}
-            dropped: set[str] = set()
-            null_dropped: set[str] = set()
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                for ci in range(row_group.num_columns):
-                    col = row_group.column(ci)
-                    cname = col.path_in_schema
-                    if "." in cname:
-                        continue  # nested leaf — no top-level bound
-                    st = col.statistics
-                    # per-column NULL counts (Delta's nullCount stat):
-                    # what IS NULL / IS NOT NULL pruning reads. Tracked
-                    # independently of min/max — an all-NULL column has
-                    # no bounds but a perfectly good null count
-                    if (
-                        st is None
-                        or st.null_count is None
-                        or cname in null_dropped
-                    ):
-                        null_dropped.add(cname)
-                        nulls.pop(cname, None)
-                    else:
-                        nulls[cname] = nulls.get(cname, 0) + int(
-                            st.null_count
-                        )
-                    if cname in dropped:
-                        continue
-                    ok_types = (int, float, str, bool)
-                    if (
-                        st is None
-                        or not st.has_min_max
-                        or not isinstance(st.min, ok_types)
-                        or not isinstance(st.max, ok_types)
-                    ):
-                        dropped.add(cname)
-                        mins.pop(cname, None)
-                        maxs.pop(cname, None)
-                        continue
-                    if cname not in mins or st.min < mins[cname]:
-                        mins[cname] = st.min
-                    if cname not in maxs or st.max > maxs[cname]:
-                        maxs[cname] = st.max
-            bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
-            for col, val in self._partition_values(name).items():
-                bounds[col] = [val, val]
-                nulls[col] = 0  # a col=value hive segment holds no NULL
-            if "__HIVE_DEFAULT_PARTITION__" in name:
-                from urllib.parse import unquote
+        f = pq.ParquetFile(os.path.join(root, name))
+        md = f.metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        nulls: dict[str, int] = {}
+        dropped: set[str] = set()
+        null_dropped: set[str] = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                cname = col.path_in_schema
+                if "." in cname:
+                    continue  # nested leaf — no top-level bound
+                st = col.statistics
+                # per-column NULL counts (Delta's nullCount stat):
+                # what IS NULL / IS NOT NULL pruning reads. Tracked
+                # independently of min/max — an all-NULL column has
+                # no bounds but a perfectly good null count
+                if (
+                    st is None
+                    or st.null_count is None
+                    or cname in null_dropped
+                ):
+                    null_dropped.add(cname)
+                    nulls.pop(cname, None)
+                else:
+                    nulls[cname] = nulls.get(cname, 0) + int(st.null_count)
+                if cname in dropped:
+                    continue
+                ok_types = (int, float, str, bool)
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, ok_types)
+                    or not isinstance(st.max, ok_types)
+                ):
+                    dropped.add(cname)
+                    mins.pop(cname, None)
+                    maxs.pop(cname, None)
+                    continue
+                if cname not in mins or st.min < mins[cname]:
+                    mins[cname] = st.min
+                if cname not in maxs or st.max > maxs[cname]:
+                    maxs[cname] = st.max
+        bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
+        for col, val in VersionedTable._partition_values(name).items():
+            bounds[col] = [val, val]
+            nulls[col] = 0  # a col=value hive segment holds no NULL
+        if "__HIVE_DEFAULT_PARTITION__" in name:
+            from urllib.parse import unquote
 
-                for seg in name.replace(os.sep, "/").split("/")[:-1]:
-                    c, _, raw = seg.partition("=")
-                    if c and unquote(raw) == "__HIVE_DEFAULT_PARTITION__":
-                        nulls[c] = md.num_rows  # the NULL partition
-            # reserved scalar entries (not column bounds): per-file row
-            # and byte counts — metadata-only COUNT(*) and compaction
-            # planning read these from the log instead of the filesystem
-            bounds["#rows"] = md.num_rows
-            bounds["#bytes"] = os.path.getsize(os.path.join(self.path, name))
-            if nulls:
-                bounds["#nulls"] = nulls
-            out[name] = bounds
-        return out
+            for seg in name.replace(os.sep, "/").split("/")[:-1]:
+                c, _, raw = seg.partition("=")
+                if c and unquote(raw) == "__HIVE_DEFAULT_PARTITION__":
+                    nulls[c] = md.num_rows  # the NULL partition
+        # reserved scalar entries (not column bounds): per-file row
+        # and byte counts — metadata-only COUNT(*) and compaction
+        # planning read these from the log instead of the filesystem
+        bounds["#rows"] = md.num_rows
+        bounds["#bytes"] = os.path.getsize(os.path.join(root, name))
+        if nulls:
+            bounds["#nulls"] = nulls
+        return bounds
 
     @staticmethod
     def _partition_values(name: str) -> dict[str, object]:

@@ -5953,9 +5953,18 @@ def test_convert_to_versioned(spark, tmp_path):
     names = [os.path.basename(f) for f in pvt._state(0)]
     assert len(set(names)) == len(names)
     # layout mismatch refused
+    spark.range(1).coalesce(1).write.parquet(str(tmp_path / "flat2"))
     with pytest.raises(VersionedTableError, match="layout"):
         VersionedTable.convert(
             spark, str(tmp_path / "flat2"), partition_by=["k"]
-        ) if spark.range(1).coalesce(1).write.parquet(
-            str(tmp_path / "flat2")
-        ) is None else None
+        )
+    # distributed footer collection: byte-identical stats to the
+    # driver loop (the 10^6-file / object-store path)
+    dist = str(tmp_path / "dist")
+    spark.range(60).withColumn("v", F.col("id")).repartition(
+        3
+    ).write.parquet(dist)
+    dvt = VersionedTable.convert(spark, dist, distributed=True)
+    ref = dvt._collect_stats(dvt._state(0))
+    assert dvt._stats_at(0) == ref
+    assert len(dvt.read(prune=[("id", "<", 0)]).inputFiles()) == 0
