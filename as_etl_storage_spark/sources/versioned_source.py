@@ -49,7 +49,16 @@ class VersionedSource:
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
         vt = VersionedTable(self.spark, self.table_path(name))
-        if self.connection.changes_from is not None:
+        if self.connection.change_feed_from is not None:
+            # row-level change feed (Delta readChangeFeed parity): table
+            # columns + _change_type/_commit_version — the job-spec
+            # surface of VersionedTable.change_feed, so a job can move
+            # CDC rows into any sink
+            df = vt.change_feed(
+                self.connection.change_feed_from,
+                self.connection.change_feed_to,
+            )
+        elif self.connection.changes_from is not None:
             # incremental read: only rows appended after the cursor
             # version — the job-spec surface of VersionedTable.changes
             df = vt.changes(self.connection.changes_from)

@@ -158,17 +158,35 @@ class ConnectionSpec:
     #: timestampAsOf). Mutually exclusive with both versionAsOf (one
     #: pin per read) and changesFrom.
     timestamp_as_of: float | str | None = None
+    #: row-level change feed on versioned tables (Delta's
+    #: readChangeFeed + startingVersion): every change AFTER this
+    #: version (exclusive) up to changeFeedTo (or latest) — table
+    #: columns plus _change_type/_commit_version. Where changesFrom
+    #: answers "what rows are NEW?" (append-only increments, any
+    #: data-changing rewrite refuses), this answers "what HAPPENED?"
+    #: (deletes/updates arrive as delete / update_pre+postimage rows).
+    #: Mutually exclusive with the other read pins.
+    change_feed_from: int | None = None
+    change_feed_to: int | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "ConnectionSpec":
         v = obj.get("versionAsOf")
         cf = obj.get("changesFrom")
         ts = obj.get("timestampAsOf")
-        if sum(x is not None for x in (v, cf, ts)) > 1:
+        cff = obj.get("changeFeedFrom")
+        cft = obj.get("changeFeedTo")
+        if sum(x is not None for x in (v, cf, ts, cff)) > 1:
             raise SpecError(
-                "versionAsOf, changesFrom and timestampAsOf are mutually "
-                "exclusive: a pinned snapshot (by version or instant) and "
-                "an incremental delta are different reads"
+                "versionAsOf, changesFrom, timestampAsOf and "
+                "changeFeedFrom are mutually exclusive: a pinned "
+                "snapshot, an incremental delta and a row-level change "
+                "feed are different reads"
+            )
+        if cft is not None and cff is None:
+            raise SpecError(
+                "changeFeedTo needs changeFeedFrom: a change-feed range "
+                "has no meaning without its starting version"
             )
         if ts is not None and not isinstance(ts, (int, float, str)):
             raise SpecError(
@@ -182,6 +200,8 @@ class ConnectionSpec:
             version_as_of=int(v) if v is not None else None,
             changes_from=int(cf) if cf is not None else None,
             timestamp_as_of=ts,
+            change_feed_from=int(cff) if cff is not None else None,
+            change_feed_to=int(cft) if cft is not None else None,
         )
 
 

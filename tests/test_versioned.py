@@ -790,6 +790,62 @@ def test_changes_through_job_spec(spark, tmp_path):
         run_job(spark, job)
 
 
+def test_change_feed_through_job_spec(spark, tmp_path):
+    """changeFeedFrom in the reader connection (Delta readChangeFeed
+    parity over the job-spec surface): the job moves row-level CDC —
+    inserts, update pre/postimages, deletes, with _change_type and
+    _commit_version — into an ordinary sink; bounded ranges via
+    changeFeedTo; exclusive with the other read pins; changeFeedTo
+    alone refuses."""
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.spec import SpecError
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "src" / "t"))
+    vt.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "id long, v long"))
+    vt.append(spark.createDataFrame([(3, 30)], "id long, v long"))  # v1
+    vt.update("id = 1", {"v": "v + 1"})  # v2: pre+post
+    vt.delete("id = 2")  # v3: delete
+    job = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {
+                "url": str(tmp_path / "src"),
+                "table": {"name": "t"},
+                "changeFeedFrom": 0,
+            },
+            "column": ["*"],
+        },
+        "writer": {
+            "connection": {"url": str(tmp_path), "table": {"name": "cdc"}},
+            "writeMode": "insert",
+        },
+    }
+    r = run_job(spark, job)
+    assert r.written == 4  # insert + update_preimage + postimage + delete
+    out = spark.read.parquet(str(tmp_path / "cdc.parquet"))
+    got = {(row._change_type, row.id) for row in out.collect()}
+    assert got == {
+        ("insert", 3),
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+        ("delete", 2),
+    }
+    assert {row._commit_version for row in out.collect()} == {1, 2, 3}
+    # bounded range: only v1's insert
+    job["reader"]["connection"]["changeFeedTo"] = 1
+    job["writer"]["connection"]["table"]["name"] = "cdc1"
+    assert run_job(spark, job).written == 1
+    # pins are exclusive; a lone changeFeedTo refuses
+    job["reader"]["connection"]["versionAsOf"] = 1
+    with pytest.raises(SpecError, match="mutually exclusive"):
+        run_job(spark, job)
+    del job["reader"]["connection"]["versionAsOf"]
+    del job["reader"]["connection"]["changeFeedFrom"]
+    with pytest.raises(SpecError, match="changeFeedFrom"):
+        run_job(spark, job)
+
+
 def test_stats_pruned_read_skips_files(spark, tmp_path):
     """Manifest-level data skipping: per-file min/max recorded at commit;
     a selective prune predicate drops non-matching files from the scan
