@@ -65,6 +65,7 @@ def plan_read(spark: SparkSession, reader: ReaderSpec) -> DataFrame:
 
     source.ping()
     from as_etl_storage_spark.sources.jdbc import JdbcSource
+    from as_etl_storage_spark.sources.versioned_source import VersionedSource
 
     if isinstance(source, JdbcSource):
         # dialect read normalization (P4/P6): job-level trimChar +
@@ -72,6 +73,13 @@ def plan_read(spark: SparkSession, reader: ReaderSpec) -> DataFrame:
         df = source.read(
             field_types=reader.field_types or None, trim_char=reader.trim_char
         )
+    elif isinstance(source, VersionedSource):
+        # manifest data skipping from the declarative surface: simple
+        # conjuncts of ``where`` prune files at the stats manifest
+        # BEFORE Spark lists them (spec.prune_triples_from_where); the
+        # full predicate still applies as the semantic filter below, so
+        # a complex where stays correct with zero skipping
+        df = source.read(where=reader.where)
     else:
         df = source.read()
     if list(reader.columns) != ["*"]:

@@ -2938,3 +2938,72 @@ _LATERAL_SQL = """
 """
 QUERIES["q_lateral_topn"] = sql_query(("customer", "orders"), _LATERAL_SQL)
 ORACLES["q_lateral_topn"] = _LATERAL_SQL
+
+
+# ------------------------------------------ spec-driven manifest pruning --
+def _w_versioned_spec_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping from the DECLARATIVE surface (the
+    reference's JSON job spec, SURVEY §1.4): the reader's ``where``
+    string is parsed into (col, op, literal) prune triples
+    (spec.prune_triples_from_where) and threaded through
+    VersionedSource.read → VersionedTable.read(prune=...), so a
+    spec-driven job skips files at the stats manifest exactly like a
+    Python-API caller — asserted in-query via inputFiles. The full
+    predicate (including an OR leg no triple can express) remains the
+    semantic filter, so the result equals the oracle's plain WHERE."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wsp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split, sel = 2 * hi // 3, 5 * hi // 6
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.where(F.col("o_orderkey") <= split).coalesce(1))
+    vt.append(orders.where(F.col("o_orderkey") > split).coalesce(1))
+    df = run_job(
+        spark,
+        {
+            "reader": {
+                "dialect": "versioned",
+                "connection": {"url": root, "table": {"name": "t"}},
+                "column": ["*"],
+                "where": (
+                    f"o_orderkey > {sel} AND "
+                    f"(o_orderstatus = 'O' OR o_orderstatus = 'F')"
+                ),
+            }
+        },
+    )
+    if len(df.inputFiles()) != 1:
+        raise AssertionError(
+            "spec-driven read must skip the low-key file at the manifest"
+        )
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_spec_prune",
+    _w_versioned_spec_prune,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_orderkey > (SELECT 5 * max(o_orderkey) // 6 FROM orders)
+      AND (o_orderstatus = 'O' OR o_orderstatus = 'F')
+    GROUP BY o_orderstatus
+    """,
+)

@@ -44,11 +44,25 @@ class VersionedSource:
                 f"not a versioned table (no _log): {self.table_path()}"
             )
 
-    def read(self, name: str | None = None, snapshot: bool = False) -> DataFrame:
+    def read(
+        self,
+        name: str | None = None,
+        snapshot: bool = False,
+        where: str = "",
+    ) -> DataFrame:
         # every versioned read IS a snapshot read — the manifest pins files
+        from as_etl_storage_spark.spec import prune_triples_from_where
         from as_etl_storage_spark.writers.versioned import VersionedTable
 
         vt = VersionedTable(self.spark, self.table_path(name))
+        # the spec's ``where`` reaches manifest data skipping here: its
+        # simple conjuncts become (col, op, literal) prune triples, so a
+        # spec-driven job skips files from the stats manifest exactly
+        # like a Python-API read(prune=...) — instead of paying the full
+        # file listing. Complex predicates (OR trees, expressions)
+        # extract nothing and fall through to filter-only, which remains
+        # the semantic either way (the planner applies the full where).
+        prune = prune_triples_from_where(where) if where else []
         if self.connection.change_feed_from is not None:
             # row-level change feed (Delta readChangeFeed parity): table
             # columns + _change_type/_commit_version — the job-spec
@@ -64,9 +78,15 @@ class VersionedSource:
             df = vt.changes(self.connection.changes_from)
         elif self.connection.timestamp_as_of is not None:
             # wall-clock time travel (Delta timestampAsOf parity)
-            df = vt.read(timestamp_as_of=self.connection.timestamp_as_of)
+            df = vt.read(
+                timestamp_as_of=self.connection.timestamp_as_of,
+                prune=prune or None,
+            )
         else:
-            df = vt.read(version_as_of=self.connection.version_as_of)
+            df = vt.read(
+                version_as_of=self.connection.version_as_of,
+                prune=prune or None,
+            )
         cols = df.columns
         deduped = dedupe_column_names(cols)
         if deduped != cols:

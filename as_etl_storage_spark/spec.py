@@ -405,3 +405,253 @@ class JobSpec:
             writer=writer,
             parallelism=int(obj.get("parallelism", 4)),
         )
+
+
+# -- where → prune triples ---------------------------------------------------
+
+#: one regex pass tokenizes the WHERE surface the extractor understands;
+#: any character it cannot tokenize makes the whole string unparseable
+#: (→ no pruning, full-filter semantics — never a wrong answer)
+_WHERE_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<str>'(?:[^']|'')*')
+    | (?P<qid>`[^`]+`)
+    | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<op><=|>=|<>|!=|==|[=<>])
+    | (?P<punct>[(),.+\-])
+    """,
+    re.VERBOSE,
+)
+
+_WHERE_KEYWORDS = frozenset(
+    {
+        "and", "or", "not", "in", "is", "null", "between",
+        "true", "false", "date", "timestamp", "like",
+    }
+)
+
+#: a < lit mirrored to lit > a (and '==' normalized to '=')
+_FLIP_OP = {"=": "=", "==": "=", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
+
+
+def _tokenize_where(where: str) -> list[tuple[str, str]] | None:
+    """(kind, text) tokens, or None when any character fails to lex.
+    kinds: str num ident kw op punct."""
+    toks: list[tuple[str, str]] = []
+    pos = 0
+    for m in _WHERE_TOKEN.finditer(where):
+        if m.start() != pos:
+            return None  # unlexable character — give up on pruning
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        if m.lastgroup == "word":
+            low = text.lower()
+            if low in _WHERE_KEYWORDS:
+                toks.append(("kw", low))
+            else:
+                toks.append(("ident", text))
+        elif m.lastgroup == "qid":
+            toks.append(("ident", text[1:-1]))
+        else:
+            toks.append((m.lastgroup, text))
+    if pos != len(where):
+        return None
+    return toks
+
+
+def _split_conjuncts(
+    toks: list[tuple[str, str]],
+) -> list[list[tuple[str, str]]] | None:
+    """Split on depth-0 ANDs (an AND owed to a depth-0 BETWEEN stays
+    inside its conjunct). None on unbalanced parens — or on a depth-0
+    OR: AND binds tighter than OR, so ``a=1 OR b=2 AND c=3`` is a
+    DISJUNCTION and none of its pieces is implied by the whole
+    predicate; extracting any triple there would prune wrongly."""
+    out: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    depth = 0
+    between_owed = 0
+    for t in toks:
+        if t == ("punct", "("):
+            depth += 1
+        elif t == ("punct", ")"):
+            depth -= 1
+            if depth < 0:
+                return None
+        elif depth == 0 and t == ("kw", "or"):
+            return None
+        elif depth == 0 and t == ("kw", "between"):
+            between_owed += 1
+        elif depth == 0 and t == ("kw", "and"):
+            if between_owed:
+                between_owed -= 1
+            else:
+                out.append(cur)
+                cur = []
+                continue
+        cur.append(t)
+    if depth != 0:
+        return None
+    out.append(cur)
+    return out
+
+
+def _strip_wrapping_parens(
+    toks: list[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    while (
+        len(toks) >= 2
+        and toks[0] == ("punct", "(")
+        and toks[-1] == ("punct", ")")
+    ):
+        depth = 0
+        wraps = True
+        for i, t in enumerate(toks):
+            if t == ("punct", "("):
+                depth += 1
+            elif t == ("punct", ")"):
+                depth -= 1
+                if depth == 0 and i != len(toks) - 1:
+                    wraps = False  # e.g. (a=1) AND-free "(a=1)or(b=2)"
+                    break
+        if not wraps:
+            return toks
+        toks = toks[1:-1]
+    return toks
+
+
+def _parse_literal(
+    toks: list[tuple[str, str]], i: int
+) -> tuple[object, int] | None:
+    """Literal starting at ``i`` → (python value, next index), or None."""
+    if i >= len(toks):
+        return None
+    kind, text = toks[i]
+    if kind == "str":
+        return text[1:-1].replace("''", "'"), i + 1
+    if kind == "num":
+        v = float(text) if ("." in text or "e" in text.lower()) else int(text)
+        return v, i + 1
+    if kind == "kw" and text in ("true", "false"):
+        return text == "true", i + 1
+    if kind == "kw" and text in ("date", "timestamp"):
+        # DATE '2024-01-01' — the ISO string compares correctly against
+        # string-typed bounds, and date/timestamp columns carry no
+        # manifest bounds anyway (lossy types are never recorded)
+        if i + 1 < len(toks) and toks[i + 1][0] == "str":
+            return toks[i + 1][1][1:-1].replace("''", "'"), i + 2
+        return None
+    if kind == "punct" and text in ("-", "+") and i + 1 < len(toks):
+        nk, nt = toks[i + 1]
+        if nk == "num":
+            v = float(nt) if ("." in nt or "e" in nt.lower()) else int(nt)
+            return (-v if text == "-" else v), i + 2
+    return None
+
+
+def _parse_conjunct(
+    toks: list[tuple[str, str]],
+) -> list[tuple[str, str, object]]:
+    """One conjunct → its prune triples ([] when not a simple predicate)."""
+    toks = _strip_wrapping_parens(toks)
+    if not toks:
+        return []
+    # col op literal
+    if toks[0][0] == "ident" and len(toks) >= 3 and toks[1][0] == "op":
+        op = toks[1][1]
+        if op in ("<>", "!="):
+            return []  # min/max cannot prune ≠
+        lit = _parse_literal(toks, 2)
+        if lit is not None and lit[1] == len(toks):
+            return [(toks[0][1], "=" if op == "==" else op, lit[0])]
+    # literal op col  (mirrored)
+    lit = _parse_literal(toks, 0)
+    if (
+        lit is not None
+        and lit[1] + 2 == len(toks)
+        and toks[lit[1]][0] == "op"
+        and toks[lit[1] + 1][0] == "ident"
+    ):
+        op = toks[lit[1]][1]
+        if op in ("<>", "!="):
+            return []
+        return [(toks[lit[1] + 1][1], _FLIP_OP[op], lit[0])]
+    # col IS [NOT] NULL
+    if toks[0][0] == "ident" and len(toks) >= 3 and toks[1] == ("kw", "is"):
+        rest = toks[2:]
+        if rest == [("kw", "null")]:
+            return [(toks[0][1], "isnull", None)]
+        if rest == [("kw", "not"), ("kw", "null")]:
+            return [(toks[0][1], "notnull", None)]
+        return []
+    # col IN (lit, lit, ...)
+    if (
+        toks[0][0] == "ident"
+        and len(toks) >= 4
+        and toks[1] == ("kw", "in")
+        and toks[2] == ("punct", "(")
+        and toks[-1] == ("punct", ")")
+    ):
+        vals: list[object] = []
+        i = 3
+        while True:
+            lit = _parse_literal(toks, i)
+            if lit is None:
+                return []
+            vals.append(lit[0])
+            i = lit[1]
+            if i == len(toks) - 1:
+                return [(toks[0][1], "in", vals)]
+            if toks[i] != ("punct", ","):
+                return []
+            i += 1
+    # col BETWEEN lit AND lit  →  two range triples
+    if (
+        toks[0][0] == "ident"
+        and len(toks) >= 5
+        and toks[1] == ("kw", "between")
+    ):
+        lo = _parse_literal(toks, 2)
+        if lo is None or lo[1] >= len(toks) or toks[lo[1]] != ("kw", "and"):
+            return []
+        hi = _parse_literal(toks, lo[1] + 1)
+        if hi is None or hi[1] != len(toks):
+            return []
+        return [(toks[0][1], ">=", lo[0]), (toks[0][1], "<=", hi[0])]
+    return []
+
+
+def prune_triples_from_where(
+    where: str,
+) -> list[tuple[str, str, object]]:
+    """Best-effort extraction of manifest-prunable ``(col, op, literal)``
+    triples from a SQL WHERE string — what lets a spec-driven job over a
+    versioned table skip files from the stats manifest instead of paying
+    the full listing (the reference's declarative surface reaching the
+    skipping machinery; Delta does the same from its DataFrame filters).
+
+    Only simple top-level conjuncts are extracted: ``col op literal``
+    (either side), ``col IS [NOT] NULL``, ``col IN (literals)``,
+    ``col BETWEEN a AND b``. Everything else — OR trees, function calls,
+    column-to-column comparisons, subqueries — contributes NO triple and
+    falls through to the plain filter. A returned triple is always
+    IMPLIED by the full predicate (it is one of its AND-conjuncts), so
+    skipping with the triples while filtering with the full ``where`` is
+    conservative-correct by construction: pruning can only drop files no
+    satisfying row can live in."""
+    if not where or not where.strip():
+        return []
+    toks = _tokenize_where(where)
+    if toks is None:
+        return []
+    conjuncts = _split_conjuncts(toks)
+    if conjuncts is None:
+        return []
+    out: list[tuple[str, str, object]] = []
+    for c in conjuncts:
+        out.extend(_parse_conjunct(c))
+    return out

@@ -162,24 +162,9 @@ class VersionedTable:
                 f"no parquet files under {path}; nothing to convert"
             )
         files.sort()
-        # file identity inside DML/DV scans is basename-keyed (internal
-        # writes mint unique names); Spark's dynamic-partition writes
-        # legitimately reuse one task's filename across partition dirs,
-        # so convert de-collides by renaming the 2nd+ occurrence IN
-        # PLACE (same directory, fresh unique name) — convert takes
-        # ownership of the directory, exactly Delta's CONVERT posture
-        seen: set[str] = set()
-        for i, f in enumerate(files):
-            bn = os.path.basename(f)
-            if bn in seen:
-                fresh = f"part-{uuid.uuid4().hex[:12]}.parquet"
-                rel = os.path.join(os.path.dirname(f), fresh)
-                os.rename(
-                    os.path.join(vt.path, f), os.path.join(vt.path, rel)
-                )
-                files[i] = rel
-                bn = fresh
-            seen.add(bn)
+        # ALL validations run BEFORE the de-collision rename pass below:
+        # a convert that fails validation must leave the plain-parquet
+        # directory untouched, not mutated-but-uncommitted
         # declared vs actual hive layout: every file must carry exactly
         # the declared segments (order-insensitively present)
         pb = list(partition_by or [])
@@ -209,6 +194,24 @@ class VersionedTable:
                 f"convert: column names {clash} are reserved for "
                 f"internal row identity / manifest bookkeeping"
             )
+        # file identity inside DML/DV scans is basename-keyed (internal
+        # writes mint unique names); Spark's dynamic-partition writes
+        # legitimately reuse one task's filename across partition dirs,
+        # so convert de-collides by renaming the 2nd+ occurrence IN
+        # PLACE (same directory, fresh unique name) — convert takes
+        # ownership of the directory, exactly Delta's CONVERT posture
+        seen: set[str] = set()
+        for i, f in enumerate(files):
+            bn = os.path.basename(f)
+            if bn in seen:
+                fresh = f"part-{uuid.uuid4().hex[:12]}.parquet"
+                rel = os.path.join(os.path.dirname(f), fresh)
+                os.rename(
+                    os.path.join(vt.path, f), os.path.join(vt.path, rel)
+                )
+                files[i] = rel
+                bn = fresh
+            seen.add(bn)
         known = None
         if distributed and files:
             root = vt.path
@@ -2892,7 +2895,21 @@ class VersionedTable:
     # manifest's per-file scalar slots (#rows/#bytes) — ONE definition,
     # enforced by _align (writes), add_column and rename_column
     _RESERVED_NAMES = frozenset(
-        {"__vt_file", "__vt_pos", "__vt_upd", "#rows", "#bytes", "#nulls"}
+        {
+            "__vt_file",
+            "__vt_pos",
+            "__vt_upd",
+            # identity-allocation temp columns (_with_identity_allocation):
+            # a user column by these names would be silently clobbered by
+            # withColumn and then dropped from the written rows
+            "__vt_id_pid",
+            "__vt_id_loc",
+            "__vt_id_off",
+            "__vt_id_cnt",
+            "#rows",
+            "#bytes",
+            "#nulls",
+        }
     )
 
     def _scan_files(
@@ -3761,6 +3778,14 @@ class VersionedTable:
         # additive-evolution path (same as append's) and the resulting
         # schema json is committed with the merge.
         stored_schema, tombstones = self._schema_record_at(base)
+        if stored_schema is None:
+            # pre-recording log: mirror append's legacy path — the TABLE
+            # schema is the files' merged schema, not this source's.
+            # Without the derivation merge_schema=True silently no-ops
+            # (_align returns the frame's own schema, evolved_schema
+            # stays None): matched updates would DROP the source's extra
+            # columns while inserts carry them, and no schema commits.
+            stored_schema = self._derived_schema_json(base)
         # identity columns are absent from the source by contract; the
         # alignment null-fills their slots (inserts then ALLOCATE over
         # them, updates take the target's value)
@@ -4099,10 +4124,12 @@ class VersionedTable:
             partition_by=pb,
             # an EVOLVING merge records the new schema; its rows were
             # aligned against the base's, so a concurrent schema change
-            # must abort it (enforced_schema), never be stomped
+            # must abort it (enforced_schema), never be stomped. On a
+            # legacy log the base schema is the files' DERIVED schema
+            # (same fallback append enforces).
             schema=evolved_schema,
             enforced_schema=(
-                self._schema_at(base)
+                (self._schema_at(base) or self._derived_schema_json(base))
                 if evolved_schema is not None
                 else None
             ),
@@ -4334,37 +4361,47 @@ class VersionedTable:
                     mapping,
                 )
             finally:
+                # unpersist on the error path too (same rule as the plain
+                # merge path): a failed write/CDF action must not leak the
+                # pinned insert frames for the session lifetime
                 scan_t.unpersist()
+                for p in ins_pinned:
+                    p.unpersist()
         else:
             # no key-matched file: the whole table is doomed rows
-            if when_not_matched == "insert":
-                raw_ins = _inserts()
-                if not raw_ins.isEmpty():
-                    inserts = _allocated(raw_ins)
-                    new_files += self._write_data_files(
-                        self._checked(inserts, cons), pb, mapping
-                    )
-                    cdc_frames.append(
-                        inserts.withColumn("_change_type", F.lit("insert"))
-                    )
-            if dropped_whole:
-                cdc_frames.append(
-                    _to_eff(
-                        self._scan_files(
-                            dropped_whole, sch, dv, mapping=mapping,
-                            partition_by=pb,
+            try:
+                if when_not_matched == "insert":
+                    raw_ins = _inserts()
+                    if not raw_ins.isEmpty():
+                        inserts = _allocated(raw_ins)
+                        new_files += self._write_data_files(
+                            self._checked(inserts, cons), pb, mapping
                         )
-                    ).withColumn("_change_type", F.lit("delete"))
-                )
-            if not cdc_frames:
-                return None  # empty table, nothing to insert
-            from functools import reduce
+                        cdc_frames.append(
+                            inserts.withColumn(
+                                "_change_type", F.lit("insert")
+                            )
+                        )
+                if dropped_whole:
+                    cdc_frames.append(
+                        _to_eff(
+                            self._scan_files(
+                                dropped_whole, sch, dv, mapping=mapping,
+                                partition_by=pb,
+                            )
+                        ).withColumn("_change_type", F.lit("delete"))
+                    )
+                if not cdc_frames:
+                    return None  # empty table, nothing to insert
+                from functools import reduce
 
-            cdc = self._write_cdc_files(
-                reduce(lambda a, b: a.unionByName(b), cdc_frames), mapping
-            )
-        for p in ins_pinned:
-            p.unpersist()  # every write/CDF action is materialized
+                cdc = self._write_cdc_files(
+                    reduce(lambda a, b: a.unionByName(b), cdc_frames),
+                    mapping,
+                )
+            finally:
+                for p in ins_pinned:
+                    p.unpersist()  # write/CDF actions are materialized
         # new_files may legitimately be EMPTY (everything deleted,
         # nothing inserted): the snapshot commits as files: [] and
         # read() serves it from the log-recorded schema
@@ -4376,7 +4413,7 @@ class VersionedTable:
             partition_by=pb,
             schema=evolved_schema,
             enforced_schema=(
-                self._schema_at(base)
+                (self._schema_at(base) or self._derived_schema_json(base))
                 if evolved_schema is not None
                 else None
             ),

@@ -109,3 +109,72 @@ def test_reader_spec_trim_char_and_field_types():
         {"connection": {"url": "/x", "table": {"name": "t"}}, "column": ["*"]}
     )
     assert d.trim_char is False and d.field_types == {}
+
+
+class TestPruneTriplesFromWhere:
+    """spec.prune_triples_from_where: the declarative surface of manifest
+    data skipping. Extracted triples must always be IMPLIED by the full
+    predicate (top-level AND conjuncts only) — a wrongly-extracted triple
+    would prune files holding satisfying rows."""
+
+    def p(self, s):
+        from as_etl_storage_spark.spec import prune_triples_from_where
+
+        return prune_triples_from_where(s)
+
+    def test_simple_comparisons(self):
+        assert self.p("k > 100") == [("k", ">", 100)]
+        assert self.p("k >= 1 AND s = 'O'") == [
+            ("k", ">=", 1),
+            ("s", "=", "O"),
+        ]
+        assert self.p("100 <= k") == [("k", ">=", 100)]  # mirrored
+        assert self.p("k == 3") == [("k", "=", 3)]  # Spark's == spelling
+        assert self.p("x = -5") == [("x", "=", -5)]
+        assert self.p("x = 1.5e2") == [("x", "=", 150.0)]
+        assert self.p("`odd name` = 7") == [("odd name", "=", 7)]
+
+    def test_null_in_between(self):
+        assert self.p("x IS NULL") == [("x", "isnull", None)]
+        assert self.p("x IS NOT NULL") == [("x", "notnull", None)]
+        assert self.p("x IN (1, 2, 3)") == [("x", "in", [1, 2, 3])]
+        assert self.p("x IN ('a', 'b''c')") == [("x", "in", ["a", "b'c"])]
+        assert self.p("k BETWEEN 5 AND 10") == [
+            ("k", ">=", 5),
+            ("k", "<=", 10),
+        ]
+        # BETWEEN's AND must not split the conjunct — twice over
+        assert self.p("a BETWEEN 1 AND 2 AND b BETWEEN 3 AND 4") == [
+            ("a", ">=", 1),
+            ("a", "<=", 2),
+            ("b", ">=", 3),
+            ("b", "<=", 4),
+        ]
+
+    def test_date_literal_and_bool(self):
+        assert self.p("d >= DATE '2024-01-01'") == [
+            ("d", ">=", "2024-01-01")
+        ]
+        assert self.p("x = true") == [("x", "=", True)]
+
+    def test_complex_conjuncts_fall_through(self):
+        # simple siblings survive, complex ones extract nothing
+        assert self.p("(a = 1 OR b = 2) AND c < 9") == [("c", "<", 9)]
+        assert self.p("upper(x) = 'A' AND c < 9") == [("c", "<", 9)]
+        assert self.p("a = b AND c < 9") == [("c", "<", 9)]  # col-to-col
+        assert self.p("a != 3 AND c < 9") == [("c", "<", 9)]  # ≠ unprunable
+
+    def test_depth0_or_disables_everything(self):
+        # AND binds tighter than OR: `a=1 OR b=2 AND c=3` is a
+        # disjunction — NO triple is implied, extraction must yield none
+        assert self.p("a = 1 OR b = 2 AND c = 3") == []
+        assert self.p("a = 1 OR b = 2") == []
+
+    def test_unparseable_is_empty_never_raises(self):
+        assert self.p("") == []
+        assert self.p("t.a = 3") == []  # qualified name
+        assert self.p("a LIKE 'x%'") == []
+        assert self.p("NOT a = 3") == []
+        assert self.p("a in (select x from t)") == []
+        assert self.p("a ~ 3 ;; %%") == []  # unlexable
+        assert self.p("((a = 3)") == []  # unbalanced

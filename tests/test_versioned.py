@@ -6024,3 +6024,153 @@ def test_convert_to_versioned(spark, tmp_path):
     ref = dvt._collect_stats(dvt._state(0))
     assert dvt._stats_at(0) == ref
     assert len(dvt.read(prune=[("id", "<", 0)]).inputFiles()) == 0
+
+
+def test_legacy_merge_schema_evolves(spark, tmp_path):
+    """merge(merge_schema=True) on a pre-recording log must derive the
+    table schema from the files before evolving (append's legacy rule):
+    matched UPDATES carry the source's extra column, inserts carry it,
+    and the evolved schema is committed — never silent truncation."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "lms"))
+    vt.overwrite(spark.range(4).withColumn("v", F.col("id")))
+    # strip schema keys: the log now predates schema recording
+    for name in _os.listdir(vt.log_dir):
+        p = _os.path.join(vt.log_dir, name)
+        with open(p) as fh:
+            m = _json.load(fh)
+        m.pop("schema", None)
+        m.pop("dropped_columns", None)
+        with open(p, "w") as fh:
+            _json.dump(m, fh)
+    assert vt._schema_at(vt.latest_version()) is None
+    src = spark.createDataFrame(
+        [(2, 20, "u2"), (3, 30, "u3"), (4, 40, "i4")],
+        "id bigint, v bigint, tag string",
+    )
+    v = vt.merge(src, ["id"], merge_schema=True)
+    # the evolved schema is COMMITTED (was: evolved_schema stayed None)
+    rec = vt._schema_at(v)
+    assert rec is not None
+    assert {f["name"] for f in rec["fields"]} == {"id", "v", "tag"}
+    got = {r.id: (r.v, r.tag) for r in vt.read().collect()}
+    # matched updates CARRY the extra column (was: silently dropped)
+    assert got[2] == (20, "u2") and got[3] == (30, "u3")
+    assert got[4] == (40, "i4")  # insert carries it too
+    assert got[0] == (0, None) and got[1] == (1, None)  # untouched
+    # without merge_schema the extra column is still an ERROR, not a drop
+    with pytest.raises(VersionedTableError, match="merge_schema=True"):
+        vt2 = VersionedTable(spark, str(tmp_path / "lms2"))
+        vt2.overwrite(spark.range(2).withColumn("v", F.col("id")))
+        for name in _os.listdir(vt2.log_dir):
+            p = _os.path.join(vt2.log_dir, name)
+            with open(p) as fh:
+                m = _json.load(fh)
+            m.pop("schema", None)
+            with open(p, "w") as fh:
+                _json.dump(m, fh)
+        vt2.merge(src, ["id"])
+
+
+def test_convert_validation_failure_leaves_directory_untouched(
+    spark, tmp_path
+):
+    """A convert that fails validation must not mutate the plain-parquet
+    directory: the de-collision renames run only after the layout and
+    reserved-name checks pass."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    part = str(tmp_path / "cvu")
+    spark.range(40).select(
+        "id", (F.col("id") % 4).alias("k")
+    ).coalesce(1).write.partitionBy("k").parquet(part)
+    listing = {}
+    for root, _dirs, names in os.walk(part):
+        for n in names:
+            listing[os.path.join(root, n)] = True
+    # missing partition_by declaration -> validation error ...
+    with pytest.raises(VersionedTableError, match="partition"):
+        VersionedTable.convert(spark, part)
+    # ... and every file (duplicate basenames included) is untouched
+    after = {}
+    for root, _dirs, names in os.walk(part):
+        for n in names:
+            after[os.path.join(root, n)] = True
+    assert after == listing
+    # the valid convert still succeeds afterwards
+    pvt = VersionedTable.convert(spark, part, partition_by=["k"])
+    assert pvt.read().count() == 40
+
+
+def test_identity_temp_column_names_reserved(spark, tmp_path):
+    """__vt_id_* are identity-allocation temp columns: a user column by
+    those names would be clobbered by withColumn and dropped from the
+    written rows — _align rejects them at the write, like __vt_upd."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "idr"))
+    bad = spark.range(3).withColumn("__vt_id_off", F.lit(1))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.overwrite(bad)
+
+
+def test_spec_where_reaches_manifest_pruning(spark, tmp_path):
+    """The JSON job spec's ``where`` drives manifest data skipping (the
+    machinery was previously reachable only from the Python API): a
+    spec-driven read over a multi-file versioned table scans only the
+    files whose bounds can satisfy the simple conjuncts, while the full
+    predicate stays the semantic filter. A pathological where (OR tree)
+    extracts nothing and still answers correctly."""
+    from as_etl_storage_spark.runner import run_job
+
+    orders = load_table(spark, SF, "orders")
+    from pyspark.sql import functions as F
+
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    split, sel = 2 * hi // 3, 5 * hi // 6
+    vt = VersionedTable(spark, str(tmp_path / "src" / "t"))
+    vt.overwrite(orders.where(F.col("o_orderkey") <= split).coalesce(1))
+    vt.append(orders.where(F.col("o_orderkey") > split).coalesce(1))
+
+    def job(where):
+        return {
+            "reader": {
+                "dialect": "versioned",
+                "connection": {
+                    "url": str(tmp_path / "src"),
+                    "table": {"name": "t"},
+                },
+                "column": ["*"],
+                "where": where,
+            }
+        }
+
+    pruned = run_job(spark, job(f"o_orderkey > {sel}"))
+    assert len(pruned.inputFiles()) == 1  # low-key file never listed
+    expect = orders.where(F.col("o_orderkey") > sel).count()
+    assert pruned.count() == expect
+    # complex predicate: zero skipping, full correctness
+    tangled = run_job(
+        spark, job(f"o_orderkey > {sel} OR o_orderkey < 0")
+    )
+    assert len(tangled.inputFiles()) == 2
+    assert tangled.count() == expect
+    # conjunct mix: the simple half prunes, the OR half only filters
+    mixed = run_job(
+        spark,
+        job(
+            f"o_orderkey > {sel} AND "
+            f"(o_orderstatus = 'O' OR o_orderstatus = 'F')"
+        ),
+    )
+    assert len(mixed.inputFiles()) == 1
+    assert mixed.count() == orders.where(
+        (F.col("o_orderkey") > sel)
+        & F.col("o_orderstatus").isin("O", "F")
+    ).count()
