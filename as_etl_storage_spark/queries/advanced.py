@@ -3007,3 +3007,116 @@ _register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# --------------------------------------------- spec-driven MERGE (CDC) --
+def _w_versioned_spec_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declarative CDC-apply loop in ONE JSON job spec
+    (writeMode=merge + connection.changeFeedFrom): a source table takes
+    an append and two overlapping UPDATEs, the job reads its row-level
+    change feed, compresses to the latest image per key
+    (keepLatestBy=_commit_version — the keep-latest window Delta's own
+    CDC recipe ranks with), and conditionally merges into a target
+    seeded with the base snapshot. Delete events ride the feed but the
+    reader's where excludes them (delete propagation is its own
+    policy). Oracle: the whole loop reduces to base ∪ shifted-appends
+    with sequential +1000 price adjustments — double math mirrored
+    left-associated, exactly as the two UPDATEs composed."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wspm-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    src = VersionedTable(spark, os.path.join(root, "src", "a"))
+    src.overwrite(orders)  # v0: the already-synced base
+    src.append(  # v1: fresh keys above the base range → feed inserts
+        orders.where(F.col("o_orderkey") % 13 == 1).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(hi)
+        )
+    )
+    src.update(  # v2: first price image
+        "o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice + 1000"}
+    )
+    src.update(  # v3: SECOND image for %20 keys — keepLatestBy must win
+        "o_orderkey % 20 = 0", {"o_totalprice": "o_totalprice + 1000"}
+    )
+    src.delete("o_orderkey % 17 = 2")  # v4: excluded by the reader where
+
+    tgt = VersionedTable(spark, os.path.join(root, "tgt", "b"))
+    tgt.overwrite(orders)
+    run_job(
+        spark,
+        {
+            "reader": {
+                "dialect": "versioned",
+                "connection": {
+                    "url": os.path.join(root, "src"),
+                    "table": {"name": "a"},
+                    "changeFeedFrom": 0,
+                },
+                "column": ["*"],
+                "where": "_change_type IN ('insert', 'update_postimage')",
+            },
+            "writer": {
+                "connection": {
+                    "url": os.path.join(root, "tgt"),
+                    "table": {"name": "b"},
+                },
+                "writeMode": "merge",
+                "versioned": True,
+                "mergeKeys": ["o_orderkey"],
+                "keepLatestBy": "_commit_version",
+                "column": ["o_orderkey", "o_orderstatus", "o_totalprice"],
+                "whenMatchedCondition": (
+                    "NOT (source.o_totalprice <=> target.o_totalprice)"
+                ),
+            },
+        },
+    )
+    if tgt.latest_version() != 1:
+        raise AssertionError("the CDC apply must land as ONE commit")
+    return tgt.read().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_spec_merge",
+    _w_versioned_spec_merge,
+    """
+    WITH hi AS (SELECT max(o_orderkey) AS hi FROM orders),
+    un AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderkey + (SELECT hi FROM hi), o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 1
+    ),
+    adj AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 20 = 0
+                    THEN (o_totalprice + 1000) + 1000
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS o_totalprice
+      FROM un
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM adj GROUP BY o_orderstatus
+    """,
+)

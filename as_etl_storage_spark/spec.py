@@ -22,7 +22,7 @@ from typing import Any
 
 from as_etl_storage_spark.types import TIME_ACCURACIES
 
-WRITE_MODES = ("insert", "replace", "overwrite", "ignore")
+WRITE_MODES = ("insert", "replace", "overwrite", "ignore", "merge")
 
 #: split.range.type domain (reference split.go:114-119)
 SPLIT_RANGE_TYPES = ("bigint", "string", "time")
@@ -301,6 +301,32 @@ class WriterSpec:
     #: every written row required to satisfy the predicate. Versioned
     #: tables only; finer-grained than dynamicPartitionOverwrite
     replace_where: str = ""
+    #: writeMode=merge clause surface (Delta MERGE INTO over the job
+    #: spec; versioned tables only): what happens to key-matched target
+    #: rows ('update' | 'delete' | None), to unmatched source rows
+    #: ('insert' | None), and to target rows no source key matches
+    #: (None | 'delete' — the mirror/retention clause)
+    when_matched: str | None = "update"
+    when_not_matched: str | None = "insert"
+    when_not_matched_by_source: str | None = None
+    #: per-clause SQL conditions narrowing each clause (Delta's
+    #: whenMatchedUpdate(condition=...) family). The matched condition
+    #: sees both rows via source.<col>/target.<col> struct aliases
+    when_matched_condition: str = ""
+    when_not_matched_condition: str = ""
+    when_not_matched_by_source_condition: str = ""
+    #: column → SQL expression: the partial-update SET map (Delta's
+    #: whenMatchedUpdate(set={...})); empty = UpdateAll
+    when_matched_set: dict[str, str] = field(default_factory=dict)
+    #: CDC-apply batch compression: before merging, keep only the LAST
+    #: row per mergeKeys group, ordered by this column descending (the
+    #: keep-latest window Delta's own CDC-apply recipe ranks with).
+    #: A change-feed batch spanning several commits otherwise carries
+    #: several images of one key and MERGE correctly refuses the
+    #: ambiguity; this declares which image wins (e.g.
+    #: "_commit_version"). Ties are broken arbitrarily — point it at a
+    #: monotonic version/timestamp column
+    keep_latest_by: str = ""
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -328,6 +354,24 @@ class WriterSpec:
                 obj.get("dynamicPartitionOverwrite", False)
             ),
             replace_where=str(obj.get("replaceWhere", "") or ""),
+            # JSON null is a meaningful clause value ("clause off"), so
+            # the default only applies when the key is ABSENT
+            when_matched=obj.get("whenMatched", "update"),
+            when_not_matched=obj.get("whenNotMatched", "insert"),
+            when_not_matched_by_source=obj.get(
+                "whenNotMatchedBySource", None
+            ),
+            when_matched_condition=str(
+                obj.get("whenMatchedCondition", "") or ""
+            ),
+            when_not_matched_condition=str(
+                obj.get("whenNotMatchedCondition", "") or ""
+            ),
+            when_not_matched_by_source_condition=str(
+                obj.get("whenNotMatchedBySourceCondition", "") or ""
+            ),
+            when_matched_set=dict(obj.get("whenMatchedSet", {}) or {}),
+            keep_latest_by=str(obj.get("keepLatestBy", "") or ""),
         )
         spec.validate()
         return spec
@@ -340,6 +384,77 @@ class WriterSpec:
             )
         if self.write_mode == "replace" and not self.merge_keys:
             raise SpecError("writeMode=replace requires mergeKeys (MERGE key set)")
+        if self.write_mode == "merge":
+            # mirrors replace's key rule; the clause machinery needs the
+            # transaction log, so the versioned sink is the only target
+            if not self.merge_keys:
+                raise SpecError(
+                    "writeMode=merge requires mergeKeys (MERGE key set)"
+                )
+            if not self.versioned:
+                raise SpecError(
+                    "writeMode=merge requires versioned=true (MERGE's "
+                    "clause semantics need the transaction-log sink; "
+                    "plain-file upsert is writeMode=replace)"
+                )
+            if self.when_matched not in ("update", "delete", None):
+                raise SpecError(
+                    f"whenMatched must be 'update', 'delete' or null, "
+                    f"got {self.when_matched!r}"
+                )
+            if self.when_not_matched not in ("insert", None):
+                raise SpecError(
+                    f"whenNotMatched must be 'insert' or null, "
+                    f"got {self.when_not_matched!r}"
+                )
+            if self.when_not_matched_by_source not in ("delete", None):
+                raise SpecError(
+                    f"whenNotMatchedBySource must be 'delete' or null, "
+                    f"got {self.when_not_matched_by_source!r}"
+                )
+            for cname, cval, clause in (
+                ("whenMatchedCondition", self.when_matched_condition,
+                 self.when_matched),
+                ("whenNotMatchedCondition", self.when_not_matched_condition,
+                 self.when_not_matched),
+                ("whenNotMatchedBySourceCondition",
+                 self.when_not_matched_by_source_condition,
+                 self.when_not_matched_by_source),
+            ):
+                if cval and clause is None:
+                    raise SpecError(
+                        f"{cname} given but its clause is null — a "
+                        f"condition narrows a clause, it cannot replace one"
+                    )
+            if self.when_matched_set and self.when_matched != "update":
+                raise SpecError(
+                    "whenMatchedSet requires whenMatched='update'"
+                )
+        else:
+            fields_set = [
+                n
+                for n, v in (
+                    ("whenMatchedCondition", self.when_matched_condition),
+                    ("whenNotMatchedCondition",
+                     self.when_not_matched_condition),
+                    ("whenNotMatchedBySourceCondition",
+                     self.when_not_matched_by_source_condition),
+                    ("whenMatchedSet", self.when_matched_set),
+                    ("keepLatestBy", self.keep_latest_by),
+                )
+                if v
+            ]
+            if self.when_not_matched_by_source is not None:
+                fields_set.append("whenNotMatchedBySource")
+            if self.when_matched != "update":
+                fields_set.append("whenMatched")
+            if self.when_not_matched != "insert":
+                fields_set.append("whenNotMatched")
+            if fields_set:
+                raise SpecError(
+                    f"{fields_set} are writeMode=merge options; "
+                    f"writeMode is {self.write_mode!r}"
+                )
         if self.batch_size <= 0:
             raise SpecError("batchSize must be positive")
         validate_hook_sql(self.pre_sql, "preSQL")

@@ -303,6 +303,27 @@ class ParquetWriter:
     # -- entry ----------------------------------------------------------
     def write(self, df: DataFrame) -> WriteResult:
         self.run_pre_sql()
+        if self.spec.keep_latest_by:
+            # CDC-apply batch compression (keepLatestBy): keep only the
+            # last image per mergeKeys group before merging — a change-
+            # feed batch spanning several commits carries several images
+            # of one key, which MERGE correctly refuses as ambiguous.
+            # Runs BEFORE the column projection so the ordering column
+            # may be a meta column (_commit_version) the projection then
+            # drops. One window shuffle on the merge keys — the same
+            # keys the merge itself shuffles on, so AQE/exchange reuse
+            # can co-locate the two.
+            from pyspark.sql import Window
+
+            keys = list(self.spec.merge_keys)
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(self.spec.keep_latest_by).desc()
+            )
+            df = (
+                df.withColumn("__klb_rn", F.row_number().over(w))
+                .where(F.col("__klb_rn") == 1)
+                .drop("__klb_rn")
+            )
         if list(self.spec.columns) and list(self.spec.columns) != ["*"]:
             df = df.select(*self.spec.columns)
         clean, reject = self.split_quarantine(df)
@@ -456,6 +477,33 @@ class ParquetWriter:
                     )
             elif mode == "replace":
                 vt.replace(clean, list(self.spec.merge_keys))
+            elif mode == "merge":
+                # full MERGE INTO clause surface over the job spec
+                # (Delta's writeMode-dispatch shape extended to the
+                # versioned sink): clause actions, per-clause
+                # conditions and the SET map pass straight through;
+                # evolveSchema maps to merge_schema like append's
+                vt.merge(
+                    clean,
+                    list(self.spec.merge_keys),
+                    when_matched=self.spec.when_matched,
+                    when_not_matched=self.spec.when_not_matched,
+                    when_not_matched_by_source=(
+                        self.spec.when_not_matched_by_source
+                    ),
+                    when_matched_condition=(
+                        self.spec.when_matched_condition or None
+                    ),
+                    when_not_matched_condition=(
+                        self.spec.when_not_matched_condition or None
+                    ),
+                    when_not_matched_by_source_condition=(
+                        self.spec.when_not_matched_by_source_condition
+                        or None
+                    ),
+                    when_matched_set=self.spec.when_matched_set or None,
+                    merge_schema=self.spec.evolve_schema,
+                )
             else:
                 raise WriterError(
                     f"writeMode {mode!r} unsupported for versioned tables"

@@ -6174,3 +6174,191 @@ def test_spec_where_reaches_manifest_pruning(spark, tmp_path):
         (F.col("o_orderkey") > sel)
         & F.col("o_orderstatus").isin("O", "F")
     ).count()
+
+
+def test_declarative_merge_cdc_apply_loop(spark, tmp_path):
+    """writeMode=merge closes the spec-driven CDC loop: ONE JSON job
+    reads a row-level change feed (connection.changeFeedFrom) and
+    applies it to another versioned table with keep-latest batch
+    compression (keepLatestBy=_commit_version) and a conditional
+    matched clause — the reference's writeMode-dispatch shape extended
+    to the versioned sink."""
+    from as_etl_storage_spark.runner import run_job
+
+    src = VersionedTable(spark, str(tmp_path / "src" / "a"))
+    src.overwrite(
+        spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    )  # v0: the already-synced base
+    src.append(spark.createDataFrame([(3, 30)], "id long, v long"))  # v1
+    src.update("id = 1", {"v": "11"})  # v2
+    src.update("id = 1", {"v": "12"})  # v3: a SECOND image of id 1
+    src.delete("id = 2")  # v4: excluded by the reader filter
+
+    tgt = VersionedTable(spark, str(tmp_path / "tgt" / "b"))
+    tgt.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (9, 90)], "id long, v long"
+        )
+    )
+    job = {
+        "reader": {
+            "dialect": "versioned",
+            "connection": {
+                "url": str(tmp_path / "src"),
+                "table": {"name": "a"},
+                "changeFeedFrom": 0,
+            },
+            "column": ["*"],
+            "where": "_change_type IN ('insert', 'update_postimage')",
+        },
+        "writer": {
+            "connection": {
+                "url": str(tmp_path / "tgt"),
+                "table": {"name": "b"},
+            },
+            "writeMode": "merge",
+            "versioned": True,
+            "mergeKeys": ["id"],
+            "keepLatestBy": "_commit_version",
+            "column": ["id", "v"],
+            # only touch rows whose image actually changed
+            "whenMatchedCondition": "NOT (source.v <=> target.v)",
+        },
+    }
+    r = run_job(spark, job)
+    assert r.written == 2  # id 1 (latest image only) + id 3
+    got = {row.id: row.v for row in tgt.read().collect()}
+    # keep-latest picked v3's image (12), never v2's (11); the delete
+    # stayed out (filtered); B-only row untouched
+    assert got == {1: 12, 2: 20, 3: 30, 9: 90}
+    # the conditional clause left row 2 alone → exactly one new version
+    assert tgt.latest_version() == 1
+
+    # a second identical apply is a no-op thanks to the condition: no
+    # image differs, nothing rewrites, no version commits
+    run_job(spark, job)
+    assert tgt.latest_version() == 1
+    assert {row.id: row.v for row in tgt.read().collect()} == got
+
+
+def test_declarative_merge_spec_validation(spark, tmp_path):
+    """writeMode=merge spec errors mirror replace's: keys required,
+    versioned sink required, conditions need their clause, merge-only
+    options refuse under other modes."""
+    from as_etl_storage_spark.spec import SpecError, WriterSpec
+
+    base = {
+        "connection": {"url": str(tmp_path), "table": {"name": "t"}},
+        "writeMode": "merge",
+        "versioned": True,
+        "mergeKeys": ["id"],
+    }
+    WriterSpec.from_json(dict(base))  # valid
+
+    bad = dict(base)
+    bad.pop("mergeKeys")
+    with pytest.raises(SpecError, match="requires mergeKeys"):
+        WriterSpec.from_json(bad)
+
+    bad = dict(base)
+    bad["versioned"] = False
+    with pytest.raises(SpecError, match="versioned=true"):
+        WriterSpec.from_json(bad)
+
+    bad = dict(base)
+    bad["whenMatched"] = None
+    bad["whenMatchedCondition"] = "source.v > target.v"
+    with pytest.raises(SpecError, match="cannot replace one"):
+        WriterSpec.from_json(bad)
+
+    bad = dict(base)
+    bad["whenMatched"] = "upsert"
+    with pytest.raises(SpecError, match="whenMatched must be"):
+        WriterSpec.from_json(bad)
+
+    bad = dict(base)
+    bad["whenMatched"] = None
+    bad["whenMatchedSet"] = {"v": "source.v"}
+    with pytest.raises(SpecError, match="whenMatchedSet requires"):
+        WriterSpec.from_json(bad)
+
+    # merge-only options under another mode are config errors
+    notmerge = {
+        "connection": {"url": str(tmp_path), "table": {"name": "t"}},
+        "writeMode": "insert",
+        "keepLatestBy": "ts",
+    }
+    with pytest.raises(SpecError, match="writeMode=merge options"):
+        WriterSpec.from_json(notmerge)
+    notmerge = {
+        "connection": {"url": str(tmp_path), "table": {"name": "t"}},
+        "writeMode": "insert",
+        "whenNotMatchedBySource": "delete",
+    }
+    with pytest.raises(SpecError, match="writeMode=merge options"):
+        WriterSpec.from_json(notmerge)
+
+
+def test_declarative_merge_mirror_and_set(spark, tmp_path):
+    """The other clause shapes through the spec: a by-source delete
+    mirror (full CDC sync) and a SET-map accumulate."""
+    from as_etl_storage_spark.runner import run_job
+
+    tgt = VersionedTable(spark, str(tmp_path / "m" / "t"))
+    tgt.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (9, 90)], "id long, v long"
+        )
+    )
+    # mirror: target becomes exactly the incoming frame
+    spark.createDataFrame(
+        [(1, 11), (3, 33)], "id long, v long"
+    ).write.parquet(str(tmp_path / "feed.parquet"))
+    run_job(
+        spark,
+        {
+            "reader": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "feed"},
+                },
+                "column": ["*"],
+            },
+            "writer": {
+                "connection": {
+                    "url": str(tmp_path / "m"),
+                    "table": {"name": "t"},
+                },
+                "writeMode": "merge",
+                "versioned": True,
+                "mergeKeys": ["id"],
+                "whenNotMatchedBySource": "delete",
+            },
+        },
+    )
+    assert {(r.id, r.v) for r in tgt.read().collect()} == {(1, 11), (3, 33)}
+    # SET-map accumulate: v += source.v, matched keys only
+    run_job(
+        spark,
+        {
+            "reader": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "feed"},
+                },
+                "column": ["*"],
+            },
+            "writer": {
+                "connection": {
+                    "url": str(tmp_path / "m"),
+                    "table": {"name": "t"},
+                },
+                "writeMode": "merge",
+                "versioned": True,
+                "mergeKeys": ["id"],
+                "whenNotMatched": None,
+                "whenMatchedSet": {"v": "target.v + source.v"},
+            },
+        },
+    )
+    assert {(r.id, r.v) for r in tgt.read().collect()} == {(1, 22), (3, 66)}
