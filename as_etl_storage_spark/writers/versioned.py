@@ -60,11 +60,40 @@ class VersionedTableError(RuntimeError):
     pass
 
 
+class _CheckpointChainBroken(VersionedTableError):
+    """An incremental checkpoint references a base checkpoint that no
+    longer exists (vacuumed). Internal: every snapshot walk catches it
+    and falls back to replaying manifests — vacuum guarantees a
+    self-contained full snapshot at the oldest retained version, so the
+    fallback always terminates."""
+
+
 #: best-effort full-snapshot checkpoint cadence: bounds a reader's delta
 #: replay depth AND the log prefix vacuum must preserve. Small enough to
 #: keep replay trivial, large enough that checkpoint writes (O(files))
 #: stay rare on an append-heavy workload.
 CHECKPOINT_EVERY = 10
+
+#: incremental (v2-style) checkpoint chain bound: at most this many
+#: incremental checkpoints may stack on one full checkpoint before the
+#: next checkpoint write compacts the chain back to a full snapshot.
+#: Steady-state append-only ingest therefore writes O(delta) checkpoints
+#: (independent of table file count) and pays one O(files) full
+#: checkpoint every ``(INCREMENTAL_CHAIN_MAX + 1) * CHECKPOINT_EVERY``
+#: appends — Delta's v2-checkpoint shape (sidecar deltas + periodic
+#: compaction), with the delta rows carried in the checkpoint file
+#: itself rather than separate sidecars.
+INCREMENTAL_CHAIN_MAX = 9
+
+#: full-snapshot commits (overwrite / replace / DML rewrite / convert /
+#: restore) at or above this file count get an immediate best-effort
+#: full checkpoint, built from the IN-MEMORY manifest (zero JSON
+#: re-parse, see the manifest cache in _commit): later property walks
+#: and checkpoint writes then terminate at the parquet checkpoint's
+#: footer instead of re-parsing an O(files) JSON manifest — the last
+#: O(files) JSON parse in the log path. Small snapshots skip it: the
+#: manifest parse they would avoid is already trivial.
+SNAPSHOT_CHECKPOINT_MIN_FILES = 64
 
 
 def _layout_only(manifest: dict) -> bool:
@@ -103,6 +132,13 @@ class VersionedTable:
         # 1,000 manifests, see SCALE.md log_1k_versions — this bounds
         # the REPEATED cost)
         self._ts_memo: dict[int, float] = {}
+        # transient manifest cache (path -> parsed dict): populated by
+        # _commit around the post-snapshot checkpoint write so the
+        # walks the checkpoint assembly runs terminate at the JUST-
+        # COMMITTED manifest without re-parsing its (possibly O(files))
+        # JSON from disk. Never long-lived: entries are removed in the
+        # same finally block that installed them.
+        self._mf_cache: dict[str, dict] = {}
 
     @classmethod
     def convert(
@@ -262,16 +298,19 @@ class VersionedTable:
         """The manifest at ``path`` through the log store, or None when
         it does not exist (walks use absence as 'keep walking' /
         'truncated')."""
+        hit = self._mf_cache.get(path)
+        if hit is not None:
+            return hit
         if not self._store.exists(path):
             return None
         return json.loads(self._store.read_bytes(path))
 
     def _manifest(self, version: int) -> dict:
-        return json.loads(
-            self._store.read_bytes(
-                os.path.join(self.log_dir, f"{version:08d}.json")
-            )
-        )
+        path = os.path.join(self.log_dir, f"{version:08d}.json")
+        hit = self._mf_cache.get(path)
+        if hit is not None:
+            return hit
+        return json.loads(self._store.read_bytes(path))
 
     def _checkpoint_path(self, version: int) -> str:
         """LEGACY single-JSON checkpoint path (still read; never written
@@ -298,11 +337,54 @@ class VersionedTable:
     _CP_META_KEY = b"vt.meta"
 
     def _read_checkpoint(self, path: str, part: str) -> dict:
-        """One PART of a checkpoint, reading only the bytes that part
-        needs — the reason the format is parquet: at 10^6 add-entries a
-        schema/constraints/txns lookup is a FOOTER read (O(1)), a
-        snapshot reconstruction reads the ``path`` column only, and
-        stats/dv reads skip each other's columns. ``part``:
+        """One PART of a checkpoint, resolving incremental (v2-style)
+        chains: an incremental checkpoint's rows are the APPEND DELTA
+        since its ``base_cp`` checkpoint, so the files/stats/dv parts
+        merge the whole chain base-first (append chains only ever ADD
+        files — nothing in a chain segment removes or mutates an
+        entry). The ``meta`` part never chains: every checkpoint's
+        footer carries the complete O(1) property set.
+
+        Raises :class:`_CheckpointChainBroken` when a chain's base was
+        vacuumed away; callers fall back to the manifest walk (vacuum
+        guarantees a self-contained snapshot at the oldest retained
+        version, so the fallback terminates)."""
+        out = self._read_checkpoint_one(path, part)
+        if part == "meta":
+            return out
+        base_v = out.pop("__base_cp__", None)
+        depth = 0
+        while base_v is not None:
+            depth += 1
+            if depth > INCREMENTAL_CHAIN_MAX + 1:
+                raise _CheckpointChainBroken(
+                    f"checkpoint chain under {path} exceeds the "
+                    f"INCREMENTAL_CHAIN_MAX bound — corrupt chain"
+                )
+            bp = self._find_checkpoint(base_v)
+            if bp is None:
+                raise _CheckpointChainBroken(
+                    f"incremental checkpoint {path} references base "
+                    f"checkpoint version {base_v}, which no longer "
+                    f"exists (vacuumed)"
+                )
+            prev = self._read_checkpoint_one(bp, part)
+            base_v = prev.pop("__base_cp__", None)
+            if part == "files":
+                out["files"] = list(prev["files"]) + out["files"]
+            else:
+                key = "stats" if part == "stats" else "dv"
+                merged = dict(prev[key])
+                merged.update(out[key])
+                out[key] = merged
+        return out
+
+    def _read_checkpoint_one(self, path: str, part: str) -> dict:
+        """One PART of ONE checkpoint file, reading only the bytes that
+        part needs — the reason the format is parquet: at 10^6
+        add-entries a schema/constraints/txns lookup is a FOOTER read
+        (O(1)), a snapshot reconstruction reads the ``path`` column
+        only, and stats/dv reads skip each other's columns. ``part``:
 
         - ``'meta'`` — every O(1) key (version, txns, partition_by,
           constraints, schema, dropped_columns, column_mapping,
@@ -311,8 +393,10 @@ class VersionedTable:
         - ``'stats'`` — ``{'stats': {file: bounds}}``;
         - ``'dv'`` — ``{'dv': {file: entry}}``.
 
-        A legacy JSON checkpoint returns its whole payload regardless
-        (it is one blob; there is nothing to skip)."""
+        Incremental checkpoints additionally surface their base pointer
+        as ``'__base_cp__'`` for files/stats/dv (the chain resolver
+        pops it). A legacy JSON checkpoint returns its whole payload
+        regardless (it is one blob; there is nothing to skip)."""
         if path.endswith(".json"):
             return json.loads(self._store.read_bytes(path))
         import pyarrow.parquet as pq
@@ -327,20 +411,26 @@ class VersionedTable:
         }[part]
         tbl = pq.read_table(self._store.open_arrow(path), columns=cols)
         paths = tbl.column("path").to_pylist()
+        # the footer is in memory from the read above; a second
+        # read_schema on the store's source re-reads only footer bytes
+        kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
+        meta = json.loads(kv[self._CP_META_KEY])
         if part == "files":
-            return {"files": paths}
-        key = cols[1]
-        out = {
-            p: json.loads(raw)
-            for p, raw in zip(paths, tbl.column(key).to_pylist())
-            if raw is not None
-        }
-        if part == "dv":
-            # entries whose file had no row (defensive; see writer)
-            kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
-            meta = json.loads(kv[self._CP_META_KEY])
-            out.update(meta.get("dv_extra", {}))
-        return {key: out}
+            out: dict = {"files": paths}
+        else:
+            key = cols[1]
+            body = {
+                p: json.loads(raw)
+                for p, raw in zip(paths, tbl.column(key).to_pylist())
+                if raw is not None
+            }
+            if part == "dv":
+                # entries whose file had no row (defensive; see writer)
+                body.update(meta.get("dv_extra", {}))
+            out = {key: body}
+        if meta.get("base_cp") is not None:
+            out["__base_cp__"] = int(meta["base_cp"])
+        return out
 
     def _publish_manifest(self, version: int, manifest: dict) -> bool:
         """Atomically publish ``manifest`` as ``version``; False when the
@@ -416,8 +506,11 @@ class VersionedTable:
         while True:
             cp = self._find_checkpoint(v)
             if cp is not None:
-                base = self._read_checkpoint(cp, "files")["files"]
-                break
+                try:
+                    base = self._read_checkpoint(cp, "files")["files"]
+                    break
+                except _CheckpointChainBroken:
+                    pass  # vacuumed base: replay manifests instead
             m = self._load_json(
                 os.path.join(self.log_dir, f"{v:08d}.json")
             )
@@ -481,10 +574,13 @@ class VersionedTable:
                 # dv is the one per-FILE property served by this walk:
                 # a parquet checkpoint keeps it in the rows, everything
                 # else is an O(1) footer read
-                m = self._read_checkpoint(
-                    cp, "dv" if key == "dv" else "meta"
-                )
-                return m.get(key), m
+                try:
+                    m = self._read_checkpoint(
+                        cp, "dv" if key == "dv" else "meta"
+                    )
+                    return m.get(key), m
+                except _CheckpointChainBroken:
+                    pass  # vacuumed base: walk the manifests instead
             m = self._load_json(
                 os.path.join(self.log_dir, f"{v:08d}.json")
             )
@@ -904,6 +1000,122 @@ class VersionedTable:
                     dt = T.DoubleType()
             fields.append(T.StructField(f.name, dt, True))
         return T.StructType(fields).jsonValue()
+
+    #: recognized ``vt.``-prefixed table properties (Delta's ``delta.*``
+    #: namespace, restated). A reserved-prefix key outside this set is
+    #: refused at set_properties — a misspelled config key silently
+    #: doing nothing is the failure mode this fence prevents. Keys
+    #: without the prefix are free-form user metadata (Delta's rule).
+    _KNOWN_PROPERTIES = {
+        # post-commit auto-compaction (Delta's autoOptimize.autoCompact):
+        # opt-in; see append()'s post-commit hook
+        "vt.autoCompact.minFiles",
+        "vt.autoCompact.targetFileBytes",
+        # per-file bloom-filter indexes for = / IN point-lookup skipping
+        # (Delta's bloom filter index): columns + target false-positive
+        # rate; see writers/bloom.py and read(prune=...)
+        "vt.bloomFilter.columns",
+        "vt.bloomFilter.fpp",
+    }
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        """Table properties in effect (TBLPROPERTIES): free-form string
+        pairs plus the recognized ``vt.*`` config namespace. Walked like
+        every other table property; full-snapshot manifests and
+        checkpoint footers embed the map so it survives rewrites and
+        vacuum."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return {}
+        return self._properties_at(v)
+
+    def _properties_at(self, version: int) -> dict[str, str]:
+        val, _ = self._walk_to(version, "properties")
+        return dict(val or {})
+
+    def set_properties(self, props: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge ``props`` into the
+        table's property map as a metadata-only commit. Keys and values
+        must be strings; ``vt.``-prefixed keys must be recognized config
+        (see _KNOWN_PROPERTIES) and are value-validated here — a bad
+        value must fail at SET time, not corrupt every later write."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        for k, v in props.items():
+            if not isinstance(k, str) or not isinstance(v, str):
+                raise VersionedTableError(
+                    f"table properties are string pairs; got {k!r}={v!r}"
+                )
+            if k.startswith("vt.") and k not in self._KNOWN_PROPERTIES:
+                raise VersionedTableError(
+                    f"unknown reserved property {k!r}; recognized: "
+                    f"{sorted(self._KNOWN_PROPERTIES)} (non-'vt.' keys "
+                    f"are free-form)"
+                )
+        self._validate_known_properties(props)
+        merged = self._properties_at(base)
+        merged.update(props)
+        if "vt.bloomFilter.columns" in props:
+            # validate the columns against the CURRENT schema so a typo
+            # fails here; files written before the property simply have
+            # no filter (skipping disabled for them, never correctness)
+            sch = self._schema_at(base)
+            if sch is not None:
+                have = {
+                    f["name"].lower() for f in sch.get("fields", [])
+                }
+                want = [
+                    c.strip()
+                    for c in props["vt.bloomFilter.columns"].split(",")
+                    if c.strip()
+                ]
+                missing = [c for c in want if c.lower() not in have]
+                if missing:
+                    raise VersionedTableError(
+                        f"vt.bloomFilter.columns names unknown columns "
+                        f"{missing}; table columns: {sorted(have)}"
+                    )
+        return self._commit_metadata(
+            base, "set_properties", properties=merged
+        )
+
+    def unset_properties(self, keys: list[str]) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES: remove ``keys`` from the map
+        (missing keys are not an error, SQL's IF EXISTS semantic)."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        merged = self._properties_at(base)
+        for k in keys:
+            merged.pop(k, None)
+        return self._commit_metadata(
+            base, "unset_properties", properties=merged
+        )
+
+    @classmethod
+    def _validate_known_properties(cls, props: dict[str, str]) -> None:
+        ints = ("vt.autoCompact.minFiles", "vt.autoCompact.targetFileBytes")
+        for k in ints:
+            if k in props:
+                try:
+                    n = int(props[k])
+                except ValueError:
+                    n = -1
+                if n < 1:
+                    raise VersionedTableError(
+                        f"{k} must be a positive integer, got {props[k]!r}"
+                    )
+        if "vt.bloomFilter.fpp" in props:
+            try:
+                f = float(props["vt.bloomFilter.fpp"])
+            except ValueError:
+                f = -1.0
+            if not (0.0 < f < 1.0):
+                raise VersionedTableError(
+                    f"vt.bloomFilter.fpp must be in (0, 1), got "
+                    f"{props['vt.bloomFilter.fpp']!r}"
+                )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
@@ -1502,6 +1714,7 @@ class VersionedTable:
         mapping: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> int:
         """Metadata-only commit: a delta manifest with an empty ``add``
         (state unchanged, O(1) size) carrying the full constraint map
@@ -1526,6 +1739,8 @@ class VersionedTable:
             manifest["generated"] = generated
         if identity is not None:
             manifest["identity"] = identity
+        if properties is not None:
+            manifest["properties"] = properties
         if schema is not None:
             manifest["schema"] = schema
             manifest["dropped_columns"] = (
@@ -1573,8 +1788,13 @@ class VersionedTable:
         while True:
             cp = self._find_checkpoint(v)
             if cp is not None:
-                base = self._read_checkpoint(cp, "stats").get("stats", {})
-                break
+                try:
+                    base = self._read_checkpoint(cp, "stats").get(
+                        "stats", {}
+                    )
+                    break
+                except _CheckpointChainBroken:
+                    pass  # vacuumed base: replay manifests instead
             m = self._load_json(
                 os.path.join(self.log_dir, f"{v:08d}.json")
             )
@@ -1589,32 +1809,74 @@ class VersionedTable:
             base = {**base, **s}
         return base
 
-    def _write_checkpoint(self, version: int) -> None:
-        """Best-effort full-snapshot checkpoint AFTER manifest ``version``
-        is committed. Crash-safe by construction: readers that don't find
-        it replay deltas instead; temp+rename keeps a torn write from ever
-        appearing under the checkpoint name.
+    def _write_checkpoint(self, version: int, force_full: bool = False) -> None:
+        """Best-effort checkpoint AFTER manifest ``version`` is
+        committed. Crash-safe by construction: readers that don't find
+        it replay deltas instead; temp+rename keeps a torn write from
+        ever appearing under the checkpoint name.
 
         PARQUET format (Delta's own checkpoint format choice): one row
-        per live data file — ``path`` plus JSON-encoded ``stats`` and
-        ``dv`` cells — with every O(1) table property (schema, txns,
+        per data file — ``path`` plus JSON-encoded ``stats`` and ``dv``
+        cells — with every O(1) table property (schema, txns,
         constraints, features, …) in the footer metadata. Why it matters
         at 10^6 add-entries: the old single-JSON blob was O(files) to
         parse for ANY lookup; the parquet form serves property walks
         from the footer alone, snapshot reconstruction from the ``path``
         column alone, and is splittable/``spark.read``-able if a reader
-        ever wants to distribute it (see _read_checkpoint)."""
+        ever wants to distribute it (see _read_checkpoint).
+
+        INCREMENTAL by default (Delta's v2-checkpoint shape): when every
+        manifest since the previous checkpoint is an append-shaped delta
+        and the chain is still short (INCREMENTAL_CHAIN_MAX), the rows
+        are just the NEW adds with a ``base_cp`` footer pointer to the
+        previous checkpoint — the write is O(delta), independent of
+        table file count, which is what an always-on streaming sink's
+        checkpoint cadence must cost. The footer META is always
+        complete (computed from O(1) walks), so property lookups never
+        chain. ``force_full=True`` (vacuum's truncation floor, and the
+        post-snapshot-commit hook) compacts the chain to a
+        self-contained full snapshot."""
+        if not force_full:
+            inc = self._incremental_delta(version)
+            if inc is not None:
+                base_cp, chain, adds, add_stats = inc
+                meta = self._checkpoint_meta(version)
+                meta["base_cp"] = base_cp
+                meta["chain"] = chain
+                # chain segments are pure adds: new files never carry
+                # dv entries, so the dv column is all-NULL here and dv
+                # resolution reads the base's rows
+                self._put_checkpoint(version, adds, add_stats, {}, meta)
+                return
         state = self._state(version)
         stats = self._stats_at(version)
         keep = set(state)
         stats = {f: s for f, s in stats.items() if f in keep}
         dv = self._dv_at(version)
+        meta = self._checkpoint_meta(version)
+        # a dv entry keyed off-snapshot has no row to ride (cannot
+        # happen by construction — dv entries die with their file — but
+        # losing one would resurrect deleted rows, so belt-and-braces)
+        dv_extra = {f: e for f, e in dv.items() if f not in keep}
+        if dv_extra:
+            meta["dv_extra"] = dv_extra
+        self._put_checkpoint(version, state, stats, dv, meta)
+
+    def _checkpoint_meta(self, version: int) -> dict:
+        """The complete O(1) property set every checkpoint footer
+        carries (full and incremental alike — meta lookups never chain).
+        All inputs are bounded walks: each terminates at the previous
+        checkpoint's footer or an intervening manifest that recorded the
+        key."""
         meta: dict = {
             "version": version,
             "txns": self._txns_at(version),
             "partition_by": self._partition_by_at(version),
             "constraints": self._constraints_at(version),
         }
+        props = self._properties_at(version)
+        if props:
+            meta["properties"] = props
         gen = self._generated_at(version)
         if gen:
             meta["generated"] = gen
@@ -1631,32 +1893,82 @@ class VersionedTable:
             # the walk terminates at checkpoints: the protocol fence
             # must survive log truncation like every other property
             meta["features"] = sorted(feats)
-        # creation time must survive log truncation (vacuum writes this
+        # creation time must survive log truncation (vacuum writes its
         # checkpoint right before deleting the head manifests)
         meta["created_ts"] = self._created_ts(version)
-        # a dv entry keyed off-snapshot has no row to ride (cannot
-        # happen by construction — dv entries die with their file — but
-        # losing one would resurrect deleted rows, so belt-and-braces)
-        dv_extra = {f: e for f, e in dv.items() if f not in keep}
-        if dv_extra:
-            meta["dv_extra"] = dv_extra
+        return meta
+
+    def _incremental_delta(
+        self, version: int
+    ) -> tuple[int, int, list[str], dict[str, dict]] | None:
+        """(base_cp_version, chain_depth, adds, stats) when an
+        incremental checkpoint can cover ``version`` — every manifest
+        back to the previous checkpoint is an append-shaped delta
+        (``add`` without ``files``; metadata-only commits qualify, their
+        delta is empty) and stacking on that checkpoint stays inside
+        INCREMENTAL_CHAIN_MAX. None → write a full checkpoint."""
+        adds_layers: list[list[str]] = []
+        stats_layers: list[dict] = []
+        v = version
+        while True:
+            if version - v > 4 * CHECKPOINT_EVERY:
+                return None  # unhealthy cadence: re-anchor with a full
+            if v != version:
+                cp = self._find_checkpoint(v)
+                if cp is not None:
+                    try:
+                        meta = self._read_checkpoint(cp, "meta")
+                    except Exception:  # unreadable base: re-anchor
+                        return None
+                    chain = int(meta.get("chain", 0) or 0)
+                    if chain + 1 > INCREMENTAL_CHAIN_MAX:
+                        return None
+                    adds: list[str] = []
+                    stats: dict[str, dict] = {}
+                    for a, s in zip(
+                        reversed(adds_layers), reversed(stats_layers)
+                    ):
+                        adds.extend(a)
+                        stats.update(s)
+                    return v, chain + 1, adds, stats
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None or "files" in m or "add" not in m:
+                # truncated, or a full-snapshot manifest in range: the
+                # checkpoint must re-anchor as a full snapshot
+                return None
+            adds_layers.append(m["add"])
+            stats_layers.append(m.get("stats", {}))
+            v -= 1
+            if v < 0:
+                return None
+
+    def _put_checkpoint(
+        self,
+        version: int,
+        paths: list[str],
+        stats: dict[str, dict],
+        dv: dict,
+        meta: dict,
+    ) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pa.table(
             {
-                "path": pa.array(state, pa.string()),
+                "path": pa.array(paths, pa.string()),
                 "stats": pa.array(
                     [
                         json.dumps(stats[f]) if f in stats else None
-                        for f in state
+                        for f in paths
                     ],
                     pa.string(),
                 ),
                 "dv": pa.array(
                     [
                         json.dumps(dv[f]) if f in dv else None
-                        for f in state
+                        for f in paths
                     ],
                     pa.string(),
                 ),
@@ -1750,6 +2062,7 @@ class VersionedTable:
         rebase_on_appends: object = None,
         mapping: dict[str, str] | None = None,
         constraints: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
         params: dict | None = None,
         generated: dict[str, str] | None = None,
         identity: dict[str, dict] | None = None,
@@ -2039,6 +2352,16 @@ class VersionedTable:
                 if cons:
                     # constraints survive snapshot resets (table property)
                     manifest["constraints"] = cons
+                props = properties
+                if props is None:
+                    # TBLPROPERTIES survive snapshot resets the same way
+                    props = (
+                        self._properties_at(latest)
+                        if latest is not None
+                        else {}
+                    )
+                if props:
+                    manifest["properties"] = props
                 gen = generated
                 if gen is None:
                     # generated-column map survives snapshot resets the
@@ -2147,6 +2470,26 @@ class VersionedTable:
                     self._write_checkpoint(version)
                 except Exception:  # noqa: BLE001 - readers replay deltas instead
                     pass
+            elif (
+                "files" in manifest
+                and len(manifest["files"]) >= SNAPSHOT_CHECKPOINT_MIN_FILES
+            ):
+                # a LARGE full-snapshot commit (overwrite / DML rewrite /
+                # convert / restore) gets its checkpoint immediately,
+                # assembled from the IN-MEMORY manifest via the transient
+                # cache — zero JSON re-parse now, and every later
+                # property walk / checkpoint write terminates at the
+                # parquet footer instead of parsing this O(files) JSON
+                # manifest again. Best-effort for the same reason as the
+                # append cadence above.
+                mf_path = os.path.join(self.log_dir, f"{version:08d}.json")
+                self._mf_cache[mf_path] = manifest
+                try:
+                    self._write_checkpoint(version, force_full=True)
+                except Exception:  # noqa: BLE001 - readers parse the manifest instead
+                    pass
+                finally:
+                    self._mf_cache.pop(mf_path, None)
             return version
         raise VersionedTableError("could not commit after 50 attempts")
 
@@ -5380,6 +5723,9 @@ class VersionedTable:
             mapping=self._mapping_at(version),
             dv=dv or None,
             constraints=self._constraints_at(version),
+            # operational config travels with the clone (Delta clones
+            # TBLPROPERTIES too)
+            properties=self._properties_at(version),
             generated=self._generated_at(version),
             # the identity spec + watermark carry: the clone keeps
             # allocating above the source's mark (ids stay unique
@@ -5662,16 +6008,27 @@ class VersionedTable:
                         doomed.append(os.path.join(sub, f))
             return sorted(doomed)
         # Delta's log-cleanup rule: never truncate past the last full
-        # snapshot. The oldest RETAINED version must stay reconstructible
-        # once the manifests below it are gone — if it is an append delta
-        # with no checkpoint, snapshot it now (its state was just computed
-        # above; _write_checkpoint re-derives it from the intact log).
+        # snapshot. The oldest RETAINED version must stay SELF-CONTAINED
+        # once the manifests and checkpoints below it are gone: an
+        # append delta with no checkpoint needs one, and an INCREMENTAL
+        # checkpoint is not enough — its base_cp chain reaches below the
+        # truncation point — so it is compacted to a full checkpoint
+        # here (force_full). Later retained incrementals whose chains
+        # cross the floor stay correct via the _CheckpointChainBroken
+        # fallback: their walks replay manifests down to this floor.
         oldest_kept = keep_versions[0]
-        if (
-            self._find_checkpoint(oldest_kept) is None
-            and "files" not in self._manifest(oldest_kept)
-        ):
-            self._write_checkpoint(oldest_kept)
+        cp0 = self._find_checkpoint(oldest_kept)
+        self_contained = "files" in self._manifest(oldest_kept)
+        if cp0 is not None and not self_contained:
+            try:
+                self_contained = (
+                    self._read_checkpoint(cp0, "meta").get("base_cp")
+                    is None
+                )
+            except Exception:  # unreadable: rewrite it full below
+                self_contained = False
+        if not self_contained:
+            self._write_checkpoint(oldest_kept, force_full=True)
         removed = 0
         if distributed:
             # fan the subtree sweeps out to executors; the driver keeps

@@ -6362,3 +6362,190 @@ def test_declarative_merge_mirror_and_set(spark, tmp_path):
         },
     )
     assert {(r.id, r.v) for r in tgt.read().collect()} == {(1, 22), (3, 66)}
+
+
+# -- incremental (v2-style) checkpoints --------------------------------
+
+
+def test_incremental_checkpoint_chain_and_periodic_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Steady-state append ingest writes INCREMENTAL checkpoints (rows =
+    the adds since the previous checkpoint, ``base_cp`` footer pointer),
+    compacting back to a full checkpoint once the chain reaches
+    INCREMENTAL_CHAIN_MAX — Delta's v2-checkpoint shape. Reads, time
+    travel, stats pruning and the txn ledger are unaffected by which
+    form serves them."""
+    import as_etl_storage_spark.writers.versioned as V
+
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 3)
+    monkeypatch.setattr(V, "INCREMENTAL_CHAIN_MAX", 2)
+    vt = V.VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))  # v0 full snapshot
+    for i in range(12):
+        lo = (i + 1) * 100
+        vt.append(
+            spark.range(lo, lo + 10).coalesce(1), txn=("app", i)
+        )  # v1..v12
+
+    def meta(v):
+        return vt._read_checkpoint(vt._find_checkpoint(v), "meta")
+
+    # v3: first checkpoint anchors full (no prior checkpoint to chain to)
+    assert meta(3).get("base_cp") is None
+    # v6, v9: incremental, chaining 6 -> 3 and 9 -> 6
+    assert (meta(6)["base_cp"], meta(6)["chain"]) == (3, 1)
+    assert (meta(9)["base_cp"], meta(9)["chain"]) == (6, 2)
+    # v12: the chain hit INCREMENTAL_CHAIN_MAX — compacts to full
+    assert meta(12).get("base_cp") is None
+    # incremental rows are the DELTA only; resolution yields full state
+    import pyarrow.parquet as pq
+
+    own_rows = pq.read_table(
+        vt._checkpoint_pq_path(6), columns=["path"]
+    ).num_rows
+    assert own_rows == 3  # three appends since v3, one file each
+    assert len(vt._read_checkpoint(vt._find_checkpoint(6), "files")["files"]) == 7
+    # correctness through the chain: reads, time travel, prune, txns
+    assert vt.read().count() == 130
+    assert vt.read(version_as_of=9).count() == 100
+    pruned = vt.read(prune=[("id", "<", 10)])
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 10
+    assert vt._txns_at(9)["app"] == 8  # footer meta is complete (no chain)
+    # idempotent replay across an incremental checkpoint boundary
+    assert vt.append(spark.range(5).coalesce(1), txn=("app", 3)) is None
+    assert vt.read().count() == 130
+
+
+def test_incremental_checkpoint_broken_chain_falls_back(
+    spark, tmp_path, monkeypatch
+):
+    """A vacuumed/missing base checkpoint must not brick readers: walks
+    catch the broken chain and replay manifests instead (correctness
+    over speed), for state, stats AND dv."""
+    import os
+
+    import as_etl_storage_spark.writers.versioned as V
+
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 3)
+    vt = V.VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))
+    for i in range(6):
+        lo = (i + 1) * 100
+        vt.append(spark.range(lo, lo + 10).coalesce(1))  # v1..v6
+    assert (
+        vt._read_checkpoint(vt._find_checkpoint(6), "meta")["base_cp"] == 3
+    )
+    os.remove(vt._checkpoint_pq_path(3))  # break the chain
+    assert vt.read().count() == 70  # falls back to the manifest walk
+    assert vt.read(version_as_of=6).count() == 70
+    pruned = vt.read(prune=[("id", "<", 10)])
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 10
+
+
+def test_vacuum_compacts_incremental_floor_to_full(
+    spark, tmp_path, monkeypatch
+):
+    """vacuum's truncation floor must be SELF-CONTAINED: when the oldest
+    retained version's checkpoint is incremental (its base_cp chain
+    reaches below the truncation point), vacuum rewrites it as a full
+    checkpoint before deleting the log prefix."""
+    import as_etl_storage_spark.writers.versioned as V
+
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 3)
+    vt = V.VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))
+    for i in range(6):
+        lo = (i + 1) * 100
+        vt.append(spark.range(lo, lo + 10).coalesce(1))  # v1..v6
+    # v6's checkpoint is incremental over v3's
+    assert (
+        vt._read_checkpoint(vt._find_checkpoint(6), "meta")["base_cp"] == 3
+    )
+    vt.vacuum(retain_last=1, grace_seconds=0.0)  # keeps only v6
+    fresh = V.VersionedTable(spark, str(tmp_path / "t"))
+    cp = fresh._find_checkpoint(6)
+    assert cp is not None
+    assert fresh._read_checkpoint(cp, "meta").get("base_cp") is None
+    assert fresh.read().count() == 70
+    pruned = fresh.read(prune=[("id", ">=", 600)])
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 10
+
+
+def test_large_snapshot_commit_writes_checkpoint_immediately(
+    spark, tmp_path, monkeypatch
+):
+    """A full-snapshot commit at or above SNAPSHOT_CHECKPOINT_MIN_FILES
+    gets its parquet checkpoint in the same call, assembled from the
+    in-memory manifest — later property walks and reads terminate at
+    the footer instead of re-parsing the O(files) JSON manifest."""
+    import as_etl_storage_spark.writers.versioned as V
+
+    monkeypatch.setattr(V, "SNAPSHOT_CHECKPOINT_MIN_FILES", 4)
+    vt = V.VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 100).repartition(6))  # v0: 6 files
+    assert vt._find_checkpoint(0) is not None
+    meta = vt._read_checkpoint(vt._find_checkpoint(0), "meta")
+    assert meta.get("base_cp") is None  # self-contained
+    assert (
+        len(vt._read_checkpoint(vt._find_checkpoint(0), "files")["files"])
+        == 6
+    )
+    assert vt.read().count() == 100
+    # a small snapshot commit skips the eager checkpoint (the parse it
+    # would avoid is already trivial)
+    vt2 = V.VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(spark.range(0, 10).coalesce(1))
+    assert vt2._find_checkpoint(0) is None
+
+
+# -- table properties (TBLPROPERTIES) -----------------------------------
+
+
+def test_table_properties_set_unset_walk_and_survival(spark, tmp_path):
+    """SET/UNSET TBLPROPERTIES as metadata-only commits; the map walks
+    like every other table property, survives snapshot resets (compact/
+    overwrite), rides checkpoint footers past vacuum, and travels with
+    clones. Reserved-prefix typos and bad config values fail at SET."""
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(10).coalesce(1))
+    assert vt.properties() == {}
+    v = vt.set_properties({"owner": "team-data", "vt.autoCompact.minFiles": "8"})
+    assert vt.properties() == {
+        "owner": "team-data",
+        "vt.autoCompact.minFiles": "8",
+    }
+    # metadata-only: no data change, incremental consumers skip it
+    assert vt._manifest(v)["data_change"] is False
+    assert vt.read().count() == 10
+    # survives a full-snapshot reset
+    vt.overwrite(spark.range(5).coalesce(1))
+    assert vt.properties()["owner"] == "team-data"
+    # unset is idempotent (IF EXISTS semantic)
+    vt.unset_properties(["owner", "never-set"])
+    assert "owner" not in vt.properties()
+    assert vt.properties()["vt.autoCompact.minFiles"] == "8"
+    # validation: reserved-prefix typo, non-string, bad values
+    with pytest.raises(VersionedTableError, match="unknown reserved"):
+        vt.set_properties({"vt.autoCompact.minFile": "8"})
+    with pytest.raises(VersionedTableError, match="string pairs"):
+        vt.set_properties({"vt.autoCompact.minFiles": 8})
+    with pytest.raises(VersionedTableError, match="positive integer"):
+        vt.set_properties({"vt.autoCompact.minFiles": "0"})
+    with pytest.raises(VersionedTableError, match="in \\(0, 1\\)"):
+        vt.set_properties({"vt.bloomFilter.fpp": "1.5"})
+    # rides checkpoints past vacuum
+    for _ in range(CHECKPOINT_EVERY + 1):
+        vt.append(spark.range(3).coalesce(1))
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    fresh = VersionedTable(spark, str(tmp_path / "t"))
+    assert fresh.properties()["vt.autoCompact.minFiles"] == "8"
+    # travels with clones
+    cl = fresh.clone(str(tmp_path / "c"))
+    assert cl.properties()["vt.autoCompact.minFiles"] == "8"
