@@ -3120,3 +3120,153 @@ _register(
     FROM adj GROUP BY o_orderstatus
     """,
 )
+
+
+# ----------------------------------------- bloom-filter point lookup --
+def _w_versioned_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping for the point lookup min/max cannot
+    serve (Delta's bloom filter index, as_etl_storage_spark/writers/
+    bloom.py): three files bucketed by ``o_custkey % 3`` each span the
+    WHOLE key range of the string key ``'c' || o_custkey`` — min/max
+    bounds keep all of them (asserted in-query as the premise) — yet
+    the equality probe on the max custkey scans exactly ONE file,
+    proven absent from the others by their split-block bloom filters.
+    The probe rides the same ``read(prune=...)`` path the JSON job
+    spec's ``where`` feeds, so spec-driven jobs get the index for free
+    once the TBLPROPERTY is set."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wbp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("ck"),
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    hi = orders.agg(F.max("o_custkey")).collect()[0][0]
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    # seed outside the key range so ITS file min/max-prunes away (it
+    # was written before the property and carries no filter)
+    vt.overwrite(
+        orders.where(F.col("o_custkey") < 0).unionAll(
+            spark.createDataFrame(
+                [("zzz-seed", -1, -1, 0.0)], orders.schema
+            )
+        ).coalesce(1)
+    )
+    vt.set_properties(
+        {"vt.bloomFilter.columns": "ck", "vt.bloomFilter.fpp": "0.001"}
+    )
+    for b in range(3):
+        vt.append(orders.where(F.col("o_custkey") % 3 == b).coalesce(1))
+    key = f"c{hi}"
+    latest = vt.latest_version()
+    files = vt._state(latest)
+    # premise: min/max alone keeps every bucket file for this key
+    minmax = vt._prune_files(
+        files, vt._stats_at(latest), [("ck", "=", key)], {}
+    )
+    if len(minmax) != 3:
+        raise AssertionError(
+            f"premise broken: min/max should keep the 3 bucket files, "
+            f"kept {len(minmax)}"
+        )
+    df = vt.read(prune=[("ck", "=", key)])
+    if len(df.inputFiles()) != 1:
+        raise AssertionError(
+            f"bloom index should prove the key absent from 2 of 3 "
+            f"bucket files; scanned {len(df.inputFiles())}"
+        )
+    return df.groupBy("ck").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_bloom_prune",
+    _w_versioned_bloom_prune,
+    """
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS ck, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_custkey = (SELECT max(o_custkey) FROM orders)
+    GROUP BY ck
+    """,
+)
+
+
+# ------------------------------------------------- auto-compaction --
+def _w_versioned_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-commit auto-compaction under append-only ingest (Delta's
+    autoOptimize.autoCompact, the vt.autoCompact.minFiles TBLPROPERTY):
+    twelve single-file appends — the streaming micro-batch shape — keep
+    the live file count bounded under the threshold, with zero rows
+    lost or duplicated (the oracle aggregates the same union), and
+    every compaction commit is ``data_change: false`` so incremental
+    consumers skip the maintenance wholesale. Asserted in-query: the
+    bound, that compactions really fired, and their CDF invisibility."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wac-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.where(F.col("o_orderkey") % 12 == 0).coalesce(1))
+    vt.set_properties({"vt.autoCompact.minFiles": "5"})
+    for b in range(1, 12):
+        vt.append(
+            orders.where(F.col("o_orderkey") % 12 == b).coalesce(1),
+            txn=("ingest", b),
+        )
+    n_files = len(vt._state(vt.latest_version()))
+    if n_files >= 5:
+        raise AssertionError(
+            f"auto-compaction failed to bound the file count: {n_files}"
+        )
+    hist = vt.history()
+    compacts = [m for m in hist if m.get("op") == "compact"]
+    if not compacts:
+        raise AssertionError("auto-compaction never fired")
+    if any(m.get("data_change") is not False for m in compacts):
+        raise AssertionError("compaction commits must be data_change: false")
+    return vt.read().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_auto_compact",
+    _w_versioned_auto_compact,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)

@@ -139,6 +139,12 @@ class VersionedTable:
         # JSON from disk. Never long-lived: entries are removed in the
         # same finally block that installed them.
         self._mf_cache: dict[str, dict] = {}
+        # bloom-filter sidecar names for files staged by THIS op,
+        # accumulated by _write_data_files and drained into the
+        # manifest by _commit (file -> sidecar relpath). Stale entries
+        # are harmless (uuid file names never recur) but _commit clears
+        # the map on publish to bound growth.
+        self._pending_filters: dict[str, str] = {}
 
     @classmethod
     def convert(
@@ -184,7 +190,7 @@ class VersionedTable:
             dirs[:] = [
                 d
                 for d in dirs
-                if d not in ("_log", "_cdc", "_dv")
+                if d not in ("_log", "_cdc", "_dv", "_filters")
                 and not d.startswith("__stage__")
                 and not d.startswith(".")
             ]
@@ -371,12 +377,11 @@ class VersionedTable:
             prev = self._read_checkpoint_one(bp, part)
             base_v = prev.pop("__base_cp__", None)
             if part == "files":
-                out["files"] = list(prev["files"]) + out["files"]
+                out["files"] = list(prev.get("files", [])) + out["files"]
             else:
-                key = "stats" if part == "stats" else "dv"
-                merged = dict(prev[key])
-                merged.update(out[key])
-                out[key] = merged
+                merged = dict(prev.get(part, {}))
+                merged.update(out[part])
+                out[part] = merged
         return out
 
     def _read_checkpoint_one(self, path: str, part: str) -> dict:
@@ -391,32 +396,46 @@ class VersionedTable:
           features, created_ts, generated) from the footer;
         - ``'files'`` — ``{'files': [...]}`` from the path column;
         - ``'stats'`` — ``{'stats': {file: bounds}}``;
-        - ``'dv'`` — ``{'dv': {file: entry}}``.
+        - ``'dv'`` — ``{'dv': {file: entry}}``;
+        - ``'flt'`` — ``{'flt': {file: filter-sidecar relpath}}``
+          (checkpoints written before the bloom index existed lack the
+          column and contribute ``{}`` — skipping off, never wrong).
 
         Incremental checkpoints additionally surface their base pointer
-        as ``'__base_cp__'`` for files/stats/dv (the chain resolver
+        as ``'__base_cp__'`` for files/stats/dv/flt (the chain resolver
         pops it). A legacy JSON checkpoint returns its whole payload
         regardless (it is one blob; there is nothing to skip)."""
         if path.endswith(".json"):
             return json.loads(self._store.read_bytes(path))
         import pyarrow.parquet as pq
 
+        sch = pq.read_schema(self._store.open_arrow(path))
+        meta = json.loads((sch.metadata or {})[self._CP_META_KEY])
         if part == "meta":
-            kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
-            return json.loads(kv[self._CP_META_KEY])
+            return meta
         cols = {
             "files": ["path"],
             "stats": ["path", "stats"],
             "dv": ["path", "dv"],
+            "flt": ["path", "flt"],
         }[part]
+        if part == "flt" and "flt" not in sch.names:
+            out: dict = {"flt": {}}  # pre-bloom-index checkpoint
+            if meta.get("base_cp") is not None:
+                out["__base_cp__"] = int(meta["base_cp"])
+            return out
         tbl = pq.read_table(self._store.open_arrow(path), columns=cols)
         paths = tbl.column("path").to_pylist()
-        # the footer is in memory from the read above; a second
-        # read_schema on the store's source re-reads only footer bytes
-        kv = pq.read_schema(self._store.open_arrow(path)).metadata or {}
-        meta = json.loads(kv[self._CP_META_KEY])
         if part == "files":
-            out: dict = {"files": paths}
+            out = {"files": paths}
+        elif part == "flt":
+            out = {
+                "flt": {
+                    p: raw
+                    for p, raw in zip(paths, tbl.column("flt").to_pylist())
+                    if raw is not None
+                }
+            }
         else:
             key = cols[1]
             body = {
@@ -1839,20 +1858,25 @@ class VersionedTable:
         if not force_full:
             inc = self._incremental_delta(version)
             if inc is not None:
-                base_cp, chain, adds, add_stats = inc
+                base_cp, chain, adds, add_stats, add_flt = inc
                 meta = self._checkpoint_meta(version)
                 meta["base_cp"] = base_cp
                 meta["chain"] = chain
                 # chain segments are pure adds: new files never carry
                 # dv entries, so the dv column is all-NULL here and dv
                 # resolution reads the base's rows
-                self._put_checkpoint(version, adds, add_stats, {}, meta)
+                self._put_checkpoint(
+                    version, adds, add_stats, {}, meta, flt=add_flt
+                )
                 return
         state = self._state(version)
         stats = self._stats_at(version)
         keep = set(state)
         stats = {f: s for f, s in stats.items() if f in keep}
         dv = self._dv_at(version)
+        flt = {
+            f: s for f, s in self._filters_at(version).items() if f in keep
+        }
         meta = self._checkpoint_meta(version)
         # a dv entry keyed off-snapshot has no row to ride (cannot
         # happen by construction — dv entries die with their file — but
@@ -1860,7 +1884,7 @@ class VersionedTable:
         dv_extra = {f: e for f, e in dv.items() if f not in keep}
         if dv_extra:
             meta["dv_extra"] = dv_extra
-        self._put_checkpoint(version, state, stats, dv, meta)
+        self._put_checkpoint(version, state, stats, dv, meta, flt=flt)
 
     def _checkpoint_meta(self, version: int) -> dict:
         """The complete O(1) property set every checkpoint footer
@@ -1900,8 +1924,8 @@ class VersionedTable:
 
     def _incremental_delta(
         self, version: int
-    ) -> tuple[int, int, list[str], dict[str, dict]] | None:
-        """(base_cp_version, chain_depth, adds, stats) when an
+    ) -> tuple[int, int, list[str], dict[str, dict], dict[str, str]] | None:
+        """(base_cp_version, chain_depth, adds, stats, filters) when an
         incremental checkpoint can cover ``version`` — every manifest
         back to the previous checkpoint is an append-shaped delta
         (``add`` without ``files``; metadata-only commits qualify, their
@@ -1909,6 +1933,7 @@ class VersionedTable:
         INCREMENTAL_CHAIN_MAX. None → write a full checkpoint."""
         adds_layers: list[list[str]] = []
         stats_layers: list[dict] = []
+        flt_layers: list[dict] = []
         v = version
         while True:
             if version - v > 4 * CHECKPOINT_EVERY:
@@ -1925,12 +1950,16 @@ class VersionedTable:
                         return None
                     adds: list[str] = []
                     stats: dict[str, dict] = {}
-                    for a, s in zip(
-                        reversed(adds_layers), reversed(stats_layers)
+                    flt: dict[str, str] = {}
+                    for a, s, fl in zip(
+                        reversed(adds_layers),
+                        reversed(stats_layers),
+                        reversed(flt_layers),
                     ):
                         adds.extend(a)
                         stats.update(s)
-                    return v, chain + 1, adds, stats
+                        flt.update(fl)
+                    return v, chain + 1, adds, stats, flt
             m = self._load_json(
                 os.path.join(self.log_dir, f"{v:08d}.json")
             )
@@ -1940,6 +1969,7 @@ class VersionedTable:
                 return None
             adds_layers.append(m["add"])
             stats_layers.append(m.get("stats", {}))
+            flt_layers.append(m.get("filters", {}))
             v -= 1
             if v < 0:
                 return None
@@ -1951,10 +1981,12 @@ class VersionedTable:
         stats: dict[str, dict],
         dv: dict,
         meta: dict,
+        flt: dict[str, str] | None = None,
     ) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        flt = flt or {}
         table = pa.table(
             {
                 "path": pa.array(paths, pa.string()),
@@ -1971,6 +2003,9 @@ class VersionedTable:
                         for f in paths
                     ],
                     pa.string(),
+                ),
+                "flt": pa.array(
+                    [flt.get(f) for f in paths], pa.string()
                 ),
             }
         )
@@ -2274,6 +2309,15 @@ class VersionedTable:
                 }
                 if txn is not None:
                     manifest["txn"] = [txn[0], txn[1]]
+                flt = {
+                    f: self._pending_filters[f]
+                    for f in (new_files or [])
+                    if f in self._pending_filters
+                }
+                if flt:
+                    # bloom-filter sidecar refs ride the delta exactly
+                    # like stats (see _filters_at)
+                    manifest["filters"] = flt
                 if identity is not None:
                     # an allocating append records the FULL updated spec
                     # map — the identity walk terminates here, so the
@@ -2346,6 +2390,26 @@ class VersionedTable:
                     # row-level change files (Delta CDF add-cdc-file):
                     # what changed, readable without diffing snapshots
                     manifest["cdc"] = list(cdc)
+                if self._pending_filters or os.path.isdir(
+                    os.path.join(self.path, "_filters")
+                ):
+                    # bloom-filter refs: fresh files take their pending
+                    # sidecar, kept files carry theirs forward (the
+                    # known_stats shape); guarded by the directory probe
+                    # so tables without the index pay nothing here
+                    carried_flt = (
+                        self._filters_at(latest)
+                        if latest is not None
+                        else {}
+                    )
+                    flt = {}
+                    for f in files:
+                        if f in self._pending_filters:
+                            flt[f] = self._pending_filters[f]
+                        elif f in carried_flt:
+                            flt[f] = carried_flt[f]
+                    if flt:
+                        manifest["filters"] = flt
                 if params:
                     # Delta's operationParameters (audit trail)
                     manifest["params"] = params
@@ -2460,6 +2524,7 @@ class VersionedTable:
                     manifest["features"] = sorted(feats)
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
+            self._pending_filters = {}
             if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
                 # bound future readers' delta replay. Best-effort AFTER
                 # the commit point: the append IS committed, so a failure
@@ -2543,7 +2608,18 @@ class VersionedTable:
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
-        return sorted(files)
+        files = sorted(files)
+        if files:
+            # bloom-filter index build (opt-in TBLPROPERTY; {} when not
+            # configured). Advisory: a failed build never fails the
+            # write — those files just have no filter to skip on.
+            try:
+                built = self._build_filters(files)
+            except Exception:  # noqa: BLE001 - index is advisory
+                built = {}
+            if built:
+                self._pending_filters.update(built)
+        return files
 
     def _write_cdc_files(
         self, df: DataFrame, mapping: dict[str, str] | None = None
@@ -2690,6 +2766,239 @@ class VersionedTable:
             out[col] = val
         return out
 
+    # -- bloom-filter indexes (point-lookup data skipping) ---------------
+    def _bloom_config(
+        self, version: int | None = None
+    ) -> tuple[list[str], float] | None:
+        """(logical columns, fpp) when the bloom-filter index is
+        configured (``vt.bloomFilter.columns`` TBLPROPERTY), else None.
+        Opt-in by design: the index costs one column re-read per new
+        file at write time, which only pays for itself on tables that
+        serve selective ``key = X`` lookups."""
+        v = self.latest_version() if version is None else version
+        if v is None:
+            return None
+        props = self._properties_at(v)
+        cols = [
+            c.strip()
+            for c in props.get("vt.bloomFilter.columns", "").split(",")
+            if c.strip()
+        ]
+        if not cols:
+            return None
+        return cols, float(props.get("vt.bloomFilter.fpp", "0.01"))
+
+    @staticmethod
+    def _file_filter_rows(
+        root: str, name: str, cols: list[str], fpp: float
+    ) -> list[tuple[str, str, str, int, bytes]]:
+        """(file, column, type-tag, ndv, blob) rows for one data file —
+        a staticmethod over (root, name) so the build fans out as a
+        Spark job at high file counts (the convert/vacuum distributed
+        shape). Reads ONLY the indexed columns (column-pruned pyarrow
+        read); a column the file lacks, or whose type the index does
+        not support, simply contributes no row (skipping disabled for
+        that file+column, never correctness)."""
+        import pyarrow.parquet as pq
+
+        from as_etl_storage_spark.writers import bloom
+
+        pf = pq.ParquetFile(os.path.join(root, name))
+        have = [c for c in cols if c in pf.schema_arrow.names]
+        if not have:
+            return []
+        tbl = pf.read(columns=have)
+        out = []
+        for c in have:
+            built = bloom.build_column_filter(
+                tbl.column(c).to_pylist(), fpp
+            )
+            if built is not None:
+                blob, tag, ndv = built
+                out.append((name, c, tag, ndv, blob))
+        return out
+
+    def _build_filters(self, files: list[str]) -> dict[str, str]:
+        """Build bloom filters for freshly staged ``files`` and write
+        them as ONE sidecar parquet under ``_filters/`` (columns file/
+        column/tag/ndv/blob), returning file -> sidecar-relpath for the
+        manifest. Columns are translated to PHYSICAL names (data files
+        always store physical names). Fans out as a Spark job past a
+        driver-loop threshold. ADVISORY index: any failure here returns
+        {} — a write must never fail because its index did."""
+        cfg = self._bloom_config()
+        if cfg is None or not files:
+            return {}
+        cols, fpp = cfg
+        latest = self.latest_version()
+        mapping = self._mapping_at(latest) if latest is not None else {}
+        phys = [mapping.get(c, c) for c in cols]
+        root = self.path
+        if len(files) > 32:
+            sc = self.spark.sparkContext
+            rows = [
+                r
+                for part in sc.parallelize(
+                    files, max(1, min(64, len(files) // 8 + 1))
+                )
+                .map(
+                    lambda n: VersionedTable._file_filter_rows(
+                        root, n, phys, fpp
+                    )
+                )
+                .collect()
+                for r in part
+            ]
+        else:
+            rows = [
+                r
+                for n in files
+                for r in self._file_filter_rows(root, n, phys, fpp)
+            ]
+        if not rows:
+            return {}
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = os.path.join("_filters", f"flt-{uuid.uuid4().hex[:12]}.parquet")
+        target = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        table = pa.table(
+            {
+                "file": pa.array([r[0] for r in rows], pa.string()),
+                "column": pa.array([r[1] for r in rows], pa.string()),
+                "tag": pa.array([r[2] for r in rows], pa.string()),
+                "ndv": pa.array([r[3] for r in rows], pa.int64()),
+                "blob": pa.array([r[4] for r in rows], pa.binary()),
+            }
+        )
+        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, target)  # sidecars appear whole, like data files
+        return {r[0]: rel for r in rows}
+
+    def _filters_at(self, version: int) -> dict[str, str]:
+        """File -> filter-sidecar map at ``version``: the _stats_at
+        walk shape (append layers over the nearest snapshot/checkpoint
+        base). Absent entries disable skipping for those files, never
+        correctness."""
+        layers: list[dict] = []
+        v = version
+        while True:
+            cp = self._find_checkpoint(v)
+            if cp is not None:
+                try:
+                    base = self._read_checkpoint(cp, "flt").get("flt", {})
+                    break
+                except _CheckpointChainBroken:
+                    pass  # vacuumed base: replay manifests instead
+            m = self._load_json(
+                os.path.join(self.log_dir, f"{v:08d}.json")
+            )
+            if m is None:
+                return {}
+            if "files" in m:
+                base = m.get("filters", {})
+                break
+            layers.append(m.get("filters", {}))
+            v -= 1
+        for s in reversed(layers):
+            base = {**base, **s}
+        return base
+
+    def _bloom_prune(
+        self,
+        files: list[str],
+        prune: list[tuple[str, str, object]],
+        version: int,
+        mapping: dict[str, str],
+    ) -> list[str]:
+        """Drop files whose bloom filters PROVE an equality/IN conjunct
+        cannot match — the point-lookup half of data skipping, applied
+        after the min/max pass. Conservative throughout: no filter, an
+        unsupported literal type, a type-tag mismatch (Spark would cast
+        where the index cannot), or an unreadable sidecar all mean
+        'cannot skip'. Sidecars are read once per (sidecar, probe), not
+        per file: steady state one commit's files share one sidecar."""
+        from as_etl_storage_spark.writers import bloom
+
+        probes: list[tuple[str, list]] = []  # (physical col, literals)
+        for c, op, v in prune:
+            if op == "=":
+                probes.append((mapping.get(c, c), [v]))
+            elif op == "in" and isinstance(v, (list, tuple)) and v:
+                probes.append((mapping.get(c, c), list(v)))
+        if not probes or not files:
+            return files
+        fmap = self._filters_at(version)
+        if not fmap:
+            return files
+        hashed: list[tuple[str, list[tuple[int, str]]]] = []
+        for col, lits in probes:
+            hs = [bloom.hash_one(x) for x in lits]
+            if any(h is None for h in hs):
+                continue  # a literal the index can't hash: keep all
+            hashed.append((col, hs))
+        if not hashed:
+            return files
+        need_cols = {c for c, _ in hashed}
+        # group candidate files by sidecar; load each sidecar once
+        by_sidecar: dict[str, list[str]] = {}
+        for f in files:
+            sc = fmap.get(f)
+            if sc is not None:
+                by_sidecar.setdefault(sc, []).append(f)
+        if not by_sidecar:
+            return files
+        import pyarrow.parquet as pq
+
+        blobs: dict[tuple[str, str], tuple[bytes, str]] = {}
+        for sc, flist in by_sidecar.items():
+            try:
+                tbl = pq.read_table(
+                    os.path.join(self.path, sc),
+                    columns=["file", "column", "tag", "blob"],
+                )
+            except Exception:  # noqa: BLE001 - advisory index
+                continue
+            want = set(flist)
+            for fn, cn, tg, bl in zip(
+                tbl.column("file").to_pylist(),
+                tbl.column("column").to_pylist(),
+                tbl.column("tag").to_pylist(),
+                tbl.column("blob").to_pylist(),
+            ):
+                if fn in want and cn in need_cols:
+                    blobs[(fn, cn)] = (bl, tg)
+        if not blobs:
+            return files
+        flt_memo: dict[tuple[str, str], object] = {}
+        out = []
+        for f in files:
+            drop = False
+            for col, hs in hashed:
+                entry = blobs.get((f, col))
+                if entry is None:
+                    continue
+                bl, tg = entry
+                if any(tag != tg for _, tag in hs):
+                    continue  # literal of another canonical type
+                flt = flt_memo.get((f, col))
+                if flt is None:
+                    try:
+                        flt = bloom.SplitBlockBloomFilter.from_bytes(bl)
+                    except Exception:  # noqa: BLE001 - advisory index
+                        continue
+                    flt_memo[(f, col)] = flt
+                if not any(
+                    flt.might_contain_hash(h) for h, _ in hs
+                ):
+                    drop = True  # no listed value can be in this file
+                    break
+            if not drop:
+                out.append(f)
+        return out
+
     @staticmethod
     def _checked(df: DataFrame, cons: dict[str, str]) -> DataFrame:
         """Constraint enforcement with ZERO extra passes: each CHECK is
@@ -2818,7 +3127,83 @@ class VersionedTable:
                     os.remove(os.path.join(self.path, f))
                 except OSError:
                     pass
+        else:
+            # post-commit auto-compaction (opt-in TBLPROPERTY): the
+            # append IS committed — like the checkpoint cadence, this
+            # hook must never surface as a failed append
+            try:
+                self._maybe_auto_compact(v, new_files)
+            except Exception:  # noqa: BLE001 - maintenance is best-effort
+                pass
         return v
+
+    def _maybe_auto_compact(
+        self, version: int, new_files: list[str]
+    ) -> int | None:
+        """Post-commit auto-compaction (Delta's autoOptimize.autoCompact,
+        restated): when ``vt.autoCompact.minFiles`` is set and the file
+        count this append touched reached it, run compact() right here —
+        scoped to the TOUCHED PARTITIONS on a partitioned table, so the
+        rewrite is proportional to the ingest, not the table. Solves the
+        streaming small-file pile-up (one file set per micro-batch, a
+        day of 90 s batches = ~1000 tiny files per partition) without a
+        manual OPTIMIZE job. Safe under always-on ingest by
+        construction: compact's OCC REBASES over concurrent pure appends
+        (never starves them, never aborts them), commits
+        ``data_change: false`` (incremental consumers skip it), and any
+        real conflict (concurrent DML) just abandons this round — the
+        next batch retries. Returns the compaction version, or None when
+        the policy did not fire."""
+        props = self._properties_at(version)
+        raw = props.get("vt.autoCompact.minFiles")
+        if raw is None:
+            return None
+        min_files = int(raw)
+        target = int(
+            props.get(
+                "vt.autoCompact.targetFileBytes", str(128 * 1024 * 1024)
+            )
+        )
+        pb = self._partition_by_at(version)
+        state = self._state(version)
+        if not pb:
+            if len(state) < min_files:
+                return None
+            try:
+                return self.compact(target_file_bytes=target)
+            except VersionedTableError:
+                return None  # concurrent non-append: next batch retries
+        # partition-scoped: compact only touched partitions that crossed
+        # the threshold; untouched partitions are carried by name
+        per_dir: dict[str, int] = {}
+        for f in state:
+            d = os.path.dirname(f)
+            per_dir[d] = per_dir.get(d, 0) + 1
+        out: int | None = None
+        for d in sorted({os.path.dirname(f) for f in new_files}):
+            if per_dir.get(d, 0) < min_files:
+                continue
+            probe = d + os.sep + "x.parquet"
+            vals = self._partition_values(probe)
+            triples: list[tuple[str, str, object]] = [
+                (c, "=", v) for c, v in vals.items()
+            ]
+            # the NULL partition parses to no value: pin it with isnull
+            # so the scope never silently widens to the whole table
+            triples += [
+                (c, "isnull", None)
+                for c in self._hive_segment_cols(probe)
+                if c not in vals
+            ]
+            if not triples:
+                continue  # defensive: never whole-table by accident
+            try:
+                out = self.compact(
+                    target_file_bytes=target, where=triples
+                )
+            except VersionedTableError:
+                return out  # conflict: abandon the round, keep ingesting
+        return out
 
     def overwrite(
         self,
@@ -4803,6 +5188,11 @@ class VersionedTable:
         below one). A NaN *literal* disables skipping outright."""
         import math
 
+        if fstats.get("#rows") == 0:
+            # a zero-row file (an empty partition Spark wrote) can
+            # satisfy NO predicate — and it is exactly the file whose
+            # absent column bounds would otherwise force a keep
+            return False
         if op == "in":
             # an IN-list is a disjunction of equalities: the file may
             # match iff ANY listed value falls inside its bounds (an
@@ -4938,10 +5328,14 @@ class VersionedTable:
         files = self._state(version)
         kept = files
         if prune:
+            mapping = self._mapping_at(version)
             kept = self._prune_files(
-                files, self._stats_at(version), prune,
-                self._mapping_at(version),
+                files, self._stats_at(version), prune, mapping,
             )
+            # second skipping pass: bloom filters prove = / IN conjuncts
+            # absent from files whose min/max bounds could not (the
+            # high-cardinality unsorted-key case)
+            kept = self._bloom_prune(kept, prune, version, mapping)
             if not kept:
                 # every file skipped: empty result, table schema intact
                 from pyspark.sql import functions as F
@@ -5599,6 +5993,11 @@ class VersionedTable:
             # from the restored files once so the carry-forward can't
             # stamp a LATER schema onto pre-evolution files
             restored_schema = self._derived_schema_json(version)
+        # the restored files' bloom-filter refs come back with them
+        # (their sidecars are within retention — the same rule that
+        # guarantees the data files above); pending wins the merge in
+        # _commit's carry loop
+        self._pending_filters.update(self._filters_at(version))
         return self._commit(
             files,
             "restore",
@@ -5973,7 +6372,7 @@ class VersionedTable:
                     dirs[:] = [
                         d
                         for d in dirs
-                        if d not in ("_log", "_cdc", "_dv")
+                        if d not in ("_log", "_cdc", "_dv", "_filters")
                         and not d.startswith("__stage__")
                     ]
                 for f in names:
@@ -5995,7 +6394,16 @@ class VersionedTable:
                 for v in keep_versions
                 for f in self._manifest(v).get("cdc", [])
             }
-            for sub, keep in (("_dv", keep_dv), ("_cdc", keep_cdc)):
+            keep_flt = {
+                os.path.basename(s)
+                for v in keep_versions
+                for s in self._filters_at(v).values()
+            }
+            for sub, keep in (
+                ("_dv", keep_dv),
+                ("_cdc", keep_cdc),
+                ("_filters", keep_flt),
+            ):
                 d = os.path.join(self.path, sub)
                 if not os.path.isdir(d):
                     continue
@@ -6038,7 +6446,7 @@ class VersionedTable:
                 os.path.join(self.path, d)
                 for d in os.listdir(self.path)
                 if os.path.isdir(os.path.join(self.path, d))
-                and d not in ("_log", "_cdc", "_dv")
+                and d not in ("_log", "_cdc", "_dv", "_filters")
                 and not d.startswith("__stage__")
             ]
             if sub_dirs:
@@ -6096,7 +6504,7 @@ class VersionedTable:
                     dirs[:] = [
                         d
                         for d in dirs
-                        if d not in ("_log", "_cdc", "_dv")
+                        if d not in ("_log", "_cdc", "_dv", "_filters")
                         and not d.startswith("__stage__")
                     ]
                 for f in names:
@@ -6115,7 +6523,7 @@ class VersionedTable:
         for root, dirs, names in os.walk(self.path, topdown=False):
             if root != self.path and not dirs and not names:
                 rel0 = os.path.relpath(root, self.path).split(os.sep)[0]
-                if rel0 not in ("_log", "_cdc", "_dv") and not rel0.startswith(
+                if rel0 not in ("_log", "_cdc", "_dv", "_filters") and not rel0.startswith(
                     "__stage__"
                 ):
                     try:
@@ -6151,6 +6559,23 @@ class VersionedTable:
             for f in os.listdir(cdc_dir):
                 if f.endswith(".parquet") and f not in keep_cdc:
                     full = os.path.join(cdc_dir, f)
+                    if not _old_enough(full):
+                        continue
+                    os.remove(full)
+                    removed += 1
+        # bloom-filter sidecars are referenced by the retained versions'
+        # filters maps, same lifecycle as deletion vectors
+        flt_dir = os.path.join(self.path, "_filters")
+        if os.path.isdir(flt_dir):
+            keep_flt = set()
+            for v in keep_versions:
+                keep_flt.update(
+                    os.path.basename(s)
+                    for s in self._filters_at(v).values()
+                )
+            for f in os.listdir(flt_dir):
+                if f.endswith(".parquet") and f not in keep_flt:
+                    full = os.path.join(flt_dir, f)
                     if not _old_enough(full):
                         continue
                     os.remove(full)

@@ -6549,3 +6549,217 @@ def test_table_properties_set_unset_walk_and_survival(spark, tmp_path):
     # travels with clones
     cl = fresh.clone(str(tmp_path / "c"))
     assert cl.properties()["vt.autoCompact.minFiles"] == "8"
+
+
+# -- bloom-filter data skipping ------------------------------------------
+
+
+def _bloom_table(spark, path, nfiles=4, rows_per=200):
+    """A table whose key column is high-cardinality and UNSORTED across
+    files: every file's [min, max] spans the whole key space, so min/max
+    pruning keeps everything and only the bloom index can skip."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, path)
+    vt.overwrite(
+        spark.range(1).select(
+            F.lit("seed").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    vt.set_properties(
+        {"vt.bloomFilter.columns": "k", "vt.bloomFilter.fpp": "0.001"}
+    )
+    for i in range(nfiles):
+        # file i holds keys {i, i + nfiles, i + 2*nfiles, ...} as strings
+        #: interleaved, so every file spans ~the full lexicographic range
+        df = (
+            spark.range(rows_per)
+            .select(
+                F.concat(
+                    F.lit("key-"),
+                    F.lpad((F.col("id") * nfiles + i).cast("string"), 6, "0"),
+                ).alias("k"),
+                (F.col("id") * nfiles + i).alias("v"),
+            )
+            .coalesce(1)
+        )
+        vt.append(df)
+    return vt
+
+
+def test_bloom_skip_equality_where_minmax_cannot(spark, tmp_path):
+    """The contract case: `k = X` on a high-cardinality unsorted string
+    column. min/max keeps every file (interleaved ranges); the bloom
+    index scans exactly the one file that holds the key — with the same
+    answer as the unindexed filter."""
+    vt = _bloom_table(spark, str(tmp_path / "t"))
+    files = vt._state(vt.latest_version())
+    stats = vt._stats_at(vt.latest_version())
+    # establish the premise: min/max alone prunes NOTHING for this key
+    key = "key-000005"  # lives in file i=1 (5 = 1*4 + 1)
+    minmax_kept = vt._prune_files(files, stats, [("k", "=", key)], {})
+    assert len([f for f in minmax_kept if "seed" not in f]) >= 4
+    pruned = vt.read(prune=[("k", "=", key)])
+    assert len(pruned.inputFiles()) == 1       # bloom skipped the rest
+    rows = pruned.collect()
+    assert [(r.k, r.v) for r in rows] == [(key, 5)]
+    # absent key: every file bloom-skips, empty result, schema intact
+    empty = vt.read(prune=[("k", "=", "key-999999")])
+    assert empty.count() == 0
+    assert empty.columns == vt.read().columns
+
+
+def test_bloom_skip_in_list_and_conservatism(spark, tmp_path):
+    """IN-lists skip files containing NONE of the listed keys; probes
+    the index cannot decide (float literal, cross-type literal against
+    a string column) keep every file and stay correct."""
+    vt = _bloom_table(spark, str(tmp_path / "t"))
+    pruned = vt.read(prune=[("k", "in", ["key-000004", "key-000008"])])
+    assert len(pruned.inputFiles()) == 1  # both keys live in file i=0
+    assert {r.v for r in pruned.collect()} == {4, 8}
+    # int literal against the string column: tag mismatch -> cannot
+    # skip via bloom, and the semantic filter still answers correctly
+    got = vt.read(prune=[("v", "=", 7)])
+    assert [r.k for r in got.collect()] == ["key-000007"]
+
+
+def test_bloom_filters_survive_checkpoint_compact_and_vacuum(
+    spark, tmp_path
+):
+    """Filter refs ride append manifests, checkpoint rows (the flt
+    column), full-snapshot carries (compact rebuilds them for the new
+    files), and vacuum keeps referenced sidecars while sweeping
+    orphans."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import (
+        CHECKPOINT_EVERY,
+        VersionedTable,
+    )
+
+    vt = _bloom_table(spark, str(tmp_path / "t"), nfiles=CHECKPOINT_EVERY + 1)
+    assert vt._find_checkpoint(CHECKPOINT_EVERY) is not None
+    key = "key-000007"
+    pruned = vt.read(prune=[("k", "=", key)])
+    assert len(pruned.inputFiles()) == 1 and pruned.count() == 1
+    # compact: rewritten files get FRESH filters (built in
+    # _write_data_files); skipping may keep more files (fewer, bigger
+    # ones) but never loses correctness
+    vt.compact(target_file_bytes=1 << 30)
+    got = vt.read(prune=[("k", "=", key)]).collect()
+    assert [(r.k) for r in got] == [key]
+    n_all = len(vt.read().inputFiles())
+    assert len(vt.read(prune=[("k", "=", "key-999999")]).inputFiles()) < max(
+        n_all, 1
+    ) or vt.read(prune=[("k", "=", "key-999999")]).count() == 0
+    # vacuum: old sidecars (pre-compact) are swept, referenced ones stay
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    fresh = VersionedTable(spark, str(tmp_path / "t"))
+    flt_dir = os.path.join(fresh.path, "_filters")
+    live = set(os.listdir(flt_dir)) if os.path.isdir(flt_dir) else set()
+    referenced = {
+        os.path.basename(s)
+        for s in fresh._filters_at(fresh.latest_version()).values()
+    }
+    assert referenced <= live
+    assert all(f in referenced for f in live if f.endswith(".parquet"))
+    assert fresh.read(prune=[("k", "=", key)]).count() == 1
+
+
+def test_bloom_dml_and_unconfigured_tables_unaffected(spark, tmp_path):
+    """DML over an indexed table stays correct (rewrites rebuild
+    filters for new files; dropped files' refs die with them), and a
+    table WITHOUT the property never builds a sidecar."""
+    import os
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = _bloom_table(spark, str(tmp_path / "t"))
+    vt.delete("v = 5")
+    assert vt.read(prune=[("k", "=", "key-000005")]).count() == 0
+    assert vt.read(prune=[("k", "=", "key-000009")]).count() == 1
+    plain = VersionedTable(spark, str(tmp_path / "plain"))
+    plain.overwrite(spark.range(100))
+    plain.append(spark.range(100, 200))
+    assert not os.path.isdir(os.path.join(plain.path, "_filters"))
+    assert plain.read().count() == 200
+
+
+# -- auto-compaction -------------------------------------------------------
+
+
+def test_auto_compact_bounds_streaming_small_files(spark, tmp_path):
+    """Continuous ingest with vt.autoCompact.minFiles keeps the live
+    file count bounded (the streaming small-file pile-up) with zero
+    lost or duplicated rows; compactions are data_change: false so
+    incremental consumers skip them; tables without the property are
+    untouched."""
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(0, 10).coalesce(1))
+    vt.set_properties({"vt.autoCompact.minFiles": "6"})
+    for i in range(14):
+        lo = (i + 1) * 100
+        vt.append(spark.range(lo, lo + 10).coalesce(1), txn=("app", i))
+    state = vt._state(vt.latest_version())
+    assert len(state) < 6 + 1, f"file count not bounded: {len(state)}"
+    assert vt.read().count() == 150  # nothing lost, nothing duplicated
+    assert vt.read().select("id").distinct().count() == 150
+    # the compactions really happened and are layout-only
+    ops = [m.get("op") for m in vt.history()]
+    assert "compact" in ops
+    assert all(
+        m.get("data_change") is False
+        for m in vt.history()
+        if m.get("op") == "compact"
+    )
+    # idempotent replay still works across auto-compactions
+    assert vt.append(spark.range(5).coalesce(1), txn=("app", 3)) is None
+    assert vt.read().count() == 150
+    # control: no property -> no compaction
+    plain = VersionedTable(spark, str(tmp_path / "p"))
+    plain.overwrite(spark.range(10).coalesce(1))
+    for i in range(8):
+        plain.append(spark.range(10).coalesce(1))
+    assert all(m.get("op") != "compact" for m in plain.history())
+    assert len(plain._state(plain.latest_version())) == 9
+
+
+def test_auto_compact_scoped_to_touched_partitions(spark, tmp_path):
+    """On a partitioned table the policy compacts only the partitions
+    the append touched and only those over the threshold: the cold
+    partition's files are carried by NAME (zero bytes rewritten)."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    cold = spark.range(50).select(
+        F.lit("cold").alias("p"), F.col("id").alias("v")
+    )
+    vt.overwrite(cold.repartition(3), partition_by=["p"])
+    vt.set_properties({"vt.autoCompact.minFiles": "4"})
+    cold_files = {
+        f for f in vt._state(vt.latest_version()) if f.startswith("p=cold")
+    }
+    for i in range(6):
+        hot = spark.range(10).select(
+            F.lit("hot").alias("p"),
+            (F.col("id") + i * 10).alias("v"),
+        )
+        vt.append(hot.coalesce(1))
+    state = vt._state(vt.latest_version())
+    hot_files = [f for f in state if f.startswith("p=hot")]
+    # steady state: a partition reaching minFiles collapses to 1, so the
+    # post-append count stays strictly under the threshold
+    assert len(hot_files) < 4, f"hot partition not compacted: {hot_files}"
+    assert any(m.get("op") == "compact" for m in vt.history())
+    # the cold partition was never rewritten: same file names
+    assert {f for f in state if f.startswith("p=cold")} == cold_files
+    assert vt.read().count() == 110
+    assert (
+        vt.read().where("p = 'hot'").select("v").distinct().count() == 60
+    )
