@@ -11,10 +11,18 @@ data files that make up that version.
                                       "files": [...]}    full snapshot
       _log/00000001.json             {"version": 1, "op": "append",
                                       "add": [...]}      delta
-      _log/00000010.checkpoint.parquet  full snapshot: one row per live
-                                     data file (path + JSON stats + dv
-                                     cells), O(1) metadata in the footer
+      _log/00000010.checkpoint.parquet  checkpoint: one row per data file
+                                     (path + JSON stats/dv cells + bloom
+                                     sidecar ref), O(1) metadata in the
+                                     footer. FULL (self-contained) or
+                                     INCREMENTAL (rows = adds since the
+                                     ``base_cp`` checkpoint — Delta's v2
+                                     shape; chains compact periodically)
                                      (legacy *.checkpoint.json still read)
+      _filters/flt-....parquet       bloom-filter sidecars (opt-in
+                                     vt.bloomFilter.* TBLPROPERTIES),
+                                     one per commit, referenced by the
+                                     manifests' ``filters`` maps
       part-....parquet               data files (immutable once committed)
 
 Commit protocol: write data files first (invisible until referenced), then

@@ -125,7 +125,18 @@ def checkpoint_stress(spark, scratch: str) -> None:
     stats reads skip the dv column and vice versa. The JSON blob pays a
     full O(files) parse for every one of those. The synthetic state
     commits through the real protocol with pre-known stats (the LOG is
-    under test; no data bytes are written)."""
+    under test; no data bytes are written).
+
+    Since the r14 changes, two more claims are under test here:
+    (1) a LARGE full-snapshot commit writes its checkpoint eagerly from
+    the in-memory manifest (sec_commit_overwrite includes it; the old
+    4.8 s "cold case" — property walks re-parsing the 100k-entry JSON
+    manifest — no longer exists on the happy path, and the explicit
+    rewrite below shows what it costs when it does run);
+    (2) the steady-state cadence checkpoint is INCREMENTAL (rows = the
+    adds since the previous checkpoint, base_cp footer pointer), so its
+    write cost is O(delta) — independent of table file count, asserted
+    by comparing the same 3-append cadence at 100k files vs 1k files."""
     from as_etl_storage_spark.writers.versioned import VersionedTable
 
     n_files = 100_000
@@ -137,12 +148,17 @@ def checkpoint_stress(spark, scratch: str) -> None:
         for i, n in enumerate(names)
     }
     os.makedirs(path, exist_ok=True)
-    vt._commit(names, "overwrite", None, known_stats=stats)
+    t_commit, _ = timed(
+        lambda: vt._commit(names, "overwrite", None, known_stats=stats)
+    )
     v = vt.latest_version()
+    assert vt._find_checkpoint(v) is not None, (
+        "a 100k-file snapshot commit must checkpoint eagerly"
+    )
 
-    # COLD write: every property walk terminates at (and re-parses) the
-    # synthetic 100k-entry overwrite manifest — the worst case
-    t_write, _ = timed(lambda: vt._write_checkpoint(v))
+    # explicit full REWRITE at the same version: what the old cold case
+    # cost (walks now terminate at the eager checkpoint, not the JSON)
+    t_write, _ = timed(lambda: vt._write_checkpoint(v, force_full=True))
     cp = vt._find_checkpoint(v)
     pq_bytes = os.path.getsize(cp)
     t_state, files = timed(lambda: vt._read_checkpoint(cp, "files"))
@@ -152,19 +168,42 @@ def checkpoint_stress(spark, scratch: str) -> None:
     assert len(st["stats"]) == n_files
 
     # STEADY-STATE write (the real cadence: checkpoint every
-    # CHECKPOINT_EVERY appends): the walks terminate at the PREVIOUS
-    # parquet checkpoint — footer metadata O(1), columnar state/stats
-    for i in range(3):
-        name = f"part-extra-{i}.parquet"
-        vt._commit(
-            None,
-            "append",
-            vt.latest_version(),
-            new_files=[name],
-            known_stats={name: {"#rows": 1, "#bytes": 64}},
-        )
-    v2 = vt.latest_version()
+    # CHECKPOINT_EVERY appends): INCREMENTAL — rows are the 3 adds, not
+    # the 100k state, base_cp points at the eager checkpoint above
+    def _cadence(table):
+        for i in range(3):
+            name = f"part-extra-{i}.parquet"
+            table._commit(
+                None,
+                "append",
+                table.latest_version(),
+                new_files=[name],
+                known_stats={name: {"#rows": 1, "#bytes": 64}},
+            )
+        return table.latest_version()
+
+    v2 = _cadence(vt)
     t_write_steady, _ = timed(lambda: vt._write_checkpoint(v2))
+    cp2 = vt._find_checkpoint(v2)
+    meta2 = vt._read_checkpoint(cp2, "meta")
+    assert meta2.get("base_cp") == v, "steady write must be incremental"
+    t_state2, files2 = timed(lambda: vt._read_checkpoint(cp2, "files"))
+    assert len(files2["files"]) == n_files + 3  # chain resolves fully
+
+    # file-count independence: the SAME cadence on a 1k-file table
+    small = VersionedTable(spark, os.path.join(scratch, "cp-small"))
+    os.makedirs(small.path, exist_ok=True)
+    small_names = names[:1000]
+    small._commit(
+        small_names,
+        "overwrite",
+        None,
+        known_stats={n: stats[n] for n in small_names},
+    )
+    vs2 = _cadence(small)
+    t_write_steady_small, _ = timed(
+        lambda: small._write_checkpoint(vs2)
+    )
 
     # legacy single-JSON blob: same content, one parse for ANY lookup
     payload = dict(vt._read_checkpoint(cp, "meta"))
@@ -184,8 +223,17 @@ def checkpoint_stress(spark, scratch: str) -> None:
             {
                 "case": "checkpoint_100k_files",
                 "files": n_files,
-                "sec_parquet_write_cold": round(t_write, 4),
-                "sec_parquet_write_steady": round(t_write_steady, 4),
+                "sec_commit_overwrite_incl_eager_checkpoint": round(
+                    t_commit, 4
+                ),
+                "sec_parquet_write_full_rewrite": round(t_write, 4),
+                "sec_parquet_write_steady_incremental": round(
+                    t_write_steady, 4
+                ),
+                "sec_parquet_write_steady_1k_files": round(
+                    t_write_steady_small, 4
+                ),
+                "sec_chain_state_load": round(t_state2, 4),
                 "sec_parquet_state_load": round(t_state, 4),
                 "sec_parquet_meta_lookup": round(t_meta, 4),
                 "sec_parquet_stats_load": round(t_stats, 4),

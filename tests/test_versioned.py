@@ -456,7 +456,7 @@ def test_checkpoint_parquet_format_and_legacy_json(spark, tmp_path):
     assert cp.endswith(".checkpoint.parquet")
     # spark.read-able, one row per live file, dv/stats cells populated
     df = spark.read.parquet(cp)
-    assert set(df.columns) == {"path", "stats", "dv"}
+    assert set(df.columns) == {"path", "stats", "dv", "flt"}
     assert df.count() == len(vt._state(cpv))
     assert df.where("dv IS NOT NULL").count() == 1  # the dv'd file
     assert df.where("stats IS NULL").count() == 0
