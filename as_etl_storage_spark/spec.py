@@ -327,6 +327,12 @@ class WriterSpec:
     #: "_commit_version"). Ties are broken arbitrarily — point it at a
     #: monotonic version/timestamp column
     keep_latest_by: str = ""
+    #: TBLPROPERTIES to SET on the versioned sink (merged into the
+    #: table's map; the vt.* config namespace — bloom-filter indexes,
+    #: auto-compaction — is validated by the table at apply time).
+    #: Applied BEFORE the write on an existing table (so this write's
+    #: filter build / auto-compact see them), after creation otherwise.
+    table_properties: dict[str, str] = field(default_factory=dict)
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "WriterSpec":
@@ -372,6 +378,7 @@ class WriterSpec:
             ),
             when_matched_set=dict(obj.get("whenMatchedSet", {}) or {}),
             keep_latest_by=str(obj.get("keepLatestBy", "") or ""),
+            table_properties=dict(obj.get("tableProperties", {}) or {}),
         )
         spec.validate()
         return spec
@@ -498,6 +505,17 @@ class WriterSpec:
                     "replaceWhere and dynamicPartitionOverwrite are "
                     "mutually exclusive overwrite scopes"
                 )
+        if self.table_properties:
+            if not self.versioned:
+                raise SpecError(
+                    "tableProperties requires versioned=true (TBLPROPERTIES "
+                    "live in the transaction log)"
+                )
+            for k, v in self.table_properties.items():
+                if not isinstance(k, str) or not isinstance(v, str):
+                    raise SpecError(
+                        f"tableProperties are string pairs; got {k!r}={v!r}"
+                    )
 
 
 @dataclass(frozen=True)

@@ -3615,14 +3615,16 @@ class VersionedTable:
         if isinstance(predicate, (list, tuple)):
             triples = [tuple(t) for t in predicate]
             cond = self._as_condition(self._triples_condition(triples))
-            return (
-                cond,
-                self._prune_files(
-                    files, self._stats_at(base), triples,
-                    self._mapping_at(base),
-                ),
-                triples,
+            mapping = self._mapping_at(base)
+            cands = self._prune_files(
+                files, self._stats_at(base), triples, mapping,
             )
+            # bloom pass: a keyed DELETE/UPDATE (the CDC-apply shape)
+            # probes = / IN conjuncts so the discovery scan opens only
+            # files that can hold the key — min/max can't do this on
+            # an unsorted high-cardinality column
+            cands = self._bloom_prune(cands, triples, base, mapping)
+            return cond, cands, triples
         return self._as_condition(predicate), files, None
 
     _DV_POS = "__vt_pos"
@@ -5774,6 +5776,9 @@ class VersionedTable:
         files = all_files
         if where:
             files = self._prune_files(all_files, stats, where, mapping)
+            # bloom pass: any provably-out-of-scope file is carried by
+            # name instead of rewritten (same conservatism as read)
+            files = self._bloom_prune(files, where, base, mapping)
             in_scope = set(files)
             untouched = [f for f in all_files if f not in in_scope]
             if not files:

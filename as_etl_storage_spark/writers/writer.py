@@ -399,6 +399,11 @@ class ParquetWriter:
         vt = VersionedTable(self.spark, table_dir)
         mode = self.spec.write_mode
         exists = vt.latest_version() is not None
+        if self.spec.table_properties and exists:
+            # SET TBLPROPERTIES before the write so THIS batch already
+            # sees them (bloom-filter build, auto-compaction); a typo'd
+            # vt.* key or bad value fails here, before any data moves
+            vt.set_properties(dict(self.spec.table_properties))
         if exists and mode in ("insert", "replace"):
             # same W11 gate as the file path: appending/merging a drifted
             # schema would commit mixed-schema files the reader then
@@ -512,6 +517,11 @@ class ParquetWriter:
             # release the cache on the error path too — a failed commit
             # otherwise leaks the cached frame for the session lifetime
             clean.unpersist()
+        if self.spec.table_properties and not exists:
+            # creation path: the table has a log only now; properties
+            # take effect from the NEXT write (a filter for this first
+            # batch would need a property that predates the table)
+            vt.set_properties(dict(self.spec.table_properties))
         return written, table_dir
 
 

@@ -199,6 +199,41 @@ def main() -> None:
     copy_s = time.perf_counter() - t0
     shutil.rmtree(copy_dir, ignore_errors=True)
 
+    # auto-compaction read-side win (r14): the same orders rows scanned
+    # as the streaming sink's small-file pile-up (64 files) vs the shape
+    # auto-compaction maintains (compact() output). Reported as extra.*
+    # scalars — NOT a headline query, so the round-over-round totals
+    # stay like-for-like. Medians of 3 to shrug off one-run spikes.
+    compact_extra: dict[str, float] = {}
+    try:
+        from as_etl_storage_spark.writers.versioned import VersionedTable
+
+        ac_dir = tempfile.mkdtemp(prefix="bench_ac_")
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        vt = VersionedTable(spark, os.path.join(ac_dir, "t"))
+        vt.overwrite(orders.repartition(64))
+
+        def _scan_sec() -> float:
+            t0 = time.perf_counter()
+            vt.read().groupBy("o_orderstatus").count().write.mode(
+                "overwrite"
+            ).format("noop").save()
+            return time.perf_counter() - t0
+
+        small = statistics.median(_scan_sec() for _ in range(3))
+        vt.compact()
+        packed = statistics.median(_scan_sec() for _ in range(3))
+        compact_extra = {
+            "small_files_read_sec": round(small, 4),
+            "compacted_read_sec": round(packed, 4),
+            "compact_read_speedup": round(small / packed, 2)
+            if packed > 0
+            else -1.0,
+        }
+        shutil.rmtree(ac_dir, ignore_errors=True)
+    except Exception:
+        compact_extra = {"compact_read_speedup": -1.0}
+
     # Driver contract: the FINAL stdout line must be ONE compact JSON dict.
     # r5 lesson (BENCH_r05.json "parsed": null): carrying per_run_sec +
     # extended_sec inline grew the line past the driver's tail capture, so
@@ -253,6 +288,9 @@ def main() -> None:
                     # were min-of-2)
                     "stat": stat,
                     "n_runs": n_runs,
+                    # r14: the read-amplification delta auto-compaction
+                    # removes (64-file pile-up vs compacted, same rows)
+                    **compact_extra,
                 },
             },
             separators=(",", ":"),

@@ -6763,3 +6763,139 @@ def test_auto_compact_scoped_to_touched_partitions(spark, tmp_path):
     assert (
         vt.read().where("p = 'hot'").select("v").distinct().count() == 60
     )
+
+
+def test_bloom_prunes_keyed_dml_and_compact_scope(spark, tmp_path):
+    """The CDC-apply shape: a keyed DELETE (triple form) discovers
+    touched files through the bloom index — every file the filters
+    prove key-free is carried by NAME — and compact(where=[key]) scopes
+    the same way. Results stay exact either way."""
+    vt = _bloom_table(spark, str(tmp_path / "t"))
+    before = set(vt._state(vt.latest_version()))
+    key = "key-000006"  # bucket i=2 (6 = 1*4 + 2)
+    vt.delete([("k", "=", key)])
+    after = set(vt._state(vt.latest_version()))
+    # exactly one file rewritten: the others carried byte-identical
+    assert len(before - after) == 1, (before - after)
+    assert vt.read().where(f"k = '{key}'").count() == 0
+    assert vt.read().count() == 801 - 1  # seed + 4x200 - deleted
+    # compact scoped by an IN over two buckets: exactly those two files
+    # are repacked (into one), the other buckets carried by name — the
+    # bloom index did the scoping, since min/max can't separate them
+    pre = set(vt._state(vt.latest_version()))
+    vt.compact(where=[("k", "in", ["key-000009", "key-000004"])])
+    post = set(vt._state(vt.latest_version()))
+    assert len(pre - post) == 2
+    assert len(post - pre) == 1
+    assert vt.read().count() == 800
+
+
+def test_spec_table_properties_end_to_end(spark, tmp_path):
+    """TBLPROPERTIES from the JSON job spec (writer.tableProperties):
+    creation-path jobs record them after the first write; existing-table
+    jobs SET them before the batch, so the SAME job's bloom build and
+    auto-compaction see them. Validation: versioned-only, string pairs,
+    vt.* typos fail before any data moves."""
+    import pytest as _pytest
+
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.spec import SpecError
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    def job(props, mode="insert"):
+        return {
+            "reader": {
+                "connection": {
+                    "url": "/root/testdata/sf0.001",
+                    "table": {"name": "nation"},
+                },
+                "column": ["n_nationkey", "n_name"],
+            },
+            "writer": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "t"},
+                },
+                "writeMode": mode,
+                "versioned": True,
+                "tableProperties": props,
+            },
+        }
+
+    run_job(spark, job({"vt.autoCompact.minFiles": "12", "team": "x"}))
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    assert vt.properties() == {
+        "vt.autoCompact.minFiles": "12",
+        "team": "x",
+    }
+    # existing table: properties merge BEFORE the append
+    run_job(spark, job({"vt.bloomFilter.columns": "n_name"}))
+    assert vt.properties()["vt.bloomFilter.columns"] == "n_name"
+    assert vt.properties()["team"] == "x"
+    # the append that rode along saw the property -> filters built
+    assert vt._filters_at(vt.latest_version()) != {}
+    # validation surface
+    with _pytest.raises(SpecError, match="versioned"):
+        run_job(
+            spark,
+            {
+                "reader": job({})["reader"],
+                "writer": {
+                    "connection": {
+                        "url": str(tmp_path),
+                        "table": {"name": "u"},
+                    },
+                    "tableProperties": {"team": "x"},
+                },
+            },
+        )
+    with _pytest.raises(Exception, match="unknown reserved"):
+        run_job(spark, job({"vt.bloomFilter.column": "n_name"}))
+
+
+def test_versioned_stream_sink_auto_compacts(spark, tmp_path):
+    """The REAL streaming engine against the auto-compact policy: a
+    file stream at maxFilesPerTrigger=1 delivers ~12 micro-batches into
+    a pre-created table with vt.autoCompact.minFiles=5 — the classic
+    pile-up — and the live file count stays bounded while the replay
+    (fresh Spark checkpoint, every batch re-delivered) still lands
+    nothing: the txn ledger and the compaction commits compose."""
+    from as_etl_storage_spark.streaming.micro_batch import (
+        VersionedStreamWriter,
+    )
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    src = tmp_path / "src"
+    for i in range(12):
+        spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    table = str(tmp_path / "vt")
+    vt = VersionedTable(spark, table)
+    vt.overwrite(spark.range(-10, 0).coalesce(1))  # seed row set
+    vt.set_properties({"vt.autoCompact.minFiles": "5"})
+
+    def drain(checkpoint: str) -> VersionedStreamWriter:
+        w = VersionedStreamWriter(table, "ingest", checkpoint=checkpoint)
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        w.run_available_now(stream)
+        return w
+
+    w1 = drain(str(tmp_path / "cp1"))
+    assert w1.batches_seen >= 5  # genuinely many micro-batches
+    assert vt.read().count() == 1210
+    n_files = len(vt._state(vt.latest_version()))
+    assert n_files < 5 + 1, f"file pile-up not bounded: {n_files}"
+    assert any(m.get("op") == "compact" for m in vt.history())
+    v_after = vt.latest_version()
+    # full replay from a fresh checkpoint: ledger-skipped, no dupes,
+    # and no further compactions fire (nothing new crossed a threshold)
+    w2 = drain(str(tmp_path / "cp2"))
+    assert w2.batches_seen == 0 and w2.batches_skipped >= 5
+    assert vt.read().count() == 1210
+    assert vt.read().select("id").distinct().count() == 1210
+    assert vt.latest_version() == v_after
