@@ -1043,6 +1043,18 @@ class VersionedTable:
         # rate; see writers/bloom.py and read(prune=...)
         "vt.bloomFilter.columns",
         "vt.bloomFilter.fpp",
+        # per-table checkpoint cadence (Delta's delta.checkpointInterval):
+        # overrides the module CHECKPOINT_EVERY default
+        "vt.checkpointInterval",
+        # default vacuum retention window in hours (Delta's
+        # delta.deletedFileRetentionDuration): vacuum() uses it when the
+        # caller passes no retain_hours
+        "vt.vacuum.retainHours",
+        # refuse row-removing commits (Delta's delta.appendOnly): the
+        # compliance/audit-table switch — appends, layout maintenance
+        # and metadata stay allowed; DELETE/UPDATE/MERGE/overwrite/
+        # restore are refused at commit
+        "vt.appendOnly",
     }
 
     def properties(self, version: int | None = None) -> dict[str, str]:
@@ -1122,7 +1134,11 @@ class VersionedTable:
 
     @classmethod
     def _validate_known_properties(cls, props: dict[str, str]) -> None:
-        ints = ("vt.autoCompact.minFiles", "vt.autoCompact.targetFileBytes")
+        ints = (
+            "vt.autoCompact.minFiles",
+            "vt.autoCompact.targetFileBytes",
+            "vt.checkpointInterval",
+        )
         for k in ints:
             if k in props:
                 try:
@@ -1143,6 +1159,24 @@ class VersionedTable:
                     f"vt.bloomFilter.fpp must be in (0, 1), got "
                     f"{props['vt.bloomFilter.fpp']!r}"
                 )
+        if "vt.vacuum.retainHours" in props:
+            try:
+                h = float(props["vt.vacuum.retainHours"])
+            except ValueError:
+                h = -1.0
+            if h < 0:
+                raise VersionedTableError(
+                    f"vt.vacuum.retainHours must be >= 0, got "
+                    f"{props['vt.vacuum.retainHours']!r}"
+                )
+        if "vt.appendOnly" in props and props["vt.appendOnly"] not in (
+            "true",
+            "false",
+        ):
+            raise VersionedTableError(
+                f"vt.appendOnly must be 'true' or 'false', got "
+                f"{props['vt.appendOnly']!r}"
+            )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
@@ -1894,6 +1928,20 @@ class VersionedTable:
             meta["dv_extra"] = dv_extra
         self._put_checkpoint(version, state, stats, dv, meta, flt=flt)
 
+    def _checkpoint_interval(self, version: int) -> int:
+        """Checkpoint cadence in effect (Delta's
+        delta.checkpointInterval): the ``vt.checkpointInterval``
+        TBLPROPERTY when set, else the module default. Best-effort: an
+        unreadable log answers the default (the cadence is an
+        optimization, never a correctness input)."""
+        try:
+            raw = self._properties_at(version).get("vt.checkpointInterval")
+            if raw:
+                return max(1, int(raw))
+        except Exception:  # noqa: BLE001 - cadence is advisory
+            pass
+        return CHECKPOINT_EVERY
+
     def _checkpoint_meta(self, version: int) -> dict:
         """The complete O(1) property set every checkpoint footer
         carries (full and incremental alike — meta lookups never chain).
@@ -1942,9 +1990,10 @@ class VersionedTable:
         adds_layers: list[list[str]] = []
         stats_layers: list[dict] = []
         flt_layers: list[dict] = []
+        walk_cap = 4 * self._checkpoint_interval(version)
         v = version
         while True:
-            if version - v > 4 * CHECKPOINT_EVERY:
+            if version - v > walk_cap:
                 return None  # unhealthy cadence: re-anchor with a full
             if v != version:
                 cp = self._find_checkpoint(v)
@@ -2190,6 +2239,27 @@ class VersionedTable:
                 # here — committing on top of an ununderstood feature
                 # could violate invariants that feature maintains
                 self._check_features(latest)
+                if op in (
+                    "delete",
+                    "update",
+                    "merge",
+                    "overwrite",
+                    "replace",
+                    "replace_where",
+                    "overwrite_partitions",
+                    "restore",
+                ) and self._properties_at(latest).get(
+                    "vt.appendOnly"
+                ) == "true":
+                    # Delta's delta.appendOnly: the audit-table switch.
+                    # Appends, compaction (same rows) and metadata stay
+                    # allowed; anything that can remove or change a row
+                    # is refused AT COMMIT so no write beats the gate
+                    raise VersionedTableError(
+                        f"table at {self.path} is append-only "
+                        f"(vt.appendOnly=true); {op} would remove or "
+                        f"change rows — unset the property first"
+                    )
             if txn is not None and latest is not None:
                 # idempotence check INSIDE the retry loop: a concurrent
                 # same-app writer may have landed this batch between
@@ -2533,7 +2603,7 @@ class VersionedTable:
             if not self._publish_manifest(version, manifest):
                 continue  # lost the commit race; loop re-reads the log
             self._pending_filters = {}
-            if op == "append" and version > 0 and version % CHECKPOINT_EVERY == 0:
+            if op == "append" and version > 0 and version % self._checkpoint_interval(version) == 0:
                 # bound future readers' delta replay. Best-effort AFTER
                 # the commit point: the append IS committed, so a failure
                 # here (disk full, concurrent vacuum racing the manifest
@@ -6273,6 +6343,7 @@ class VersionedTable:
             "size_bytes": size,
             "partition_columns": self._partition_by_at(latest),
             "constraints": self._constraints_at(latest),
+            "properties": self._properties_at(latest),
             "generated_columns": self._generated_at(latest),
             "identity_columns": self._identity_at(latest),
             "schema": self.table_schema(latest).simpleString(),
@@ -6361,6 +6432,16 @@ class VersionedTable:
             self._store.sweep_temps(self.log_dir, _old_enough)
 
         vs = self._versions()
+        if retain_hours is None and vs:
+            # table-declared retention default (Delta's
+            # delta.deletedFileRetentionDuration): callers that pass an
+            # explicit retain_hours still win
+            raw = self._properties_at(vs[-1]).get("vt.vacuum.retainHours")
+            if raw:
+                try:
+                    retain_hours = float(raw)
+                except ValueError:
+                    pass  # validated at SET; defensive for hand-edits
         n_keep = max(1, retain_last)
         if retain_hours is not None:
             cutoff = now - retain_hours * 3600.0

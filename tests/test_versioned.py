@@ -6899,3 +6899,58 @@ def test_versioned_stream_sink_auto_compacts(spark, tmp_path):
     assert vt.read().count() == 1210
     assert vt.read().select("id").distinct().count() == 1210
     assert vt.latest_version() == v_after
+
+
+def test_property_append_only_checkpoint_interval_vacuum_retention(
+    spark, tmp_path
+):
+    """The three operational TBLPROPERTIES: vt.appendOnly refuses every
+    row-removing commit at the COMMIT gate (appends, compaction and
+    metadata stay allowed, and unset re-enables); vt.checkpointInterval
+    overrides the cadence per table; vt.vacuum.retainHours sets the
+    vacuum default an explicit argument still beats."""
+    import os
+    import time as _time
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(10).coalesce(1))
+    vt.set_properties(
+        {"vt.appendOnly": "true", "vt.checkpointInterval": "3"}
+    )
+    # blocked: everything that can remove or change a row
+    with pytest.raises(VersionedTableError, match="append-only"):
+        vt.delete("id = 1")
+    with pytest.raises(VersionedTableError, match="append-only"):
+        vt.update("id = 1", {"id": "id + 100"})
+    with pytest.raises(VersionedTableError, match="append-only"):
+        vt.overwrite(spark.range(5).coalesce(1))
+    with pytest.raises(VersionedTableError, match="append-only"):
+        vt.restore(version=0)
+    # allowed: append, compaction (same rows), metadata
+    vt.append(spark.range(10, 20).coalesce(1))
+    vt.compact(target_file_bytes=1 << 30)
+    assert vt.read().count() == 20
+    # the tightened cadence: version 6 is 2 appends past the compact
+    # snapshot — with interval 3 a checkpoint lands at v6
+    vt.append(spark.range(20, 30).coalesce(1))  # v4... depends; drive to %3
+    while vt.latest_version() % 3 != 0:
+        vt.append(spark.range(1).coalesce(1))
+    assert vt._find_checkpoint(vt.latest_version()) is not None
+    # unset re-enables DML
+    vt.unset_properties(["vt.appendOnly"])
+    vt.delete("id = 0")
+    assert vt.read().where("id = 0").count() == 0
+    # vacuum retention default from the property: a huge window keeps
+    # everything; the explicit argument overrides it
+    vt.set_properties({"vt.vacuum.retainHours": "1000000"})
+    history_before = len(vt._versions())
+    vt.vacuum(retain_last=1, grace_seconds=0.0)
+    assert len(vt._versions()) == history_before  # property kept all
+    vt.vacuum(retain_last=1, grace_seconds=0.0, retain_hours=0.0)
+    assert len(vt._versions()) == 1  # explicit arg beat the property
+    assert vt.read().count() == 29
