@@ -1055,6 +1055,12 @@ class VersionedTable:
         # and metadata stay allowed; DELETE/UPDATE/MERGE/overwrite/
         # restore are refused at commit
         "vt.appendOnly",
+        # declared clustering keys (Delta's liquid-clustering CLUSTER BY,
+        # the declarative half): every compact() without an explicit
+        # zorder — including auto-compaction — re-clusters on these
+        # columns, so the layout that makes stats selective maintains
+        # itself as data arrives
+        "vt.clusterBy",
     }
 
     def properties(self, version: int | None = None) -> dict[str, str]:
@@ -1095,26 +1101,25 @@ class VersionedTable:
         self._validate_known_properties(props)
         merged = self._properties_at(base)
         merged.update(props)
-        if "vt.bloomFilter.columns" in props:
+        for key in ("vt.bloomFilter.columns", "vt.clusterBy"):
+            if key not in props:
+                continue
             # validate the columns against the CURRENT schema so a typo
             # fails here; files written before the property simply have
-            # no filter (skipping disabled for them, never correctness)
+            # no filter / old layout (never a correctness issue)
             sch = self._schema_at(base)
-            if sch is not None:
-                have = {
-                    f["name"].lower() for f in sch.get("fields", [])
-                }
-                want = [
-                    c.strip()
-                    for c in props["vt.bloomFilter.columns"].split(",")
-                    if c.strip()
-                ]
-                missing = [c for c in want if c.lower() not in have]
-                if missing:
-                    raise VersionedTableError(
-                        f"vt.bloomFilter.columns names unknown columns "
-                        f"{missing}; table columns: {sorted(have)}"
-                    )
+            if sch is None:
+                continue
+            have = {f["name"].lower() for f in sch.get("fields", [])}
+            want = [
+                c.strip() for c in props[key].split(",") if c.strip()
+            ]
+            missing = [c for c in want if c.lower() not in have]
+            if missing:
+                raise VersionedTableError(
+                    f"{key} names unknown columns {missing}; "
+                    f"table columns: {sorted(have)}"
+                )
         return self._commit_metadata(
             base, "set_properties", properties=merged
         )
@@ -5839,6 +5844,27 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
+        if zorder is None:
+            # declared clustering (Delta's liquid CLUSTER BY, the
+            # declarative half): a plain OPTIMIZE re-clusters on the
+            # table's keys — which is how auto-compaction maintains the
+            # selective layout without per-call arguments. Columns a
+            # later DDL dropped are skipped (layout is advisory).
+            declared = [
+                c.strip()
+                for c in self._properties_at(base)
+                .get("vt.clusterBy", "")
+                .split(",")
+                if c.strip()
+            ]
+            if declared:
+                live = {
+                    f.name.lower()
+                    for f in (self.table_schema(base).fields or [])
+                }
+                declared = [c for c in declared if c.lower() in live]
+            if declared:
+                zorder = declared
         all_files = self._state(base)
         mapping = self._mapping_at(base)
         stats = self._stats_at(base)  # one log walk: prune + sizes + carry

@@ -6954,3 +6954,69 @@ def test_property_append_only_checkpoint_interval_vacuum_retention(
     vt.vacuum(retain_last=1, grace_seconds=0.0, retain_hours=0.0)
     assert len(vt._versions()) == 1  # explicit arg beat the property
     assert vt.read().count() == 29
+
+
+def test_cluster_by_property_drives_compaction_layout(spark, tmp_path):
+    """vt.clusterBy (liquid-clustering's declarative half): appends
+    arrive interleaved — every file spans the whole key range, range
+    prune keeps everything — then a PLAIN compact() (no zorder
+    argument) re-clusters on the declared keys and the same range
+    predicate scans one file. Auto-compaction composes: with both
+    properties set, ingest maintains the selective layout by itself.
+    A column dropped after declaration is skipped, not fatal."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(1).select((F.col("id") - 10).alias("v")).coalesce(1)
+    )
+    vt.set_properties({"vt.clusterBy": "v"})
+    for b in range(4):  # interleaved: file b holds v = b, b+4, b+8, ...
+        vt.append(
+            spark.range(250)
+            .select((F.col("id") * 4 + b).alias("v"))
+            .coalesce(1)
+        )
+    latest = vt.latest_version()
+    spread = vt.read(prune=[("v", ">=", 0), ("v", "<", 100)])
+    assert len(spread.inputFiles()) == 4  # premise: nothing prunable
+    vt.compact(target_file_bytes=4096)  # plain call, keys from property
+    tight = vt.read(prune=[("v", ">=", 0), ("v", "<", 100)])
+    assert len(tight.inputFiles()) < 4  # clustered: bounds now selective
+    assert tight.count() == 100 and spread.count() == 100
+    assert vt.read().count() == 1001
+    # auto-compaction picks the keys up too
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(
+        spark.range(1).select((F.col("id") - 10).alias("v")).coalesce(1)
+    )
+    vt2.set_properties(
+        {
+            "vt.clusterBy": "v",
+            "vt.autoCompact.minFiles": "4",
+            # small target so the clustered rewrite emits SEVERAL
+            # tight-bounded files — the prunable layout, not one blob
+            "vt.autoCompact.targetFileBytes": "4096",
+        }
+    )
+    for b in range(6):
+        vt2.append(
+            spark.range(200)
+            .select((F.col("id") * 6 + b).alias("v"))
+            .coalesce(1)
+        )
+    assert any(m.get("op") == "compact" for m in vt2.history())
+    assert vt2.read().count() == 1201
+    sel = vt2.read(prune=[("v", ">=", 0), ("v", "<", 60)])
+    n_all = len(vt2.read().inputFiles())
+    assert len(sel.inputFiles()) < n_all and sel.count() == 60
+    # dropped clustering column: compact skips it instead of failing
+    vt.add_column("w", "bigint")
+    vt.set_properties({"vt.clusterBy": "v,w"})
+    vt.drop_column("w")
+    v_before = vt.latest_version()
+    vt.compact(target_file_bytes=1 << 30)
+    assert vt.latest_version() > v_before
+    assert vt.read().count() == 1001
