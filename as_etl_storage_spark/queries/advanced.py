@@ -3009,6 +3009,159 @@ _register(
 )
 
 
+# ----------------------------------------------- LIKE-prefix skipping --
+def _w_versioned_like_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE-prefix data skipping (r15): ``col LIKE '3%'`` implies the
+    half-open range ``['3', '4')``, which the footer min/max stats CAN
+    serve — Delta derives the same range from startsWith filters. The
+    table is laid out as three files split by ``o_orderpriority``'s
+    leading digit, so the prefix predicate must reach exactly one file;
+    asserted in-query via inputFiles. The full LIKE (with a suffix the
+    range alone cannot express) stays the semantic filter, so the
+    result equals the oracle's plain LIKE. Extractor:
+    spec._like_prefix_triples."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wlp-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    pfx = F.substring("o_orderpriority", 1, 1)
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.where(pfx < "3").coalesce(1))
+    vt.append(orders.where(pfx == "3").coalesce(1))
+    vt.append(orders.where(pfx > "3").coalesce(1))
+    df = run_job(
+        spark,
+        {
+            "reader": {
+                "dialect": "versioned",
+                "connection": {"url": root, "table": {"name": "t"}},
+                "column": ["*"],
+                # suffix 'DIUM' exercises full-LIKE filtering on top of
+                # the extracted ['3', '4') skip range
+                "where": "o_orderpriority LIKE '3%DIUM'",
+            }
+        },
+    )
+    if len(df.inputFiles()) != 1:
+        raise AssertionError(
+            "LIKE-prefix read must skip the non-'3' files at the manifest"
+        )
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_like_prune",
+    _w_versioned_like_prune,
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_orderpriority LIKE '3%DIUM'
+    GROUP BY o_orderpriority
+    """,
+)
+
+
+# ------------------------------------------- declarative maintenance --
+def _w_versioned_maintenance_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-reachable table maintenance (r15): ONE JSON job runs
+    compact → checkpoint → vacuum(dryRun) on a versioned table — the
+    reference's declared-job shape (writer/job.go:63-93) extended to
+    layout work, as Delta exposes OPTIMIZE/VACUUM through SQL. The
+    compact step takes its clustering keys from the DECLARED
+    vt.clusterBy (no zorder in the spec), the checkpoint lands at the
+    compaction version, and the dry-run vacuum lists the pre-compact
+    files it WOULD reclaim while deleting nothing — all asserted
+    in-query. Rows never move, so the result equals a plain aggregate
+    over the source."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmj-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    # interleaved ingest: every file spans the whole key range
+    vt.overwrite(orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1))
+    vt.set_properties({"vt.clusterBy": "o_orderkey"})
+    for m in (1, 2):
+        vt.append(orders.where(F.col("o_orderkey") % 3 == m).coalesce(1))
+    files_before = len(vt.read().inputFiles())
+    res = run_job(
+        spark,
+        {
+            "maintenance": {
+                "connection": {"url": root, "table": {"name": "t"}},
+                "compact": {"targetFileBytes": 1 << 30},
+                "checkpoint": True,
+                "vacuum": {
+                    "retainLast": 1,
+                    "graceSeconds": 0,
+                    "dryRun": True,
+                },
+            }
+        },
+    )
+    m_c = vt._manifest(res.compact_version)
+    if m_c["op"] != "compact" or not m_c["params"]["zorder"]:
+        raise AssertionError("compact step must honor declared clusterBy")
+    if res.checkpoint_version != res.compact_version:
+        raise AssertionError("checkpoint must capture the packed snapshot")
+    if not res.vacuum_dry_run:
+        raise AssertionError("dry-run vacuum must list the stale files")
+    if len(vt.read().inputFiles()) >= files_before:
+        raise AssertionError("compaction must shrink the live file count")
+    # dry run deleted nothing: every retired file is still on disk
+    for rel in res.vacuum_dry_run:
+        if not os.path.exists(os.path.join(vt.path, rel)):
+            raise AssertionError("dryRun must not delete")
+    return (
+        vt.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).cast("double"),
+                2,
+            ).alias("total"),
+        )
+    )
+
+
+_register(
+    "w_versioned_maintenance_job",
+    _w_versioned_maintenance_job,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+
+
 # --------------------------------------------- spec-driven MERGE (CDC) --
 def _w_versioned_spec_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative CDC-apply loop in ONE JSON job spec

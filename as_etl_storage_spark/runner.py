@@ -14,20 +14,31 @@ Reference lifecycle parity:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import TYPE_CHECKING, Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+if TYPE_CHECKING:  # circular-free: maintenance imports spec, not runner
+    from as_etl_storage_spark.writers.maintenance import MaintenanceResult
 
 from as_etl_storage_spark.plans.planner import plan_read
 from as_etl_storage_spark.spec import JobSpec
 from as_etl_storage_spark.writers.writer import WriteResult
 
 
-def run_job(spark: SparkSession, spec: JobSpec | dict[str, Any] | str) -> WriteResult | DataFrame:
+def run_job(
+    spark: SparkSession, spec: JobSpec | dict[str, Any] | str
+) -> "WriteResult | DataFrame | MaintenanceResult":
     """Execute a job spec. With a writer: run end-to-end, return WriteResult.
-    Without: return the lazy DataFrame (ad-hoc/API path, SURVEY.md §3.3)."""
+    Without: return the lazy DataFrame (ad-hoc/API path, SURVEY.md §3.3).
+    A maintenance job (compact/checkpoint/vacuum on a versioned table)
+    runs its declared steps and returns a MaintenanceResult."""
     if not isinstance(spec, JobSpec):
         spec = JobSpec.from_json(spec)
+    if spec.maintenance is not None:
+        from as_etl_storage_spark.writers.maintenance import run_maintenance
+
+        return run_maintenance(spark, spec.maintenance)
     df = plan_read(spark, spec.reader)
     if spec.writer is None:
         return df

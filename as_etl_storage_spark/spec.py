@@ -519,17 +519,177 @@ class WriterSpec:
 
 
 @dataclass(frozen=True)
+class CompactMaintenanceSpec:
+    """One OPTIMIZE step of a maintenance job (Delta's OPTIMIZE
+    [WHERE] [ZORDER BY], declaratively). ``where`` scopes WHICH files
+    are re-packed via prune triples — it must extract at least one
+    triple (a scope string that extracts nothing would silently widen
+    to the whole table, the operational footgun this validation
+    fences). Omitting ``zorder`` leaves clustering to the table's
+    declared ``vt.clusterBy``, exactly like the Python API."""
+
+    target_file_bytes: int = 128 * 1024 * 1024
+    zorder: tuple[str, ...] = ()
+    where: str = ""
+    cluster_mode: str = "auto"
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "CompactMaintenanceSpec":
+        return CompactMaintenanceSpec(
+            target_file_bytes=int(
+                obj.get("targetFileBytes", 128 * 1024 * 1024)
+            ),
+            zorder=tuple(obj.get("zorder", []) or []),
+            where=obj.get("where", "") or "",
+            cluster_mode=obj.get("clusterMode", "auto"),
+        )
+
+    def validate(self) -> None:
+        if self.target_file_bytes < 1:
+            raise SpecError(
+                f"compact.targetFileBytes must be >= 1, got "
+                f"{self.target_file_bytes}"
+            )
+        if self.cluster_mode not in ("auto", "full", "incremental"):
+            raise SpecError(
+                "compact.clusterMode must be auto|full|incremental, "
+                f"got {self.cluster_mode!r}"
+            )
+        if self.where.strip() and not prune_triples_from_where(self.where):
+            raise SpecError(
+                f"compact.where {self.where!r} extracts no prune triple "
+                "— the scope would silently widen to the whole table; "
+                "use simple AND-ed col-op-literal conjuncts (or omit "
+                "where for a full-table OPTIMIZE)"
+            )
+
+
+@dataclass(frozen=True)
+class VacuumMaintenanceSpec:
+    """One VACUUM step of a maintenance job. ``dryRun`` lists what the
+    sweep WOULD remove (the audit step before an irreversible delete);
+    ``graceSeconds`` keeps an in-flight writer's still-unreferenced
+    fresh files safe exactly as the Python API does."""
+
+    retain_last: int = 1
+    retain_hours: float | None = None
+    grace_seconds: float = 600.0
+    dry_run: bool = False
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "VacuumMaintenanceSpec":
+        rh = obj.get("retainHours")
+        return VacuumMaintenanceSpec(
+            retain_last=int(obj.get("retainLast", 1)),
+            retain_hours=float(rh) if rh is not None else None,
+            grace_seconds=float(obj.get("graceSeconds", 600.0)),
+            dry_run=bool(obj.get("dryRun", False)),
+        )
+
+    def validate(self) -> None:
+        if self.retain_last < 1:
+            raise SpecError(
+                f"vacuum.retainLast must be >= 1, got {self.retain_last}"
+            )
+        if self.retain_hours is not None and self.retain_hours < 0:
+            raise SpecError(
+                f"vacuum.retainHours must be >= 0, got {self.retain_hours}"
+            )
+        if self.grace_seconds < 0:
+            raise SpecError(
+                f"vacuum.graceSeconds must be >= 0, got "
+                f"{self.grace_seconds}"
+            )
+
+
+@dataclass(frozen=True)
+class MaintenanceSpec:
+    """A declarative table-maintenance job (r15): the lakehouse
+    scheduler's surface for compact/vacuum/checkpoint — the reference's
+    job-spec shape (writer/job.go:63-93's declared lifecycle hooks)
+    extended to table maintenance, as Delta exposes OPTIMIZE/VACUUM
+    through SQL. Steps run in the fixed order compact → checkpoint →
+    vacuum: compaction first so the checkpoint captures the packed
+    snapshot and vacuum's retention math sees the compaction commit."""
+
+    connection: ConnectionSpec
+    compact: CompactMaintenanceSpec | None = None
+    vacuum: VacuumMaintenanceSpec | None = None
+    checkpoint: bool = False
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "MaintenanceSpec":
+        spec = MaintenanceSpec(
+            connection=ConnectionSpec.from_json(
+                obj.get("connection", {}) or {}
+            ),
+            compact=(
+                CompactMaintenanceSpec.from_json(obj["compact"])
+                if obj.get("compact") is not None
+                else None
+            ),
+            vacuum=(
+                VacuumMaintenanceSpec.from_json(obj["vacuum"])
+                if obj.get("vacuum") is not None
+                else None
+            ),
+            checkpoint=bool(obj.get("checkpoint", False)),
+        )
+        spec.validate()
+        return spec
+
+    def validate(self) -> None:
+        if not self.connection.url or not self.connection.table.name:
+            raise SpecError(
+                "maintenance needs connection.url and connection.table."
+                "name (the versioned table to maintain)"
+            )
+        if self.compact is None and self.vacuum is None and not self.checkpoint:
+            raise SpecError(
+                "maintenance declares no step: pass at least one of "
+                "compact, vacuum, checkpoint"
+            )
+        if self.compact is not None:
+            self.compact.validate()
+        if self.vacuum is not None:
+            self.vacuum.validate()
+
+
+@dataclass(frozen=True)
 class JobSpec:
-    """A full reader→writer job."""
+    """A full reader→writer job — or a maintenance job."""
 
     reader: ReaderSpec
     writer: WriterSpec | None = None
     parallelism: int = 4
+    maintenance: MaintenanceSpec | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any] | str) -> "JobSpec":
         if isinstance(obj, str):
             obj = json.loads(obj)
+        maint_obj = obj.get("maintenance")
+        if maint_obj is not None:
+            if obj.get("reader") or obj.get("writer"):
+                raise SpecError(
+                    "a maintenance job stands alone: it has no reader "
+                    "or writer (layout work moves no rows)"
+                )
+            maint = MaintenanceSpec.from_json(maint_obj)
+            return JobSpec(
+                # placeholder reader, never planned: run_job dispatches on
+                # maintenance before plan_read
+                reader=ReaderSpec.from_json(
+                    {
+                        "column": ["*"],
+                        "connection": {
+                            "url": maint.connection.url,
+                            "table": {"name": maint.connection.table.name},
+                        },
+                    }
+                ),
+                maintenance=maint,
+            )
         reader = ReaderSpec.from_json(obj.get("reader", {}) or {})
         writer_obj = obj.get("writer")
         writer = WriterSpec.from_json(writer_obj) if writer_obj else None
@@ -686,6 +846,48 @@ def _parse_literal(
     return None
 
 
+#: one past the last Unicode code point — a prefix ending here has no
+#: "next string", so a LIKE range gets no upper bound
+_MAX_CODEPOINT = chr(0x10FFFF)
+
+
+def _like_prefix_triples(
+    col: str, pattern: str
+) -> list[tuple[str, str, object]]:
+    """Triples IMPLIED by ``col LIKE pattern`` (Delta derives the same
+    range from its startsWith filters). Every match of ``'abc%...'``
+    starts with ``'abc'``, so it sorts in ``['abc', 'abd')`` — code-point
+    order, which is also UTF-8 byte order, so Python-side bound math
+    agrees with Spark's binary string comparison. Conservative rules:
+
+    * a backslash anywhere disables extraction — engines disagree on the
+      default escape (Spark treats ``\\%`` as a literal percent, ANSI
+      LIKE has no default escape), and a wrong guess would prune files
+      that hold matches;
+    * no wildcard at all → plain equality;
+    * otherwise the constant prefix before the FIRST wildcard bounds the
+      range (chars after a ``_`` still imply the prefix); a leading
+      wildcard (``'%foo'``) has no prefix and extracts nothing;
+    * no upper triple when the prefix's last char is the maximum code
+      point (there is no next string at that position)."""
+    if "\\" in pattern:
+        return []
+    cut = len(pattern)
+    for wc in ("%", "_"):
+        j = pattern.find(wc)
+        if j != -1:
+            cut = min(cut, j)
+    if cut == len(pattern):
+        return [(col, "=", pattern)]
+    prefix = pattern[:cut]
+    if not prefix:
+        return []
+    out: list[tuple[str, str, object]] = [(col, ">=", prefix)]
+    if prefix[-1] != _MAX_CODEPOINT:
+        out.append((col, "<", prefix[:-1] + chr(ord(prefix[-1]) + 1)))
+    return out
+
+
 def _parse_conjunct(
     toks: list[tuple[str, str]],
 ) -> list[tuple[str, str, object]]:
@@ -693,6 +895,17 @@ def _parse_conjunct(
     toks = _strip_wrapping_parens(toks)
     if not toks:
         return []
+    # col LIKE 'pattern' — constant prefix → range triples. Exactly the
+    # three-token shape: NOT LIKE has ("kw","not") at [1] and falls
+    # through; an ESCAPE clause leaves trailing tokens and falls through.
+    if (
+        toks[0][0] == "ident"
+        and len(toks) == 3
+        and toks[1] == ("kw", "like")
+        and toks[2][0] == "str"
+    ):
+        pat = toks[2][1][1:-1].replace("''", "'")
+        return _like_prefix_triples(toks[0][1], pat)
     # col op literal
     if toks[0][0] == "ident" and len(toks) >= 3 and toks[1][0] == "op":
         op = toks[1][1]

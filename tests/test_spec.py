@@ -170,10 +170,45 @@ class TestPruneTriplesFromWhere:
         assert self.p("a = 1 OR b = 2 AND c = 3") == []
         assert self.p("a = 1 OR b = 2") == []
 
+    def test_like_prefix(self):
+        # constant prefix → half-open range [prefix, next-prefix)
+        assert self.p("s LIKE 'abc%'") == [
+            ("s", ">=", "abc"),
+            ("s", "<", "abd"),
+        ]
+        # chars after the first wildcard still imply the prefix
+        assert self.p("s LIKE 'ab_d'") == [
+            ("s", ">=", "ab"),
+            ("s", "<", "ac"),
+        ]
+        assert self.p("s LIKE 'a%b%c'") == [
+            ("s", ">=", "a"),
+            ("s", "<", "b"),
+        ]
+        # no wildcard at all → plain equality (incl. quote unescape)
+        assert self.p("s LIKE 'it''s'") == [("s", "=", "it's")]
+        # prefix ending at the max code point: lower bound only
+        assert self.p("s LIKE 'a\U0010ffff%'") == [
+            ("s", ">=", "a\U0010ffff")
+        ]
+        # leading wildcard: no prefix, nothing to extract
+        assert self.p("s LIKE '%foo'") == []
+        assert self.p("s LIKE '_oo'") == []
+        # backslash anywhere: escape semantics differ per engine — off
+        assert self.p("s LIKE 'ab\\%c%'") == []
+        # NOT LIKE / ESCAPE clause fall through untouched
+        assert self.p("s NOT LIKE 'abc%'") == []
+        assert self.p("s LIKE 'a!%b%' ESCAPE '!'") == []
+        # conjunct composition with a sibling triple
+        assert self.p("s LIKE 'zz%' AND k < 9") == [
+            ("s", ">=", "zz"),
+            ("s", "<", "z{"),
+            ("k", "<", 9),
+        ]
+
     def test_unparseable_is_empty_never_raises(self):
         assert self.p("") == []
         assert self.p("t.a = 3") == []  # qualified name
-        assert self.p("a LIKE 'x%'") == []
         assert self.p("NOT a = 3") == []
         assert self.p("a in (select x from t)") == []
         assert self.p("a ~ 3 ;; %%") == []  # unlexable
