@@ -182,6 +182,44 @@ def test_maintenance_refuses_non_versioned_targets(spark, tmp_path):
             run_job(spark, _job(root, "plain", **steps))
 
 
+def test_cli_runs_maintenance_job(spark, tmp_path):
+    """The CLI entry point handles the maintenance result shape (it
+    previously assumed every writer-less non-DataFrame result was a
+    WriteResult) and prints one JSON step report."""
+    import json as _json
+    import subprocess
+    import sys
+
+    vt = _interleaved_table(spark, str(tmp_path / "t"))
+    vt.set_properties({"vt.clusterBy": "v"})
+    job = {
+        "maintenance": {
+            "connection": {"url": str(tmp_path), "table": {"name": "t"}},
+            "compact": {"targetFileBytes": 1 << 30},
+            "checkpoint": True,
+        }
+    }
+    spec = tmp_path / "maint.json"
+    spec.write_text(_json.dumps(job))
+    proc = subprocess.run(
+        [sys.executable, "-m", "as_etl_storage_spark", str(spec)],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=240,
+        env={
+            **os.environ,
+            "SPARK_GRAFT_CPUS": "4",
+            "SPARK_DRIVER_MEMORY": "4g",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["compact_version"] == out["checkpoint_version"]
+    assert out["vacuum_removed"] is None
+    assert vt.read().count() == 1001  # rows unharmed
+
+
 def test_maintenance_spec_validation(spark, tmp_path):
     """Fail-fast parse errors: no steps, bad clusterMode, bad numbers,
     maintenance combined with a reader/writer."""

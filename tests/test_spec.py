@@ -206,6 +206,48 @@ class TestPruneTriplesFromWhere:
             ("k", "<", 9),
         ]
 
+    def test_like_prefix_conservative_property(self):
+        """For ANY pattern and ANY matching string, every derived triple
+        must hold — a violated triple would prune a file containing a
+        real match. Regex-reference LIKE matcher; hypothesis drives
+        patterns over an alphabet including wildcards and quotes."""
+        import re as _re
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from as_etl_storage_spark.spec import _like_prefix_triples
+
+        def like_match(s: str, pattern: str) -> bool:
+            rx = "".join(
+                ".*" if c == "%" else "." if c == "_" else _re.escape(c)
+                for c in pattern
+            )
+            return _re.fullmatch(rx, s, _re.DOTALL) is not None
+
+        alphabet = "ab%_z09\U0010ffff'"
+
+        @settings(max_examples=300, deadline=None)
+        @given(
+            pattern=st.text(alphabet=alphabet, max_size=8),
+            s=st.text(alphabet=alphabet, max_size=12),
+        )
+        def check(pattern: str, s: str) -> None:
+            triples = _like_prefix_triples("c", pattern)
+            if not like_match(s, pattern):
+                return
+            for _, op, val in triples:
+                if op == "=":
+                    assert s == val
+                elif op == ">=":
+                    assert s >= val
+                elif op == "<":
+                    assert s < val
+                else:  # pragma: no cover - extractor emits only these
+                    raise AssertionError(op)
+
+        check()
+
     def test_unparseable_is_empty_never_raises(self):
         assert self.p("") == []
         assert self.p("t.a = 3") == []  # qualified name
