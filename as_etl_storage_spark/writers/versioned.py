@@ -2752,8 +2752,24 @@ class VersionedTable:
         as degenerate ``[v, v]`` bounds — so ``read(prune=…)`` on a
         partition column skips whole partitions from the manifest alone,
         which IS partition pruning, through the same code path as stats
-        skipping."""
-        return {n: self._file_stats(self.path, n) for n in files}
+        skipping.
+
+        Past a driver-loop threshold the footer reads fan out as a Spark
+        job (r15; the convert(distributed=True) shape): a 10k-file
+        backfill append paid 10k SEQUENTIAL driver footer opens — on an
+        object store that serial walk IS the commit latency. The
+        returned per-file dicts are a few hundred bytes of bounds, so
+        collecting them is O(files) metadata, not data."""
+        root = self.path
+        if len(files) > 32:
+            return dict(
+                self.spark.sparkContext.parallelize(
+                    files, max(1, min(64, len(files) // 8 + 1))
+                )
+                .map(lambda n: (n, VersionedTable._file_stats(root, n)))
+                .collect()
+            )
+        return {n: self._file_stats(root, n) for n in files}
 
     @staticmethod
     def _file_stats(root: str, name: str) -> dict:
@@ -5437,7 +5453,7 @@ class VersionedTable:
     def read(
         self,
         version_as_of: int | None = None,
-        prune: list[tuple[str, str, object]] | None = None,
+        prune: "list[tuple[str, str, object]] | str | None" = None,
         timestamp_as_of: object = None,
     ) -> DataFrame:
         """Snapshot read, optionally with manifest-level data skipping:
@@ -5450,9 +5466,23 @@ class VersionedTable:
         applied as real filters, so the result is exactly the filtered
         snapshot (skipping is an optimization, never a semantic).
 
+        ``prune`` may also be a SQL WHERE string (r15 — the same surface
+        the JSON job spec's ``where`` gets): its simple AND-ed conjuncts
+        (incl. LIKE prefixes) become triples via
+        ``spec.prune_triples_from_where``; the FULL string is then
+        applied as the semantic filter, so complex legs the extractor
+        drops still filter — string-prune results equal a plain
+        ``read().where(s)`` by construction.
+
         ``timestamp_as_of`` (exclusive with ``version_as_of``) is the
         other half of Delta's time travel: the snapshot current at that
         wall-clock instant — see :meth:`resolve_timestamp`."""
+        where_str: str | None = None
+        if isinstance(prune, str):
+            from as_etl_storage_spark.spec import prune_triples_from_where
+
+            where_str = prune
+            prune = prune_triples_from_where(prune)
         if timestamp_as_of is not None and version_as_of is not None:
             raise VersionedTableError(
                 "pass version_as_of OR timestamp_as_of, not both"
@@ -5511,7 +5541,10 @@ class VersionedTable:
             mapping=self._mapping_at(version),
             partition_by=self._partition_by_at(version),
         )
-        if prune:
+        if where_str is not None:
+            # the FULL string filters (extracted triples only skipped)
+            df = df.where(where_str)
+        elif prune:
             df = df.where(self._triples_condition(prune))
         return df
 
@@ -5842,7 +5875,7 @@ class VersionedTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         zorder: list[str] | None = None,
         zorder_cells: str = "auto",
-        where: list[tuple[str, str, object]] | None = None,
+        where: "list[tuple[str, str, object]] | str | None" = None,
         cluster_mode: str = "auto",
     ) -> int:
         """Bin-pack small data files into ~``target_file_bytes`` files as
@@ -5919,6 +5952,23 @@ class VersionedTable:
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(f"no committed versions at {self.path}")
+        if isinstance(where, str):
+            # string scope (r15, same surface as the maintenance spec):
+            # extracted triples select the files; compact's where is
+            # SCOPE-only (rows never change), so dropped conjuncts just
+            # widen the scope — but a string that extracts NOTHING would
+            # silently widen to the whole table, so it is refused
+            from as_etl_storage_spark.spec import prune_triples_from_where
+
+            triples = prune_triples_from_where(where)
+            if not triples:
+                raise VersionedTableError(
+                    f"compact where {where!r} extracts no prune triple — "
+                    "the scope would silently widen to the whole table; "
+                    "use simple AND-ed col-op-literal conjuncts or pass "
+                    "triples directly"
+                )
+            where = triples
         if cluster_mode not in ("auto", "full", "incremental"):
             raise ValueError(
                 "cluster_mode must be auto|full|incremental, got "

@@ -7015,6 +7015,54 @@ def test_property_append_only_checkpoint_interval_vacuum_retention(
     assert vt.read().count() == 29
 
 
+def test_read_and_compact_accept_where_strings(spark, tmp_path):
+    """r15 ergonomics: read(prune=...) and compact(where=...) take the
+    same SQL WHERE strings the JSON job spec does. For read the FULL
+    string filters (extracted triples only skip), so results equal a
+    plain read().where(s) even when the extractor drops a leg; for
+    compact the string is scope-only and a string that extracts nothing
+    is refused rather than silently widening to the whole table."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTable,
+        VersionedTableError,
+    )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(100)
+        .select(F.col("id").alias("v"), (F.col("id") % 7).alias("m"))
+        .coalesce(1)
+    )
+    vt.append(
+        spark.range(100, 200)
+        .select(F.col("id").alias("v"), (F.col("id") % 7).alias("m"))
+        .coalesce(1)
+    )
+    # skipping leg (v >= 100) + a leg the extractor drops (m*2 = 4):
+    # the full string must still filter
+    got = vt.read(prune="v >= 100 AND m + 0 = 4")
+    assert len(got.inputFiles()) == 1  # low file skipped at the manifest
+    want = vt.read().where("v >= 100 AND m + 0 = 4")
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in want.collect()
+    )
+    # unextractable string: no skipping, full-filter semantics
+    assert vt.read(prune="m + 0 = 4").count() == vt.read().where(
+        "m + 0 = 4"
+    ).count()
+    # compact: string scope carries the out-of-scope file by name
+    before = set(vt._state(vt.latest_version()))
+    vt.compact(target_file_bytes=1 << 30, where="v >= 100")
+    after = set(vt._state(vt.latest_version()))
+    assert before & after  # low-key file untouched
+    assert vt.read().count() == 200
+    with _pytest.raises(VersionedTableError, match="no prune triple"):
+        vt.compact(where="m + 0 = 4")
+
+
 def test_incremental_clustering_rewrites_only_the_tail(spark, tmp_path):
     """r15 (Delta's incremental liquid clustering): a declared-clusterBy
     maintenance round sorts only files added since the last clustering
