@@ -3162,6 +3162,83 @@ _register(
 )
 
 
+# ------------------------------------------ incremental clustering --
+def _w_versioned_incremental_cluster(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental clustering through the DECLARATIVE surface (r15,
+    Delta's incremental liquid clustering): two maintenance jobs on a
+    vt.clusterBy table — the first clustering round is full (plants the
+    anchor), fresh interleaved ingest lands, and the second round sorts
+    ONLY the unclustered tail, carrying the first round's output by
+    name. Asserted in-query from the manifests (params.cluster
+    full → incremental; round-1 files survive round 2) plus the
+    ordering-sensitive prune staying selective over the mixed layout.
+    Rows never move, so the result equals a plain aggregate."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wic-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.where(F.col("o_orderkey") % 3 == 0).coalesce(1))
+    vt.set_properties({"vt.clusterBy": "o_orderkey"})
+    vt.append(orders.where(F.col("o_orderkey") % 3 == 1).coalesce(1))
+
+    def maint():
+        return run_job(
+            spark,
+            {
+                "maintenance": {
+                    "connection": {"url": root, "table": {"name": "t"}},
+                    "compact": {"targetFileBytes": 64 * 1024},
+                }
+            },
+        )
+
+    r1 = maint()
+    if vt._manifest(r1.compact_version)["params"]["cluster"] != "full":
+        raise AssertionError("first clustering round must be full")
+    clustered = set(vt._state(r1.compact_version))
+    vt.append(orders.where(F.col("o_orderkey") % 3 == 2).coalesce(1))
+    r2 = maint()
+    m2 = vt._manifest(r2.compact_version)
+    if m2["params"]["cluster"] != "incremental":
+        raise AssertionError("second round must sort only the tail")
+    if not clustered <= set(vt._state(r2.compact_version)):
+        raise AssertionError("round-1 output must be carried by name")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    sel = vt.read(prune=[("o_orderkey", ">", 9 * hi // 10)])
+    if not len(sel.inputFiles()) < len(vt.read().inputFiles()):
+        raise AssertionError("clustered layout must stay prunable")
+    return vt.read().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_incremental_cluster",
+    _w_versioned_incremental_cluster,
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+
+
 # --------------------------------------------- spec-driven MERGE (CDC) --
 def _w_versioned_spec_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The declarative CDC-apply loop in ONE JSON job spec
