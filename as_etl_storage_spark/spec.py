@@ -530,6 +530,7 @@ class CompactMaintenanceSpec:
 
     target_file_bytes: int = 128 * 1024 * 1024
     zorder: tuple[str, ...] = ()
+    zorder_cells: str = "auto"
     where: str = ""
     cluster_mode: str = "auto"
 
@@ -540,6 +541,7 @@ class CompactMaintenanceSpec:
                 obj.get("targetFileBytes", 128 * 1024 * 1024)
             ),
             zorder=tuple(obj.get("zorder", []) or []),
+            zorder_cells=obj.get("zorderCells", "auto"),
             where=obj.get("where", "") or "",
             cluster_mode=obj.get("clusterMode", "auto"),
         )
@@ -554,6 +556,11 @@ class CompactMaintenanceSpec:
             raise SpecError(
                 "compact.clusterMode must be auto|full|incremental, "
                 f"got {self.cluster_mode!r}"
+            )
+        if self.zorder_cells not in ("auto", "width", "ranked"):
+            raise SpecError(
+                "compact.zorderCells must be auto|width|ranked, got "
+                f"{self.zorder_cells!r}"
             )
         if self.where.strip() and not prune_triples_from_where(self.where):
             raise SpecError(
@@ -575,6 +582,9 @@ class VacuumMaintenanceSpec:
     retain_hours: float | None = None
     grace_seconds: float = 600.0
     dry_run: bool = False
+    #: run the data-file sweep as a Spark job (the object-store path
+    #: where a serial driver walk IS the cost) — vacuum(distributed=)
+    distributed: bool = False
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "VacuumMaintenanceSpec":
@@ -584,6 +594,7 @@ class VacuumMaintenanceSpec:
             retain_hours=float(rh) if rh is not None else None,
             grace_seconds=float(obj.get("graceSeconds", 600.0)),
             dry_run=bool(obj.get("dryRun", False)),
+            distributed=bool(obj.get("distributed", False)),
         )
 
     def validate(self) -> None:

@@ -74,6 +74,7 @@ def run_maintenance(
         compact_version = vt.compact(
             target_file_bytes=c.target_file_bytes,
             zorder=list(c.zorder) or None,
+            zorder_cells=c.zorder_cells,
             where=triples or None,
             cluster_mode=c.cluster_mode,
         )
@@ -90,6 +91,7 @@ def run_maintenance(
             retain_last=v.retain_last,
             grace_seconds=v.grace_seconds,
             retain_hours=v.retain_hours,
+            distributed=v.distributed,
             dry_run=v.dry_run,
         )
         if v.dry_run:

@@ -135,10 +135,19 @@ def test_spec_vacuum_honors_grace_and_dry_run(spark, tmp_path):
     assert len(res.vacuum_dry_run) >= 1
     assert res.vacuum_removed is None
     assert n_parquet() == files_before
-    # the real sweep removes exactly what the dry run promised
+    # the real sweep removes exactly what the dry run promised —
+    # distributed=True runs it as a Spark job (the object-store shape)
     res = run_job(
         spark,
-        _job(root, name, vacuum={"retainLast": 1, "graceSeconds": 0}),
+        _job(
+            root,
+            name,
+            vacuum={
+                "retainLast": 1,
+                "graceSeconds": 0,
+                "distributed": True,
+            },
+        ),
     )
     assert res.vacuum_removed == len(
         [f for f in res.vacuum_dry_run]
@@ -233,6 +242,10 @@ def test_maintenance_spec_validation(spark, tmp_path):
     with pytest.raises(SpecError, match="retainLast"):
         JobSpec.from_json(
             {"maintenance": {**base, "vacuum": {"retainLast": 0}}}
+        )
+    with pytest.raises(SpecError, match="zorderCells"):
+        JobSpec.from_json(
+            {"maintenance": {**base, "compact": {"zorderCells": "bogus"}}}
         )
     with pytest.raises(SpecError, match="stands alone"):
         JobSpec.from_json(
