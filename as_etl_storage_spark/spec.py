@@ -895,7 +895,14 @@ def _like_prefix_triples(
         return []
     out: list[tuple[str, str, object]] = [(col, ">=", prefix)]
     if prefix[-1] != _MAX_CODEPOINT:
-        out.append((col, "<", prefix[:-1] + chr(ord(prefix[-1]) + 1)))
+        nxt = ord(prefix[-1]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            # skip the surrogate block: U+D7FF + 1 would be a lone
+            # surrogate, which UTF-8 (and Py4J, should the triple ever
+            # reach a Spark literal) cannot encode; U+E000 is the next
+            # real code point and the bound stays conservative (wider)
+            nxt = 0xE000
+        out.append((col, "<", prefix[:-1] + chr(nxt)))
     return out
 
 

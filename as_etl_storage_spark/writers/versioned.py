@@ -6017,7 +6017,7 @@ class VersionedTable:
                 cluster_mode == "auto" and declared_cluster
             )
             if want_tail:
-                anchor, inc_run = self._cluster_history(base)
+                anchor, inc_run, clustered = self._cluster_history(base)
                 try:
                     full_every = int(
                         self._properties_at(base).get(
@@ -6029,15 +6029,25 @@ class VersionedTable:
                 cadence_due = full_every > 0 and inc_run + 1 >= full_every
                 if anchor is not None and not cadence_due:
                     # the unclustered tail: files this scope holds that
-                    # the last clustering commit had not yet seen — DML
+                    # the last clustering run had not yet SORTED — DML
                     # rewrites since then land here too (their files
-                    # were written unsorted). Already-ordered files are
-                    # carried by name, so the rewrite is ∝ ingest.
-                    prev = set(self._state(anchor))
-                    tail = [f for f in files if f not in prev]
+                    # were written unsorted), and so do files a clustered
+                    # file's DELETION VECTOR points at (OPTIMIZE is the
+                    # advertised DV purge, so a clustered-but-vectored
+                    # file is rewrite-due, never carried). Already-
+                    # ordered vector-free files are carried by name, so
+                    # the rewrite is ∝ ingest.
+                    prev = clustered if clustered is not None else set()
+                    dv_live = self._dv_at(base)
+                    tail = [
+                        f for f in files if f not in prev or f in dv_live
+                    ]
                     if not tail:
                         return base  # nothing unclustered: zero-cost round
-                    untouched = untouched + [f for f in files if f in prev]
+                    tail_set = set(tail)
+                    untouched = untouched + [
+                        f for f in files if f not in tail_set
+                    ]
                     files = tail
                     cluster_scope = "incremental"
         pb = self._partition_by_at(base)
@@ -6136,21 +6146,26 @@ class VersionedTable:
                 .sortWithinPartitions(*range_cols)
                 .drop("__zkey")
             )
+            new_files = self._write_data_files(df, pb, mapping)
             return self._commit(
-                untouched + self._write_data_files(df, pb, mapping),
+                untouched + new_files,
                 "compact",
                 base,
                 partition_by=pb,
                 known_stats=carry_stats,
                 rebase_on_appends=True,
-                # the cluster marker is what _cluster_history anchors on:
-                # files in this snapshot are "clustered", later adds are
-                # the next round's tail
+                # the cluster marker is what _cluster_history anchors on;
+                # ``outputs`` records which files this rewrite actually
+                # SORTED (∝ rewrite size, same order as the manifest's
+                # own file list) so a where-scoped clustering's carried
+                # out-of-scope files stay in the next round's tail
+                # instead of being treated as clustered forever
                 params={
                     "target_file_bytes": target_file_bytes,
                     "zorder": self._param_repr(zorder),
                     "where": self._param_repr(where),
                     "cluster": cluster_scope,
+                    "outputs": sorted(new_files),
                 },
             )
         if len(files) <= n_target and not scoped_dv:
@@ -6204,19 +6219,30 @@ class VersionedTable:
         self._write_checkpoint(v, force_full=force_full)
         return v
 
-    def _cluster_history(self, base: int) -> tuple[int | None, int]:
+    def _cluster_history(
+        self, base: int
+    ) -> tuple[int | None, int, "set[str] | None"]:
         """(last clustering commit ≤ ``base``, consecutive incremental
-        rounds ending there) — what incremental clustering anchors on.
+        rounds ending there, the set of files those commits actually
+        CLUSTERED) — what incremental clustering anchors on.
         A clustering commit is a ``compact`` manifest whose params
         record a zorder (r15+; r14-era zorder compacts recorded no
         params, so an old table's first maintenance round is a full
         re-cluster that plants the anchor). The incremental-run count
         feeds the ``vt.clusterBy.fullEvery`` cadence; a full clustering
-        (or an unlabeled one) resets it. Bounded by the version list —
-        manifests are small JSON, and the walk short-circuits at the
-        first full clustering."""
-        anchor: int | None = None
-        inc_run = 0
+        (or an unlabeled one) resets it.
+
+        The clustered set composes over the incremental chain from the
+        ``outputs`` each clustering commit records (r16+): at each step
+        it is (previous clustered set ∩ files still live) ∪ the files
+        the rewrite produced. A where-scoped clustering therefore does
+        NOT mark its out-of-scope carried files as clustered — they stay
+        in the tail until a later round sorts them (pre-r16 commits
+        record no outputs; the fallback treats that whole snapshot as
+        clustered, matching the old behavior for old tables). Bounded by
+        the version list — manifests are small JSON, and the walk
+        short-circuits at the first full clustering."""
+        chain: list[tuple[int, dict]] = []  # newest-first, ends at full
         for v in reversed(self._versions()):
             if v > base:
                 continue
@@ -6226,13 +6252,25 @@ class VersionedTable:
             params = m.get("params") or {}
             if not params.get("cluster") and not params.get("zorder"):
                 continue  # plain bin-pack: not a clustering commit
-            if anchor is None:
-                anchor = v
-            if params.get("cluster") == "incremental":
-                inc_run += 1
-                continue
-            break  # full clustering ends the incremental run
-        return anchor, inc_run
+            chain.append((v, params))
+            if params.get("cluster") != "incremental":
+                break  # full clustering ends the incremental run
+        if not chain:
+            return None, 0, None
+        anchor = chain[0][0]
+        inc_run = sum(
+            1 for _, p in chain if p.get("cluster") == "incremental"
+        )
+        clustered: set[str] = set()
+        for v, params in reversed(chain):  # oldest → newest
+            outs = params.get("outputs")
+            if outs is None:
+                # legacy commit (pre-r16): outputs unknown — fall back to
+                # the whole snapshot, the pre-r16 semantics
+                clustered = set(self._state(v))
+            else:
+                clustered = (clustered & set(self._state(v))) | set(outs)
+        return anchor, inc_run, clustered
 
     def count(
         self,

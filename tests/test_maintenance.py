@@ -135,8 +135,11 @@ def test_spec_vacuum_honors_grace_and_dry_run(spark, tmp_path):
     assert len(res.vacuum_dry_run) >= 1
     assert res.vacuum_removed is None
     assert n_parquet() == files_before
-    # the real sweep removes exactly what the dry run promised —
-    # distributed=True runs it as a Spark job (the object-store shape)
+    promised = list(res.vacuum_dry_run)
+    # the real sweep removes EXACTLY what the dry run promised (strict
+    # parity — nothing more, nothing less) and the promised paths are
+    # gone from disk; distributed=True runs it as a Spark job (the
+    # object-store shape)
     res = run_job(
         spark,
         _job(
@@ -149,10 +152,10 @@ def test_spec_vacuum_honors_grace_and_dry_run(spark, tmp_path):
             },
         ),
     )
-    assert res.vacuum_removed == len(
-        [f for f in res.vacuum_dry_run]
-    ) or res.vacuum_removed >= 1
-    assert n_parquet() < files_before
+    assert res.vacuum_removed == len(promised)
+    for rel in promised:
+        assert not os.path.exists(os.path.join(vt.path, rel)), rel
+    assert n_parquet() == files_before - len(promised)
     assert vt.read().count() == 200
 
 

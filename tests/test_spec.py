@@ -205,6 +205,18 @@ class TestPruneTriplesFromWhere:
             ("s", "<", "z{"),
             ("k", "<", 9),
         ]
+        # prefix ending just below the surrogate block (r16, ADVICE
+        # r15): the increment must SKIP lone surrogates — U+D7FF + 1
+        # would be U+D800, which UTF-8/Py4J cannot encode; the bound
+        # jumps to U+E000 (wider, still conservative), and every real
+        # continuation (U+E000+) stays inside the range
+        assert self.p("s LIKE 'a퟿%'") == [
+            ("s", ">=", "a퟿"),
+            ("s", "<", "a"),
+        ]
+        assert "a퟿zzz" < "a"  # a matchable string fits
+        # ...and the bound round-trips through UTF-8 (the Py4J path)
+        "a".encode("utf-8")
 
     def test_like_prefix_conservative_property(self):
         """For ANY pattern and ANY matching string, every derived triple
@@ -225,7 +237,7 @@ class TestPruneTriplesFromWhere:
             )
             return _re.fullmatch(rx, s, _re.DOTALL) is not None
 
-        alphabet = "ab%_z09\U0010ffff'"
+        alphabet = "ab%_z09\U0010ffff퟿'"
 
         @settings(max_examples=300, deadline=None)
         @given(

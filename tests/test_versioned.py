@@ -7197,3 +7197,99 @@ def test_cluster_by_property_drives_compaction_layout(spark, tmp_path):
     vt.compact(target_file_bytes=1 << 30, cluster_mode="full")
     assert vt.latest_version() > v_before
     assert vt.read().count() == 1001
+
+
+def test_incremental_clustering_purges_dv_on_empty_tail(spark, tmp_path):
+    """r16 (ADVICE r15): a declared-clusterBy table with live deletion
+    vectors but NO files added since the last clustering commit must
+    still rewrite — OPTIMIZE is the advertised DV purge, so a
+    clustered-but-vectored file is rewrite-due, never carried. Before
+    the fix the empty-tail early return ran before the DV check and
+    auto-mode compaction became a PERMANENT no-op (the maintenance-job
+    path never materialized the purge). Vector-free clustered files are
+    still carried by name."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(5000).select(F.col("id").alias("v")).coalesce(1)
+    )
+    vt.set_properties({"vt.clusterBy": "v"})
+    vt.append(
+        spark.range(5000, 10_000)
+        .select(F.col("id").alias("v"))
+        .coalesce(1)
+    )
+    vt.compact(target_file_bytes=4096)  # anchor: full clustering
+    v1 = vt.latest_version()
+    assert vt._manifest(v1)["params"]["cluster"] == "full"
+    assert len(vt._state(v1)) > 1  # premise: several clustered files
+    # empty tail, no vectors: maintenance is free (regression guard)
+    assert vt.compact(target_file_bytes=4096) == v1
+    vt.delete([("v", "<", 50)], mode="dv")
+    assert vt.detail()["dv_rows"] == 50
+    clean = [
+        f
+        for f in vt._state(vt.latest_version())
+        if f not in vt._dv_at(vt.latest_version())
+    ]
+    assert clean  # premise: some clustered files carry no vector
+    v2 = vt.compact(target_file_bytes=4096)  # auto mode, empty tail + DV
+    assert v2 > v1  # the purge happened instead of a permanent no-op
+    assert vt._manifest(v2)["params"]["cluster"] == "incremental"
+    assert vt.detail()["dv_rows"] == 0
+    assert vt.read().count() == 9950
+    # only the vectored files were rewritten; clean ones carried by name
+    assert set(clean) <= set(vt._state(v2))
+    # and with the vectors gone, the next round is a no-op again
+    assert vt.compact(target_file_bytes=4096) == v2
+
+
+def test_scoped_clustering_keeps_out_of_scope_files_in_tail(
+    spark, tmp_path
+):
+    """r16 (ADVICE r15): a where-scoped clustering commit records which
+    files it actually SORTED (``params.outputs``); the incremental tail
+    anchors on that instead of the whole anchor snapshot, so carried
+    out-of-scope files stay unclustered and a later unscoped round
+    sorts them — before the fix they were carried by name forever and
+    range pruning over their region never became selective."""
+    from pyspark.sql import functions as F
+
+    def interleaved(lo, b, n=250, stride=4):
+        return (
+            spark.range(n)
+            .select((F.col("id") * stride + b + lo).alias("v"))
+            .coalesce(1)
+        )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(interleaved(0, 0))
+    vt.set_properties({"vt.clusterBy": "v"})
+    for b in range(1, 4):
+        vt.append(interleaved(0, b))  # region A: v in [0, 1000)
+    for b in range(4):
+        vt.append(interleaved(10_000, b))  # region B: v in [10k, 11k)
+    # scoped clustering: sorts region A only, carries region B by name
+    v1 = vt.compact(target_file_bytes=4096, where=[("v", "<", 1000)])
+    m1 = vt._manifest(v1)
+    assert m1["params"]["cluster"] == "full"
+    outputs = set(m1["params"]["outputs"])
+    assert outputs and outputs <= set(vt._state(v1))
+    b_files = set(vt._state(v1)) - outputs
+    assert b_files  # premise: region B carried, unsorted
+    # unscoped maintenance round: the tail must include region B even
+    # though every region-B file was already present at the anchor
+    v2 = vt.compact(target_file_bytes=4096)
+    assert v2 > v1  # not the old permanent no-op
+    m2 = vt._manifest(v2)
+    assert m2["params"]["cluster"] == "incremental"
+    assert not (b_files & set(vt._state(v2)))  # region B rewritten
+    assert outputs <= set(vt._state(v2))  # region A carried by name
+    # region B's layout is now selective under range prune
+    sel = vt.read(prune=[("v", ">=", 10_000), ("v", "<", 10_100)])
+    assert len(sel.inputFiles()) < len(vt._state(v2))
+    assert sel.count() == 100  # 4 residue classes × 25 in [10000, 10100)
+    assert vt.read().count() == 2000
+    # and the round after that is free
+    assert vt.compact(target_file_bytes=4096) == v2
