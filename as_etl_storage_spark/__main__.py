@@ -49,17 +49,9 @@ def main(argv: list[str] | None = None) -> int:
             result.explain("formatted")
         result.show(args.show or 20, truncate=False)
     elif spec.maintenance is not None:  # maintenance -> step report
-        print(
-            json.dumps(
-                {
-                    "table": result.table_path,
-                    "compact_version": result.compact_version,
-                    "checkpoint_version": result.checkpoint_version,
-                    "vacuum_removed": result.vacuum_removed,
-                    "vacuum_dry_run": result.vacuum_dry_run,
-                }
-            )
-        )
+        from dataclasses import asdict
+
+        print(json.dumps({"table": result.table_path, **asdict(result)}))
     else:
         print(
             json.dumps(

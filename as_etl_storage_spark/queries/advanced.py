@@ -3505,3 +3505,253 @@ _register(
     FROM orders GROUP BY o_orderstatus
     """,
 )
+
+
+# ----------------------------------------------------- row tracking --
+def _w_versioned_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable row IDs through the full DML lifecycle (r16, Delta's row
+    tracking): enable materializes a hidden ``_row_id`` on every row
+    (backfill), then update / OPTIMIZE / DELETE / MERGE run and the
+    in-query asserts pin the contract — ids are dense 0..n-1 at
+    enablement, the id MULTISET is invariant under update and compact
+    (fingerprinted in-plan: count + sum + bit_xor), survivors keep
+    their ids under delete while deleted ids NEVER reappear
+    (re-inserting a deleted key allocates a fresh id above the mark),
+    merge-matched rows keep the target's id, and the CDF update
+    pre/postimages PAIR one-to-one by ``_row_id``
+    (change_feed(with_row_ids=True)) — the merge-free CDC-join
+    primitive. The ``row-tracking`` protocol feature is asserted on the
+    log so pre-feature readers fail fast by name. The id column is
+    invisible to plain reads, so the result equals the oracle's
+    restatement of the same DML over the raw table."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wrt-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        F.col("o_orderstatus").alias("s"),
+    )
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.repartition(4))
+    vt.enable_row_tracking()
+
+    def fp(df):
+        # in-plan id-multiset fingerprint: one single-row aggregate
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("_row_id").alias("d"),
+            F.sum("_row_id").alias("s"),
+            F.expr("bit_xor(_row_id)").alias("x"),
+            F.min("_row_id").alias("lo"),
+            F.max("_row_id").alias("hi"),
+        ).collect()[0]
+        return r["n"], r["d"], r["s"], r["x"], r["lo"], r["hi"]
+
+    n0, d0, s0, x0, lo0, hi0 = fp(vt.read(with_row_ids=True))
+    if not (n0 == d0 and lo0 == 0 and hi0 == n0 - 1):
+        raise AssertionError("enablement must allocate dense ids 0..n-1")
+    if "row-tracking" not in vt._features_at(vt.latest_version()):
+        raise AssertionError("row-tracking protocol feature must be set")
+    # UPDATE: ids are invariant (the multiset fingerprint is unchanged)
+    vt.update("k % 7 = 0", {"p": "CAST(p + 100 AS DECIMAL(18,2))"})
+    if fp(vt.read(with_row_ids=True)) != (n0, d0, s0, x0, lo0, hi0):
+        raise AssertionError("UPDATE must preserve every row id")
+    # OPTIMIZE: layout maintenance never loses row identity
+    vt.compact(target_file_bytes=256 * 1024)
+    if fp(vt.read(with_row_ids=True)) != (n0, d0, s0, x0, lo0, hi0):
+        raise AssertionError("compact must preserve every row id")
+    # DELETE: survivors keep theirs; the doomed ids leave the table
+    doomed = vt.read(with_row_ids=True).where("k % 5 = 0").select("_row_id")
+    n_doom = doomed.count()
+    vt.delete("k % 5 = 0")
+    after_del = vt.read(with_row_ids=True)
+    nd, dd, *_ = fp(after_del)
+    if nd != n0 - n_doom or dd != nd:
+        raise AssertionError("delete must retire exactly the doomed ids")
+    if after_del.join(doomed, on="_row_id", how="left_semi").count():
+        raise AssertionError("a deleted id reappeared")
+    # MERGE: matched rows keep the TARGET's id; not-matched (incl. the
+    # re-insert of deleted keys) allocate FRESH ids above the mark
+    pre_merge = vt.read(with_row_ids=True).select(
+        "k", F.col("_row_id").alias("id_before")
+    )
+    vt.merge(
+        orders.where("k % 11 = 0").withColumn(
+            "p", (F.col("p") * 2).cast("decimal(18,2)")
+        ),
+        ["k"],
+    )
+    post = vt.read(with_row_ids=True)
+    moved = (
+        post.join(pre_merge, on="k")
+        .where(F.col("_row_id") != F.col("id_before"))
+        .count()
+    )
+    if moved:
+        raise AssertionError("merge-matched rows must keep their ids")
+    fresh = post.join(pre_merge, on="k", how="left_anti")
+    lo_fresh = fresh.agg(F.min("_row_id")).collect()[0][0]
+    if lo_fresh is None or lo_fresh <= hi0:
+        raise AssertionError("merge inserts must allocate above the mark")
+    if fresh.join(doomed, on="_row_id", how="left_semi").count():
+        raise AssertionError("a deleted id was re-issued")
+    # CDF: update pre/postimages pair ONE-TO-ONE by _row_id
+    cf = vt.change_feed(
+        from_version=vt.latest_version() - 1, with_row_ids=True
+    )
+    pre_i = cf.where("_change_type = 'update_preimage'").select(
+        "_row_id", F.col("p").alias("p_pre")
+    )
+    post_i = cf.where("_change_type = 'update_postimage'").select(
+        "_row_id", F.col("p").alias("p_post")
+    )
+    n_pre, n_post, n_pair = (
+        pre_i.count(),
+        post_i.count(),
+        pre_i.join(post_i, on="_row_id").count(),
+    )
+    if not (n_pre == n_post == n_pair and n_pair > 0):
+        raise AssertionError("CDF images must pair one-to-one by _row_id")
+    # the hidden column never leaks into the logical surface
+    if "_row_id" in vt.read().columns or "_row_id" in [
+        f.name for f in vt.table_schema().fields
+    ]:
+        raise AssertionError("_row_id must stay hidden from plain reads")
+    return vt.read().groupBy("s").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p").cast("double"), 2).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_row_tracking",
+    _w_versioned_row_tracking,
+    """
+    SELECT s, count(*) AS n, round(CAST(sum(p2) AS DOUBLE), 2) AS total
+    FROM (
+        SELECT o_orderstatus AS s,
+               CASE
+                 WHEN o_orderkey % 11 = 0
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                 WHEN o_orderkey % 7 = 0
+                   THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+                 ELSE CAST(o_totalprice AS DECIMAL(18,2))
+               END AS p2,
+               o_orderkey AS k
+        FROM orders
+    )
+    WHERE k % 11 = 0 OR k % 5 <> 0
+    GROUP BY s
+    """,
+)
+
+
+# --------------------------------------- declarative table lifecycle --
+def _w_versioned_spec_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full table lifecycle from JSON job specs (r16): CONVERT
+    adopts a plain-parquet directory in place (zero rewrite), a second
+    maintenance job then RESTOREs the table past an unwanted append,
+    enables ROW TRACKING (backfill), OPTIMIZEs, checkpoints, SHALLOW
+    CLONEs the result and dry-run vacuums — the declared step order
+    convert → restore → enableRowTracking → compact → checkpoint →
+    clone → vacuum. Asserted in-query: the convert commits v0 over the
+    original bytes, the restore returns exactly the converted content,
+    row ids come back dense, the clone is an independent table with the
+    same rows AND the same ids, and the dry run deletes nothing. The
+    result aggregates the CLONE — equal to the oracle's aggregate over
+    the adopted slice."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wsl-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    keep = orders.where("o_orderkey % 4 = 0")
+    keep.coalesce(2).write.parquet(os.path.join(root, "t"))
+
+    def job(**steps):
+        return {
+            "maintenance": {
+                "connection": {"url": root, "table": {"name": "t"}},
+                **steps,
+            }
+        }
+
+    res1 = run_job(spark, job(convert={}))
+    if res1.convert_version != 0:
+        raise AssertionError("convert must commit v0 in place")
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    n0 = vt.count()
+    # an unwanted append the restore must roll back
+    vt.append(orders.where("o_orderkey % 4 = 1"))
+    res2 = run_job(
+        spark,
+        job(
+            restore={"version": 0},
+            enableRowTracking=True,
+            compact={"targetFileBytes": 1 << 30},
+            checkpoint=True,
+            clone={"target": os.path.join(root, "t_dev")},
+            vacuum={"retainLast": 1, "graceSeconds": 3600, "dryRun": True},
+        ),
+    )
+    if res2.restore_version is None or vt.count() != n0:
+        raise AssertionError("restore must roll the content back")
+    if res2.row_tracking_version is None:
+        raise AssertionError("enableRowTracking must commit")
+    if res2.checkpoint_version != res2.compact_version:
+        raise AssertionError("checkpoint must capture the packed snapshot")
+    if res2.clone_path != os.path.join(root, "t_dev"):
+        raise AssertionError("clone must land at the declared target")
+    clone = VersionedTable(spark, res2.clone_path)
+    ids = clone.read(with_row_ids=True).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("_row_id").alias("d"),
+        F.min("_row_id").alias("lo"),
+        F.max("_row_id").alias("hi"),
+    ).collect()[0]
+    if not (
+        ids["n"] == n0
+        and ids["d"] == n0
+        and ids["lo"] == 0
+        and ids["hi"] == n0 - 1
+    ):
+        raise AssertionError("the clone must carry the backfilled dense ids")
+    for rel in res2.vacuum_dry_run:
+        if not os.path.exists(os.path.join(vt.path, rel)):
+            raise AssertionError("dryRun must not delete")
+    return clone.read().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_spec_lifecycle",
+    _w_versioned_spec_lifecycle,
+    """
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)

@@ -614,19 +614,123 @@ class VacuumMaintenanceSpec:
 
 
 @dataclass(frozen=True)
+class CloneMaintenanceSpec:
+    """One SHALLOW CLONE step (Delta's CREATE TABLE ... SHALLOW CLONE,
+    declaratively): snapshot the table — optionally a historical
+    version — into a new independent table at ``target``, zero data
+    copied. ``target`` is the clone's full path; ``versionAsOf`` /
+    ``timestampAsOf`` (exclusive) pin the snapshot."""
+
+    target: str = ""
+    version_as_of: int | None = None
+    timestamp_as_of: str | None = None
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "CloneMaintenanceSpec":
+        v = obj.get("versionAsOf")
+        return CloneMaintenanceSpec(
+            target=obj.get("target", "") or "",
+            version_as_of=int(v) if v is not None else None,
+            timestamp_as_of=obj.get("timestampAsOf"),
+        )
+
+    def validate(self) -> None:
+        if not self.target.strip():
+            raise SpecError("clone.target is required (the clone's path)")
+        if self.version_as_of is not None and self.timestamp_as_of is not None:
+            raise SpecError(
+                "clone takes versionAsOf OR timestampAsOf, not both"
+            )
+        if self.version_as_of is not None and self.version_as_of < 0:
+            raise SpecError(
+                f"clone.versionAsOf must be >= 0, got {self.version_as_of}"
+            )
+
+
+@dataclass(frozen=True)
+class RestoreMaintenanceSpec:
+    """One RESTORE step (Delta's RESTORE TABLE ... TO VERSION AS OF):
+    roll the table's CONTENT back to a retained snapshot as a NEW
+    commit — history is preserved, identity/row-id high-water marks
+    never roll back. Exactly one of ``version`` / ``timestamp``."""
+
+    version: int | None = None
+    timestamp: str | None = None
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "RestoreMaintenanceSpec":
+        v = obj.get("version")
+        return RestoreMaintenanceSpec(
+            version=int(v) if v is not None else None,
+            timestamp=obj.get("timestamp"),
+        )
+
+    def validate(self) -> None:
+        if (self.version is None) == (self.timestamp is None):
+            raise SpecError(
+                "restore takes exactly one of version or timestamp"
+            )
+        if self.version is not None and self.version < 0:
+            raise SpecError(
+                f"restore.version must be >= 0, got {self.version}"
+            )
+
+
+@dataclass(frozen=True)
+class ConvertMaintenanceSpec:
+    """One CONVERT step (Delta's CONVERT TO DELTA, declaratively):
+    adopt a plain-parquet directory as a versioned table IN PLACE —
+    zero bytes rewritten, footer stats + merged schema into v0.
+    Hive-partitioned layouts must DECLARE their partition columns;
+    ``distributed`` fans the footer pass out as a Spark job (the
+    10^6-file object-store shape)."""
+
+    partition_by: tuple[str, ...] = ()
+    distributed: bool = False
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "ConvertMaintenanceSpec":
+        return ConvertMaintenanceSpec(
+            partition_by=tuple(obj.get("partitionBy", []) or []),
+            distributed=bool(obj.get("distributed", False)),
+        )
+
+    def validate(self) -> None:
+        for c in self.partition_by:
+            if not isinstance(c, str) or not c.strip():
+                raise SpecError(
+                    f"convert.partitionBy entries must be column names, "
+                    f"got {c!r}"
+                )
+
+
+@dataclass(frozen=True)
 class MaintenanceSpec:
-    """A declarative table-maintenance job (r15): the lakehouse
-    scheduler's surface for compact/vacuum/checkpoint — the reference's
-    job-spec shape (writer/job.go:63-93's declared lifecycle hooks)
-    extended to table maintenance, as Delta exposes OPTIMIZE/VACUUM
-    through SQL. Steps run in the fixed order compact → checkpoint →
-    vacuum: compaction first so the checkpoint captures the packed
-    snapshot and vacuum's retention math sees the compaction commit."""
+    """A declarative table-maintenance job (r15, extended r16): the
+    lakehouse scheduler's surface for the versioned layer's lifecycle
+    operations — the reference's job-spec shape (writer/job.go:63-93's
+    declared lifecycle hooks) extended to table maintenance, as Delta
+    exposes OPTIMIZE/VACUUM/RESTORE/CLONE/CONVERT through SQL. Steps
+    run in the fixed documented order
+
+        convert → restore → enableRowTracking → compact → checkpoint
+        → clone → vacuum
+
+    : convert first (it CREATES the log a plain directory lacks),
+    restore before layout work (compaction should pack the restored
+    content), row-tracking enablement before compact (the backfill
+    rewrite is itself compactable), checkpoint after compact (capture
+    the packed snapshot), clone before vacuum (the clone references
+    live files; reclaiming first would race it), vacuum last."""
 
     connection: ConnectionSpec
     compact: CompactMaintenanceSpec | None = None
     vacuum: VacuumMaintenanceSpec | None = None
     checkpoint: bool = False
+    clone: CloneMaintenanceSpec | None = None
+    restore: RestoreMaintenanceSpec | None = None
+    convert: ConvertMaintenanceSpec | None = None
+    enable_row_tracking: bool = False
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "MaintenanceSpec":
@@ -645,6 +749,22 @@ class MaintenanceSpec:
                 else None
             ),
             checkpoint=bool(obj.get("checkpoint", False)),
+            clone=(
+                CloneMaintenanceSpec.from_json(obj["clone"])
+                if obj.get("clone") is not None
+                else None
+            ),
+            restore=(
+                RestoreMaintenanceSpec.from_json(obj["restore"])
+                if obj.get("restore") is not None
+                else None
+            ),
+            convert=(
+                ConvertMaintenanceSpec.from_json(obj["convert"])
+                if obj.get("convert") is not None
+                else None
+            ),
+            enable_row_tracking=bool(obj.get("enableRowTracking", False)),
         )
         spec.validate()
         return spec
@@ -655,15 +775,30 @@ class MaintenanceSpec:
                 "maintenance needs connection.url and connection.table."
                 "name (the versioned table to maintain)"
             )
-        if self.compact is None and self.vacuum is None and not self.checkpoint:
+        if (
+            self.compact is None
+            and self.vacuum is None
+            and not self.checkpoint
+            and self.clone is None
+            and self.restore is None
+            and self.convert is None
+            and not self.enable_row_tracking
+        ):
             raise SpecError(
                 "maintenance declares no step: pass at least one of "
-                "compact, vacuum, checkpoint"
+                "compact, vacuum, checkpoint, clone, restore, convert, "
+                "enableRowTracking"
             )
         if self.compact is not None:
             self.compact.validate()
         if self.vacuum is not None:
             self.vacuum.validate()
+        if self.clone is not None:
+            self.clone.validate()
+        if self.restore is not None:
+            self.restore.validate()
+        if self.convert is not None:
+            self.convert.validate()
 
 
 @dataclass(frozen=True)

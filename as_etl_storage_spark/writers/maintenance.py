@@ -1,23 +1,29 @@
-"""Declarative table maintenance: the job-spec surface for
-compact / checkpoint / vacuum on versioned tables (r15).
+"""Declarative table maintenance: the job-spec surface for the
+versioned layer's lifecycle operations (r15; clone/restore/convert/
+enableRowTracking added r16).
 
 The reference exposes its job lifecycle declaratively (writer/job.go:63-93
 — preSQL/postSQL hooks around a declared write); a lakehouse scheduler
 wants the same shape for layout work, the way Delta exposes
-OPTIMIZE/VACUUM as SQL statements. A maintenance job moves no rows — it
-re-packs, snapshots, and reclaims what the table already holds:
+OPTIMIZE/VACUUM/RESTORE/CLONE/CONVERT as SQL statements. A maintenance
+job moves no user rows — it adopts, rolls back, re-packs, snapshots,
+and reclaims what the table already holds:
 
     {"maintenance": {
         "connection": {"url": root, "table": {"name": "t"}},
+        "convert":  {"partitionBy": ["day"]},
+        "restore":  {"version": 41},
+        "enableRowTracking": true,
         "compact":  {"where": "day = '2026-08-15'", "zorder": ["k"]},
         "checkpoint": true,
+        "clone":    {"target": "/lake/t_dev", "versionAsOf": 41},
         "vacuum":   {"retainHours": 168, "dryRun": true}}}
 
-Steps run compact → checkpoint → vacuum (the packed snapshot is what the
-checkpoint should capture and what vacuum's retention math should see).
-Non-versioned targets are refused up front: maintenance semantics —
-snapshot isolation, retention, data_change:false commits — only exist on
-the transaction log.
+Steps run in the fixed order convert → restore → enableRowTracking →
+compact → checkpoint → clone → vacuum (see MaintenanceSpec for the
+rationale). Non-versioned targets are refused up front for every step
+EXCEPT convert — whose whole point is adopting a plain directory; with
+convert declared, an ALREADY-versioned target is the refusal instead.
 """
 
 from __future__ import annotations
@@ -41,30 +47,66 @@ class MaintenanceResult:
     the base version unchanged when the policy found nothing to do —
     same as the Python API). ``vacuum_removed`` counts deleted files;
     a dry run reports the would-be victims in ``vacuum_dry_run`` and
-    removes nothing."""
+    removes nothing. ``convert_version``/``restore_version``/
+    ``row_tracking_version`` are the versions those steps committed
+    (None when not declared); ``clone_path`` is the clone's root."""
 
     table_path: str
     compact_version: int | None = None
     checkpoint_version: int | None = None
     vacuum_removed: int | None = None
     vacuum_dry_run: list[str] = field(default_factory=list)
+    convert_version: int | None = None
+    restore_version: int | None = None
+    row_tracking_version: int | None = None
+    clone_path: str | None = None
 
 
 def run_maintenance(
     spark: SparkSession, spec: MaintenanceSpec
 ) -> MaintenanceResult:
-    """Execute one maintenance job spec. Refuses non-versioned targets
-    (no ``_log``) before touching anything."""
+    """Execute one maintenance job spec. Refuses wrong target types
+    (no ``_log`` without convert; an existing ``_log`` with convert)
+    before touching anything."""
     from as_etl_storage_spark.writers.versioned import VersionedTable
 
     path = os.path.join(spec.connection.url, spec.connection.table.name)
-    if not os.path.isdir(os.path.join(path, "_log")):
+    has_log = os.path.isdir(os.path.join(path, "_log"))
+    if spec.convert is not None and has_log:
+        raise SpecError(
+            f"maintenance convert targets plain parquet directories, but "
+            f"{path} already has a transaction log — drop the convert "
+            f"step (or point at the directory to adopt)"
+        )
+    if spec.convert is None and not has_log:
         raise SpecError(
             f"maintenance target is not a versioned table (no _log): "
             f"{path} — compact/vacuum/checkpoint semantics only exist "
             "on the transaction log"
         )
-    vt = VersionedTable(spark, path)
+
+    convert_version: int | None = None
+    if spec.convert is not None:
+        vt = VersionedTable.convert(
+            spark,
+            path,
+            partition_by=list(spec.convert.partition_by) or None,
+            distributed=spec.convert.distributed,
+        )
+        convert_version = vt.latest_version()
+    else:
+        vt = VersionedTable(spark, path)
+
+    restore_version: int | None = None
+    if spec.restore is not None:
+        restore_version = vt.restore(
+            version=spec.restore.version,
+            timestamp=spec.restore.timestamp,
+        )
+
+    row_tracking_version: int | None = None
+    if spec.enable_row_tracking:
+        row_tracking_version = vt.enable_row_tracking()
 
     compact_version: int | None = None
     if spec.compact is not None:
@@ -82,6 +124,15 @@ def run_maintenance(
     checkpoint_version: int | None = None
     if spec.checkpoint:
         checkpoint_version = vt.checkpoint()
+
+    clone_path: str | None = None
+    if spec.clone is not None:
+        cl = vt.clone(
+            spec.clone.target,
+            version=spec.clone.version_as_of,
+            timestamp=spec.clone.timestamp_as_of,
+        )
+        clone_path = cl.path
 
     vacuum_removed: int | None = None
     dry: list[str] = []
@@ -105,4 +156,8 @@ def run_maintenance(
         checkpoint_version=checkpoint_version,
         vacuum_removed=vacuum_removed,
         vacuum_dry_run=dry,
+        convert_version=convert_version,
+        restore_version=restore_version,
+        row_tracking_version=row_tracking_version,
+        clone_path=clone_path,
     )

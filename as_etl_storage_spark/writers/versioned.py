@@ -491,6 +491,11 @@ class VersionedTable:
             "external-files",
             "generated-columns",
             "identity-columns",
+            # r16: stable row IDs materialized through DML rewrites
+            # (Delta's row tracking). A pre-feature writer's DML rewrite
+            # would silently DROP the hidden _row_id column from every
+            # rewritten file — the flag fails it fast by name instead.
+            "row-tracking",
         }
     )
 
@@ -668,9 +673,192 @@ class VersionedTable:
         return dict(val or {})
 
     def identity_columns(self) -> dict[str, dict]:
-        """The table's current identity-column specs ({} when none)."""
+        """The table's current identity-column specs ({} when none).
+        Hidden specs (the row-tracking ``_row_id`` allocator) are
+        internal bookkeeping, not user columns — excluded here."""
         latest = self.latest_version()
-        return {} if latest is None else self._identity_at(latest)
+        if latest is None:
+            return {}
+        return {
+            c: sp
+            for c, sp in self._identity_at(latest).items()
+            if not sp.get("hidden")
+        }
+
+    # -- row tracking (Delta's stable row IDs, r16) -----------------------
+    #: hidden physical column holding each row's stable id — materialized
+    #: into every data file of a row-tracked table, preserved through
+    #: update/merge/compact rewrites, dropped on delete, freshly
+    #: allocated on insert. Not part of the table schema; exposed only by
+    #: read(with_row_ids=True) / change_feed(with_row_ids=True).
+    _ROW_ID = "_row_id"
+
+    @staticmethod
+    def _hidden_ids(idmap: dict[str, dict]) -> list[str]:
+        """Names of the hidden (row-tracking) specs in an identity map."""
+        return sorted(c for c, sp in idmap.items() if sp.get("hidden"))
+
+    def _row_tracked_at(self, version: int | None) -> bool:
+        """Whether row tracking is in force at ``version`` — i.e. every
+        live data file carries a materialized ``_row_id`` column. Driven
+        by the hidden identity spec (the allocator), which enablement
+        commits together with the ``row-tracking`` feature flag."""
+        if version is None:
+            return False
+        return any(
+            sp.get("hidden") for sp in self._identity_at(version).values()
+        )
+
+    def _with_row_id(
+        self, schema: "T.StructType | None"
+    ) -> "T.StructType | None":
+        """``schema`` extended with the hidden ``_row_id`` field — what
+        every REWRITE-side scan of a row-tracked table must declare, so
+        the ids physically stored in the files ride through the rewrite
+        select into the new files instead of being projected away."""
+        if schema is None:
+            return None
+        return T.StructType(
+            [
+                *schema.fields,
+                T.StructField(self._ROW_ID, T.LongType(), True),
+            ]
+        )
+
+    def enable_row_tracking(self) -> int:
+        """Turn on row tracking (Delta's ``delta.enableRowTracking``):
+        every row gets a STABLE hidden id (``_row_id``) that survives
+        update/merge/compact/cluster rewrites — deleted ids never
+        reappear, inserted rows allocate fresh ids above the high-water
+        mark, and CDF update pre/postimages pair by id. The primitive
+        for incremental materialized views and merge-free CDC joins:
+        downstream consumers key on an id that is stable across
+        restatements instead of re-deriving row identity from payload.
+
+        Mechanics: the id is a HIDDEN identity spec (``start 0, step
+        1``) riding the existing allocator — in-plan prefix-sum
+        assignment on every insert path, high-water advance from footer
+        row counts at commit, OCC abort when a concurrent commit moved
+        the mark, restore keeping the LATEST mark so retained history
+        can never collide with new allocations. Enablement BACKFILLS:
+        the current snapshot is rewritten once with ids materialized
+        (cost ∝ table, paid once — Delta's own backfill does the same),
+        and the ``row-tracking`` protocol feature is committed so a
+        pre-feature writer fails fast by name instead of silently
+        dropping ids in a rewrite. Idempotent: enabling an enabled
+        table is a no-op returning the current version.
+
+        Caveat (documented, matches the NULL-id posture Delta has for
+        pre-materialization files): ``restore()`` to a version BEFORE
+        enablement resurrects files without materialized ids — those
+        rows read ``_row_id`` as NULL; re-run ``enable_row_tracking()``
+        after such a restore to re-backfill them."""
+        base = self.latest_version()
+        if base is None:
+            raise VersionedTableError(
+                f"no committed versions at {self.path}; create the table "
+                f"first (row tracking enables on an existing table)"
+            )
+        idmap = self._identity_at(base)
+        files = self._state(base)
+        if self._row_tracked_at(base):
+            # idempotent — unless a restore resurrected pre-enablement
+            # files (no materialized ids): then re-backfill them
+            sch_probe = self._scan_schema(base)
+            if files and sch_probe is not None:
+                missing = self._scan_files(
+                    files,
+                    self._with_row_id(sch_probe),
+                    self._dv_at(base),
+                    mapping=self._mapping_at(base),
+                    partition_by=self._partition_by_at(base),
+                ).where(F.col(self._ROW_ID).isNull())
+                if missing.isEmpty():
+                    return base
+            else:
+                return base
+        clash = [
+            f.name
+            for f in (self.table_schema(base).fields or [])
+            if f.name.lower() == self._ROW_ID
+        ]
+        if clash:
+            raise VersionedTableError(
+                f"cannot enable row tracking: the table has a user column "
+                f"named {clash[0]!r}, which collides with the hidden row-id "
+                f"column; rename it first"
+            )
+        if self._schema_at(base) is None:
+            raise VersionedTableError(
+                "cannot enable row tracking on a legacy log without a "
+                "recorded schema; run any write (or overwrite) first so "
+                "the schema is recorded"
+            )
+        prev_high = (
+            idmap.get(self._ROW_ID, {}).get("high")
+            if self._ROW_ID in idmap
+            else None
+        )
+        new_idmap = {
+            **idmap,
+            self._ROW_ID: {
+                "start": 0,
+                "step": 1,
+                "high": prev_high,
+                "hidden": True,
+            },
+        }
+        pb = self._partition_by_at(base)
+        mapping = self._mapping_at(base)
+        if not files:
+            # empty snapshot: metadata-only enablement (the spec + flag);
+            # the first insert allocates from the mark
+            manifest_id = {
+                c: (
+                    {**sp, "high": sp.get("high", None)}
+                    if sp.get("hidden")
+                    else sp
+                )
+                for c, sp in new_idmap.items()
+            }
+            return self._commit_metadata(
+                base, "enable_row_tracking", identity=manifest_id
+            )
+        # backfill: one full rewrite materializing ids for every current
+        # row (ids that already exist — a re-enable after a boundary
+        # restore — are KEPT; only NULL slots allocate, via coalesce
+        # against a fresh allocation)
+        scan = self._scan_files(
+            files,
+            self._with_row_id(self._scan_schema(base)),
+            self._dv_at(base),
+            mapping=mapping,
+            partition_by=pb,
+        )
+        pinned = scan.persist()
+        try:
+            keep = "__vt_rt_keep"  # the rows' EXISTING ids, if any
+            alloc = self._with_identity_allocation(
+                pinned.withColumnRenamed(self._ROW_ID, keep),
+                {self._ROW_ID: new_idmap[self._ROW_ID]},
+            )
+            filled = alloc.withColumn(
+                self._ROW_ID,
+                F.coalesce(F.col(keep), F.col(self._ROW_ID)),
+            ).drop(keep)
+            new_files = self._write_data_files(filled, pb, mapping)
+        finally:
+            pinned.unpersist()
+        return self._commit(
+            new_files,
+            "enable_row_tracking",
+            base,
+            partition_by=pb,
+            identity=new_idmap,
+            identity_allocated=True,
+            enforced_identity=idmap or None,
+            params={"backfilled_files": len(files)},
+        )
 
     # -- table schema (Delta's metaData.schemaString analog) -------------
     def _schema_record_at(
@@ -826,6 +1014,7 @@ class VersionedTable:
         dropped: list[str] | None = None,
         mapping: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        passthrough: tuple = (),
     ) -> tuple[DataFrame, dict]:
         """Schema enforcement at the write (Delta's rule): the incoming
         frame is resolved against the table schema — missing columns
@@ -834,6 +1023,12 @@ class VersionedTable:
         ``merge_schema`` (Delta's mergeSchema) opts into additive
         evolution: unknown columns append to the schema; old files read
         them as NULL. Returns (aligned frame, resulting schema json).
+
+        ``passthrough``: hidden internal columns (the row-tracking
+        ``_row_id``) an INTERNAL rewrite frame legitimately carries —
+        exempt from the reserved/extras checks, appended verbatim after
+        the aligned schema columns when present, never recorded in the
+        schema. User-facing writes never pass this.
 
         ``generated`` (Delta's generated columns): a column the frame
         LACKS is computed from its expression inside the write plan; a
@@ -868,16 +1063,23 @@ class VersionedTable:
         # casefolded: Spark resolution is case-insensitive by default, so
         # a column named __VT_FILE would collide with the identity column
         # at scan time exactly as the lowercase form does
+        pt_lower = {p.lower() for p in passthrough}
         clash = [
             f.name
             for f in df.schema.fields
             if f.name.lower() in self._RESERVED_NAMES
+            and f.name.lower() not in pt_lower
         ]
         if clash:
             raise VersionedTableError(
                 f"{op}: column names {clash} are reserved for internal "
                 f"row identity / manifest bookkeeping; rename them"
             )
+        pt_cols = [
+            F.col(f.name)
+            for f in df.schema.fields
+            if f.name.lower() in pt_lower
+        ]
         if stored is None:
             # first write / legacy log: the frame defines the schema
             return df, self._nullable_json(df.schema)
@@ -885,7 +1087,10 @@ class VersionedTable:
         by_lower = {f.name.lower(): f for f in df.schema.fields}
         tgt_lower = {f.name.lower() for f in tgt.fields}
         extras = [
-            f for f in df.schema.fields if f.name.lower() not in tgt_lower
+            f
+            for f in df.schema.fields
+            if f.name.lower() not in tgt_lower
+            and f.name.lower() not in pt_lower
         ]
         if extras and not merge_schema:
             raise VersionedTableError(
@@ -961,7 +1166,10 @@ class VersionedTable:
         for f in extras:
             cols.append(F.col(f.name))
             new_fields.append(T.StructField(f.name, f.dataType, True))
-        return df.select(*cols), self._nullable_json(T.StructType(new_fields))
+        return (
+            df.select(*cols, *pt_cols),
+            self._nullable_json(T.StructType(new_fields)),
+        )
 
     @classmethod
     def _deep_nullable(cls, dt: "T.DataType") -> "T.DataType":
@@ -1849,6 +2057,13 @@ class VersionedTable:
             # a pre-feature writer appending without allocating (or
             # advancing the watermark) would write NULL ids / collide
             feats.add("identity-columns")
+            if any(
+                isinstance(sp, dict) and sp.get("hidden")
+                for sp in manifest["identity"].values()
+            ):
+                # row tracking: a pre-feature DML rewrite would silently
+                # drop the hidden _row_id column from rewritten files
+                feats.add("row-tracking")
         if feats:
             manifest["features"] = sorted(feats)
         if latest != base or not self._publish_manifest(version, manifest):
@@ -2387,6 +2602,9 @@ class VersionedTable:
                     # silently replace their content
                     "clone",
                     "convert",
+                    # the backfill rewrote a now-stale snapshot; a
+                    # last-writer-wins commit would drop the winner's rows
+                    "enable_row_tracking",
                 ):
                     raise VersionedTableError(
                         f"concurrent commit advanced the log to {latest} past "
@@ -2602,6 +2820,13 @@ class VersionedTable:
                     # same fail-fast rule: a pre-feature writer would
                     # neither allocate nor advance the watermark
                     feats.add("identity-columns")
+                    if any(
+                        isinstance(sp, dict) and sp.get("hidden")
+                        for sp in manifest["identity"].values()
+                    ):
+                        # a pre-feature DML rewrite would silently DROP
+                        # the hidden _row_id column from rewritten files
+                        feats.add("row-tracking")
                 if any(os.path.isabs(f) for f in files):
                     feats.add("external-files")
                 live_dv = dv
@@ -2810,20 +3035,29 @@ class VersionedTable:
                 if cname in dropped:
                     continue
                 ok_types = (int, float, str, bool)
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, ok_types)
-                    or not isinstance(st.max, ok_types)
+                try:
+                    # ACCESSING .min/.max raises ArrowNotImplementedError
+                    # for types pyarrow cannot extract (e.g. decimal on
+                    # some physical layouts) — absent stats mean "cannot
+                    # skip", never a failed commit
+                    lo, hi = (
+                        (st.min, st.max)
+                        if st is not None and st.has_min_max
+                        else (None, None)
+                    )
+                except Exception:  # noqa: BLE001 - stats are advisory
+                    lo, hi = None, None
+                if not isinstance(lo, ok_types) or not isinstance(
+                    hi, ok_types
                 ):
                     dropped.add(cname)
                     mins.pop(cname, None)
                     maxs.pop(cname, None)
                     continue
-                if cname not in mins or st.min < mins[cname]:
-                    mins[cname] = st.min
-                if cname not in maxs or st.max > maxs[cname]:
-                    maxs[cname] = st.max
+                if cname not in mins or lo < mins[cname]:
+                    mins[cname] = lo
+                if cname not in maxs or hi > maxs[cname]:
+                    maxs[cname] = hi
         bounds = {c: [mins[c], maxs[c]] for c in mins if c in maxs}
         for col, val in VersionedTable._partition_values(name).items():
             bounds[col] = [val, val]
@@ -3422,11 +3656,17 @@ class VersionedTable:
             if base is not None and not overwrite_schema
             else {}
         )
-        idmap = (
-            self._identity_at(base)
-            if base is not None and not overwrite_schema
-            else {}
-        )
+        idmap_full = self._identity_at(base) if base is not None else {}
+        if overwrite_schema:
+            # a schema-redefining overwrite resets USER identity specs
+            # with the schema they described, but row tracking (hidden
+            # spec + feature flag, both monotone) survives: the new rows
+            # allocate fresh ids above the existing mark
+            idmap = {
+                c: sp for c, sp in idmap_full.items() if sp.get("hidden")
+            }
+        else:
+            idmap = idmap_full
         if idmap:
             self._identity_supplied(df, idmap, "overwrite")
         df, new_schema = self._align(
@@ -3462,7 +3702,9 @@ class VersionedTable:
             dropped=[] if overwrite_schema else None,
             mapping=mapping,
             generated={} if overwrite_schema else None,
-            identity=({} if overwrite_schema else (idmap or None)),
+            # overwrite_schema resets user identity specs but KEEPS the
+            # hidden row-tracking spec (idmap is hidden-only there)
+            identity=(idmap if overwrite_schema else (idmap or None)),
             identity_allocated=bool(idmap),
             enforced_identity=idmap or None,
         )
@@ -3497,13 +3739,22 @@ class VersionedTable:
             raise VersionedTableError(
                 f"incoming frame lacks partition columns {missing}"
             )
-        if self._identity_at(base):
+        idmap = self._identity_at(base)
+        visible_ids = {
+            c: sp for c, sp in idmap.items() if not sp.get("hidden")
+        }
+        hidden_ids = {c: sp for c, sp in idmap.items() if sp.get("hidden")}
+        if visible_ids:
             raise VersionedTableError(
                 "overwrite_partitions is not supported on tables with "
                 "identity columns: a partition restate would re-allocate "
                 "the restated rows' identities. Use merge (updates keep "
                 "the target's ids; inserts allocate)"
             )
+        if hidden_ids:
+            # row tracking composes: restated rows are NEW rows (fresh
+            # ids); untouched partitions' files carry theirs by name
+            self._identity_supplied(df, hidden_ids, "overwrite_partitions")
         stored, tombstones = self._schema_record_at(base)
         mapping = self._mapping_at(base)
         # merge_schema lets a partition restate carry an added column
@@ -3516,6 +3767,10 @@ class VersionedTable:
         schema_evolved = stored is not None and self._canon_schema(
             stored
         ) != self._canon_schema(new_schema)
+        pinned = None
+        if hidden_ids:
+            pinned = df.persist()
+            df = self._with_identity_allocation(pinned, hidden_ids)
         # write FIRST, then classify by the new files' own partition
         # directories: both old and new names were rendered by the same
         # hive encoder, so the replaced-partition match is exact by
@@ -3525,9 +3780,13 @@ class VersionedTable:
         # (digit-only strings, dates, decimals) and DUPLICATE rows
         # instead of replacing them. Staged files are invisible until
         # the commit below, so writing first is safe.
-        new_files = self._write_data_files(
-            self._checked(df, self._constraints_at(base)), pb, mapping
-        )
+        try:
+            new_files = self._write_data_files(
+                self._checked(df, self._constraints_at(base)), pb, mapping
+            )
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         replaced_dirs = {os.path.dirname(f) for f in new_files}
         files = self._state(base)
         untouched = [
@@ -3542,6 +3801,10 @@ class VersionedTable:
             partition_by=pb,
             schema=new_schema if schema_evolved else None,
             enforced_schema=stored,
+            identity=(idmap or None) if hidden_ids else None,
+            identity_allocated=bool(hidden_ids),
+            identity_stat_files=new_files if hidden_ids else None,
+            enforced_identity=(idmap or None) if hidden_ids else None,
         )
 
     def replace_where(
@@ -3594,13 +3857,24 @@ class VersionedTable:
                 f"no committed versions at {self.path}; replace_where "
                 f"needs an existing table (create with overwrite)"
             )
-        if self._identity_at(base):
+        idmap = self._identity_at(base)
+        visible_ids = {
+            c: sp for c, sp in idmap.items() if not sp.get("hidden")
+        }
+        hidden_ids = {c: sp for c, sp in idmap.items() if sp.get("hidden")}
+        if visible_ids:
             raise VersionedTableError(
                 "replace_where is not supported on tables with identity "
                 "columns: a slice restate would re-allocate the restated "
                 "rows' identities. Use merge (updates keep the target's "
                 "ids; inserts allocate)"
             )
+        if hidden_ids:
+            # row tracking composes with a slice restate: replaced rows
+            # are NEW rows (fresh ids above the mark — Delta assigns
+            # fresh row ids on replaceWhere too); boundary survivors
+            # keep theirs through the rewrite below
+            self._identity_supplied(df, hidden_ids, "replace_where")
         cond, candidates, triples = self._dml_condition_and_candidates(
             base, predicate
         )
@@ -3630,47 +3904,63 @@ class VersionedTable:
                 F.lit(True),
             )
         )
+        ins_pinned = None
+        if hidden_ids:
+            ins_pinned = enforced.persist()
+            enforced = self._with_identity_allocation(
+                ins_pinned, hidden_ids
+            )
+        rw_sch = self._scan_schema(base)
+        if hidden_ids:
+            rw_sch = self._with_row_id(rw_sch)
         # phase 1 (the DML shape): ONE column-pruned scan finds the files
         # holding at least one matching row; everything else is carried
         touched, untouched = self._split_touched(base, cond, candidates)
         new_files: list[str] = []
         cdc: list[str] = []
-        if touched:
-            scan_t = self._scan_files(
-                touched, self._scan_schema(base), self._dv_at(base),
-                mapping=mapping, partition_by=pb,
-            ).persist()
-            try:
-                # boundary rows survive; files wholly inside the
-                # predicate contribute nothing and are dropped with no
-                # rewrite beyond this one fused pass
-                new_files += self._write_data_files(
-                    scan_t.where(~cond), pb, mapping
-                )
-                cdc += self._write_cdc_files(
-                    scan_t.where(cond).withColumn(
-                        "_change_type", F.lit("delete")
-                    ),
-                    mapping,
-                )
+        try:
+            if touched:
+                scan_t = self._scan_files(
+                    touched, rw_sch, self._dv_at(base),
+                    mapping=mapping, partition_by=pb,
+                ).persist()
+                try:
+                    # boundary rows survive; files wholly inside the
+                    # predicate contribute nothing and are dropped with no
+                    # rewrite beyond this one fused pass
+                    new_files += self._write_data_files(
+                        scan_t.where(~cond), pb, mapping
+                    )
+                    cdc += self._write_cdc_files(
+                        scan_t.where(cond).withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        mapping,
+                    )
+                    ins = self._write_data_files(
+                        self._checked(enforced, cons), pb, mapping
+                    )
+                finally:
+                    scan_t.unpersist()
+            else:
                 ins = self._write_data_files(
                     self._checked(enforced, cons), pb, mapping
                 )
-            finally:
-                scan_t.unpersist()
-        else:
-            ins = self._write_data_files(
-                self._checked(enforced, cons), pb, mapping
-            )
+        finally:
+            if ins_pinned is not None:
+                ins_pinned.unpersist()
         new_files += ins
         if ins:
             # insert change rows come from the COMMITTED files, not a
             # re-evaluation of the incoming plan (a non-deterministic
             # source must record exactly what it wrote)
+            ins_sch = T.StructType.fromJson(new_schema)
+            if hidden_ids:
+                ins_sch = self._with_row_id(ins_sch)
             cdc += self._write_cdc_files(
                 self._scan_files(
                     ins,
-                    T.StructType.fromJson(new_schema),
+                    ins_sch,
                     mapping=mapping,
                 ).withColumn("_change_type", F.lit("insert")),
                 mapping,
@@ -3687,12 +3977,19 @@ class VersionedTable:
             enforced_schema=stored,
             enforced_constraints=cons,
             rebase_on_appends=self._phys_triples(triples, mapping),
+            identity=(idmap or None) if hidden_ids else None,
+            identity_allocated=bool(hidden_ids),
+            identity_stat_files=ins if hidden_ids else None,
+            enforced_identity=(idmap or None) if hidden_ids else None,
             params={"predicate": self._param_repr(predicate)},
         )
 
     def replace(self, df: DataFrame, merge_keys: list[str]) -> int:
         """MERGE-style upsert as a new version: kept-oldies ∪ incoming.
-        Readers of prior versions are unaffected (snapshot isolation)."""
+        Readers of prior versions are unaffected (snapshot isolation).
+        On a row-tracked table kept rows keep their ids (the target side
+        scans with ``_row_id``) and incoming rows allocate fresh ones —
+        replaced rows are NEW rows, their predecessors' ids retire."""
         base = self.latest_version()
         if base is None:
             return self.overwrite(df)
@@ -3702,22 +3999,50 @@ class VersionedTable:
                 f"replace requires identical columns; target {target.columns} "
                 f"vs incoming {df.columns}"
             )
+        idmap = self._identity_at(base)
+        hidden = {c: sp for c, sp in idmap.items() if sp.get("hidden")}
+        if hidden:
+            self._identity_supplied(df, hidden, "replace")
         incoming, _ = self._align(
             df, self._schema_at(base), False, "replace",
             generated=self._generated_at(base),
         )
+        pb = self._partition_by_at(base)
+        mapping = self._mapping_at(base)
+        pinned = None
+        if hidden:
+            # kept rows carry their ids through the rewrite; incoming
+            # rows allocate above the mark
+            target = self._scan_files(
+                self._state(base),
+                self._with_row_id(self._scan_schema(base)),
+                self._dv_at(base),
+                mapping=mapping,
+                partition_by=pb,
+            )
+            pinned = incoming.persist()
+            incoming = self._with_identity_allocation(pinned, hidden)
         kept = target.join(
             incoming.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
         )
         merged = kept.unionByName(
             self._checked(incoming, self._constraints_at(base))
         )
-        pb = self._partition_by_at(base)
+        try:
+            new_files = self._write_data_files(merged, pb, mapping)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
         return self._commit(
-            self._write_data_files(merged, pb, self._mapping_at(base)),
+            new_files,
             "replace",
             base,
             partition_by=pb,
+            # the allocation covered only incoming rows; counting every
+            # written row over-advances the mark, which is gap-safe
+            identity=(idmap or None) if hidden else None,
+            identity_allocated=bool(hidden),
+            enforced_identity=(idmap or None) if hidden else None,
         )
 
     # -- row-level DML (file-pruned rewrite + change-data files) --------
@@ -3792,6 +4117,13 @@ class VersionedTable:
             "__vt_id_loc",
             "__vt_id_off",
             "__vt_id_cnt",
+            # row tracking's hidden stable-id column (r16): a user column
+            # by this name would collide with the materialized ids in
+            # every row-tracked file — reserved on ALL tables so enabling
+            # row tracking later is never blocked by a name squat
+            "_row_id",
+            # enable_row_tracking's re-backfill temp
+            "__vt_rt_keep",
             "#rows",
             "#bytes",
             "#nulls",
@@ -4067,8 +4399,14 @@ class VersionedTable:
             return None
         pb = self._partition_by_at(base)
         mapping = self._mapping_at(base)
+        sch = self._scan_schema(base)
+        if self._row_tracked_at(base):
+            # rewrite-side scan declares _row_id so survivors keep their
+            # ids (deleted ids leave with their rows and never reissue —
+            # the high-water mark only advances)
+            sch = self._with_row_id(sch)
         scan_t = self._scan_files(
-            touched, self._scan_schema(base), self._dv_at(base),
+            touched, sch, self._dv_at(base),
             mapping=mapping, partition_by=pb,
         ).persist()
         try:
@@ -4122,10 +4460,15 @@ class VersionedTable:
         by_basename = {os.path.basename(f): f for f in files}
         pb = self._partition_by_at(base)
         mapping = self._mapping_at(base)
+        sch = self._scan_schema(base)
+        if self._row_tracked_at(base):
+            # _row_id rides the scan: CDF delete rows carry the doomed
+            # ids, and the threshold-rewrite below preserves survivors'
+            sch = self._with_row_id(sch)
         matched = (
             self._scan_files(
                 scan_set,
-                self._scan_schema(base),
+                sch,
                 dv_cur,
                 keep_identity=True,
                 mapping=mapping,
@@ -4170,9 +4513,11 @@ class VersionedTable:
                 # rewrite the heavily-deleted files without their matched
                 # rows; the scan applies their EXISTING vectors too, so
                 # the rewrite materializes the whole subtraction at once
+                # (sch already carries _row_id on a row-tracked table,
+                # so survivors keep their ids through this rewrite)
                 new_files = self._write_data_files(
                     self._scan_files(
-                        sorted(rewrite_rel), self._scan_schema(base), dv_cur,
+                        sorted(rewrite_rel), sch, dv_cur,
                         mapping=mapping, partition_by=pb,
                     ).where(~cond),
                     pb,
@@ -4295,8 +4640,16 @@ class VersionedTable:
         pb = self._partition_by_at(base)
         cons = self._constraints_at(base)
         mapping = self._mapping_at(base)
+        sch = self._scan_schema(base)
+        tracked = self._row_tracked_at(base)
+        if tracked:
+            # updated rows KEEP their ids (stable row identity is the
+            # whole point): _row_id rides the scan, flows through the
+            # per-column select untouched (never assignable — the
+            # identity guard above covers it), and passes the re-align
+            sch = self._with_row_id(sch)
         scan_t = self._scan_files(
-            touched, self._scan_schema(base), self._dv_at(base),
+            touched, sch, self._dv_at(base),
             mapping=mapping, partition_by=pb,
         ).persist()
         try:
@@ -4306,6 +4659,7 @@ class VersionedTable:
             rewritten, _ = self._align(
                 _updated(scan_t, cond), self._schema_at(base), False,
                 "update",
+                passthrough=(self._ROW_ID,) if tracked else (),
             )
             new_files = self._write_data_files(
                 self._checked(rewritten, cons), pb, mapping
@@ -4902,16 +5256,24 @@ class VersionedTable:
             ]
         cdc_frames: list[DataFrame] = []
         new_files: list[str] = []
+        tracked = self._row_tracked_at(base)
+        pt = (self._ROW_ID,) if tracked else ()
         if touched:
+            sch = self._scan_schema(base)
+            if tracked:
+                # matched rows KEEP their ids (_matched_split's identity
+                # list includes _row_id, so whole-row updates take the
+                # TARGET's id); kept rows carry theirs; inserts allocate
+                sch = self._with_row_id(sch)
             scan_t = self._scan_files(
-                touched, self._scan_schema(base), self._dv_at(base),
+                touched, sch, self._dv_at(base),
                 mapping=mapping, partition_by=pb,
             )
             if evolved_schema is not None:
                 # rewritten rows land under the EVOLVED schema: kept
                 # rows null-fill the new columns (one zero-cost select)
                 scan_t, _ = self._align(
-                    scan_t, evolved_schema, False, "merge"
+                    scan_t, evolved_schema, False, "merge", passthrough=pt
                 )
             scan_t = scan_t.persist()
             try:
@@ -4934,7 +5296,8 @@ class VersionedTable:
                         # later declared-schema scans (same rule as
                         # update()'s assignments)
                         updated, _ = self._align(
-                            updated, eff_schema, False, "merge"
+                            updated, eff_schema, False, "merge",
+                            passthrough=pt,
                         )
                     rewritten = kept.unionByName(
                         self._checked(updated, cons)
@@ -5080,6 +5443,13 @@ class VersionedTable:
         abort-on-anything conflict rule: the read set is the whole
         table."""
         sch = self._scan_schema(base)
+        tracked = self._row_tracked_at(base)
+        pt = (self._ROW_ID,) if tracked else ()
+        if tracked:
+            # every target-side scan here feeds either a rewrite (ids
+            # must survive) or a CDF delete frame (ids name the doomed
+            # rows) — _row_id rides all of them
+            sch = self._with_row_id(sch)
         dv = self._dv_at(base)
         cons = self._constraints_at(base)
         eff_schema = (
@@ -5094,7 +5464,9 @@ class VersionedTable:
             # the downstream unions compose under one schema
             if evolved_schema is None:
                 return df
-            return self._align(df, evolved_schema, False, "merge")[0]
+            return self._align(
+                df, evolved_schema, False, "merge", passthrough=pt
+            )[0]
 
         bcond = (
             self._as_condition(when_not_matched_by_source_condition)
@@ -5185,7 +5557,8 @@ class VersionedTable:
                 if when_matched == "update":
                     if when_matched_set is not None:
                         updated, _ = self._align(
-                            updated, eff_schema, False, "merge"
+                            updated, eff_schema, False, "merge",
+                            passthrough=pt,
                         )
                     rewritten_frames.append(self._checked(updated, cons))
                     cdc_frames.append(
@@ -5455,6 +5828,7 @@ class VersionedTable:
         version_as_of: int | None = None,
         prune: "list[tuple[str, str, object]] | str | None" = None,
         timestamp_as_of: object = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot read, optionally with manifest-level data skipping:
         ``prune`` is a conjunction of ``(column, op, literal)`` simple
@@ -5476,7 +5850,13 @@ class VersionedTable:
 
         ``timestamp_as_of`` (exclusive with ``version_as_of``) is the
         other half of Delta's time travel: the snapshot current at that
-        wall-clock instant — see :meth:`resolve_timestamp`."""
+        wall-clock instant — see :meth:`resolve_timestamp`.
+
+        ``with_row_ids`` (row-tracked tables only): include the stable
+        hidden ``_row_id`` column — the id each row has carried since
+        its insert, preserved through every rewrite. Rows resurrected
+        by a restore to a pre-enablement version read it as NULL (see
+        :meth:`enable_row_tracking`)."""
         where_str: str | None = None
         if isinstance(prune, str):
             from as_etl_storage_spark.spec import prune_triples_from_where
@@ -5497,6 +5877,11 @@ class VersionedTable:
             raise VersionedTableError(
                 f"version {version} not found; available {vs[0]}..{vs[-1]}"
             )
+        if with_row_ids and not self._row_tracked_at(version):
+            raise VersionedTableError(
+                f"with_row_ids needs row tracking (not enabled at "
+                f"version {version}); run enable_row_tracking() first"
+            )
         files = self._state(version)
         kept = files
         if prune:
@@ -5513,11 +5898,16 @@ class VersionedTable:
                 from pyspark.sql import functions as F
 
                 return (
-                    self.read(version_as_of=version)
+                    self.read(
+                        version_as_of=version, with_row_ids=with_row_ids
+                    )
                     .where(F.lit(False))
                     .limit(0)
                 )
         files = kept
+        scan_sch = self._scan_schema(version)
+        if with_row_ids:
+            scan_sch = self._with_row_id(scan_sch)
         if not files:
             # a legitimately EMPTY snapshot: partitionBy writes of an
             # empty frame emit zero part files, so "delete everything"
@@ -5525,9 +5915,8 @@ class VersionedTable:
             # can commit files: []. With a log-recorded schema the empty
             # frame is fully typed; only a schema-less legacy manifest is
             # unrecoverable.
-            sch = self._scan_schema(version)
-            if sch is not None:
-                return self.spark.createDataFrame([], sch)
+            if scan_sch is not None:
+                return self.spark.createDataFrame([], scan_sch)
             raise VersionedTableError(
                 f"version {version} references no data files; the schema "
                 f"is unrecoverable from an empty manifest"
@@ -5537,7 +5926,7 @@ class VersionedTable:
         # and a time-travel read of a pre-evolution version shows the
         # schema the table had THEN — with zero footer merging either way
         df = self._scan_files(
-            files, self._scan_schema(version), self._dv_at(version),
+            files, scan_sch, self._dv_at(version),
             mapping=self._mapping_at(version),
             partition_by=self._partition_by_at(version),
         )
@@ -5739,6 +6128,7 @@ class VersionedTable:
         from_version: int | None = None,
         to_version: int | None = None,
         from_timestamp: object = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Row-level change feed over a version range (Delta CDF's
         ``readChangeFeed``): table columns plus ``_change_type`` (insert /
@@ -5758,7 +6148,15 @@ class VersionedTable:
         (compact) contribute nothing. Overwrite/replace record no change
         files (their row-level story is unknowable from file lists), so a
         range crossing one raises, directing the consumer to a snapshot
-        re-read — the same contract Delta CDF has for non-CDC commits."""
+        re-read — the same contract Delta CDF has for non-CDC commits.
+
+        ``with_row_ids`` (row-tracked tables only): add the stable
+        ``_row_id`` column to every change row — update preimages and
+        postimages PAIR by it (the merge-free CDC-join primitive:
+        consumers key on an id stable across restatements instead of
+        re-deriving row identity from payload); deleted ids never
+        reappear; inserts carry their freshly allocated ids. Change rows
+        from versions committed BEFORE enablement read it as NULL."""
         if from_timestamp is not None:
             if from_version is not None:
                 raise VersionedTableError(
@@ -5813,9 +6211,18 @@ class VersionedTable:
                     f"files: its row-level changes are unknowable — "
                     f"full re-read required"
                 )
+        if with_row_ids and not self._row_tracked_at(to_version):
+            raise VersionedTableError(
+                f"with_row_ids needs row tracking (not enabled at "
+                f"version {to_version}); run enable_row_tracking() first"
+            )
         cols = self.read(version_as_of=to_version).columns
+        if with_row_ids:
+            cols = [*cols, self._ROW_ID]
         out_cols = [*cols, "_change_type", "_commit_version"]
         sch = self._scan_schema(to_version)
+        if with_row_ids:
+            sch = self._with_row_id(sch)
         frames: list[DataFrame] = []
         for pairs, is_cdc in ((insert_files, False), (cdc_files, True)):
             if not pairs:
@@ -5861,7 +6268,9 @@ class VersionedTable:
             frames.append(scan.select(*out_cols))
         if not frames:  # range covers only layout-only versions, or empty
             return (
-                self.read(version_as_of=to_version)
+                self.read(
+                    version_as_of=to_version, with_row_ids=with_row_ids
+                )
                 .limit(0)
                 .withColumn("_change_type", F.lit(""))
                 .withColumn("_commit_version", F.lit(0).cast("bigint"))
@@ -6072,13 +6481,19 @@ class VersionedTable:
         }
         carry_stats = {f: stats[f] for f in untouched if f in stats}
 
+        rewrite_sch = self._scan_schema(base)
+        if self._row_tracked_at(base):
+            # layout maintenance must never lose row identity: ids ride
+            # the re-pack/re-cluster rewrite like any other column
+            rewrite_sch = self._with_row_id(rewrite_sch)
+
         def _scoped_scan():
             # the files being re-packed, with THEIR vectors subtracted
             # (the rewrite is the purge) — untouched files keep theirs
             if not files:
                 return self.read(version_as_of=base).limit(0)
             return self._scan_files(
-                files, self._scan_schema(base), scoped_dv, mapping=mapping,
+                files, rewrite_sch, scoped_dv, mapping=mapping,
                 partition_by=pb,
             )
 
@@ -6381,15 +6796,29 @@ class VersionedTable:
             # column the restored schema lacks would desync every later
             # write), but each surviving column keeps the LATEST
             # high-water mark — rolling the mark back could re-allocate
-            # ids still live in retained history
+            # ids still live in retained history. HIDDEN specs (row
+            # tracking) never roll back at all: the feature flag is
+            # monotone, so the allocator must stay alive even when
+            # restoring to a pre-enablement version (whose resurrected
+            # files read _row_id as NULL until a re-backfill — see
+            # enable_row_tracking's caveat)
             identity={
-                c: {
-                    **sp,
-                    "high": self._identity_at(self.latest_version())
-                    .get(c, sp)
-                    .get("high", sp.get("high")),
-                }
-                for c, sp in self._identity_at(version).items()
+                **{
+                    c: {
+                        **sp,
+                        "high": self._identity_at(self.latest_version())
+                        .get(c, sp)
+                        .get("high", sp.get("high")),
+                    }
+                    for c, sp in self._identity_at(version).items()
+                },
+                **{
+                    c: sp
+                    for c, sp in self._identity_at(
+                        self.latest_version()
+                    ).items()
+                    if sp.get("hidden")
+                },
             },
         )
 

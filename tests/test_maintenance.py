@@ -261,3 +261,78 @@ def test_maintenance_spec_validation(spark, tmp_path):
         JobSpec.from_json(
             {"maintenance": {"checkpoint": True}}
         )
+
+
+def test_maintenance_convert_restore_clone_row_tracking(spark, tmp_path):
+    """r16: the remaining lifecycle operations are spec-reachable —
+    convert adopts a plain directory (and refuses an already-versioned
+    one), restore rolls content back as a new commit, enableRowTracking
+    backfills ids, clone snapshots into an independent table — all from
+    JSON, in the documented step order."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path)
+    # plain parquet directory to adopt
+    spark.range(50).select(F.col("id").alias("v")).coalesce(2).write.parquet(
+        os.path.join(root, "t")
+    )
+    res = run_job(spark, _job(root, "t", convert={}))
+    assert res.convert_version == 0
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    assert vt.read().count() == 50
+    # convert on an already-versioned table is refused up front
+    with pytest.raises(SpecError, match="already has a transaction log"):
+        run_job(spark, _job(root, "t", convert={}))
+    # mutate, then restore + enable row tracking + clone in ONE job
+    vt.append(spark.range(50, 80).select(F.col("id").alias("v")))
+    res = run_job(
+        spark,
+        _job(
+            root,
+            "t",
+            restore={"version": 0},
+            enableRowTracking=True,
+            clone={"target": os.path.join(root, "t_dev")},
+        ),
+    )
+    assert res.restore_version is not None
+    assert res.row_tracking_version == res.restore_version + 1
+    assert res.clone_path == os.path.join(root, "t_dev")
+    assert vt.read().count() == 50  # restored content
+    ids = sorted(
+        r["_row_id"] for r in vt.read(with_row_ids=True).collect()
+    )
+    assert ids == list(range(50))  # backfilled dense
+    c = VersionedTable(spark, os.path.join(root, "t_dev"))
+    assert c.read().count() == 50
+    assert sorted(
+        r["_row_id"] for r in c.read(with_row_ids=True).collect()
+    ) == ids  # the clone carries the ids
+    # historical clone via versionAsOf
+    run_job(
+        spark,
+        _job(
+            root,
+            "t",
+            clone={
+                "target": os.path.join(root, "t_v0"),
+                "versionAsOf": 0,
+            },
+        ),
+    )
+    c0 = VersionedTable(spark, os.path.join(root, "t_v0"))
+    assert c0.read().count() == 50
+    # validation: bad shapes fail at parse, before anything is touched
+    with _pytest.raises(SpecError, match="clone.target"):
+        JobSpec.from_json(_job(root, "t", clone={}))
+    with _pytest.raises(SpecError, match="exactly one"):
+        JobSpec.from_json(_job(root, "t", restore={}))
+    with _pytest.raises(SpecError, match="not both"):
+        JobSpec.from_json(
+            _job(
+                root,
+                "t",
+                clone={"target": "/x", "versionAsOf": 1, "timestampAsOf": "2026"},
+            )
+        )

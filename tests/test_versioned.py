@@ -7293,3 +7293,221 @@ def test_scoped_clustering_keeps_out_of_scope_files_in_tail(
     assert vt.read().count() == 2000
     # and the round after that is free
     assert vt.compact(target_file_bytes=4096) == v2
+
+
+# ---------------------------------------------------- row tracking (r16) --
+def test_row_tracking_full_dml_lifecycle(spark, tmp_path):
+    """Stable row IDs (Delta's row tracking): enablement backfills dense
+    ids 0..n-1; append/merge-insert allocate above the mark; update,
+    compact and dv-delete preserve the id multiset; delete retires ids
+    forever; merge-matched rows keep the TARGET's id; the hidden column
+    never leaks into plain reads or the schema."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(20)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartition(3)
+    )
+    v_en = vt.enable_row_tracking()
+    assert "row-tracking" in vt._features_at(v_en)
+    ids = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert sorted(ids.values()) == list(range(20))  # dense 0..n-1
+    assert "_row_id" not in vt.read().columns
+    assert "_row_id" not in [f.name for f in vt.table_schema().fields]
+    assert vt.identity_columns() == {}  # the hidden spec stays hidden
+    assert vt.enable_row_tracking() == v_en  # idempotent
+    # append: fresh ids above the mark, existing ids untouched
+    vt.append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+        )
+    )
+    ids2 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert all(ids2[k] == ids[k] for k in ids)
+    assert min(ids2[k] for k in range(20, 25)) > max(ids.values())
+    # update preserves
+    vt.update("k < 5", {"v": "v + 100"})
+    assert {
+        r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()
+    } == ids2
+    # compact preserves
+    vt.compact(target_file_bytes=4096)
+    assert {
+        r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()
+    } == ids2
+    # delete retires; survivors keep
+    dead = {ids2[7], ids2[8]}
+    vt.delete([("k", ">=", 7), ("k", "<=", 8)])
+    ids3 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert set(ids3) == set(ids2) - {7, 8}
+    assert all(ids3[k] == ids2[k] for k in ids3)
+    assert not (set(ids3.values()) & dead)
+    # dv-delete subtracts without rewriting
+    vt.delete([("k", "=", 3)], mode="dv", dv_rewrite_fraction=2.0)
+    ids4 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert set(ids4) == set(ids3) - {3}
+    assert all(ids4[k] == ids3[k] for k in ids4)
+    # merge: matched keep target id; inserts (incl. a re-used DELETED
+    # key) allocate fresh — retired ids never reappear
+    src = spark.createDataFrame([(0, 999), (7, 1), (50, 2)], "k long, v long")
+    vt.merge(src, ["k"])
+    ids5 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids5[0] == ids4[0]
+    assert ids5[7] not in dead and ids5[7] > max(ids2.values())
+    assert ids5[50] > max(ids2.values())
+    assert all(ids5[k] == ids4[k] for k in ids4)
+
+
+def test_row_tracking_cdf_pairs_by_row_id(spark, tmp_path):
+    """CDF with row ids: update pre/postimages pair one-to-one by
+    _row_id, delete rows carry the retired id, inserts carry the fresh
+    one — and without with_row_ids the feed's schema is unchanged."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        )
+    )
+    vt.enable_row_tracking()
+    ids = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    v0 = vt.latest_version()
+    vt.update("k = 2", {"v": "v + 1"})
+    vt.delete([("k", "=", 4)])
+    vt.merge(spark.createDataFrame([(100, 5)], "k long, v long"), ["k"])
+    cf = vt.change_feed(from_version=v0, with_row_ids=True)
+    pre = {r["_row_id"] for r in cf.where("_change_type='update_preimage'").collect()}
+    post = {r["_row_id"] for r in cf.where("_change_type='update_postimage'").collect()}
+    assert pre == post == {ids[2]}
+    dels = {r["_row_id"] for r in cf.where("_change_type='delete'").collect()}
+    assert dels == {ids[4]}
+    ins = {r["_row_id"] for r in cf.where("_change_type='insert'").collect()}
+    assert len(ins) == 1 and ins.isdisjoint(ids.values())
+    # plain feed: no _row_id column
+    assert "_row_id" not in vt.change_feed(from_version=v0).columns
+    # with_row_ids on an untracked table: actionable refusal
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(spark.range(3))
+    with pytest.raises(VersionedTableError, match="row tracking"):
+        vt2.read(with_row_ids=True)
+    with pytest.raises(VersionedTableError, match="row tracking"):
+        vt2.change_feed(from_version=0, with_row_ids=True)
+
+
+def test_row_tracking_protocol_fence_and_reserved_name(spark, tmp_path):
+    """A pre-feature reader/writer must fail FAST, naming the feature —
+    not silently drop ids in a rewrite; and a user column named _row_id
+    is refused at the write on every table."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    vt.enable_row_tracking()
+    saved = VersionedTable.SUPPORTED_FEATURES
+    try:
+        VersionedTable.SUPPORTED_FEATURES = saved - {"row-tracking"}
+        with pytest.raises(VersionedTableError, match="row-tracking"):
+            vt.read()
+        with pytest.raises(VersionedTableError, match="row-tracking"):
+            vt.append(spark.range(5, 6).select(F.col("id").alias("k")))
+    finally:
+        VersionedTable.SUPPORTED_FEATURES = saved
+    # reserved everywhere, even before enabling
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt2.overwrite(spark.range(3).withColumn("_row_id", F.col("id")))
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.add_column("_row_id", "bigint")
+    with pytest.raises(VersionedTableError, match="reserved"):
+        vt.rename_column("k", "_ROW_ID")
+
+
+def test_row_tracking_restate_and_restore_boundary(spark, tmp_path):
+    """replace_where / overwrite_partitions / replace compose with row
+    tracking (restated rows are NEW rows with fresh ids; carried rows
+    keep theirs); restore to a pre-enablement version resurrects
+    NULL-id files, a re-enable re-backfills them WITHOUT re-issuing any
+    id, and overwrite_schema=True keeps the allocator alive."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+        )
+    )
+    vt.enable_row_tracking()
+    ids = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    hi = max(ids.values())
+    # replace_where: survivors keep, restated slice allocates fresh
+    vt.replace_where(
+        spark.createDataFrame([(8, 99)], "k long, v long"),
+        [("k", ">=", 8)],
+    )
+    ids2 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids2[8] > hi and 9 not in ids2
+    assert all(ids2[k] == ids[k] for k in ids2 if k != 8)
+    # replace (upsert): kept rows keep ids, incoming rows allocate
+    vt.replace(spark.createDataFrame([(0, 5), (70, 6)], "k long, v long"), ["k"])
+    ids3 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids3[0] > ids2[8] and ids3[70] > ids2[8]  # replaced = new row
+    assert all(ids3[k] == ids2[k] for k in ids3 if k not in (0, 70))
+    # overwrite_schema keeps tracking alive across a schema reset
+    vt.overwrite(
+        spark.range(3).select(F.col("id").alias("a")), overwrite_schema=True
+    )
+    ids4 = sorted(
+        r["_row_id"] for r in vt.read(with_row_ids=True).collect()
+    )
+    assert min(ids4) > max(ids3.values())
+    assert vt._row_tracked_at(vt.latest_version())
+    # restore across the enablement boundary: NULL ids, then re-backfill
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(spark.range(4).select(F.col("id").alias("k")))
+    vt2.enable_row_tracking()
+    first = {r["k"]: r["_row_id"] for r in vt2.read(with_row_ids=True).collect()}
+    vt2.restore(version=0)
+    assert vt2.read(with_row_ids=True).where("_row_id IS NULL").count() == 4
+    vt2.enable_row_tracking()  # re-backfill
+    again = {r["k"]: r["_row_id"] for r in vt2.read(with_row_ids=True).collect()}
+    assert None not in again.values()
+    assert min(again.values()) > max(first.values())  # never re-issued
+
+
+def test_row_tracking_partitioned_and_clone(spark, tmp_path):
+    """Row tracking on a hive-partitioned table: ids survive a
+    partition-scoped dynamic overwrite for carried partitions and
+    re-allocate for the restated one; a shallow clone carries the ids
+    and keeps allocating above the source's mark."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(12).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("p")
+        ),
+        partition_by=["p"],
+    )
+    vt.enable_row_tracking()
+    ids = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    hi = max(ids.values())
+    vt.overwrite_partitions(
+        spark.createDataFrame([(100, 1)], "k long, p long")
+    )
+    ids2 = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert ids2[100] > hi
+    carried = {k for k in ids if k % 3 != 1}
+    assert all(ids2[k] == ids[k] for k in carried)
+    # prune still works and ids ride a partitioned read
+    sel = vt.read(prune=[("p", "=", 0)], with_row_ids=True)
+    assert {r["k"] for r in sel.collect()} == {k for k in ids if k % 3 == 0}
+    # clone carries ids and the mark
+    c = vt.clone(str(tmp_path / "c"))
+    cids = {r["k"]: r["_row_id"] for r in c.read(with_row_ids=True).collect()}
+    assert cids == ids2
+    c.append(spark.createDataFrame([(200, 2)], "k long, p long"))
+    cids2 = {r["k"]: r["_row_id"] for r in c.read(with_row_ids=True).collect()}
+    assert cids2[200] > max(ids2.values())
