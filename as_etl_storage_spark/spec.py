@@ -585,16 +585,23 @@ class VacuumMaintenanceSpec:
     #: run the data-file sweep as a Spark job (the object-store path
     #: where a serial driver walk IS the cost) — vacuum(distributed=)
     distributed: bool = False
+    #: scheduler hook (r16): sweep only when a dry run finds at least
+    #: this many reclaimable files; below the threshold the step is a
+    #: cheap no-op that SAYS SO in the report — one maintenance spec can
+    #: run on a cadence idempotently without paying a sweep per tick
+    if_reclaimable: int | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "VacuumMaintenanceSpec":
         rh = obj.get("retainHours")
+        ir = obj.get("ifReclaimable")
         return VacuumMaintenanceSpec(
             retain_last=int(obj.get("retainLast", 1)),
             retain_hours=float(rh) if rh is not None else None,
             grace_seconds=float(obj.get("graceSeconds", 600.0)),
             dry_run=bool(obj.get("dryRun", False)),
             distributed=bool(obj.get("distributed", False)),
+            if_reclaimable=int(ir) if ir is not None else None,
         )
 
     def validate(self) -> None:
@@ -610,6 +617,16 @@ class VacuumMaintenanceSpec:
             raise SpecError(
                 f"vacuum.graceSeconds must be >= 0, got "
                 f"{self.grace_seconds}"
+            )
+        if self.if_reclaimable is not None and self.if_reclaimable < 1:
+            raise SpecError(
+                f"vacuum.ifReclaimable must be >= 1, got "
+                f"{self.if_reclaimable}"
+            )
+        if self.if_reclaimable is not None and self.dry_run:
+            raise SpecError(
+                "vacuum.ifReclaimable gates the REAL sweep; combining it "
+                "with dryRun is contradictory (a dry run never sweeps)"
             )
 
 

@@ -60,6 +60,9 @@ class MaintenanceResult:
     restore_version: int | None = None
     row_tracking_version: int | None = None
     clone_path: str | None = None
+    #: set when vacuum.ifReclaimable gated the sweep off: the reason,
+    #: with the reclaimable count — the scheduler-readable "no-op" signal
+    vacuum_skipped: str | None = None
 
 
 def run_maintenance(
@@ -136,19 +139,40 @@ def run_maintenance(
 
     vacuum_removed: int | None = None
     dry: list[str] = []
+    vacuum_skipped: str | None = None
     if spec.vacuum is not None:
         v = spec.vacuum
-        out = vt.vacuum(
-            retain_last=v.retain_last,
-            grace_seconds=v.grace_seconds,
-            retain_hours=v.retain_hours,
-            distributed=v.distributed,
-            dry_run=v.dry_run,
-        )
-        if v.dry_run:
-            dry = list(out)  # type: ignore[arg-type]
-        else:
-            vacuum_removed = int(out)  # type: ignore[arg-type]
+        run_sweep = True
+        if v.if_reclaimable is not None:
+            # scheduler gate: ONE dry run decides whether the sweep is
+            # worth a pass — re-running the same spec after a sweep
+            # finds nothing reclaimable and no-ops, saying so
+            reclaimable = vt.vacuum(
+                retain_last=v.retain_last,
+                grace_seconds=v.grace_seconds,
+                retain_hours=v.retain_hours,
+                dry_run=True,
+            )
+            if len(reclaimable) < v.if_reclaimable:
+                run_sweep = False
+                vacuum_skipped = (
+                    f"ifReclaimable: {len(reclaimable)} reclaimable "
+                    f"file(s) < threshold {v.if_reclaimable}; sweep "
+                    f"skipped"
+                )
+                vacuum_removed = 0
+        if run_sweep:
+            out = vt.vacuum(
+                retain_last=v.retain_last,
+                grace_seconds=v.grace_seconds,
+                retain_hours=v.retain_hours,
+                distributed=v.distributed,
+                dry_run=v.dry_run,
+            )
+            if v.dry_run:
+                dry = list(out)  # type: ignore[arg-type]
+            else:
+                vacuum_removed = int(out)  # type: ignore[arg-type]
 
     return MaintenanceResult(
         table_path=path,
@@ -160,4 +184,5 @@ def run_maintenance(
         restore_version=restore_version,
         row_tracking_version=row_tracking_version,
         clone_path=clone_path,
+        vacuum_skipped=vacuum_skipped,
     )

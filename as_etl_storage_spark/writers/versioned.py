@@ -1274,6 +1274,14 @@ class VersionedTable:
         # just the unclustered tail — bounds the range overlap that
         # tail-only rounds accumulate. 0/absent = tail-only forever.
         "vt.clusterBy.fullEvery",
+        # cluster-on-write (r16, Delta's liquid clustering at ingest):
+        # appends and overwrites range-partition + sort on the declared
+        # vt.clusterBy keys BEFORE the write, so files are born with
+        # tight prunable bounds and incremental maintenance finds an
+        # empty tail. Opt-in: it costs one range exchange per ingest
+        # batch — the right trade on read-heavy tables, wrong on
+        # ingest-bound ones (let auto-compact sort later instead).
+        "vt.clusterBy.onWrite",
     }
 
     def properties(self, version: int | None = None) -> dict[str, str]:
@@ -1311,9 +1319,11 @@ class VersionedTable:
                     f"{sorted(self._KNOWN_PROPERTIES)} (non-'vt.' keys "
                     f"are free-form)"
                 )
-        self._validate_known_properties(props)
         merged = self._properties_at(base)
         merged.update(props)
+        # validate the MERGED map: cross-key rules (clusterBy.onWrite
+        # needs clusterBy) must see keys set in earlier commits too
+        self._validate_known_properties(merged)
         for key in ("vt.bloomFilter.columns", "vt.clusterBy"):
             if key not in props:
                 continue
@@ -1406,6 +1416,19 @@ class VersionedTable:
                 f"vt.appendOnly must be 'true' or 'false', got "
                 f"{props['vt.appendOnly']!r}"
             )
+        if "vt.clusterBy.onWrite" in props:
+            if props["vt.clusterBy.onWrite"] not in ("true", "false"):
+                raise VersionedTableError(
+                    f"vt.clusterBy.onWrite must be 'true' or 'false', got "
+                    f"{props['vt.clusterBy.onWrite']!r}"
+                )
+            if props["vt.clusterBy.onWrite"] == "true" and not props.get(
+                "vt.clusterBy", ""
+            ).strip():
+                raise VersionedTableError(
+                    "vt.clusterBy.onWrite=true needs vt.clusterBy to "
+                    "declare the clustering keys (set both together)"
+                )
 
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr) — Delta's table
@@ -3482,6 +3505,11 @@ class VersionedTable:
             # evaluation of a possibly-non-deterministic frame
             pinned = df.persist()
             df = self._with_identity_allocation(pinned, idmap)
+        cow_keys: list[str] = []
+        if base is not None:
+            df, cow_keys = self._cluster_on_write(
+                df, self._properties_at(base), pb
+            )
         try:
             new_files = self._write_data_files(
                 self._checked(df, cons), pb, mapping
@@ -3496,6 +3524,7 @@ class VersionedTable:
             new_files=new_files,
             txn=txn,
             enforced_constraints=cons,
+            params={"clusterOnWrite": cow_keys} if cow_keys else None,
             # record the schema when this append changed it (or first
             # recorded it on a legacy log); plain appends stay O(files)
             schema=new_schema if evolved else None,
@@ -3526,6 +3555,48 @@ class VersionedTable:
             except Exception:  # noqa: BLE001 - maintenance is best-effort
                 pass
         return v
+
+    def _cluster_on_write(
+        self,
+        df: DataFrame,
+        props: dict[str, str],
+        pb: list[str],
+    ) -> tuple[DataFrame, list[str]]:
+        """Cluster-on-write (r16, Delta's liquid clustering at ingest):
+        when ``vt.clusterBy.onWrite=true``, range-partition + sort the
+        batch on the declared ``vt.clusterBy`` keys so its files are
+        BORN with tight prunable bounds — ordering-sensitive skipping
+        works on fresh ingest without waiting for a maintenance round,
+        and incremental clustering finds those files already sorted
+        (they join the tail again only if a deletion vector lands on
+        them or they are small enough to be worth re-packing). Costs
+        one range exchange per batch — which is why it is opt-in. The
+        output partition count preserves the incoming frame's, so the
+        property changes layout, not file granularity. Returns
+        (possibly re-laid frame, the keys applied — [] when off)."""
+        if props.get("vt.clusterBy.onWrite") != "true":
+            return df, []
+        declared = [
+            c.strip()
+            for c in props.get("vt.clusterBy", "").split(",")
+            if c.strip()
+        ]
+        have = {c.lower() for c in df.columns}
+        keys = [c for c in declared if c.lower() in have]
+        if not keys:
+            return df, []  # keys dropped by DDL: layout is advisory
+        n = max(1, df.rdd.getNumPartitions())
+        # on a partitioned table the range key leads with the partition
+        # columns (same rule as compact's zorder write): same-partition
+        # rows land in the same tasks, so the hive write does not
+        # fragment into files × partitions
+        range_cols = [*pb, *keys] if pb else keys
+        return (
+            df.repartitionByRange(n, *range_cols).sortWithinPartitions(
+                *range_cols
+            ),
+            keys,
+        )
 
     def _maybe_auto_compact(
         self, version: int, new_files: list[str]
@@ -3679,6 +3750,14 @@ class VersionedTable:
             # reissued while retained history still references them)
             pinned = df.persist()
             df = self._with_identity_allocation(pinned, idmap)
+        cow_keys: list[str] = []
+        if base is not None and not overwrite_schema:
+            # a cluster-on-write overwrite is born fully clustered — it
+            # acts as the incremental-clustering anchor (a full rewrite
+            # sorted on the keys IS a full clustering of the snapshot)
+            df, cow_keys = self._cluster_on_write(
+                df, self._properties_at(base), partition_by
+            )
         try:
             new_files = self._write_data_files(
                 self._checked(df, cons), partition_by, mapping
@@ -3690,6 +3769,7 @@ class VersionedTable:
             new_files,
             "overwrite",
             base,
+            params={"clusterOnWrite": cow_keys} if cow_keys else None,
             partition_by=partition_by,
             enforced_constraints=cons,
             schema=new_schema,
@@ -6426,7 +6506,9 @@ class VersionedTable:
                 cluster_mode == "auto" and declared_cluster
             )
             if want_tail:
-                anchor, inc_run, clustered = self._cluster_history(base)
+                anchor, inc_run, clustered, onwrite = self._cluster_history(
+                    base
+                )
                 try:
                     full_every = int(
                         self._properties_at(base).get(
@@ -6445,14 +6527,38 @@ class VersionedTable:
                     # advertised DV purge, so a clustered-but-vectored
                     # file is rewrite-due, never carried). Already-
                     # ordered vector-free files are carried by name, so
-                    # the rewrite is ∝ ingest.
+                    # the rewrite is ∝ ingest. Files BORN sorted by
+                    # cluster-on-write count as clustered, except the
+                    # SMALL ones (< half the target): ingest-sorted
+                    # micro-batches still need bin-packing, or the file
+                    # count grows without bound — re-packing them keeps
+                    # maintenance ∝ ingest either way.
                     prev = clustered if clustered is not None else set()
                     dv_live = self._dv_at(base)
+                    small_ow = {
+                        f
+                        for f in onwrite
+                        if isinstance(
+                            stats.get(f, {}).get("#bytes"), int
+                        )
+                        and stats[f]["#bytes"] * 2 < target_file_bytes
+                    }
                     tail = [
-                        f for f in files if f not in prev or f in dv_live
+                        f
+                        for f in files
+                        if f not in prev or f in dv_live or f in small_ow
                     ]
                     if not tail:
                         return base  # nothing unclustered: zero-cost round
+                    if (
+                        len(tail) == 1
+                        and tail[0] in prev
+                        and tail[0] not in dv_live
+                    ):
+                        # a LONE small born-sorted file: re-packing one
+                        # file into one file achieves nothing — without
+                        # this, idle maintenance would rewrite it forever
+                        return base
                     tail_set = set(tail)
                     untouched = untouched + [
                         f for f in files if f not in tail_set
@@ -6636,7 +6742,7 @@ class VersionedTable:
 
     def _cluster_history(
         self, base: int
-    ) -> tuple[int | None, int, "set[str] | None"]:
+    ) -> tuple[int | None, int, "set[str] | None", "set[str]"]:
         """(last clustering commit ≤ ``base``, consecutive incremental
         rounds ending there, the set of files those commits actually
         CLUSTERED) — what incremental clustering anchors on.
@@ -6654,25 +6760,52 @@ class VersionedTable:
         NOT mark its out-of-scope carried files as clustered — they stay
         in the tail until a later round sorts them (pre-r16 commits
         record no outputs; the fallback treats that whole snapshot as
-        clustered, matching the old behavior for old tables). Bounded by
-        the version list — manifests are small JSON, and the walk
-        short-circuits at the first full clustering."""
+        clustered, matching the old behavior for old tables).
+
+        Cluster-on-write commits (r16) join the accounting: an append
+        whose params record ``clusterOnWrite`` contributed files BORN
+        sorted — they count as clustered (and the newest one can be the
+        anchor by itself, so a purely ingest-sorted table's maintenance
+        round is a no-op), returned separately as the fourth element so
+        compact() can still re-pack the SMALL ones. A cluster-on-write
+        OVERWRITE is a full clustering of its whole snapshot and
+        terminates the walk like one. Bounded by the version list —
+        manifests are small JSON, and the walk short-circuits at the
+        first full clustering."""
         chain: list[tuple[int, dict]] = []  # newest-first, ends at full
+        onwrite_adds: list[list[str]] = []
+        anchor_ow: int | None = None
         for v in reversed(self._versions()):
             if v > base:
                 continue
             m = self._manifest(v)
+            params = m.get("params") or {}
+            if params.get("clusterOnWrite"):
+                if "add" in m:
+                    onwrite_adds.append(m["add"])
+                    if anchor_ow is None:
+                        anchor_ow = v
+                    continue
+                if "files" in m:
+                    chain.append(
+                        (v, {"cluster": "full", "outputs": m["files"]})
+                    )
+                    break  # full clustering of the whole snapshot
             if m.get("op") != "compact":
                 continue
-            params = m.get("params") or {}
             if not params.get("cluster") and not params.get("zorder"):
                 continue  # plain bin-pack: not a clustering commit
             chain.append((v, params))
             if params.get("cluster") != "incremental":
                 break  # full clustering ends the incremental run
-        if not chain:
-            return None, 0, None
-        anchor = chain[0][0]
+        onwrite: set[str] = set()
+        for adds in onwrite_adds:
+            onwrite.update(adds)
+        if not chain and anchor_ow is None:
+            return None, 0, None, onwrite
+        anchor = chain[0][0] if chain else None
+        if anchor_ow is not None:
+            anchor = anchor_ow if anchor is None else max(anchor, anchor_ow)
         inc_run = sum(
             1 for _, p in chain if p.get("cluster") == "incremental"
         )
@@ -6685,7 +6818,7 @@ class VersionedTable:
                 clustered = set(self._state(v))
             else:
                 clustered = (clustered & set(self._state(v))) | set(outs)
-        return anchor, inc_run, clustered
+        return anchor, inc_run, clustered | onwrite, onwrite
 
     def count(
         self,

@@ -336,3 +336,139 @@ def test_maintenance_convert_restore_clone_row_tracking(spark, tmp_path):
                 clone={"target": "/x", "versionAsOf": 1, "timestampAsOf": "2026"},
             )
         )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_cluster_checkpoint_vacuum_restore_interplay_fuzz(
+    spark, tmp_path, seed
+):
+    """Seeded model fuzz (r16, the r12 merge-fuzz pattern): interleave
+    append / clustered-compact / checkpoint / vacuum / restore on a
+    vt.clusterBy table and pin the three manifest-params consumers
+    (incremental checkpoints, the _cluster_history walk, bloom carry)
+    against each other. After EVERY step: the table equals a pure-python
+    model, ordering-sensitive pruning returns exactly the model's rows
+    in range (conservative correctness — skipping is an optimization,
+    never a semantic), and _cluster_history keeps a consistent anchor
+    (never ahead of the log, clustered files always live or ignored)."""
+    import random
+
+    rng = random.Random(seed)
+    root = str(tmp_path)
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    # model: version -> sorted list of v values; current content mirror
+    vt.overwrite(
+        spark.range(40).select((F.col("id") * 7 % 101).alias("v")).coalesce(1)
+    )
+    vt.set_properties({"vt.clusterBy": "v"})
+    history = {vt.latest_version(): sorted((i * 7 % 101) for i in range(40))}
+    model = list(history[vt.latest_version()])
+    next_lo = 200
+
+    def check():
+        assert sorted(r["v"] for r in vt.read().collect()) == sorted(model)
+        lo, hi = rng.randrange(0, 300), rng.randrange(0, 300)
+        lo, hi = min(lo, hi), max(lo, hi) + 1
+        got = vt.read(prune=[("v", ">=", lo), ("v", "<", hi)]).count()
+        assert got == sum(1 for x in model if lo <= x < hi)
+        anchor, inc_run, clustered, onwrite = vt._cluster_history(
+            vt.latest_version()
+        )
+        assert anchor is None or anchor <= vt.latest_version()
+        assert inc_run >= 0
+        assert onwrite == set()  # onWrite never set in this fuzz
+
+    for _ in range(14):
+        op = rng.choice(
+            ["append", "append", "compact", "checkpoint", "vacuum", "restore"]
+        )
+        if op == "append":
+            n = rng.randrange(5, 30)
+            vals = [(next_lo + i * 3) % 997 for i in range(n)]
+            next_lo += rng.randrange(1, 50)
+            vt.append(
+                spark.createDataFrame([(x,) for x in vals], "v long")
+                .coalesce(1)
+            )
+            model.extend(vals)
+        elif op == "compact":
+            vt.compact(
+                target_file_bytes=rng.choice([1024, 4096, 1 << 30]),
+                cluster_mode=rng.choice(["auto", "incremental", "full"]),
+            )
+        elif op == "checkpoint":
+            vt.checkpoint(force_full=rng.random() < 0.5)
+        elif op == "vacuum":
+            vt.vacuum(retain_last=rng.randrange(1, 4), grace_seconds=0.0)
+        else:  # restore to a retained version whose model we recorded
+            retained = [
+                v for v in vt._versions() if v in history
+            ]
+            if retained:
+                tgt = rng.choice(retained)
+                try:
+                    vt.restore(version=tgt)
+                    model = list(history[tgt])
+                except VersionedTableError:
+                    pass  # target's files vacuumed: legal refusal
+        history[vt.latest_version()] = list(model)
+        check()
+
+
+def test_vacuum_if_reclaimable_idempotent_schedule(spark, tmp_path):
+    """r16 scheduler hook: vacuum.ifReclaimable gates the real sweep on
+    a dry-run count — the SAME maintenance spec runs on a cadence: the
+    first tick sweeps, the second finds nothing reclaimable, no-ops and
+    SAYS SO in the step report (vacuum_skipped + removed=0)."""
+    root, name = str(tmp_path), "t"
+    vt = VersionedTable(spark, os.path.join(root, name))
+    vt.overwrite(spark.range(100).coalesce(1))
+    vt.overwrite(spark.range(200).coalesce(1))  # v0's file reclaimable
+    job = _job(
+        root,
+        name,
+        vacuum={"retainLast": 1, "graceSeconds": 0, "ifReclaimable": 1},
+    )
+    res1 = run_job(spark, job)
+    assert res1.vacuum_removed >= 1
+    assert res1.vacuum_skipped is None
+    # tick 2: same spec, nothing left — cheap no-op that says so
+    res2 = run_job(spark, job)
+    assert res2.vacuum_removed == 0
+    assert res2.vacuum_skipped is not None
+    assert "ifReclaimable" in res2.vacuum_skipped
+    assert vt.read().count() == 200
+    # a HIGH threshold holds the sweep back even when something is
+    # reclaimable (batch small deletes into one pass)
+    vt.overwrite(spark.range(300).coalesce(1))
+    res3 = run_job(
+        spark,
+        _job(
+            root,
+            name,
+            vacuum={
+                "retainLast": 1,
+                "graceSeconds": 0,
+                "ifReclaimable": 50,
+            },
+        ),
+    )
+    assert res3.vacuum_removed == 0 and res3.vacuum_skipped is not None
+    assert vt.read().count() == 300
+    # validation: contradictory / malformed gates fail at parse
+    with pytest.raises(SpecError, match="ifReclaimable"):
+        JobSpec.from_json(
+            _job(root, name, vacuum={"retainLast": 1, "ifReclaimable": 0})
+        )
+    with pytest.raises(SpecError, match="contradictory"):
+        JobSpec.from_json(
+            _job(
+                root,
+                name,
+                vacuum={
+                    "retainLast": 1,
+                    "ifReclaimable": 1,
+                    "dryRun": True,
+                },
+            )
+        )

@@ -7511,3 +7511,78 @@ def test_row_tracking_partitioned_and_clone(spark, tmp_path):
     c.append(spark.createDataFrame([(200, 2)], "k long, p long"))
     cids2 = {r["k"]: r["_row_id"] for r in c.read(with_row_ids=True).collect()}
     assert cids2[200] > max(ids2.values())
+
+
+# ------------------------------------------------ cluster-on-write (r16) --
+def test_cluster_on_write_births_prunable_layout(spark, tmp_path):
+    """vt.clusterBy.onWrite=true (Delta's liquid clustering at ingest):
+    appends are range-partitioned + sorted on the declared keys BEFORE
+    the write, so a freshly appended, never-compacted table already
+    prunes selectively; incremental maintenance finds the born-sorted
+    files already clustered (no-op when they are right-sized), while a
+    larger target re-packs the small ones — cost ∝ ingest either way.
+    A cluster-on-write OVERWRITE acts as the full-clustering anchor."""
+    from pyspark.sql import functions as F
+
+    def batch(lo, b, n=500, stride=4):
+        return (
+            spark.range(n)
+            .select((F.col("id") * stride + b + lo).alias("v"))
+            .repartition(2)  # arbitrary incoming layout
+        )
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(batch(0, 0))
+    vt.set_properties({"vt.clusterBy": "v", "vt.clusterBy.onWrite": "true"})
+    # re-seed AFTER the property: this overwrite is born fully
+    # clustered and plants the anchor (pre-property files would
+    # correctly land in the first maintenance tail instead)
+    vt.overwrite(batch(0, 0))
+    for b in range(1, 4):
+        vt.append(batch(0, b))
+    # every post-property write is marked born-clustered
+    marked = [
+        m
+        for m in vt.history()
+        if (m.get("params") or {}).get("clusterOnWrite")
+    ]
+    assert len(marked) == 4
+    # ordering-sensitive prune is selective on the NEVER-compacted table:
+    # each append's files carry tight disjoint sub-ranges, so a narrow
+    # range hits ~1 file per append instead of every file
+    n_all = len(vt.read().inputFiles())
+    sel = vt.read(prune=[("v", ">=", 0), ("v", "<", 100)])
+    assert len(sel.inputFiles()) < n_all
+    assert sel.count() == 100  # 4 residue classes x 25
+    # right-sized born files: incremental maintenance is a NO-OP
+    v_before = vt.latest_version()
+    assert vt.compact(target_file_bytes=1024) == v_before
+    # larger target: the small born files are re-packed (still sorted),
+    # and the round after THAT is free
+    v_packed = vt.compact(target_file_bytes=1 << 30)
+    assert v_packed > v_before
+    assert vt._manifest(v_packed)["params"]["cluster"] == "incremental"
+    assert vt.compact(target_file_bytes=1 << 30) == v_packed
+    assert vt.read().count() == 2000
+    # cluster-on-write OVERWRITE = the anchor: a fresh table that only
+    # ever saw sorted writes needs no first full rewrite
+    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
+    vt2.overwrite(batch(0, 0))
+    vt2.set_properties(
+        {"vt.clusterBy": "v", "vt.clusterBy.onWrite": "true"}
+    )
+    vt2.overwrite(batch(10_000, 0))
+    m_ow = vt2._manifest(vt2.latest_version())
+    assert (m_ow.get("params") or {}).get("clusterOnWrite") == ["v"]
+    v2 = vt2.latest_version()
+    assert vt2.compact(target_file_bytes=1024) == v2  # already clustered
+    # property validation: onWrite without clusterBy is refused at SET;
+    # setting it in a LATER commit than clusterBy is fine (merged check)
+    vt3 = VersionedTable(spark, str(tmp_path / "t3"))
+    vt3.overwrite(spark.range(3).select(F.col("id").alias("v")))
+    with pytest.raises(VersionedTableError, match="needs vt.clusterBy"):
+        vt3.set_properties({"vt.clusterBy.onWrite": "true"})
+    vt3.set_properties({"vt.clusterBy": "v"})
+    vt3.set_properties({"vt.clusterBy.onWrite": "true"})  # merged: ok
+    with pytest.raises(VersionedTableError, match="onWrite"):
+        vt3.set_properties({"vt.clusterBy.onWrite": "yes"})
