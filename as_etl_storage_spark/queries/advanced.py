@@ -3755,3 +3755,74 @@ _register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ------------------------------------------------- cluster-on-write --
+def _w_versioned_cluster_on_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-on-write (r16, Delta's liquid clustering at ingest):
+    with ``vt.clusterBy.onWrite=true`` every append is range-partitioned
+    and sorted on the declared keys BEFORE the write, so a freshly
+    appended, never-compacted table already serves an ordering-sensitive
+    prune selectively — asserted in-query via inputFiles — and the
+    incremental maintenance round that follows is a zero-cost no-op
+    (the born-sorted files are already clustered; asserted from the
+    version number). Rows never move, so the result equals a plain
+    aggregate over the same slice."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wcow-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders")
+    vt = VersionedTable(spark, os.path.join(root, "t"))
+    vt.overwrite(orders.where("o_orderkey % 3 = 0").repartition(2))
+    vt.set_properties(
+        {"vt.clusterBy": "o_orderkey", "vt.clusterBy.onWrite": "true"}
+    )
+    # re-seed under the property (born fully clustered = the anchor),
+    # then interleaved ingest — each batch spans the whole key range,
+    # but cluster-on-write sorts it into tight-bounded files
+    vt.overwrite(orders.where("o_orderkey % 3 = 0").repartition(2))
+    for m in (1, 2):
+        vt.append(orders.where(f"o_orderkey % 3 = {m}").repartition(2))
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    n_all = len(vt.read().inputFiles())
+    sel = vt.read(
+        prune=[("o_orderkey", ">", 9 * hi // 10)]
+    )
+    if n_all > 3 and not len(sel.inputFiles()) < n_all:
+        raise AssertionError(
+            "cluster-on-write must give fresh ingest prunable bounds"
+        )
+    # born-sorted right-sized files: maintenance finds an empty tail
+    v = vt.latest_version()
+    if vt.compact(target_file_bytes=1024) != v:
+        raise AssertionError(
+            "incremental maintenance must no-op on born-clustered files"
+        )
+    return vt.read().groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_cluster_on_write",
+    _w_versioned_cluster_on_write,
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
