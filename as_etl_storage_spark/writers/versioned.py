@@ -4721,7 +4721,8 @@ class VersionedTable:
         cons = self._constraints_at(base)
         mapping = self._mapping_at(base)
         sch = self._scan_schema(base)
-        tracked = self._row_tracked_at(base)
+        # derived from the idmap already in hand — no second log walk
+        tracked = any(sp.get("hidden") for sp in idmap.values())
         if tracked:
             # updated rows KEEP their ids (stable row identity is the
             # whole point): _row_id rides the scan, flows through the
@@ -5336,7 +5337,8 @@ class VersionedTable:
             ]
         cdc_frames: list[DataFrame] = []
         new_files: list[str] = []
-        tracked = self._row_tracked_at(base)
+        # derived from the idmap already in hand — no second log walk
+        tracked = any(sp.get("hidden") for sp in idmap.values())
         pt = (self._ROW_ID,) if tracked else ()
         if touched:
             sch = self._scan_schema(base)
@@ -5523,7 +5525,8 @@ class VersionedTable:
         abort-on-anything conflict rule: the read set is the whole
         table."""
         sch = self._scan_schema(base)
-        tracked = self._row_tracked_at(base)
+        idmap = self._identity_at(base)
+        tracked = any(sp.get("hidden") for sp in idmap.values())
         pt = (self._ROW_ID,) if tracked else ()
         if tracked:
             # every target-side scan here feeds either a rewrite (ids
@@ -5588,7 +5591,7 @@ class VersionedTable:
                 )
             return ins
 
-        idmap = self._identity_at(base)
+        # idmap fetched once at the top (tracked derives from it)
         ins_pinned: list[DataFrame] = []
 
         def _allocated(ins: DataFrame) -> DataFrame:

@@ -7586,3 +7586,36 @@ def test_cluster_on_write_births_prunable_layout(spark, tmp_path):
     vt3.set_properties({"vt.clusterBy.onWrite": "true"})  # merged: ok
     with pytest.raises(VersionedTableError, match="onWrite"):
         vt3.set_properties({"vt.clusterBy.onWrite": "yes"})
+
+
+def test_row_tracking_merge_by_source_mirror(spark, tmp_path):
+    """Row tracking through MERGE's third clause (the CDC mirror):
+    matched rows keep their ids, by-source-deleted rows retire theirs
+    (carried into the CDF delete records), inserts allocate fresh —
+    one mirror merge, all three movements id-correct."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    vt.enable_row_tracking()
+    ids = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    v0 = vt.latest_version()
+    # mirror: keep 0..4 (updated), drop 5..9, insert 100
+    src = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(5)] + [(100, 0)], "k long, v long"
+    )
+    vt.merge(src, ["k"], when_not_matched_by_source="delete")
+    post = {r["k"]: r["_row_id"] for r in vt.read(with_row_ids=True).collect()}
+    assert all(post[k] == ids[k] for k in range(5))  # matched keep
+    assert post[100] > max(ids.values())  # insert allocates
+    assert set(post) == {*range(5), 100}
+    cf = vt.change_feed(from_version=v0, with_row_ids=True)
+    dels = {r["_row_id"] for r in cf.where("_change_type='delete'").collect()}
+    assert dels == {ids[k] for k in range(5, 10)}  # retired ids named
+    pre = {r["_row_id"] for r in cf.where("_change_type='update_preimage'").collect()}
+    post_i = {r["_row_id"] for r in cf.where("_change_type='update_postimage'").collect()}
+    assert pre == post_i == {ids[k] for k in range(5)}
