@@ -763,19 +763,27 @@ class VersionedTable:
         files = self._state(base)
         if self._row_tracked_at(base):
             # idempotent — unless a restore resurrected pre-enablement
-            # files (no materialized ids): then re-backfill them
+            # files (no materialized ids): then re-backfill them. The
+            # common all-materialized case answers from the MANIFEST
+            # alone (every file written with the column carries _row_id
+            # footer bounds), so a scheduler re-running the enablement
+            # spec pays metadata, not a column scan; only files whose
+            # stats LACK the entry trigger the real NULL probe.
+            stats_probe = self._stats_at(base)
+            all_stat_backed = files and all(
+                self._ROW_ID in (stats_probe.get(f) or {}) for f in files
+            )
             sch_probe = self._scan_schema(base)
-            if files and sch_probe is not None:
-                missing = self._scan_files(
-                    files,
-                    self._with_row_id(sch_probe),
-                    self._dv_at(base),
-                    mapping=self._mapping_at(base),
-                    partition_by=self._partition_by_at(base),
-                ).where(F.col(self._ROW_ID).isNull())
-                if missing.isEmpty():
-                    return base
-            else:
+            if all_stat_backed or not files or sch_probe is None:
+                return base
+            missing = self._scan_files(
+                files,
+                self._with_row_id(sch_probe),
+                self._dv_at(base),
+                mapping=self._mapping_at(base),
+                partition_by=self._partition_by_at(base),
+            ).where(F.col(self._ROW_ID).isNull())
+            if missing.isEmpty():
                 return base
         clash = [
             f.name
