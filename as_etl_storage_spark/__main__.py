@@ -51,7 +51,10 @@ def main(argv: list[str] | None = None) -> int:
     elif spec.maintenance is not None:  # maintenance -> step report
         from dataclasses import asdict
 
-        print(json.dumps({"table": result.table_path, **asdict(result)}))
+        report = asdict(result)
+        # "table" is the documented report key for the target path
+        report["table"] = report.pop("table_path")
+        print(json.dumps(report))
     else:
         print(
             json.dumps(

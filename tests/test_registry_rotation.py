@@ -1,78 +1,108 @@
 """Driver-sample rotation (r16, ADVICE r15): the external driver grades
 the first 50 registry keys, so the registry ORDER is the sample. The
-order must be mechanical — sha256(name) permutation rotated by a round
-clock the repo does not write — never a hand-picked list, and over
-ceil(N/50) rounds every query must receive a driver row. Pure-python:
-no SparkSession needed."""
+order must be mechanical — least-recently-graded by the driver's OWN
+committed CORRECTNESS artifacts, ties by sha256 — never a hand-picked
+list, and every query must receive a driver row within ceil(N/50)
+rounds EVEN AS THE REGISTRY GROWS (the r16 review showed a modulo
+window loses that bound under growth). Pure-python: no SparkSession."""
 
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 
 from as_etl_storage_spark.queries import (
     ORACLES,
     QUERIES,
     _SAMPLE_WINDOW,
-    _round_index,
+    _graded_history,
     driver_sample_order,
 )
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_rotation_is_deterministic_and_a_permutation():
+def test_order_is_deterministic_and_a_permutation():
     keys = list(QUERIES)
-    for rot in (0, 1, 7, 15, 16):
-        order = driver_sample_order(keys, rot)
-        assert sorted(order) == sorted(keys)  # permutation, nothing lost
-        assert order == driver_sample_order(keys, rot)  # pure
+    hist = _graded_history()
+    order = driver_sample_order(keys, hist)
+    assert sorted(order) == sorted(keys)  # permutation, nothing lost
+    assert order == driver_sample_order(keys, hist)  # pure
 
 
-def test_rotation_tiles_every_query_through_the_gate():
-    """Consecutive rounds' 50-query windows tile the registry: within
-    ceil(N/50) rounds from ANY starting rotation, every key appears in
-    a window — no query can be kept out of the external gate."""
+def test_never_graded_keys_front_the_sample():
+    """A newly added query has no driver row yet — it must outrank every
+    graded key, so new work is graded the very next round."""
     keys = list(QUERIES)
-    n = len(keys)
-    rounds_to_cover = -(-n // _SAMPLE_WINDOW)  # ceil
-    for start_rot in (0, 3, 16):
-        seen: set = set()
-        for r in range(rounds_to_cover):
-            seen.update(
-                driver_sample_order(keys, start_rot + r)[:_SAMPLE_WINDOW]
+    hist = _graded_history()
+    graded_everywhere = set().union(*hist) if hist else set()
+    order = driver_sample_order(keys, hist)
+    ungraded = [k for k in order if k not in graded_everywhere]
+    if ungraded:
+        # all ungraded keys come before all graded ones
+        last_ungraded = max(order.index(k) for k in ungraded)
+        first_graded = min(
+            order.index(k) for k in order if k in graded_everywhere
+        )
+        assert last_ungraded < first_graded
+
+
+def test_coverage_bound_survives_registry_growth():
+    """Simulate 20 rounds of the real loop — grade the first 50, then
+    ADD new queries — and assert no key ever waits longer than
+    ceil(N/50) rounds between driver rows. This is the property the
+    modulo-window scheme lost: growth shifts a modulo window's start
+    and can skip ranks indefinitely; least-recently-graded cannot."""
+    keys = [f"q{i:03d}" for i in range(264)]
+    hist: list[set] = []
+    last_graded = dict.fromkeys(keys, -1)
+    added = 264
+    for rnd in range(20):
+        order = driver_sample_order(keys, hist)
+        sample = set(order[:_SAMPLE_WINDOW])
+        hist.append(sample)
+        for k in sample:
+            last_graded[k] = rnd
+        # staleness check over keys that existed long enough to be due
+        bound = -(-len(keys) // _SAMPLE_WINDOW)  # ceil(N/50)
+        for k, lg in last_graded.items():
+            assert rnd - lg <= bound, (
+                f"{k} ungraded for {rnd - lg} rounds (bound {bound})"
             )
-        assert seen == set(keys)
+        # registry grows mid-flight (1-3 new queries per round)
+        for j in range(1 + (rnd % 3)):
+            keys.append(f"new_r{rnd}_{j}")
+            last_graded[keys[-1]] = rnd  # fresh keys aren't 'due' yet
+        added += 1 + (rnd % 3)
+    assert len(keys) == added
 
 
-def test_adjacent_windows_overlap_only_at_the_wrap():
-    """The window really advances: consecutive rotations share keys only
-    when the tail wraps past the registry end (|N mod 50| effects), so
-    each round grades a genuinely fresh slice."""
-    keys = list(QUERIES)
-    n = len(keys)
-    w0 = set(driver_sample_order(keys, 0)[:_SAMPLE_WINDOW])
-    w1 = set(driver_sample_order(keys, 1)[:_SAMPLE_WINDOW])
-    max_wrap_overlap = max(0, 2 * _SAMPLE_WINDOW - (n % _SAMPLE_WINDOW or n))
-    assert len(w0 & w1) <= max_wrap_overlap
-    if n >= 2 * _SAMPLE_WINDOW:
-        assert w0 != w1
+def test_sha_tiebreak_orders_equally_stale_keys():
+    keys = ["a", "b", "c"]
+    order = driver_sample_order(keys, [])  # no history: all tied at -1
+    assert order == sorted(
+        keys, key=lambda k: hashlib.sha256(k.encode()).hexdigest()
+    )
 
 
-def test_round_clock_counts_driver_artifacts():
-    """The rotation index is the count of driver-committed
-    CORRECTNESS_r*.json files — an artifact the repo never writes, so
-    the repo cannot steer which window the driver sees."""
-    expected = len(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
-    assert _round_index() == expected
-    assert expected >= 15  # this checkout has been graded 15+ rounds
+def test_history_reads_driver_artifacts():
+    """The priority input is the count/content of driver-committed
+    CORRECTNESS_r*.json files — evidence the repo never writes, so the
+    repo cannot steer which keys look stale."""
+    n_files = len(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
+    hist = _graded_history()
+    assert len(hist) == n_files
+    assert n_files >= 15  # this checkout has been graded 15+ rounds
+    for sample in hist:
+        assert sample and all(isinstance(k, str) for k in sample)
 
 
-def test_registry_order_is_the_current_rotation():
-    """The importable QUERIES dict is exactly the rotation order for the
-    current round clock — the invariant the external gate consumes."""
+def test_registry_order_is_the_current_priority():
+    """The importable QUERIES dict is exactly the least-recently-graded
+    order — the invariant the external gate consumes."""
     assert list(QUERIES) == driver_sample_order(
-        list(QUERIES), _round_index()
+        list(QUERIES), _graded_history()
     )
 
 
@@ -82,7 +112,6 @@ def test_every_front_window_query_has_an_oracle_or_is_disclosed():
     keep the no-oracle set a small, known list (non-SQL-expressible
     ops), not a leak of unchecked queries."""
     no_oracle = sorted(k for k in QUERIES if k not in ORACLES)
-    # every no-oracle query must be documented as such in its docstring
     for k in no_oracle:
         doc = (QUERIES[k].__doc__ or "").lower()
         assert "oracle" in doc or "rows-only" in doc, (

@@ -7619,3 +7619,29 @@ def test_row_tracking_merge_by_source_mirror(spark, tmp_path):
     pre = {r["_row_id"] for r in cf.where("_change_type='update_preimage'").collect()}
     post_i = {r["_row_id"] for r in cf.where("_change_type='update_postimage'").collect()}
     assert pre == post_i == {ids[k] for k in range(5)}
+
+
+def test_change_feed_skips_row_tracking_backfill(spark, tmp_path):
+    """r16 review: the enablement backfill rewrites the SAME rows (it
+    only materializes the hidden id column), so like compact it commits
+    data_change:false — an incremental consumer whose range crosses the
+    enablement version keeps reading instead of erroring into a full
+    re-read."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    v0 = vt.latest_version()
+    vt.append(spark.range(10, 15).select(F.col("id").alias("k")))
+    vt.enable_row_tracking()  # backfill rewrite in the range
+    vt.append(spark.range(15, 18).select(F.col("id").alias("k")))
+    # changes(): exactly the two appends, backfill contributes nothing
+    got = sorted(r["k"] for r in vt.changes(from_version=v0).collect())
+    assert got == list(range(10, 18))
+    # change_feed(): same, as insert rows
+    cf = vt.change_feed(from_version=v0)
+    ins = sorted(
+        r["k"] for r in cf.where("_change_type = 'insert'").collect()
+    )
+    assert ins == list(range(10, 18))
+    assert cf.where("_change_type != 'insert'").count() == 0
