@@ -7645,3 +7645,119 @@ def test_change_feed_skips_row_tracking_backfill(spark, tmp_path):
     )
     assert ins == list(range(10, 18))
     assert cf.where("_change_type != 'insert'").count() == 0
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_row_tracking_dml_fuzz(spark, tmp_path, seed):
+    """Seeded model fuzz for row tracking: random interleavings of
+    append / update / rewrite-delete / dv-delete / merge / compact /
+    restore on a tracked table, checked after every step against a
+    pure-python (key -> id, key -> value) model. Invariants: ids are
+    unique, rewrites (update/compact) never move an id, deletes retire
+    ids forever (no retired id is ever seen again), inserts allocate
+    strictly above every id ever issued, and restore brings back the
+    OLD snapshot's ids while the allocator keeps counting upward."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.overwrite(
+        spark.range(12).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+    )
+    vt.enable_row_tracking()
+
+    def snap():
+        return {
+            r["k"]: (r["_row_id"], r["v"])
+            for r in vt.read(with_row_ids=True).collect()
+        }
+
+    model = snap()
+    history = {vt.latest_version(): dict(model)}
+    retired: set = set()
+    issued = {i for i, _ in model.values()}
+    next_key = 100
+
+    for _ in range(12):
+        op = rng.choice(
+            ["append", "update", "delete", "dv", "merge", "compact",
+             "restore"]
+        )
+        if op == "append":
+            n = rng.randrange(1, 4)
+            ks = list(range(next_key, next_key + n))
+            next_key += n
+            vt.append(
+                spark.createDataFrame(
+                    [(k, k) for k in ks], "k long, v long"
+                )
+            )
+            got = snap()
+            for k in ks:
+                assert got[k][0] > max(issued)  # fresh, above the mark
+            issued.update(got[k][0] for k in ks)
+            model = got
+        elif op == "update" and model:
+            pivot = rng.choice(sorted(model))
+            r = vt.update(f"k <= {pivot}", {"v": "v + 1"})
+            got = snap()
+            assert {k: i for k, (i, _) in got.items()} == {
+                k: i for k, (i, _) in model.items()
+            }, "update moved an id"
+            model = got
+        elif op == "delete" and model:
+            pivot = rng.choice(sorted(model))
+            vt.delete([("k", "=", pivot)])
+            retired.add(model[pivot][0])
+            got = snap()
+            assert pivot not in got
+            model = got
+        elif op == "dv" and model:
+            pivot = rng.choice(sorted(model))
+            vt.delete([("k", "=", pivot)], mode="dv",
+                      dv_rewrite_fraction=2.0)
+            retired.add(model[pivot][0])
+            got = snap()
+            assert pivot not in got
+            model = got
+        elif op == "merge" and model:
+            m_k = rng.choice(sorted(model))
+            vt.merge(
+                spark.createDataFrame(
+                    [(m_k, 999), (next_key, 1)], "k long, v long"
+                ),
+                ["k"],
+            )
+            got = snap()
+            assert got[m_k][0] == model[m_k][0]  # matched keeps
+            assert got[next_key][0] > max(issued)  # insert above mark
+            issued.add(got[next_key][0])
+            next_key += 1
+            model = got
+        elif op == "compact":
+            vt.compact(target_file_bytes=rng.choice([4096, 1 << 30]))
+            got = snap()
+            assert got == model, "compact changed ids or rows"
+        else:  # restore to a recorded version
+            tgt = rng.choice(sorted(history))
+            try:
+                vt.restore(version=tgt)
+                model = dict(history[tgt])
+                # retirement is NOT undone conceptually, but a restore
+                # legitimately resurrects previously-live ids: rebuild
+                # the retired set against the restored content
+                live_ids = {i for i, _ in model.values()}
+                retired -= live_ids
+            except VersionedTableError:
+                pass  # vacuum-free fuzz: only cross-feature refusals
+            got = snap()
+            assert got == model
+        history[vt.latest_version()] = dict(model)
+        # global invariants after EVERY step
+        ids_now = [i for i, _ in model.values()]
+        assert len(ids_now) == len(set(ids_now)), "duplicate live ids"
+        assert not (set(ids_now) & retired), "a retired id resurfaced"
