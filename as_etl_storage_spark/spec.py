@@ -738,7 +738,15 @@ class MaintenanceSpec:
     content), row-tracking enablement before compact (the backfill
     rewrite is itself compactable), checkpoint after compact (capture
     the packed snapshot), clone before vacuum (the clone references
-    live files; reclaiming first would race it), vacuum last."""
+    live files; reclaiming first would race it), vacuum last. The
+    ordering alone does NOT make a historical clone vacuum-safe — a
+    shallow clone of a version outside retention references files the
+    sweep would otherwise reclaim — so the vacuum step additionally
+    protects the just-cloned version's file set (run_maintenance
+    passes it as the vacuum's ``protect_files``). The protection is
+    per-job: a LATER vacuum can still reclaim a shallow clone's
+    source files — Delta's documented source-vacuum caveat; compact
+    the clone to materialize it fully local."""
 
     connection: ConnectionSpec
     compact: CompactMaintenanceSpec | None = None

@@ -129,13 +129,39 @@ def run_maintenance(
         checkpoint_version = vt.checkpoint()
 
     clone_path: str | None = None
+    clone_protect: set[str] | None = None
     if spec.clone is not None:
+        # resolve the cloned version BEFORE cloning, the same way
+        # clone() does, so the vacuum step below can protect exactly
+        # the snapshot the clone references
+        if spec.clone.timestamp_as_of is not None:
+            src_ver = vt.resolve_timestamp(spec.clone.timestamp_as_of)
+        elif spec.clone.version_as_of is not None:
+            src_ver = spec.clone.version_as_of
+        else:
+            src_ver = vt.latest_version()
         cl = vt.clone(
             spec.clone.target,
             version=spec.clone.version_as_of,
             timestamp=spec.clone.timestamp_as_of,
         )
         clone_path = cl.path
+        # a shallow clone references the SOURCE's files by absolute
+        # path — invisible to the source vacuum's retention walk. A
+        # historical clone (versionAsOf outside retention) would
+        # otherwise be corrupted by the vacuum step of the SAME job
+        # that created it: protect the cloned version's data files and
+        # deletion vectors for this job's sweep. (A LATER vacuum job
+        # can still reclaim them — Delta's documented source-vacuum
+        # caveat; compact() the clone to cut the dependency.)
+        clone_protect = set(vt._state(src_ver))
+        for e in vt._dv_at(src_ver).values():
+            clone_protect.update(
+                p
+                if not os.path.isabs(p)
+                else os.path.relpath(p, path)
+                for p in e["files"]
+            )
 
     vacuum_removed: int | None = None
     dry: list[str] = []
@@ -156,6 +182,7 @@ def run_maintenance(
                 # "cheap tick" is a serial driver walk
                 distributed=v.distributed,
                 dry_run=True,
+                protect_files=clone_protect,
             )
             if len(reclaimable) < v.if_reclaimable:
                 run_sweep = False
@@ -172,6 +199,7 @@ def run_maintenance(
                 retain_hours=v.retain_hours,
                 distributed=v.distributed,
                 dry_run=v.dry_run,
+                protect_files=clone_protect,
             )
             if v.dry_run:
                 dry = list(out)  # type: ignore[arg-type]

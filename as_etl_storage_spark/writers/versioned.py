@@ -7214,6 +7214,7 @@ class VersionedTable:
         retain_hours: float | None = None,
         distributed: bool = False,
         dry_run: bool = False,
+        protect_files: "set[str] | None" = None,
     ) -> int | list[str]:
         """Delete data files unreferenced by the retained versions (and
         their manifests). Returns files removed — or, with
@@ -7251,7 +7252,19 @@ class VersionedTable:
         decision logic is identical to the driver path; root-level
         files, sidecar dirs (_dv/_cdc) and manifests stay driver-side
         (bounded by version count, not file count). Requires executors
-        to see the table's filesystem."""
+        to see the table's filesystem.
+
+        ``protect_files``: extra table-relative paths (data files, or
+        sidecars under ``_dv/``/``_cdc/``/``_filters/``) treated as
+        referenced regardless of retention. The caller-supplied keep
+        set for snapshots that live OUTSIDE this log: a shallow clone
+        just taken from a historical version references this table's
+        files by absolute path, invisibly to the retention walk — a
+        maintenance job that clones then vacuums passes the cloned
+        version's file set here so the sweep cannot corrupt the clone
+        it just created (see writers/maintenance.py). Out-of-job
+        clones remain subject to Delta's documented source-vacuum
+        caveat."""
         import time as _time
 
         now = _time.time()
@@ -7297,6 +7310,20 @@ class VersionedTable:
         keep_files = set()
         for v in keep_versions:
             keep_files.update(self._state(v))
+        # caller-protected externals: sidecar entries route to the
+        # per-directory keep sets (the main walk never descends into
+        # _dv/_cdc/_filters), everything else joins the data keep set
+        protect_side: dict[str, set[str]] = {
+            "_dv": set(),
+            "_cdc": set(),
+            "_filters": set(),
+        }
+        for p in protect_files or ():
+            top, _, rest = p.partition(os.sep)
+            if rest and top in protect_side:
+                protect_side[top].add(os.path.basename(rest))
+            else:
+                keep_files.add(p)
         if dry_run:
             # list, never touch: the same walk + grace + keep-set rules
             # as the real sweep, data files and both sidecar kinds.
@@ -7390,9 +7417,9 @@ class VersionedTable:
                 for s in self._filters_at(v).values()
             }
             for sub, keep in (
-                ("_dv", keep_dv),
-                ("_cdc", keep_cdc),
-                ("_filters", keep_flt),
+                ("_dv", keep_dv | protect_side["_dv"]),
+                ("_cdc", keep_cdc | protect_side["_cdc"]),
+                ("_filters", keep_flt | protect_side["_filters"]),
             ):
                 d = os.path.join(self.path, sub)
                 if not os.path.isdir(d):
@@ -7524,7 +7551,7 @@ class VersionedTable:
         # maps: keep those, reclaim the rest under the same grace
         dv_dir = os.path.join(self.path, "_dv")
         if os.path.isdir(dv_dir):
-            keep_dv = set()
+            keep_dv = set(protect_side["_dv"])
             for v in keep_versions:
                 for e in self._dv_at(v).values():
                     keep_dv.update(os.path.basename(p) for p in e["files"])
@@ -7540,7 +7567,7 @@ class VersionedTable:
         # feed must stay readable), reclaim the rest under the same grace
         cdc_dir = os.path.join(self.path, "_cdc")
         if os.path.isdir(cdc_dir):
-            keep_cdc = set()
+            keep_cdc = set(protect_side["_cdc"])
             for v in keep_versions:
                 keep_cdc.update(
                     os.path.basename(f)
@@ -7557,7 +7584,7 @@ class VersionedTable:
         # filters maps, same lifecycle as deletion vectors
         flt_dir = os.path.join(self.path, "_filters")
         if os.path.isdir(flt_dir):
-            keep_flt = set()
+            keep_flt = set(protect_side["_filters"])
             for v in keep_versions:
                 keep_flt.update(
                     os.path.basename(s)

@@ -508,3 +508,80 @@ def test_if_reclaimable_probe_honors_distributed(spark, tmp_path):
     res2 = run_job(spark, job)
     assert res2.vacuum_removed == 0 and res2.vacuum_skipped
     assert vt.read().count() == 200
+
+
+def test_clone_then_vacuum_same_job_protects_cloned_snapshot(
+    spark, tmp_path
+):
+    """ADVICE r16 (medium): a single job declaring a HISTORICAL clone
+    followed by a real vacuum must not reclaim the files the clone it
+    just created references — the cloned version's file set joins the
+    vacuum keep set for this job. The protection is per-job (Delta's
+    source-vacuum caveat still applies to later jobs)."""
+    root, name = str(tmp_path), "t"
+    path = os.path.join(root, name)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(spark.range(100).select(F.col("id").alias("v")).coalesce(1))
+    v_hist = vt.latest_version()
+    hist_files = set(vt._state(v_hist))
+    # two full rewrites so v_hist's files are unreferenced by the head
+    vt.overwrite(
+        spark.range(100, 300).select(F.col("id").alias("v")).coalesce(1)
+    )
+    vt.overwrite(
+        spark.range(300, 350).select(F.col("id").alias("v")).coalesce(1)
+    )
+    res = run_job(
+        spark,
+        _job(
+            root,
+            name,
+            clone={"target": os.path.join(root, "t_dev"), "versionAsOf": v_hist},
+            vacuum={"retainLast": 1, "graceSeconds": 0},
+        ),
+    )
+    # the historical files survived the sweep...
+    for f in hist_files:
+        assert os.path.exists(os.path.join(path, f)), f
+    # ...the clone reads its snapshot intact...
+    cl = VersionedTable(spark, res.clone_path)
+    assert cl.read().count() == 100
+    assert [r.v for r in cl.read().orderBy("v").limit(3).collect()] == [0, 1, 2]
+    # ...and the sweep still reclaimed the middle version's files
+    # (protection is scoped to the cloned snapshot, not a vacuum no-op)
+    assert res.vacuum_removed >= 1
+    # a LATER vacuum job (no clone step) reclaims them — documented
+    # caveat (another commit first: a single-version log is a vacuum
+    # no-op by the retain_last floor)
+    vt.append(spark.range(5).select(F.col("id").alias("v")).coalesce(1))
+    vt.overwrite(spark.range(5).select(F.col("id").alias("v")).coalesce(1))
+    removed_later = vt.vacuum(retain_last=1, grace_seconds=0)
+    assert removed_later >= 1
+    assert any(
+        not os.path.exists(os.path.join(path, f)) for f in hist_files
+    )
+
+
+def test_clone_then_dry_vacuum_excludes_cloned_files(spark, tmp_path):
+    """The ifReclaimable probe and the dry-run listing honor the same
+    clone protection as the real sweep (parity: the audit must predict
+    the sweep)."""
+    root, name = str(tmp_path), "t"
+    path = os.path.join(root, name)
+    vt = VersionedTable(spark, path)
+    vt.overwrite(spark.range(50).select(F.col("id").alias("v")).coalesce(1))
+    v_hist = vt.latest_version()
+    hist_files = set(vt._state(v_hist))
+    vt.overwrite(spark.range(7).select(F.col("id").alias("v")).coalesce(1))
+    res = run_job(
+        spark,
+        _job(
+            root,
+            name,
+            clone={"target": os.path.join(root, "t_dev"), "versionAsOf": v_hist},
+            vacuum={"retainLast": 1, "graceSeconds": 0, "dryRun": True},
+        ),
+    )
+    assert not (set(res.vacuum_dry_run) & hist_files)
+    for f in hist_files:
+        assert os.path.exists(os.path.join(path, f))
