@@ -64,22 +64,28 @@ for mod in (
 #
 # The local gates are unaffected: tests/test_queries_oracle.py and
 # scripts/oracle_sweep.py hash-check the FULL registry every round.
+#
+# r17 (ADVICE r16): the rotation is applied at the DRIVER boundary —
+# `__spark_entry__.queries()` — not at import time. The module-level
+# QUERIES order is static (module insertion order), so importing the
+# package does no artifact I/O and module state never varies with the
+# checkout's artifact contents; the entry layer passes the artifact
+# root in explicitly.
 _SAMPLE_WINDOW = 50
 
 
-def _graded_history() -> list:
+def _graded_history(root: str) -> list:
     """The driver's grading record, oldest round first: one set of query
-    names per committed `CORRECTNESS_r*.json` at the repo root. Outside
-    the driver's checkout (e.g. an installed package) there are no
-    artifacts and the order degrades to pure sha256 — still mechanical."""
+    names per committed `CORRECTNESS_r*.json` under ``root`` (the driver
+    checkout's repo root — the entry layer passes its own directory).
+    Outside the driver's checkout (e.g. an installed package) there are
+    no artifacts and the order degrades to pure sha256 — still
+    mechanical."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
-    root = _os.path.dirname(
-        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    )
     rounds: list[tuple[int, set]] = []
     for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
@@ -114,9 +120,5 @@ def driver_sample_order(keys, graded_history: list) -> list:
         ),
     )
 
-
-QUERIES = {
-    k: QUERIES[k] for k in driver_sample_order(QUERIES, _graded_history())
-}
 
 __all__ = ["QUERIES", "ORACLES", "driver_sample_order"]

@@ -25,7 +25,7 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_order_is_deterministic_and_a_permutation():
     keys = list(QUERIES)
-    hist = _graded_history()
+    hist = _graded_history(REPO_ROOT)
     order = driver_sample_order(keys, hist)
     assert sorted(order) == sorted(keys)  # permutation, nothing lost
     assert order == driver_sample_order(keys, hist)  # pure
@@ -35,7 +35,7 @@ def test_never_graded_keys_front_the_sample():
     """A newly added query has no driver row yet — it must outrank every
     graded key, so new work is graded the very next round."""
     keys = list(QUERIES)
-    hist = _graded_history()
+    hist = _graded_history(REPO_ROOT)
     graded_everywhere = set().union(*hist) if hist else set()
     order = driver_sample_order(keys, hist)
     ungraded = [k for k in order if k not in graded_everywhere]
@@ -78,6 +78,18 @@ def test_coverage_bound_survives_registry_growth():
     assert len(keys) == added
 
 
+def test_history_requires_explicit_root():
+    """_graded_history takes the artifact root EXPLICITLY — there is no
+    import-time default that would make module state depend on what
+    artifacts happen to sit near the installed package."""
+    import inspect
+
+    params = inspect.signature(_graded_history).parameters
+    assert list(params) == ["root"]
+    assert params["root"].default is inspect.Parameter.empty
+    assert _graded_history(os.path.join(REPO_ROOT, "tests")) == []
+
+
 def test_sha_tiebreak_orders_equally_stale_keys():
     keys = ["a", "b", "c"]
     order = driver_sample_order(keys, [])  # no history: all tied at -1
@@ -91,19 +103,51 @@ def test_history_reads_driver_artifacts():
     CORRECTNESS_r*.json files — evidence the repo never writes, so the
     repo cannot steer which keys look stale."""
     n_files = len(glob.glob(os.path.join(REPO_ROOT, "CORRECTNESS_r*.json")))
-    hist = _graded_history()
+    hist = _graded_history(REPO_ROOT)
     assert len(hist) == n_files
     assert n_files >= 15  # this checkout has been graded 15+ rounds
     for sample in hist:
         assert sample and all(isinstance(k, str) for k in sample)
 
 
-def test_registry_order_is_the_current_priority():
-    """The importable QUERIES dict is exactly the least-recently-graded
-    order — the invariant the external gate consumes."""
-    assert list(QUERIES) == driver_sample_order(
-        list(QUERIES), _graded_history()
+def test_entry_order_is_the_current_priority():
+    """The driver-facing surface — __spark_entry__.queries() — is
+    exactly the least-recently-graded order (the invariant the external
+    gate consumes), while the module-level QUERIES stays in STATIC
+    insertion order: importing the package does no artifact I/O and its
+    state cannot vary between checkouts (ADVICE r16)."""
+    import sys
+
+    sys.path.insert(0, REPO_ROOT)
+    import __spark_entry__ as entry
+
+    assert list(entry.queries()) == driver_sample_order(
+        list(QUERIES), _graded_history(REPO_ROOT)
     )
+    # module order is static: the concatenation of the per-module
+    # registries in their import order, no reordering applied
+    from as_etl_storage_spark.queries import (
+        advanced,
+        behavioral,
+        llmops,
+        parity,
+        relational,
+        streaming_batch,
+        tpch_more,
+    )
+
+    static = {}
+    for mod in (
+        parity,
+        relational,
+        llmops,
+        streaming_batch,
+        advanced,
+        tpch_more,
+        behavioral,
+    ):
+        static.update(mod.QUERIES)
+    assert list(QUERIES) == list(static)
 
 
 def test_every_front_window_query_has_an_oracle_or_is_disclosed():
