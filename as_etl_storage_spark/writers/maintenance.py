@@ -63,6 +63,12 @@ class MaintenanceResult:
     #: set when vacuum.ifReclaimable gated the sweep off: the reason,
     #: with the reclaimable count — the scheduler-readable "no-op" signal
     vacuum_skipped: str | None = None
+    #: True when a declared restore left a row-tracked table with files
+    #: whose rows read ``_row_id`` as NULL (restored across the
+    #: enablement boundary) and the job declared NO enableRowTracking
+    #: step to repair it — the scheduler-readable "declare
+    #: enableRowTracking next run" signal
+    row_tracking_stale: bool = False
 
 
 def run_maintenance(
@@ -101,11 +107,18 @@ def run_maintenance(
         vt = VersionedTable(spark, path)
 
     restore_version: int | None = None
+    rt_stale = False
     if spec.restore is not None:
         restore_version = vt.restore(
             version=spec.restore.version,
             timestamp=spec.restore.timestamp,
         )
+        # a restore across the row-tracking enablement boundary leaves
+        # NULL-id files; the enableRowTracking step right after this one
+        # repairs it (scoped re-backfill) — report staleness only when
+        # the job declares no repair
+        if not spec.enable_row_tracking:
+            rt_stale = vt.row_tracking_stale()
 
     row_tracking_version: int | None = None
     if spec.enable_row_tracking:
@@ -217,4 +230,5 @@ def run_maintenance(
         row_tracking_version=row_tracking_version,
         clone_path=clone_path,
         vacuum_skipped=vacuum_skipped,
+        row_tracking_stale=rt_stale,
     )

@@ -751,8 +751,12 @@ class VersionedTable:
         Caveat (documented, matches the NULL-id posture Delta has for
         pre-materialization files): ``restore()`` to a version BEFORE
         enablement resurrects files without materialized ids — those
-        rows read ``_row_id`` as NULL; re-run ``enable_row_tracking()``
-        after such a restore to re-backfill them."""
+        rows read ``_row_id`` as NULL (the restore warns, and
+        ``row_tracking_stale()`` answers from metadata); re-run
+        ``enable_row_tracking()`` after such a restore to re-backfill
+        them — the repair rewrite is SCOPED to the files whose manifest
+        stats lack ``_row_id`` bounds (cost ∝ resurrected files, not
+        ∝ table), the stat-backed rest carried by name."""
         base = self.latest_version()
         if base is None:
             raise VersionedTableError(
@@ -761,6 +765,11 @@ class VersionedTable:
             )
         idmap = self._identity_at(base)
         files = self._state(base)
+        # backfill scope: the full snapshot on first enablement; on a
+        # RE-enable only the files that need it (see below)
+        rewrite_files = files
+        carry_files: list[str] = []
+        carry_stats: dict = {}
         if self._row_tracked_at(base):
             # idempotent — unless a restore resurrected pre-enablement
             # files (no materialized ids): then re-backfill them. The
@@ -768,33 +777,56 @@ class VersionedTable:
             # alone (every file written with the column carries _row_id
             # footer bounds), so a scheduler re-running the enablement
             # spec pays metadata, not a column scan; only files whose
-            # stats LACK the entry trigger the real NULL probe.
+            # stats LACK the entry trigger the real NULL probe — and
+            # (r17, ADVICE r16) only THOSE files are rewritten, the
+            # stat-backed rest carried by name with stats reused, so a
+            # boundary-restore repair costs ∝ resurrected files, not
+            # ∝ table.
             stats_probe = self._stats_at(base)
-            all_stat_backed = files and all(
-                self._ROW_ID in (stats_probe.get(f) or {}) for f in files
-            )
+            need = [
+                f
+                for f in files
+                if self._ROW_ID not in (stats_probe.get(f) or {})
+            ]
             sch_probe = self._scan_schema(base)
-            if all_stat_backed or not files or sch_probe is None:
+            if not need or sch_probe is None:
                 return base
+            need_set = set(need)
             missing = self._scan_files(
-                files,
+                need,
                 self._with_row_id(sch_probe),
-                self._dv_at(base),
+                {
+                    f: e
+                    for f, e in self._dv_at(base).items()
+                    if f in need_set
+                },
                 mapping=self._mapping_at(base),
                 partition_by=self._partition_by_at(base),
             ).where(F.col(self._ROW_ID).isNull())
             if missing.isEmpty():
+                # pre-#stats manifests: materialized but unstatted files
+                # need no rewrite either
                 return base
+            rewrite_files = need
+            carry_files = [f for f in files if f not in need_set]
+            carry_stats = {
+                f: stats_probe[f] for f in carry_files if f in stats_probe
+            }
         clash = [
             f.name
             for f in (self.table_schema(base).fields or [])
-            if f.name.lower() == self._ROW_ID
+            if f.name.lower() in self._RT_RESERVED
         ]
         if clash:
+            # the single gate the conditional reservation leans on: the
+            # names only become reserved for writes/DDL once tracking is
+            # ON, so the pre-tracking table stays fully usable and the
+            # refusal lands HERE, with the migration path spelled out
             raise VersionedTableError(
                 f"cannot enable row tracking: the table has a user column "
-                f"named {clash[0]!r}, which collides with the hidden row-id "
-                f"column; rename it first"
+                f"named {clash[0]!r}, which collides with the hidden "
+                f"row-id machinery; rename_column({clash[0]!r}, <new>) "
+                f"first, then re-run enable_row_tracking()"
             )
         if self._schema_at(base) is None:
             raise VersionedTableError(
@@ -818,23 +850,63 @@ class VersionedTable:
         }
         pb = self._partition_by_at(base)
         mapping = self._mapping_at(base)
+        # a user column renamed AWAY from _row_id still stores its bytes
+        # under the physical name _row_id (rename is mapping-only) — the
+        # backfill scan would declare a duplicate physical field. The
+        # backfill rewrites every file anyway, so it re-homes the
+        # clashing PHYSICAL name to a fresh one in the same commit; the
+        # scan reads through the OLD mapping, the write and the commit
+        # carry the new one.
+        write_mapping = mapping
+        phys_clash = {
+            lg: ph
+            for lg, ph in (mapping or {}).items()
+            if ph.lower() in self._RT_RESERVED
+        }
+        if phys_clash:
+            write_mapping = {
+                **mapping,
+                **{
+                    lg: f"col-{uuid.uuid4().hex[:12]}"
+                    for lg in phys_clash
+                },
+            }
         if not files:
             # empty snapshot: metadata-only enablement (the spec + flag);
             # the first insert allocates from the mark
             return self._commit_metadata(
                 base, "enable_row_tracking", identity=new_idmap
             )
-        # backfill: one full rewrite materializing ids for every current
-        # row (ids that already exist — a re-enable after a boundary
-        # restore — are KEPT; only NULL slots allocate, via coalesce
-        # against a fresh allocation)
-        scan = self._scan_files(
-            files,
-            self._with_row_id(self._scan_schema(base)),
-            self._dv_at(base),
-            mapping=mapping,
-            partition_by=pb,
-        )
+        # backfill: one rewrite of the SCOPED files materializing ids
+        # for their rows (ids that already exist — a re-enable after a
+        # boundary restore — are KEPT; only NULL slots allocate, via
+        # coalesce against a fresh allocation). Rewritten files' vectors
+        # are purged by the rewrite; carried files keep theirs through
+        # the commit's carry loop, same as compact.
+        scope_set = set(rewrite_files)
+        scoped_dv = {
+            f: e for f, e in self._dv_at(base).items() if f in scope_set
+        }
+        if phys_clash:
+            # the physical _row_id in the files is the USER column's
+            # bytes (the table was never tracked, so no real ids exist):
+            # scan WITHOUT declaring the row-id field — it would collide
+            # — and null-seed it so the allocator fills every slot
+            scan = self._scan_files(
+                rewrite_files,
+                self._scan_schema(base),
+                scoped_dv,
+                mapping=mapping,
+                partition_by=pb,
+            ).withColumn(self._ROW_ID, F.lit(None).cast("long"))
+        else:
+            scan = self._scan_files(
+                rewrite_files,
+                self._with_row_id(self._scan_schema(base)),
+                scoped_dv,
+                mapping=mapping,
+                partition_by=pb,
+            )
         pinned = scan.persist()
         try:
             keep = "__vt_rt_keep"  # the rows' EXISTING ids, if any
@@ -846,18 +918,39 @@ class VersionedTable:
                 self._ROW_ID,
                 F.coalesce(F.col(keep), F.col(self._ROW_ID)),
             ).drop(keep)
-            new_files = self._write_data_files(filled, pb, mapping)
+            new_files = self._write_data_files(filled, pb, write_mapping)
         finally:
             pinned.unpersist()
         return self._commit(
-            new_files,
+            carry_files + new_files,
             "enable_row_tracking",
             base,
             partition_by=pb,
+            known_stats=carry_stats,
             identity=new_idmap,
             identity_allocated=True,
             enforced_identity=idmap or None,
-            params={"backfilled_files": len(files)},
+            mapping=write_mapping if phys_clash else None,
+            params={
+                "backfilled_files": len(rewrite_files),
+                "carried_files": len(carry_files),
+            },
+        )
+
+    def row_tracking_stale(self) -> bool:
+        """True when a row-tracked table's CURRENT snapshot holds files
+        without materialized row ids — the state a ``restore()`` to a
+        pre-enablement version leaves behind (resurrected files read
+        ``_row_id`` as NULL). Metadata-only: answered from the manifest
+        stats (files written under tracking carry ``_row_id`` footer
+        bounds), no column scan. The repair is ``enable_row_tracking()``,
+        whose re-backfill is scoped to exactly these files."""
+        v = self.latest_version()
+        if v is None or not self._row_tracked_at(v):
+            return False
+        st = self._stats_at(v)
+        return any(
+            self._ROW_ID not in (st.get(f) or {}) for f in self._state(v)
         )
 
     # -- table schema (Delta's metaData.schemaString analog) -------------
@@ -1064,16 +1157,26 @@ class VersionedTable:
         # a column named __VT_FILE would collide with the identity column
         # at scan time exactly as the lowercase form does
         pt_lower = {p.lower() for p in passthrough}
+        # the row-tracking names are only reserved once the feature is
+        # on (see _RT_RESERVED): a pre-tracking table with a user
+        # _row_id column stays writable
+        reserved = self._reserved_at(self.latest_version())
         clash = [
             f.name
             for f in df.schema.fields
-            if f.name.lower() in self._RESERVED_NAMES
+            if f.name.lower() in reserved
             and f.name.lower() not in pt_lower
         ]
         if clash:
             raise VersionedTableError(
                 f"{op}: column names {clash} are reserved for internal "
-                f"row identity / manifest bookkeeping; rename them"
+                f"row identity / manifest bookkeeping"
+                + (
+                    " (row tracking is enabled on this table)"
+                    if any(c.lower() in self._RT_RESERVED for c in clash)
+                    else ""
+                )
+                + "; rename them"
             )
         pt_cols = [
             F.col(f.name)
@@ -1254,6 +1357,13 @@ class VersionedTable:
         # per-table checkpoint cadence (Delta's delta.checkpointInterval):
         # overrides the module CHECKPOINT_EVERY default
         "vt.checkpointInterval",
+        # incremental-materialized-view bookkeeping, recorded on the
+        # VIEW table by writers/materialize.py: the source path, the
+        # last source version the view reflects, and the definition
+        # fingerprint (a changed definition forces a rebuild)
+        "vt.mv.source",
+        "vt.mv.sourceVersion",
+        "vt.mv.fingerprint",
         # default vacuum retention window in hours (Delta's
         # delta.deletedFileRetentionDuration): vacuum() uses it when the
         # caller passes no retain_hours
@@ -1377,6 +1487,16 @@ class VersionedTable:
                     raise VersionedTableError(
                         f"{k} must be a positive integer, got {props[k]!r}"
                     )
+        if "vt.mv.sourceVersion" in props:
+            try:
+                n = int(props["vt.mv.sourceVersion"])
+            except ValueError:
+                n = -1
+            if n < 0:
+                raise VersionedTableError(
+                    "vt.mv.sourceVersion must be a non-negative integer "
+                    f"version, got {props['vt.mv.sourceVersion']!r}"
+                )
         if "vt.clusterBy.fullEvery" in props:
             try:
                 n = int(props["vt.clusterBy.fullEvery"])
@@ -1501,7 +1621,7 @@ class VersionedTable:
             raise VersionedTableError(
                 f"add_column: unparseable DDL type {ddl_type!r}: {exc}"
             ) from None
-        if name.lower() in self._RESERVED_NAMES:
+        if name.lower() in self._reserved_at(base):
             # casefolded: Spark resolves names case-insensitively
             raise VersionedTableError(
                 f"add_column: {name!r} is reserved for internal row "
@@ -1589,7 +1709,7 @@ class VersionedTable:
                 f"add_generated_column: unparseable DDL type "
                 f"{ddl_type!r}: {exc}"
             ) from None
-        if name.lower() in self._RESERVED_NAMES:
+        if name.lower() in self._reserved_at(base):
             raise VersionedTableError(
                 f"add_generated_column: {name!r} is reserved for "
                 f"internal row identity / manifest bookkeeping"
@@ -1683,7 +1803,7 @@ class VersionedTable:
                 "as NULL — no retroactive allocation. Declare identity "
                 "columns at creation (overwrite an empty frame first)"
             )
-        if name.lower() in self._RESERVED_NAMES:
+        if name.lower() in self._reserved_at(base):
             raise VersionedTableError(
                 f"add_identity_column: {name!r} is reserved for "
                 f"internal row identity / manifest bookkeeping"
@@ -1948,7 +2068,7 @@ class VersionedTable:
                 f"column {new!r} already exists in "
                 f"{[f.name for f in fields]}"
             )
-        if new.lower() in self._RESERVED_NAMES:
+        if new.lower() in self._reserved_at(base):
             # casefolded: Spark resolves names case-insensitively
             raise VersionedTableError(
                 f"rename_column: {new!r} is reserved for internal row "
@@ -4200,18 +4320,28 @@ class VersionedTable:
             "__vt_id_loc",
             "__vt_id_off",
             "__vt_id_cnt",
-            # row tracking's hidden stable-id column (r16): a user column
-            # by this name would collide with the materialized ids in
-            # every row-tracked file — reserved on ALL tables so enabling
-            # row tracking later is never blocked by a name squat
-            "_row_id",
-            # enable_row_tracking's re-backfill temp
-            "__vt_rt_keep",
             "#rows",
             "#bytes",
             "#nulls",
         }
     )
+
+    # row tracking's hidden stable-id column and its re-backfill temp
+    # (r16; made CONDITIONAL in r17): reserved only once row tracking is
+    # ON — a pre-r16 table that legitimately owns a user column named
+    # _row_id stays writable, and enable_row_tracking() is the single
+    # gate that refuses the clash (with the rename path in its error).
+    # On a row-tracked table the names are hard-reserved: a user column
+    # would collide with the materialized ids in every file.
+    _RT_RESERVED = frozenset({"_row_id", "__vt_rt_keep"})
+
+    def _reserved_at(self, version: int | None) -> frozenset:
+        """Column names a user write/DDL may not take at ``version``:
+        the always-internal set, plus the row-tracking names once the
+        feature is on (see _RT_RESERVED)."""
+        if self._row_tracked_at(version):
+            return self._RESERVED_NAMES | self._RT_RESERVED
+        return self._RESERVED_NAMES
 
     def _scan_files(
         self,
@@ -6934,7 +7064,7 @@ class VersionedTable:
         restored_ids.update(
             {c: sp for c, sp in latest_ids.items() if sp.get("hidden")}
         )
-        return self._commit(
+        new_v = self._commit(
             files,
             "restore",
             latest,
@@ -6955,6 +7085,21 @@ class VersionedTable:
             generated=self._generated_at(version),
             identity=restored_ids,
         )
+        if self.row_tracking_stale():
+            # restore stays O(metadata) by contract, so the repair is
+            # NOT applied here — but the sharp edge (resurrected rows
+            # reading _row_id as NULL) is surfaced at the moment it is
+            # created, with the scoped fix named
+            import warnings
+
+            warnings.warn(
+                f"restore to version {version} resurrected files "
+                f"without materialized row ids; their rows read "
+                f"_row_id as NULL until enable_row_tracking() "
+                f"re-backfills them (scoped: cost ∝ those files)",
+                stacklevel=2,
+            )
+        return new_v
 
     def clone(
         self,

@@ -7415,14 +7415,59 @@ def test_row_tracking_protocol_fence_and_reserved_name(spark, tmp_path):
             vt.append(spark.range(5, 6).select(F.col("id").alias("k")))
     finally:
         VersionedTable.SUPPORTED_FEATURES = saved
-    # reserved everywhere, even before enabling
-    vt2 = VersionedTable(spark, str(tmp_path / "t2"))
-    with pytest.raises(VersionedTableError, match="reserved"):
-        vt2.overwrite(spark.range(3).withColumn("_row_id", F.col("id")))
+    # refused on the TRACKED table, for writes (the allocator owns the
+    # column, so the identity-supplied check fires first) and DDL alike
+    with pytest.raises(
+        VersionedTableError, match="IDENTITY|reserved"
+    ):
+        vt.append(
+            spark.range(5, 6)
+            .select(F.col("id").alias("k"))
+            .withColumn("_row_id", F.col("k"))
+        )
     with pytest.raises(VersionedTableError, match="reserved"):
         vt.add_column("_row_id", "bigint")
     with pytest.raises(VersionedTableError, match="reserved"):
         vt.rename_column("k", "_ROW_ID")
+
+
+def test_row_id_name_free_until_tracking_enabled(spark, tmp_path):
+    """ADVICE r16: the row-tracking names are NOT reserved on a table
+    that never enabled the feature — a pre-feature table owning a user
+    column named _row_id keeps its full DML surface after upgrade. The
+    single gate is enable_row_tracking(), whose refusal names the
+    rename migration path."""
+    from pyspark.sql import functions as F
+
+    vt = VersionedTable(spark, str(tmp_path / "legacy"))
+    # create / append / update / merge all legal with the user column
+    vt.overwrite(
+        spark.range(3).select(
+            F.col("id").alias("k"), F.col("id").alias("_row_id")
+        )
+    )
+    vt.append(
+        spark.range(3, 5).select(
+            F.col("id").alias("k"), F.col("id").alias("_row_id")
+        )
+    )
+    vt.update("k = 0", {"_row_id": "99"})
+    vt.merge(
+        spark.range(5, 6).select(
+            F.col("id").alias("k"), F.col("id").alias("_row_id")
+        ),
+        on=["k"],
+    )
+    assert vt.read().count() == 6
+    assert {r._row_id for r in vt.read().where("k = 0").collect()} == {99}
+    # enablement is where the clash is refused, naming the rename path
+    with pytest.raises(VersionedTableError, match="rename_column"):
+        vt.enable_row_tracking()
+    # ...and after the suggested migration it succeeds
+    vt.rename_column("_row_id", "legacy_id")
+    vt.enable_row_tracking()
+    ids = [r["_row_id"] for r in vt.read(with_row_ids=True).collect()]
+    assert len(ids) == 6 and len(set(ids)) == 6 and None not in ids
 
 
 def test_row_tracking_restate_and_restore_boundary(spark, tmp_path):
@@ -7761,3 +7806,92 @@ def test_row_tracking_dml_fuzz(spark, tmp_path, seed):
         ids_now = [i for i, _ in model.values()]
         assert len(ids_now) == len(set(ids_now)), "duplicate live ids"
         assert not (set(ids_now) & retired), "a retired id resurfaced"
+
+
+def test_restore_boundary_scoped_rebackfill_and_stale_signal(
+    spark, tmp_path
+):
+    """ADVICE r16: after a restore across the enablement boundary, the
+    re-enable rewrite is SCOPED to the files whose stats lack _row_id
+    bounds — files written under tracking are carried by name, their
+    ids untouched — and the staleness is surfaced: restore() warns,
+    row_tracking_stale() answers from metadata, and the maintenance
+    report carries the flag unless the job declares the repair."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.runner import run_job
+
+    path = str(tmp_path / "t")
+    vt = VersionedTable(spark, path)
+    vt.overwrite(
+        spark.range(10).select(F.col("id").alias("k")).coalesce(2)
+    )
+    v_pre = vt.latest_version()
+    vt.enable_row_tracking()
+    assert not vt.row_tracking_stale()
+    # restore across the boundary: stale, and the restore says so
+    with pytest.warns(UserWarning, match="_row_id as NULL"):
+        vt.restore(version=v_pre)
+    assert vt.row_tracking_stale()
+    nulls = vt.read(with_row_ids=True).where("_row_id IS NULL").count()
+    assert nulls == 10
+    # new ingest on the stale table still allocates (the spec survived
+    # the restore) — a MIXED snapshot: stale files + materialized files
+    vt.append(
+        spark.range(100, 104).select(F.col("id").alias("k")).coalesce(1)
+    )
+    tracked_ids = {
+        r.k: r["_row_id"]
+        for r in vt.read(with_row_ids=True).where("k >= 100").collect()
+    }
+    assert all(i is not None for i in tracked_ids.values())
+    appended_files = set(vt._state(vt.latest_version())) - set(
+        vt._state(v_pre)
+    )
+    # the repair: rewrite ∝ stale files, the tracked append carried
+    v_fix = vt.enable_row_tracking()
+    m = vt._manifest(v_fix)
+    assert m["params"]["backfilled_files"] == 2  # the two v_pre files
+    assert m["params"]["carried_files"] == 1  # the append, by name
+    assert appended_files <= set(vt._state(v_fix))
+    after = {
+        r.k: r["_row_id"] for r in vt.read(with_row_ids=True).collect()
+    }
+    assert len(after) == 14 and None not in after.values()
+    assert len(set(after.values())) == 14
+    # carried rows kept their EXACT ids (stability, not just density)
+    for k, i in tracked_ids.items():
+        assert after[k] == i
+    assert not vt.row_tracking_stale()
+
+    # maintenance surface: restore-only reports the staleness; adding
+    # the enableRowTracking step repairs it in the same job
+    res = run_job(
+        spark,
+        {
+            "maintenance": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "t"},
+                },
+                "restore": {"version": v_pre},
+            }
+        },
+    )
+    assert res.row_tracking_stale is True
+    res2 = run_job(
+        spark,
+        {
+            "maintenance": {
+                "connection": {
+                    "url": str(tmp_path),
+                    "table": {"name": "t"},
+                },
+                "enableRowTracking": True,
+            }
+        },
+    )
+    assert res2.row_tracking_stale is False
+    assert not vt.row_tracking_stale()
+    dense = vt.read(with_row_ids=True).where("_row_id IS NULL").count()
+    assert dense == 0
