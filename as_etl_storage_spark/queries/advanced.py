@@ -3826,3 +3826,130 @@ _register(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# --------------------------------------- incremental materialized view --
+def _w_versioned_incremental_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-id-keyed incremental materialized view over the CDF (r17):
+    a declarative {materialize: ...} job keeps a filtered per-row
+    transform of a row-tracked source continuously true — the
+    reference's reader → transform → writer batch job
+    (reader/job.go:122 → writer/job.go:63) restated as an incremental
+    loop. The cycle here: initial build, then append + delete + an
+    update that moves rows ACROSS the view's filter boundary, one
+    incremental refresh (net change feed applied with two id-keyed
+    merges), then a layout-only source commit whose refresh must touch
+    ZERO view data files. Asserted in-query: the refresh modes come
+    back initial/incremental/bookmark in order, the view exactly
+    equals a from-scratch rebuild of its definition (both exceptAll
+    directions empty), and the bookmark refresh left the view's data
+    file set byte-identical. The result aggregates the VIEW; the
+    oracle replays the same DML as SQL over the orders table."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmv-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(orders.where("o_orderkey % 3 = 0"))
+    src.enable_row_tracking()
+
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "select": [
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS double_price",
+            ],
+            "where": "o_totalprice > 150000",
+        }
+    }
+    r1 = run_job(spark, job)
+    if r1.mode != "initial":
+        raise AssertionError(f"first run must build, got {r1.mode}")
+    # the DML cycle: ingest, retention delete, a restating update that
+    # moves rows across the filter boundary (into the view)
+    src.append(orders.where("o_orderkey % 3 = 1"))
+    src.delete("o_orderkey % 10 = 1")
+    src.update(
+        "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice + 100000"}
+    )
+    r2 = run_job(spark, job)
+    if r2.mode != "incremental" or not r2.upserts:
+        raise AssertionError(
+            f"DML must apply incrementally, got {r2.mode}"
+        )
+    view = VersionedTable(spark, r2.view_path)
+    # the view must EXACTLY equal a from-scratch rebuild (ignoring the
+    # id key, which a rebuild would re-derive identically anyway)
+    fresh = (
+        src.read()
+        .where("o_totalprice > 150000")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 2).alias(
+                "double_price"
+            ),
+        )
+    )
+    got = view.read().drop("_src_row_id")
+    if got.exceptAll(fresh).count() or fresh.exceptAll(got).count():
+        raise AssertionError("view diverged from a from-scratch rebuild")
+    # a layout-only source commit refreshes as a bookmark: one metadata
+    # commit, zero view data files touched
+    files_before = sorted(view._state(view.latest_version()))
+    if src.compact(target_file_bytes=1 << 30) == r2.source_version:
+        raise AssertionError("compact must commit a layout-only version")
+    r3 = run_job(spark, job)
+    if r3.mode != "bookmark":
+        raise AssertionError(
+            f"layout-only refresh must bookmark, got {r3.mode}"
+        )
+    if sorted(view._state(view.latest_version())) != files_before:
+        raise AssertionError(
+            "a bookmark refresh touched the view's data files"
+        )
+    return view.read().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("double_price").cast("double"), 2
+        ).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_incremental_mv",
+    _w_versioned_incremental_mv,
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 100000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 1
+    ), v AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS double_price
+        FROM src
+        WHERE o_totalprice > 150000
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(double_price) AS DOUBLE), 2) AS total
+    FROM v
+    GROUP BY o_orderstatus
+    """,
+)

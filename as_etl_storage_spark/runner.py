@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 if TYPE_CHECKING:  # circular-free: maintenance imports spec, not runner
     from as_etl_storage_spark.writers.maintenance import MaintenanceResult
+    from as_etl_storage_spark.writers.materialize import MaterializeResult
 
 from as_etl_storage_spark.plans.planner import plan_read
 from as_etl_storage_spark.spec import JobSpec
@@ -28,13 +29,19 @@ from as_etl_storage_spark.writers.writer import WriteResult
 
 def run_job(
     spark: SparkSession, spec: JobSpec | dict[str, Any] | str
-) -> "WriteResult | DataFrame | MaintenanceResult":
+) -> "WriteResult | DataFrame | MaintenanceResult | MaterializeResult":
     """Execute a job spec. With a writer: run end-to-end, return WriteResult.
     Without: return the lazy DataFrame (ad-hoc/API path, SURVEY.md §3.3).
     A maintenance job (compact/checkpoint/vacuum on a versioned table)
-    runs its declared steps and returns a MaintenanceResult."""
+    runs its declared steps and returns a MaintenanceResult. A
+    materialize job refreshes an incremental materialized view and
+    returns a MaterializeResult."""
     if not isinstance(spec, JobSpec):
         spec = JobSpec.from_json(spec)
+    if spec.materialize is not None:
+        from as_etl_storage_spark.writers.materialize import run_materialize
+
+        return run_materialize(spark, spec.materialize)
     if spec.maintenance is not None:
         from as_etl_storage_spark.writers.maintenance import run_maintenance
 

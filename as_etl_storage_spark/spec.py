@@ -722,6 +722,69 @@ class ConvertMaintenanceSpec:
 
 
 @dataclass(frozen=True)
+class MaterializeSpec:
+    """A declarative incremental-materialized-view job (r17): keep a
+    derived table continuously equal to a row-level transform of a
+    row-tracked versioned source, refreshing from the change feed —
+    the reference's reader → transform → writer batch job
+    (reader/job.go:122 → writer/job.go:63) restated as an incremental
+    loop. See writers/materialize.py for semantics and scale shape.
+
+        {"materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": "/lake/src_view",
+            "select": ["k", "v * 2 AS v2"],
+            "where": "v > 0",
+            "fullRefresh": false}}
+
+    ``select`` (optional, default all columns) lists per-row SQL
+    projection expressions; ``where`` (optional) filters. Aggregates /
+    joins / windows / non-deterministic expressions are refused at run
+    time by a plan-shape check (their maintenance is not id-keyed).
+    ``fullRefresh`` forces one rebuild."""
+
+    connection: ConnectionSpec
+    target: str
+    select: tuple[str, ...] = ()
+    where: str = ""
+    full_refresh: bool = False
+
+    @staticmethod
+    def from_json(obj: dict[str, Any]) -> "MaterializeSpec":
+        sel = obj.get("select", []) or []
+        if isinstance(sel, str):
+            sel = [sel]
+        spec = MaterializeSpec(
+            connection=ConnectionSpec.from_json(
+                obj.get("connection", {}) or {}
+            ),
+            target=str(obj.get("target", "") or ""),
+            select=tuple(str(s) for s in sel),
+            where=str(obj.get("where", "") or ""),
+            full_refresh=bool(obj.get("fullRefresh", False)),
+        )
+        spec.validate()
+        return spec
+
+    def validate(self) -> None:
+        if not self.connection.url or not self.connection.table.name:
+            raise SpecError(
+                "materialize needs connection.url and connection.table."
+                "name (the row-tracked source table)"
+            )
+        if not self.target:
+            raise SpecError(
+                "materialize needs target (the view table's path)"
+            )
+        for s in self.select:
+            if not s.strip():
+                raise SpecError(
+                    "materialize select entries must be non-empty SQL "
+                    "expressions"
+                )
+
+
+@dataclass(frozen=True)
 class MaintenanceSpec:
     """A declarative table-maintenance job (r15, extended r16): the
     lakehouse scheduler's surface for the versioned layer's lifecycle
@@ -834,11 +897,36 @@ class JobSpec:
     writer: WriterSpec | None = None
     parallelism: int = 4
     maintenance: MaintenanceSpec | None = None
+    materialize: MaterializeSpec | None = None
 
     @staticmethod
     def from_json(obj: dict[str, Any] | str) -> "JobSpec":
         if isinstance(obj, str):
             obj = json.loads(obj)
+        mat_obj = obj.get("materialize")
+        if mat_obj is not None:
+            if obj.get("reader") or obj.get("writer") or obj.get(
+                "maintenance"
+            ):
+                raise SpecError(
+                    "a materialize job stands alone: the view definition "
+                    "IS its reader and writer"
+                )
+            mat = MaterializeSpec.from_json(mat_obj)
+            return JobSpec(
+                # placeholder reader, never planned: run_job dispatches
+                # on materialize before plan_read
+                reader=ReaderSpec.from_json(
+                    {
+                        "column": ["*"],
+                        "connection": {
+                            "url": mat.connection.url,
+                            "table": {"name": mat.connection.table.name},
+                        },
+                    }
+                ),
+                materialize=mat,
+            )
         maint_obj = obj.get("maintenance")
         if maint_obj is not None:
             if obj.get("reader") or obj.get("writer"):

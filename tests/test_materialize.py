@@ -1,0 +1,272 @@
+"""Incremental materialized views (r17): a declarative materialize job
+keeps a row-level transform of a row-tracked source continuously true
+by consuming change_feed(with_row_ids=True) and applying the NET delta
+with id-keyed merges. Contract: the view always equals the from-scratch
+transform, refreshes cost ∝ changes (no-op source activity touches zero
+view data files), non-CDF ranges and changed definitions rebuild, and
+non-row-level definitions are refused up front."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from as_etl_storage_spark.runner import run_job
+from as_etl_storage_spark.spec import JobSpec, SpecError
+from as_etl_storage_spark.writers.versioned import VersionedTable
+
+
+def _source(spark, root, n=20):
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    src.enable_row_tracking()
+    return src
+
+
+def _job(root, **overrides):
+    return {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "select": ["k", "v * 2 AS v2"],
+            "where": "v >= 50",
+            **overrides,
+        }
+    }
+
+
+def _expect(src):
+    """The from-scratch transform the view must always equal."""
+    return {
+        (r.k, r.v * 2) for r in src.read().where("v >= 50").collect()
+    }
+
+
+def _got(spark, root):
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    return {(r.k, r.v2) for r in view.read().select("k", "v2").collect()}
+
+
+def test_initial_build_records_state(spark, tmp_path):
+    root = str(tmp_path)
+    src = _source(spark, root)
+    res = run_job(spark, _job(root))
+    assert res.mode == "initial"
+    assert res.source_version == src.latest_version()
+    view = VersionedTable(spark, res.view_path)
+    assert set(view.read().columns) == {"k", "v2", "_src_row_id"}
+    props = view._properties_at(view.latest_version())
+    assert props["vt.mv.source"] == os.path.join(root, "src")
+    assert int(props["vt.mv.sourceVersion"]) == src.latest_version()
+    assert props["vt.mv.fingerprint"]
+    assert _got(spark, root) == _expect(src)
+
+
+def test_incremental_apply_across_full_dml_cycle(spark, tmp_path):
+    """append + delete + update (crossing the filter boundary BOTH
+    ways) + merge, netted and applied by id — the view matches the
+    from-scratch transform after one incremental refresh."""
+    root = str(tmp_path)
+    src = _source(spark, root)
+    run_job(spark, _job(root))
+    src.append(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+    )
+    src.delete("k = 7")  # in-view row leaves
+    src.update("k = 8", {"v": "999"})  # stays in the filter, new value
+    src.update("k = 9", {"v": "1"})  # falls OUT of the filter
+    src.update("k = 2", {"v": "77"})  # was OUT, comes IN
+    src.merge(  # upsert: one update, one brand-new row
+        spark.createDataFrame([(5, 500), (100, 1000)], "k long, v long"),
+        on=["k"],
+    )
+    res = run_job(spark, _job(root))
+    assert res.mode == "incremental"
+    assert res.deletes and res.upserts
+    assert _got(spark, root) == _expect(src)
+
+
+def test_multi_update_nets_to_one_terminal_event(spark, tmp_path):
+    """A row updated repeatedly and finally deleted across the range
+    applies as ONE delete; a row updated repeatedly applies its LAST
+    image only."""
+    root = str(tmp_path)
+    src = _source(spark, root)
+    run_job(spark, _job(root))
+    for val in ("111", "222", "333"):
+        src.update("k = 6", {"v": val})
+    src.delete("k = 6")
+    for val in ("444", "555"):
+        src.update("k = 11", {"v": val})
+    res = run_job(spark, _job(root))
+    assert res.mode == "incremental"
+    got = _got(spark, root)
+    assert got == _expect(src)
+    assert (11, 1110) in got and all(k != 6 for k, _ in got)
+
+
+def test_noop_and_bookmark_touch_no_data_files(spark, tmp_path):
+    """Source unchanged → zero view commits; layout-only source
+    activity (compact / checkpoint) → one metadata commit moving the
+    bookmark, the view's DATA files byte-identical."""
+    root = str(tmp_path)
+    src = _source(spark, root)
+    run_job(spark, _job(root))
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    v_before = view.latest_version()
+    res = run_job(spark, _job(root))
+    assert res.mode == "noop" and view.latest_version() == v_before
+    # fragment the source so the compact really commits, and refresh
+    # past the appends first — the remaining range is layout-only
+    for lo in (100, 110):
+        src.append(
+            spark.range(lo, lo + 5).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1)
+        )
+    run_job(spark, _job(root))
+    files_before = set(view._state(view.latest_version()))
+    assert src.compact(target_file_bytes=1 << 30) == src.latest_version()
+    res = run_job(spark, _job(root))
+    assert res.mode == "bookmark"
+    assert set(view._state(view.latest_version())) == files_before
+    m = view._manifest(view.latest_version())
+    assert m["op"] == "set_properties"
+    assert int(
+        view._properties_at(view.latest_version())["vt.mv.sourceVersion"]
+    ) == src.latest_version()
+
+
+def test_non_cdf_range_and_changed_definition_rebuild(spark, tmp_path):
+    root = str(tmp_path)
+    src = _source(spark, root)
+    run_job(spark, _job(root))
+    # overwrite records no change files: the CDF contract says full
+    # re-read — the refresh rebuilds and still matches
+    src.overwrite(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+        )
+    )
+    res = run_job(spark, _job(root))
+    assert res.mode == "full"
+    assert _got(spark, root) == _expect(src)
+    # a changed definition (different where) must not apply new
+    # transforms to old rows: fingerprint mismatch → rebuild
+    res = run_job(spark, _job(root, where="v >= 100"))
+    assert res.mode == "full"
+    got = _got(spark, root)
+    assert got == {
+        (r.k, r.v * 2) for r in src.read().where("v >= 100").collect()
+    }
+    # forced rebuild flag
+    res = run_job(spark, _job(root, where="v >= 100", fullRefresh=True))
+    assert res.mode == "full"
+
+
+def test_refresh_is_idempotent_replay(spark, tmp_path):
+    """Crash-safety contract: re-applying the same feed range (bookmark
+    rolled back by hand, as after a crash between the data merges and
+    the bookmark commit) converges to the same view."""
+    root = str(tmp_path)
+    src = _source(spark, root)
+    run_job(spark, _job(root))
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    last = view._properties_at(view.latest_version())["vt.mv.sourceVersion"]
+    src.delete("k = 12")
+    src.update("k = 13", {"v": "888"})
+    run_job(spark, _job(root))
+    want = _got(spark, root)
+    # roll the bookmark back: the next refresh replays the same range
+    view.set_properties({"vt.mv.sourceVersion": last})
+    res = run_job(spark, _job(root))
+    assert res.mode == "incremental"
+    assert _got(spark, root) == want == _expect(src)
+
+
+def test_requires_row_tracking_and_versioned_source(spark, tmp_path):
+    root = str(tmp_path)
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.range(5).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+    )
+    with pytest.raises(SpecError, match="enable_row_tracking"):
+        run_job(spark, _job(root))
+    with pytest.raises(SpecError, match="versioned"):
+        run_job(
+            spark,
+            {
+                "materialize": {
+                    "connection": {
+                        "url": root,
+                        "table": {"name": "nosuch"},
+                    },
+                    "target": os.path.join(root, "view"),
+                }
+            },
+        )
+
+
+def test_refuses_non_row_level_definitions(spark, tmp_path):
+    root = str(tmp_path)
+    _source(spark, root)
+    with pytest.raises(SpecError, match="row-level"):
+        run_job(spark, _job(root, select=["sum(v) AS s"]))
+    with pytest.raises(SpecError, match="deterministic"):
+        run_job(spark, _job(root, select=["k", "rand() AS r"]))
+    with pytest.raises(SpecError, match="analyze"):
+        run_job(spark, _job(root, select=["no_such_column"]))
+
+
+def test_default_select_carries_all_columns(spark, tmp_path):
+    root = str(tmp_path)
+    src = _source(spark, root)
+    res = run_job(spark, _job(root, select=[], where=""))
+    view = VersionedTable(spark, res.view_path)
+    assert set(view.read().columns) == {"k", "v", "_src_row_id"}
+    src.update("k = 3", {"v": "42"})
+    res = run_job(spark, _job(root, select=[], where=""))
+    assert res.mode == "incremental"
+    got = {(r.k, r.v) for r in view.read().select("k", "v").collect()}
+    assert got == {(r.k, r.v) for r in src.read().collect()}
+
+
+def test_spec_validation(spark, tmp_path):
+    with pytest.raises(SpecError, match="stands alone"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": "/x", "table": {"name": "t"}},
+                    "target": "/y",
+                },
+                "reader": {"connection": {"url": "/z"}},
+            }
+        )
+    with pytest.raises(SpecError, match="target"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": "/x", "table": {"name": "t"}}
+                }
+            }
+        )
+    with pytest.raises(SpecError, match="non-empty"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": "/x", "table": {"name": "t"}},
+                    "target": "/y",
+                    "select": ["k", "  "],
+                }
+            }
+        )
