@@ -324,3 +324,58 @@ QUERIES, ORACLES = _make(_DEFS)
 # JSON differs by dialect — register manually
 QUERIES["q_json_extract"] = sql_query(("events",), _q_spark_json)
 ORACLES["q_json_extract"] = _q_duck_json
+
+
+# --- hierarchical rollup (r17 plan upgrade) ---------------------------------
+def _q_rollup_hierarchical(spark, sf_dir):
+    """GROUP BY ROLLUP without the Expand: Spark plans ROLLUP by
+    tripling every input row (one copy per grouping set) BEFORE the
+    partial aggregate — at 100 TB that is 3x the map-side hash-agg work
+    for sums a re-aggregation of the finest grain computes exactly.
+    Decimal addition is associative, so aggregating ONCE at
+    (l_returnflag, l_linestatus) — a handful of rows — and rolling the
+    INTERMEDIATE up per level yields bit-identical sums and counts with
+    one scan-side pass; the level re-aggregations run over ~6 rows, and
+    AQE reuses the single exchange across the union's branches. NULL
+    markers for rolled-up levels match ROLLUP's (the flag columns are
+    non-null in the data, so grouping-NULL is unambiguous — DuckDB
+    oracle: the plain ROLLUP SQL)."""
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.common import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    li = spark.table("lineitem")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__s"),
+        F.count("*").alias("n"),
+    )
+    null_s = F.lit(None).cast("string")
+    lvl1 = (
+        base.groupBy("l_returnflag")
+        .agg(F.sum("__s").alias("__s"), F.sum("n").alias("n"))
+        .select("l_returnflag", null_s.alias("l_linestatus"), "__s", "n")
+    )
+    lvl2 = base.agg(
+        F.sum("__s").alias("__s"), F.sum("n").alias("n")
+    ).select(
+        null_s.alias("l_returnflag"),
+        null_s.alias("l_linestatus"),
+        "__s",
+        "n",
+    )
+    return (
+        base.select("l_returnflag", "l_linestatus", "__s", "n")
+        .unionByName(lvl1)
+        .unionByName(lvl2)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__s").cast("double").alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+# the oracle stays the plain ROLLUP SQL registered by _make above
+QUERIES["q_rollup"] = _q_rollup_hierarchical
