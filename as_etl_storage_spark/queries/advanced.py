@@ -3953,3 +3953,135 @@ _register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ----------------------------------------- aggregate materialized view --
+def _w_versioned_aggregate_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Aggregate incremental materialized view (r17): a groupBy +
+    count/sum view maintained by ±delta from the change feed ALONE —
+    no row tracking needed, groups key on their own columns. Inserts
+    and update postimages add, deletes and update preimages subtract,
+    per-group deltas fold in with ONE group-keyed merge, and a group
+    whose live-row count reaches zero is swept from the view. The
+    cycle: initial build on an untracked source, append + retention
+    delete + a filter-crossing update, one incremental refresh, then a
+    whole-group kill whose refresh must remove the group row, then a
+    layout-only commit whose refresh must touch zero view data files.
+    Asserted in-query: mode transitions, exact equality with a
+    from-scratch aggregation at every step, the swept group, and the
+    untouched file set. The result IS the view; the oracle replays the
+    DML as SQL over orders."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wamv-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(orders.where("o_orderkey % 3 = 0"))
+    # NOTE: no enable_row_tracking — the aggregate form needs only CDF
+
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["o_orderstatus"],
+            "aggregates": {
+                "n": "count(*)",
+                "total_dec": "sum(CAST(o_totalprice AS DECIMAL(18,2)))",
+            },
+            "where": "o_totalprice > 150000",
+        }
+    }
+
+    def fresh():
+        return (
+            src.read()
+            .where("o_totalprice > 150000")
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("total_dec"),
+            )
+        )
+
+    def assert_matches(view, when):
+        got = view.read().select("o_orderstatus", "n", "total_dec")
+        f = fresh()
+        if got.exceptAll(f).count() or f.exceptAll(got).count():
+            raise AssertionError(f"aggregate view diverged {when}")
+
+    r1 = run_job(spark, job)
+    if r1.mode != "initial":
+        raise AssertionError(f"first run must build, got {r1.mode}")
+    view = VersionedTable(spark, r1.view_path)
+    assert_matches(view, "after the initial build")
+    src.append(orders.where("o_orderkey % 3 = 1"))
+    src.delete("o_orderkey % 10 = 1")
+    src.update(
+        "o_orderkey % 7 = 0", {"o_totalprice": "o_totalprice + 100000"}
+    )
+    r2 = run_job(spark, job)
+    if r2.mode != "incremental" or not r2.upserts:
+        raise AssertionError(f"DML must fold incrementally, got {r2.mode}")
+    assert_matches(view, "after the DML cycle")
+    # whole-group kill: the status row must LEAVE the view, not remain
+    # as a zero-count husk
+    src.delete("o_orderstatus = 'P'")
+    r3 = run_job(spark, job)
+    if r3.mode != "incremental":
+        raise AssertionError(f"group kill must fold, got {r3.mode}")
+    if view.read().where("o_orderstatus = 'P'").count():
+        raise AssertionError("a dead group survived in the view")
+    assert_matches(view, "after the group kill")
+    # layout-only source commit: bookmark, zero view data files touched
+    files_before = sorted(view._state(view.latest_version()))
+    if src.compact(target_file_bytes=1 << 30) == r3.source_version:
+        raise AssertionError("compact must commit a layout-only version")
+    r4 = run_job(spark, job)
+    if r4.mode != "bookmark":
+        raise AssertionError(f"layout-only must bookmark, got {r4.mode}")
+    if sorted(view._state(view.latest_version())) != files_before:
+        raise AssertionError(
+            "a bookmark refresh touched the view's data files"
+        )
+    return view.read().select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("total_dec").cast("double"), 2).alias("total"),
+    )
+
+
+_register(
+    "w_versioned_aggregate_mv",
+    _w_versioned_aggregate_mv,
+    """
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN o_totalprice + 100000
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderkey % 10 <> 1
+          AND o_orderstatus <> 'P'
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                 2) AS total
+    FROM src
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderstatus
+    """,
+)

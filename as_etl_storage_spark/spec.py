@@ -741,19 +741,41 @@ class MaterializeSpec:
     projection expressions; ``where`` (optional) filters. Aggregates /
     joins / windows / non-deterministic expressions are refused at run
     time by a plan-shape check (their maintenance is not id-keyed).
-    ``fullRefresh`` forces one rebuild."""
+    ``fullRefresh`` forces one rebuild.
+
+    AGGREGATE form (r17): ``groupBy`` + ``aggregates`` instead of
+    ``select`` maintains a grouped count/sum view by ±delta — inserts
+    and update postimages add, deletes and update preimages subtract —
+    so the refresh needs only the change feed, not row tracking:
+
+        {"materialize": {
+            "connection": ..., "target": ...,
+            "groupBy": ["status"],
+            "aggregates": {"n": "count(*)",
+                           "qty": "sum(CAST(v AS DECIMAL(18,2)))"},
+            "where": "v > 0"}}
+
+    Only ``count(*)`` and ``sum(<expr>)`` are maintainable under
+    deletes (abelian); min/max/distinct are refused — recompute those,
+    or derive avg as sum/count at read time."""
 
     connection: ConnectionSpec
     target: str
     select: tuple[str, ...] = ()
     where: str = ""
     full_refresh: bool = False
+    group_by: tuple[str, ...] = ()
+    aggregates: tuple[tuple[str, str], ...] = ()
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "MaterializeSpec":
         sel = obj.get("select", []) or []
         if isinstance(sel, str):
             sel = [sel]
+        gby = obj.get("groupBy", []) or []
+        if isinstance(gby, str):
+            gby = [gby]
+        aggs = obj.get("aggregates", {}) or {}
         spec = MaterializeSpec(
             connection=ConnectionSpec.from_json(
                 obj.get("connection", {}) or {}
@@ -762,6 +784,10 @@ class MaterializeSpec:
             select=tuple(str(s) for s in sel),
             where=str(obj.get("where", "") or ""),
             full_refresh=bool(obj.get("fullRefresh", False)),
+            group_by=tuple(str(c) for c in gby),
+            aggregates=tuple(
+                (str(k), str(v)) for k, v in sorted(aggs.items())
+            ),
         )
         spec.validate()
         return spec
@@ -770,7 +796,7 @@ class MaterializeSpec:
         if not self.connection.url or not self.connection.table.name:
             raise SpecError(
                 "materialize needs connection.url and connection.table."
-                "name (the row-tracked source table)"
+                "name (the source table)"
             )
         if not self.target:
             raise SpecError(
@@ -781,6 +807,27 @@ class MaterializeSpec:
                 raise SpecError(
                     "materialize select entries must be non-empty SQL "
                     "expressions"
+                )
+        if bool(self.group_by) != bool(self.aggregates):
+            raise SpecError(
+                "materialize groupBy and aggregates come together "
+                "(the aggregate form needs both)"
+            )
+        if self.group_by and self.select:
+            raise SpecError(
+                "materialize takes select (row-level view) OR "
+                "groupBy+aggregates (aggregate view), not both"
+            )
+        for c in self.group_by:
+            if not c.strip():
+                raise SpecError(
+                    "materialize groupBy entries must be column names"
+                )
+        for name, agg in self.aggregates:
+            if not name.strip() or not agg.strip():
+                raise SpecError(
+                    "materialize aggregates map non-empty output names "
+                    "to count(*)/sum(expr) specs"
                 )
 
 

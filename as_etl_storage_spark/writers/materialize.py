@@ -48,7 +48,20 @@ one source table — per-row ``select`` expressions plus an optional
 ``where``. Aggregates / joins / windows / sorts / limits / random
 expressions are refused at refresh setup (plan-shape check): their
 incremental maintenance needs group-state algebra this job does not
-claim (run them as ordinary queries, or stack them on the view).
+claim (run them as ordinary queries, or stack them on the view)...
+
+...EXCEPT the abelian ones (r17): ``groupBy`` + ``aggregates`` of
+``count(*)``/``sum(expr)`` maintain a GROUPED view by ±delta — every
+feed event contributes sign-weighted to its group (insert/update
+postimage +, delete/update preimage −), the per-group deltas fold into
+the view with ONE group-keyed merge (``target.n + source.n``), and
+groups whose internal live-row count hits zero are swept. This is
+textbook incremental view maintenance over the CDF; it needs no row
+tracking (groups key on their OWN columns), refresh cost is ∝ changed
+rows + matched view files, and the delta aggregation is exactly as
+parallel as the feed scan. min/max/distinct are refused by name:
+a delete can invalidate them without a re-scan, which is the contract
+this job refuses to break silently.
 """
 
 from __future__ import annotations
@@ -67,6 +80,18 @@ from as_etl_storage_spark.spec import MaterializeSpec, SpecError
 
 #: the view-side column carrying the SOURCE's stable row id
 SRC_ROW_ID = "_src_row_id"
+
+#: aggregate views' internal live-row counter per group: the zero-test
+#: that decides when a group leaves the view (a user count(*) output is
+#: optional; this one always rides along)
+MV_COUNT = "_mv_count"
+
+#: the aggregate specs whose maintenance is abelian (invertible under
+#: deletes): count(*) and sum(expr). Everything else is refused by name.
+_AGG_RE = re.compile(
+    r"^\s*(?:(count)\s*\(\s*\*\s*\)|(sum)\s*\((.+)\))\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 #: plan nodes a row-level view definition must not produce (their
 #: incremental maintenance is not id-keyed); checked on the ANALYZED
@@ -103,12 +128,18 @@ class MaterializeResult:
     upserts: int | None = None
 
 
-def _fingerprint(source_path: str, select: tuple, where: str) -> str:
-    """Content identity of the view DEFINITION: a changed select/where
-    (or a re-pointed source) must force a rebuild, never silently apply
-    new transforms to old rows."""
+def _fingerprint(source_path: str, spec: MaterializeSpec) -> str:
+    """Content identity of the view DEFINITION: a changed select/where/
+    groupBy/aggregates (or a re-pointed source) must force a rebuild,
+    never silently apply new transforms to old rows."""
     blob = json.dumps(
-        {"source": source_path, "select": list(select), "where": where},
+        {
+            "source": source_path,
+            "select": list(spec.select),
+            "where": spec.where,
+            "group_by": list(spec.group_by),
+            "aggregates": list(spec.aggregates),
+        },
         sort_keys=True,
     )
     return hashlib.sha256(blob.encode("utf-8")).hexdigest()
@@ -167,6 +198,133 @@ def _check_row_level(src_empty: DataFrame, spec: MaterializeSpec) -> None:
         )
 
 
+def _parse_aggregates(spec: MaterializeSpec) -> list:
+    """(output name, kind, inner expr) per declared aggregate; refuses
+    non-abelian specs BY NAME — a delete can invalidate min/max/
+    count(distinct) without a re-scan, so their 'incremental'
+    maintenance would be silently wrong under DML."""
+    out = []
+    for name, agg in spec.aggregates:
+        m = _AGG_RE.match(agg)
+        if not m:
+            raise SpecError(
+                f"materialize aggregate {name!r} = {agg!r}: only "
+                f"count(*) and sum(<expr>) maintain incrementally under "
+                f"deletes (abelian); min/max/distinct need a re-scan — "
+                f"recompute those as ordinary queries, or derive avg as "
+                f"sum/count at read time"
+            )
+        kind = (m.group(1) or m.group(2)).lower()
+        inner = m.group(3)
+        if inner is not None:
+            bad = _FORBIDDEN_EXPR.search(inner)
+            if bad:
+                raise SpecError(
+                    f"materialize aggregate {name!r}: {bad.group(0)!r} "
+                    f"is not deterministic"
+                )
+        out.append((name, kind, inner))
+    return out
+
+
+def _checked_keys(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
+    """Fail the refresh job on a NULL group key instead of silently
+    splitting the group: the aggregate view folds deltas with a
+    group-keyed equi-MERGE, and SQL equality never matches NULL to
+    NULL — a NULL-keyed group would duplicate on every refresh. Fused
+    as assert_true inside the plan (zero extra passes)."""
+    for k in spec.group_by:
+        df = df.where(
+            F.coalesce(
+                F.assert_true(
+                    F.col(k).isNotNull(),
+                    F.lit(
+                        f"materialize groupBy key {k!r} is NULL; filter "
+                        f"NULL keys in the where clause (or coalesce "
+                        f"them to a sentinel in the source)"
+                    ),
+                ),
+                F.lit(True),
+            )
+        )
+    return df
+
+
+def _agg_transform(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
+    """The aggregate definition applied from scratch to source-shaped
+    rows: filter → group → count/sum, plus the internal live-row
+    counter (the zero-test for group removal)."""
+    if spec.where.strip():
+        df = df.where(spec.where)
+    df = _checked_keys(df, spec)
+    aggs = [
+        (
+            F.count("*").alias(name)
+            if kind == "count"
+            else F.sum(F.expr(inner)).alias(name)
+        )
+        for name, kind, inner in _parse_aggregates(spec)
+    ]
+    return df.groupBy(*spec.group_by).agg(
+        *aggs, F.count("*").alias(MV_COUNT)
+    )
+
+
+def _agg_deltas(feed: DataFrame, spec: MaterializeSpec) -> DataFrame:
+    """Per-group ±deltas from the raw feed: every event row passes the
+    view's filter independently (a row UPDATED across the filter
+    boundary contributes −pre, +post, or one side only — exactly its
+    effect on the group), then folds sign-weighted. Same columns as
+    the view, so the frame merges straight in. No netting needed:
+    addition commutes, the window shuffle of the row-level path is
+    replaced by one partial-aggregated groupBy ∝ changed rows."""
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"),
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    df = feed.withColumn("__mv_sign", sign)
+    if spec.where.strip():
+        df = df.where(spec.where)
+    df = _checked_keys(df, spec)
+    aggs = [
+        (
+            F.sum("__mv_sign").alias(name)
+            if kind == "count"
+            else F.sum(F.col("__mv_sign") * F.expr(inner)).alias(name)
+        )
+        for name, kind, inner in _parse_aggregates(spec)
+    ]
+    return df.groupBy(*spec.group_by).agg(
+        *aggs, F.sum("__mv_sign").alias(MV_COUNT)
+    )
+
+
+def _agg_fold_exprs(spec: MaterializeSpec, tgt_types: dict) -> dict:
+    """whenMatched SET expressions folding a delta row into the view
+    row. Counts add plainly (never NULL); sums add null-safely so an
+    all-NULL group stays SQL-NULL instead of being zeroed, and a NULL
+    delta never wipes an accumulated sum. Every fold casts back to the
+    column's STORED type (decimal addition widens precision by one;
+    the schema must not creep refresh-over-refresh — under ANSI mode a
+    true overflow fails the job loudly instead)."""
+    exprs = {
+        MV_COUNT: f"CAST(target.{MV_COUNT} + source.{MV_COUNT} AS "
+        f"{tgt_types[MV_COUNT].simpleString()})"
+    }
+    for name, kind, _ in _parse_aggregates(spec):
+        ts = tgt_types[name].simpleString()
+        if kind == "count":
+            exprs[name] = f"CAST(target.{name} + source.{name} AS {ts})"
+        else:
+            exprs[name] = (
+                f"CAST(CASE WHEN target.{name} IS NULL AND "
+                f"source.{name} IS NULL THEN NULL ELSE "
+                f"coalesce(target.{name}, 0) + coalesce(source.{name}, 0) "
+                f"END AS {ts})"
+            )
+    return exprs
+
+
 def _net_changes(feed: DataFrame) -> DataFrame:
     """One TERMINAL event per row id across the range: the latest
     commit wins; within a commit the postimage/insert/delete outranks
@@ -183,6 +341,65 @@ def _net_changes(feed: DataFrame) -> DataFrame:
         .withColumn("__mv_rn", F.row_number().over(w))
         .where(F.col("__mv_rn") == 1)
         .drop("__mv_rn", "__mv_ord")
+    )
+
+
+def _apply_agg_deltas(
+    spec: MaterializeSpec, src_v: int, view, view_v: int, feed: DataFrame
+) -> MaterializeResult:
+    """Fold one feed range into an aggregate view: sign-weighted group
+    deltas, ONE group-keyed merge (matched rows ADD via the fold
+    expressions, unseen groups insert their delta as the opening
+    balance), then sweep groups whose live-row count reached zero.
+    ``upserts`` reports the folded group count."""
+    # Spark widens sum types by input precision, and the delta's
+    # sign-multiply widens differently than the build's plain sum — cast
+    # each delta column to the VIEW's stored type (lossless: a delta
+    # over a subset is bounded by the full sum's own headroom)
+    tgt = {
+        f.name: f.dataType
+        for f in view.read(version_as_of=view_v).schema.fields
+    }
+    deltas = _agg_deltas(feed, spec)
+    deltas = deltas.select(
+        *[
+            F.col(c).cast(tgt[c]).alias(c) if c in tgt else F.col(c)
+            for c in deltas.columns
+        ]
+    ).persist()
+    try:
+        if deltas.isEmpty():
+            # layout-only (or filtered-away) range: bookmark only
+            nv = view.set_properties(
+                {"vt.mv.sourceVersion": str(src_v)}
+            )
+            return MaterializeResult(
+                view_path=spec.target,
+                mode="bookmark",
+                source_version=src_v,
+                view_version=nv,
+            )
+        n_groups = deltas.count()
+        view.merge(
+            deltas,
+            on=list(spec.group_by),
+            when_matched="update",
+            when_not_matched="insert",
+            when_matched_set=_agg_fold_exprs(spec, tgt),
+        )
+        # a group whose rows all left the filtered source leaves the
+        # view (its sums read 0/NULL but COUNT(*)-semantics say the
+        # group row must not exist); file-pruned like any delete
+        view.delete(f"{MV_COUNT} = 0")
+    finally:
+        deltas.unpersist()
+    nv = view.set_properties({"vt.mv.sourceVersion": str(src_v)})
+    return MaterializeResult(
+        view_path=spec.target,
+        mode="incremental",
+        source_version=src_v,
+        view_version=nv,
+        upserts=n_groups,
     )
 
 
@@ -208,19 +425,41 @@ def run_materialize(
             f"materialize source is not a versioned table (no log): "
             f"{src_path}"
         )
-    if not src._row_tracked_at(src_v):
+    agg_mode = bool(spec.group_by)
+    if not agg_mode and not src._row_tracked_at(src_v):
+        # the AGGREGATE form needs no ids: groups key on their own
+        # columns and deltas are sign-weighted — the CDF alone suffices
         raise SpecError(
             f"materialize needs row tracking on the source (the view "
             f"keys on the stable row id); run enable_row_tracking() on "
-            f"{src_path} first"
+            f"{src_path} first — or declare groupBy+aggregates, which "
+            f"key on the group columns instead"
         )
-    fp = _fingerprint(src_path, spec.select, spec.where)
-    _check_row_level(
-        spark.createDataFrame(
-            [], src.read(version_as_of=src_v, with_row_ids=True).schema
-        ),
-        spec,
+    fp = _fingerprint(src_path, spec)
+    empty_src = spark.createDataFrame(
+        [],
+        src.read(version_as_of=src_v, with_row_ids=not agg_mode).schema,
     )
+    if agg_mode:
+        # parse (and refuse non-abelian specs), then analyze the full
+        # definition against the source schema — zero-row, zero-job
+        m = _FORBIDDEN_EXPR.search(spec.where or "")
+        if m:
+            raise SpecError(
+                f"materialize definitions must be deterministic; "
+                f"{m.group(0)!r} in the where clause is not"
+            )
+        try:
+            _agg_transform(empty_src, spec)._jdf.queryExecution().analyzed()
+        except SpecError:
+            raise
+        except Exception as exc:
+            raise SpecError(
+                f"materialize aggregate definition does not analyze "
+                f"against the source schema: {exc}"
+            ) from None
+    else:
+        _check_row_level(empty_src, spec)
     view = VersionedTable(spark, spec.target, log_store=src._store)
     view_v = view.latest_version()
 
@@ -229,8 +468,11 @@ def run_materialize(
         # last-writer-wins into the view, bookmark in a trailing
         # metadata commit (a crash between them leaves no fingerprint
         # match, so the next run rebuilds — idempotent)
-        full = _transform(
-            src.read(version_as_of=src_v, with_row_ids=True), spec
+        snap = src.read(version_as_of=src_v, with_row_ids=not agg_mode)
+        full = (
+            _agg_transform(snap, spec)
+            if agg_mode
+            else _transform(snap, spec)
         )
         view.overwrite(full)
         nv = view.set_properties(
@@ -266,12 +508,14 @@ def run_materialize(
         )
     try:
         feed = src.change_feed(
-            from_version=last, to_version=src_v, with_row_ids=True
+            from_version=last, to_version=src_v, with_row_ids=not agg_mode
         )
     except VersionedTableError:
         # the CDF's documented "full re-read required" contract:
         # overwrite/restore in range, or the history was vacuumed
         return _rebuild("full")
+    if agg_mode:
+        return _apply_agg_deltas(spec, src_v, view, view_v, feed)
     if not feed.where(F.col("_row_id").isNull()).isEmpty():
         # change rows from versions before enablement carry NULL ids —
         # unkeyable; one rebuild re-baselines onto dense ids

@@ -270,3 +270,198 @@ def test_spec_validation(spark, tmp_path):
                 }
             }
         )
+
+
+# ----------------------------------------------------- aggregate views --
+def _agg_job(root, **overrides):
+    return {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["g"],
+            "aggregates": {
+                "n": "count(*)",
+                "s": "sum(CAST(v AS DECIMAL(18,2)))",
+            },
+            "where": "v >= 50",
+            **overrides,
+        }
+    }
+
+
+def _grouped_source(spark, root, n=30, tracked=False):
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    if tracked:
+        src.enable_row_tracking()
+    return src
+
+
+def _agg_expect(src):
+    return {
+        (r.g, r.n, None if r.s is None else float(r.s))
+        for r in src.read()
+        .where("v >= 50")
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _agg_got(spark, root):
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    return {
+        (r.g, r.n, None if r.s is None else float(r.s))
+        for r in view.read().select("g", "n", "s").collect()
+    }
+
+
+def test_aggregate_view_full_dml_cycle_without_row_tracking(
+    spark, tmp_path
+):
+    """count/sum groupBy views maintain by ±delta from the CDF alone —
+    NO row tracking on the source — through append, delete, a
+    filter-crossing update and a merge; folding matches a from-scratch
+    aggregation after one incremental refresh."""
+    root = str(tmp_path)
+    src = _grouped_source(spark, root, tracked=False)
+    res = run_job(spark, _agg_job(root))
+    assert res.mode == "initial"
+    assert _agg_got(spark, root) == _agg_expect(src)
+    src.append(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    src.delete("k % 4 = 1")
+    src.update("k % 5 = 0", {"v": "v + 7"})
+    src.update("k = 8", {"v": "1"})  # leaves the filter: -delta only
+    src.merge(  # new group '7' is born via insert
+        spark.createDataFrame(
+            [(12, "7", 700), (100, "7", 60)], "k long, g string, v long"
+        ),
+        on=["k"],
+    )
+    res = run_job(spark, _agg_job(root))
+    assert res.mode == "incremental" and res.upserts
+    assert _agg_got(spark, root) == _agg_expect(src)
+    # group death: all of '7' leaves the filtered source -> the view
+    # row is swept, not left as a zero-count husk
+    src.delete("g = '7'")
+    run_job(spark, _agg_job(root))
+    assert _agg_got(spark, root) == _agg_expect(src)
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    assert view.read().where("g = '7'").count() == 0
+    # rebirth: the group comes back as a fresh insert
+    src.append(
+        spark.createDataFrame([(200, "7", 90)], "k long, g string, v long")
+    )
+    run_job(spark, _agg_job(root))
+    assert _agg_got(spark, root) == _agg_expect(src)
+    assert run_job(spark, _agg_job(root)).mode == "noop"
+
+
+def test_aggregate_null_sums_fold_null_safely(spark, tmp_path):
+    """An all-NULL group's sum stays SQL-NULL (not zero), and a NULL
+    delta never wipes an accumulated sum."""
+    root = str(tmp_path)
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, "a", None), (3, "b", None)],
+            "k long, g string, v long",
+        )
+    )
+    job = _agg_job(root, where="")
+    run_job(spark, job)
+    got = _agg_got_where_any(spark, root)
+    assert got == {("a", 2, 100.0), ("b", 1, None)}
+    # a NULL-valued insert into 'a' must not wipe its sum; a real value
+    # landing in 'b' must start from NULL, not 0
+    src.append(
+        spark.createDataFrame(
+            [(4, "a", None), (5, "b", 50)], "k long, g string, v long"
+        )
+    )
+    res = run_job(spark, job)
+    assert res.mode == "incremental"
+    assert _agg_got_where_any(spark, root) == {
+        ("a", 3, 100.0),
+        ("b", 2, 50.0),
+    }
+    # deleting the only valued row of 'b' leaves count 1, sum 0 (the
+    # abelian fold cannot know the rest are NULL without a re-scan:
+    # 0 is the sum's additive identity, documented as such)
+    src.delete("k = 5")
+    run_job(spark, job)
+    got = _agg_got_where_any(spark, root)
+    assert ("a", 3, 100.0) in got
+
+
+def _agg_got_where_any(spark, root):
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    return {
+        (r.g, r.n, None if r.s is None else float(r.s))
+        for r in view.read().select("g", "n", "s").collect()
+    }
+
+
+def test_aggregate_refuses_non_abelian_and_bad_specs(spark, tmp_path):
+    root = str(tmp_path)
+    _grouped_source(spark, root)
+    with pytest.raises(SpecError, match="abelian"):
+        run_job(spark, _agg_job(root, aggregates={"m": "min(v)"}))
+    with pytest.raises(SpecError, match="abelian"):
+        run_job(
+            spark, _agg_job(root, aggregates={"d": "count(DISTINCT v)"})
+        )
+    with pytest.raises(SpecError, match="deterministic"):
+        run_job(spark, _agg_job(root, aggregates={"s": "sum(v * rand())"}))
+    with pytest.raises(SpecError, match="analyze"):
+        run_job(spark, _agg_job(root, aggregates={"s": "sum(no_such)"}))
+    with pytest.raises(SpecError, match="come together"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "src"}},
+                    "target": os.path.join(root, "view"),
+                    "groupBy": ["g"],
+                }
+            }
+        )
+    with pytest.raises(SpecError, match="not both"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "src"}},
+                    "target": os.path.join(root, "view"),
+                    "groupBy": ["g"],
+                    "aggregates": {"n": "count(*)"},
+                    "select": ["k"],
+                }
+            }
+        )
+
+
+def test_aggregate_null_group_key_fails_loud(spark, tmp_path):
+    """A NULL group key would silently duplicate its group on every
+    refresh (merge equality never matches NULL) — the refresh job must
+    fail instead, naming the key."""
+    root = str(tmp_path)
+    src = _grouped_source(spark, root)
+    src.append(
+        spark.createDataFrame([(999, None, 90)], "k long, g string, v long")
+    )
+    with pytest.raises(Exception, match="groupBy key"):
+        run_job(spark, _agg_job(root))
