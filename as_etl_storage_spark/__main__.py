@@ -48,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             result.explain("formatted")
         result.show(args.show or 20, truncate=False)
+    elif spec.materialize is not None:  # materialize -> refresh report
+        from dataclasses import asdict
+
+        print(json.dumps(asdict(result)))
     elif spec.maintenance is not None:  # maintenance -> step report
         from dataclasses import asdict
 

@@ -465,3 +465,65 @@ def test_aggregate_null_group_key_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="groupBy key"):
         run_job(spark, _agg_job(root))
+
+
+def test_view_over_view_stacks(spark, tmp_path):
+    """A row-level view is itself a versioned table: enable row
+    tracking ON THE VIEW and a second materialize job stacks on it —
+    the pipeline shape (bronze → silver → gold) falls out of the same
+    primitive, refreshed in dependency order."""
+    root = str(tmp_path)
+    src = _source(spark, root, n=40)
+    job1 = _job(root)  # view: k, v2 = v*2 where v >= 50
+    run_job(spark, job1)
+    view1 = VersionedTable(spark, os.path.join(root, "view"))
+    view1.enable_row_tracking()
+    job2 = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "view"}},
+            "target": os.path.join(root, "gold"),
+            "select": ["k", "v2 + 1 AS v3"],
+            "where": "v2 >= 200",
+        }
+    }
+    res = run_job(spark, job2)
+    assert res.mode == "initial"
+    gold = VersionedTable(spark, os.path.join(root, "gold"))
+    src.update("k = 30", {"v": "640"})
+    src.delete("k = 25")
+    # dependency-ordered refresh: source → view1 → gold
+    assert run_job(spark, job1).mode == "incremental"
+    assert run_job(spark, job2).mode == "incremental"
+    got = {(r.k, r.v3) for r in gold.read().select("k", "v3").collect()}
+    want = {
+        (r.k, r.v * 2 + 1)
+        for r in src.read().where("v >= 50 AND v * 2 >= 200").collect()
+    }
+    assert got == want
+
+
+def test_cli_runs_materialize_job(spark, tmp_path):
+    """python -m as_etl_storage_spark materialize.json prints the
+    refresh report as one JSON object."""
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path)
+    _source(spark, root)
+    spec = _job(root)
+    spec_path = os.path.join(root, "job.json")
+    with open(spec_path, "w") as fh:
+        json.dump(spec, fh)
+    out = subprocess.run(
+        [sys.executable, "-m", "as_etl_storage_spark", spec_path],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["mode"] == "initial"
+    assert report["view_path"] == os.path.join(root, "view")
+    assert report["source_version"] >= 0
