@@ -4085,3 +4085,138 @@ _register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ------------------------------------- min/max/avg materialized view --
+def _w_versioned_mv_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """min/max/avg incremental materialized view (r17): avg folds
+    abelian on hidden sum/count state columns; min/max fold on inserts
+    (least/greatest against the stored extreme) and RECOMPUTE only the
+    groups whose stored extreme a removal may have invalidated — the
+    dirty set. The cycle: initial build, a pure-insert refresh that
+    must fold with ZERO recomputed groups (the steady-state claim made
+    measurable), then a delete of every group's max WITNESS rows whose
+    refresh must mark every group dirty and still land exactly on a
+    from-scratch aggregation. Asserted in-query at each step; the
+    oracle replays the DML with a window (drop each group's post-append
+    max) over orders."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wmmv-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(orders.where("o_orderkey % 3 = 0"))
+
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["o_orderstatus"],
+            "aggregates": {
+                "n": "count(*)",
+                "avg_price": "avg(o_totalprice)",
+                "lo": "min(o_totalprice)",
+                "hi": "max(o_totalprice)",
+            },
+        }
+    }
+
+    def fresh():
+        return (
+            src.read()
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.avg("o_totalprice").alias("avg_price"),
+                F.min("o_totalprice").alias("lo"),
+                F.max("o_totalprice").alias("hi"),
+            )
+        )
+
+    def assert_matches(view, when):
+        got = view.read().select(
+            "o_orderstatus", "n", "avg_price", "lo", "hi"
+        )
+        f = fresh()
+        if got.exceptAll(f).count() or f.exceptAll(got).count():
+            raise AssertionError(f"min/max/avg view diverged {when}")
+
+    r1 = run_job(spark, job)
+    if r1.mode != "initial":
+        raise AssertionError(f"first run must build, got {r1.mode}")
+    view = VersionedTable(spark, r1.view_path)
+    assert_matches(view, "after the initial build")
+    # pure inserts: every group folds clean, ZERO source rows re-read
+    src.append(orders.where("o_orderkey % 3 = 1"))
+    r2 = run_job(spark, job)
+    if r2.mode != "incremental" or r2.recomputed != 0:
+        raise AssertionError(
+            f"a pure-insert refresh must fold without recompute, got "
+            f"mode={r2.mode} recomputed={r2.recomputed}"
+        )
+    assert_matches(view, "after the pure-insert fold")
+    n_groups = view.read().count()
+    # remove every group's max WITNESS rows: each stored extreme loses
+    # its witness, so the refresh must recompute exactly every group
+    mx = (
+        src.read()
+        .groupBy("o_orderstatus")
+        .agg(F.max("o_totalprice").alias("mx"))
+        .collect()
+    )
+    for row in mx:
+        src.delete(
+            f"o_orderstatus = '{row.o_orderstatus}' "
+            f"AND o_totalprice = {row.mx!r}"
+        )
+    r3 = run_job(spark, job)
+    if r3.mode != "incremental" or r3.recomputed != n_groups:
+        raise AssertionError(
+            f"deleting every max witness must dirty every group, got "
+            f"mode={r3.mode} recomputed={r3.recomputed} of {n_groups}"
+        )
+    assert_matches(view, "after the max-witness deletes")
+    return view.read().select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("avg_price"), 2).alias("avg_price"),
+        F.round(F.col("lo"), 2).alias("lo"),
+        F.round(F.col("hi"), 2).alias("hi"),
+    )
+
+
+_register(
+    "w_versioned_mv_minmax",
+    _w_versioned_mv_minmax,
+    """
+    WITH base AS (
+        SELECT o_orderstatus, o_totalprice,
+               max(o_totalprice)
+                   OVER (PARTITION BY o_orderstatus) AS __mx
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    survivors AS (
+        SELECT o_orderstatus, o_totalprice
+        FROM base
+        WHERE o_totalprice < __mx
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(avg(o_totalprice), 2) AS avg_price,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM survivors
+    GROUP BY o_orderstatus
+    """,
+)

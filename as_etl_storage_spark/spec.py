@@ -755,9 +755,13 @@ class MaterializeSpec:
                            "qty": "sum(CAST(v AS DECIMAL(18,2)))"},
             "where": "v > 0"}}
 
-    Only ``count(*)`` and ``sum(<expr>)`` are maintainable under
-    deletes (abelian); min/max/distinct are refused — recompute those,
-    or derive avg as sum/count at read time."""
+    Maintainable aggregates: ``count(*)``, ``sum(<expr>)``,
+    ``avg(<expr>)`` (hidden sum/count state columns ride along as
+    ``<name>__sum``/``<name>__cnt``), ``min(<expr>)`` and
+    ``max(<expr>)`` (folded on inserts; a delete that may invalidate a
+    stored extreme recomputes exactly the affected groups from the
+    source). ``count(distinct ...)``/percentiles are refused —
+    recompute those as ordinary queries."""
 
     connection: ConnectionSpec
     target: str

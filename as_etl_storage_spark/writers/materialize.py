@@ -50,18 +50,33 @@ expressions are refused at refresh setup (plan-shape check): their
 incremental maintenance needs group-state algebra this job does not
 claim (run them as ordinary queries, or stack them on the view)...
 
-...EXCEPT the abelian ones (r17): ``groupBy`` + ``aggregates`` of
-``count(*)``/``sum(expr)`` maintain a GROUPED view by ±delta — every
-feed event contributes sign-weighted to its group (insert/update
-postimage +, delete/update preimage −), the per-group deltas fold into
-the view with ONE group-keyed merge (``target.n + source.n``), and
-groups whose internal live-row count hits zero are swept. This is
-textbook incremental view maintenance over the CDF; it needs no row
-tracking (groups key on their OWN columns), refresh cost is ∝ changed
-rows + matched view files, and the delta aggregation is exactly as
-parallel as the feed scan. min/max/distinct are refused by name:
-a delete can invalidate them without a re-scan, which is the contract
-this job refuses to break silently.
+...EXCEPT the maintainable aggregates (r17): ``groupBy`` +
+``aggregates`` of ``count(*)``/``sum``/``avg``/``min``/``max``
+maintain a GROUPED view incrementally:
+
+  * count/sum fold ABELIAN: every feed event contributes sign-weighted
+    to its group (insert/update postimage +, delete/update preimage −)
+    and the per-group deltas fold with ONE group-keyed merge
+    (``target.n + source.n``); groups whose internal live-row count
+    hits zero are swept. avg rides the same algebra on hidden
+    ``<name>__sum``/``<name>__cnt`` state columns, re-deriving the
+    exposed value in the fold expression.
+  * min/max fold on ADDITIONS (``least``/``greatest`` against the
+    stored extreme) and recompute ONLY the DIRTY groups — those where
+    some removed value ties-or-beats the candidate extreme, i.e. the
+    stored witness may be gone. The recompute scans the source scoped
+    to the dirty groups (literal pushed predicates for small sets,
+    broadcast semi-join beyond) and REPLACES those view rows
+    wholesale; in the steady state the dirty set is empty and no
+    source scan happens at all. count(distinct)/percentile stay
+    refused by name: they need per-group value state, and a silent
+    wrong answer is the contract this job refuses to break.
+
+This is textbook incremental view maintenance over the CDF; it needs
+no row tracking (groups key on their OWN columns), refresh cost is
+∝ changed rows + matched view files (+ dirty-group source rows when
+an extreme's witness was removed), and the delta aggregation is
+exactly as parallel as the feed scan.
 """
 
 from __future__ import annotations
@@ -86,12 +101,25 @@ SRC_ROW_ID = "_src_row_id"
 #: optional; this one always rides along)
 MV_COUNT = "_mv_count"
 
-#: the aggregate specs whose maintenance is abelian (invertible under
-#: deletes): count(*) and sum(expr). Everything else is refused by name.
+#: the aggregate grammar: count(*)/sum/avg fold abelian (sign-weighted
+#: deltas invert cleanly under deletes — avg rides on hidden sum+count
+#: state columns); min/max fold on inserts and RECOMPUTE only the
+#: groups whose stored extreme a delete may have invalidated (the
+#: dirty-group set). Everything else (count(distinct), percentile, ...)
+#: is refused by name.
 _AGG_RE = re.compile(
-    r"^\s*(?:(count)\s*\(\s*\*\s*\)|(sum)\s*\((.+)\))\s*$",
+    r"^\s*(?:(count)\s*\(\s*\*\s*\)|(sum|avg|min|max)\s*\((.+)\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: suffixes of the hidden state columns an avg aggregate materializes
+#: alongside its output (the fold state: exposed avg = __sum / __cnt)
+AVG_SUM = "__sum"
+AVG_CNT = "__cnt"
+
+#: delta-frame-only suffix carrying the extreme over a range's REMOVED
+#: rows per min/max aggregate (the dirty test input; never merged)
+_DEL_SUFFIX = "__del"
 
 #: plan nodes a row-level view definition must not produce (their
 #: incremental maintenance is not id-keyed); checked on the ANALYZED
@@ -118,7 +146,10 @@ class MaterializeResult:
     ``'noop'`` (source unchanged — zero commits) or ``'bookmark'``
     (only layout-only source versions in range — one metadata commit,
     zero data files touched). ``deletes``/``upserts`` count the net
-    id-keyed changes applied (None outside incremental mode)."""
+    id-keyed changes applied (None outside incremental mode);
+    ``recomputed`` counts the dirty groups an aggregate refresh had to
+    re-derive from the source because a removal may have invalidated
+    their stored min/max (None outside aggregate incremental mode)."""
 
     view_path: str
     mode: str
@@ -126,6 +157,7 @@ class MaterializeResult:
     view_version: int | None
     deletes: int | None = None
     upserts: int | None = None
+    recomputed: int | None = None
 
 
 def _fingerprint(source_path: str, spec: MaterializeSpec) -> str:
@@ -200,19 +232,19 @@ def _check_row_level(src_empty: DataFrame, spec: MaterializeSpec) -> None:
 
 def _parse_aggregates(spec: MaterializeSpec) -> list:
     """(output name, kind, inner expr) per declared aggregate; refuses
-    non-abelian specs BY NAME — a delete can invalidate min/max/
-    count(distinct) without a re-scan, so their 'incremental'
-    maintenance would be silently wrong under DML."""
+    specs outside the maintainable grammar BY NAME — count(distinct)
+    and friends cannot be maintained without per-group value state, so
+    their 'incremental' maintenance would be silently wrong under DML."""
     out = []
     for name, agg in spec.aggregates:
         m = _AGG_RE.match(agg)
         if not m:
             raise SpecError(
-                f"materialize aggregate {name!r} = {agg!r}: only "
-                f"count(*) and sum(<expr>) maintain incrementally under "
-                f"deletes (abelian); min/max/distinct need a re-scan — "
-                f"recompute those as ordinary queries, or derive avg as "
-                f"sum/count at read time"
+                f"materialize aggregate {name!r} = {agg!r}: the "
+                f"maintainable grammar is count(*), sum(<expr>), "
+                f"avg(<expr>), min(<expr>) and max(<expr>) — "
+                f"count(distinct)/percentile/collect need per-group "
+                f"value state; recompute those as ordinary queries"
             )
         kind = (m.group(1) or m.group(2)).lower()
         inner = m.group(3)
@@ -224,6 +256,22 @@ def _parse_aggregates(spec: MaterializeSpec) -> list:
                     f"is not deterministic"
                 )
         out.append((name, kind, inner))
+    # avg materializes <name>__sum/<name>__cnt state columns in the
+    # view — a user name landing on one of them (or on MV_COUNT) would
+    # silently alias fold state
+    taken = set(spec.group_by) | {MV_COUNT}
+    for name, kind, _ in out:
+        taken.add(name)
+        if kind == "avg":
+            taken.update((name + AVG_SUM, name + AVG_CNT))
+    if len(taken) < len(spec.group_by) + 1 + len(out) + 2 * sum(
+        1 for _, k, _ in out if k == "avg"
+    ):
+        raise SpecError(
+            f"materialize aggregate names collide with group keys, "
+            f"{MV_COUNT!r}, or an avg's {AVG_SUM}/{AVG_CNT} state "
+            f"columns: {sorted(n for n, _, _ in out)}"
+        )
     return out
 
 
@@ -257,14 +305,21 @@ def _agg_transform(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
     if spec.where.strip():
         df = df.where(spec.where)
     df = _checked_keys(df, spec)
-    aggs = [
-        (
-            F.count("*").alias(name)
-            if kind == "count"
-            else F.sum(F.expr(inner)).alias(name)
-        )
-        for name, kind, inner in _parse_aggregates(spec)
-    ]
+    aggs = []
+    for name, kind, inner in _parse_aggregates(spec):
+        if kind == "count":
+            aggs.append(F.count("*").alias(name))
+        elif kind == "sum":
+            aggs.append(F.sum(F.expr(inner)).alias(name))
+        elif kind == "avg":
+            # exposed value plus the fold state it is derived from
+            aggs.append(F.avg(F.expr(inner)).alias(name))
+            aggs.append(F.sum(F.expr(inner)).alias(name + AVG_SUM))
+            aggs.append(F.count(F.expr(inner)).alias(name + AVG_CNT))
+        elif kind == "min":
+            aggs.append(F.min(F.expr(inner)).alias(name))
+        else:
+            aggs.append(F.max(F.expr(inner)).alias(name))
     return df.groupBy(*spec.group_by).agg(
         *aggs, F.count("*").alias(MV_COUNT)
     )
@@ -286,17 +341,53 @@ def _agg_deltas(feed: DataFrame, spec: MaterializeSpec) -> DataFrame:
     if spec.where.strip():
         df = df.where(spec.where)
     df = _checked_keys(df, spec)
-    aggs = [
-        (
-            F.sum("__mv_sign").alias(name)
-            if kind == "count"
-            else F.sum(F.col("__mv_sign") * F.expr(inner)).alias(name)
-        )
-        for name, kind, inner in _parse_aggregates(spec)
-    ]
-    return df.groupBy(*spec.group_by).agg(
+    pos, neg = F.col("__mv_sign") == 1, F.col("__mv_sign") == -1
+    aggs, avg_fix = [], []
+    for name, kind, inner in _parse_aggregates(spec):
+        if kind == "count":
+            aggs.append(F.sum("__mv_sign").alias(name))
+        elif kind == "sum":
+            aggs.append(
+                F.sum(F.col("__mv_sign") * F.expr(inner)).alias(name)
+            )
+        elif kind == "avg":
+            e = F.expr(inner)
+            aggs.append(
+                F.sum(F.col("__mv_sign") * e).alias(name + AVG_SUM)
+            )
+            aggs.append(
+                F.sum(
+                    F.col("__mv_sign") * e.isNotNull().cast("bigint")
+                ).alias(name + AVG_CNT)
+            )
+            avg_fix.append(name)
+        elif kind == "min":
+            # column NAME carries the extreme over ADDED rows (what a
+            # clean fold and a brand-new group need); __del carries the
+            # extreme over REMOVED rows (the dirty test, merged never)
+            e = F.expr(inner)
+            aggs.append(F.min(F.when(pos, e)).alias(name))
+            aggs.append(F.min(F.when(neg, e)).alias(name + _DEL_SUFFIX))
+        else:
+            e = F.expr(inner)
+            aggs.append(F.max(F.when(pos, e)).alias(name))
+            aggs.append(F.max(F.when(neg, e)).alias(name + _DEL_SUFFIX))
+    out = df.groupBy(*spec.group_by).agg(
         *aggs, F.sum("__mv_sign").alias(MV_COUNT)
     )
+    for name in avg_fix:
+        # the exposed avg for a group UNSEEN by the view: its delta
+        # sum/cnt ARE its state (sign-weighting nets in-range churn),
+        # so the insert branch is exact; matched rows re-derive it in
+        # the fold expressions instead
+        out = out.withColumn(
+            name,
+            F.when(
+                F.col(name + AVG_CNT) > 0,
+                F.col(name + AVG_SUM) / F.col(name + AVG_CNT),
+            ),
+        )
+    return out
 
 
 def _agg_fold_exprs(spec: MaterializeSpec, tgt_types: dict) -> dict:
@@ -307,6 +398,14 @@ def _agg_fold_exprs(spec: MaterializeSpec, tgt_types: dict) -> dict:
     column's STORED type (decimal addition widens precision by one;
     the schema must not creep refresh-over-refresh — under ANSI mode a
     true overflow fails the job loudly instead)."""
+    def _add(col: str, ts: str) -> str:
+        return (
+            f"CAST(CASE WHEN target.{col} IS NULL AND "
+            f"source.{col} IS NULL THEN NULL ELSE "
+            f"coalesce(target.{col}, 0) + coalesce(source.{col}, 0) "
+            f"END AS {ts})"
+        )
+
     exprs = {
         MV_COUNT: f"CAST(target.{MV_COUNT} + source.{MV_COUNT} AS "
         f"{tgt_types[MV_COUNT].simpleString()})"
@@ -315,12 +414,32 @@ def _agg_fold_exprs(spec: MaterializeSpec, tgt_types: dict) -> dict:
         ts = tgt_types[name].simpleString()
         if kind == "count":
             exprs[name] = f"CAST(target.{name} + source.{name} AS {ts})"
+        elif kind == "sum":
+            exprs[name] = _add(name, ts)
+        elif kind == "avg":
+            # fold the state, re-derive the exposed value from the
+            # FOLDED state (cnt never NULL: count deltas are 0/1 sums)
+            s, c = name + AVG_SUM, name + AVG_CNT
+            sum_ts = tgt_types[s].simpleString()
+            cnt_fold = f"(target.{c} + source.{c})"
+            sum_fold = _add(s, sum_ts)
+            exprs[s] = sum_fold
+            exprs[c] = f"CAST({cnt_fold} AS {tgt_types[c].simpleString()})"
+            exprs[name] = (
+                f"CAST(CASE WHEN {cnt_fold} > 0 THEN "
+                f"{sum_fold} / {cnt_fold} END AS {ts})"
+            )
+        elif kind == "min":
+            # least/greatest skip NULLs: a range with no surviving adds
+            # for the group folds to the stored extreme unchanged (the
+            # dirty test already routed invalidating deletes away from
+            # this merge)
+            exprs[name] = (
+                f"CAST(least(target.{name}, source.{name}) AS {ts})"
+            )
         else:
             exprs[name] = (
-                f"CAST(CASE WHEN target.{name} IS NULL AND "
-                f"source.{name} IS NULL THEN NULL ELSE "
-                f"coalesce(target.{name}, 0) + coalesce(source.{name}, 0) "
-                f"END AS {ts})"
+                f"CAST(greatest(target.{name}, source.{name}) AS {ts})"
             )
     return exprs
 
@@ -344,14 +463,69 @@ def _net_changes(feed: DataFrame) -> DataFrame:
     )
 
 
+def _dirty_groups(deltas, view, view_v, keys, minmax):
+    """The groups whose stored min/max a removal MAY have invalidated:
+    for each min (max symmetric), the group is dirty iff some removed
+    value ties-or-undercuts the CANDIDATE extreme — least of the stored
+    value and the range's added values. If every removal sits strictly
+    above the candidate, the candidate is witnessed by a surviving row
+    and folds cleanly; ties recompute conservatively (the removed row
+    may have been the only witness). Joins the touched groups against
+    the view's stored extremes only — cost ∝ view ∩ changed groups."""
+    state = view.read(version_as_of=view_v).select(
+        *keys, *[F.col(n).alias(f"__tgt_{n}") for n, _ in minmax]
+    )
+    joined = deltas.join(state, keys, "left")
+    cond = F.lit(False)
+    for n, k in minmax:
+        d = F.col(n + _DEL_SUFFIX)
+        if k == "min":
+            cand = F.least(F.col(f"__tgt_{n}"), F.col(n))
+            cond = cond | (d.isNotNull() & (cand.isNull() | (d <= cand)))
+        else:
+            cand = F.greatest(F.col(f"__tgt_{n}"), F.col(n))
+            cond = cond | (d.isNotNull() & (cand.isNull() | (d >= cand)))
+    return joined.where(cond).select(*keys)
+
+
+def _scoped_snapshot(snap: DataFrame, dirty, n_dirty: int, keys):
+    """The source rows belonging to the dirty groups. A small dirty set
+    (the steady state — most refreshes have zero) becomes literal
+    equality predicates pushed into the parquet scan (footer-stats
+    row-group pruning); a large one broadcast-semi-joins instead of
+    materializing a giant IN list in the plan."""
+    if n_dirty <= 64:
+        rows = dirty.collect()
+        if len(keys) == 1:
+            pred = F.col(keys[0]).isin([r[keys[0]] for r in rows])
+        else:
+            pred = F.lit(False)
+            for r in rows:
+                clause = F.lit(True)
+                for k in keys:
+                    clause = clause & (F.col(k) == F.lit(r[k]))
+                pred = pred | clause
+        return snap.where(pred)
+    return snap.join(F.broadcast(dirty), keys, "semi")
+
+
 def _apply_agg_deltas(
-    spec: MaterializeSpec, src_v: int, view, view_v: int, feed: DataFrame
+    spec: MaterializeSpec,
+    src,
+    src_v: int,
+    view,
+    view_v: int,
+    feed: DataFrame,
 ) -> MaterializeResult:
     """Fold one feed range into an aggregate view: sign-weighted group
-    deltas, ONE group-keyed merge (matched rows ADD via the fold
-    expressions, unseen groups insert their delta as the opening
-    balance), then sweep groups whose live-row count reached zero.
-    ``upserts`` reports the folded group count."""
+    deltas, ONE group-keyed merge for the CLEAN groups (matched rows
+    ADD/least/greatest via the fold expressions, unseen groups insert
+    their delta as the opening balance), then sweep groups whose
+    live-row count reached zero. Groups whose min/max a removal may
+    have invalidated are recomputed EXACTLY from the source snapshot —
+    scoped to those groups only — and replace their view rows
+    wholesale (vanished groups delete). ``upserts`` reports all groups
+    refreshed; ``recomputed`` the dirty subset."""
     # Spark widens sum types by input precision, and the delta's
     # sign-multiply widens differently than the build's plain sum — cast
     # each delta column to the VIEW's stored type (lossless: a delta
@@ -360,6 +534,13 @@ def _apply_agg_deltas(
         f.name: f.dataType
         for f in view.read(version_as_of=view_v).schema.fields
     }
+    keys = list(spec.group_by)
+    minmax = [
+        (n, k)
+        for n, k, _ in _parse_aggregates(spec)
+        if k in ("min", "max")
+    ]
+    del_cols = [n + _DEL_SUFFIX for n, _ in minmax]
     deltas = _agg_deltas(feed, spec)
     deltas = deltas.select(
         *[
@@ -367,6 +548,7 @@ def _apply_agg_deltas(
             for c in deltas.columns
         ]
     ).persist()
+    dirty = None
     try:
         if deltas.isEmpty():
             # layout-only (or filtered-away) range: bookmark only
@@ -379,27 +561,73 @@ def _apply_agg_deltas(
                 source_version=src_v,
                 view_version=nv,
             )
-        n_groups = deltas.count()
-        view.merge(
-            deltas,
-            on=list(spec.group_by),
-            when_matched="update",
-            when_not_matched="insert",
-            when_matched_set=_agg_fold_exprs(spec, tgt),
-        )
-        # a group whose rows all left the filtered source leaves the
-        # view (its sums read 0/NULL but COUNT(*)-semantics say the
-        # group row must not exist); file-pruned like any delete
-        view.delete(f"{MV_COUNT} = 0")
+        n_dirty = 0
+        fold = deltas.drop(*del_cols)
+        if minmax:
+            dirty = _dirty_groups(
+                deltas, view, view_v, keys, minmax
+            ).persist()
+            n_dirty = dirty.count()
+            if n_dirty:
+                fold = fold.join(dirty, keys, "left_anti")
+        n_clean = fold.count()
+        if n_clean:
+            view.merge(
+                fold,
+                on=keys,
+                when_matched="update",
+                when_not_matched="insert",
+                when_matched_set=_agg_fold_exprs(spec, tgt),
+            )
+            # a group whose rows all left the filtered source leaves
+            # the view (its sums read 0/NULL but COUNT(*)-semantics say
+            # the group row must not exist); file-pruned like any delete
+            view.delete(f"{MV_COUNT} = 0")
+        if n_dirty:
+            scoped = _scoped_snapshot(
+                src.read(version_as_of=src_v), dirty, n_dirty, keys
+            )
+            exact = _agg_transform(scoped, spec)
+            exact = exact.select(
+                *[F.col(c).cast(tgt[c]).alias(c) for c in exact.columns]
+            ).persist()
+            try:
+                view.merge(
+                    exact,
+                    on=keys,
+                    when_matched="update",
+                    when_not_matched="insert",
+                )
+                # dirty groups the recompute returned NO row for lost
+                # their last filtered row in this range — delete them
+                gone = dirty.join(exact.select(*keys), keys, "left_anti")
+                pad = [
+                    F.lit(None).cast(t).alias(c)
+                    for c, t in tgt.items()
+                    if c not in keys
+                ]
+                gone = gone.select(*[F.col(k) for k in keys], *pad)
+                if not gone.isEmpty():
+                    view.merge(
+                        gone,
+                        on=keys,
+                        when_matched="delete",
+                        when_not_matched=None,
+                    )
+            finally:
+                exact.unpersist()
     finally:
         deltas.unpersist()
+        if dirty is not None:
+            dirty.unpersist()
     nv = view.set_properties({"vt.mv.sourceVersion": str(src_v)})
     return MaterializeResult(
         view_path=spec.target,
         mode="incremental",
         source_version=src_v,
         view_version=nv,
-        upserts=n_groups,
+        upserts=n_clean + n_dirty,
+        recomputed=n_dirty,
     )
 
 
@@ -515,7 +743,7 @@ def run_materialize(
         # overwrite/restore in range, or the history was vacuumed
         return _rebuild("full")
     if agg_mode:
-        return _apply_agg_deltas(spec, src_v, view, view_v, feed)
+        return _apply_agg_deltas(spec, src, src_v, view, view_v, feed)
     if not feed.where(F.col("_row_id").isNull()).isEmpty():
         # change rows from versions before enablement carry NULL ids —
         # unkeyable; one rebuild re-baselines onto dense ids

@@ -417,14 +417,24 @@ def _agg_got_where_any(spark, root):
     }
 
 
-def test_aggregate_refuses_non_abelian_and_bad_specs(spark, tmp_path):
+def test_aggregate_refuses_unmaintainable_and_bad_specs(spark, tmp_path):
     root = str(tmp_path)
     _grouped_source(spark, root)
-    with pytest.raises(SpecError, match="abelian"):
-        run_job(spark, _agg_job(root, aggregates={"m": "min(v)"}))
-    with pytest.raises(SpecError, match="abelian"):
+    with pytest.raises(SpecError, match="grammar"):
         run_job(
             spark, _agg_job(root, aggregates={"d": "count(DISTINCT v)"})
+        )
+    with pytest.raises(SpecError, match="grammar"):
+        run_job(
+            spark, _agg_job(root, aggregates={"p": "percentile(v, 0.5)"})
+        )
+    with pytest.raises(SpecError, match="collide"):
+        run_job(
+            spark,
+            _agg_job(
+                root,
+                aggregates={"m": "avg(v)", "m__cnt": "count(*)"},
+            ),
         )
     with pytest.raises(SpecError, match="deterministic"):
         run_job(spark, _agg_job(root, aggregates={"s": "sum(v * rand())"}))
@@ -527,3 +537,153 @@ def test_cli_runs_materialize_job(spark, tmp_path):
     assert report["mode"] == "initial"
     assert report["view_path"] == os.path.join(root, "view")
     assert report["source_version"] >= 0
+
+
+def _mm_job(root):
+    return {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["g"],
+            "aggregates": {
+                "n": "count(*)",
+                "s": "sum(v)",
+                "m": "avg(v)",
+                "lo": "min(v)",
+                "hi": "max(v)",
+            },
+        }
+    }
+
+
+def _mm_source(spark, root):
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 5.0), ("b", None), ("b", 3.0), ("c", 7.0)],
+            "g string, v double",
+        )
+    )
+    return src
+
+
+def _mm_assert_matches(spark, src, root, when):
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    got = view.read().select("g", "n", "s", "m", "lo", "hi")
+    fresh = (
+        src.read()
+        .groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("m"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+    assert (
+        got.exceptAll(fresh).count() == 0
+        and fresh.exceptAll(got).count() == 0
+    ), f"min/max/avg view diverged {when}"
+
+
+def test_minmax_avg_view_dml_cycle(spark, tmp_path):
+    """min/max fold on inserts, recompute ONLY the groups whose stored
+    extreme a removal may have invalidated; avg folds on hidden
+    sum/count state. Each refresh is checked for exact equality with a
+    from-scratch aggregation, and ``recomputed`` is asserted to be
+    zero exactly when no extreme was threatened — the steady-state
+    claim (no source scan at all) made measurable."""
+    root = str(tmp_path)
+    src = _mm_source(spark, root)
+    r = run_job(spark, _mm_job(root))
+    assert r.mode == "initial"
+    _mm_assert_matches(spark, src, root, "after the initial build")
+
+    # pure inserts: fold, never recompute
+    src.append(
+        spark.createDataFrame(
+            [("a", 0.5), ("d", 2.0)], "g string, v double"
+        )
+    )
+    r = run_job(spark, _mm_job(root))
+    assert r.mode == "incremental" and r.recomputed == 0, r
+    _mm_assert_matches(spark, src, root, "after clean inserts")
+
+    # delete a NON-extreme row (a holds {0.5, 1, 5}): still no recompute
+    src.delete("g = 'a' AND v = 1.0")
+    r = run_job(spark, _mm_job(root))
+    assert r.recomputed == 0, r
+    _mm_assert_matches(spark, src, root, "after a non-extreme delete")
+
+    # delete a's max: its witness is gone -> exactly one dirty group
+    src.delete("g = 'a' AND v = 5.0")
+    r = run_job(spark, _mm_job(root))
+    assert r.recomputed == 1, r
+    _mm_assert_matches(spark, src, root, "after deleting the max witness")
+
+    # kill a whole group: dirty (its row WAS the extreme), then gone
+    src.delete("g = 'c'")
+    run_job(spark, _mm_job(root))
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    assert view.read().where("g = 'c'").count() == 0
+    _mm_assert_matches(spark, src, root, "after a whole-group kill")
+
+    # NEW group with in-range churn (+1.0, delete it, +9.0): the added
+    # extreme 1.0 was itself removed -> must recompute, min reads 9.0
+    src.append(spark.createDataFrame([("e", 1.0)], "g string, v double"))
+    src.delete("g = 'e'")
+    src.append(spark.createDataFrame([("e", 9.0)], "g string, v double"))
+    r = run_job(spark, _mm_job(root))
+    assert r.recomputed == 1, r
+    assert view.read().where("g = 'e'").collect()[0].lo == 9.0
+    _mm_assert_matches(spark, src, root, "after new-group churn")
+
+    # update across the extreme, then a group-key move: the vacated
+    # group recomputes (possibly to all-NULL aggregates over a
+    # surviving NULL-valued row), the receiving group folds
+    src.update("g = 'b' AND v = 3.0", {"v": "100.0"})
+    r = run_job(spark, _mm_job(root))
+    _mm_assert_matches(spark, src, root, "after an extreme-raising update")
+    src.update("g = 'b' AND v = 100.0", {"g": "'d'"})
+    r = run_job(spark, _mm_job(root))
+    _mm_assert_matches(spark, src, root, "after a group-key move")
+    b = view.read().where("g = 'b'").collect()[0]
+    assert b.n == 1 and b.lo is None and b.hi is None and b.m is None
+
+
+def test_minmax_large_dirty_set_semi_join_path(spark, tmp_path):
+    """More than 64 dirty groups takes the broadcast-semi-join scoped
+    recompute instead of literal predicates — same exact answer."""
+    root = str(tmp_path)
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.range(300).select(
+            (F.col("id") % 100).cast("string").alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+    )
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["g"],
+            "aggregates": {"n": "count(*)", "hi": "max(v)"},
+        }
+    }
+    run_job(spark, job)
+    # every group's max row is id >= 200 -> all 100 groups go dirty
+    src.delete("v >= 200")
+    r = run_job(spark, job)
+    assert r.recomputed == 100, r
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    got = view.read().select("g", "n", "hi")
+    fresh = (
+        src.read()
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.max("v").alias("hi"))
+    )
+    assert (
+        got.exceptAll(fresh).count() == 0
+        and fresh.exceptAll(got).count() == 0
+    )
