@@ -4220,3 +4220,162 @@ _register(
     GROUP BY o_orderstatus
     """,
 )
+
+
+# ----------------------------------------- enrichment (join) MV --------
+def _w_versioned_mv_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dimension-enrichment incremental materialized view (r17): the
+    join form keeps fact ⋈ dim continuously true from BOTH change
+    feeds. Source DML refreshes id-keyed with ZERO dim keys recomputed
+    (asserted); dimension DML recomputes ONLY the source rows holding
+    affected join keys — the refresh reports exactly the touched-key
+    count (asserted against an in-query count), and the >64-key
+    affected set exercises the broadcast-semi-join scoped-snapshot
+    path. Exact equality with a from-scratch join at every step; the
+    oracle replays the DML as a LEFT JOIN with a CASE over customer."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wemv-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    src = VersionedTable(spark, os.path.join(root, "fact"))
+    src.overwrite(orders.where("o_orderkey % 3 = 0"))
+    src.enable_row_tracking()
+    dim = VersionedTable(spark, os.path.join(root, "dim"))
+    dim.overwrite(customer)
+
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "fact"}},
+            "target": os.path.join(root, "view"),
+            "join": {
+                "connection": {"table": {"name": "dim"}},
+                "on": ["o_custkey"],
+                "how": "left",
+                "select": [
+                    "c_custkey AS o_custkey",
+                    "c_name",
+                    "c_acctbal",
+                ],
+            },
+            "select": [
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "c_name",
+                "o_totalprice * 0.1 + coalesce(c_acctbal, 0.0) AS score",
+            ],
+        }
+    }
+
+    def fresh():
+        return (
+            src.read()
+            .join(
+                dim.read().select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    "c_name",
+                    "c_acctbal",
+                ),
+                "o_custkey",
+                "left",
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                "c_name",
+                (
+                    F.col("o_totalprice") * 0.1
+                    + F.coalesce("c_acctbal", F.lit(0.0))
+                ).alias("score"),
+            )
+        )
+
+    def assert_matches(view, when):
+        got = view.read().select(
+            "o_orderkey", "o_custkey", "o_totalprice", "c_name", "score"
+        )
+        f = fresh()
+        if got.exceptAll(f).count() or f.exceptAll(got).count():
+            raise AssertionError(f"enrichment view diverged {when}")
+
+    r1 = run_job(spark, job)
+    if r1.mode != "initial":
+        raise AssertionError(f"first run must build, got {r1.mode}")
+    view = VersionedTable(spark, r1.view_path)
+    assert_matches(view, "after the initial build")
+    # fact-only DML: id-keyed, no dim key recomputed
+    src.append(orders.where("o_orderkey % 3 = 1"))
+    src.delete("o_orderkey % 10 = 1")
+    r2 = run_job(spark, job)
+    if r2.mode != "incremental" or r2.recomputed != 0:
+        raise AssertionError(
+            f"fact-only DML must be id-keyed, got mode={r2.mode} "
+            f"recomputed={r2.recomputed}"
+        )
+    assert_matches(view, "after the fact DML")
+    # dim DML: every 5th customer's balance moves, a band of customers
+    # leaves — the refresh must recompute EXACTLY the touched keys
+    dim.update("c_custkey % 5 = 0", {"c_acctbal": "c_acctbal + 1000.0"})
+    dim.delete("c_custkey % 7 = 3")
+    # distinct affected keys = (updated keys) ∪ (deleted keys), both
+    # counted over the ORIGINAL dim (every one produced feed events)
+    n_updated = customer.where("c_custkey % 5 = 0").count()
+    n_deleted = customer.where(
+        "c_custkey % 7 = 3 AND c_custkey % 5 <> 0"
+    ).count()
+    r3 = run_job(spark, job)
+    expect = n_updated + n_deleted
+    if r3.mode != "incremental" or r3.recomputed != expect:
+        raise AssertionError(
+            f"dim DML must recompute exactly the touched keys: got "
+            f"recomputed={r3.recomputed}, expected {expect}"
+        )
+    assert_matches(view, "after the dim DML")
+    return view.read().select(
+        "o_orderkey",
+        "o_custkey",
+        "c_name",
+        F.round(F.col("score"), 2).alias("score"),
+    )
+
+
+_register(
+    "w_versioned_mv_enrich",
+    _w_versioned_mv_enrich,
+    """
+    WITH fact AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderkey % 10 <> 1
+    ),
+    dim AS (
+        SELECT c_custkey,
+               c_name,
+               CASE WHEN c_custkey % 5 = 0
+                    THEN c_acctbal + 1000.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        WHERE c_custkey % 7 <> 3
+    )
+    SELECT f.o_orderkey, f.o_custkey, d.c_name,
+           round(f.o_totalprice * 0.1 + coalesce(d.c_acctbal, 0.0), 2)
+               AS score
+    FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+    """,
+)

@@ -761,7 +761,29 @@ class MaterializeSpec:
     ``max(<expr>)`` (folded on inserts; a delete that may invalidate a
     stored extreme recomputes exactly the affected groups from the
     source). ``count(distinct ...)``/percentiles are refused —
-    recompute those as ordinary queries."""
+    recompute those as ordinary queries.
+
+    JOIN form (r17): ``join`` enriches each source row with a
+    dimension lookup before the per-row select/where — the classic
+    fact-enrichment pipeline kept incrementally true from BOTH change
+    feeds (source changes refresh by row id; dimension changes
+    recompute only the source rows holding affected join keys):
+
+        {"materialize": {
+            "connection": ..., "target": ...,
+            "join": {"connection": {"url": root,
+                                    "table": {"name": "dim"}},
+                     "on": ["k"], "how": "left",
+                     "select": ["k", "name"]},
+            "select": ["f_val", "name AS dim_name"]}}
+
+    ``join.connection.url`` defaults to the source's url; ``how`` is
+    ``left`` (unmatched rows keep NULL dim columns) or ``inner``
+    (unmatched rows leave the view); ``join.select`` projects the
+    dimension BEFORE the join (must carry the ``on`` keys; default all
+    columns). The dimension must be unique on the join keys. A join
+    cannot combine with groupBy/aggregates — stack an aggregate view
+    on top of the enriched view instead."""
 
     connection: ConnectionSpec
     target: str
@@ -770,6 +792,7 @@ class MaterializeSpec:
     full_refresh: bool = False
     group_by: tuple[str, ...] = ()
     aggregates: tuple[tuple[str, str], ...] = ()
+    join: "MaterializeJoinSpec | None" = None
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "MaterializeSpec":
@@ -780,6 +803,7 @@ class MaterializeSpec:
         if isinstance(gby, str):
             gby = [gby]
         aggs = obj.get("aggregates", {}) or {}
+        join = obj.get("join", None)
         spec = MaterializeSpec(
             connection=ConnectionSpec.from_json(
                 obj.get("connection", {}) or {}
@@ -791,6 +815,11 @@ class MaterializeSpec:
             group_by=tuple(str(c) for c in gby),
             aggregates=tuple(
                 (str(k), str(v)) for k, v in sorted(aggs.items())
+            ),
+            join=(
+                None
+                if join is None
+                else MaterializeJoinSpec.from_json(join)
             ),
         )
         spec.validate()
@@ -833,6 +862,70 @@ class MaterializeSpec:
                     "materialize aggregates map non-empty output names "
                     "to count(*)/sum(expr) specs"
                 )
+        if self.join is not None and self.group_by:
+            raise SpecError(
+                "materialize join cannot combine with groupBy/"
+                "aggregates — materialize the enriched row-level view, "
+                "then stack an aggregate view on top of it"
+            )
+
+
+@dataclass(frozen=True)
+class MaterializeJoinSpec:
+    """The dimension side of a materialize join (see MaterializeSpec):
+    which table, the equi-join keys, the join shape, and an optional
+    dimension-side projection applied BEFORE the join."""
+
+    table: str
+    url: str = ""
+    on: tuple[str, ...] = ()
+    how: str = "left"
+    select: tuple[str, ...] = ()
+
+    @staticmethod
+    def from_json(obj: Any) -> "MaterializeJoinSpec":
+        if not isinstance(obj, dict):
+            raise SpecError(
+                "materialize join must be an object with connection/"
+                "on/how/select"
+            )
+        conn = obj.get("connection", {}) or {}
+        table = str(((conn.get("table", {}) or {}).get("name", "")) or "")
+        on = obj.get("on", []) or []
+        if isinstance(on, str):
+            on = [on]
+        sel = obj.get("select", []) or []
+        if isinstance(sel, str):
+            sel = [sel]
+        spec = MaterializeJoinSpec(
+            table=table,
+            url=str(conn.get("url", "") or ""),
+            on=tuple(str(c) for c in on),
+            how=str(obj.get("how", "left") or "left").lower(),
+            select=tuple(str(s) for s in sel),
+        )
+        if not spec.table:
+            raise SpecError(
+                "materialize join needs connection.table.name (the "
+                "dimension table)"
+            )
+        if not spec.on or any(not c.strip() for c in spec.on):
+            raise SpecError(
+                "materialize join needs on: the non-empty equi-join "
+                "key column names"
+            )
+        if spec.how not in ("left", "inner"):
+            raise SpecError(
+                f"materialize join how must be 'left' or 'inner', "
+                f"got {spec.how!r}"
+            )
+        for s in spec.select:
+            if not s.strip():
+                raise SpecError(
+                    "materialize join select entries must be non-empty "
+                    "SQL expressions"
+                )
+        return spec
 
 
 @dataclass(frozen=True)

@@ -77,6 +77,16 @@ no row tracking (groups key on their OWN columns), refresh cost is
 ∝ changed rows + matched view files (+ dirty-group source rows when
 an extreme's witness was removed), and the delta aggregation is
 exactly as parallel as the feed scan.
+
+...AND the JOIN form (r17): ``join`` enriches each source row with a
+unique-keyed dimension lookup (``left`` or ``inner``) before the
+per-row select/where, kept true from BOTH change feeds. Source DML
+applies id-keyed exactly like the plain row-level path (the dim
+lookup rides inside the transform); dimension DML extracts the
+distinct AFFECTED JOIN KEYS from the dim CDF and re-derives only the
+source rows holding them (see ``_apply_join_deltas``). Join+groupBy
+is refused — stack an aggregate view on the enriched view instead
+(views are versioned tables; stacking is the composition story).
 """
 
 from __future__ import annotations
@@ -162,8 +172,10 @@ class MaterializeResult:
 
 def _fingerprint(source_path: str, spec: MaterializeSpec) -> str:
     """Content identity of the view DEFINITION: a changed select/where/
-    groupBy/aggregates (or a re-pointed source) must force a rebuild,
-    never silently apply new transforms to old rows."""
+    groupBy/aggregates/join (or a re-pointed source or dimension) must
+    force a rebuild, never silently apply new transforms to old rows.
+    Bookmarked VERSIONS are deliberately absent — they advance, the
+    definition does not."""
     blob = json.dumps(
         {
             "source": source_path,
@@ -171,10 +183,111 @@ def _fingerprint(source_path: str, spec: MaterializeSpec) -> str:
             "where": spec.where,
             "group_by": list(spec.group_by),
             "aggregates": list(spec.aggregates),
+            "join": None
+            if spec.join is None
+            else {
+                "path": _dim_path(source_path, spec),
+                "on": list(spec.join.on),
+                "how": spec.join.how,
+                "select": list(spec.join.select),
+            },
         },
         sort_keys=True,
     )
     return hashlib.sha256(blob.encode("utf-8")).hexdigest()
+
+
+def _dim_path(source_path: str, spec: MaterializeSpec) -> str:
+    """The dimension table's root: its own url when declared, else a
+    sibling of the source under the source connection's url."""
+    root = spec.join.url or os.path.dirname(source_path)
+    return os.path.join(root, spec.join.table)
+
+
+def _dim_projected(dim_df: DataFrame, spec: MaterializeSpec) -> DataFrame:
+    """The dimension side as the join sees it: the declared projection
+    (default: all columns), which must carry the join keys."""
+    if spec.join.select:
+        dim_df = dim_df.select(*[F.expr(e) for e in spec.join.select])
+    missing = [k for k in spec.join.on if k not in dim_df.columns]
+    if missing:
+        raise SpecError(
+            f"materialize join.select must carry the join keys; "
+            f"missing {missing} from the projected dimension columns "
+            f"{dim_df.columns}"
+        )
+    return dim_df
+
+
+def _joined(
+    src_df: DataFrame, dim_df: DataFrame, spec: MaterializeSpec
+) -> DataFrame:
+    """Source rows (carrying ``_row_id``) enriched by the dimension
+    lookup, then filtered/projected by the view definition. Non-key
+    column collisions are refused up front — they would make every
+    downstream expression ambiguous."""
+    dim = _dim_projected(dim_df, spec)
+    _check_clash(src_df.columns, dim.columns, spec)
+    return _transform(
+        src_df.join(dim, on=list(spec.join.on), how=spec.join.how), spec
+    )
+
+
+def _check_clash(src_cols, dim_cols, spec: MaterializeSpec) -> None:
+    clash = (
+        set(c for c in src_cols if c != "_row_id") & set(dim_cols)
+    ) - set(spec.join.on)
+    if clash:
+        raise SpecError(
+            f"materialize join: dimension columns {sorted(clash)} "
+            f"collide with source columns — project them away or "
+            f"alias them in join.select"
+        )
+
+
+def _check_join_form(spark, empty_src, dim_empty, spec) -> None:
+    """Zero-row setup validation of the join form: the dimension
+    projection analyzes and carries the keys, no non-key collisions,
+    and the select/where over the JOINED schema is pure row-level. The
+    joined schema is flattened into a LocalRelation first so the
+    forbidden-plan matcher never sees our own Join node."""
+    try:
+        dim_proj = _dim_projected(dim_empty, spec)
+        _check_clash(empty_src.columns, dim_proj.columns, spec)
+        flat = spark.createDataFrame(
+            [],
+            empty_src.join(
+                dim_proj, on=list(spec.join.on), how=spec.join.how
+            ).schema,
+        )
+    except SpecError:
+        raise
+    except Exception as exc:
+        raise SpecError(
+            f"materialize join does not analyze against the source/"
+            f"dimension schemas: {exc}"
+        ) from None
+    _check_row_level(flat, spec)
+
+
+def _assert_unique_dim_keys(
+    dim: DataFrame, spec: MaterializeSpec, scope: DataFrame | None = None
+) -> None:
+    """A dimension with duplicate join keys would fan every matching
+    source row out — fail the refresh by name instead of silently
+    duplicating view rows. One aggregate over the projected dimension;
+    incremental phases pass ``scope`` (a key frame) to check only the
+    slice they are about to join — cost ∝ affected keys, not dim."""
+    proj = _dim_projected(dim, spec)
+    if scope is not None:
+        proj = proj.join(scope, list(spec.join.on), "semi")
+    dup = proj.groupBy(*spec.join.on).count().where(F.col("count") > 1)
+    if not dup.isEmpty():
+        raise SpecError(
+            f"materialize join: the dimension is not unique on "
+            f"{list(spec.join.on)} — deduplicate it (or aggregate it "
+            f"into a unique-keyed view) before joining"
+        )
 
 
 def _transform(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
@@ -631,6 +744,204 @@ def _apply_agg_deltas(
     )
 
 
+def _merge_drop_ids(view, view_v: int, ids: DataFrame) -> None:
+    """merge-delete the given ``_src_row_id`` frame from the view. The
+    merge surface wants a full-width source; a matched-DELETE never
+    reads the payload, so the non-key columns ride as typed NULLs
+    (schema from ``view_v`` — data merges never change it)."""
+    pad = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in view.read(version_as_of=view_v).schema.fields
+        if f.name != SRC_ROW_ID
+    ]
+    view.merge(
+        ids.select(F.col(SRC_ROW_ID), *pad),
+        on=[SRC_ROW_ID],
+        when_matched="delete",
+        when_not_matched=None,
+    )
+
+
+def _apply_join_deltas(
+    spec: MaterializeSpec,
+    src,
+    src_v: int,
+    last: int,
+    dim,
+    dim_v: int,
+    dim_last: int,
+    view,
+    view_v: int,
+) -> MaterializeResult | None:
+    """Two-phase incremental refresh of an enrichment view, each phase
+    computing FINAL-state rows against the dimension at ``dim_v`` so
+    overlap converges (the merges are id-keyed and idempotent):
+
+    * phase A — source DML: net the source CDF to one terminal event
+      per row id, join the survivors against the current dimension,
+      upsert by id, drop net-deleted / filtered-out / inner-unmatched
+      ids. Cost ∝ source changes.
+    * phase B — dimension DML: distinct join keys touched by the
+      dimension CDF (pre+postimages, so a key rewrite hits both
+      sides), re-derive every source row holding one of them from the
+      source snapshot scoped to those keys (literal pushed predicates
+      for small key sets, broadcast semi-join beyond), upsert the
+      survivors, drop the rest. Cost ∝ source rows under affected
+      keys, never ∝ source.
+
+    Both phases re-check dimension key uniqueness SCOPED to the keys
+    they join (∝ affected keys). Returns None when either feed cannot
+    serve its range row-level — the caller rebuilds."""
+    from as_etl_storage_spark.writers.versioned import (
+        VersionedTableError,
+    )
+
+    keys = list(spec.join.on)
+    dim_now = dim.read(version_as_of=dim_v)
+    n_del = n_up = n_keys = 0
+    did_work = False
+
+    if src_v > last:  # ---- phase A: source DML, id-keyed
+        try:
+            feed = src.change_feed(
+                from_version=last, to_version=src_v, with_row_ids=True
+            )
+        except VersionedTableError:
+            return None
+        if not feed.where(F.col("_row_id").isNull()).isEmpty():
+            return None
+        net = _net_changes(feed).persist()
+        try:
+            if not net.isEmpty():
+                did_work = True
+                base = net.where(
+                    F.col("_change_type") != "delete"
+                ).drop("_change_type", "_commit_version")
+                _assert_unique_dim_keys(
+                    dim_now, spec, scope=base.select(*keys).distinct()
+                )
+                survivors = _joined(base, dim_now, spec).persist()
+                try:
+                    n_up_a = survivors.count()
+                    drops = (
+                        net.select(F.col("_row_id").alias(SRC_ROW_ID))
+                        .join(
+                            survivors.select(SRC_ROW_ID),
+                            SRC_ROW_ID,
+                            "left_anti",
+                        )
+                        .persist()
+                    )
+                    try:
+                        n_del_a = drops.count()
+                        if n_del_a:
+                            _merge_drop_ids(view, view_v, drops)
+                        if n_up_a:
+                            view.merge(
+                                survivors,
+                                on=[SRC_ROW_ID],
+                                when_matched="update",
+                                when_not_matched="insert",
+                            )
+                        n_del += n_del_a
+                        n_up += n_up_a
+                    finally:
+                        drops.unpersist()
+                finally:
+                    survivors.unpersist()
+        finally:
+            net.unpersist()
+
+    if dim_v > dim_last:  # ---- phase B: dim DML, key-scoped recompute
+        try:
+            dfeed = dim.change_feed(
+                from_version=dim_last, to_version=dim_v
+            )
+        except VersionedTableError:
+            return None
+        aff = (
+            _dim_projected(
+                dfeed.drop("_change_type", "_commit_version"), spec
+            )
+            .select(*keys)
+            .distinct()
+        )
+        for k in keys:
+            # a NULL key never equi-matches any source row
+            aff = aff.where(F.col(k).isNotNull())
+        aff = aff.persist()
+        try:
+            n_keys = aff.count()
+            if n_keys:
+                did_work = True
+                _assert_unique_dim_keys(dim_now, spec, scope=aff)
+                scoped = _scoped_snapshot(
+                    src.read(version_as_of=src_v, with_row_ids=True),
+                    aff,
+                    n_keys,
+                    keys,
+                ).persist()
+                try:
+                    recomputed = _joined(scoped, dim_now, spec).persist()
+                    try:
+                        n_up_b = recomputed.count()
+                        drops_b = (
+                            scoped.select(
+                                F.col("_row_id").alias(SRC_ROW_ID)
+                            )
+                            .join(
+                                recomputed.select(SRC_ROW_ID),
+                                SRC_ROW_ID,
+                                "left_anti",
+                            )
+                            .persist()
+                        )
+                        try:
+                            n_del_b = drops_b.count()
+                            if n_del_b:
+                                _merge_drop_ids(view, view_v, drops_b)
+                            if n_up_b:
+                                view.merge(
+                                    recomputed,
+                                    on=[SRC_ROW_ID],
+                                    when_matched="update",
+                                    when_not_matched="insert",
+                                )
+                            n_del += n_del_b
+                            n_up += n_up_b
+                        finally:
+                            drops_b.unpersist()
+                    finally:
+                        recomputed.unpersist()
+                finally:
+                    scoped.unpersist()
+        finally:
+            aff.unpersist()
+
+    nv = view.set_properties(
+        {
+            "vt.mv.sourceVersion": str(src_v),
+            "vt.mv.dimVersion": str(dim_v),
+        }
+    )
+    if not did_work:
+        return MaterializeResult(
+            view_path=spec.target,
+            mode="bookmark",
+            source_version=src_v,
+            view_version=nv,
+        )
+    return MaterializeResult(
+        view_path=spec.target,
+        mode="incremental",
+        source_version=src_v,
+        view_version=nv,
+        deletes=n_del,
+        upserts=n_up,
+        recomputed=n_keys,
+    )
+
+
 def run_materialize(
     spark: SparkSession, spec: MaterializeSpec
 ) -> MaterializeResult:
@@ -663,6 +974,17 @@ def run_materialize(
             f"{src_path} first — or declare groupBy+aggregates, which "
             f"key on the group columns instead"
         )
+    dim = dim_v = None
+    if spec.join is not None:
+        dim = VersionedTable(
+            spark, _dim_path(src_path, spec), log_store=src._store
+        )
+        dim_v = dim.latest_version()
+        if dim_v is None:
+            raise SpecError(
+                f"materialize join dimension is not a versioned table "
+                f"(no log): {_dim_path(src_path, spec)}"
+            )
     fp = _fingerprint(src_path, spec)
     empty_src = spark.createDataFrame(
         [],
@@ -686,6 +1008,15 @@ def run_materialize(
                 f"materialize aggregate definition does not analyze "
                 f"against the source schema: {exc}"
             ) from None
+    elif spec.join is not None:
+        _check_join_form(
+            spark,
+            empty_src,
+            spark.createDataFrame(
+                [], dim.read(version_as_of=dim_v).schema
+            ),
+            spec,
+        )
     else:
         _check_row_level(empty_src, spec)
     view = VersionedTable(spark, spec.target, log_store=src._store)
@@ -697,19 +1028,23 @@ def run_materialize(
         # metadata commit (a crash between them leaves no fingerprint
         # match, so the next run rebuilds — idempotent)
         snap = src.read(version_as_of=src_v, with_row_ids=not agg_mode)
-        full = (
-            _agg_transform(snap, spec)
-            if agg_mode
-            else _transform(snap, spec)
-        )
+        if agg_mode:
+            full = _agg_transform(snap, spec)
+        elif spec.join is not None:
+            dim_snap = dim.read(version_as_of=dim_v)
+            _assert_unique_dim_keys(dim_snap, spec)
+            full = _joined(snap, dim_snap, spec)
+        else:
+            full = _transform(snap, spec)
         view.overwrite(full)
-        nv = view.set_properties(
-            {
-                "vt.mv.source": src_path,
-                "vt.mv.sourceVersion": str(src_v),
-                "vt.mv.fingerprint": fp,
-            }
-        )
+        props = {
+            "vt.mv.source": src_path,
+            "vt.mv.sourceVersion": str(src_v),
+            "vt.mv.fingerprint": fp,
+        }
+        if spec.join is not None:
+            props["vt.mv.dimVersion"] = str(dim_v)
+        nv = view.set_properties(props)
         return MaterializeResult(
             view_path=spec.target,
             mode=mode,
@@ -727,6 +1062,21 @@ def run_materialize(
         # the source was restored/vacuumed below the bookmark — the
         # feed range would be backwards; only a rebuild is sound
         return _rebuild("full")
+    if spec.join is not None:
+        dim_last = int(props["vt.mv.dimVersion"])
+        if dim_v < dim_last:
+            return _rebuild("full")
+        if src_v == last and dim_v == dim_last:
+            return MaterializeResult(
+                view_path=spec.target,
+                mode="noop",
+                source_version=src_v,
+                view_version=view_v,
+            )
+        out = _apply_join_deltas(
+            spec, src, src_v, last, dim, dim_v, dim_last, view, view_v
+        )
+        return out if out is not None else _rebuild("full")
     if src_v == last:
         return MaterializeResult(
             view_path=spec.target,

@@ -1359,10 +1359,12 @@ class VersionedTable:
         "vt.checkpointInterval",
         # incremental-materialized-view bookkeeping, recorded on the
         # VIEW table by writers/materialize.py: the source path, the
-        # last source version the view reflects, and the definition
-        # fingerprint (a changed definition forces a rebuild)
+        # last source (and, for enrichment views, dimension) version
+        # the view reflects, and the definition fingerprint (a changed
+        # definition forces a rebuild)
         "vt.mv.source",
         "vt.mv.sourceVersion",
+        "vt.mv.dimVersion",
         "vt.mv.fingerprint",
         # default vacuum retention window in hours (Delta's
         # delta.deletedFileRetentionDuration): vacuum() uses it when the
@@ -1487,16 +1489,17 @@ class VersionedTable:
                     raise VersionedTableError(
                         f"{k} must be a positive integer, got {props[k]!r}"
                     )
-        if "vt.mv.sourceVersion" in props:
-            try:
-                n = int(props["vt.mv.sourceVersion"])
-            except ValueError:
-                n = -1
-            if n < 0:
-                raise VersionedTableError(
-                    "vt.mv.sourceVersion must be a non-negative integer "
-                    f"version, got {props['vt.mv.sourceVersion']!r}"
-                )
+        for vk in ("vt.mv.sourceVersion", "vt.mv.dimVersion"):
+            if vk in props:
+                try:
+                    n = int(props[vk])
+                except ValueError:
+                    n = -1
+                if n < 0:
+                    raise VersionedTableError(
+                        f"{vk} must be a non-negative integer "
+                        f"version, got {props[vk]!r}"
+                    )
         if "vt.clusterBy.fullEvery" in props:
             try:
                 n = int(props["vt.clusterBy.fullEvery"])

@@ -687,3 +687,199 @@ def test_minmax_large_dirty_set_semi_join_path(spark, tmp_path):
         got.exceptAll(fresh).count() == 0
         and fresh.exceptAll(got).count() == 0
     )
+
+
+def _enrich_tables(spark, root):
+    src = VersionedTable(spark, os.path.join(root, "fact"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, "x", 40.0)],
+            "id long, k string, v double",
+        )
+    )
+    src.enable_row_tracking()
+    dim = VersionedTable(spark, os.path.join(root, "dim"))
+    dim.overwrite(
+        spark.createDataFrame(
+            [("x", "Xray", 1.5), ("y", "Yankee", 2.0)],
+            "k string, name string, rate double",
+        )
+    )
+    return src, dim
+
+
+def _enrich_job(root, how="left", **overrides):
+    return {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "fact"}},
+            "target": os.path.join(root, "view"),
+            "join": {
+                "connection": {"table": {"name": "dim"}},
+                "on": ["k"],
+                "how": how,
+            },
+            "select": [
+                "id",
+                "k",
+                "v",
+                "name",
+                "v * coalesce(rate, 1.0) AS priced",
+            ],
+            **overrides,
+        }
+    }
+
+
+def _enrich_assert(spark, src, dim, root, how, when):
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    got = view.read().select("id", "k", "v", "name", "priced")
+    fresh = (
+        src.read()
+        .join(dim.read(), "k", how)
+        .select(
+            "id",
+            "k",
+            "v",
+            "name",
+            (F.col("v") * F.coalesce("rate", F.lit(1.0))).alias("priced"),
+        )
+    )
+    assert (
+        got.exceptAll(fresh).count() == 0
+        and fresh.exceptAll(got).count() == 0
+    ), f"enrichment view diverged {when}"
+
+
+def test_enrichment_view_two_phase_refresh(spark, tmp_path):
+    """The join form refreshes from BOTH change feeds: source DML is
+    id-keyed (phase A, recomputed==0 when the dim is untouched); dim
+    DML recomputes only the source rows holding affected join keys
+    (phase B, recomputed == affected key count). Exact equality with a
+    from-scratch join at every step."""
+    root = str(tmp_path)
+    src, dim = _enrich_tables(spark, root)
+    job = _enrich_job(root)
+    r = run_job(spark, job)
+    assert r.mode == "initial"
+    _enrich_assert(spark, src, dim, root, "left", "after the build")
+
+    # fact-only: zero dim keys recomputed
+    src.append(
+        spark.createDataFrame([(5, "y", 50.0)], "id long, k string, v double")
+    )
+    r = run_job(spark, job)
+    assert r.mode == "incremental" and r.recomputed == 0, r
+    _enrich_assert(spark, src, dim, root, "left", "after a fact append")
+
+    # dim-only: exactly the touched key, and only its rows re-derive
+    dim.update("k = 'x'", {"rate": "3.0"})
+    r = run_job(spark, job)
+    assert r.mode == "incremental" and r.recomputed == 1 and r.upserts == 2, r
+    _enrich_assert(spark, src, dim, root, "left", "after a dim update")
+
+    # dim insert fills left-join NULLs for k=z
+    dim.append(
+        spark.createDataFrame(
+            [("z", "Zulu", 9.0)], "k string, name string, rate double"
+        )
+    )
+    r = run_job(spark, job)
+    assert r.recomputed == 1, r
+    _enrich_assert(spark, src, dim, root, "left", "after a dim insert")
+
+    # dim delete: left join keeps the rows, dim columns go NULL
+    dim.delete("k = 'y'")
+    r = run_job(spark, job)
+    _enrich_assert(spark, src, dim, root, "left", "after a dim delete")
+
+    # both sides in one refresh
+    src.delete("id = 1")
+    src.update("id = 4", {"v": "44.0"})
+    dim.update("k = 'z'", {"name": "'ZULU'"})
+    r = run_job(spark, job)
+    assert r.mode == "incremental", r
+    _enrich_assert(spark, src, dim, root, "left", "after mixed DML")
+
+    r = run_job(spark, job)
+    assert r.mode == "noop", r
+    # layout-only on the source: bookmark, zero view files touched
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    files = sorted(view._state(view.latest_version()))
+    src.compact(target_file_bytes=1 << 30)
+    r = run_job(spark, job)
+    assert r.mode == "bookmark", r
+    assert sorted(view._state(view.latest_version())) == files
+
+
+def test_enrichment_inner_join_dim_delete_drops_rows(spark, tmp_path):
+    root = str(tmp_path)
+    src, dim = _enrich_tables(spark, root)
+    job = _enrich_job(root, how="inner")
+    run_job(spark, job)
+    _enrich_assert(spark, src, dim, root, "inner", "after the build")
+    dim.delete("k = 'x'")
+    r = run_job(spark, job)
+    assert r.deletes == 2 and r.recomputed == 1, r
+    _enrich_assert(spark, src, dim, root, "inner", "after the dim delete")
+
+
+def test_enrichment_guards(spark, tmp_path):
+    root = str(tmp_path)
+    src, dim = _enrich_tables(spark, root)
+    # duplicate dim keys are refused by name, not silently fanned out
+    dim.append(
+        spark.createDataFrame(
+            [("x", "DUP", 0.0)], "k string, name string, rate double"
+        )
+    )
+    with pytest.raises(SpecError, match="not unique"):
+        run_job(spark, _enrich_job(root))
+    dim.delete("name = 'DUP'")
+    # a dim projection that drops the join keys is refused
+    with pytest.raises(SpecError, match="carry the join keys"):
+        run_job(
+            spark,
+            _enrich_job(
+                root,
+                join={
+                    "connection": {"table": {"name": "dim"}},
+                    "on": ["k"],
+                    "select": ["name"],
+                },
+            ),
+        )
+    # a non-key column collision is refused (both sides have "v")
+    dim2 = VersionedTable(spark, os.path.join(root, "dim2"))
+    dim2.overwrite(
+        spark.createDataFrame([("x", 1.0)], "k string, v double")
+    )
+    with pytest.raises(SpecError, match="collide"):
+        run_job(
+            spark,
+            _enrich_job(
+                root,
+                join={
+                    "connection": {"table": {"name": "dim2"}},
+                    "on": ["k"],
+                },
+            ),
+        )
+    # join + aggregate form is refused at spec parse
+    with pytest.raises(SpecError, match="stack"):
+        JobSpec.from_json(
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "fact"}},
+                    "target": os.path.join(root, "view"),
+                    "join": {
+                        "connection": {"table": {"name": "dim"}},
+                        "on": ["k"],
+                    },
+                    "groupBy": ["k"],
+                    "aggregates": {"n": "count(*)"},
+                }
+            }
+        )
+    # aggregates inside the select are still refused over the joined row
+    with pytest.raises(SpecError, match="row-level"):
+        run_job(spark, _enrich_job(root, select=["k", "sum(v) AS s"]))
