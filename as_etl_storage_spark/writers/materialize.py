@@ -245,7 +245,7 @@ def _check_clash(src_cols, dim_cols, spec: MaterializeSpec) -> None:
         )
 
 
-def _check_join_form(spark, empty_src, dim_empty, spec) -> None:
+def _check_join_form(spark, empty_src, dim_empty, spec):
     """Zero-row setup validation of the join form: the dimension
     projection analyzes and carries the keys, no non-key collisions,
     and the select/where over the JOINED schema is pure row-level. The
@@ -267,7 +267,7 @@ def _check_join_form(spark, empty_src, dim_empty, spec) -> None:
             f"materialize join does not analyze against the source/"
             f"dimension schemas: {exc}"
         ) from None
-    _check_row_level(flat, spec)
+    return _check_row_level(flat, spec)
 
 
 def _assert_unique_dim_keys(
@@ -303,7 +303,7 @@ def _transform(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
     return df.select(*cols, F.col("_row_id").alias(SRC_ROW_ID))
 
 
-def _check_row_level(src_empty: DataFrame, spec: MaterializeSpec) -> None:
+def _check_row_level(src_empty: DataFrame, spec: MaterializeSpec):
     """Refuse definitions whose maintenance is not id-keyed: the
     analyzed plan of the definition over an EMPTY source-shaped frame
     (a LocalRelation — its own plan contributes no nodes the matcher
@@ -341,6 +341,7 @@ def _check_row_level(src_empty: DataFrame, spec: MaterializeSpec) -> None:
             f"sorts, limits and sampling are not id-keyed-maintainable "
             f"by this job"
         )
+    return probe.schema
 
 
 def _parse_aggregates(spec: MaterializeSpec) -> list:
@@ -1000,7 +1001,9 @@ def run_materialize(
                 f"{m.group(0)!r} in the where clause is not"
             )
         try:
-            _agg_transform(empty_src, spec)._jdf.queryExecution().analyzed()
+            probe = _agg_transform(empty_src, spec)
+            probe._jdf.queryExecution().analyzed()
+            expected_schema = probe.schema
         except SpecError:
             raise
         except Exception as exc:
@@ -1009,7 +1012,7 @@ def run_materialize(
                 f"against the source schema: {exc}"
             ) from None
     elif spec.join is not None:
-        _check_join_form(
+        expected_schema = _check_join_form(
             spark,
             empty_src,
             spark.createDataFrame(
@@ -1018,7 +1021,7 @@ def run_materialize(
             spec,
         )
     else:
-        _check_row_level(empty_src, spec)
+        expected_schema = _check_row_level(empty_src, spec)
     view = VersionedTable(spark, spec.target, log_store=src._store)
     view_v = view.latest_version()
 
@@ -1036,7 +1039,9 @@ def run_materialize(
             full = _joined(snap, dim_snap, spec)
         else:
             full = _transform(snap, spec)
-        view.overwrite(full)
+        # a rebuild re-baselines the DEFINITION's shape wholesale —
+        # additions, removals and retypes alike (Delta's overwriteSchema)
+        view.overwrite(full, overwrite_schema=True)
         props = {
             "vt.mv.source": src_path,
             "vt.mv.sourceVersion": str(src_v),
@@ -1056,6 +1061,15 @@ def run_materialize(
         return _rebuild("initial")
     props = view._properties_at(view_v)
     if spec.full_refresh or props.get("vt.mv.fingerprint") != fp:
+        return _rebuild("full")
+    if {(f.name, f.dataType) for f in expected_schema.fields} != {
+        (f.name, f.dataType)
+        for f in view.read(version_as_of=view_v).schema.fields
+    }:
+        # the DEFINITION is unchanged but its SHAPE drifted — a
+        # default-select view whose source (or dimension) evolved, or
+        # a type widening. The incremental merges would refuse the new
+        # column; re-baseline instead (schema-only comparison, no jobs)
         return _rebuild("full")
     last = int(props["vt.mv.sourceVersion"])
     if src_v < last:

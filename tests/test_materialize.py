@@ -883,3 +883,98 @@ def test_enrichment_guards(spark, tmp_path):
     # aggregates inside the select are still refused over the joined row
     with pytest.raises(SpecError, match="row-level"):
         run_job(spark, _enrich_job(root, select=["k", "sum(v) AS s"]))
+
+
+def test_source_schema_evolution_rebuilds_default_select_view(
+    spark, tmp_path
+):
+    """A default-select view whose SOURCE evolves additively cannot
+    apply the new column through the id-keyed merges (the view schema
+    lacks it) — the refresh must detect the shape drift and rebuild,
+    carrying the new column into the view."""
+    root = str(tmp_path)
+    src = _grouped_source(spark, root, tracked=True)
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+        }
+    }
+    r = run_job(spark, job)
+    assert r.mode == "initial"
+    src.append(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"),
+            F.lit("9").alias("g"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("tagged").alias("tag"),
+        ),
+        merge_schema=True,
+    )
+    r = run_job(spark, job)
+    assert r.mode == "full", r
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    assert "tag" in view.read().columns
+    got = view.read().select("k", "g", "v", "tag")
+    fresh = src.read().select("k", "g", "v", "tag")
+    assert (
+        got.exceptAll(fresh).count() == 0
+        and fresh.exceptAll(got).count() == 0
+    )
+    # steady state resumes incrementally on the evolved schema
+    src.delete("k % 4 = 0")
+    r = run_job(spark, job)
+    assert r.mode == "incremental", r
+
+
+def test_enrich_then_aggregate_stack(spark, tmp_path):
+    """The documented composition story for join+groupBy: materialize
+    the enrichment first, then stack an aggregate view on the enriched
+    view (views are versioned tables with their own change feeds). DML
+    on fact AND dim flows through BOTH refreshes incrementally."""
+    root = str(tmp_path)
+    src, dim = _enrich_tables(spark, root)
+    enrich = _enrich_job(root)
+    agg = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "view"}},
+            "target": os.path.join(root, "by_name"),
+            "groupBy": ["name"],
+            "aggregates": {"n": "count(*)", "total": "sum(priced)"},
+            "where": "name IS NOT NULL",
+        }
+    }
+    run_job(spark, enrich)
+    r = run_job(spark, agg)
+    assert r.mode == "initial"
+
+    def check(when):
+        got = VersionedTable(spark, os.path.join(root, "by_name")).read()
+        fresh = (
+            src.read()
+            .join(dim.read(), "k", "left")
+            .select(
+                "name",
+                (F.col("v") * F.coalesce("rate", F.lit(1.0))).alias(
+                    "priced"
+                ),
+            )
+            .where("name IS NOT NULL")
+            .groupBy("name")
+            .agg(F.count("*").alias("n"), F.sum("priced").alias("total"))
+        )
+        got = got.select("name", "n", "total")
+        assert (
+            got.exceptAll(fresh).count() == 0
+            and fresh.exceptAll(got).count() == 0
+        ), f"stacked aggregate diverged {when}"
+
+    check("after the builds")
+    src.append(
+        spark.createDataFrame([(9, "x", 90.0)], "id long, k string, v double")
+    )
+    dim.update("k = 'y'", {"rate": "5.0"})
+    r1 = run_job(spark, enrich)
+    r2 = run_job(spark, agg)
+    assert r1.mode == "incremental" and r2.mode == "incremental", (r1, r2)
+    check("after fact+dim DML through both layers")
