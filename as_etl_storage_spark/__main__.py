@@ -48,6 +48,28 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             result.explain("formatted")
         result.show(args.show or 20, truncate=False)
+    elif spec.pipeline is not None:  # pipeline -> per-step reports
+        from dataclasses import asdict
+
+        reports = []
+        for st, res in zip(spec.pipeline.steps, result.steps):
+            if st.materialize is not None:
+                r = asdict(res)
+                r["step"] = "materialize"
+            elif st.maintenance is not None:
+                r = asdict(res)
+                r["table"] = r.pop("table_path")
+                r["step"] = "maintenance"
+            else:
+                r = {
+                    "step": "write",
+                    "target": res.target_path,
+                    "written": res.written,
+                    "rejected": res.rejected,
+                    "reject_path": res.reject_path,
+                }
+            reports.append(r)
+        print(json.dumps(reports))
     elif spec.materialize is not None:  # materialize -> refresh report
         from dataclasses import asdict
 

@@ -4379,3 +4379,153 @@ _register(
     FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
     """,
 )
+
+
+# -------------------------------------------------- pipeline job -------
+def _w_versioned_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Declarative pipeline job (r17): ONE spec runs a stacked view DAG
+    — enrichment (orders ⋈ customer) feeding a per-market-segment
+    aggregate — with the steps auto-ordered by their data dependencies
+    (the aggregate is DECLARED FIRST; the stable toposort must refresh
+    the enrichment before it, asserted on the step order). A second
+    tick after DML on BOTH bases must refresh each layer incrementally
+    and land the downstream view exactly on a from-scratch computation.
+    The oracle replays the whole DAG as one SQL join+group-by."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from as_etl_storage_spark.queries.parity import _scratch_dir
+    from as_etl_storage_spark.runner import run_job
+    from as_etl_storage_spark.writers.versioned import VersionedTable
+
+    root = os.path.join(_scratch_dir(), f"wpipe-{uuid.uuid4().hex[:8]}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src = VersionedTable(spark, os.path.join(root, "fact"))
+    src.overwrite(orders.where("o_orderkey % 3 = 0"))
+    src.enable_row_tracking()
+    dim = VersionedTable(spark, os.path.join(root, "dim"))
+    dim.overwrite(customer)
+
+    pipeline = {
+        "pipeline": [
+            {  # declared FIRST, depends on the enriched view below
+                "materialize": {
+                    "connection": {
+                        "url": root,
+                        "table": {"name": "enriched"},
+                    },
+                    "target": os.path.join(root, "by_segment"),
+                    "groupBy": ["c_mktsegment"],
+                    "aggregates": {
+                        "n": "count(*)",
+                        # decimal: exact associative addition, so the
+                        # incremental fold lands bit-equal to a rebuild
+                        "revenue": (
+                            "sum(CAST(o_totalprice AS DECIMAL(18,2)))"
+                        ),
+                        "top": "max(o_totalprice)",
+                    },
+                }
+            },
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "fact"}},
+                    "target": os.path.join(root, "enriched"),
+                    "join": {
+                        "connection": {"table": {"name": "dim"}},
+                        "on": ["o_custkey"],
+                        "how": "inner",
+                        "select": [
+                            "c_custkey AS o_custkey",
+                            "c_mktsegment",
+                            "c_acctbal",
+                        ],
+                    },
+                    "select": [
+                        "o_orderkey",
+                        "o_custkey",
+                        "o_totalprice",
+                        "c_mktsegment",
+                    ],
+                }
+            },
+        ]
+    }
+
+    r1 = run_job(spark, pipeline)
+    if not r1.steps[0].view_path.endswith("enriched"):
+        raise AssertionError(
+            "the toposort must refresh the enrichment before the "
+            "aggregate that consumes it"
+        )
+    if [s.mode for s in r1.steps] != ["initial", "initial"]:
+        raise AssertionError(f"first tick must build, got {r1.steps}")
+    # DML on both bases, then ONE tick refreshes the whole DAG
+    src.append(orders.where("o_orderkey % 3 = 1"))
+    src.delete("o_orderkey % 10 = 7")
+    dim.delete("c_custkey % 6 = 2")
+    r2 = run_job(spark, pipeline)
+    if [s.mode for s in r2.steps] != ["incremental", "incremental"]:
+        raise AssertionError(f"second tick must fold, got {r2.steps}")
+    view = VersionedTable(spark, os.path.join(root, "by_segment"))
+    got = view.read().select("c_mktsegment", "n", "revenue", "top")
+    fresh = (
+        src.read()
+        .join(
+            dim.read().select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+            "inner",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+            ).alias("revenue"),
+            F.max("o_totalprice").alias("top"),
+        )
+    )
+    if got.exceptAll(fresh).count() or fresh.exceptAll(got).count():
+        raise AssertionError("pipeline DAG diverged after the DML tick")
+    return view.read().select(
+        "c_mktsegment",
+        "n",
+        F.round(F.col("revenue").cast("double"), 2).alias("revenue"),
+        F.round(F.col("top"), 2).alias("top"),
+    )
+
+
+_register(
+    "w_versioned_pipeline",
+    _w_versioned_pipeline,
+    """
+    WITH fact AS (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 3 IN (0, 1)
+          AND o_orderkey % 10 <> 7
+    ),
+    dim AS (
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey % 6 <> 2
+    )
+    SELECT d.c_mktsegment, count(*) AS n,
+           round(CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS revenue,
+           round(max(f.o_totalprice), 2) AS top
+    FROM fact f JOIN dim d ON f.o_custkey = d.c_custkey
+    GROUP BY d.c_mktsegment
+    """,
+)

@@ -16,6 +16,7 @@ Validation parity:
 from __future__ import annotations
 
 import json
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Any
@@ -1042,11 +1043,31 @@ class JobSpec:
     parallelism: int = 4
     maintenance: MaintenanceSpec | None = None
     materialize: MaterializeSpec | None = None
+    pipeline: "PipelineSpec | None" = None
 
     @staticmethod
     def from_json(obj: dict[str, Any] | str) -> "JobSpec":
         if isinstance(obj, str):
             obj = json.loads(obj)
+        pipe_obj = obj.get("pipeline")
+        if pipe_obj is not None:
+            if (
+                obj.get("reader")
+                or obj.get("writer")
+                or obj.get("maintenance")
+                or obj.get("materialize")
+            ):
+                raise SpecError(
+                    "a pipeline job stands alone: its steps carry "
+                    "their own readers/writers"
+                )
+            pipe = PipelineSpec.from_json(pipe_obj)
+            return JobSpec(
+                # placeholder reader, never planned: run_job dispatches
+                # on pipeline before plan_read
+                reader=pipe.steps[0].reader,
+                pipeline=pipe,
+            )
         mat_obj = obj.get("materialize")
         if mat_obj is not None:
             if obj.get("reader") or obj.get("writer") or obj.get(
@@ -1101,6 +1122,113 @@ class JobSpec:
             writer=writer,
             parallelism=int(obj.get("parallelism", 4)),
         )
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    """A declarative multi-step job (r17): one spec running ingest →
+    view refreshes → maintenance with the view refreshes auto-ordered
+    by their data dependencies — the reference's reader → writer job
+    chain (reader/job.go:122 → writer/job.go:63) kept as ONE runnable
+    document instead of N cron entries whose order the operator must
+    get right by hand:
+
+        {"pipeline": [
+            {"materialize": {... target: /lake/by_name ...,
+                             connection.table: enriched}},
+            {"materialize": {... target: /lake/enriched ...}},
+            {"maintenance": {... compact/vacuum ...}},
+            {"reader": {...}, "writer": {...}}]}
+
+    Execution order is three phases: (1) reader→writer ingest steps in
+    declared order, (2) materialize steps in DEPENDENCY order — a view
+    reading another step's target refreshes after it, computed by a
+    stable topological sort over target → source/dimension edges
+    (declared order breaks ties; a cycle is refused by name), (3)
+    maintenance steps in declared order. The example above runs the
+    enriched view BEFORE by_name even though it is declared after.
+    Two steps writing the same view target are refused. Pipelines do
+    not nest."""
+
+    steps: tuple[JobSpec, ...]
+
+    @staticmethod
+    def from_json(obj: Any) -> "PipelineSpec":
+        if not isinstance(obj, (list, tuple)) or not obj:
+            raise SpecError(
+                "pipeline must be a non-empty list of job objects"
+            )
+        steps = []
+        for i, o in enumerate(obj):
+            if not isinstance(o, dict):
+                raise SpecError(f"pipeline step {i} must be a job object")
+            if o.get("pipeline") is not None:
+                raise SpecError("pipelines do not nest")
+            st = JobSpec.from_json(o)
+            if (
+                st.materialize is None
+                and st.maintenance is None
+                and st.writer is None
+            ):
+                raise SpecError(
+                    f"pipeline step {i} is a reader with no writer — "
+                    f"its DataFrame would have no consumer; every step "
+                    f"must write, refresh or maintain"
+                )
+            steps.append(st)
+        return PipelineSpec(steps=_pipeline_order(steps))
+
+
+def _pipeline_order(steps: list["JobSpec"]) -> tuple["JobSpec", ...]:
+    """ingest first (declared order), then materialize steps in stable
+    topological order over target → source/dim edges, then maintenance
+    (declared order). Pure path arithmetic — no Spark, no I/O."""
+    ingest = [
+        s
+        for s in steps
+        if s.materialize is None and s.maintenance is None
+    ]
+    mats = [s for s in steps if s.materialize is not None]
+    maints = [s for s in steps if s.maintenance is not None]
+    targets: dict[str, "JobSpec"] = {}
+    for s in mats:
+        t = os.path.normpath(s.materialize.target)
+        if t in targets:
+            raise SpecError(
+                f"pipeline: two materialize steps write the same "
+                f"target {t!r}"
+            )
+        targets[t] = s
+
+    def deps(s: "JobSpec") -> list[str]:
+        m = s.materialize
+        out = [
+            os.path.normpath(
+                os.path.join(m.connection.url, m.connection.table.name)
+            )
+        ]
+        if m.join is not None:
+            root = m.join.url or m.connection.url
+            out.append(os.path.normpath(os.path.join(root, m.join.table)))
+        return [d for d in out if d in targets]
+
+    ordered: list["JobSpec"] = []
+    placed: set[str] = set()
+    remaining = list(mats)
+    while remaining:
+        progressed = False
+        for s in list(remaining):
+            if all(d in placed for d in deps(s)):
+                ordered.append(s)
+                placed.add(os.path.normpath(s.materialize.target))
+                remaining.remove(s)
+                progressed = True
+        if not progressed:
+            names = sorted(s.materialize.target for s in remaining)
+            raise SpecError(
+                f"pipeline: materialize dependency cycle among {names}"
+            )
+    return tuple(ingest + ordered + maints)
 
 
 # -- where → prune triples ---------------------------------------------------

@@ -76,7 +76,11 @@ This is textbook incremental view maintenance over the CDF; it needs
 no row tracking (groups key on their OWN columns), refresh cost is
 ∝ changed rows + matched view files (+ dirty-group source rows when
 an extreme's witness was removed), and the delta aggregation is
-exactly as parallel as the feed scan.
+exactly as parallel as the feed scan. One numeric caveat, inherent to
+ALL incremental folding: float sums are non-associative, so a folded
+double sum can differ from a from-scratch rebuild in the last bits —
+declare ``sum(CAST(x AS DECIMAL(p,s)))`` when bit-exact parity with a
+rebuild matters (decimal addition is exact and associative).
 
 ...AND the JOIN form (r17): ``join`` enriches each source row with a
 unique-keyed dimension lookup (``left`` or ``inner``) before the

@@ -978,3 +978,224 @@ def test_enrich_then_aggregate_stack(spark, tmp_path):
     r2 = run_job(spark, agg)
     assert r1.mode == "incremental" and r2.mode == "incremental", (r1, r2)
     check("after fact+dim DML through both layers")
+
+
+def _stack_pipeline(root):
+    """by_name (declared FIRST) depends on enriched (declared second):
+    the spec's stable toposort must run enriched before it."""
+    return {
+        "pipeline": [
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "view"}},
+                    "target": os.path.join(root, "by_name"),
+                    "groupBy": ["name"],
+                    "aggregates": {"cnt": "count(*)", "t": "sum(priced)"},
+                    "where": "name IS NOT NULL",
+                }
+            },
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "fact"}},
+                    "target": os.path.join(root, "view"),
+                    "join": {
+                        "connection": {"table": {"name": "dim"}},
+                        "on": ["k"],
+                    },
+                    "select": [
+                        "id",
+                        "k",
+                        "v",
+                        "name",
+                        "v * rate AS priced",
+                    ],
+                }
+            },
+            {
+                "maintenance": {
+                    "connection": {"url": root, "table": {"name": "view"}},
+                    "checkpoint": True,
+                }
+            },
+        ]
+    }
+
+
+def test_pipeline_orders_views_by_dependency(spark, tmp_path):
+    """One pipeline tick refreshes a stacked DAG bottom-up regardless
+    of declaration order, and the downstream view reflects THIS tick's
+    upstream changes — the freshness property the toposort exists for."""
+    root = str(tmp_path)
+    src, dim = _enrich_tables(spark, root)
+    res = run_job(spark, _stack_pipeline(root))
+    kinds = [type(r).__name__ for r in res.steps]
+    assert kinds == [
+        "MaterializeResult",
+        "MaterializeResult",
+        "MaintenanceResult",
+    ]
+    assert res.steps[0].view_path.endswith("view")
+    assert res.steps[1].view_path.endswith("by_name")
+    # DML on both bases, one tick, downstream exact
+    src.append(
+        spark.createDataFrame([(9, "x", 90.0)], "id long, k string, v double")
+    )
+    dim.update("k = 'y'", {"rate": "7.0"})
+    res = run_job(spark, _stack_pipeline(root))
+    assert res.steps[0].mode == "incremental"
+    assert res.steps[1].mode == "incremental"
+    got = (
+        VersionedTable(spark, os.path.join(root, "by_name"))
+        .read()
+        .select("name", "cnt", "t")
+    )
+    fresh = (
+        src.read()
+        .join(dim.read(), "k", "left")
+        .where("name IS NOT NULL")
+        .groupBy("name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("v") * F.col("rate")).alias("t"),
+        )
+    )
+    assert (
+        got.exceptAll(fresh).count() == 0
+        and fresh.exceptAll(got).count() == 0
+    )
+
+
+def test_pipeline_spec_guards(spark, tmp_path):
+    root = str(tmp_path)
+    with pytest.raises(SpecError, match="cycle"):
+        JobSpec.from_json(
+            {
+                "pipeline": [
+                    {
+                        "materialize": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "b"},
+                            },
+                            "target": os.path.join(root, "a"),
+                        }
+                    },
+                    {
+                        "materialize": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "a"},
+                            },
+                            "target": os.path.join(root, "b"),
+                        }
+                    },
+                ]
+            }
+        )
+    with pytest.raises(SpecError, match="same target"):
+        JobSpec.from_json(
+            {
+                "pipeline": [
+                    {
+                        "materialize": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "x"},
+                            },
+                            "target": os.path.join(root, "dup"),
+                        }
+                    },
+                    {
+                        "materialize": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "y"},
+                            },
+                            "target": os.path.join(root, "dup"),
+                        }
+                    },
+                ]
+            }
+        )
+    with pytest.raises(SpecError, match="no consumer|must write"):
+        JobSpec.from_json(
+            {
+                "pipeline": [
+                    {
+                        "reader": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "t"},
+                            },
+                            "column": ["*"],
+                        }
+                    }
+                ]
+            }
+        )
+    with pytest.raises(SpecError, match="do not nest"):
+        JobSpec.from_json({"pipeline": [{"pipeline": []}]})
+    with pytest.raises(SpecError, match="non-empty"):
+        JobSpec.from_json({"pipeline": []})
+    # a self-dependent view is a cycle of one
+    with pytest.raises(SpecError, match="cycle"):
+        JobSpec.from_json(
+            {
+                "pipeline": [
+                    {
+                        "materialize": {
+                            "connection": {
+                                "url": root,
+                                "table": {"name": "self"},
+                            },
+                            "target": os.path.join(root, "self"),
+                        }
+                    }
+                ]
+            }
+        )
+
+
+def test_pipeline_with_ingest_step(spark, tmp_path):
+    """Ingest (reader→writer into a versioned table) runs FIRST, so a
+    view over the ingest target refreshes on this tick's rows."""
+    root = str(tmp_path)
+    # seed the versioned sink + row tracking so the view can key on ids
+    land = VersionedTable(spark, os.path.join(root, "landed"))
+    land.overwrite(
+        spark.createDataFrame([(0, 0.0)], "l_orderkey long, l_quantity double")
+    )
+    land.enable_row_tracking()
+    pipeline = {
+        "pipeline": [
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "landed"}},
+                    "target": os.path.join(root, "heavy"),
+                    "where": "l_quantity > 45",
+                }
+            },
+            {
+                "reader": {
+                    "connection": {
+                        "url": "/root/testdata/sf0.001",
+                        "table": {"name": "lineitem"},
+                    },
+                    "column": ["l_orderkey", "l_quantity"],
+                    "where": "l_quantity > 40",
+                },
+                "writer": {
+                    "connection": {"url": root, "table": {"name": "landed"}},
+                    "writeMode": "insert",
+                    "versioned": True,
+                },
+            },
+        ]
+    }
+    res = run_job(spark, pipeline)
+    # ingest ran first despite being declared second
+    assert type(res.steps[0]).__name__ == "WriteResult"
+    assert res.steps[1].mode in ("initial", "incremental", "full")
+    got = VersionedTable(spark, os.path.join(root, "heavy")).read()
+    fresh = land.read().where("l_quantity > 45")
+    assert got.count() == fresh.count() and got.count() > 0
