@@ -161,9 +161,11 @@ class MaterializeResult:
     (only layout-only source versions in range — one metadata commit,
     zero data files touched). ``deletes``/``upserts`` count the net
     id-keyed changes applied (None outside incremental mode);
-    ``recomputed`` counts the dirty groups an aggregate refresh had to
-    re-derive from the source because a removal may have invalidated
-    their stored min/max (None outside aggregate incremental mode)."""
+    ``recomputed`` counts the work a refresh had to re-derive from the
+    source snapshot: for an aggregate view the dirty groups whose
+    stored min/max a removal may have invalidated; for a join view the
+    distinct dimension keys whose source rows re-derived (0 = the
+    steady state — no source scan at all). None outside those modes."""
 
     view_path: str
     mode: str

@@ -1199,3 +1199,40 @@ def test_pipeline_with_ingest_step(spark, tmp_path):
     got = VersionedTable(spark, os.path.join(root, "heavy")).read()
     fresh = land.read().where("l_quantity > 45")
     assert got.count() == fresh.count() and got.count() > 0
+
+
+def test_avg_only_view_null_and_zero_count_groups(spark, tmp_path):
+    """The pure-avg path (no min/max declared → no dirty machinery):
+    NULLs are ignored, deleting a group's only non-NULL value folds
+    its count state to zero and the exposed avg to NULL — all through
+    the abelian merge, zero source re-reads."""
+    root = str(tmp_path)
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 2.0), ("a", 4.0), ("b", None), ("b", 8.0)],
+            "g string, v double",
+        )
+    )
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["g"],
+            "aggregates": {"m": "avg(v)"},
+        }
+    }
+    run_job(spark, job)
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    rows = {r.g: r.m for r in view.read().collect()}
+    assert rows == {"a": 3.0, "b": 8.0}
+    src.delete("g = 'b' AND v = 8.0")
+    r = run_job(spark, job)
+    assert r.mode == "incremental" and r.recomputed == 0, r
+    rows = {r.g: r.m for r in view.read().collect()}
+    assert rows == {"a": 3.0, "b": None}, rows
+    src.append(spark.createDataFrame([("b", 5.0)], "g string, v double"))
+    r = run_job(spark, job)
+    assert r.recomputed == 0, r
+    rows = {r.g: r.m for r in view.read().collect()}
+    assert rows == {"a": 3.0, "b": 5.0}, rows
