@@ -4276,7 +4276,9 @@ def _w_versioned_mv_enrich(
                 "o_custkey",
                 "o_totalprice",
                 "c_name",
-                "o_totalprice * 0.1 + coalesce(c_acctbal, 0.0) AS score",
+                # exact decimal arithmetic: double near-ties round
+                # differently between engines at the last cent
+                "CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) + CAST(coalesce(c_acctbal, 0.0) AS DECIMAL(18,2)) AS score",
             ],
         }
     }
@@ -4298,10 +4300,7 @@ def _w_versioned_mv_enrich(
                 "o_custkey",
                 "o_totalprice",
                 "c_name",
-                (
-                    F.col("o_totalprice") * 0.1
-                    + F.coalesce("c_acctbal", F.lit(0.0))
-                ).alias("score"),
+                F.expr("CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)) + CAST(coalesce(c_acctbal, 0.0) AS DECIMAL(18,2))").alias("score"),
             )
         )
 
@@ -4350,7 +4349,7 @@ def _w_versioned_mv_enrich(
         "o_orderkey",
         "o_custkey",
         "c_name",
-        F.round(F.col("score"), 2).alias("score"),
+        F.round(F.col("score"), 2).cast("double").alias("score"),
     )
 
 
@@ -4374,8 +4373,10 @@ _register(
         WHERE c_custkey % 7 <> 3
     )
     SELECT f.o_orderkey, f.o_custkey, d.c_name,
-           round(f.o_totalprice * 0.1 + coalesce(d.c_acctbal, 0.0), 2)
-               AS score
+           CAST(round(CAST(f.o_totalprice AS DECIMAL(18,2))
+                          * CAST(0.1 AS DECIMAL(2,1))
+                      + CAST(coalesce(d.c_acctbal, 0.0) AS DECIMAL(18,2)),
+                      2) AS DOUBLE) AS score
     FROM fact f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
     """,
 )
