@@ -756,7 +756,12 @@ class MaterializeSpec:
                            "qty": "sum(CAST(v AS DECIMAL(18,2)))"},
             "where": "v > 0"}}
 
-    Maintainable aggregates: ``count(*)``, ``sum(<expr>)``,
+    ``check: true`` reports staleness only — ``needs`` (none /
+    incremental / rebuild) and ``behind`` (unabsorbed source +
+    dimension versions) — with zero commits and zero data reads.
+
+    Maintainable aggregates: ``count(*)``, ``count(<expr>)``
+    (non-NULL values), ``sum(<expr>)``,
     ``avg(<expr>)`` (hidden sum/count state columns ride along as
     ``<name>__sum``/``<name>__cnt``), ``min(<expr>)`` and
     ``max(<expr>)`` (folded on inserts; a delete that may invalidate a
@@ -794,6 +799,10 @@ class MaterializeSpec:
     group_by: tuple[str, ...] = ()
     aggregates: tuple[tuple[str, str], ...] = ()
     join: "MaterializeJoinSpec | None" = None
+    #: report staleness only — what the next refresh WOULD do (none/
+    #: incremental/rebuild) and how many versions behind the view is,
+    #: without touching any data (metadata + plan analysis only)
+    check: bool = False
 
     @staticmethod
     def from_json(obj: dict[str, Any]) -> "MaterializeSpec":
@@ -813,6 +822,7 @@ class MaterializeSpec:
             select=tuple(str(s) for s in sel),
             where=str(obj.get("where", "") or ""),
             full_refresh=bool(obj.get("fullRefresh", False)),
+            check=bool(obj.get("check", False)),
             group_by=tuple(str(c) for c in gby),
             aggregates=tuple(
                 (str(k), str(v)) for k, v in sorted(aggs.items())

@@ -51,8 +51,9 @@ incremental maintenance needs group-state algebra this job does not
 claim (run them as ordinary queries, or stack them on the view)...
 
 ...EXCEPT the maintainable aggregates (r17): ``groupBy`` +
-``aggregates`` of ``count(*)``/``sum``/``avg``/``min``/``max``
-maintain a GROUPED view incrementally:
+``aggregates`` of ``count(*)``/``count(expr)`` (non-NULL values)/
+``sum``/``avg``/``min``/``max`` maintain a GROUPED view
+incrementally:
 
   * count/sum fold ABELIAN: every feed event contributes sign-weighted
     to its group (insert/update postimage +, delete/update preimage −)
@@ -122,7 +123,8 @@ MV_COUNT = "_mv_count"
 #: dirty-group set). Everything else (count(distinct), percentile, ...)
 #: is refused by name.
 _AGG_RE = re.compile(
-    r"^\s*(?:(count)\s*\(\s*\*\s*\)|(sum|avg|min|max)\s*\((.+)\))\s*$",
+    r"^\s*(?:(count)\s*\(\s*\*\s*\)"
+    r"|(count|sum|avg|min|max)\s*\((.+)\))\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -157,9 +159,10 @@ class MaterializeResult:
     """What one materialize run did. ``mode``: ``'initial'`` (first
     build), ``'incremental'`` (id-keyed delta apply), ``'full'``
     (rebuild — non-CDF range, changed definition, or ``fullRefresh``),
-    ``'noop'`` (source unchanged — zero commits) or ``'bookmark'``
+    ``'noop'`` (source unchanged — zero commits), ``'bookmark'``
     (only layout-only source versions in range — one metadata commit,
-    zero data files touched). ``deletes``/``upserts`` count the net
+    zero data files touched) or ``'status'`` (``check: true`` — report
+    ``needs``/``behind`` without touching anything). ``deletes``/``upserts`` count the net
     id-keyed changes applied (None outside incremental mode);
     ``recomputed`` counts the work a refresh had to re-derive from the
     source snapshot: for an aggregate view the dirty groups whose
@@ -174,6 +177,14 @@ class MaterializeResult:
     deletes: int | None = None
     upserts: int | None = None
     recomputed: int | None = None
+    #: status mode only: what the next real refresh would do
+    #: ('none' | 'incremental' | 'rebuild' — best-effort: a CDF gap
+    #: inside the range can still escalate incremental to rebuild)
+    needs: str | None = None
+    #: status mode only: how many committed source (+ dimension)
+    #: versions the view has not absorbed; None when the view does
+    #: not exist yet
+    behind: int | None = None
 
 
 def _fingerprint(source_path: str, spec: MaterializeSpec) -> str:
@@ -368,6 +379,14 @@ def _parse_aggregates(spec: MaterializeSpec) -> list:
             )
         kind = (m.group(1) or m.group(2)).lower()
         inner = m.group(3)
+        if inner is not None and kind == "count" and re.match(
+            r"(?is)^\s*distinct\b", inner
+        ):
+            raise SpecError(
+                f"materialize aggregate {name!r}: count(DISTINCT ...) "
+                f"needs per-group value state and is not incrementally "
+                f"maintainable — recompute it as an ordinary query"
+            )
         if inner is not None:
             bad = _FORBIDDEN_EXPR.search(inner)
             if bad:
@@ -428,7 +447,12 @@ def _agg_transform(df: DataFrame, spec: MaterializeSpec) -> DataFrame:
     aggs = []
     for name, kind, inner in _parse_aggregates(spec):
         if kind == "count":
-            aggs.append(F.count("*").alias(name))
+            # count(*) counts rows; count(expr) counts non-NULL values
+            aggs.append(
+                F.count("*").alias(name)
+                if inner is None
+                else F.count(F.expr(inner)).alias(name)
+            )
         elif kind == "sum":
             aggs.append(F.sum(F.expr(inner)).alias(name))
         elif kind == "avg":
@@ -465,7 +489,14 @@ def _agg_deltas(feed: DataFrame, spec: MaterializeSpec) -> DataFrame:
     aggs, avg_fix = [], []
     for name, kind, inner in _parse_aggregates(spec):
         if kind == "count":
-            aggs.append(F.sum("__mv_sign").alias(name))
+            aggs.append(
+                F.sum("__mv_sign").alias(name)
+                if inner is None
+                else F.sum(
+                    F.col("__mv_sign")
+                    * F.expr(inner).isNotNull().cast("bigint")
+                ).alias(name)
+            )
         elif kind == "sum":
             aggs.append(
                 F.sum(F.col("__mv_sign") * F.expr(inner)).alias(name)
@@ -1030,6 +1061,49 @@ def run_materialize(
         expected_schema = _check_row_level(empty_src, spec)
     view = VersionedTable(spark, spec.target, log_store=src._store)
     view_v = view.latest_version()
+
+    if spec.check:  # status only: zero jobs, zero commits
+        needs, behind = "incremental", None
+        if view_v is None:
+            needs = "rebuild"
+        else:
+            props = view._properties_at(view_v)
+            vschema = {
+                (f.name, f.dataType)
+                for f in view.read(version_as_of=view_v).schema.fields
+            }
+            if (
+                spec.full_refresh
+                or props.get("vt.mv.fingerprint") != fp
+                or {
+                    (f.name, f.dataType)
+                    for f in expected_schema.fields
+                }
+                != vschema
+            ):
+                needs = "rebuild"
+            else:
+                last = int(props["vt.mv.sourceVersion"])
+                if src_v < last:
+                    needs = "rebuild"
+                else:
+                    behind = src_v - last
+                    if spec.join is not None:
+                        dim_last = int(props["vt.mv.dimVersion"])
+                        if dim_v < dim_last:
+                            needs, behind = "rebuild", None
+                        else:
+                            behind += dim_v - dim_last
+                    if behind == 0:
+                        needs = "none"
+        return MaterializeResult(
+            view_path=spec.target,
+            mode="status",
+            source_version=src_v,
+            view_version=view_v,
+            needs=needs,
+            behind=behind,
+        )
 
     def _rebuild(mode: str) -> MaterializeResult:
         # the only table-sized pass: snapshot at src_v, transformed,

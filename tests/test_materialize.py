@@ -1236,3 +1236,90 @@ def test_avg_only_view_null_and_zero_count_groups(spark, tmp_path):
     assert r.recomputed == 0, r
     rows = {r.g: r.m for r in view.read().collect()}
     assert rows == {"a": 3.0, "b": 5.0}, rows
+
+
+def test_count_expr_counts_non_null_incrementally(spark, tmp_path):
+    """count(expr) counts non-NULL values and folds sign-weighted like
+    count(*) — and count(DISTINCT ...) stays refused by name."""
+    root = str(tmp_path)
+    src = VersionedTable(spark, os.path.join(root, "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("b", 2.0)], "g string, v double"
+        )
+    )
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "groupBy": ["g"],
+            "aggregates": {"rows": "count(*)", "vals": "count(v)"},
+        }
+    }
+    run_job(spark, job)
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    got = {(r.g, r.rows, r.vals) for r in view.read().collect()}
+    assert got == {("a", 2, 1), ("b", 1, 1)}
+    src.append(
+        spark.createDataFrame([("a", 9.0), ("b", None)], "g string, v double")
+    )
+    src.delete("g = 'a' AND v = 1.0")
+    r = run_job(spark, job)
+    assert r.mode == "incremental", r
+    got = {(r.g, r.rows, r.vals) for r in view.read().collect()}
+    assert got == {("a", 2, 1), ("b", 2, 1)}, got
+    with pytest.raises(SpecError, match="DISTINCT"):
+        run_job(
+            spark,
+            {
+                "materialize": {
+                    "connection": {"url": root, "table": {"name": "src"}},
+                    "target": os.path.join(root, "view2"),
+                    "groupBy": ["g"],
+                    "aggregates": {"d": "count(distinct v)"},
+                }
+            },
+        )
+
+
+def test_check_reports_staleness_without_touching(spark, tmp_path):
+    """check: true answers what the next refresh WOULD do — rebuild
+    before the view exists, none at parity, incremental with the
+    behind count after DML — and commits nothing."""
+    root = str(tmp_path)
+    src = _grouped_source(spark, root, tracked=True)
+    job = {
+        "materialize": {
+            "connection": {"url": root, "table": {"name": "src"}},
+            "target": os.path.join(root, "view"),
+            "where": "v >= 50",
+        }
+    }
+    status = {
+        "materialize": {**job["materialize"], "check": True}
+    }
+    r = run_job(spark, status)
+    assert r.mode == "status" and r.needs == "rebuild" and r.behind is None
+    run_job(spark, job)
+    view = VersionedTable(spark, os.path.join(root, "view"))
+    v0 = view.latest_version()
+    r = run_job(spark, status)
+    assert (r.mode, r.needs, r.behind) == ("status", "none", 0), r
+    src.delete("k % 5 = 0")
+    src.update("k % 7 = 1", {"v": "v + 1"})
+    r = run_job(spark, status)
+    assert (r.needs, r.behind) == ("incremental", 2), r
+    # a changed definition reports rebuild
+    r = run_job(
+        spark,
+        {
+            "materialize": {
+                **job["materialize"],
+                "where": "v >= 60",
+                "check": True,
+            }
+        },
+    )
+    assert r.needs == "rebuild", r
+    # nothing was committed by any status call
+    assert view.latest_version() == v0
