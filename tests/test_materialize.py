@@ -420,7 +420,7 @@ def _agg_got_where_any(spark, root):
 def test_aggregate_refuses_unmaintainable_and_bad_specs(spark, tmp_path):
     root = str(tmp_path)
     _grouped_source(spark, root)
-    with pytest.raises(SpecError, match="grammar"):
+    with pytest.raises(SpecError, match="DISTINCT"):
         run_job(
             spark, _agg_job(root, aggregates={"d": "count(DISTINCT v)"})
         )
