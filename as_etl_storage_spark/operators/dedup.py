@@ -439,9 +439,14 @@ def ngram_jaccard_pairs(
         f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+'))-{n - 1}, 1)), "
         f"i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' '))"
     )
+    # the exploded+distinct'd gram table feeds THREE consumers (sizes +
+    # both self-join sides); Catalyst does not share the subplan across
+    # them, so without materialization the tokenize/explode/dedup pass —
+    # the dominant cost over a real corpus — runs three times per query
     gr = (
         df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sizes = gr.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = gr.alias("a")
@@ -580,8 +585,17 @@ def simhash_dedup_pairs(
     join key is (block_id, block_bits) instead of an all-pairs product.
     Exact hamming verification then filters candidates, so results are
     identical to the naive self-join (no false negatives by pigeonhole,
-    false positives removed by the exact check)."""
-    sh = simhash_signatures(df, id_col, text_col)
+    false positives removed by the exact check).
+
+    The signature table is eagerly localCheckpoint'ed before the
+    self-join: Catalyst does not reuse the signature subplan across the
+    join's two aliases (the tokenize + md5 + 60-sum aggregate — the
+    dominant cost over a real corpus — appeared ONCE PER SIDE in the
+    physical plan), and the checkpointed relation is only (doc, simhash)
+    rows, tiny next to the token stream it replaces. Same lifecycle as
+    the minhash path's candidates: blocks are ContextCleaner-managed,
+    freed when the caller drops the result."""
+    sh = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     n_blocks = max_hamming + 1
     width = 60 // n_blocks
     stack_args = ", ".join(

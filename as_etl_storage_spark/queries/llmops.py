@@ -1728,6 +1728,12 @@ def budget_select_pipeline(docs: DataFrame) -> DataFrame:
             ).alias("q"),
         )
     )
+    # the tokenize/quality projection feeds BOTH of global_running_sum's
+    # lineages (the bucketed window and the per-bucket stats groupBy);
+    # Catalyst does not share the subplan, so without materialization the
+    # expensive tokenize pass runs twice per query. The checkpointed rows
+    # are narrow (doc_id, toks, q) — corpus text never materializes.
+    staged = staged.localCheckpoint(eager=True)
     ranked = global_running_sum(
         staged.withColumn("negq", -F.col("q")),
         ["negq", "doc_id"],
