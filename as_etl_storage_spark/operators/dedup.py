@@ -236,20 +236,40 @@ def oph_banded_signatures(shingles: DataFrame) -> DataFrame:
     its bin for every doc containing it), which exact-jaccard
     verification removes; false-negative odds at near-dup similarity are
     the same ~j^8-per-band as the classic scheme."""
-    # ONE xxhash64 per shingle: low 7 bits pick the bin, the remaining
-    # 57 bits are the rank value — independent enough for min-ranking
-    # within a bin, and it halves the hash work on the full shingle stream
+    # ONE xxhash64 per shingle (projected once, so codegen never repeats
+    # it): low 7 bits pick the bin, the remaining 57 bits are the rank
+    # value — independent enough for min-ranking within a bin, and it
+    # halves the hash work on the full shingle stream
     hashed = shingles.select(
+        "doc", F.expr("xxhash64(shingle) AS h")
+    ).select(
         "doc",
-        F.expr(f"pmod(xxhash64(shingle), {N_HASHES}L) AS bin"),
-        F.expr(f"abs(xxhash64(shingle) DIV {N_HASHES}L) AS v"),
+        F.expr(f"pmod(h, {N_HASHES}L) AS bin"),
+        F.expr(f"abs(h DIV {N_HASHES}L) AS v"),
     )
-    mins = hashed.groupBy("doc", "bin").agg(F.min("v").alias("mv"))
-    return (
-        mins.groupBy("doc", F.expr(f"bin DIV {ROWS_PER_BAND}").alias("band"))
-        .agg(F.expr("sum(hash(bin, mv)) AS sig"))
-        .select("doc", "band", "sig")
+    # ONE shuffle, not two: the per-bin mins fold into their band's row
+    # as ROWS_PER_BAND conditional-min aggregate buffers keyed by
+    # (doc, band) directly, instead of a (doc, bin) aggregation followed
+    # by a second (doc, band) exchange of the mins. The fold is the same
+    # order-independent sum of hash(bin, min) over PRESENT bins — an
+    # absent bin's conditional min is NULL and contributes exactly the 0
+    # the two-step sum never saw — with BIGINT accumulation like sum()'s,
+    # so signatures are bit-identical to the two-step form.
+    R = ROWS_PER_BAND
+    per_band = hashed.groupBy(
+        "doc", F.expr(f"bin DIV {R}").alias("band")
+    ).agg(
+        *[
+            F.expr(f"min(CASE WHEN pmod(bin, {R}) = {r} THEN v END) AS m{r}")
+            for r in range(R)
+        ]
     )
+    sig = " + ".join(
+        f"(CASE WHEN m{r} IS NOT NULL "
+        f"THEN CAST(hash(band * {R} + {r}, m{r}) AS BIGINT) ELSE 0L END)"
+        for r in range(R)
+    )
+    return per_band.select("doc", "band", F.expr(f"({sig}) AS sig"))
 
 
 def lsh_candidates(signatures_or_shingles: DataFrame) -> DataFrame:

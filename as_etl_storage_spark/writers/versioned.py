@@ -5384,23 +5384,29 @@ class VersionedTable:
         )
         idmap = self._identity_at(base)
         # cardinality rule: among KEY-MATCHED rows, a duplicated source
-        # key means one target row has two candidate replacements
+        # key means one target row has two candidate replacements. The
+        # check itself runs fused with the touched-file discovery below
+        # (one Spark job for both — they are independent subtrees over
+        # the same persisted key frames); this builds the subtree only.
+        dup_probe = None
         if when_matched is not None and candidates:
-            dup = (
+            dup_probe = (
                 source.join(cand_keys, on=on, how="left_semi")
                 .groupBy(*on)
                 .count()
                 .where(F.col("count") > 1)
                 .limit(1)
-                .count()
+                .select(F.lit("__dup__").alias(self._FILE_NAME))
             )
-            if dup:
+        if when_not_matched_by_source == "delete":
+            # the by-source path does its own touched-file derivation, so
+            # the cardinality check runs standalone here (unfused)
+            if dup_probe is not None and dup_probe.limit(1).count():
                 raise VersionedTableError(
                     "merge source has duplicate keys among matched rows — "
                     "a target row would match multiple source rows; "
                     "de-duplicate the source on the merge keys first"
                 )
-        if when_not_matched_by_source == "delete":
             return self._merge_by_source_delete(
                 source,
                 on,
@@ -5465,8 +5471,22 @@ class VersionedTable:
                 )
             else:
                 disc = disc.join(src_keys, on=on, how="left_semi")
-            t_rows = disc.select(self._FILE_NAME).distinct().collect()
+            disc = disc.select(self._FILE_NAME).distinct()
+            if dup_probe is not None:
+                # fused cardinality check: the dup probe is a second
+                # independent subtree over the same persisted key frames,
+                # so running it in the SAME collect costs rows (0 or 1),
+                # not a job — the standalone probe was a full extra job
+                # per merge
+                disc = disc.unionByName(dup_probe)
+            t_rows = disc.collect()
             t_set = {r[self._FILE_NAME] for r in t_rows}
+            if "__dup__" in t_set:
+                raise VersionedTableError(
+                    "merge source has duplicate keys among matched rows — "
+                    "a target row would match multiple source rows; "
+                    "de-duplicate the source on the merge keys first"
+                )
             touched = [f for f in files if os.path.basename(f) in t_set]
             untouched = [
                 f for f in files if os.path.basename(f) not in t_set
@@ -5544,7 +5564,14 @@ class VersionedTable:
                     )
                 if when_not_matched == "insert":
                     raw_ins = _inserts()
-                    if not raw_ins.isEmpty():
+                    # the isEmpty() pre-check costs a full anti-join job
+                    # and buys nothing without identity columns: writing
+                    # an empty frame stages zero part files (new_files
+                    # gains nothing) and the empty CDC branch adds zero
+                    # change rows. With identity columns the gate stays —
+                    # an unconditional _allocated() would record identity
+                    # watermark fields in the log for a zero-insert merge.
+                    if not idmap or not raw_ins.isEmpty():
                         inserts = _allocated(raw_ins)
                         new_files += self._write_data_files(
                             self._checked(inserts, cons), pb, mapping
