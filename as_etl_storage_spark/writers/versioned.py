@@ -3032,6 +3032,47 @@ class VersionedTable:
         raise VersionedTableError("could not commit after 50 attempts")
 
     # -- data files -----------------------------------------------------
+    #: set to "0" to run each commit's independent staging writes
+    #: sequentially (the pre-r17 behavior) instead of from driver threads
+    _OVERLAP_ENV = "SPARK_GRAFT_OVERLAP_DML_WRITES"
+
+    def _overlapped(self, *thunks):
+        """Run a commit's INDEPENDENT staging writes (touched-file
+        rewrite, insert files, CDF sidecar) as concurrent driver-thread
+        jobs so each job's task tail back-fills cores the others leave
+        idle — the overlap-independent-jobs shape. Every thunk stages
+        under its own uuid directory and results return in submission
+        order, so the commit's manifest is identical to the sequential
+        order. ``None`` thunks return None (absent branch). On failure
+        every sibling future is still awaited (a half-staged sibling
+        only leaves unreferenced files for vacuum's grace sweep — the
+        same exposure a failure BETWEEN the sequential writes always
+        had), then the first error re-raises."""
+        live = [t for t in thunks if t is not None]
+        if len(live) <= 1 or os.environ.get(self._OVERLAP_ENV, "1") == "0":
+            return [t() if t is not None else None for t in thunks]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(live)) as pool:
+            futs = [
+                pool.submit(t) if t is not None else None for t in thunks
+            ]
+            out: list = []
+            err: BaseException | None = None
+            for f in futs:
+                if f is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(f.result())
+                except BaseException as e:  # noqa: BLE001
+                    out.append(None)
+                    if err is None:
+                        err = e
+        if err is not None:
+            raise err
+        return out
+
     def _write_data_files(
         self,
         df: DataFrame,
@@ -4133,19 +4174,26 @@ class VersionedTable:
                 try:
                     # boundary rows survive; files wholly inside the
                     # predicate contribute nothing and are dropped with no
-                    # rewrite beyond this one fused pass
-                    new_files += self._write_data_files(
-                        scan_t.where(~cond), pb, mapping
-                    )
-                    cdc += self._write_cdc_files(
-                        scan_t.where(cond).withColumn(
-                            "_change_type", F.lit("delete")
+                    # rewrite beyond this one fused pass. The boundary
+                    # rewrite, the delete CDF sidecar and the incoming
+                    # slice's files are three independent jobs —
+                    # overlapped (see _overlapped)
+                    kept_w, cdc_w, ins = self._overlapped(
+                        lambda: self._write_data_files(
+                            scan_t.where(~cond), pb, mapping
                         ),
-                        mapping,
+                        lambda: self._write_cdc_files(
+                            scan_t.where(cond).withColumn(
+                                "_change_type", F.lit("delete")
+                            ),
+                            mapping,
+                        ),
+                        lambda: self._write_data_files(
+                            self._checked(enforced, cons), pb, mapping
+                        ),
                     )
-                    ins = self._write_data_files(
-                        self._checked(enforced, cons), pb, mapping
-                    )
+                    new_files += kept_w
+                    cdc += cdc_w
                 finally:
                     scan_t.unpersist()
             else:
@@ -4626,14 +4674,19 @@ class VersionedTable:
             mapping=mapping, partition_by=pb,
         ).persist()
         try:
-            kept_files = self._write_data_files(
-                scan_t.where(~cond), pb, mapping
-            )
-            cdc = self._write_cdc_files(
-                scan_t.where(cond).withColumn(
-                    "_change_type", F.lit("delete")
+            # the survivor rewrite and the CDF sidecar are independent
+            # jobs over the same persisted scan — overlapped so the
+            # second back-fills the first's task tail
+            kept_files, cdc = self._overlapped(
+                lambda: self._write_data_files(
+                    scan_t.where(~cond), pb, mapping
                 ),
-                mapping,
+                lambda: self._write_cdc_files(
+                    scan_t.where(cond).withColumn(
+                        "_change_type", F.lit("delete")
+                    ),
+                    mapping,
+                ),
             )
         finally:
             scan_t.unpersist()
@@ -4878,19 +4931,23 @@ class VersionedTable:
                 "update",
                 passthrough=(self._ROW_ID,) if tracked else (),
             )
-            new_files = self._write_data_files(
-                self._checked(rewritten, cons), pb, mapping
-            )
             matched = scan_t.where(cond)
-            cdc = self._write_cdc_files(
-                matched.withColumn(
-                    "_change_type", F.lit("update_preimage")
-                ).unionByName(
-                    _updated(matched, F.lit(True)).withColumn(
-                        "_change_type", F.lit("update_postimage")
-                    )
+            # rewrite and CDF sidecar: independent jobs over the same
+            # persisted scan, overlapped (see _overlapped)
+            new_files, cdc = self._overlapped(
+                lambda: self._write_data_files(
+                    self._checked(rewritten, cons), pb, mapping
                 ),
-                mapping,
+                lambda: self._write_cdc_files(
+                    matched.withColumn(
+                        "_change_type", F.lit("update_preimage")
+                    ).unionByName(
+                        _updated(matched, F.lit(True)).withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    ),
+                    mapping,
+                ),
             )
         finally:
             scan_t.unpersist()
@@ -5544,7 +5601,6 @@ class VersionedTable:
                     rewritten = kept
                 if carry is not None:
                     rewritten = rewritten.unionByName(carry)
-                new_files += self._write_data_files(rewritten, pb, mapping)
                 if when_matched == "update":
                     cdc_frames.append(
                         apply_pre.withColumn(
@@ -5562,6 +5618,7 @@ class VersionedTable:
                     cdc_frames.append(
                         apply_pre.withColumn("_change_type", F.lit("delete"))
                     )
+                ins_checked = None
                 if when_not_matched == "insert":
                     raw_ins = _inserts()
                     # the isEmpty() pre-check costs a full anti-join job
@@ -5573,18 +5630,31 @@ class VersionedTable:
                     # watermark fields in the log for a zero-insert merge.
                     if not idmap or not raw_ins.isEmpty():
                         inserts = _allocated(raw_ins)
-                        new_files += self._write_data_files(
-                            self._checked(inserts, cons), pb, mapping
-                        )
+                        ins_checked = self._checked(inserts, cons)
                         cdc_frames.append(
                             inserts.withColumn("_change_type", F.lit("insert"))
                         )
                 from functools import reduce
 
-                cdc = self._write_cdc_files(
-                    reduce(lambda a, b: a.unionByName(b), cdc_frames),
-                    mapping,
+                # the touched-file rewrite, the insert files and the CDF
+                # sidecar are three independent jobs over the persisted
+                # scan/source frames — overlapped (see _overlapped);
+                # manifest order (rewrite files, then inserts) unchanged
+                rw_files, ins_files, cdc = self._overlapped(
+                    lambda: self._write_data_files(rewritten, pb, mapping),
+                    (
+                        lambda: self._write_data_files(
+                            ins_checked, pb, mapping
+                        )
+                    )
+                    if ins_checked is not None
+                    else None,
+                    lambda: self._write_cdc_files(
+                        reduce(lambda a, b: a.unionByName(b), cdc_frames),
+                        mapping,
+                    ),
                 )
+                new_files += rw_files + (ins_files or [])
             finally:
                 scan_t.unpersist()
                 for p in ins_pinned:
@@ -5597,13 +5667,20 @@ class VersionedTable:
                 return None  # nothing matched AND nothing new
             try:
                 inserts = _allocated(raw_ins)
-                new_files = self._write_data_files(
-                    self._checked(inserts, self._constraints_at(base)), pb,
-                    mapping,
-                )
-                cdc = self._write_cdc_files(
-                    inserts.withColumn("_change_type", F.lit("insert")),
-                    mapping,
+                new_files, cdc = self._overlapped(
+                    lambda: self._write_data_files(
+                        self._checked(
+                            inserts, self._constraints_at(base)
+                        ),
+                        pb,
+                        mapping,
+                    ),
+                    lambda: self._write_cdc_files(
+                        inserts.withColumn(
+                            "_change_type", F.lit("insert")
+                        ),
+                        mapping,
+                    ),
                 )
             finally:
                 for p in ins_pinned:
