@@ -176,20 +176,25 @@ def verify_jaccard_arrays(
     corpus-wide broadcast) and computes
     ``size(array_intersect(...))`` inside codegen — the only rows in
     flight are the candidate pairs themselves. Output is identical:
-    intersection over string shingles, exact integer threshold."""
-    a = doc_arrays.select(
-        F.col("doc").alias("doc_i"), F.col("shingles").alias("sh_i")
+    intersection over string shingles, exact integer threshold.
+
+    Both joins consume the SAME relation through DataFrame aliases
+    (not per-side renamed projections): the two build-side exchange
+    subtrees then canonicalize identically, so ReuseExchange ships ONE
+    broadcast (or, shuffled, ONE exchange feeds both probes) and the
+    shingle arrays — the expensive subplan — are computed once, not once
+    per side."""
+    arr = F.broadcast(doc_arrays) if broadcast else doc_arrays
+    va, vb = arr.alias("va"), arr.alias("vb")
+    inter = F.size(
+        F.array_intersect(F.col("va.shingles"), F.col("vb.shingles"))
     )
-    b = doc_arrays.select(
-        F.col("doc").alias("doc_j"), F.col("shingles").alias("sh_j")
+    union = (
+        F.size(F.col("va.shingles")) + F.size(F.col("vb.shingles")) - inter
     )
-    if broadcast:
-        a, b = F.broadcast(a), F.broadcast(b)
-    inter = F.size(F.array_intersect("sh_i", "sh_j"))
-    union = F.size("sh_i") + F.size("sh_j") - inter
     return (
-        candidates.join(a, "doc_i")
-        .join(b, "doc_j")
+        candidates.join(va, F.col("doc_i") == F.col("va.doc"))
+        .join(vb, F.col("doc_j") == F.col("vb.doc"))
         .select(
             "doc_i",
             "doc_j",
@@ -372,7 +377,12 @@ def minhash_dedup_pairs(
         df.select(
             F.col(id_col).alias("doc_id_src"),
             F.col(text_col).alias("text_src"),
-        )
+        ),
+        # keyed by doc: hash(doc) satisfies the signature aggregate's
+        # ClusteredDistribution(doc, band), so its exchange disappears —
+        # the spread shuffle moves 5-50x fewer bytes than the post-explode
+        # partial-agg exchange it replaces (plan-verified: one Exchange)
+        by="doc_id_src",
     )
     sh_raw = shingle_table(base, "doc_id_src", "text_src", 5, distinct=False)
     # persist the banded signatures: the LSH self-join consumes them as
@@ -397,7 +407,15 @@ def minhash_dedup_pairs(
     docs_c = base.join(
         F.broadcast(cand_docs), base["doc_id_src"] == F.col("doc"), "left_semi"
     )
-    arrays_c = shingle_array(docs_c, "doc_id_src", "text_src", 5, hashed=True)
+    # checkpoint the (candidate docs only — small by design) shingle
+    # arrays too: verification consumes them on BOTH join sides, and
+    # Catalyst does not reuse the scan -> semi-join -> shingle subplan
+    # across the aliases (runtime-verified: 2 parquet scans, 4 broadcast
+    # builds, 0 ReusedExchange without this) — the broadcasts then build
+    # from materialized blocks instead of re-running the pipeline twice
+    arrays_c = shingle_array(
+        docs_c, "doc_id_src", "text_src", 5, hashed=True
+    ).localCheckpoint(eager=True)
     return verify_jaccard_arrays(cands, arrays_c, p, q)
 
 
@@ -456,7 +474,11 @@ def incremental_dedup_pairs(
     docs_c = both.join(
         F.broadcast(cand_docs), both["doc_id_src"] == F.col("doc"), "left_semi"
     )
-    arrays_c = shingle_array(docs_c, "doc_id_src", "text_src", 5, hashed=True)
+    # same double-consumption as minhash_dedup_pairs: checkpoint the
+    # candidate-doc arrays so the scan+semi-join+shingle pass runs once
+    arrays_c = shingle_array(
+        docs_c, "doc_id_src", "text_src", 5, hashed=True
+    ).localCheckpoint(eager=True)
     return verify_jaccard_arrays(cands, arrays_c, p, q)
 
 
@@ -468,7 +490,9 @@ def ngram_jaccard_pairs(
     size; prefer minhash_dedup_pairs at scale)."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
-    df = spread_small_scan(df)
+    # keyed: hash(id) satisfies the gram table's distinct-on-(doc, gram)
+    # clustering, dropping that exchange of the full exploded gram stream
+    df = spread_small_scan(df, by=id_col)
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, '\\\\s+'))-{n - 1}, 1)), "
         f"i -> array_join(slice(split({text_col}, '\\\\s+'), i, {n}), ' '))"
@@ -586,7 +610,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
-    df = spread_small_scan(df)
+    # keyed: hash(id) satisfies the 60-sum aggregate's per-doc clustering,
+    # so the signature computes in ONE stage with zero post-explode shuffle
+    df = spread_small_scan(df, by=id_col)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("t"),
@@ -844,7 +870,9 @@ def segment_dedup_rebuild(
     only for owners — collision risk ~N^2/2^128, the standard trade."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
-    df = spread_small_scan(df)
+    # keyed spread (skips round-robin's local input sort; the owner
+    # election still exchanges by segment text as it must)
+    df = spread_small_scan(df, by=id_col)
     segs = (
         df.where(F.col(text_col).isNotNull())
         .select(
@@ -972,7 +1000,9 @@ def sorted_neighborhood_pairs(
     sort keys — see :func:`sorted_neighborhood_multi`."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
-    df = spread_small_scan(df)
+    # keyed: the non-broadcast verification join exchanges the shingle
+    # arrays by doc — hash(id) partitioning from the spread satisfies it
+    df = spread_small_scan(df, by=id_col)
     # one pass yields each canonical pair exactly once (global ranks are
     # unique), so no dedup shuffle is needed — unlike the multi-pass union
     cands = _snm_candidates(
@@ -1009,7 +1039,8 @@ def sorted_neighborhood_multi(
     verification, so each survivor is verified once."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
-    df = spread_small_scan(df)
+    # keyed for the same exchange-elimination as the single-pass form
+    df = spread_small_scan(df, by=id_col)
     fwd = _snm_candidates(
         df,
         id_col,

@@ -45,7 +45,9 @@ _WIDE_NODES = re.compile(
 )
 
 
-def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame, min_parts: int | None = None, by: str | None = None
+) -> DataFrame:
     """Round-robin-repartition ``df`` to ``min_parts`` (default: the
     session's defaultParallelism) ONLY when it is a narrow
     scan/projection whose partition count is below half that — i.e. only
@@ -62,10 +64,22 @@ def spread_small_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     On a narrow scan the probe is free (no stages to materialize).
 
     Call it BEFORE the expensive projection: repartitioning after would
-    ship the projected results, parallelizing nothing."""
+    ship the projected results, parallelizing nothing.
+
+    ``by`` names a column to hash-partition on instead of round-robin.
+    Use the key the downstream aggregation/join groups by (or a prefix
+    of it): HashPartitioning(k) satisfies ClusteredDistribution(k, ...),
+    so EnsureRequirements drops the aggregate's own exchange — the
+    spread shuffle REPLACES a later, larger one (post-explode partial
+    rows) rather than adding one (guide §2.4 "two operations keyed the
+    same way share one exchange"). A keyed repartition also skips
+    round-robin's local sort-before-repartition. Only pass a ``by`` key
+    with far more distinct values than partitions (doc/record ids) —
+    a low-cardinality key would recreate the skew this guard exists to
+    avoid."""
     if _WIDE_NODES.search(df._jdf.queryExecution().optimizedPlan().toString()):
         return df
     target = min_parts or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
+        return df.repartition(target, F.col(by)) if by else df.repartition(target)
     return df
