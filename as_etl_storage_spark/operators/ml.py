@@ -386,11 +386,22 @@ def kmeans_validated(
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
-    obj0 = _objective(_assign_impl(corpus, centroids, impl)).select(
+    if impl == "vectorized":
+        # collect the seed centroids ONCE for both consumers (the obj0
+        # assignment and iteration 1's step) — the naive form ran the
+        # same bounded k-row collect as two separate Spark jobs
+        c0_rows = centroids.collect()
+        obj0_assign = _assign_np(corpus, c0_rows)
+    else:
+        obj0_assign = _assign(corpus, centroids)
+    obj0 = _objective(obj0_assign).select(
         F.col("obj").alias("obj0"), F.col("n_assigned").alias("n0")
     )
     for i in range(iters):
-        centroids = _step(corpus, centroids, impl)
+        if impl == "vectorized" and i == 0:
+            centroids = _update_np(_assign_np(corpus, c0_rows), c0_rows)
+        else:
+            centroids = _step(corpus, centroids, impl)
         if impl != "vectorized" and (
             materialize_every and (i + 1) % materialize_every == 0
         ):
