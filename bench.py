@@ -173,7 +173,16 @@ def main() -> None:
     # here vs the reference's micro-batched INSERT path (1000-row
     # batches over <=4 connections) is the single-node throughput
     # comparison BASELINE.md calls for.
+    # r17 measurement fix (documented in OPTIMIZATION_r17.md): the
+    # extended section was a SINGLE timed run per query, so one tenancy
+    # burst through this span of the bench inflated a few adjacent
+    # queries 5-10x in the committed artifact (r17 mid-capture: SNM 17.1s
+    # in-bench vs 4-6s when re-run in isolation minutes later, with the
+    # three queries NEXT to it inflated the same way and the ones before/
+    # after healthy). Median-of-3 like the headline section; per-run
+    # times ship in bench_detail.json so a reviewer can still see spikes.
     extended: dict[str, float] = {}
+    extended_runs: dict[str, list[float]] = {}
     for name in EXTENDED:
         fn = QUERIES.get(name)
         if fn is None:
@@ -181,9 +190,16 @@ def main() -> None:
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            extended[name] = round(time.perf_counter() - t0, 4)
+            per_run = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                per_run.append(round(time.perf_counter() - t0, 4))
+                spark.catalog.clearCache()
+            extended_runs[name] = per_run
+            extended[name] = round(statistics.median(per_run), 4)
         except Exception:
             extended[name] = -1.0
         spark.catalog.clearCache()
@@ -244,6 +260,7 @@ def main() -> None:
     detail = {
         "per_run_sec": runs,
         "extended_sec": extended,
+        "extended_per_run_sec": extended_runs,
         "etl_copy_rows": n_rows,
         "etl_copy_sec": round(copy_s, 4),
         "etl_copy_rows_per_sec": int(n_rows / copy_s),
