@@ -475,23 +475,57 @@ def bm25_topk(
     avgdl, per-term df) are single-row / |terms|-row aggregates joined by
     broadcast. At 100 TB the df/avgdl stats come from the standing corpus
     profile instead of a rescan — the scoring join is unchanged."""
-    terms = F.array(*[F.lit(t.lower()) for t in sorted({t.lower() for t in query_terms})])
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    term_list = sorted({t.lower() for t in query_terms})
+    # ONE tokenize pass, ONE aggregation: the naive formulation consumed
+    # the exploded token stream through three lineages (doc lengths,
+    # corpus stats via the lengths, per-term tf) and Catalyst re-planned
+    # the tokenize+explode subtree for each — three full corpus passes at
+    # scale. A per-doc pivot aggregation (count(*) for dl plus one
+    # conditional count per query term — the term list is a small literal
+    # bag by construction) yields identical tf/dl/df/N/avgdl values from
+    # a single pass, and the former dlen join disappears because dl rides
+    # the same row. Keyed spread: hash(doc) both widens the tokenize of a
+    # single-row-group input and already satisfies the aggregate's
+    # clustering (no post-explode exchange).
     toks = (
-        df.where(F.col(text_col).isNotNull())
+        spread_small_scan(df.where(F.col(text_col).isNotNull()), by=id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
         )
         .where(F.col("t") != "")
     )
-    dlen = toks.groupBy("doc").agg(F.count("*").alias("dl"))
-    stats = dlen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    per_doc = toks.groupBy("doc").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("t") == F.lit(t), 1)).alias(f"tf_{i}")
+            for i, t in enumerate(term_list)
+        ],
+    )
+    # three consumers (corpus stats, per-term df, the scoring join) and
+    # Catalyst re-plans the tokenize+aggregate per lineage (executed plan
+    # without this: 3 scans / 5 Generates, 0 ReusedExchange) — pin the
+    # |docs|-row frame so the corpus pass runs once; blocks are
+    # ContextCleaner-freed with the result
+    per_doc = per_doc.localCheckpoint(eager=True)
+    # (doc, dl, term, tf) rows for terms the doc actually contains — the
+    # per-doc frame is |docs| rows, so this explode is corpus-independent
+    stack_args = ", ".join(
+        "'{}', tf_{}".format(t.replace("'", "''"), i)
+        for i, t in enumerate(term_list)
     )
     hits = (
-        toks.where(F.array_contains(terms, F.col("t")))
-        .groupBy("doc", "t")
-        .agg(F.count("*").alias("tf"))
+        per_doc.select(
+            "doc",
+            "dl",
+            F.expr(f"stack({len(term_list)}, {stack_args}) AS (t, tf)"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     dfreq = hits.groupBy("t").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -504,7 +538,6 @@ def bm25_topk(
     )
     contrib = (
         hits.join(F.broadcast(dfreq), "t")
-        .join(dlen, "doc")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc",
