@@ -636,8 +636,13 @@ def tfidf_similar_pairs(
     arithmetic — order-independent under any shuffle; the one float
     division per pair and the sqrt per doc are single correctly-rounded
     ops both engines agree on bit-for-bit."""
+    from as_etl_storage_spark.operators.parallelism import spread_small_scan
+
+    # keyed spread: widens the tokenize of a single-row-group input and
+    # hash(doc) already satisfies the (doc, term) tf aggregation's
+    # clustering — no post-explode exchange (guide §2.4/§2.5)
     toks = (
-        df.where(F.col(text_col).isNotNull())
+        spread_small_scan(df.where(F.col(text_col).isNotNull()), by=id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(_tokens(F.lower(F.col(text_col)))).alias("t"),
@@ -672,6 +677,11 @@ def tfidf_similar_pairs(
             .alias("w"),
         )
     )
+    # the mid-band weighted index feeds THREE lineages (norms + both
+    # self-join sides) and each would re-run tokenize + tf + the band
+    # join; pin it once — it is the df-band-bounded sparse index, the
+    # thing a production pipeline materializes anyway
+    weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
     )
