@@ -352,17 +352,50 @@ def ivf_topk(
     ~n_centroids/nprobe times vs brute force; the join key is the centroid
     id (equi-join, AQE handles list-size skew). Raising nprobe is the
     standard recall lever — the plan shape does not change, only the probe
-    fan-out."""
-    e = _prepared(df, id_col, vec_col).join(
-        ivf_assign(df, id_col, vec_col, n_centroids).select(
-            F.col("vec_id").alias("vid"), "centroid_id"
+    fan-out.
+
+    One quantizer pass, one index build: the member assignment
+    (rnk == 1) and the probe assignment (rnk <= nprobe) come from the
+    SAME ranked corpus-x-centroid scan, checkpointed once, and the
+    inverted index ``e`` — consumed by both sides of the candidate join
+    — is materialized once too. The naive composition (ivf_assign +
+    ivf_probe_assign + ``e`` re-planned per join side) ran the corpus
+    scan and the quantizer window up to four times per query; production
+    IVF *stores* the index, so materializing it is the algorithm's own
+    shape, not a cache trick. Values are identical (same windows, same
+    tie-breaks)."""
+    corpus = _prepared(df, id_col, vec_col)
+    centroids = corpus.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cn"),
+    )
+    qcos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cn"))
+    wq = Window.partitionBy("vid").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    ranked = (
+        corpus.join(F.broadcast(centroids))
+        .select("vid", "cid", qcos.alias("qcos"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .where(F.col("rnk") <= max(nprobe, 1))
+        .select("vid", "cid", "rnk")
+        .localCheckpoint(eager=True)
+    )
+    e = corpus.join(
+        ranked.where(F.col("rnk") == 1).select(
+            "vid", F.col("cid").alias("centroid_id")
         ),
         "vid",
-    )
-    probes = ivf_probe_assign(df, id_col, vec_col, n_centroids, nprobe).select(
-        F.col("vec_id").alias("vid"), F.col("centroid_id").alias("probe_cid")
-    )
-    a = e.join(probes, "vid").alias("a")
+    ).localCheckpoint(eager=True)
+    if nprobe <= 1:
+        # a query's one probe list IS its own list — no probes join
+        a = e.withColumn("probe_cid", F.col("centroid_id")).alias("a")
+    else:
+        probes = ranked.where(F.col("rnk") <= nprobe).select(
+            "vid", F.col("cid").alias("probe_cid")
+        )
+        a = e.join(probes, "vid").alias("a")
     b = e.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
     scored = a.join(
