@@ -21,6 +21,14 @@ codegen'd) — no Python UDFs in any hot path. Scale design notes:
 
 Thresshold comparisons use integer cross-multiplication (inter * q >=
 union * p for threshold p/q) — exact, no float boundary effects.
+
+Eager ``localCheckpoint`` sites (candidate pairs / candidate-doc arrays
+here; same pattern in text/similarity/ml operators): construction
+launches the materializing job immediately and truncates lineage to
+UNREPLICATED executor blocks, so in cluster mode an executor loss after
+the pin is unrecoverable for that query (acceptable for interactive /
+retried batch work; swap for ``persist`` + caller-managed lifecycle or a
+reliable checkpoint where a long job must survive executor churn).
 """
 
 from __future__ import annotations

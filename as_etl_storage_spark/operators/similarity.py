@@ -363,7 +363,14 @@ def ivf_topk(
     scan and the quantizer window up to four times per query; production
     IVF *stores* the index, so materializing it is the algorithm's own
     shape, not a cache trick. Values are identical (same windows, same
-    tie-breaks)."""
+    tie-breaks). The eager pins trade cluster-mode executor-loss
+    recovery for the saved passes (unreplicated blocks — see the
+    operators/dedup module note)."""
+    if nprobe < 1:
+        # the pre-r17 composition returned an empty frame for nprobe=0 —
+        # silently probing 1 list instead would change semantics; a probe
+        # count below 1 is a caller bug, fail it by name
+        raise ValueError(f"ivf_topk requires nprobe >= 1, got {nprobe}")
     corpus = _prepared(df, id_col, vec_col)
     centroids = corpus.where(F.col("vid") < n_centroids).select(
         F.col("vid").alias("cid"),
@@ -378,7 +385,7 @@ def ivf_topk(
         corpus.join(F.broadcast(centroids))
         .select("vid", "cid", qcos.alias("qcos"))
         .withColumn("rnk", F.row_number().over(wq))
-        .where(F.col("rnk") <= max(nprobe, 1))
+        .where(F.col("rnk") <= nprobe)
         .select("vid", "cid", "rnk")
         .localCheckpoint(eager=True)
     )

@@ -469,15 +469,30 @@ def bm25_topk(
     total is an exact decimal sum — order-independent under any shuffle
     or partitioning; only the final scalar rounding touches floats.
 
-    Scale: the query-term list is a literal broadcast; the token stream is
-    filtered to query terms BEFORE the (doc, term) aggregation, so shuffle
-    bytes ∝ matching tokens only, never the corpus. Corpus stats (N,
-    avgdl, per-term df) are single-row / |terms|-row aggregates joined by
-    broadcast. At 100 TB the df/avgdl stats come from the standing corpus
-    profile instead of a rescan — the scoring join is unchanged."""
+    Scale: the query-term list is a literal broadcast; ONE tokenize pass
+    feeds a per-doc pivot aggregation (count(*) for dl plus one
+    conditional count per query term), so the post-explode shuffle
+    carries |docs| partial-agg rows, keyed by the same hash(doc) the
+    spread already established (no second exchange). The |docs|-row frame
+    is eagerly checkpointed so its three consumers (corpus stats,
+    per-term df, the scoring join) cost one corpus pass instead of three.
+    Corpus stats (N, avgdl, per-term df) are |terms|-row aggregates
+    joined by broadcast. At 100 TB the df/avgdl stats come from the
+    standing corpus profile instead of a rescan — the scoring join is
+    unchanged."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
 
     term_list = sorted({t.lower() for t in query_terms})
+    if not term_list:
+        # no terms -> no hits: the pre-r17 array_contains formulation
+        # returned an empty frame; keep that contract (a stack() over
+        # zero columns would fail analysis instead)
+        return (
+            df.select(F.col(id_col))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+            .limit(0)
+        )
     # ONE tokenize pass, ONE aggregation: the naive formulation consumed
     # the exploded token stream through three lineages (doc lengths,
     # corpus stats via the lengths, per-term tf) and Catalyst re-planned
@@ -508,20 +523,34 @@ def bm25_topk(
     # Catalyst re-plans the tokenize+aggregate per lineage (executed plan
     # without this: 3 scans / 5 Generates, 0 ReusedExchange) — pin the
     # |docs|-row frame so the corpus pass runs once; blocks are
-    # ContextCleaner-freed with the result
+    # ContextCleaner-freed with the result. An adaptive skip-when-small
+    # variant was measured r18 (interleaved A/B at sf0.1): the pivot
+    # recomputes cost MORE than the barrier (bm25 1.08 vs 1.00 median),
+    # so the pin is unconditional. Eagerness trade (cluster mode):
+    # checkpoint blocks are unreplicated executor state — executor loss
+    # is unrecoverable; swap for persist/reliable checkpoint where that
+    # matters (same note as kmeans_validated).
     per_doc = per_doc.localCheckpoint(eager=True)
     # (doc, dl, term, tf) rows for terms the doc actually contains — the
-    # per-doc frame is |docs| rows, so this explode is corpus-independent
-    stack_args = ", ".join(
-        "'{}', tf_{}".format(t.replace("'", "''"), i)
-        for i, t in enumerate(term_list)
-    )
+    # per-doc frame is |docs| rows, so this explode is corpus-independent.
+    # Built from literal structs (not a stack() SQL string: term strings
+    # with quote/backslash escapes would be mangled by SQL parsing)
     hits = (
         per_doc.select(
             "doc",
             "dl",
-            F.expr(f"stack({len(term_list)}, {stack_args}) AS (t, tf)"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"), F.col(f"tf_{i}").alias("tf")
+                        )
+                        for i, t in enumerate(term_list)
+                    ]
+                )
+            ).alias("h"),
         )
+        .select("doc", "dl", F.col("h.t").alias("t"), F.col("h.tf").alias("tf"))
         .where(F.col("tf") > 0)
     )
     stats = per_doc.agg(
@@ -680,7 +709,9 @@ def tfidf_similar_pairs(
     # the mid-band weighted index feeds THREE lineages (norms + both
     # self-join sides) and each would re-run tokenize + tf + the band
     # join; pin it once — it is the df-band-bounded sparse index, the
-    # thing a production pipeline materializes anyway
+    # thing a production pipeline materializes anyway (adaptive skip
+    # measured slower even at sf0.1 — see bm25's pin note). Same
+    # unreplicated-blocks eagerness trade as bm25 in cluster mode.
     weighted = weighted.localCheckpoint(eager=True)
     norms = weighted.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
