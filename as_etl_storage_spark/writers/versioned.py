@@ -3032,6 +3032,28 @@ class VersionedTable:
         raise VersionedTableError("could not commit after 50 attempts")
 
     # -- data files -----------------------------------------------------
+    def _job_label(self, desc: str):
+        """Label the Spark jobs a DML phase launches (guide §1.5) so
+        commit-protocol traces and the UI attribute every job to its
+        phase (envelope / discovery / rewrite / insert / cdf / stats).
+        Restores the caller's description on exit; job descriptions are
+        thread-local, so labels set inside _overlapped's worker threads
+        never leak across the concurrent staging writes."""
+        from contextlib import contextmanager
+
+        sc = self.spark.sparkContext
+
+        @contextmanager
+        def _ctx():
+            prev = sc.getLocalProperty("spark.job.description")
+            sc.setJobDescription(f"vt:{desc}")
+            try:
+                yield
+            finally:
+                sc.setJobDescription(prev)
+
+        return _ctx()
+
     #: set to "0" to run each commit's independent staging writes
     #: sequentially (the pre-r17 behavior) instead of from driver threads
     _OVERLAP_ENV = "SPARK_GRAFT_OVERLAP_DML_WRITES"
@@ -4658,7 +4680,10 @@ class VersionedTable:
                 base, cond, candidates, triples, dv_rewrite_fraction,
                 predicate_repr=self._param_repr(predicate),
             )
-        touched, untouched = self._split_touched(base, cond, candidates)
+        with self._job_label("delete:discovery"):
+            touched, untouched = self._split_touched(
+                base, cond, candidates
+            )
         if not touched:
             return None
         pb = self._partition_by_at(base)
@@ -4676,18 +4701,27 @@ class VersionedTable:
         try:
             # the survivor rewrite and the CDF sidecar are independent
             # jobs over the same persisted scan — overlapped so the
-            # second back-fills the first's task tail
-            kept_files, cdc = self._overlapped(
-                lambda: self._write_data_files(
-                    scan_t.where(~cond), pb, mapping
-                ),
-                lambda: self._write_cdc_files(
-                    scan_t.where(cond).withColumn(
-                        "_change_type", F.lit("delete")
-                    ),
-                    mapping,
-                ),
-            )
+            # second back-fills the first's task tail; the rewrite thread
+            # also reads its own files' footer stats so the commit's stat
+            # collection overlaps the CDF write (pipelined manifest I/O)
+            def _rw():
+                with self._job_label("delete:rewrite"):
+                    fs = self._write_data_files(
+                        scan_t.where(~cond), pb, mapping
+                    )
+                    return fs, self._collect_stats(fs)
+
+            def _cdf():
+                with self._job_label("delete:cdf"):
+                    return self._write_cdc_files(
+                        scan_t.where(cond).withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                        mapping,
+                    )
+
+            staged, cdc = self._overlapped(_rw, _cdf)
+            kept_files, staged_stats = staged
         finally:
             scan_t.unpersist()
         known = self._stats_at(base)
@@ -4696,7 +4730,10 @@ class VersionedTable:
             "delete",
             base,
             cdc=cdc,
-            known_stats={f: known[f] for f in untouched if f in known},
+            known_stats={
+                **{f: known[f] for f in untouched if f in known},
+                **staged_stats,
+            },
             partition_by=pb,
             rebase_on_appends=self._phys_triples(triples, mapping),
             params={
@@ -5332,28 +5369,35 @@ class VersionedTable:
         # in the insert anti-join, silently losing or duplicating rows.
         # persist() pins one evaluation for every downstream job.
         source = source.persist()
-        # both key frames are reused across several jobs — persist so
-        # each costs one scan, not five
-        src_keys = source.select(*on).distinct().persist()
+        # the source key frame feeds every downstream join as a
+        # semi/anti/broadcast side — none of which care about key
+        # multiplicity — so it is a pure PROJECTION of the persisted
+        # source. The former .distinct().persist() added a full shuffle
+        # plus its AQE job barriers per merge and bought nothing: hash
+        # builds dedup keys anyway, and min/max over duplicates equals
+        # min/max over distinct (r18 commit-protocol trim).
+        src_keys = source.select(*on)
         files = self._state(base)
         pb = self._partition_by_at(base)
         # bound every target-side job by the source's key envelope (one
-        # small aggregate over the source, the small side by assumption):
-        # a target file whose bounds fall outside [min, max] on any key
-        # column cannot hold a KEY match, so it is never opened — not by
-        # the discovery scan, not by the cardinality check, not by the
+        # small MAP-SIDE aggregate over the persisted source — no
+        # distinct, no shuffle beyond the single-row combine): a target
+        # file whose bounds fall outside [min, max] on any key column
+        # cannot hold a KEY match, so it is never opened — not by the
+        # discovery scan, not by the cardinality check, not by the
         # insert anti-join. Delta's merge pushes the same min/max into
         # its target scan.
-        env = src_keys.agg(
-            *[
-                f
-                for k in on
-                for f in (
-                    F.min(k).alias(f"{k}__lo"),
-                    F.max(k).alias(f"{k}__hi"),
-                )
-            ]
-        ).collect()[0]
+        with self._job_label("merge:envelope"):
+            env = source.agg(
+                *[
+                    f
+                    for k in on
+                    for f in (
+                        F.min(k).alias(f"{k}__lo"),
+                        F.max(k).alias(f"{k}__hi"),
+                    )
+                ]
+            ).collect()[0]
         triples: list[tuple[str, str, object]] = []
         for k in on:
             lo, hi = env[f"{k}__lo"], env[f"{k}__hi"]
@@ -5368,14 +5412,17 @@ class VersionedTable:
         )
         # keys of the candidate files ARE the matchable target keys: a
         # key in a pruned file lies outside the envelope on some column
-        # and can equal no source key
+        # and can equal no source key. NOT deduplicated: every consumer
+        # is a semi/anti/hash-build side where key multiplicity is
+        # irrelevant (the hash build dedups), and the distinct's shuffle
+        # cost a full AQE stage cascade per merge (r18 trim); the persist
+        # still pins one candidate-file key scan for all consumers
         cand_keys = (
             self._scan_files(
                 candidates, self._scan_schema(base), self._dv_at(base),
                 mapping=mapping, partition_by=pb,
             )
             .select(*on)
-            .distinct()
             .persist()
             if candidates
             else target.limit(0).select(*on)
@@ -5403,7 +5450,6 @@ class VersionedTable:
             )
         finally:
             source.unpersist()
-            src_keys.unpersist()
             cand_keys.unpersist()
 
     def _merge_with_keys(
@@ -5536,7 +5582,8 @@ class VersionedTable:
                 # not a job — the standalone probe was a full extra job
                 # per merge
                 disc = disc.unionByName(dup_probe)
-            t_rows = disc.collect()
+            with self._job_label("merge:discovery"):
+                t_rows = disc.collect()
             t_set = {r[self._FILE_NAME] for r in t_rows}
             if "__dup__" in t_set:
                 raise VersionedTableError(
@@ -5639,22 +5686,40 @@ class VersionedTable:
                 # the touched-file rewrite, the insert files and the CDF
                 # sidecar are three independent jobs over the persisted
                 # scan/source frames — overlapped (see _overlapped);
-                # manifest order (rewrite files, then inserts) unchanged
-                rw_files, ins_files, cdc = self._overlapped(
-                    lambda: self._write_data_files(rewritten, pb, mapping),
-                    (
-                        lambda: self._write_data_files(
-                            ins_checked, pb, mapping
+                # manifest order (rewrite files, then inserts) unchanged.
+                # Each data thunk also reads its own files' footer stats
+                # IN ITS THREAD, so the commit's stat collection overlaps
+                # the sibling writes instead of running as a serial
+                # driver loop after all three finish (r18: pipelined
+                # manifest I/O)
+                def _staged(label: str, frame: DataFrame):
+                    def run():
+                        with self._job_label(label):
+                            fs = self._write_data_files(frame, pb, mapping)
+                            return fs, self._collect_stats(fs)
+
+                    return run
+
+                def _cdf():
+                    with self._job_label("merge:cdf"):
+                        return self._write_cdc_files(
+                            reduce(
+                                lambda a, b: a.unionByName(b), cdc_frames
+                            ),
+                            mapping,
                         )
-                    )
+
+                rw, ins, cdc = self._overlapped(
+                    _staged("merge:rewrite", rewritten),
+                    _staged("merge:insert", ins_checked)
                     if ins_checked is not None
                     else None,
-                    lambda: self._write_cdc_files(
-                        reduce(lambda a, b: a.unionByName(b), cdc_frames),
-                        mapping,
-                    ),
+                    _cdf,
                 )
-                new_files += rw_files + (ins_files or [])
+                rw_files, rw_stats = rw
+                ins_files, ins_stats = ins if ins is not None else ([], {})
+                staged_stats = {**rw_stats, **ins_stats}
+                new_files += rw_files + ins_files
             finally:
                 scan_t.unpersist()
                 for p in ins_pinned:
@@ -5667,21 +5732,29 @@ class VersionedTable:
                 return None  # nothing matched AND nothing new
             try:
                 inserts = _allocated(raw_ins)
-                new_files, cdc = self._overlapped(
-                    lambda: self._write_data_files(
-                        self._checked(
-                            inserts, self._constraints_at(base)
-                        ),
-                        pb,
-                        mapping,
-                    ),
-                    lambda: self._write_cdc_files(
-                        inserts.withColumn(
-                            "_change_type", F.lit("insert")
-                        ),
-                        mapping,
-                    ),
-                )
+
+                def _ins_only():
+                    with self._job_label("merge:insert"):
+                        fs = self._write_data_files(
+                            self._checked(
+                                inserts, self._constraints_at(base)
+                            ),
+                            pb,
+                            mapping,
+                        )
+                        return fs, self._collect_stats(fs)
+
+                def _cdf_only():
+                    with self._job_label("merge:cdf"):
+                        return self._write_cdc_files(
+                            inserts.withColumn(
+                                "_change_type", F.lit("insert")
+                            ),
+                            mapping,
+                        )
+
+                staged, cdc = self._overlapped(_ins_only, _cdf_only)
+                new_files, staged_stats = staged
             finally:
                 for p in ins_pinned:
                     p.unpersist()
@@ -5691,7 +5764,10 @@ class VersionedTable:
             "merge",
             base,
             cdc=cdc,
-            known_stats={f: known[f] for f in untouched if f in known},
+            known_stats={
+                **{f: known[f] for f in untouched if f in known},
+                **staged_stats,
+            },
             partition_by=pb,
             # an EVOLVING merge records the new schema; its rows were
             # aligned against the base's, so a concurrent schema change

@@ -39,6 +39,8 @@ def get_spark_logged(event_dir: str) -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.codegen.maxFields", "300")
         .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.eventLog.dir", event_dir)
         .getOrCreate()
     )
@@ -97,7 +99,11 @@ def main() -> None:
         print(f"WALL {k}: {wall[k] / reps:.3f}s")
     print(f"WALL total: {total / reps:.3f}s over {reps} reps")
 
-    logs = sorted(glob.glob(os.path.join(event_dir, "*")))
+    logs = sorted(
+        p
+        for p in glob.glob(os.path.join(event_dir, "**", "*"), recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    )
     jobs = []
     for path in logs:
         with open(path) as fh:
@@ -108,9 +114,15 @@ def main() -> None:
                     continue
                 if ev.get("Event") == "SparkListenerJobStart":
                     props = ev.get("Properties", {}) or {}
+                    infos = ev.get("Stage Infos", []) or []
+                    names = " | ".join(
+                        si.get("Stage Name", "")[:48] for si in infos[:2]
+                    )
                     jobs.append({
                         "id": ev["Job ID"],
                         "desc": props.get("spark.job.description", ""),
+                        "names": names,
+                        "ntasks": sum(si.get("Number of Tasks", 0) for si in infos),
                         "start": ev["Submission Time"],
                         "end": None,
                     })
@@ -125,7 +137,10 @@ def main() -> None:
         if j["end"] is None:
             continue
         gap = (j["start"] - prev_end) if prev_end is not None else 0
-        print(f"{j['id']:>4} {j['desc'][:30]:<30} {j['end']-j['start']:>6} {gap:>6}")
+        print(
+            f"{j['id']:>4} {j['desc'][:14]:<14} {j['end']-j['start']:>6} "
+            f"{gap:>6} t{j['ntasks']:<4} {j['names'][:72]}"
+        )
         prev_end = j["end"]
     print(f"\nevent log dir: {event_dir}")
 
