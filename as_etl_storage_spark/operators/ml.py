@@ -48,6 +48,34 @@ def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _literal_centroids(spark, rows) -> DataFrame:
+    """The k x dim centroid rows as a PURE-JVM literal frame (explode of
+    a literal struct array over range(1)). ``spark.createDataFrame``
+    returns a Python-RDD-backed frame sliced across defaultParallelism
+    partitions, so every consumer stage paid one Python-worker
+    round-trip PER SLICE for k rows — 32 near-empty tasks per iteration
+    (458 ms in the r18 trace), and coalescing them made ONE task pay all
+    32 round-trips sequentially (6.3 s). Literal expressions run as
+    codegen with no Python worker at all; float values ride exactly
+    (F.lit on a Python float is the same IEEE double)."""
+    if not rows:
+        return spark.createDataFrame([], "cid long, cv array<double>")
+    structs = [
+        F.struct(
+            F.lit(int(r["cid"])).cast("long").alias("cid"),
+            F.array(
+                *[F.lit(float(x)) for x in r["cv"]]
+            ).alias("cv"),
+        )
+        for r in sorted(rows, key=lambda r: r["cid"])
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("c"))
+        .select(F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv"))
+    )
+
+
 def _assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest centroid per point: broadcast the k-row centroid table,
     squared-L2 argmin with cid tie-break. Adds a ``dist`` column.
@@ -177,11 +205,9 @@ def _update_np(assigned: DataFrame, cent_rows: list) -> DataFrame:
 
     spark = assigned.sparkSession
     # literal rows: the returned plan's fallback side never chains the
-    # previous iteration's lineage
-    old = spark.createDataFrame(
-        sorted((r["cid"], list(r["cv"])) for r in cent_rows),
-        "cid long, cv array<double>",
-    )
+    # previous iteration's lineage (and _literal_centroids keeps the k
+    # rows a zero-Python-worker LocalRelation-style subtree)
+    old = _literal_centroids(spark, cent_rows)
 
     schema = "pid long, cid long, sx array<double>, n long"
 
@@ -215,8 +241,16 @@ def _update_np(assigned: DataFrame, cent_rows: list) -> DataFrame:
     partials = assigned.select("cid", "v").mapInPandas(partial, schema)
     # in-plan combine: pid-ordered left fold of the per-partition sums,
     # then one double division per dimension — the exact operation order
-    # of the removed driver loop
-    new = partials.groupBy("cid").agg(
+    # of the removed driver loop. The combine has AT MOST k groups, so
+    # more than k reducers is pure scheduling waste (the session's 32
+    # shuffle partitions ran 32 near-empty tasks per iteration); a keyed
+    # repartition(k) satisfies the aggregate's clustering, so this stays
+    # ONE exchange with k tasks — scale-independent (k is the group
+    # count at any corpus size). Fold order is unchanged: the per-cid
+    # pid-sort fixes the sequence regardless of partitioning.
+    n_red = max(1, min(len(cent_rows),
+                       spark.sparkContext.defaultParallelism))
+    new = partials.repartition(n_red, "cid").groupBy("cid").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("pid", "sx"))),
             F.lit(None).cast("array<double>"),
@@ -257,7 +291,7 @@ def _materialize(centroids: DataFrame) -> DataFrame:
     are bit-identical, so results are unchanged."""
     spark = centroids.sparkSession
     rows = centroids.collect()
-    return spark.createDataFrame(rows, "cid long, cv array<double>")
+    return _literal_centroids(spark, rows)
 
 
 #: pin centroids as literals every N iterations: short runs stay one fused
@@ -382,7 +416,11 @@ def kmeans_validated(
         # unpersist the lazy return value makes impossible. (On a real
         # cluster where executor loss must be survivable, swap for
         # persist + a caller-managed lifecycle or a reliable checkpoint.)
-        corpus = corpus.localCheckpoint(eager=True)
+        # LAZY (eager=False): the very next action — the bounded seed
+        # collect below — materializes the checkpoint blocks, so eager's
+        # dedicated materialization job (plus its driver gap) was a pure
+        # extra barrier (r18 trace)
+        corpus = corpus.localCheckpoint(eager=False)
     centroids = corpus.where(F.col("vid") < k).select(
         F.col("vid").alias("cid"), F.col("v").alias("cv")
     )
