@@ -271,7 +271,16 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF). The oracle pins the exact brute-force pair count + booleans."""
     from as_etl_storage_spark.operators.ml import kmeans_centroids
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # the corpus feeds SIX consumers (brute-force both sides, kmeans
+    # training collects, corpus cells, query cells, the count agg) and
+    # Catalyst re-planned the parquet scan for each — the executed plan
+    # read embeddings.parquet 14 times. One lazy localCheckpoint turns
+    # every pass into a block read; the first kmeans collect
+    # materializes it (same materialize-once discipline as ivf_topk;
+    # same unreplicated-blocks trade, see operators/dedup module note)
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=False
+    )
     pred = "vid % 50 = 0"
     bf = similarity.cosine_topk(emb, "vec_id", "embedding", 5, pred)
     cents = kmeans_centroids(emb, "vec_id", "embedding", 16, 2, impl="jvm")
@@ -287,6 +296,10 @@ def _ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("qid != vid")
         .select("qid", "vid")
         .distinct()
+        # consumed by BOTH the recall join and the candidate count —
+        # pin the bounded (qid, vid) id pairs so the quantizer join
+        # runs once
+        .localCheckpoint(eager=True)
     )
     hits = bf.join(
         cand,

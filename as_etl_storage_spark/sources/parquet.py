@@ -108,7 +108,7 @@ def _table_fingerprint(path: str) -> tuple | None:
 #: tests that rewrite temp tables) always see fresh metadata. Bounded to
 #: keep long sessions (oracle sweep: hundreds of scratch tables) from
 #: accumulating stale plans.
-_PLAN_CACHE: dict[tuple[int, str], tuple[tuple, DataFrame]] = {}
+_PLAN_CACHE: dict[tuple[int, str, str], tuple[tuple, DataFrame]] = {}
 _PLAN_CACHE_MAX = 64
 
 
@@ -118,7 +118,11 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     reading them as int64 ns and truncating to microseconds — the same
     truncation DuckDB applies, so oracles agree."""
     fp = _table_fingerprint(path)
-    key = (id(spark), path)
+    # id(spark) alone could collide if a stopped session's wrapper were
+    # collected and a new session object reused its address — the
+    # applicationId (fresh per SparkContext) pins the entry to the live
+    # context, so a plan bound to a stopped context can never be served
+    key = (id(spark), spark.sparkContext.applicationId, path)
     if fp is not None:
         hit = _PLAN_CACHE.get(key)
         if hit is not None and hit[0] == fp:

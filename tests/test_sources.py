@@ -524,6 +524,45 @@ def test_nanos_flag_restored_after_batch_read(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_plan_cache_plans_only_and_session_keyed(spark, tmp_path):
+    """The parquet metadata/plan cache memoizes UNEXECUTED plans only:
+    a hit must re-read data (clearCache never needs to flush it), any
+    data-file change must invalidate via the mtime+size fingerprint, and
+    entries are keyed by (session identity, applicationId) so a plan can
+    never be served to a different SparkContext."""
+    import os
+    import time
+
+    from as_etl_storage_spark.sources import parquet as pq_src
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).toDF("a").coalesce(1).write.parquet(p)
+    df1 = pq_src.read_parquet_table(spark, p)
+    assert df1.count() == 5
+    key = (id(spark), spark.sparkContext.applicationId, p)
+    assert key in pq_src._PLAN_CACHE
+    # same fingerprint -> cache hit returns the SAME plan object
+    assert pq_src.read_parquet_table(spark, p) is df1
+    # clearCache (which drops persisted RDD blocks) must not be needed
+    # for freshness: the cached value re-reads parquet on every action
+    spark.catalog.clearCache()
+    assert pq_src.read_parquet_table(spark, p) is df1
+    # rewrite the data -> fingerprint changes -> entry invalidated and
+    # the fresh plan serves the new rows (no stale-result serving)
+    time.sleep(0.01)
+    spark.range(7).toDF("a").coalesce(1).write.mode("overwrite").parquet(p)
+    df2 = pq_src.read_parquet_table(spark, p)
+    assert df2.count() == 7
+    # the cache key carries the applicationId: a different context can
+    # never hit this entry even if a future session object reused the
+    # same id()
+    assert all(
+        k[1] == spark.sparkContext.applicationId
+        for k in pq_src._PLAN_CACHE
+        if k[0] == id(spark)
+    )
+
+
 def test_jsonaudit_serializes_rich_types(spark, tmp_path):
     """The jsonaudit writers must serialize timestamp/date/decimal/binary
     columns instead of crashing every task with TypeError."""
