@@ -583,8 +583,7 @@ def _staged_time_halves(
                     + F.expr(f"INTERVAL {sentinel_days * (i + 1)} DAYS"),
                 )
             )
-    part = 0
-    for i, pdf in enumerate(parts):
+    def _stage(i: int, pdf) -> str:
         pdir = os.path.join(halves, f"p{i}")
         # watermarks require TIMESTAMP, not the batch reader's NTZ; the
         # session tz is pinned UTC so the instants agree
@@ -592,6 +591,18 @@ def _staged_time_halves(
         pdf.orderBy("ts", "event_id").coalesce(1).write.mode(
             "overwrite"
         ).parquet(pdir)
+        return pdir
+
+    # the per-part staging writes are independent single-task jobs over
+    # disjoint slices — overlapped from driver threads (guide §2.6, the
+    # same shape as the DML staging writes); the mtime pinning below
+    # stays SEQUENTIAL in part order, so batch replay order is unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(parts))) as pool:
+        pdirs = list(pool.map(lambda ip: _stage(*ip), enumerate(parts)))
+    part = 0
+    for pdir in pdirs:
         for f in sorted(os.listdir(pdir)):
             if f.endswith(".parquet"):
                 dst = os.path.join(indir, f"part-{part:03d}.parquet")

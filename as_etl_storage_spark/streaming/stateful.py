@@ -76,8 +76,15 @@ def user_activity_totals(events: DataFrame, evict_idle_ms: int | None = None) ->
         if evict_idle_ms is not None
         else GroupStateTimeout.NoTimeout
     )
+    # the accumulator reads only len(pdf) and pdf["value"], but Spark
+    # ships EVERY input column through the state shuffle and the Arrow
+    # boundary (guide §4: opaque functions defeat column pruning) — the
+    # events fixture carries ts/event_id/event_type/props besides these
+    # two, so the explicit projection cuts per-batch shuffle and Arrow
+    # bytes to the two columns the function touches
     return (
-        events.groupBy("user_id")
+        events.select("user_id", "value")
+        .groupBy("user_id")
         .applyInPandasWithState(
             _make_accumulate(evict_idle_ms),
             outputStructType=OUTPUT_SCHEMA,
