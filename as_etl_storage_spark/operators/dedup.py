@@ -932,12 +932,14 @@ def segment_dedup_rebuild(
 
 
 def _snm_candidates(
-    df: DataFrame, id_col: str, skey_col, window: int
+    df: DataFrame, id_col: str, skey_col, window: int, boundaries=None
 ) -> DataFrame:
     """One SNM pass: rank the corpus by ``skey_col`` via the
     boundary-literal distributed global rank, then pair each row with its
     next ``window`` neighbors in sort order — an equi-join on (rank + k),
-    candidate count strictly N·window."""
+    candidate count strictly N·window. ``boundaries`` (precomputed
+    bucket edges) skips the rank's own sample job — the multi-pass form
+    feeds both passes from one sampling scan."""
     from as_etl_storage_spark.operators.rank import global_rank
 
     if window < 1:
@@ -947,7 +949,7 @@ def _snm_candidates(
     keyed = df.where(skey_col.isNotNull()).select(
         F.col(id_col).alias("doc"), skey_col.alias("skey")
     )
-    ranked = global_rank(keyed, ["skey", "doc"]).select(
+    ranked = global_rank(keyed, ["skey", "doc"], boundaries).select(
         "doc", F.col("global_rank").alias("rnk")
     )
     a = ranked.select(F.col("doc").alias("doc_a"), F.col("rnk").alias("rnk_a"))
@@ -1046,21 +1048,30 @@ def sorted_neighborhood_multi(
     candidates stay N·window per pass. Pairs are unioned before a single
     verification, so each survivor is verified once."""
     from as_etl_storage_spark.operators.parallelism import spread_small_scan
+    from as_etl_storage_spark.operators.rank import (
+        sample_boundaries_groups,
+    )
 
     # keyed for the same exchange-elimination as the single-pass form
     df = spread_small_scan(df, by=id_col)
-    fwd = _snm_candidates(
-        df,
-        id_col,
-        F.substring(F.lower(F.col(text_col)), 1, key_len),
-        window,
+    fwd_key = F.substring(F.lower(F.col(text_col)), 1, key_len)
+    rev_key = F.substring(F.reverse(F.lower(F.col(text_col))), 1, key_len)
+    # ONE boundary-sample scan feeds BOTH passes: each pass's rank kernel
+    # would otherwise run its own full-corpus reservoir job over the same
+    # rows just to learn bucket edges (guide §2.4 — fewer passes); ranks
+    # are exact under any boundaries, so results are unchanged
+    keyed2 = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        fwd_key.alias("skf"),
+        rev_key.alias("skr"),
     )
-    rev = _snm_candidates(
-        df,
-        id_col,
-        F.substring(F.reverse(F.lower(F.col(text_col))), 1, key_len),
-        window,
+    b_fwd, b_rev = sample_boundaries_groups(
+        keyed2,
+        [["skf", "doc"], ["skr", "doc"]],
+        df.sparkSession.sparkContext.defaultParallelism,
     )
+    fwd = _snm_candidates(df, id_col, fwd_key, window, boundaries=b_fwd)
+    rev = _snm_candidates(df, id_col, rev_key, window, boundaries=b_rev)
     cands = fwd.union(rev).distinct()
     arrays = shingle_array(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")),

@@ -248,6 +248,37 @@ def sample_boundaries_multi(
     return out
 
 
+def sample_boundaries_groups(
+    df: DataFrame, groups: list[list[str]], parts: int
+) -> list[list[tuple]]:
+    """Per-GROUP boundary tuples (multi-column order keys) from ONE
+    sampling job — the tuple-key sibling of
+    :func:`sample_boundaries_multi`. Multi-pass consumers whose passes
+    rank the SAME corpus under different sort keys (sorted-neighborhood
+    fwd/rev passes) otherwise pay one full reservoir scan per pass just
+    to learn bucket edges. Row picks are value-independent (fixed-seed,
+    batch-size-driven), so each group's boundaries equal what its own
+    per-pass sample would pick; and boundary choice only shapes bucket
+    BALANCE — global_rank's output is exact under any boundaries — so
+    sharing the sample can never change results."""
+    if parts <= 1:
+        return [[] for _ in groups]
+    cols: list[str] = []
+    for g in groups:
+        for c in g:
+            if c not in cols:
+                cols.append(c)
+    rows = _weighted_row_sample(df, cols)
+    out: list[list[tuple]] = []
+    for g in groups:
+        weighted = sorted(
+            ((tuple(r[c] for c in g), r[_W]) for r in rows),
+            key=lambda t: _py_sort_key(t[0]),
+        )
+        out.append(_pick_boundaries(weighted, parts))
+    return out
+
+
 def _bucket_search_expr(
     order_cols: list[str], boundaries: list[tuple], lo: int = 0, hi: int | None = None
 ) -> "F.Column":
@@ -347,7 +378,10 @@ def _attach_exceed_count(
 
 
 def _bucketed_once(
-    df: DataFrame, order_cols: list[str], parts: int | None = None
+    df: DataFrame,
+    order_cols: list[str],
+    parts: int | None = None,
+    boundaries: list[tuple] | None = None,
 ) -> DataFrame:
     """Attach ``__rank_pid``: the count of sampled boundary tuples the
     row's key exceeds — a pure expression (binary-search CASE trees, see
@@ -364,7 +398,8 @@ def _bucketed_once(
     default stays defaultParallelism."""
     if parts is None:
         parts = df.sparkSession.sparkContext.defaultParallelism
-    boundaries = _sample_boundaries(df, order_cols, parts)
+    if boundaries is None:
+        boundaries = _sample_boundaries(df, order_cols, parts)
     return _attach_exceed_count(df, order_cols, boundaries, _PID)
 
 
@@ -408,7 +443,11 @@ def _totals_window() -> Window:
     return Window.partitionBy(constant_partition_key(F.col(_PID)))
 
 
-def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
+def _ranked(
+    df: DataFrame,
+    order_cols: list[str],
+    boundaries: list[tuple] | None = None,
+) -> DataFrame:
     """Shared kernel: the input frame plus ``global_rank`` and
     ``__rank_total`` (global row count, long) columns. The corpus moves
     through exactly ONE hash exchange (the bucket id feeding the local
@@ -418,7 +457,7 @@ def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
     the bounded offsets window (cumulative offset + grand total on the
     same tiny exchange) and broadcast-join back — zero driver collects,
     zero single-partition exchanges anywhere in the plan."""
-    rp = _bucketed_once(df, order_cols)
+    rp = _bucketed_once(df, order_cols, boundaries=boundaries)
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     ann = rp.withColumn(_LOCAL, F.row_number().over(w_local))
     stats = rp.groupBy(_PID).agg(F.count(F.lit(1)).alias(_BCNT))
@@ -436,12 +475,19 @@ def _ranked(df: DataFrame, order_cols: list[str]) -> DataFrame:
     )
 
 
-def global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    boundaries: list[tuple] | None = None,
+) -> DataFrame:
     """Add a ``global_rank`` column (1-based, row_number semantics) ordered
     by ``order_cols`` — which must form a unique total order (append a key
     column as tie-break) — without ever collapsing data to one partition.
-    Costs two jobs: the boundary sample and the caller's action."""
-    return _ranked(df, order_cols).drop("__rank_total")
+    Costs two jobs: the boundary sample and the caller's action.
+    ``boundaries`` (from :func:`sample_boundaries_groups`) skips the
+    sample job — multi-pass callers feed every pass from one scan; ranks
+    are exact under any boundary set."""
+    return _ranked(df, order_cols, boundaries).drop("__rank_total")
 
 
 def global_rank_with_total(df: DataFrame, order_cols: list[str]) -> DataFrame:
